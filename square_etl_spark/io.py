@@ -1,0 +1,125 @@
+"""Sources: declarative parquet scans with pushdown-friendly predicates.
+
+The reference's sources are cursor-paginated REST scans with
+server-side predicates — time windows pushed as begin_time/end_time
+URL params (reference src/square.ts:43-91, :53-55) and type filters
+pushed as a ``types`` param (:186-231).  The Spark-first equivalent is
+a parquet scan with the predicate expressed declaratively so Catalyst
+pushes it into the parquet reader (row-group pruning); the cursor loop
+becomes partitioned scan tasks.  ``.explain`` on these scans must show
+``PushedFilters`` — tests/test_plans.py asserts it.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from square_etl_spark.schemas import EVENTS_RAW, FIXTURE_TABLES
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table with its declared schema.
+
+    Schema is supplied explicitly (never inferred; SURVEY.md §1.3).
+    Column pruning + predicate pushdown happen in whatever the caller
+    layers on top — callers should ``.select`` only what they need.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    cannot represent: it is read as raw int64 nanoseconds and truncated
+    to microseconds (``ts div 1000`` — integer division, so exactly
+    DuckDB's ns→µs cast semantics for the oracle comparison).
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if name == "events":
+        raw = spark.read.schema(EVENTS_RAW).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
+    schema = FIXTURE_TABLES.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def windowed_scan(
+    df: DataFrame,
+    ts_col: str,
+    begin: str | _dt.datetime | None = None,
+    end: str | _dt.datetime | None = None,
+) -> DataFrame:
+    """S1/P8: scan restricted to a half-open time window [begin, end).
+
+    Mirrors the reference's incremental scan, where the window is
+    computed once and pushed to the source (reference
+    src/etl-square-payments.ts:18-25 → src/square.ts:53-55).  Expressed
+    as a filter on literals so Catalyst pushes it into the parquet scan
+    (at 100 TB this is the difference between reading one day and
+    reading the whole table — combine with date partitioning and the
+    filter also prunes partitions).
+    """
+    out = df
+    if begin is not None:
+        out = out.filter(F.col(ts_col) >= F.lit(begin).cast("timestamp"))
+    if end is not None:
+        out = out.filter(F.col(ts_col) < F.lit(end).cast("timestamp"))
+    return out
+
+
+def lookback_window(
+    hours: float, now: _dt.datetime | None = None
+) -> tuple[_dt.datetime, _dt.datetime]:
+    """T2: sliding lookback window [now - hours, now].
+
+    The reference derives the window from wall clock only, no stored
+    cursor (src/etl-square-payments.ts:18-25; SURVEY.md §2.8 T3) —
+    idempotent upserts make the ~24× re-read of each event safe.
+    ``now`` is injectable for deterministic tests.
+    """
+    now = now or _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    return now - _dt.timedelta(hours=hours), now
+
+
+def typed_scan(df: DataFrame, type_col: str, types: list[str]) -> DataFrame:
+    """S3/S5: scan filtered by an IN-list on a type column.
+
+    Reference: the catalog fetch pushes ``types=ITEM,ITEM_VARIATION``
+    server-side (src/square.ts:186-231, caller at
+    src/etl-square-catalog.ts:131).  Here the IN predicate is pushed
+    into the parquet scan by Catalyst.
+    """
+    return df.filter(F.col(type_col).isin(types))
+
+
+def point_lookup(df: DataFrame, key_col: str, keys_df: DataFrame, key_alias: str) -> DataFrame:
+    """S2→J3: the reference's per-key point lookup, done the Spark way.
+
+    The reference fetches one order per HTTP GET in a sequential loop
+    (src/square.ts:117-156, loop at src/etl-square-orders.ts:197-199) —
+    its throughput ceiling.  Distributed engines never loop row-at-a-
+    time: the set of keys becomes a DataFrame and the lookup becomes one
+    equi-join (broadcast when the key set is small, sort-merge
+    otherwise — AQE decides).
+    """
+    return keys_df.join(df, keys_df[key_alias] == df[key_col], "inner")
+
+
+def pushed_filters(df: DataFrame) -> str:
+    """Return the PushedFilters fragment of a scan's formatted plan.
+
+    Test helper: asserts that a predicate actually reached the parquet
+    reader instead of being evaluated post-scan.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "\n".join(line.strip() for line in plan.splitlines() if "PushedFilters" in line)

@@ -1,0 +1,80 @@
+"""Aggregations (SURVEY.md §2.5) + the standard agg surface.
+
+The reference's aggregates are implicit (distinct-key map builds,
+first-wins, last-writer-wins upserts).  This module makes them explicit
+Spark aggregations, plus the groupBy/rollup/cube/top-k surface the
+warehouse exists to serve downstream.
+
+Determinism note: floating-point SUM is order-dependent, and a
+distributed engine gives no accumulation order — so any sum that must
+hash-match an external oracle (or simply be reproducible run-to-run)
+goes through ``decimal_sum``: cast each addend to DECIMAL(38, s),
+sum exactly, cast the total back to double.  One deterministic
+rounding per value instead of 10^5 order-dependent float adds; the
+same expression is used on the DuckDB oracle side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: scale for deterministic decimal accumulation; 6 fractional digits
+#: covers the fixtures' price/discount precision with headroom.
+DECIMAL_SCALE = 6
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def decimal_sum(col: Column | str, scale: int = DECIMAL_SCALE) -> Column:
+    """Order-independent SUM over doubles (see module docstring)."""
+    return F.sum(_c(col).cast(f"decimal(38,{scale})")).cast("double")
+
+
+def decimal_avg(col: Column | str, scale: int = DECIMAL_SCALE) -> Column:
+    """Order-independent AVG: exact decimal sum, then one double division."""
+    return decimal_sum(col, scale) / F.count(F.lit(1))
+
+
+def distinct_keys(df: DataFrame, *cols: str) -> DataFrame:
+    """A1: DISTINCT key extraction (reference
+    ``Array.from(orderToPayment.keys())``, src/etl-square-orders.ts:192).
+    Map-side partial aggregation makes this one light shuffle."""
+    return df.select(*cols).distinct()
+
+
+def last_writer_wins(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """A3: keep the newest row per natural key.
+
+    The reference gets this implicitly from replaying upserts in
+    arrival order (ON CONFLICT DO UPDATE; src/etl-square-payments.ts:82-94).
+    Deterministic re-specification: max by (order_cols...) descending
+    with key tiebreak, via one window row_number (SURVEY.md §2.5 A3).
+    """
+    order = [F.col(c).desc_nulls_last() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
+    """Sort + limit.  Spark plans TakeOrderedAndProject — each partition
+    keeps only its local top-k, the driver merges k·P rows; no global
+    sort materializes (SURVEY.md §2.6).  Callers must include a unique
+    tiebreaker in order_cols for deterministic results."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def grouped_rollup(df: DataFrame, group_cols: list[str], aggs: list[Column]) -> DataFrame:
+    """ROLLUP over the group columns — subtotals + grand total in one
+    pass (Spark expands to grouping sets; partial aggregation still
+    applies map-side)."""
+    return df.rollup(*group_cols).agg(*aggs)

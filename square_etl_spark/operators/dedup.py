@@ -1,0 +1,240 @@
+"""Deduplication operators (extension surface — SURVEY.md §2.10).
+
+Not in the reference (its dedup is key-based upsert idempotence, K1);
+these are the content-level dedup operators a 100 TB training-data
+pipeline needs.  Scale design notes per operator:
+
+- exact: one hash-shuffle on a 64-char digest — the digest, not the
+  document body, is the shuffle key, so shuffle volume is O(rows·64B).
+- minhash/LSH: candidate generation is a band-bucket equi-join —
+  quadratic blowup only inside a bucket, never globally.
+- n-gram Jaccard: exact verification join, run AFTER a candidate
+  filter (shared-shingle join) so the pair space stays near-linear.
+- simhash: 64-bit signature per doc; near-dup = small Hamming
+  distance; banded by 16-bit chunks for candidate generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def content_digest(col: str = "text") -> F.Column:
+    """SHA-256 digest of document content — the exact-dedup key."""
+    return F.sha2(F.col(col), 256)
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: canonical survivor = minimum id per distinct content.
+
+    Grouping key is the SHA-256 digest, not the body: at 100 TB the
+    shuffle moves 64 bytes + id per row instead of whole documents.
+    Returns (digest, survivor id, duplicate count).
+    """
+    return df.groupBy(content_digest(content_col).alias("content_sha256")).agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def word_shingles(col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams of a whitespace-tokenized document.
+
+    Pure higher-order SQL (transform over an index sequence) — stays in
+    codegen, no UDF.  Documents shorter than n words yield an empty
+    array.
+    """
+    words = F.split(F.trim(F.col(col)), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    sh = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Plan shape (all built-in ops):
+      1. shingle each doc (distinct n-grams) and keep its shingle count;
+      2. explode → (shingle, id) postings and equi-join postings with
+         itself on the shingle (id_a < id_b) — only pairs sharing ≥1
+         shingle ever materialize (the LSH-free candidate filter);
+      3. count shared shingles per pair = |A∩B|;
+      4. jaccard = inter / (|A| + |B| − inter); filter by threshold.
+
+    At scale the hot spot is a frequent shingle producing a huge
+    posting list (quadratic pair blowup) — mitigate by dropping
+    stop-shingles above a document-frequency cap before the self-join,
+    exactly the skew-key treatment of a shuffle join.
+    """
+    sized = df.select(
+        F.col(id_col), word_shingles(content_col, n).alias("shingles")
+    ).withColumn("n_sh", F.size("shingles"))
+    postings = sized.select(
+        id_col, "n_sh", F.explode("shingles").alias("shingle")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(col: str = "text") -> F.Column:
+    """64-bit SimHash signature over whitespace tokens.
+
+    For each token, xxhash64 gives 64 pseudo-random bits; each bit
+    votes +1/−1; the signature's bit i is 1 iff the vote sum is
+    positive.  Expressed entirely with higher-order functions
+    (transform/aggregate) — per-row cost is O(tokens·64) JVM ops, no
+    Python.  Near-dup docs differ in few bits (Hamming distance).
+    """
+    tokens = F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != F.lit(""))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bits = F.sequence(F.lit(0), F.lit(63))
+    # vote per bit: sum over tokens of (bit set ? +1 : −1) > 0
+    votes = F.transform(
+        bits,
+        lambda i: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(F.getbit(h, i) == 1, 1).otherwise(-1),
+        ),
+    )
+    # assemble the signature by OR-ing 2^i for positive-vote bits;
+    # bit 63's power is long-min in two's complement (1<<63 overflows).
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            pow2,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: candidates via 16-bit band buckets, verified
+    by exact Hamming distance.
+
+    Pigeonhole: two signatures within Hamming distance ≤ 12 share at
+    least one of four 16-bit bands exactly, so the candidate join is an
+    equi-join on (band index, band value) — no cross join.  Band
+    buckets are the shuffle key; a degenerate band (e.g. all-zero from
+    empty docs) is the skew hazard, same mitigation as any hot key.
+    """
+    sigs = df.select(F.col(id_col), simhash64(content_col).alias("sig"))
+    bands = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "sig", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, on=["band", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_hashes: int = 64,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup via spark.ml (HashingTF shingle vectors →
+    MinHashLSH → approxSimilarityJoin).  Distance is 1 − estimated
+    Jaccard.  Deterministic for a fixed seed.  The banded OR-join
+    inside approxSimilarityJoin is the scale path: candidate pairs are
+    generated by equi-joining band buckets, never by cross product.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sized = df.select(
+        F.col(id_col), word_shingles(content_col, 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sized)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=seed
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""Joins (SURVEY.md §2.4): build/probe, first-wins, lookup, explode.
+
+The reference hand-codes every join as an in-memory hash map build +
+sequential probe (single process, zero concurrency).  Here each is a
+declarative join so Catalyst/AQE pick the physical strategy — with
+explicit ``broadcast()`` hints where the reference's own build-side
+choice tells us the dimension is small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def broadcast_left_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """J1: broadcast hash left-outer join (build/probe).
+
+    Reference builds two in-memory maps from the small ITEM set and
+    probes each ITEM_VARIATION, missing parent → nulls
+    (src/etl-square-catalog.ts:129-172).  The explicit broadcast hint
+    mirrors that build-side knowledge; at 100 TB the dim (catalog
+    items, locations, categories) stays orders of magnitude smaller
+    than facts, so broadcasting avoids shuffling the fact table
+    entirely — the single most important join decision at scale.
+    """
+    return facts.join(F.broadcast(dim), on=on, how=how)
+
+
+def first_wins(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """J2/A1: deterministic "first row per key".
+
+    The reference's first-payment-per-order map relies on arrival order
+    (ASC by created_at server-side sort; src/etl-square-orders.ts:182-190
+    with sort_order=ASC at src/square.ts:55).  Arrival order does not
+    exist in a distributed engine, so the semantics are re-specified
+    deterministically: first = minimum by (order_cols...) with the key
+    itself as final tiebreaker (SURVEY.md §7 hard-list #2).
+
+    Implemented as a window row_number — one shuffle on key_cols; at
+    scale prefer this over groupBy+min_by(struct) only when payload
+    columns are needed (min_by carries a single column cheaply,
+    row_number carries the whole row).
+    """
+    order = [F.col(c).asc_nulls_last() for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    out = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    if payload_cols is not None:
+        out = out.select(*key_cols, *payload_cols)
+    return out
+
+
+def lookup_join(keys: DataFrame, table: DataFrame, on: str | list[str]) -> DataFrame:
+    """J3: the reference's sequential per-key fetch loop
+    (src/etl-square-orders.ts:197-213) as one distributed equi-join.
+    Inner join ⇒ missing keys silently drop, matching the reference's
+    ``if (!order) continue`` (:200-205)."""
+    return keys.join(table, on=on, how="inner")
+
+
+def explode_children(
+    df: DataFrame,
+    array_col: str,
+    parent_cols: list[str],
+    child_alias: str = "child",
+) -> DataFrame:
+    """J4: unnest a 1-to-N child array, carrying parent columns.
+
+    Reference: per-order loop over ``order.line_items`` emitting one
+    row per element with order-level fields attached
+    (src/etl-square-orders.ts:202-213).  Inner ``explode`` (not
+    explode_outer) matches the reference skipping orders with no line
+    items (SURVEY.md §7 hard-list #3).
+    """
+    return df.select(
+        *[F.col(c) for c in parent_cols],
+        F.explode(F.col(array_col)).alias(child_alias),
+    ).select(*parent_cols, f"{child_alias}.*")

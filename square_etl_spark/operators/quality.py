@@ -1,0 +1,47 @@
+"""Data-quality operators (SURVEY.md §2.9).
+
+The reference's posture: per-row skip-and-warn quarantine (E1), a
+fail-fast invariant for impossible rows (E2), all-or-nothing batches
+(E3).  Spark-first: one predicate, two filters (valid stream + reject
+stream with a reason column), and ``raise_error`` for invariants —
+no row-at-a-time exception handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """E1: split into (valid, rejects-with-reason).
+
+    ``rules`` is an ordered list of (reason, violation_predicate); a row
+    is rejected with the FIRST matching reason — mirroring the
+    reference's sequential validation checks that warn and return null
+    on the first failure (src/etl-square-orders.ts:53-68,
+    src/etl-square-inventory.ts:33-45).
+
+    Both outputs derive from one scan; Catalyst shares the subplan when
+    both are consumed in the same action, and at scale the reject
+    stream is written to a reject path instead of being dropped.
+    """
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(rules):
+        reason = F.when(pred, F.lit(name)).otherwise(reason)
+    tagged = df.withColumn("reject_reason", reason)
+    valid = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    rejects = tagged.filter(F.col("reject_reason").isNotNull())
+    return valid, rejects
+
+
+def assert_invariant(df: DataFrame, pred: Column, message: str) -> DataFrame:
+    """E2: fail the job if any row violates the invariant, the way the
+    reference throws on a payment with no money fields
+    (src/etl-square-payments.ts:30-32).  Expressed as a filter whose
+    predicate raises on violation (a dropped projection column would be
+    pruned by Catalyst; a filter predicate cannot be) — evaluates
+    lazily inside the plan, no extra action."""
+    return df.filter(F.when(~pred, F.raise_error(F.lit(message))).otherwise(F.lit(True)))

@@ -1,0 +1,217 @@
+"""Embedding similarity search (extension surface — SURVEY.md §2.10).
+
+Brute-force cosine top-k as the exactness baseline, and two scale
+paths: random-hyperplane LSH bucketing and an IVF-style inverted file
+over centroid cells.  Vector math is expressed with higher-order SQL
+functions (zip_with/aggregate) in double precision — JVM-side, no
+Python in the inner loop; the Arrow/Pandas path exists only where a
+numpy BLAS batch genuinely wins (see ``cosine_topk_pandas``).
+
+Scale design: brute force is O(Q·N·d) — fine for a broadcastable query
+set (Q small), unacceptable for all-pairs.  LSH/IVF make the candidate
+set per query O(N/buckets): the bucket id is the shuffle key, queries
+probe only matching buckets (plus neighbors), turning a cross join
+into an equi-join — the same pattern as every other skew-aware shuffle
+in this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (element order fixed ⇒ deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against the
+    vector table, rank per query.
+
+    The cross join is explicitly broadcast (Q rows ≪ N): each executor
+    scans its vector partitions once against the in-memory query set —
+    no shuffle of the big side at all; the only shuffle is the final
+    per-query top-k, which TakeOrdered-style window ranking keeps at
+    O(Q·k) rows after partial filtering.  Similarity is rounded to 6
+    decimals BEFORE ranking, with id tiebreak, so the result set is
+    reproducible across engines and accumulation orders.
+    """
+    pairs = vectors.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine_sim",
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def normalize(vec_col: Column) -> Column:
+    """Unit-normalize (double) — do it once at ingest so every probe is
+    a plain dot product."""
+    n = l2_norm(vec_col)
+    return F.transform(vec_col, lambda x: x.cast("double") / n)
+
+
+def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH (driver-side
+    constants, broadcast with the plan — no data dependence)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i).  Cosine-similar
+    vectors collide with high probability; the bucket id becomes the
+    equi-join / shuffle key at scale."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(vec_col, arr) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine rank within candidates.  2^bits buckets ⇒
+    ~N/2^bits candidates per query instead of N; recall is tunable via
+    bits (fewer bits = more recall, more work).  The vectors↔queries
+    match is an equi-join on the bucket id — broadcastable small side,
+    no cross join."""
+    planes = random_hyperplanes(dim, bits, seed)
+    v = vectors.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    q = queries.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes))
+    pairs = v.join(F.broadcast(q), on="bucket").withColumn(
+        "cosine_sim", F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "cell",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF build: assign every vector to its nearest centroid cell
+    (max cosine).  Centroids are broadcast; assignment is a map-only
+    pass.  The cell id is then the partition/bucket key for probes —
+    write the index partitioned by cell and a probe reads only
+    n_probe cells."""
+    pairs = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "sim", F.round(cosine(F.col(vec_col), F.col(centroid_vec_col)), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        pairs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def cosine_topk_pandas(
+    vectors: DataFrame,
+    query_rows: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched brute force: numpy matmul per partition batch.
+
+    The vectorized alternative when d is large enough that JVM
+    element-wise HOFs lose to BLAS: queries ship as a broadcast numpy
+    matrix, each Arrow batch of vectors does one (batch×d)·(d×Q)
+    matmul, emits per-query partial top-k; a final groupBy merges
+    partials.  Demonstrates the sanctioned Pandas-UDF escape hatch —
+    Arrow batches, never row-at-a-time Python.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qids = [int(q) for q, _ in query_rows]
+    qmat = np.array([v for _, v in query_rows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qnorm.T  # (batch, Q)
+            for qi, qid in enumerate(qids):
+                col = sims[:, qi]
+                top = np.argsort(-col)[:k]
+                yield pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        id_col: pdf[id_col].to_numpy()[top],
+                        "cosine_sim": np.round(col[top], 6),
+                    }
+                )
+
+    partials = vectors.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine_sim", "rank")
+    )

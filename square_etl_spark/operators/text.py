@@ -1,0 +1,127 @@
+"""Text-analysis operators (extension surface — SURVEY.md §2.10).
+
+Language ID, quality scoring, token counting, fingerprinting — all as
+pure Column expressions (built-in string/regex/higher-order functions,
+zero Python UDFs), so a 100 TB corpus pass stays in whole-stage
+codegen and parallelizes as a plain map over partitions with no
+shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str = "text") -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(_c(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_tokens(col: Column | str = "text") -> Column:
+    """BPE-ish word/punct tokenization: letter-digit runs or single
+    non-space symbols — the standard pre-tokenizer split."""
+    return F.regexp_extract_all(_c(col), F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]"), 0)
+
+
+#: tiny per-language marker lexicons for the n-gram/stopword heuristic.
+#: Ordered dict: ties broken by list order (en first).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "los", "las", "y", "de", "que", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht"],
+    "zh": ["de5", "shi4", "bu4", "wo3", "ni3", "ta1", "le5", "zai4"],
+}
+
+
+def lang_scores(col: Column | str = "text") -> dict[str, Column]:
+    """Per-language marker-hit counts over whitespace tokens."""
+    toks = F.split(F.lower(F.trim(_c(col))), r"\s+")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    return out
+
+
+def lang_id(col: Column | str = "text") -> Column:
+    """Heuristic language ID: argmax marker count, 'und' if no marker
+    hits.  Deterministic tie-break by LANG_MARKERS order."""
+    scores = lang_scores(col)
+    langs = list(scores.keys())
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+
+
+def quality_metrics(col: Column | str = "text") -> dict[str, Column]:
+    """Heuristic quality signals: length, token stats, punctuation /
+    non-alpha ratios, stopword ratio, mean word length.  All ratios are
+    rounded to 6 decimals for cross-engine reproducibility."""
+    t = _c(col)
+    n_chars = F.length(t)
+    toks = token_count(t)
+    n_punct = F.length(F.regexp_replace(t, r"[^\.,;:!\?]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    stop_arr = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: F.array_contains(stop_arr, w),
+        )
+    )
+    nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
+    nt = F.when(toks > 0, toks.cast("double")).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": toks.cast("long"),
+        "punct_ratio": F.round(n_punct / nz, 6),
+        "alpha_ratio": F.round(n_alpha / nz, 6),
+        "stopword_ratio": F.round(n_stop / nt, 6),
+        "mean_token_len": F.round(n_alpha.cast("double") / nt, 6),
+    }
+
+
+def quality_score(col: Column | str = "text") -> Column:
+    """Scalar quality score in [0,1]: rewards alpha content and
+    stopword presence, penalizes extreme punctuation — a deterministic
+    stand-in for model-based quality filters."""
+    m = quality_metrics(col)
+    raw = (
+        0.5 * F.least(m["alpha_ratio"] / F.lit(0.8), F.lit(1.0))
+        + 0.3 * F.least(m["stopword_ratio"] / F.lit(0.4), F.lit(1.0))
+        + 0.2 * (F.lit(1.0) - F.least(m["punct_ratio"] / F.lit(0.2), F.lit(1.0)))
+    )
+    return F.round(raw, 6)
+
+
+def fingerprint64(col: Column | str = "text") -> Column:
+    """Deterministic 64-bit document fingerprint: polynomial rolling
+    hash over whitespace tokens (hash chaining via aggregate — O(tokens)
+    JVM ops).  Unlike content SHA-256 this is cheap to combine/shard
+    and stable under the same tokenization across engines that share
+    the polynomial (31, mod 2^64 via native long overflow semantics is
+    NOT used — an explicit Mersenne prime keeps it portable)."""
+    toks = F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != F.lit(""))
+    # h = (h*31 + (xxhash64(token) & 0xFFFFFFFF)) & (2^57 − 1).
+    # Masks keep every intermediate below 2^63 so ANSI mode never sees
+    # a long overflow: acc < 2^57 ⇒ 31·acc < 2^62, + 2^32 ≪ 2^63.
+    acc_mask = F.lit((1 << 57) - 1)
+    tok_mask = F.lit(0xFFFFFFFF)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (
+            acc * F.lit(31) + F.xxhash64(t).bitwiseAND(tok_mask)
+        ).bitwiseAND(acc_mask),
+    )

@@ -1,0 +1,1346 @@
+"""Named query registry — the driver-checked surface of the engine.
+
+Every operator from SURVEY.md §2 (plus the §2.10 extensions) is
+exposed as a named query: a ``(spark, sf_dir) → DataFrame`` callable
+and, where ANSI-SQL-expressible, a semantically identical DuckDB
+oracle string.  The driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hash.
+
+Cross-engine determinism rules used throughout (SURVEY.md §7):
+
+- float SUM/AVG is order-dependent ⇒ all such aggregates go through
+  decimal-intermediate sums (cast addend to DECIMAL(38,6), exact sum,
+  cast back to double) — the same expression on both engines;
+- every rank / top-k orders by an exact value with a unique id
+  tiebreaker;
+- the fixtures contain no NULLs, so null-semantics queries synthesize
+  them with identical deterministic CASE expressions on both sides;
+- every computed column is aliased identically on both sides;
+- integer-valued computed columns are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from square_etl_spark.io import load_table, typed_scan, windowed_scan
+from square_etl_spark.operators import text as tx
+from square_etl_spark.operators.aggregations import (
+    decimal_sum,
+    distinct_keys,
+    grouped_rollup,
+    last_writer_wins,
+    top_k,
+)
+from square_etl_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from square_etl_spark.operators.joins import (
+    broadcast_left_enrich,
+    explode_children,
+    first_wins,
+    lookup_join,
+)
+from square_etl_spark.operators.multimodal import decode_media, documents_as_media
+from square_etl_spark.operators.projections import (
+    coalesce_first,
+    enrich_constants,
+    flatten_address,
+    json_field,
+    nullify_when,
+    tolerant_double,
+)
+from square_etl_spark.operators.quality import quarantine_split
+from square_etl_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    l2_norm,
+)
+from square_etl_spark.operators.windows import sliding, tumbling
+from square_etl_spark.sinks.merge import merge_dataframes
+
+
+@dataclass
+class QuerySpec:
+    """One registry entry: Spark query + optional DuckDB oracle."""
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    bench: bool = False  # include in bench.py headline set
+    doc: str = ""
+
+
+_REGISTRY: list[QuerySpec] = []
+
+
+def _register(spec: QuerySpec) -> QuerySpec:
+    _REGISTRY.append(spec)
+    return spec
+
+
+def _dsum(expr: str) -> str:
+    """Oracle-side twin of aggregations.decimal_sum."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Flagship + core analytics
+# ---------------------------------------------------------------------------
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue rollup — lineitem ⋈ orders ⋈ customer ⋈ nation
+    ⋈ region with a pushed-down time window, broadcast dimensions, and
+    order-independent revenue sums.
+
+    Exercises S1/P8 (windowed scan), J1-style broadcast enrichment, J3
+    (fact-fact equi join), and the A-category aggregate surface in one
+    plan — the reference's whole pipeline shape as one declarative
+    query (SURVEY.md §7 phase 0).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1996-01-01", "1998-01-01"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    facts = li.join(o, li.l_orderkey == o.o_orderkey)
+    enriched = (
+        broadcast_left_enrich(facts, c, facts.o_custkey == c.c_custkey, how="inner")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    )
+    return (
+        enriched.groupBy("r_name", "n_name", "l_returnflag")
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "flagship_star_revenue",
+        _flagship,
+        oracle=f"""
+        SELECT r_name, n_name, l_returnflag,
+               {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name, n_name, l_returnflag
+        """,
+        bench=True,
+        doc="multi-way star join + windowed scan + rollup (reference pipeline shape)",
+    )
+)
+
+
+def _pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the standard agg surface
+    (sum/avg/count) the warehouse exists for (SURVEY.md §2.5)."""
+    li = windowed_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", None, "2000-12-02"
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity").alias("sum_qty"),
+            decimal_sum("l_extendedprice").alias("sum_base_price"),
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            decimal_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            (decimal_sum("l_quantity") / cnt).alias("avg_qty"),
+            (decimal_sum("l_extendedprice") / cnt).alias("avg_price"),
+            (decimal_sum("l_discount") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q1_pricing_summary",
+        _pricing_summary,
+        oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum('l_quantity')} AS sum_qty,
+               {_dsum('l_extendedprice')} AS sum_base_price,
+               {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+               {_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+               {_dsum('l_discount')} / COUNT(*) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '2000-12-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        bench=True,
+        doc="grouped sum/avg/count with deterministic decimal accumulation",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Scans (S1/S3) and projections/filters (P1–P9)
+# ---------------------------------------------------------------------------
+
+
+def _s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P8: incremental windowed scan with the predicate pushed into
+    the parquet reader (reference: begin/end URL params,
+    src/square.ts:53-55)."""
+    return windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1997-01-01", "1997-04-01"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+
+
+_register(
+    QuerySpec(
+        "s1_windowed_scan",
+        _s1,
+        oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        """,
+        doc="half-open time-window scan, pushdown-checked in tests",
+    )
+)
+
+
+def _s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: typed scan — server-side `types` filter as a pushed IN-list
+    (reference src/square.ts:186-231)."""
+    return typed_scan(
+        load_table(spark, sf_dir, "part"), "p_type", ["PROMO", "ECONOMY"]
+    ).select("p_partkey", "p_name", "p_type", "p_size")
+
+
+_register(
+    QuerySpec(
+        "s3_typed_scan",
+        _s3,
+        oracle="""
+        SELECT p_partkey, p_name, p_type, p_size
+        FROM part WHERE p_type IN ('PROMO', 'ECONOMY')
+        """,
+        doc="IN-list type filter pushed to the scan",
+    )
+)
+
+
+def _p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: null-coalescing money pick (total ?? amount), rows where both
+    are null are impossible-row errors filtered to quarantine
+    (reference src/etl-square-payments.ts:27-47)."""
+    o = load_table(spark, sf_dir, "orders")
+    total = nullify_when("o_totalprice", F.col("o_orderkey") % 3 == 0)
+    amount = nullify_when(
+        F.col("o_totalprice") * 100, F.col("o_orderkey") % 5 == 0
+    )
+    money = coalesce_first(total, amount)
+    return (
+        o.select(
+            "o_orderkey",
+            total.alias("total_money"),
+            amount.alias("amount_money"),
+            money.alias("money"),
+        )
+        .filter(money.isNotNull())
+    )
+
+
+_register(
+    QuerySpec(
+        "p1_money_coalesce",
+        _p1,
+        oracle="""
+        WITH m AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS total_money,
+                 CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice * 100 END AS amount_money
+          FROM orders)
+        SELECT o_orderkey, total_money, amount_money,
+               COALESCE(total_money, amount_money) AS money
+        FROM m
+        WHERE COALESCE(total_money, amount_money) IS NOT NULL
+        """,
+        doc="?? money chain with impossible-row filter",
+    )
+)
+
+
+def _p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/F3: tolerant decimal-in-string parse with drop-invalid
+    semantics (reference src/etl-square-orders.ts:61-68): garbage → NULL
+    via try_cast, non-positive dropped."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_str = (
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit("garbage"))
+        .when(F.col("l_orderkey") % 11 == 0, (-F.col("l_quantity")).cast("string"))
+        .otherwise(F.col("l_quantity").cast("string"))
+    )
+    parsed = qty_str.try_cast("double")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            parsed.alias("quantity"),
+        )
+        .filter(parsed.isNotNull() & (parsed > 0))
+    )
+
+
+_register(
+    QuerySpec(
+        "p2_quantity_validity",
+        _p2,
+        oracle="""
+        WITH s AS (
+          SELECT l_orderkey, l_linenumber,
+                 TRY_CAST(
+                   CASE WHEN l_orderkey % 7 = 0 THEN 'garbage'
+                        WHEN l_orderkey % 11 = 0 THEN CAST(-l_quantity AS VARCHAR)
+                        ELSE CAST(l_quantity AS VARCHAR) END
+                   AS DOUBLE) AS quantity
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber, quantity
+        FROM s WHERE quantity IS NOT NULL AND quantity > 0
+        """,
+        doc="parseFloat-with-guard semantics via try_cast",
+    )
+)
+
+
+def _p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: parent-name fallback ``parentName ?? variationName``
+    (reference src/etl-square-catalog.ts:45-47)."""
+    p = load_table(spark, sf_dir, "part")
+    parent = nullify_when(F.upper(F.col("p_brand")), F.col("p_partkey") % 2 == 0)
+    return p.select(
+        "p_partkey",
+        parent.alias("parent_name"),
+        coalesce_first(parent, F.col("p_name")).alias("item_name"),
+    )
+
+
+_register(
+    QuerySpec(
+        "p3_parent_fallback",
+        _p3,
+        oracle="""
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE UPPER(p_brand) END AS parent_name,
+               COALESCE(CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE UPPER(p_brand) END,
+                        p_name) AS item_name
+        FROM part
+        """,
+        doc="coalesce name fallback",
+    )
+)
+
+
+def _p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/F6: required-field filter + null-skipping concat_ws address
+    flatten wrapped in nullif (reference src/etl-square-locations.ts:29-53;
+    SURVEY.md §7 hard-list #4)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    df = broadcast_left_enrich(c, n, c.c_nationkey == n.n_nationkey, how="inner")
+    line1 = nullify_when("c_name", F.col("c_custkey") % 4 == 0)
+    locality = nullify_when("c_mktsegment", F.col("c_custkey") % 6 == 0)
+    district = nullify_when("n_name", F.col("c_custkey") % 24 == 0)
+    return df.filter(F.col("c_custkey").isNotNull()).select(
+        "c_custkey",
+        flatten_address(line1, locality, district).alias("address"),
+    )
+
+
+_register(
+    QuerySpec(
+        "p6_address_concat",
+        _p6,
+        oracle="""
+        SELECT c_custkey,
+               NULLIF(CONCAT_WS(', ',
+                 CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name END,
+                 CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE c_mktsegment END,
+                 CASE WHEN c_custkey % 24 = 0 THEN NULL ELSE n_name END), '') AS address
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey IS NOT NULL
+        """,
+        doc="null-skipping join of address parts; '' → NULL",
+    )
+)
+
+
+def _p9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/F9: constant tenancy enrichment on every row (reference
+    src/etl-square-payments.ts:100-103)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return enrich_constants(li, tenant_id="tenant-1", provider="square")
+
+
+_register(
+    QuerySpec(
+        "p9_constant_enrichment",
+        _p9,
+        oracle="""
+        SELECT l_orderkey, l_linenumber,
+               'tenant-1' AS tenant_id, 'square' AS provider
+        FROM lineitem
+        """,
+        doc="multi-tenancy literals, constant-folded by Catalyst",
+    )
+)
+
+
+def _f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (read side): recover a field from a JSON payload column —
+    the raw_payload escape-hatch pattern (SURVEY.md §1.2)."""
+    e = load_table(spark, sf_dir, "events")
+    k = json_field("props", "$.k").try_cast("long")
+    return e.select("event_id", "event_type", k.alias("k_val")).filter(k > 50)
+
+
+_register(
+    QuerySpec(
+        "f2_json_extract",
+        _f2,
+        oracle="""
+        SELECT event_id, event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+        FROM events
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        """,
+        doc="get_json_object over the raw-payload column",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Joins (J1–J4)
+# ---------------------------------------------------------------------------
+
+
+def _j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P3/P7: the catalog build/probe join — build a small parent
+    dim, broadcast left-join the probe side, fall back to the probe's
+    own name when the parent is missing (reference
+    src/etl-square-catalog.ts:129-172)."""
+    p = load_table(spark, sf_dir, "part")
+    items = (
+        p.filter(F.col("p_size") >= 45)
+        .groupBy("p_brand")
+        .agg(
+            F.min("p_name").alias("brand_item_name"),
+            F.min("p_partkey").alias("brand_catalog_id"),
+        )
+    )
+    probed = broadcast_left_enrich(p, items, on="p_brand", how="left")
+    return probed.select(
+        "p_partkey",
+        coalesce_first("brand_item_name", "p_name").alias("item_name"),
+        F.col("brand_catalog_id").alias("category_id"),
+    )
+
+
+_register(
+    QuerySpec(
+        "j1_catalog_build_probe",
+        _j1,
+        oracle="""
+        WITH items AS (
+          SELECT p_brand, MIN(p_name) AS brand_item_name,
+                 MIN(p_partkey) AS brand_catalog_id
+          FROM part WHERE p_size >= 45 GROUP BY p_brand)
+        SELECT p.p_partkey,
+               COALESCE(i.brand_item_name, p.p_name) AS item_name,
+               i.brand_catalog_id AS category_id
+        FROM part p LEFT JOIN items i ON p.p_brand = i.p_brand
+        """,
+        bench=True,
+        doc="broadcast build/probe left join with name fallback",
+    )
+)
+
+
+def _j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A1: first-wins per key, deterministically re-specified as
+    min-by-(event-time, key) instead of arrival order (reference
+    src/etl-square-orders.ts:182-190; SURVEY.md §7 hard-list #2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return first_wins(
+        o,
+        key_cols=["o_custkey"],
+        order_cols=["o_orderdate", "o_orderkey"],
+        payload_cols=["o_orderkey", "o_orderdate"],
+    ).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+    )
+
+
+_register(
+    QuerySpec(
+        "j2_first_wins",
+        _j2,
+        oracle="""
+        SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate
+        FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+        WHERE rn = 1
+        """,
+        doc="deterministic first-payment-per-order semantics",
+    )
+)
+
+
+def _j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/A1: the reference's per-key sequential lookups
+    (src/etl-square-orders.ts:197-213) as distinct-keys → one equi-join."""
+    li = windowed_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", "1998-01-01", "1998-07-01"
+    )
+    keys = distinct_keys(li, "l_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return lookup_join(
+        keys.withColumnRenamed("l_orderkey", "o_orderkey"), o, on="o_orderkey"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_register(
+    QuerySpec(
+        "j3_lookup_join",
+        _j3,
+        oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM (SELECT DISTINCT l_orderkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-07-01') k
+        JOIN orders ON k.l_orderkey = o_orderkey
+        """,
+        doc="point-lookup loop → distributed equi-join",
+    )
+)
+
+
+def _j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: explode of a nested 1-to-N child array.  The fixtures are
+    flat, so the nested shape is built first (collect_list of structs
+    per order) and then exploded — inner explode, matching the
+    reference's skip-empty-orders loop (src/etl-square-orders.ts:202-213)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_extendedprice")
+        ).alias("line_items")
+    )
+    return explode_children(
+        nested, "line_items", parent_cols=["l_orderkey"], child_alias="li"
+    )
+
+
+_register(
+    QuerySpec(
+        "j4_explode_line_items",
+        _j4,
+        # collect_list→explode is an identity on (order, line) pairs, so
+        # the oracle is the flat projection; the order-insensitive hash
+        # makes the array-order nondeterminism irrelevant.
+        oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        """,
+        doc="nest (collect_list) then unnest (explode) round-trip",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1–A3), sorts/limits, set ops, rollup
+# ---------------------------------------------------------------------------
+
+
+def _a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: DISTINCT key projection (reference's unique-order-ids step)."""
+    return distinct_keys(
+        load_table(spark, sf_dir, "customer"), "c_mktsegment", "c_nationkey"
+    )
+
+
+_register(
+    QuerySpec(
+        "a1_distinct_keys",
+        _a1,
+        oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+        doc="distinct via map-side partial aggregation",
+    )
+)
+
+
+def _a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: last-writer-wins per natural key — the upsert replay
+    semantics made explicit (reference ON CONFLICT DO UPDATE;
+    src/etl-square-payments.ts:82-94)."""
+    e = load_table(spark, sf_dir, "events")
+    return last_writer_wins(
+        e, key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    ).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_register(
+    QuerySpec(
+        "a3_last_writer_wins",
+        _a3,
+        oracle="""
+        SELECT user_id, event_type, event_id AS last_event_id,
+               ts AS last_ts, value AS last_value
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1
+        """,
+        doc="newest row per key, deterministic tiebreak",
+    )
+)
+
+
+def _rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals — the grouping-sets surface (SURVEY.md §2.5)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return grouped_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            decimal_sum("l_quantity").alias("sum_qty"),
+        ],
+    )
+
+
+_register(
+    QuerySpec(
+        "agg_rollup",
+        _rollup,
+        oracle=f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               {_dsum('l_quantity')} AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        doc="rollup to grouping sets, map-side partials intact",
+    )
+)
+
+
+def _topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: TakeOrderedAndProject — per-partition local top-k, O(k·P)
+    driver merge, no global sort (SURVEY.md §2.6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    named = broadcast_left_enrich(rev, c, rev.o_custkey == c.c_custkey, how="inner")
+    return top_k(
+        named.select(F.col("c_custkey"), F.col("c_name"), F.col("revenue")),
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+        10,
+    )
+
+
+_register(
+    QuerySpec(
+        "topk_revenue_customers",
+        _topk,
+        oracle=f"""
+        SELECT c_custkey, c_name, revenue
+        FROM (
+          SELECT o_custkey, {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_custkey) r
+        JOIN customer ON r.o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 10
+        """,
+        bench=True,
+        doc="orderBy+limit planned as TakeOrderedAndProject",
+    )
+)
+
+
+def _setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (UNION DISTINCT then EXCEPT DISTINCT) — the set
+    surface the engine exposes beyond the reference (SURVEY.md §2.6)."""
+    c = load_table(spark, sf_dir, "customer")
+    auto = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    near = c.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return auto.union(rich).distinct().subtract(near)
+
+
+_register(
+    QuerySpec(
+        "setop_union_except",
+        _setops,
+        oracle="""
+        (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+         UNION
+         SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_nationkey < 5
+        """,
+        doc="union/except distinct semantics",
+    )
+)
+
+
+def _distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count surface (the approx variant is a separate
+    rows-only query — different algorithms can't hash-match)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_register(
+    QuerySpec(
+        "distinct_users_by_type",
+        _distinct_users,
+        oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+        """,
+        doc="count distinct (expand + two-phase agg in Spark)",
+    )
+)
+
+
+def _percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(F.col("value"), F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+_register(
+    QuerySpec(
+        "percentiles_by_type",
+        _percentiles,
+        oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+        """,
+        doc="exact interpolated percentiles",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Merge sink (K1) and quarantine (E1)
+# ---------------------------------------------------------------------------
+
+
+def _merge_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: MERGE as anti-join + union — the engine's plain-parquet
+    upsert core, exercised as a pure dataframe transform: a batch of
+    re-priced orders overwrites the overlapping slice of the target
+    (reference ON CONFLICT DO UPDATE, src/etl-square-payments.ts:59-95)."""
+    o = load_table(spark, sf_dir, "orders")
+    target = windowed_scan(o, "o_orderdate", None, "2000-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    batch = (
+        windowed_scan(o, "o_orderdate", "1999-06-01", None)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+        )
+    )
+    return merge_dataframes(
+        target, batch, keys=["o_orderkey"], order_cols=["o_orderkey"]
+    )
+
+
+_register(
+    QuerySpec(
+        "k1_merge_upsert",
+        _merge_sim,
+        oracle="""
+        WITH target AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+        batch AS (
+          SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+                 'U' AS o_orderstatus
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-06-01')
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+          FROM (SELECT *, 0 AS pri FROM target
+                UNION ALL
+                SELECT *, 1 AS pri FROM batch))
+        WHERE rn = 1
+        """,
+        doc="last-writer-wins merge: batch beats target on key overlap",
+    )
+)
+
+
+def _e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: quarantine split — reject stream with first-matching-reason
+    (reference skip-and-warn mappers; SURVEY.md §2.9)."""
+    e = load_table(spark, sf_dir, "events")
+    etype = nullify_when("event_type", F.col("event_id") % 19 == 0)
+    val = (
+        F.when(F.col("event_id") % 13 == 0, F.lit(None).cast("double"))
+        .when(F.col("event_id") % 17 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+    )
+    staged = e.select("event_id", etype.alias("etype"), val.alias("val"))
+    _, rejects = quarantine_split(
+        staged,
+        [
+            ("missing_type", F.col("etype").isNull()),
+            ("invalid_value", F.col("val").isNull() | (F.col("val") <= 0)),
+        ],
+    )
+    return rejects.select("event_id", "reject_reason")
+
+
+_register(
+    QuerySpec(
+        "e1_quarantine_rejects",
+        _e1,
+        oracle="""
+        WITH s AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 19 = 0 THEN NULL ELSE event_type END AS etype,
+                 CASE WHEN event_id % 13 = 0 THEN NULL
+                      WHEN event_id % 17 = 0 THEN -value
+                      ELSE value END AS val
+          FROM events)
+        SELECT event_id,
+               CASE WHEN etype IS NULL THEN 'missing_type'
+                    WHEN val IS NULL OR val <= 0 THEN 'invalid_value'
+               END AS reject_reason
+        FROM s
+        WHERE etype IS NULL OR val IS NULL OR val <= 0
+        """,
+        doc="reject stream with ordered reasons",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Event-time windows (T2)
+# ---------------------------------------------------------------------------
+
+
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tumbling 1 h event-time aggregation (epoch-aligned windows ≡
+    date_trunc buckets)."""
+    e = load_table(spark, sf_dir, "events")
+    return tumbling(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        ],
+    ).select("window_start", "event_type", "n_events", "sum_value")
+
+
+_register(
+    QuerySpec(
+        "t2_tumbling_hourly",
+        _tumbling,
+        oracle=f"""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events, {_dsum('value')} AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        bench=True,
+        doc="tumbling window aggregate over event time",
+    )
+)
+
+
+def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding 2 h / 1 h windows — each event lands in two buckets;
+    the oracle unnests the covering starts explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return sliding(
+        e,
+        "ts",
+        "2 hours",
+        "1 hour",
+        [],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        ],
+    ).select("window_start", "n_events", "sum_value")
+
+
+_register(
+    QuerySpec(
+        "t2_sliding_2h_1h",
+        _sliding,
+        oracle=f"""
+        SELECT window_start, COUNT(*) AS n_events, {_dsum('value')} AS sum_value
+        FROM (
+          SELECT UNNEST([date_trunc('hour', ts),
+                         date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+                 value
+          FROM events)
+        GROUP BY window_start
+        """,
+        doc="sliding windows == unnested covering starts",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Extension: dedup (exact / n-gram Jaccard / MinHash / SimHash)
+# ---------------------------------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+_register(
+    QuerySpec(
+        "dedup_exact",
+        _dedup_exact,
+        oracle="""
+        SELECT sha256(text) AS content_sha256, MIN(doc_id) AS doc_id,
+               COUNT(*) AS dup_count
+        FROM documents GROUP BY sha256(text)
+        """,
+        bench=True,
+        doc="digest-keyed exact dedup (shuffle carries 64B keys, not bodies)",
+    )
+)
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+
+
+_register(
+    QuerySpec(
+        "dedup_ngram_jaccard",
+        _ngram_jaccard,
+        oracle="""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM t WHERE len(w) >= 3)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+        WHERE ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.1
+        """,
+        bench=True,
+        doc="exact shingle-Jaccard with shared-shingle candidate join",
+    )
+)
+
+
+def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, threshold=0.5)
+
+
+_register(
+    QuerySpec(
+        "dedup_minhash_lsh",
+        _minhash,
+        oracle=None,  # banded-LSH estimate: not ANSI-SQL-expressible
+        doc="MinHashLSH approx similarity join (rows-only check)",
+    )
+)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=16)
+
+
+_register(
+    QuerySpec(
+        "dedup_simhash",
+        _simhash,
+        oracle=None,  # xxhash64 has no DuckDB twin
+        doc="SimHash band-bucketed near-dup (rows-only check)",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Extension: text analysis
+# ---------------------------------------------------------------------------
+
+_EN = tx.LANG_MARKERS["en"]
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = tx.quality_metrics("text")
+    return d.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        tx.quality_score("text").alias("quality"),
+    )
+
+
+_register(
+    QuerySpec(
+        "text_quality_stats",
+        _text_stats,
+        oracle=f"""
+        WITH m AS (
+          SELECT doc_id,
+            CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+            length(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) AS n_punct,
+            len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> list_contains({_EN!r}, x))) AS n_stop
+          FROM documents),
+        r AS (
+          SELECT doc_id, n_tokens,
+            ROUND(n_alpha / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END), 6) AS alpha_ratio,
+            ROUND(n_punct / (CASE WHEN n_chars > 0 THEN CAST(n_chars AS DOUBLE) ELSE 1.0 END), 6) AS punct_ratio,
+            ROUND(n_stop / (CASE WHEN n_tokens > 0 THEN CAST(n_tokens AS DOUBLE) ELSE 1.0 END), 6) AS stopword_ratio
+          FROM m)
+        SELECT doc_id, n_tokens, alpha_ratio, punct_ratio, stopword_ratio,
+               ROUND(0.5 * LEAST(alpha_ratio / 0.8, 1.0)
+                   + 0.3 * LEAST(stopword_ratio / 0.4, 1.0)
+                   + 0.2 * (1.0 - LEAST(punct_ratio / 0.2, 1.0)), 6) AS quality
+        FROM r
+        """,
+        bench=True,
+        doc="length/punct/stopword quality scoring, pure codegen",
+    )
+)
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.lang_id("text").alias("pred_lang"))
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"x -> list_contains({markers!r}, x)))"
+        )
+        for lang, markers in tx.LANG_MARKERS.items()
+    }
+    langs = list(score)
+    # winner = first lang (in LANG_MARKERS order) holding the max score,
+    # 'und' when every score is zero — mirrors text.lang_id exactly.
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    case = " ".join(branches)
+    selects = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+        WITH s AS (SELECT doc_id, lang, {selects} FROM documents)
+        SELECT doc_id, lang,
+               CASE WHEN GREATEST({greatest}) = 0 THEN 'und' {case} END AS pred_lang
+        FROM s
+        """
+
+
+_register(
+    QuerySpec(
+        "text_lang_id",
+        _lang_id,
+        oracle=_lang_oracle(),
+        doc="marker-lexicon language ID heuristic",
+    )
+)
+
+
+def _token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", tx.token_count("text").alias("toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "text_token_totals",
+        _token_totals,
+        oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+                 AS total_tokens
+        FROM documents GROUP BY lang
+        """,
+        doc="corpus token accounting (exact integer sums)",
+    )
+)
+
+
+def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint64("text").alias("fingerprint"))
+
+
+_register(
+    QuerySpec(
+        "text_fingerprint",
+        _fingerprints,
+        oracle=None,  # xxhash64-based rolling hash has no DuckDB twin
+        doc="rolling-hash doc fingerprint (rows-only check)",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Extension: embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(e, _queries_df(spark, sf_dir), k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "ann_topk_bruteforce",
+        _ann_brute,
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        sims AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine_sim
+          FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, vec_id) AS rank
+          FROM sims)
+        WHERE rank <= 5
+        """,
+        bench=True,
+        doc="brute-force cosine top-k, broadcast query set",
+    )
+)
+
+
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_lsh(e, _queries_df(spark, sf_dir), k=5, bits=4, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "ann_topk_lsh",
+        _ann_lsh,
+        oracle=None,  # hyperplane constants not practical to mirror in SQL
+        doc="sign-LSH bucketed ANN (rows-only check)",
+    )
+)
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+_register(
+    QuerySpec(
+        "embedding_norms",
+        _norms,
+        oracle="""
+        SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+               ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        FROM embeddings
+        """,
+        doc="vector norms via higher-order SQL functions",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Extension: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def _mm_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.length("content").cast("long").alias("n_bytes"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_manifest",
+        _mm_manifest,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               'image' AS media_type
+        FROM documents
+        """,
+        doc="binary-column manifest: metadata-only scan never touches blobs",
+    )
+)
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return decode_media(media)
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode",
+        _mm_decode,
+        oracle=None,  # Arrow-batched Python decode stage (stubbed codec)
+        doc="mapInPandas decode stage (rows-only check)",
+    )
+)
+
+
+def _approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+_register(
+    QuerySpec(
+        "approx_distinct_users",
+        _approx_users,
+        oracle=None,  # HLL++ estimate differs from DuckDB's sketch
+        doc="approx_count_distinct / HLL++ (rows-only check)",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Public registry surface
+# ---------------------------------------------------------------------------
+
+
+def registry() -> list[QuerySpec]:
+    return list(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {spec.name: spec.fn for spec in _REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        spec.name: spec.oracle for spec in _REGISTRY if spec.oracle is not None
+    }
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {spec.name: spec.fn for spec in _REGISTRY if spec.bench}

@@ -1,0 +1,111 @@
+"""Merge (upsert) sink — the reference's K1/K2/K3 semantics on Spark.
+
+Reference behavior (src/etl-square-payments.ts:49-128 and the five
+sibling ``upsert*`` functions): one transaction per batch; per row,
+``INSERT … ON CONFLICT (natural key) DO UPDATE SET <non-key cols> =
+EXCLUDED.*``; three tables additionally stamp ``updated_at =
+CURRENT_TIMESTAMP`` only on the update branch (K2); empty batches
+short-circuit (K3).  Net effect: last-writer-wins per natural key,
+idempotent under replay — which is what makes the 24 h lookback
+re-scan safe (SURVEY.md §2.8 T2).
+
+Spark-first design (no Delta dependency — plain parquet):
+
+1. dedup the incoming batch to one row per key (last-writer-wins
+   within the batch, deterministic via order columns — the reference
+   gets this from arrival order, we re-specify it);
+2. read the current target, keep only target rows whose key does NOT
+   appear in the batch (left-anti join);
+3. union and atomically overwrite (write to a temp dir, then swap).
+
+This is MERGE INTO re-expressed as anti-join + union; on a real
+deployment the same ``merge_dataframes`` logic backs a Delta/Iceberg
+``MERGE INTO`` where the table format gives true atomic commits and,
+at 100 TB, partition-level rewrite instead of full-table overwrite
+(partition the target by tenant/date and restrict step 2-3 to the
+partitions present in the batch — the batch is a 24 h window, so only
+~1 day of partitions rewrite).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from square_etl_spark.operators.aggregations import last_writer_wins
+
+
+def merge_dataframes(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    stamp_updated_at: bool = False,
+) -> DataFrame:
+    """Pure (DataFrame in → DataFrame out) MERGE: last-writer-wins.
+
+    ``order_cols`` decides which batch row wins within the batch
+    (descending; ties broken by the key itself).  If ``stamp_updated_at``
+    (K2), rows that replace an existing target row get
+    ``updated_at = current_timestamp()``, inserts keep theirs — matching
+    the reference's update-branch-only stamp
+    (src/etl-square-inventory.ts:97).
+    """
+    deduped = last_writer_wins(batch, keys, order_cols)
+    if target is None:
+        return deduped
+    if stamp_updated_at:
+        # mark batch rows that hit an existing key (semi join — no
+        # payload movement, just key presence)
+        hits = target.select(*keys).distinct()
+        deduped = (
+            deduped.join(hits.withColumn("__hit", F.lit(True)), on=keys, how="left")
+            .withColumn(
+                "updated_at",
+                F.when(F.col("__hit"), F.current_timestamp()).otherwise(
+                    F.col("updated_at")
+                ),
+            )
+            .drop("__hit")
+        )
+    survivors = target.join(deduped.select(*keys).distinct(), on=keys, how="left_anti")
+    return survivors.unionByName(deduped)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    stamp_updated_at: bool = False,
+) -> int:
+    """Materialized MERGE into a parquet path; returns rows written.
+
+    Atomicity (E3, the reference's BEGIN/COMMIT): the merged result is
+    written to a sibling temp dir first, then swapped in — a failed
+    write leaves the old target untouched.  Empty batch short-circuits
+    (K3, src/etl-square-payments.ts:50-53).
+    """
+    if batch.isEmpty():
+        return 0
+    target = (
+        spark.read.schema(batch.schema).parquet(target_path)
+        if os.path.exists(target_path)
+        else None
+    )
+    merged = merge_dataframes(target, batch, keys, order_cols, stamp_updated_at)
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}", os.path.basename(target_path)
+    )
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    shutil.move(tmp, target_path)
+    return n
