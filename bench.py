@@ -1,0 +1,69 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs every ``bench=True`` registry query (the heavy, scale-relevant
+plans: star join, pricing summary, build/probe join, top-k, tumbling
+windows, exact + n-gram dedup, text scoring, ANN top-k) against the
+bench scale factor and prints ONE JSON line:
+
+    {"metric": "bench_total_s", "value": N, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "rows": {...}}
+
+Timing is end-to-end per query: plan construction + execution to a
+count-style action (foreach-noop), i.e. full pipeline cost without
+driver-side collect skew.  A one-query warmup absorbs JVM/codegen
+startup so numbers reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from square_etl_spark import get_spark  # noqa: E402
+from square_etl_spark.queries import bench_queries, queries  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: run the flagship once to pay JVM/codegen/broadcast startup
+    queries()["flagship_star_revenue"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in bench_queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_s",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "rows": rows,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

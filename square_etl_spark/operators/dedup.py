@@ -65,28 +65,43 @@ def ngram_jaccard_pairs(
     content_col: str = "text",
     n: int = 3,
     threshold: float = 0.2,
+    df_cap: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     Plan shape (all built-in ops):
-      1. shingle each doc (distinct n-grams) and keep its shingle count;
-      2. explode → (shingle, id) postings and equi-join postings with
+      1. shingle each doc (distinct n-grams);
+      2. drop stop-shingles whose document frequency exceeds ``df_cap``
+         — a hot shingle shared by d docs contributes d² candidate
+         pairs to the self-join, so the cap is what keeps the pair
+         space near-linear (the skew-key treatment of a shuffle join;
+         similarity is then defined over the informative shingle space,
+         which is also what you want semantically: stop-shingles carry
+         no near-dup signal);
+      3. explode → (shingle, id) postings and equi-join postings with
          itself on the shingle (id_a < id_b) — only pairs sharing ≥1
-         shingle ever materialize (the LSH-free candidate filter);
-      3. count shared shingles per pair = |A∩B|;
-      4. jaccard = inter / (|A| + |B| − inter); filter by threshold.
-
-    At scale the hot spot is a frequent shingle producing a huge
-    posting list (quadratic pair blowup) — mitigate by dropping
-    stop-shingles above a document-frequency cap before the self-join,
-    exactly the skew-key treatment of a shuffle join.
+         kept shingle ever materialize (the LSH-free candidate filter);
+      4. count shared shingles per pair = |A∩B|;
+      5. jaccard = inter / (|A| + |B| − inter); filter by threshold.
     """
-    sized = df.select(
-        F.col(id_col), word_shingles(content_col, n).alias("shingles")
-    ).withColumn("n_sh", F.size("shingles"))
-    postings = sized.select(
-        id_col, "n_sh", F.explode("shingles").alias("shingle")
+    from pyspark.storagelevel import StorageLevel
+
+    sh = (
+        df.select(F.col(id_col), word_shingles(content_col, n).alias("shingles"))
+        .select(id_col, F.explode("shingles").alias("shingle"))
     )
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= df_cap), on="shingle").select(
+            id_col, "shingle"
+        )
+    # the postings relation feeds three consumers (per-doc sizes + both
+    # sides of the pair join): materialize it once instead of
+    # re-shingling per consumer — at warehouse scale this is "write the
+    # postings index, then join against it".
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    postings = sh.join(sized, on=id_col)
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(b, on="shingle")

@@ -980,7 +980,7 @@ _register(
 
 def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1)
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1, df_cap=100)
 
 
 _register(
@@ -991,10 +991,13 @@ _register(
         WITH t AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
           FROM documents),
-        sh AS (
+        sh0 AS (
           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
           FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
                 FROM t WHERE len(w) >= 3)),
+        freq AS (SELECT shingle, COUNT(*) AS df FROM sh0 GROUP BY shingle),
+        sh AS (SELECT sh0.doc_id, sh0.shingle
+               FROM sh0 JOIN freq USING (shingle) WHERE freq.df <= 100),
         cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -1009,7 +1012,7 @@ _register(
         WHERE ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.1
         """,
         bench=True,
-        doc="exact shingle-Jaccard with shared-shingle candidate join",
+        doc="exact shingle-Jaccard; stop-shingle DF cap bounds the pair blowup",
     )
 )
 

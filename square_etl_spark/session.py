@@ -51,6 +51,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Avoid tiny-file explosions when tests write parquet.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Don't truncate scan metadata in explain output — plan assertions
+    # (PushedFilters / ReadSchema) read it.
+    "spark.sql.maxMetadataStringLength": "2000",
 }
 
 

@@ -1,0 +1,117 @@
+"""Dedup + text operators (extension surface, SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from square_etl_spark.operators.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from square_etl_spark.operators.text import (
+    fingerprint64,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    (4, "completely different text about spark engines"),
+    (5, ""),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_identical_content(spark):
+    out = {r.doc_id: r.dup_count for r in exact_dedup(_docs(spark)).collect()}
+    assert out[1] == 2  # survivor is min id, counts both copies
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_word_shingles_short_docs_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(word_shingles("text", 3).alias("s")).collect()
+    assert out[0].s == []
+    assert out[1].s == ["a b c", "b c d"]
+
+
+def test_ngram_jaccard_exact_dup_is_1(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), threshold=0.1, df_cap=None
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.1 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {
+        r.doc_id: r.sig
+        for r in _docs(spark).select("doc_id", simhash64("text").alias("sig")).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_near_dup_finds_close_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(_docs(spark), max_hamming=16).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-word change → small hamming distance
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([("",), ("  ",), ("a b  c",)], "text string")
+    out = [r.n for r in df.select(token_count("text").alias("n")).collect()]
+    assert out == [0, 0, 3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the hat is in that house"),
+            (2, "le chat est dans la maison et le jardin"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    out = {r.id: r.p for r in df.select("id", lang_id("text").alias("p")).collect()}
+    assert out[1] == "en"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_quality_score_ranks_prose_above_noise(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox and the lazy dog in the field"),
+         (2, "!!! ??? ... ;;; :::")],
+        "id long, text string",
+    )
+    out = {r.id: r.q for r in df.select("id", quality_score("text").alias("q")).collect()}
+    assert out[1] > out[2]
+    assert 0.0 <= out[2] <= out[1] <= 1.0
+
+
+def test_fingerprint_deterministic_and_content_sensitive(spark):
+    df = _docs(spark)
+    a = {r.doc_id: r.f for r in df.select("doc_id", fingerprint64("text").alias("f")).collect()}
+    b = {r.doc_id: r.f for r in df.select("doc_id", fingerprint64("text").alias("f")).collect()}
+    assert a == b  # deterministic across runs
+    assert a[1] == a[2]
+    assert a[1] != a[3]
+    assert a[5] == 0  # empty text → identity hash

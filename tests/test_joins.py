@@ -1,0 +1,73 @@
+"""J1–J4 semantics + physical-plan assertions (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from square_etl_spark.operators.joins import (
+    broadcast_left_enrich,
+    explode_children,
+    first_wins,
+    lookup_join,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_left_join_orphans_get_nulls(spark):
+    # missing parent → nulls (src/etl-square-catalog.ts:159-161)
+    variations = spark.createDataFrame(
+        [(1, "v1", "i1"), (2, "v2", "i9")], "vid long, vname string, item_id string"
+    )
+    items = spark.createDataFrame([("i1", "parent")], "item_id string, iname string")
+    out = broadcast_left_enrich(variations, items, on="item_id").orderBy("vid").collect()
+    assert out[0].iname == "parent"
+    assert out[1].iname is None
+
+
+def test_broadcast_join_is_physically_broadcast(spark, sf_dir):
+    from square_etl_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    joined = broadcast_left_enrich(li, p, li.l_partkey == p.p_partkey)
+    assert "BroadcastHashJoin" in _plan(joined)
+
+
+def test_first_wins_deterministic(spark):
+    # min-by-(ts, key), not arrival order (SURVEY.md §7 #2)
+    rows = [
+        ("o1", "p2", "2024-01-02"),
+        ("o1", "p1", "2024-01-01"),
+        ("o1", "p0", "2024-01-01"),  # ts tie → key tiebreak
+        ("o2", "p9", "2024-03-01"),
+    ]
+    df = spark.createDataFrame(rows, "order_id string, payment_id string, ts string")
+    out = {
+        r.order_id: r.payment_id
+        for r in first_wins(
+            df, ["order_id"], ["ts", "payment_id"], ["payment_id"]
+        ).collect()
+    }
+    assert out == {"o1": "p0", "o2": "p9"}
+
+
+def test_lookup_join_drops_missing_keys(spark):
+    # reference skips orders that 404 (src/etl-square-orders.ts:200-205)
+    keys = spark.createDataFrame([("o1",), ("o404",)], "order_id string")
+    orders = spark.createDataFrame([("o1", 5)], "order_id string, total long")
+    out = lookup_join(keys, orders, "order_id").collect()
+    assert [r.order_id for r in out] == ["o1"]
+
+
+def test_explode_inner_skips_empty_parents(spark):
+    # explode (not explode_outer): empty line_items vanish
+    # (src/etl-square-orders.ts:202-205; SURVEY.md §7 #3)
+    df = spark.createDataFrame(
+        [("o1", [(1, "a")]), ("o2", [])],
+        "order_id string, items array<struct<n:int,v:string>>",
+    )
+    out = explode_children(df, "items", ["order_id"], "li").collect()
+    assert [(r.order_id, r.n, r.v) for r in out] == [("o1", 1, "a")]

@@ -1,0 +1,99 @@
+"""Merge sink K1–K3: last-writer-wins, idempotence, atomicity
+(SURVEY.md §2.2, §5: *run twice ≡ run once* is the reference's implicit
+metamorphic property)."""
+
+from __future__ import annotations
+
+import os
+
+from square_etl_spark.sinks.merge import merge_dataframes, merge_upsert
+
+SCHEMA = "k string, v long, updated_at timestamp"
+
+
+def _rows(spark, path):
+    return {
+        (r.k, r.v)
+        for r in spark.read.schema(SCHEMA).parquet(path).collect()
+    }
+
+
+def test_merge_dataframes_batch_beats_target(spark):
+    target = spark.createDataFrame(
+        [("a", 1, "2024-01-01 00:00:00"), ("b", 2, "2024-01-01 00:00:00")],
+        "k string, v long, updated_at string",
+    )
+    batch = spark.createDataFrame(
+        [("b", 20, "2024-01-02 00:00:00"), ("c", 30, "2024-01-02 00:00:00")],
+        "k string, v long, updated_at string",
+    )
+    out = {
+        (r.k, r.v)
+        for r in merge_dataframes(target, batch, ["k"], ["updated_at"]).collect()
+    }
+    assert out == {("a", 1), ("b", 20), ("c", 30)}
+
+
+def test_merge_dedups_batch_last_writer_wins(spark):
+    # within one batch the newest row per key is what persists (A3)
+    batch = spark.createDataFrame(
+        [("a", 1, "2024-01-01 00:00:00"), ("a", 2, "2024-01-03 00:00:00")],
+        "k string, v long, updated_at string",
+    )
+    out = merge_dataframes(None, batch, ["k"], ["updated_at"]).collect()
+    assert [(r.k, r.v) for r in out] == [("a", 2)]
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    target = os.path.join(tmp_path, "tbl")
+    batch = spark.createDataFrame(
+        [("a", 1, "2024-01-01 00:00:00"), ("b", 2, "2024-01-01 00:00:00")],
+        "k string, v long, updated_at string",
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    n1 = merge_upsert(spark, target, batch, ["k"], ["updated_at"])
+    state1 = _rows(spark, target)
+    n2 = merge_upsert(spark, target, batch, ["k"], ["updated_at"])
+    state2 = _rows(spark, target)
+    assert n1 == n2 == 2
+    assert state1 == state2 == {("a", 1), ("b", 2)}
+
+
+def test_merge_upsert_applies_updates(spark, tmp_path):
+    target = os.path.join(tmp_path, "tbl")
+    b1 = spark.createDataFrame(
+        [("a", 1, "2024-01-01 00:00:00")], "k string, v long, updated_at string"
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    b2 = spark.createDataFrame(
+        [("a", 99, "2024-01-02 00:00:00"), ("z", 7, "2024-01-02 00:00:00")],
+        "k string, v long, updated_at string",
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    merge_upsert(spark, target, b1, ["k"], ["updated_at"])
+    merge_upsert(spark, target, b2, ["k"], ["updated_at"])
+    assert _rows(spark, target) == {("a", 99), ("z", 7)}
+
+
+def test_merge_upsert_empty_batch_short_circuits(spark, tmp_path):
+    # K3 (src/etl-square-payments.ts:50-53)
+    target = os.path.join(tmp_path, "tbl")
+    empty = spark.createDataFrame([], SCHEMA)
+    assert merge_upsert(spark, target, empty, ["k"], ["updated_at"]) == 0
+    assert not os.path.exists(target)
+
+
+def test_merge_stamps_updated_at_only_on_updates(spark, tmp_path):
+    # K2: updated_at = CURRENT_TIMESTAMP only in the DO UPDATE branch
+    # (src/etl-square-inventory.ts:97)
+    target = os.path.join(tmp_path, "tbl")
+    b1 = spark.createDataFrame(
+        [("a", 1, "2020-01-01 00:00:00")], "k string, v long, updated_at string"
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    merge_upsert(spark, target, b1, ["k"], ["updated_at"])
+    b2 = spark.createDataFrame(
+        [("a", 2, "2020-01-02 00:00:00"), ("new", 3, "2020-01-02 00:00:00")],
+        "k string, v long, updated_at string",
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    merge_upsert(spark, target, b2, ["k"], ["updated_at"], stamp_updated_at=True)
+    got = {r.k: r for r in spark.read.parquet(target).collect()}
+    # updated row restamped to "now" (well past 2020); insert keeps its ts
+    assert got["a"].updated_at.year >= 2025
+    assert got["new"].updated_at.year == 2020

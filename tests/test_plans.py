@@ -1,0 +1,61 @@
+"""Physical-plan assertions: the 100 TB posture is checkable locally
+(SURVEY.md §4) — filters must reach the parquet reader, projections
+must prune columns, hot-path queries must stay in whole-stage codegen
+with zero Python UDFs, and small dims must broadcast."""
+
+from __future__ import annotations
+
+from square_etl_spark.io import load_table, windowed_scan
+from square_etl_spark.queries import queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_window_predicate_pushed_to_parquet(spark, sf_dir):
+    df = windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1997-01-01", "1997-04-01"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # ReadSchema must carry only the two requested columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_flagship_uses_broadcast_and_codegen_no_python(spark, sf_dir):
+    df = queries()["flagship_star_revenue"](spark, sf_dir)
+    df.collect()  # execute THIS plan: AQE shows codegen only in the final plan
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "*(" in plan  # `*(N)` prefixes mark whole-stage-codegen spans
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    assert "ArrowEvalPython" not in plan  # no pandas UDF on this path
+
+
+def test_reference_parity_queries_have_no_python_udfs(spark, sf_dir):
+    # SURVEY.md §2.7: zero Python UDFs required for reference parity
+    parity = [
+        "q1_pricing_summary", "s1_windowed_scan", "p2_quantity_validity",
+        "j1_catalog_build_probe", "j2_first_wins", "j4_explode_line_items",
+        "a3_last_writer_wins", "k1_merge_upsert", "t2_tumbling_hourly",
+        "dedup_exact", "text_quality_stats",
+    ]
+    qs = queries()
+    for name in parity:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = _plan(queries()["topk_revenue_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

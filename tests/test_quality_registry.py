@@ -1,0 +1,61 @@
+"""Quarantine/invariant operators + registry contract checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from square_etl_spark.operators.quality import assert_invariant, quarantine_split
+from square_etl_spark.queries import registry
+
+
+def test_quarantine_split_first_matching_reason(spark):
+    df = spark.createDataFrame(
+        [(1, None, None), (2, "t", -1), (3, "t", 5)],
+        "id long, typ string, val long",
+    )
+    valid, rejects = quarantine_split(
+        df,
+        [
+            ("missing_type", F.col("typ").isNull()),
+            ("bad_value", F.col("val").isNull() | (F.col("val") <= 0)),
+        ],
+    )
+    assert [r.id for r in valid.collect()] == [3]
+    got = {r.id: r.reject_reason for r in rejects.collect()}
+    # row 1 violates both rules → FIRST reason wins
+    assert got == {1: "missing_type", 2: "bad_value"}
+
+
+def test_assert_invariant_raises_on_violation(spark):
+    df = spark.createDataFrame([(1,), (-5,)], "v long")
+    ok = assert_invariant(df.filter("v > 0"), F.col("v") > 0, "neg!")
+    assert ok.count() == 1
+    bad = assert_invariant(df, F.col("v") > 0, "negative value row")
+    with pytest.raises(Exception, match="negative value row"):
+        bad.count()
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_registry_contract():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) >= 30
+    assert set(oracles) <= set(qs)
+    # every oracle-less query is a deliberate rows-only op
+    rows_only = {s.name for s in registry() if s.oracle is None}
+    assert rows_only == set(qs) - set(oracles)
+    # names are unique and every spec is callable
+    assert len({s.name for s in registry()}) == len(registry())
+
+
+def test_queries_runnable_at_smallest_sf(spark, sf_dir):
+    # smoke every registered query at sf0.001 (cheap end-to-end sweep)
+    for spec in registry():
+        n = spec.fn(spark, sf_dir).count()
+        assert n >= 0, spec.name

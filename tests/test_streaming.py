@@ -1,0 +1,100 @@
+"""Incremental/streaming runners (SURVEY.md §2.8): checkpointed
+availableNow ingest with idempotent merge, stateless lookback runs,
+and watermarked windowed aggregation."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from square_etl_spark.io import load_table
+from square_etl_spark.schemas import EVENTS
+from square_etl_spark.streaming.incremental import (
+    incremental_merge_run,
+    stream_events_availablenow,
+    windowed_stream_agg,
+)
+
+
+def _events_subset(spark, sf_dir, out_dir, begin, end):
+    df = load_table(spark, sf_dir, "events").filter(
+        f"ts >= timestamp'{begin}' and ts < timestamp'{end}'"
+    )
+    df.write.mode("overwrite").parquet(out_dir)
+    return df.count()
+
+
+def test_availablenow_stream_merges_and_tracks_offsets(spark, sf_dir, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    tgt = os.path.join(tmp_path, "tgt")
+    n1 = _events_subset(spark, sf_dir, src, "2024-01-01", "2024-01-03")
+    stream_events_availablenow(spark, src, ckpt, tgt, keys=["event_id"], schema=EVENTS)
+    assert spark.read.parquet(tgt).count() == n1
+
+    # re-run with no new files: offsets say nothing new; target unchanged
+    stream_events_availablenow(spark, src, ckpt, tgt, keys=["event_id"], schema=EVENTS)
+    assert spark.read.parquet(tgt).count() == n1
+
+    # new file arrives → only the delta is processed, merge keeps keys unique
+    more = load_table(spark, sf_dir, "events").filter(
+        "ts >= timestamp'2024-01-03' and ts < timestamp'2024-01-04'"
+    )
+    more.write.mode("append").parquet(src)
+    stream_events_availablenow(spark, src, ckpt, tgt, keys=["event_id"], schema=EVENTS)
+    got = spark.read.parquet(tgt)
+    assert got.count() == n1 + more.count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_incremental_lookback_run_idempotent(spark, sf_dir, tmp_path):
+    # T2: re-running the same window must not change the target
+    tgt = os.path.join(tmp_path, "tgt")
+    now = dt.datetime(2024, 1, 5, 0, 0, 0)
+    n1 = incremental_merge_run(
+        spark, sf_dir, "events", "ts", ["event_id"], tgt, lookback_hours=48, now=now
+    )
+    n2 = incremental_merge_run(
+        spark, sf_dir, "events", "ts", ["event_id"], tgt, lookback_hours=48, now=now
+    )
+    assert n1 == n2 == spark.read.parquet(tgt).count()
+
+    # advancing the clock by 24h with 48h lookback re-reads the overlap
+    # idempotently and adds only genuinely-new events
+    later = incremental_merge_run(
+        spark, sf_dir, "events", "ts", ["event_id"], tgt,
+        lookback_hours=48, now=now + dt.timedelta(hours=24),
+    )
+    got = spark.read.parquet(tgt)
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_windowed_stream_agg_matches_batch(spark, sf_dir, tmp_path):
+    src = os.path.join(tmp_path, "src")
+    _events_subset(spark, sf_dir, src, "2024-01-01", "2024-01-02")
+    stream = spark.readStream.schema(EVENTS).parquet(src)
+    agg = windowed_stream_agg(stream, window_duration="1 hour")
+    out = os.path.join(tmp_path, "out")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("winagg")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tmp_path, "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.sql("select * from winagg").collect()
+    }
+    batch = (
+        spark.read.schema(EVENTS)
+        .parquet(src)
+        .selectExpr("date_trunc('hour', ts) ws", "event_type")
+        .groupBy("ws", "event_type")
+        .count()
+    )
+    expected = {(r.ws, r.event_type): r["count"] for r in batch.collect()}
+    assert streamed == expected
