@@ -115,6 +115,49 @@ def point_lookup(df: DataFrame, key_col: str, keys_df: DataFrame, key_alias: str
     return keys_df.join(df, keys_df[key_alias] == df[key_col], "inner")
 
 
+def json_ingest_quarantine(
+    spark: SparkSession,
+    raw: DataFrame,
+    json_col: str,
+    schema,
+) -> tuple[DataFrame, DataFrame]:
+    """Parse a JSON string column against an explicit schema, splitting
+    valid rows from a quarantine of unparseable ones.
+
+    This is the reference's actual ingest shape — REST responses are
+    JSON objects typed against optional-heavy interfaces, with invalid
+    rows skipped-and-warned (E1, src/etl-square-orders.ts:53-68) and
+    the raw payload always preserved (raw_payload column, SURVEY.md
+    §1.2).  Spark-first: ``from_json`` with a declared StructType
+    (never schema inference in production paths, §1.3) in PERMISSIVE
+    mode with a corrupt-record column — a populated corrupt column
+    means the parse failed → quarantine split, one scan feeding both
+    branches.  Returns (valid, rejects); both keep the original raw
+    column as the escape hatch.
+    """
+    from pyspark.sql import types as T
+
+    augmented = T.StructType(
+        list(schema.fields) + [T.StructField("__corrupt", T.StringType())]
+    )
+    parsed = raw.withColumn(
+        "__parsed",
+        F.from_json(
+            F.col(json_col),
+            augmented,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__corrupt"},
+        ),
+    )
+    failed = F.col("__parsed.__corrupt").isNotNull()
+    valid = (
+        parsed.filter(~failed)
+        .select("*", "__parsed.*")
+        .drop("__parsed", "__corrupt")
+    )
+    rejects = parsed.filter(failed).drop("__parsed")
+    return valid, rejects
+
+
 def pushed_filters(df: DataFrame) -> str:
     """Return the PushedFilters fragment of a scan's formatted plan.
 

@@ -122,3 +122,66 @@ def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize stage (STUB codec).
+
+    Real body needs PIL/opencv (not in this container): it would be
+    ``Image.open(BytesIO(blob)).resize((w, h))`` per blob inside the
+    batch loop.  The deterministic fake truncates/pads bytes to
+    ``w*h`` so tests pin the contract: schema, per-batch iteration,
+    blob-in/blob-out flow, and that the ORIGINAL blob does not survive
+    the stage (downstream shuffles carry only resized bytes).
+    """
+    import pandas as pd
+
+    target = width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "content": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"], strict=True):
+                raw = bytes(blob or b"")
+                # STUB: real codec decodes + resamples; fake keeps size contract
+                resized = raw[:target].ljust(target, b"\x00")
+                out["media_id"].append(mid)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["content"].append(resized)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage for video blobs (STUB codec) — a 1-to-N
+    ``mapInPandas`` expansion (each asset yields up to ``max_frames``
+    rows), the multimodal analog of J4's explode.
+
+    Real body would use ffmpeg/pyav keyframe extraction; the
+    deterministic fake emits fixed-stride byte windows as "frames".
+    The Spark contract being pinned: output cardinality is data-driven
+    per input row (generator semantics), ordering within an asset is
+    by frame_idx, and blobs never join the shuffle unless selected.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"], strict=True):
+                raw = bytes(blob or b"")
+                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -1833,6 +1833,74 @@ _register(
     )
 )
 
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest centroid cell
+    (broadcast centroids, map-only), then probe only the query's cell —
+    candidates shrink from N to ~N/cells, and the index is just a
+    partitioning key.  Deterministic centroid choice (first 8 vectors)
+    keeps the query oracle-expressible; a production build would k-means
+    the centroids and write the index partitioned by cell."""
+    from square_etl_spark.operators.similarity import cosine, ivf_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    assigned = ivf_assign(e, centroids)
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("cell"),
+    )
+    pairs = assigned.join(F.broadcast(q), on="cell").withColumn(
+        "cosine_sim", F.round(cosine(F.col("embedding"), F.col("query_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "cosine_sim", "rank")
+    )
+
+
+_register(
+    QuerySpec(
+        "ann_topk_ivf",
+        _ann_ivf,
+        oracle="""
+        WITH cent AS (
+          SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(
+                               CAST(e.embedding AS DOUBLE[]), c.cv), 6) DESC,
+                              c.cell) AS rn
+            FROM embeddings e CROSS JOIN cent c)
+          WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, cell
+          FROM assign WHERE vec_id < 5),
+        sims AS (
+          SELECT q.query_id, a.vec_id,
+                 ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              q.qv), 6) AS cosine_sim
+          FROM assign a JOIN q ON a.cell = q.cell)
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, vec_id) AS rank
+          FROM sims)
+        WHERE rank <= 5
+        """,
+        doc="IVF cell-probe ANN: broadcast centroid assign + in-cell rank",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Extension: embedding-cosine near-dup (dedup family)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,150 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState`` (extension surface — SURVEY.md §2.10).
+
+The reference has no stateful operators (SURVEY.md §2.8) — this is the
+engine's demonstration of the sanctioned escape hatch for semantics
+Structured Streaming's built-ins can't express: arbitrary per-key
+state with explicit timeout control.  (Simple session windows COULD
+use ``F.session_window``; carrying custom per-session payloads —
+counts, value sums, first/last event ids — through an
+Arrow-batched Python hook is what this operator adds, and the same
+skeleton extends to CDC folding, per-entity ML feature state, etc.)
+
+Semantics (matching the batch twin ``operators.windows.sessionize``):
+a session closes when the key sees a gap > ``gap_s`` between
+consecutive events.
+
+Two close paths, both exercised:
+- **in-data gap**: when newer events prove a gap, every session except
+  the still-open tail is emitted immediately — deterministic within a
+  batch, no clock involved;
+- **event-time timeout**: the open tail is emitted when the watermark
+  passes ``last_ts + gap`` — bounded state, exactly the late-data
+  tolerance the reference got from its 24 h lookback re-scan.
+
+Scale notes: state is O(active keys) × a few scalars; the shuffle key
+is the session key (user), so skew mitigation is the same hot-key
+story as any aggregation.  Arrow batches move whole groups, not rows.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),  # gap | timeout
+    ]
+)
+
+#: open-session state: (start_us, last_us, n_events) as epoch micros.
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    gap_s: float = 1800.0,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming sessionization over an event stream.
+
+    ``events`` may be a streaming OR batch DataFrame — Spark runs the
+    same stateful logic either way (batch mode treats the whole input
+    as one group pass, which is how the unit tests pin semantics).
+    """
+    import pandas as pd  # local import: Arrow path only
+
+    gap_us = int(gap_s * 1_000_000)
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+
+        ts_us = []
+        for pdf in pdfs:
+            col = pd.to_datetime(pdf[ts_col])
+            ts_us.extend(int(v.value) // 1_000 for v in col)
+        ts_us.sort()
+
+        sessions: list[tuple[int, int, int]] = []  # (start, last, n)
+        if state.exists:
+            start_us, last_us, n = state.get
+            cur = [start_us, last_us, n]
+        else:
+            cur = None
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 0]
+            elif t - cur[1] > gap_us:
+                sessions.append(tuple(cur))
+                cur = [t, t, 0]
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+        # keep the open tail in state; close it via event-time timeout
+        state.update((cur[0], cur[1], cur[2]))
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1_000)
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(sessions),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in sessions
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in sessions
+                    ],
+                    "n_events": [n for _, _, n in sessions],
+                    "closed_by": ["gap"] * len(sessions),
+                }
+            )
+
+    stream = events
+    if events.isStreaming:
+        stream = events.withWatermark(ts_col, watermark)
+    return (
+        stream.select(F.col(key_col).alias("user_id"), F.col(ts_col))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
