@@ -112,9 +112,18 @@ def ngram_jaccard_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    sh = df.select(
-        F.col(id_col), hashed_word_shingles(content_col, n).alias("shingles")
-    ).select(id_col, F.explode("shingles").alias("shingle"))
+    # the postings relation feeds every downstream consumer (stop-list
+    # frequency count, per-doc sizes, both sides of the pair join):
+    # materialize it once instead of re-shingling per consumer — at
+    # warehouse scale this is "write the postings index, then join
+    # against it".
+    sh = (
+        df.select(
+            F.col(id_col), hashed_word_shingles(content_col, n).alias("shingles")
+        )
+        .select(id_col, F.explode("shingles").alias("shingle"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if df_cap is not None:
         stop = (
             sh.groupBy("shingle")
@@ -122,12 +131,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > df_cap)
             .select("shingle")
         )
+        # broadcast anti join: a cheap in-memory filter over the cached
+        # postings, re-evaluated per consumer without a shuffle.
         sh = sh.join(F.broadcast(stop), on="shingle", how="left_anti")
-    # the postings relation feeds three consumers (per-doc sizes + both
-    # sides of the pair join): materialize it once instead of
-    # re-shingling per consumer — at warehouse scale this is "write the
-    # postings index, then join against it".
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -59,3 +59,26 @@ def test_reference_parity_queries_have_no_python_udfs(spark, sf_dir):
 def test_topk_plans_take_ordered(spark, sf_dir):
     plan = _plan(queries()["topk_revenue_customers"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temporal_queries_single_exchange(spark, sf_dir):
+    # asof (union+window), sessionize (lag+prefix-sum+agg), and the
+    # two-window rank/lag query each share ONE hash partitioning on
+    # their key — Catalyst must not add a second shuffle.
+    qs = queries()
+    for name in ["asof_join_clicks", "sessionize_events", "window_rank_lag"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert plan.count("Exchange") == 1, f"{name} plans extra shuffles"
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_pair_dedup_queries_never_go_quadratic(spark, sf_dir):
+    # candidate generation must be equi-join based (posting lists /
+    # bands / buckets) — a cartesian or nested-loop pair join would
+    # "work" at test scale and melt at 100 TB.
+    qs = queries()
+    for name in ["dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh"]:
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
