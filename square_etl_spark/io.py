@@ -115,6 +115,25 @@ def point_lookup(df: DataFrame, key_col: str, keys_df: DataFrame, key_alias: str
     return keys_df.join(df, keys_df[key_alias] == df[key_col], "inner")
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Write a fact table partitioned by the given columns.
+
+    The 100 TB layout decision (SURVEY.md §4): facts partition by
+    tenant and event date so (a) the incremental lookback window
+    rewrites ~1 day of partitions instead of the table, and (b) any
+    windowed query prunes to the matching directories before a single
+    row is read — `PartitionFilters` in the scan, asserted by
+    tests/test_partitioning.py.  Dimension tables stay unpartitioned
+    (they broadcast).
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def json_ingest_quarantine(
     spark: SparkSession,
     raw: DataFrame,

@@ -73,6 +73,20 @@ def top_k(df: DataFrame, order_cols: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order_cols).limit(k)
 
 
+def observed(df: DataFrame, name: str, *metrics: Column):
+    """A2 without extra actions: attach observation metrics that are
+    collected as a side effect of whatever action runs the DataFrame —
+    the Spark-native version of the reference's per-stage count logging
+    (src/etl-square-payments.ts:121,135), which cost one extra pass per
+    log line.  Returns (df, Observation); read ``obs.get`` after an
+    action.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs
+
+
 def grouped_rollup(df: DataFrame, group_cols: list[str], aggs: list[Column]) -> DataFrame:
     """ROLLUP over the group columns — subtotals + grand total in one
     pass (Spark expands to grouping sets; partial aggregation still

@@ -70,6 +70,38 @@ def lookup_join(keys: DataFrame, table: DataFrame, on: str | list[str]) -> DataF
     return keys.join(table, on=on, how="inner")
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the hot side, replicate the other.
+
+    When one join key dominates (the realistic hazard here is tenant
+    skew — every warehouse row carries tenant_id, SURVEY.md §4), a
+    plain shuffle join lands the whole hot key in one task.  Salting
+    splits each fact row into one of ``salt`` sub-keys while the dim
+    side is replicated ``salt``× via an explode, so the hot key spreads
+    over ``salt`` tasks.  AQE's skew-join handles moderate skew
+    automatically; explicit salting is for the pathological key that
+    exceeds what split-and-replicate-at-runtime can fix, and for
+    non-AQE surfaces (streaming joins).
+
+    ``dim`` should be the smaller side (it is replicated ``salt``×).
+    """
+    salted_facts = facts.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_facts.join(replicated_dim, on=[on, "__salt"], how=how).drop(
+        "__salt"
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1329,6 +1329,161 @@ _register(
     )
 )
 
+def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's Spark SQL surface: the same star-join revenue
+    rollup as the flagship, written as SQL over registered views —
+    Catalyst produces the identical plan either way, which is the
+    point (DataFrame and SQL are one engine)."""
+    from square_etl_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name
+        """
+    )
+
+
+_register(
+    QuerySpec(
+        "sql_api_revenue",
+        _sql_api_revenue,
+        oracle=f"""
+        SELECT r_name,
+               {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY r_name
+        """,
+        doc="spark.sql over registered views — same Catalyst plan as the DataFrame API",
+    )
+)
+
+
+def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter on the dim, date windows on both
+    facts, 3-way join, grouped revenue, top-10.  Customer is the
+    broadcast side; the orders⋈lineitem join shuffles on the order key
+    (the co-location key the bucketed layout optimizes — see
+    tests/test_bucketing.py)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+_register(
+    QuerySpec(
+        "q3_shipping_priority",
+        _q3_shipping_priority,
+        oracle=f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """,
+        bench=True,
+        doc="TPC-H Q3 shape: dim filter + two fact windows + top-k revenue",
+    )
+)
+
+
+def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where customer and supplier must sit
+    in the same nation.  All three dimension hops (customer, supplier,
+    nation⋈region) broadcast; only the fact⋈fact join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1996-01-01", "1998-01-01"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_register(
+    QuerySpec(
+        "q5_local_supplier_volume",
+        _q5_local_supplier,
+        oracle=f"""
+        SELECT n_name,
+               {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        """,
+        doc="TPC-H Q5 shape: 6-way star join, same-nation supplier constraint",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Remaining reference projections (P4/P5/P7) + observability counts (A2)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,67 @@
+"""Partitioned layout: date-partition pruning + salted skew joins."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from square_etl_spark.io import load_table, write_partitioned
+from square_etl_spark.operators.joins import salted_join
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_date_partition_pruning(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    path = os.path.join(tmp_path, "events_part")
+    write_partitioned(ev, path, ["dt"])
+    # one directory per day
+    days = [d for d in os.listdir(path) if d.startswith("dt=")]
+    assert len(days) > 5
+
+    scan = spark.read.parquet(path).filter(F.col("dt") == "2024-01-03")
+    plan = _plan(scan)
+    # the filter must prune partitions at planning time, not post-scan
+    assert "PartitionFilters" in plan
+    assert "dt" in plan.split("PartitionFilters")[1].split("]")[0]
+    expected = ev.filter(F.to_date("ts") == "2024-01-03").count()
+    assert scan.count() == expected
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    plain = li.join(o, on="l_orderkey").groupBy("o_orderstatus").count()
+    salted = (
+        salted_join(li, o, on="l_orderkey", salt=4)
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    want = {r.o_orderstatus: r["count"] for r in plain.collect()}
+    got = {r.o_orderstatus: r["count"] for r in salted.collect()}
+    assert got == want
+
+
+def test_salted_join_spreads_hot_key(spark):
+    # one pathological key: every fact row shares it. After salting the
+    # shuffle key space must contain `salt` distinct sub-keys.
+    facts = spark.range(1000).select(
+        F.lit("hot_tenant").alias("tenant_id"), F.col("id").alias("v")
+    )
+    dim = spark.createDataFrame([("hot_tenant", "x")], "tenant_id string, name string")
+    out = salted_join(facts, dim, on="tenant_id", salt=8)
+    assert out.count() == 1000
+    n_salts = (
+        facts.withColumn("__salt", (F.rand(seed=42) * 8).cast("int"))
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8

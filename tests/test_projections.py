@@ -73,3 +73,21 @@ def test_raw_payload_roundtrip(spark):
         json_field("raw_payload", "$.name").alias("name2"),
     ).collect()
     assert [(r.id2, r.name2) for r in back] == [(1, "x"), (2, None)]
+
+
+def test_observed_counts_piggyback_on_action(spark, sf_dir):
+    # A2: metrics come out of the SAME job as the action — no extra pass
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.aggregations import observed
+
+    li = load_table(spark, sf_dir, "lineitem")
+    df, obs = observed(
+        li, "stage",
+        F.count(F.lit(1)).alias("n_fetched"),
+        F.sum(F.when(F.col("l_quantity") > 0, 1).otherwise(0)).alias("n_valid"),
+    )
+    total = df.count()
+    assert obs.get["n_fetched"] == total
+    assert obs.get["n_valid"] <= total

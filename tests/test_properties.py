@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis): engine operators vs tiny pure-
+Python reference implementations on randomized inputs.
+
+The reference's implicit correctness property is *run twice ≡ run
+once* (idempotent upserts, SURVEY.md §5); these generalize that into
+checked invariants for the merge sink, sessionizer, as-of join, and
+n-gram Jaccard."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from square_etl_spark.operators.dedup import ngram_jaccard_pairs
+from square_etl_spark.operators.joins import asof_join
+from square_etl_spark.operators.windows import sessionize
+from square_etl_spark.sinks.merge import merge_dataframes
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key = st.sampled_from(["a", "b", "c"])
+_ts = st.integers(min_value=0, max_value=10**6)  # seconds since epoch-ish
+
+
+@st.composite
+def _batches(draw):
+    rows = draw(
+        st.lists(st.tuples(_key, st.integers(0, 100), _ts), min_size=0, max_size=20)
+    )
+    return rows
+
+
+@given(b1=_batches(), b2=_batches())
+@SETTINGS
+def test_merge_equals_python_fold(spark, b1, b2):
+    """Merging b1 then b2 == fold rows key-by-key with last-writer-wins
+    (order: ts desc, then value desc as deterministic tiebreak)."""
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k string, v long, ts long")
+
+    if not b1 and not b2:
+        return
+    t = merge_dataframes(None, df(b1), ["k"], ["ts", "v"]) if b1 else None
+    out = merge_dataframes(t, df(b2), ["k"], ["ts", "v"]) if b2 else t
+    got = {(r.k, r.v, r.ts) for r in out.collect()}
+
+    expect: dict[str, tuple] = {}
+    for rows in (b1, b2):  # later batch beats earlier on key collision
+        best: dict[str, tuple] = {}
+        for k, v, ts in rows:
+            cur = best.get(k)
+            if cur is None or (ts, v) > (cur[2], cur[1]):
+                best[k] = (k, v, ts)
+        expect.update(best)
+    assert got == set(expect.values())
+
+
+@given(b=_batches())
+@SETTINGS
+def test_merge_idempotent_property(spark, b):
+    if not b:
+        return
+    df = spark.createDataFrame(b, "k string, v long, ts long")
+    once = merge_dataframes(None, df, ["k"], ["ts", "v"])
+    twice = merge_dataframes(once, df, ["k"], ["ts", "v"])
+    assert {tuple(r) for r in once.collect()} == {tuple(r) for r in twice.collect()}
+
+
+@given(
+    ts_lists=st.lists(
+        st.lists(st.integers(0, 20000), min_size=1, max_size=15),
+        min_size=1,
+        max_size=3,
+    )
+)
+@SETTINGS
+def test_sessionize_partitions_events(spark, ts_lists):
+    """Sessions partition each user's events: counts add up, sessions
+    are disjoint, inter-session gaps exceed the threshold, and
+    intra-session spans never contain a gap > threshold boundary pair."""
+    gap = 1000.0
+    rows = [
+        (uid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+        for uid, lst in enumerate(ts_lists)
+        for s in lst
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sess = sessionize(df, "ts", ["user_id"], gap_s=gap).collect()
+
+    for uid, lst in enumerate(ts_lists):
+        mine = sorted(
+            (r for r in sess if r.user_id == uid), key=lambda r: r.session_start
+        )
+        assert sum(r.n_events for r in mine) == len(lst)
+        # expected session split from a pure-python fold
+        uniq = sorted(lst)
+        splits = []
+        cur = [uniq[0]]
+        for t in uniq[1:]:
+            if t - cur[-1] > gap:
+                splits.append(cur)
+                cur = []
+            cur.append(t)
+        splits.append(cur)
+        assert len(mine) == len(splits)
+        for r, py in zip(mine, splits):
+            base = dt.datetime(2024, 1, 1)
+            assert r.session_start == base + dt.timedelta(seconds=py[0])
+            assert r.session_end == base + dt.timedelta(seconds=py[-1])
+
+
+@given(
+    left=st.lists(_ts, min_size=1, max_size=12),
+    right=st.lists(_ts, min_size=0, max_size=12),
+)
+@SETTINGS
+def test_asof_equals_python_scan(spark, left, right):
+    base = dt.datetime(2024, 1, 1)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    ldf = spark.createDataFrame([(1, t(s)) for s in left], "k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        [(1, t(s), s) for s in set(right)], "k long, rts timestamp, rv long"
+    )
+    got = {
+        (r.ts, r.asof_rv)
+        for r in asof_join(ldf, rdf, ["k"], "ts", "rts").collect()
+    }
+    expect = set()
+    for s in left:
+        cands = [x for x in set(right) if x <= s]
+        expect.add((t(s), max(cands) if cands else None))
+    assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_ngram_jaccard_equals_python(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, df_cap=None
+        ).collect()
+    }
+
+    def shingles(s):
+        w = s.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    for i, a in enumerate(docs):
+        for j in range(i + 1, len(docs)):
+            sa, sb = shingles(a), shingles(docs[j])
+            inter = len(sa & sb)
+            if inter == 0:
+                assert (i, j) not in got  # no shared shingle → never a candidate
+            else:
+                want = round(inter / (len(sa) + len(sb) - inter), 6)
+                assert abs(got[(i, j)] - want) < 1e-9
