@@ -13,6 +13,7 @@ becomes partitioned scan tasks.  ``.explain`` on these scans must show
 from __future__ import annotations
 
 import datetime as _dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -132,6 +133,46 @@ def write_partitioned(
     (they broadcast).
     """
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet path into ``target_files`` files (per
+    partition directory when ``partition_cols`` is given).
+
+    The operational pair of the merge sink: every incremental run
+    appends/rewrites small files, and at warehouse scale scan cost is
+    driven by file count (task scheduling + footer reads), so periodic
+    compaction is part of the table's lifecycle.  Atomic via the same
+    temp-dir + swap as ``sinks.merge_upsert``.  Returns the file count
+    after compaction.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    df = spark.read.parquet(path)
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"compact-{uuid.uuid4().hex}", os.path.basename(path)
+    )
+    writer = df.repartition(target_files, *(partition_cols or [])).write.mode(
+        "overwrite"
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
 
 
 def json_ingest_quarantine(

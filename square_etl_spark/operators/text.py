@@ -105,6 +105,62 @@ def quality_score(col: Column | str = "text") -> Column:
     return F.round(raw, 6)
 
 
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k: int = 3,
+):
+    """Top-k TF-IDF terms per document — pure DataFrame ops.
+
+    Plan: explode tokens → per-(doc, term) counts (tf) and per-doc
+    totals in one aggregation tree → document frequency per term (df)
+    → tfidf = (tf/len) · ln(N/df) → per-doc top-k by rounded score.
+    Two shuffles total (term stats, then the per-doc window); the idf
+    relation is term-distinct (vocabulary-sized) and broadcasts.  At
+    corpus scale the vocabulary may outgrow a broadcast — then the
+    tf⋈idf join becomes an ordinary shuffle join on the term, still
+    never quadratic.  Scores round to 6 decimals before ranking (with
+    term tiebreak) for cross-engine determinism.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(content_col))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    n_docs = df.count()  # scalar: one lightweight count job, folded as a literal
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(doc_len, on=id_col)
+        .join(F.broadcast(idf), on="term")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf") / F.col("doc_len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df_t")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
 def fingerprint64(col: Column | str = "text") -> Column:
     """Deterministic 64-bit document fingerprint: polynomial rolling
     hash over whitespace tokens (hash chaining via aggregate — O(tokens)

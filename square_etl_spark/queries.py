@@ -1172,6 +1172,41 @@ _register(
 )
 
 
+def _tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+_register(
+    QuerySpec(
+        "text_tfidf_top_terms",
+        _tfidf,
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS term
+          FROM documents WHERE trim(text) <> ''),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+               WHERE term <> '' GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, SUM(tf) AS doc_len FROM tf GROUP BY doc_id),
+        idf AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 ROUND((tf.tf / dl.doc_len)
+                       * ln(CAST(n.n_docs AS DOUBLE) / idf.df_t), 6) AS tfidf
+          FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+        WHERE rank <= 3
+        """,
+        doc="per-doc top-k TF-IDF terms: two shuffles + broadcast idf",
+    )
+)
+
+
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", tx.fingerprint64("text").alias("fingerprint"))
