@@ -193,6 +193,70 @@ def embedding_cosine_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Collapse near-dup pairs into clusters: iterative min-label
+    propagation (connected components).  Returns one row per node that
+    appears in any pair: (doc_id, cluster_id) where cluster_id is the
+    minimum id reachable in the component — which makes the cluster id
+    itself the canonical-survivor id for dedup.
+
+    The iterative algorithm a declarative engine can't express in one
+    query: a driver-side loop over distributed steps.  Each round is
+    one equi-join (labels onto neighbor edges) + one min-aggregation;
+    label count is monotonically non-increasing per node, so the loop
+    converges in O(component diameter) rounds — near-dup graphs are
+    shallow (dup sets are cliques or short chains), so typically 2–4.
+    Both relations are keyed by node id: at scale, co-partitioning
+    edges and labels on that key makes every round a local join.
+    """
+    # localCheckpoint (not just persist) each round: an iterative plan
+    # otherwise grows one join-layer per round and Catalyst re-analyzes
+    # the whole tree every iteration — O(rounds²) planning.  Truncating
+    # the lineage keeps every round's plan constant-size (and is the
+    # fault-tolerance boundary a long-running cluster job wants anyway).
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "dst"), on="dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, on="node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash64(col: str = "text") -> F.Column:
     """64-bit SimHash signature over whitespace tokens.
 

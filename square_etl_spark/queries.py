@@ -38,6 +38,7 @@ from square_etl_spark.operators.aggregations import (
     top_k,
 )
 from square_etl_spark.operators.dedup import (
+    connected_components,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -981,17 +982,11 @@ _register(
 )
 
 
-def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1, df_cap=100)
-
-
-_register(
-    QuerySpec(
-        "dedup_ngram_jaccard",
-        _ngram_jaccard,
-        oracle="""
-        WITH t AS (
+#: shared CTE body: n-gram Jaccard pairs at threshold 0.1 / df_cap 100
+#: (used verbatim by the pair query's oracle and as the edge set of the
+#: cluster-collapse oracle).
+_NGRAM_PAIRS_CTES = """
+        t AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
           FROM documents),
         sh0 AS (
@@ -1006,16 +1001,65 @@ _register(
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
           FROM sh a JOIN sh b USING (shingle)
           WHERE a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
-        FROM inter
-        JOIN cnt ca ON ca.doc_id = id_a
-        JOIN cnt cb ON cb.doc_id = id_b
-        WHERE ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.1
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b,
+                 ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.1)
+"""
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1, df_cap=100)
+
+
+_register(
+    QuerySpec(
+        "dedup_ngram_jaccard",
+        _ngram_jaccard,
+        oracle=f"""
+        WITH {_NGRAM_PAIRS_CTES}
+        SELECT id_a, id_b, jaccard FROM pairs
         """,
         bench=True,
         doc="exact shingle-Jaccard; stop-shingle DF cap bounds the pair blowup",
+    )
+)
+
+
+def _ngram_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER collapse: the step after pair generation in a
+    real dedup pipeline — connected components over the pair graph,
+    labeling every involved doc with its cluster's minimum id (= the
+    canonical survivor)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1, df_cap=100)
+    return connected_components(pairs)
+
+
+_register(
+    QuerySpec(
+        "dedup_cluster_assignment",
+        _ngram_clusters,
+        oracle=f"""
+        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        doc="connected components over near-dup pairs (iterative min-label propagation)",
     )
 )
 

@@ -18,6 +18,9 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     spark = get_spark("pytest", master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
+    # tiny test data: 8 shuffle partitions cut per-job task overhead
+    # (prod default stays 32 / cluster-overridden; AQE adapts either way)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     yield spark
 
 

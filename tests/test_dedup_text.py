@@ -115,3 +115,14 @@ def test_fingerprint_deterministic_and_content_sensitive(spark):
     assert a[1] == a[2]
     assert a[1] != a[3]
     assert a[5] == 0  # empty text → identity hash
+
+
+def test_connected_components_chain_and_islands(spark):
+    from square_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (3, 4)],  # chain 1-2-3-4, island 7-8
+        "id_a long, id_b long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}

@@ -174,3 +174,41 @@ def test_ngram_jaccard_equals_python(spark, docs):
             else:
                 want = round(inter / (len(sa) + len(sb) - inter), 6)
                 assert abs(got[(i, j)] - want) < 1e-9
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_equals_union_find(spark, edges):
+    from square_etl_spark.operators.dedup import connected_components
+
+    norm = [(min(a, b), max(a, b)) for a, b in edges]
+    df = spark.createDataFrame(norm, "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in norm:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {n: find(n) for n in parent}
+    assert got == expect
