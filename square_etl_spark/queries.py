@@ -41,7 +41,7 @@ from square_etl_spark.operators.dedup import (
     connected_components,
     embedding_cosine_pairs,
     exact_dedup,
-    minhash_lsh_pairs,
+    minhash_banded_pairs,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
@@ -1066,15 +1066,17 @@ _register(
 
 def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, threshold=0.5)
+    return minhash_banded_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, bucket_cap=200
+    )
 
 
 _register(
     QuerySpec(
         "dedup_minhash_lsh",
         _minhash,
-        oracle=None,  # banded-LSH estimate: not ANSI-SQL-expressible
-        doc="MinHashLSH approx similarity join (rows-only check)",
+        oracle=None,  # minhash band selection: not ANSI-SQL-expressible
+        doc="banded MinHash LSH with bucket-size cap + exact verify (rows-only check)",
     )
 )
 

@@ -43,14 +43,27 @@ ENGINE_CONF: dict[str, str] = {
     # on the hot path stays in JVM codegen (SURVEY.md §2.7: zero UDFs
     # needed for reference parity).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Parquet scans: split files at 128 MB (default) and push filters.
+    # Parquet scans: push filters; split files at 32 MB so the small
+    # single-file fixtures still fan out across local cores (a 13 MB
+    # file at the 128 MB default is ONE task on a 32-thread runner).
+    # 100 TB deployments override upward via env/spark-submit — there
+    # the concern inverts to capping task count.
     "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)
+    ),
     # Spark has no TIMESTAMP(NANOS) support — read ns columns as raw
     # int64 and convert explicitly (io.load_table truncates ns → µs,
     # matching DuckDB's ns→µs cast so oracle comparisons agree).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Avoid tiny-file explosions when tests write parquet.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # local[32] hosts driver AND all executor threads in ONE JVM: the
+    # 1 GB default heap OOMs at ~50k-doc dedup workloads on a 128 GiB
+    # box.  Size the heap to the machine (cluster deployments override
+    # per-executor via spark-submit as usual).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.maxResultSize": "4g",
     # Don't truncate scan metadata in explain output — plan assertions
     # (PushedFilters / ReadSchema) read it.
     "spark.sql.maxMetadataStringLength": "2000",

@@ -126,3 +126,40 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_minhash_banded_finds_planted_dups(spark):
+    from square_etl_spark.operators.dedup import minhash_banded_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tonight")          # 1-word edit
+    other = "completely different words entirely unrelated content here now"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_banded_pairs(
+            df, num_hashes=16, bands=8, threshold=0.3
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0                         # exact dup: jaccard 1
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1   # near dup found
+    assert not any(4 in pair for pair in got)         # unrelated never pairs
+
+
+def test_minhash_banded_bucket_cap_drops_hot_bucket(spark):
+    from square_etl_spark.operators.dedup import minhash_banded_pairs
+
+    # 30 identical docs → every band bucket holds all 30 → above a cap
+    # of 10 every bucket is dropped and NO pairs emerge (the stop-
+    # pattern semantics); with a loose cap all 435 pairs emerge.
+    df = spark.createDataFrame(
+        [(i, "same words repeated all over this document") for i in range(30)],
+        "doc_id long, text string",
+    )
+    strict = minhash_banded_pairs(df, threshold=0.5, bucket_cap=10)
+    loose = minhash_banded_pairs(df, threshold=0.5, bucket_cap=100)
+    assert strict.count() == 0
+    assert loose.count() == 30 * 29 // 2
