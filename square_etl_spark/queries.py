@@ -983,12 +983,16 @@ _register(
 
 
 #: shared CTE body: n-gram Jaccard pairs at threshold 0.1 / df_cap 100
-#: (used verbatim by the pair query's oracle and as the edge set of the
-#: cluster-collapse oracle).
-_NGRAM_PAIRS_CTES = """
+#: over a source relation (used by the pair query's oracle, the
+#: cluster-collapse oracle, and the corpus-clean pipeline oracle).
+def _ngram_pairs_ctes(src: str = "documents") -> str:
+    return _NGRAM_PAIRS_CTES_TPL.replace("__SRC__", src)
+
+
+_NGRAM_PAIRS_CTES_TPL = """
         t AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-          FROM documents),
+          FROM __SRC__),
         sh0 AS (
           SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
           FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
@@ -1022,7 +1026,7 @@ _register(
         "dedup_ngram_jaccard",
         _ngram_jaccard,
         oracle=f"""
-        WITH {_NGRAM_PAIRS_CTES}
+        WITH {_ngram_pairs_ctes()}
         SELECT id_a, id_b, jaccard FROM pairs
         """,
         bench=True,
@@ -1046,7 +1050,7 @@ _register(
         "dedup_cluster_assignment",
         _ngram_clusters,
         oracle=f"""
-        WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+        WITH RECURSIVE {_ngram_pairs_ctes()},
         edges AS (
           SELECT id_a AS a, id_b AS b FROM pairs
           UNION
@@ -1562,6 +1566,169 @@ _register(
         GROUP BY n_name
         """,
         doc="TPC-H Q5 shape: 6-way star join, same-nation supplier constraint",
+    )
+)
+
+def _q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS against the fact table folded into a
+    left-semi join, then a tiny group-count.  The semi join carries
+    only order keys through the shuffle."""
+    o = windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1997-01-01", "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    qualified = o.join(
+        late.select("o_orderkey").distinct(),
+        on="o_orderkey",
+        how="left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+_register(
+    QuerySpec(
+        "q4_priority_late_ship",
+        _q4_priority_exists,
+        oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """,
+        doc="TPC-H Q4 shape: EXISTS folded into a keys-only semi join",
+    )
+)
+
+
+def _q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1997-01-01", "1997-07-01"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "lost_revenue"
+            )
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+_register(
+    QuerySpec(
+        "q10_returned_revenue",
+        _q10_returned,
+        oracle=f"""
+        SELECT c_custkey, c_name, n_name,
+               {_dsum("l_extendedprice * (1 - l_discount)")} AS lost_revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+        """,
+        doc="TPC-H Q10 shape: returned-item revenue, top-k customers",
+    )
+)
+
+
+def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    share).  Both the numerator's CASE and the ratio run on exact
+    decimal sums so the single output row hash-matches the oracle."""
+    li = windowed_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", "1997-01-01", "1997-04-01"
+    )
+    p = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return joined.agg(
+        F.round(
+            F.lit(100.0) * decimal_sum(promo) / decimal_sum(rev), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+_register(
+    QuerySpec(
+        "q14_promo_share",
+        _q14_promo_share,
+        oracle=f"""
+        SELECT ROUND(100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                     / {_dsum("l_extendedprice * (1 - l_discount)")}, 6)
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        """,
+        doc="TPC-H Q14 shape: conditional-aggregate ratio on decimal sums",
+    )
+)
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregation, then enrich the
+    qualifying keys.  The aggregation runs BEFORE the joins so only
+    qualifying orders (p99) carry customer payload."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(decimal_sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q18_large_orders",
+        _q18_large_orders,
+        oracle=f"""
+        WITH big AS (
+          SELECT l_orderkey, {_dsum("l_quantity")} AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {_dsum("l_quantity")} > 250)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+        FROM big
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+        doc="TPC-H Q18 shape: HAVING aggregate first, enrich survivors only",
     )
 )
 
@@ -2134,6 +2301,91 @@ _register(
         WHERE rank <= 5
         """,
         doc="IVF cell-probe ANN: broadcast centroid assign + in-cell rank",
+    )
+)
+
+def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data pipeline, end to end: quality-filter
+    the corpus, drop exact duplicates (min-id survivor per digest),
+    collapse near-dup clusters to their canonical doc, and report the
+    surviving corpus per language.  Every stage is an operator from
+    this library; the whole thing is ONE lazy plan plus the bounded
+    connected-components iteration."""
+    from square_etl_spark.operators.text import quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.filter(quality_score("text") >= 0.3)
+    digest_w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
+        F.col("doc_id").asc()
+    )
+    exact_survivors = (
+        kept.withColumn("__rn", F.row_number().over(digest_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pairs = ngram_jaccard_pairs(
+        exact_survivors, "doc_id", "text", n=3, threshold=0.1, df_cap=100
+    )
+    clusters = connected_components(pairs)
+    non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    clean = exact_survivors.join(non_canonical, on="doc_id", how="left_anti")
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+_register(
+    QuerySpec(
+        "corpus_clean_pipeline",
+        _corpus_clean,
+        oracle=f"""
+        WITH RECURSIVE scored AS (
+          SELECT *,
+            ROUND(
+              0.5 * LEAST(ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.8, 1.0)
+            + 0.3 * LEAST(ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> list_contains(['the','and','of','to','is','in','that','it'], w))) /
+                    (CASE WHEN trim(text) = '' THEN 1.0
+                          WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                          THEN CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                          ELSE 1.0 END), 6) / 0.4, 1.0)
+            + 0.2 * (1.0 - LEAST(ROUND(len(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.2, 1.0)),
+            6) AS q
+          FROM documents),
+        kept AS (SELECT * FROM scored WHERE q >= 0.3),
+        exact_survivors AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                         ORDER BY doc_id) AS rn
+            FROM kept) WHERE rn = 1),
+        {_ngram_pairs_ctes("exact_survivors").strip().rstrip()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges UNION SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clusters AS (
+          SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        clean AS (
+          SELECT s.* FROM exact_survivors s
+          WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                            WHERE c.doc_id = s.doc_id
+                              AND c.doc_id <> c.cluster_id))
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+                 AS total_tokens
+        FROM clean GROUP BY lang
+        """,
+        doc="composite pipeline: quality filter → exact dedup → near-dup collapse → stats",
     )
 )
 
