@@ -97,3 +97,28 @@ def test_merge_stamps_updated_at_only_on_updates(spark, tmp_path):
     # updated row restamped to "now" (well past 2020); insert keeps its ts
     assert got["a"].updated_at.year >= 2025
     assert got["new"].updated_at.year == 2020
+
+
+def test_merge_upsert_failed_write_leaves_target_intact(spark, tmp_path):
+    # E3 atomicity: a batch whose write fails mid-job must not corrupt
+    # the existing target (temp-dir + swap, never in-place overwrite).
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    target = os.path.join(tmp_path, "tbl")
+    good = spark.createDataFrame(
+        [("a", 1, "2024-01-01 00:00:00")], "k string, v long, updated_at string"
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    merge_upsert(spark, target, good, ["k"], ["updated_at"])
+
+    poison = good.withColumn(
+        "v",
+        F.when(F.col("v") >= 0, F.raise_error("injected write failure")).otherwise(
+            F.lit(0)
+        ).cast("long"),
+    )
+    with pytest.raises(Exception, match="injected write failure"):
+        merge_upsert(spark, target, poison, ["k"], ["updated_at"])
+    assert _rows(spark, target) == {("a", 1)}

@@ -69,3 +69,34 @@ def test_json_quarantine_splits_bad_rows(spark):
     r = rejects.collect()
     assert [x.id for x in r] == [2]
     assert r[0].raw_payload.startswith("not json")
+
+
+def test_declared_schema_tolerates_file_schema_evolution(spark, tmp_path):
+    """Schema evolution posture (SURVEY.md §1.3): files written before a
+    column existed read cleanly under the declared superset schema —
+    the missing column is NULL — and the raw_payload escape hatch
+    recovers fields that were never promoted to columns."""
+    import os
+
+    old = spark.createDataFrame(
+        [(1, '{"k": 5, "new_field": "x"}')], "id long, raw_payload string"
+    )
+    new = spark.createDataFrame(
+        [(2, '{"k": 6}', "promoted")], "id long, raw_payload string, status string"
+    )
+    path = os.path.join(tmp_path, "evolving")
+    old.write.mode("overwrite").parquet(os.path.join(path, "batch=0"))
+    new.write.mode("append").parquet(os.path.join(path, "batch=1"))
+
+    declared = "id long, raw_payload string, status string"
+    got = {r.id: r for r in spark.read.schema(declared).parquet(path).collect()}
+    assert got[1].status is None          # pre-evolution file → NULL column
+    assert got[2].status == "promoted"
+    # raw_payload recovers what schema never had
+    recovered = (
+        spark.read.schema(declared)
+        .parquet(path)
+        .selectExpr("id", "get_json_object(raw_payload, '$.new_field') nf")
+        .collect()
+    )
+    assert {r.id: r.nf for r in recovered} == {1: "x", 2: None}
