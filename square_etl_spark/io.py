@@ -22,6 +22,25 @@ from square_etl_spark.schemas import EVENTS_RAW, FIXTURE_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: runtime-settable confs the engine's semantics depend on.  The driver
+#: may hand us a SparkSession built WITHOUT session.get_spark (its own
+#: builder): without these, the events table fails to read
+#: (TIMESTAMP(NANOS)) and timestamp/ANSI semantics drift from the
+#: DuckDB oracle.  All three are SQLConf (runtime) settings, so they
+#: can be applied to any live session.
+_REQUIRED_RUNTIME_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.ansi.enabled": "true",
+}
+
+
+def ensure_engine_conf(spark: SparkSession) -> None:
+    """Apply the engine's required runtime confs to any session."""
+    for k, v in _REQUIRED_RUNTIME_CONF.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its declared schema.
@@ -35,6 +54,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     to microseconds (``ts div 1000`` — integer division, so exactly
     DuckDB's ns→µs cast semantics for the oracle comparison).
     """
+    ensure_engine_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         raw = spark.read.schema(EVENTS_RAW).parquet(path)

@@ -67,6 +67,9 @@ ENGINE_CONF: dict[str, str] = {
     # Don't truncate scan metadata in explain output — plan assertions
     # (PushedFilters / ReadSchema) read it.
     "spark.sql.maxMetadataStringLength": "2000",
+    # Let Catalyst negotiate filters with Python Data Sources (the
+    # paginated REST-style source in sources/paginated.py).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

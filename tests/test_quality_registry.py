@@ -59,3 +59,20 @@ def test_queries_runnable_at_smallest_sf(spark, sf_dir):
     for spec in registry():
         n = spec.fn(spark, sf_dir).count()
         assert n >= 0, spec.name
+
+
+def test_vanilla_session_confs_are_healed_by_load_table(spark):
+    # the driver may hand entry()/queries() a session it built itself —
+    # load_table must apply the confs our semantics require
+    from square_etl_spark.io import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert df.count() > 0
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
