@@ -1733,6 +1733,358 @@ _register(
 )
 
 # ---------------------------------------------------------------------------
+# TPC-H shapes, continued: scan-only agg (q6), nation-pair volume (q7),
+# outer-join histogram (q13), agg-vs-max scalar subquery (q15), correlated
+# per-key average (q17), disjunctive pushdown (q19), anti-join + scalar
+# threshold (q22).  Each is a distinct PLAN pattern, not just another
+# query: together with q1/q3/q4/q5/q10/q14/q18 they cover the full
+# TPC-H-expressible surface of the fixture schema (no partsupp table, so
+# q2/q9/q11/q16/q20 have no faithful translation — adapted or omitted).
+# ---------------------------------------------------------------------------
+
+
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-only filter + single aggregate — the purest
+    pushdown test.  At 100 TB this plan is ONE stage: every predicate
+    (shipdate window, discount band, quantity cap) reaches the parquet
+    row-group statistics, no shuffle except the final 1-row reduce."""
+    li = windowed_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", "1997-01-01", "1998-01-01"
+    )
+    return li.filter(
+        (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        decimal_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue")
+    )
+
+
+_register(
+    QuerySpec(
+        "q6_forecast_revenue",
+        _q6_forecast_revenue,
+        oracle=f"""
+        SELECT {_dsum("l_extendedprice * l_discount")} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        doc="TPC-H Q6 shape: all predicates pushed to the scan, one-stage agg",
+    )
+)
+
+
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    The two-nation disjunction ((A,B) or (B,A)) is rewritten as the
+    equivalent conjunctive form — supplier nation ∈ {A,B} AND customer
+    nation ∈ {A,B} AND different — so the IN-list filters apply to each
+    dimension BEFORE the fact joins (Catalyst cannot extract this from
+    the cross-side OR itself).  At scale that turns 'join everything
+    then filter' into two tiny broadcast dimensions."""
+    nations = ["NATION_1", "NATION_2"]
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    li = windowed_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", "1996-01-01", "1998-01-01"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            )
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q7_nation_volume",
+        _q7_nation_volume,
+        oracle=f"""
+        SELECT supp_nation, cust_nation, l_year, {_dsum("vol")} AS volume
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS vol
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+            AND n2.n_name IN ('NATION_1', 'NATION_2')
+            AND n1.n_name <> n2.n_name
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+        ) GROUP BY supp_nation, cust_nation, l_year
+        """,
+        doc="TPC-H Q7 shape: cross-side OR rewritten to per-dim IN filters",
+    )
+)
+
+
+def _q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution.  The orders
+    filter is applied BEFORE the left join (≡ the ON-clause predicate
+    in the SQL form) so customers whose only orders are urgent still
+    appear with count 0 — the outer-join-with-filtered-right pattern
+    that a naive WHERE clause silently breaks."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_register(
+    QuerySpec(
+        "q13_custdist",
+        _q13_custdist,
+        oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+        """,
+        doc="TPC-H Q13 shape: left join with ON-clause filter, count histogram",
+    )
+)
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: suppliers achieving the maximum windowed
+    revenue.  The scalar-subquery MAX becomes a 1-row broadcast joined
+    back on equality — no second scan of lineitem, and revenue values
+    are exact decimal sums so cross-engine equality is well-defined."""
+    li = windowed_scan(
+        load_table(spark, sf_dir, "lineitem"), "l_shipdate", "1997-01-01", "1997-04-01"
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_register(
+    QuerySpec(
+        "q15_top_supplier",
+        _q15_top_supplier,
+        oracle=f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 {_dsum("l_extendedprice * (1 - l_discount)")} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        doc="TPC-H Q15 shape: agg reused for both ranking and its own max",
+    )
+)
+
+
+def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders far below a part's average
+    quantity.  The correlated per-part AVG subquery becomes one window
+    pass over the already-joined (brand-pruned) fact slice — correct
+    because pruning PARTS drops no lineitems of surviving parts.  The
+    average is computed as exact-decimal-sum / count, cast to double
+    before dividing, so both engines evaluate the identical expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        joined.withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((decimal_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+_register(
+    QuerySpec(
+        "q17_small_qty_revenue",
+        _q17_small_qty_revenue,
+        oracle=f"""
+        SELECT {_dsum("l_extendedprice")} / 7.0 AS avg_yearly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#5'
+          AND l_quantity < 0.2 * (
+            SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        """,
+        doc="TPC-H Q17 shape: correlated AVG as a single window pass",
+    )
+)
+
+
+def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.  Catalyst
+    cannot push a cross-side disjunction, so the implied single-side
+    envelopes are extracted by hand — part pruned to the three brands,
+    lineitem to the quantity hull [1, 30] — before the broadcast join;
+    the exact disjunction then filters the residue.  At 100 TB this is
+    the difference between joining 3 brands' worth of parts and
+    joining every part."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    )
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q19_disjunctive_pushdown",
+        _q19_disjunctive,
+        oracle=f"""
+        SELECT {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        doc="TPC-H Q19 shape: hand-extracted single-side envelopes of an OR",
+    )
+)
+
+
+def _q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by nation (the fixture's stand-in for Q22's phone
+    country codes).  The global AVG threshold is a 1-row broadcast
+    nested-loop join; the NOT EXISTS is a left-anti join against the
+    date-pruned orders slice — no correlated re-scans anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    recent = windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1999-01-01", None
+    ).select("o_custkey")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("thr")
+    )
+    return (
+        c.join(F.broadcast(thr), F.col("c_acctbal") > F.col("thr"))
+        .drop("thr")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            decimal_sum("c_acctbal").alias("totacctbal"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q22_dormant_rich",
+        _q22_dormant_rich,
+        oracle=f"""
+        SELECT n_name, COUNT(*) AS numcust, {_dsum("c_acctbal")} AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY n_name
+        """,
+        doc="TPC-H Q22 shape: scalar threshold broadcast + anti join",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Remaining reference projections (P4/P5/P7) + observability counts (A2)
 # ---------------------------------------------------------------------------
 
