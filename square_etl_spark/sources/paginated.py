@@ -41,6 +41,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -56,6 +57,43 @@ SCHEMA = (
 class _PagePartition(InputPartition):
     def __init__(self, path: str) -> None:
         self.path = path
+
+
+def _list_pages(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.startswith("page-") and f.endswith(".json")
+    )
+
+
+def _read_page(
+    path: str,
+    begin: str | None,
+    end: str | None,
+    types: set[str] | None,
+) -> Iterator[tuple]:
+    """Scan one page file, applying the negotiated window/type filters.
+    Shared by the batch and streaming readers — one filtering contract."""
+    with open(path) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            ts = rec.get("ts")
+            if begin is not None and (ts is None or ts < begin):
+                continue
+            if end is not None and (ts is None or ts >= end):
+                continue
+            if types is not None and rec.get("event_type") not in types:
+                continue
+            yield (
+                rec.get("event_id"),
+                ts,
+                rec.get("user_id"),
+                rec.get("event_type"),
+                rec.get("value"),
+            )
 
 
 class PaginatedJsonReader(DataSourceReader):
@@ -99,33 +137,53 @@ class PaginatedJsonReader(DataSourceReader):
                 yield f  # unsupported → Spark evaluates it
 
     def partitions(self) -> list[_PagePartition]:
-        pages = sorted(
-            os.path.join(self.path, f)
-            for f in os.listdir(self.path)
-            if f.startswith("page-") and f.endswith(".json")
-        )
-        return [_PagePartition(p) for p in pages]
+        return [_PagePartition(p) for p in _list_pages(self.path)]
 
     def read(self, partition: _PagePartition) -> Iterator[tuple]:
-        with open(partition.path) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                rec = json.loads(line)
-                ts = rec.get("ts")
-                if self.begin is not None and (ts is None or ts < self.begin):
-                    continue
-                if self.end is not None and (ts is None or ts >= self.end):
-                    continue
-                if self.types is not None and rec.get("event_type") not in self.types:
-                    continue
-                yield (
-                    rec.get("event_id"),
-                    ts,
-                    rec.get("user_id"),
-                    rec.get("event_type"),
-                    rec.get("value"),
-                )
+        return _read_page(partition.path, self.begin, self.end, self.types)
+
+
+class PaginatedJsonStreamReader(DataSourceStreamReader):
+    """Incremental micro-batch reader: the durable-cursor upgrade over
+    the reference's stateless 24 h lookback (SURVEY.md §2.8 T3).
+
+    The reference re-scans a sliding window every hour and relies on
+    idempotent upserts to absorb the ~24× re-read; here the offset IS
+    the cursor — ``{"page_count": N}`` = pages consumed so far —
+    checkpointed by Spark, so each page is read exactly once and a
+    restart resumes where the last run committed.  Page files must be
+    append-only with lexicographically increasing names (exactly how a
+    cursor-paginated API emits them).  Each micro-batch fans the new
+    pages out as parallel partitions, same as the batch reader.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.begin: str | None = options.get("begin")
+        self.end: str | None = options.get("end")
+        self.types: set[str] | None = (
+            set(options["types"].split(",")) if "types" in options else None
+        )
+
+    def initialOffset(self) -> dict:
+        return {"page_count": 0}
+
+    def latestOffset(self) -> dict:
+        return {"page_count": len(_list_pages(self.path))}
+
+    def partitions(self, start: dict, end: dict) -> list[_PagePartition]:
+        pages = _list_pages(self.path)
+        return [
+            _PagePartition(p) for p in pages[start["page_count"] : end["page_count"]]
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        return _read_page(partition.path, self.begin, self.end, self.types)
+
+    def commit(self, end: dict) -> None:
+        # nothing to release source-side: pages are immutable files and
+        # Spark's checkpoint owns the committed offset.
+        pass
 
 
 class PaginatedJsonDataSource(DataSource):
@@ -138,3 +196,6 @@ class PaginatedJsonDataSource(DataSource):
 
     def reader(self, schema) -> PaginatedJsonReader:
         return PaginatedJsonReader(self.options)
+
+    def streamReader(self, schema) -> PaginatedJsonStreamReader:
+        return PaginatedJsonStreamReader(self.options)

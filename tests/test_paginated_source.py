@@ -81,6 +81,51 @@ def test_catalyst_filter_reaches_the_source(spark, sf_dir, tmp_path):
     assert windowed.count() == expected
 
 
+def _run_stream_once(spark, pages, out, ckpt):
+    q = (
+        spark.readStream.format("paginated_json")
+        .option("path", pages)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_offsets_resume_exactly_once(spark, sf_dir, tmp_path):
+    # the durable-cursor upgrade over the reference's stateless lookback
+    # (SURVEY.md §2.8 T3): restarting from the checkpoint must consume
+    # ONLY pages appended since the last committed offset — append-mode
+    # output with no duplicates is the observable proof.
+    pages = os.path.join(tmp_path, "pages")
+    total = _write_pages(spark, sf_dir, pages)
+    out = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    spark.dataSource.register(PaginatedJsonDataSource)
+
+    _run_stream_once(spark, pages, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == total == 1000
+
+    # append one new page (the next cursor fetch) and resume
+    extra = [
+        {"event_id": 10_000 + i, "ts": "2024-01-09T00:00:00", "user_id": 1,
+         "event_type": "click", "value": 1.0}
+        for i in range(7)
+    ]
+    with open(os.path.join(pages, "page-99999.json"), "w") as fh:
+        for rec in extra:
+            fh.write(json.dumps(rec) + "\n")
+    _run_stream_once(spark, pages, out, ckpt)
+
+    got = spark.read.parquet(out)
+    assert got.count() == total + 7  # old pages NOT re-read, no dupes
+    assert got.select("event_id").distinct().count() == total + 7
+
+
 def test_boundary_rows_survive_le_and_strict_gt(spark, sf_dir, tmp_path):
     # the pushdown contract's sharp edges: <= must keep the boundary
     # row (source only accepts strict <), > must re-check strictness
