@@ -2084,6 +2084,165 @@ _register(
 )
 
 
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's import revenue
+    by year — a ratio of two conditional decimal sums over a 6-table
+    star join.  Every dimension chain (customer→nation→region,
+    supplier→nation) collapses to a broadcast; the only shuffle is
+    lineitem⋈orders and the final tiny groupBy."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name"))
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = windowed_scan(
+        load_table(spark, sf_dir, "orders"), "o_orderdate", "1996-01-01", "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(decimal_sum(nation_vol) / decimal_sum(vol), 6).alias("mkt_share")
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q8_market_share",
+        _q8_market_share,
+        oracle=f"""
+        SELECT o_year,
+               ROUND({_dsum("CASE WHEN supp_nation = 'NATION_2' THEN vol ELSE 0.0 END")}
+                     / {_dsum("vol")}, 6) AS mkt_share
+        FROM (
+          SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS vol,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ) GROUP BY o_year
+        """,
+        doc="TPC-H Q8 shape: conditional-sum ratio over a 6-table star",
+    )
+)
+
+
+def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for parts
+    matching a name pattern.  The fixture has no partsupp table, so
+    supply cost is stood in by 0.6·p_retailprice·l_quantity (cited in
+    COVERAGE.md as an adaptation); the PLAN is faithful: substring
+    pushdown on part, two broadcast dims, expression agg on the fact."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(decimal_sum(profit).alias("total_profit"))
+    )
+
+
+_register(
+    QuerySpec(
+        "q9_product_profit",
+        _q9_product_profit,
+        oracle=f"""
+        SELECT supp_nation, o_year, {_dsum("profit")} AS total_profit
+        FROM (
+          SELECT n_name AS supp_nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.6 * p_retailprice * l_quantity AS profit
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN part     ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%'
+        ) GROUP BY supp_nation, o_year
+        """,
+        doc="TPC-H Q9 shape (adapted cost: no partsupp in fixtures)",
+    )
+)
+
+
+def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form behind rollup/cube
+    (which are registered separately): per (status, priority), per
+    status, and grand total in ONE pass over orders.  Spark plans a
+    single Expand + one aggregation, not three scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        decimal_sum("o_totalprice").alias("total_price"),
+    )
+
+
+_register(
+    QuerySpec(
+        "agg_grouping_sets",
+        _agg_grouping_sets,
+        oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, {_dsum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """,
+        doc="explicit grouping sets: three granularities in one Expand pass",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Remaining reference projections (P4/P5/P7) + observability counts (A2)
 # ---------------------------------------------------------------------------
