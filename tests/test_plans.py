@@ -73,6 +73,41 @@ def test_temporal_queries_single_exchange(spark, sf_dir):
         assert "CartesianProduct" not in plan
 
 
+def test_q6_all_predicates_reach_the_scan(spark, sf_dir):
+    # TPC-H Q6 is the pure-pushdown probe: window, discount band, and
+    # quantity cap must ALL appear as scan DataFilters (at 100 TB these
+    # prune parquet row groups before a single byte is decoded).
+    plan = _plan(queries()["q6_forecast_revenue"](spark, sf_dir))
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    for frag in ["l_shipdate", "l_discount", "l_quantity"]:
+        assert frag in scan, f"{frag} not pushed into the lineitem scan"
+    assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_q19_envelope_extraction_reaches_scans(spark, sf_dir):
+    # the hand-extracted single-side envelopes of the cross-side OR:
+    # part scan must carry the brand IN-list, lineitem scan the
+    # quantity hull — without them every part joins every lineitem.
+    plan = _plan(queries()["q19_disjunctive_pushdown"](spark, sf_dir))
+    part_scans = [l for l in plan.splitlines() if "FileScan" in l and "p_brand" in l]
+    assert part_scans and all("IN (Brand#1,Brand#2,Brand#3)" in l for l in part_scans)
+    li_scans = [l for l in plan.splitlines() if "FileScan" in l and "l_quantity" in l]
+    assert li_scans and all(">= 1.0" in l and "<= 30.0" in l for l in li_scans)
+    assert "CartesianProduct" not in plan
+
+
+def test_new_tpch_shapes_broadcast_and_stay_on_jvm(spark, sf_dir):
+    qs = queries()
+    for name in ["q7_nation_volume", "q8_market_share", "q13_custdist",
+                 "q15_top_supplier", "q17_small_qty_revenue"]:
+        df = qs[name](spark, sf_dir)
+        df.collect()  # execute so AQE settles the final join strategies
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan, f"{name} broadcasts nothing"
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, f"{name} fell off the JVM path"
+
+
 def test_pair_dedup_queries_never_go_quadratic(spark, sf_dir):
     # candidate generation must be equi-join based (posting lists /
     # bands / buckets) — a cartesian or nested-loop pair join would
