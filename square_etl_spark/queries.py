@@ -447,6 +447,40 @@ _register(
     )
 )
 
+def _f2_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 (Spark 4 path): the same raw-payload recovery through the
+    VARIANT type — ``parse_json`` once into a binary semi-structured
+    value, then typed ``try_variant_get`` extractions.  At 100 TB this
+    beats per-field ``get_json_object`` (which re-parses the string for
+    every extraction) and is the engine's forward path for the
+    reference's ``raw_payload`` columns."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    parsed = e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k_val"),
+        F.try_variant_get(v, "$.state", "string").alias("state"),
+    )
+    return parsed.filter(F.col("k_val").isNotNull() & (F.col("k_val") % 7 == 0))
+
+
+_register(
+    QuerySpec(
+        "f2_variant_extract",
+        _f2_variant,
+        oracle="""
+        SELECT event_id,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               json_extract_string(props, '$.state') AS state
+        FROM events
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+          AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+        """,
+        doc="VARIANT parse-once + typed extraction over the raw-payload column",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1–J4)
 # ---------------------------------------------------------------------------

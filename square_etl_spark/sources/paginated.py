@@ -38,16 +38,22 @@ import json
 import os
 from collections.abc import Iterator
 
+import re
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
+    WriterCommitMessage,
 )
 
 SCHEMA = (
@@ -186,6 +192,83 @@ class PaginatedJsonStreamReader(DataSourceStreamReader):
         pass
 
 
+_FIELDS = ("event_id", "ts", "user_id", "event_type", "value")
+
+
+@dataclass
+class _PageCommit(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class PaginatedJsonWriter(DataSourceWriter):
+    """Transactional page publisher — the sink-side twin of the reader
+    and the Spark-native form of the reference's all-or-nothing upsert
+    batch (SURVEY.md §2.2 K1 / §2.9 E3, reference BEGIN/COMMIT/ROLLBACK
+    at src/etl-square-payments.ts:57,120).
+
+    Tasks stage files under dot-prefixed names the readers never match;
+    only the driver-side ``commit`` renames them into the visible,
+    lexicographically ordered ``page-NNNNN.json`` namespace (rename is
+    atomic per file, and nothing is visible until commit).  ``abort``
+    deletes the staging files — a failed job publishes NOTHING.  Empty
+    partitions publish no page (K3's empty-batch short-circuit).
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.job_id = uuid.uuid4().hex[:12]  # driver-side; shipped to tasks
+
+    def _staging_glob(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return [
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.startswith(f".staging-{self.job_id}-")
+        ]
+
+    def write(self, iterator) -> _PageCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".staging-{self.job_id}-{pid:05d}.json")
+        rows = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                rec = row.asDict()
+                fh.write(json.dumps({k: rec.get(k) for k in _FIELDS}) + "\n")
+                rows += 1
+        return _PageCommit(staged=staged, rows=rows)
+
+    def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        existing = _list_pages(self.path)
+        if self.overwrite:
+            for p in existing:
+                os.remove(p)
+            nxt = 0
+        else:
+            idx = [
+                int(m.group(1))
+                for p in existing
+                if (m := re.match(r"page-(\d+)\.json$", os.path.basename(p)))
+            ]
+            nxt = max(idx) + 1 if idx else 0
+        for msg in sorted(messages, key=lambda m: m.staged):
+            if msg.rows == 0:
+                os.remove(msg.staged)  # K3: empty batches publish nothing
+                continue
+            os.rename(msg.staged, os.path.join(self.path, f"page-{nxt:05d}.json"))
+            nxt += 1
+
+    def abort(self, messages) -> None:
+        for p in self._staging_glob():
+            os.remove(p)
+
+
 class PaginatedJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -199,3 +282,6 @@ class PaginatedJsonDataSource(DataSource):
 
     def streamReader(self, schema) -> PaginatedJsonStreamReader:
         return PaginatedJsonStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> PaginatedJsonWriter:
+        return PaginatedJsonWriter(self.options, overwrite)

@@ -126,6 +126,77 @@ def test_stream_offsets_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == total + 7
 
 
+def _events_as_wire(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def test_writer_round_trips_and_publishes_ordered_pages(spark, sf_dir, tmp_path):
+    pages = os.path.join(tmp_path, "wpages")
+    spark.dataSource.register(PaginatedJsonDataSource)
+    ev = _events_as_wire(spark, sf_dir)
+    ev.repartition(4).write.format("paginated_json").option("path", pages).mode(
+        "overwrite"
+    ).save()
+    names = sorted(os.listdir(pages))
+    assert names == [f"page-{i:05d}.json" for i in range(4)]  # no staging residue
+    back = spark.read.format("paginated_json").option("path", pages).load()
+    assert back.count() == ev.count() == 1000
+    assert back.select("event_id").distinct().count() == 1000
+
+    # append publishes AFTER the existing cursor range
+    ev.limit(10).repartition(1).write.format("paginated_json").option(
+        "path", pages
+    ).mode("append").save()
+    assert sorted(os.listdir(pages))[-1] == "page-00004.json"
+    assert spark.read.format("paginated_json").option("path", pages).load().count() == 1010
+
+
+def test_writer_empty_partitions_publish_no_pages(spark, sf_dir, tmp_path):
+    # K3's empty-batch short-circuit, sink-side: 8 partitions of a
+    # 3-row frame → only the non-empty ones become pages
+    pages = os.path.join(tmp_path, "wpages")
+    spark.dataSource.register(PaginatedJsonDataSource)
+    ev = _events_as_wire(spark, sf_dir).limit(3)
+    ev.repartition(8).write.format("paginated_json").option("path", pages).mode(
+        "overwrite"
+    ).save()
+    assert 1 <= len(os.listdir(pages)) <= 3
+    back = spark.read.format("paginated_json").option("path", pages).load()
+    assert back.count() == 3
+
+
+def test_writer_failed_job_publishes_nothing(spark, sf_dir, tmp_path):
+    # E3 atomicity: a task failure mid-job must leave the directory
+    # exactly as it was — no partial pages, no staging files
+    pages = os.path.join(tmp_path, "wpages")
+    spark.dataSource.register(PaginatedJsonDataSource)
+    _events_as_wire(spark, sf_dir).limit(5).repartition(1).write.format(
+        "paginated_json"
+    ).option("path", pages).mode("overwrite").save()
+    before = sorted(os.listdir(pages))
+
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType())
+    def boom(s):
+        raise RuntimeError("injected task failure")
+
+    bad = _events_as_wire(spark, sf_dir).withColumn("ts", boom("ts"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        bad.write.format("paginated_json").option("path", pages).mode(
+            "append"
+        ).save()
+    assert sorted(os.listdir(pages)) == before
+
+
 def test_boundary_rows_survive_le_and_strict_gt(spark, sf_dir, tmp_path):
     # the pushdown contract's sharp edges: <= must keep the boundary
     # row (source only accepts strict <), > must re-check strictness
