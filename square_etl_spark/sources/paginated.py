@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -269,6 +270,69 @@ class PaginatedJsonWriter(DataSourceWriter):
             os.remove(p)
 
 
+class PaginatedJsonStreamWriter(DataSourceStreamWriter):
+    """Micro-batch page publisher: each epoch's rows become new pages
+    appended after the current cursor, atomically (stage → driver
+    commit), so a downstream PaginatedJsonStreamReader can tail the
+    same directory — pages in, pages out, end to end.
+
+    Re-delivered epochs are absorbed by a ``.committed-<epoch>`` marker
+    (commit is idempotent per batchId): together with the atomic
+    rename, that is the sink-side half of the exactly-once contract.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.job_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator) -> _PageCommit:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(
+            self.path,
+            f".staging-{self.job_id}-{pid:05d}-{uuid.uuid4().hex[:8]}.json",
+        )
+        rows = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                rec = row.asDict()
+                fh.write(json.dumps({k: rec.get(k) for k in _FIELDS}) + "\n")
+                rows += 1
+        return _PageCommit(staged=staged, rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        marker = os.path.join(self.path, f".committed-{batchId}")
+        if os.path.exists(marker):  # re-delivered epoch: drop, don't duplicate
+            for msg in messages:
+                if msg is not None and os.path.exists(msg.staged):
+                    os.remove(msg.staged)
+            return
+        idx = [
+            int(m.group(1))
+            for p in _list_pages(self.path)
+            if (m := re.match(r"page-(\d+)\.json$", os.path.basename(p)))
+        ]
+        nxt = max(idx) + 1 if idx else 0
+        for msg in sorted(messages, key=lambda m: m.staged):
+            if msg.rows == 0:
+                os.remove(msg.staged)
+                continue
+            os.rename(msg.staged, os.path.join(self.path, f"page-{nxt:05d}.json"))
+            nxt += 1
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    def abort(self, messages, batchId: int) -> None:
+        if not os.path.isdir(self.path):
+            return
+        for f in os.listdir(self.path):
+            if f.startswith(f".staging-{self.job_id}-"):
+                os.remove(os.path.join(self.path, f))
+
+
 class PaginatedJsonDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -285,3 +349,6 @@ class PaginatedJsonDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> PaginatedJsonWriter:
         return PaginatedJsonWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> PaginatedJsonStreamWriter:
+        return PaginatedJsonStreamWriter(self.options)

@@ -197,6 +197,43 @@ def test_writer_failed_job_publishes_nothing(spark, sf_dir, tmp_path):
     assert sorted(os.listdir(pages)) == before
 
 
+def test_stream_pages_in_pages_out(spark, sf_dir, tmp_path):
+    # the full connector loop: stream-read pages from A, stream-write
+    # pages into B, batch-read B — same rows, and a resumed run moves
+    # only the newly appended page across.
+    src = os.path.join(tmp_path, "src")
+    dst = os.path.join(tmp_path, "dst")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    total = _write_pages(spark, sf_dir, src)
+    spark.dataSource.register(PaginatedJsonDataSource)
+
+    def run_once():
+        q = (
+            spark.readStream.format("paginated_json")
+            .option("path", src)
+            .load()
+            .writeStream.format("paginated_json")
+            .option("path", dst)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    back = spark.read.format("paginated_json").option("path", dst).load()
+    assert back.count() == total == 1000
+    assert back.select("event_id").distinct().count() == 1000
+
+    with open(os.path.join(src, "page-99998.json"), "w") as fh:
+        fh.write(json.dumps({"event_id": 99_001, "ts": "2024-01-09T00:00:00",
+                             "user_id": 1, "event_type": "click", "value": 2.0}) + "\n")
+    run_once()
+    back = spark.read.format("paginated_json").option("path", dst).load()
+    assert back.count() == total + 1  # only the new page crossed, no dupes
+    assert back.select("event_id").distinct().count() == total + 1
+
+
 def test_boundary_rows_survive_le_and_strict_gt(spark, sf_dir, tmp_path):
     # the pushdown contract's sharp edges: <= must keep the boundary
     # row (source only accepts strict <), > must re-check strictness
