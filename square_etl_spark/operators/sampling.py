@@ -1,0 +1,206 @@
+"""Deterministic sampling / mixing / sharding — training-data pipeline ops.
+
+A 100 TB corpus is never consumed whole: pipelines sample it (ablation
+subsets), mix it (per-source weights), shard it (training-file layout),
+and profile it (column health) before any tokens are spent.  The
+reference has none of this surface (its whole corpus is one API window,
+SURVEY.md §2) — these are driver-mandated extensions (§2.10) designed
+Spark-first.
+
+Every operator here is **deterministic and engine-portable**: the
+randomness source is ``md5(key)`` — a pure column expression that
+hashes the same on any engine, any partitioning, any run.  That is the
+property that matters at scale:
+
+- re-running a sample on a re-partitioned / re-ordered copy of the
+  corpus yields the SAME subset (``rand(seed)`` does NOT survive
+  re-partitioning — it is seeded per-partition);
+- a sample is reproducible months later from the key column alone, so
+  ablations are comparable across corpus versions;
+- sampling composes with incremental ingest: a new batch's members
+  join the sample iff their keys hash under the threshold — no state.
+
+Plan shapes: ``hash_sample`` / ``weighted_mix`` are scan + filter
+(no shuffle, whole-stage codegen, zero Python).  ``stratified_take``
+and ``shard_assign`` are one window pass = one shuffle on the
+stratum/shard key; a dominant stratum is the skew hazard, so at real
+scale prefer ``hash_sample`` within strata (rate = n/stratum_count
+from a first-pass count) when exact-n is not required — that variant
+is shuffle-free.  ``histogram`` / ``profile`` are single
+partial-aggregated passes (map-side combine, tiny result).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: width of the hex prefix used as the uniform variate: 8 hex chars
+#: = 32 bits — plenty for sampling rates down to ~2e-10.
+_HEX_DIGITS = 8
+_HEX_SPACE = 16**_HEX_DIGITS
+
+
+def hash_bucket(key: Column | str, salt: str = "") -> Column:
+    """Uniform deterministic variate: first 8 hex chars of md5(salt‖key).
+
+    Lowercase-hex strings compare lexicographically in hash order
+    ('0' < … < '9' < 'a' < … < 'f' in every collation we run), so a
+    rate-r sample is simply ``hash_bucket(k) < rate_threshold(r)`` —
+    a codegen'd string compare, no UDF, no rand() state.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, _HEX_DIGITS)
+
+
+def rate_threshold(rate: float) -> str:
+    """Hex threshold t such that P[hash_bucket(k) < t] = rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), f"0{_HEX_DIGITS}x")
+
+
+def hash_sample(df: DataFrame, key: str, rate: float, salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli(rate) sample keyed on ``key``.
+
+    Monotone in rate: sample(r1) ⊆ sample(r2) for r1 ≤ r2 (same salt),
+    which makes nested ablation subsets (1% ⊂ 10% ⊂ 100%) free.
+    Distinct salts give independent samples from the same keys.
+    Scan + filter only — no shuffle at any scale.
+    """
+    return df.filter(hash_bucket(key, salt) < F.lit(rate_threshold(rate)))
+
+
+def weighted_mix(
+    df: DataFrame, group_col: str, key: str, weights: dict[str, float], salt: str = ""
+) -> DataFrame:
+    """Per-group sampling rates in one pass — corpus mixing.
+
+    ``weights`` maps group value → keep-rate (a source missing from the
+    map is dropped).  This is the standard "mix web 10%, books 100%"
+    recipe expressed as a single scan + CASE filter: no split, no
+    union, no shuffle — the shape that survives a 100 TB corpus where
+    materializing per-source intermediates is not an option.
+    """
+    thresh = F.lit("0" * _HEX_DIGITS)  # unknown group ⇒ rate 0
+    expr = None
+    for value, rate in weights.items():
+        cond = F.col(group_col) == F.lit(value)
+        expr = F.when(cond, F.lit(rate_threshold(rate))) if expr is None else expr.when(
+            cond, F.lit(rate_threshold(rate))
+        )
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return df.filter(hash_bucket(key, salt) < thresh)
+
+
+def stratified_take(
+    df: DataFrame, strata: Sequence[str] | str, key: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, chosen by hash order.
+
+    One window pass = one shuffle on the strata key.  Deterministic:
+    rank orders by (md5(key), key), so ties are impossible and the
+    same rows win on every engine and every run.  At corpus scale with
+    a dominant stratum, prefer rate-based ``hash_sample`` per stratum
+    (shuffle-free) unless exact-n is a hard requirement.
+    """
+    strata_cols = [strata] if isinstance(strata, str) else list(strata)
+    w = Window.partitionBy(*strata_cols).orderBy(hash_bucket(key), F.col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def shard_assign(df: DataFrame, key: str, n_shards: int) -> DataFrame:
+    """Stable shard id + within-shard position — training-file layout.
+
+    ``shard`` = 16-bit md5 prefix mod n (uniform, key-stable);
+    ``shard_pos`` = 1-based dense position within the shard in hash
+    order (a deterministic "shuffle" of the corpus — hash order IS the
+    random order, so downstream readers get decorrelated batches
+    without a separate shuffle step).  One window pass; shards are
+    near-equal by construction so the window shuffle is unskewed.
+    Write with ``.partitionBy("shard")`` for one output dir per shard.
+    """
+    hex4 = F.substring(F.md5(F.col(key).cast("string")), 1, 4)
+    shard = (F.conv(hex4, 16, 10).cast("bigint") % n_shards).alias("shard")
+    out = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy(hash_bucket(key), F.col(key))
+    return out.withColumn("shard_pos", F.row_number().over(w))
+
+
+def histogram(
+    df: DataFrame, col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Fixed-width histogram: (bin, lo_edge, n, min_v, max_v) per bin.
+
+    Values are clamped into [lo, hi) edge bins, so the bin count is
+    exact even with outliers.  Single aggregate pass with map-side
+    partial combine — the result is n_bins rows regardless of input
+    size, the right shape for 100 TB profiling.
+    """
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("bigint")
+    return (
+        df.withColumn("bin", bin_)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(col).cast("double")).alias("min_v"),
+            F.max(F.col(col).cast("double")).alias("max_v"),
+        )
+        .withColumn("lo_edge", (F.lit(float(lo)) + F.col("bin") * F.lit(width)))
+    )
+
+
+def ntile_assign(df: DataFrame, order_col: str, tiebreak: str, n: int) -> DataFrame:
+    """Equal-count quantile bins (``tile`` 1..n) — curriculum buckets.
+
+    Orders by (order_col, tiebreak) so the assignment is total and
+    deterministic.  NOTE: a global ntile is a single-partition window
+    — fine for ≤ millions of rows; at corpus scale switch to
+    ``percentile_approx`` cut points + a broadcast range join.
+    """
+    w = Window.orderBy(F.col(order_col), F.col(tiebreak))
+    return df.withColumn("tile", F.ntile(n).over(w))
+
+
+def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Stacked per-column profile: rows (column_name, n_rows, n_nulls,
+    n_distinct, min_str, max_str).
+
+    One aggregate job; all columns profiled in a single pass over the
+    data (the per-column aggregates run side by side, then unpivot),
+    not one scan per column.  min/max are cast to string so mixed
+    column types stack into one frame.
+    """
+    aggs: list[Column] = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(
+                f"{c}__nulls"
+            ),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stacked = None
+    for c in cols:
+        row = wide.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        stacked = row if stacked is None else stacked.unionByName(row)
+    return stacked

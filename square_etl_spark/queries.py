@@ -63,6 +63,16 @@ from square_etl_spark.operators.projections import (
     tolerant_double,
 )
 from square_etl_spark.operators.quality import quarantine_split
+from square_etl_spark.operators.sampling import (
+    hash_sample,
+    histogram,
+    ntile_assign,
+    profile,
+    rate_threshold,
+    shard_assign,
+    stratified_take,
+    weighted_mix,
+)
 from square_etl_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
@@ -2965,6 +2975,229 @@ _register(
 # ---------------------------------------------------------------------------
 # Public registry surface
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / mixing / sharding / profiling (§2.10 extension:
+# the corpus-management layer of a training-data pipeline).  Randomness is
+# md5(key) everywhere — portable across engines, partitionings, and runs,
+# so every query here is fully oracle-checkable (operators/sampling.py).
+# ---------------------------------------------------------------------------
+
+#: oracle-side twin of sampling.hash_bucket (DuckDB md5 = lowercase hex,
+#: same as Spark's).
+def _bucket_sql(key_expr: str, salt: str = "") -> str:
+    prefix = f"'{salt}' || " if salt else ""
+    return f"substr(md5({prefix}CAST({key_expr} AS VARCHAR)), 1, 8)"
+
+
+def _sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25% Bernoulli sample of the corpus keyed on doc_id.
+
+    Scan + codegen'd string-compare filter — no shuffle, no rand()
+    state, so the same subset reappears on any re-partitioned copy of
+    the corpus (the property ablation pipelines need; rand(seed) does
+    not survive re-partitioning).
+    """
+    return hash_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", 0.25, salt="abl1"
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+_register(
+    QuerySpec(
+        "sample_hash_documents",
+        _sample_hash,
+        oracle=f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE {_bucket_sql("doc_id", "abl1")} < '{rate_threshold(0.25)}'
+        """,
+        doc="deterministic md5-keyed Bernoulli sample, shuffle-free",
+    )
+)
+
+
+def _mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: keep 100% of src0, 50% of src1, 25% of
+    src2, drop the rest — one scan with a CASE threshold, no per-source
+    split/union (the shape that survives a 100 TB corpus)."""
+    return weighted_mix(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+    ).select("doc_id", "source", "lang")
+
+
+_register(
+    QuerySpec(
+        "mix_weighted_sources",
+        _mix_weighted,
+        oracle=f"""
+        SELECT doc_id, source, lang
+        FROM documents
+        WHERE {_bucket_sql("doc_id")} <
+              CASE source WHEN 'src0' THEN '{rate_threshold(1.0)}'
+                          WHEN 'src1' THEN '{rate_threshold(0.5)}'
+                          WHEN 'src2' THEN '{rate_threshold(0.25)}'
+                          ELSE '00000000' END
+        """,
+        doc="per-source sampling rates in one scan (corpus mixing)",
+    )
+)
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(20, |stratum|) docs per language, chosen by hash
+    order — one window pass, deterministic tie-free ranking."""
+    return stratified_take(
+        load_table(spark, sf_dir, "documents"), "lang", "doc_id", 20
+    ).select("doc_id", "lang", "n_chars")
+
+
+_register(
+    QuerySpec(
+        "sample_stratified_lang",
+        _sample_stratified,
+        oracle=f"""
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY {_bucket_sql("doc_id")}, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 20
+        """,
+        doc="exact-n per-stratum sample via hash-order window rank",
+    )
+)
+
+
+def _shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 8-way shard layout: shard = md5 prefix mod 8, position =
+    hash-order rank within the shard (hash order doubles as the
+    training shuffle — decorrelated batches with no extra pass)."""
+    return shard_assign(load_table(spark, sf_dir, "documents"), "doc_id", 8).select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("shard_pos").cast("bigint").alias("shard_pos"),
+    )
+
+
+_HEX4_SQL = (
+    "((instr('0123456789abcdef', substr({h}, 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr({h}, 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr({h}, 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr({h}, 4, 1)) - 1))"
+)
+
+_register(
+    QuerySpec(
+        "shard_assignment",
+        _shard_assignment,
+        oracle=f"""
+        SELECT doc_id,
+               CAST(shard AS BIGINT) AS shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY {_bucket_sql("doc_id")}, doc_id) AS BIGINT)
+                 AS shard_pos
+        FROM (
+          SELECT doc_id,
+                 {_HEX4_SQL.format(h="substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)")} % 8
+                   AS shard
+          FROM documents)
+        """,
+        doc="key-stable shard id + hash-order position (training layout)",
+    )
+)
+
+
+def _histogram_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document-length histogram (12 bins over [0, 600)),
+    outliers clamped into the edge bins — one partial-agg pass, 12-row
+    result at any corpus size."""
+    return histogram(load_table(spark, sf_dir, "documents"), "n_chars", 0, 600, 12)
+
+
+_register(
+    QuerySpec(
+        "histogram_doc_length",
+        _histogram_doclen,
+        oracle="""
+        SELECT bin, COUNT(*) AS n,
+               MIN(v) AS min_v, MAX(v) AS max_v,
+               0.0 + CAST(bin AS DOUBLE) * 50.0 AS lo_edge
+        FROM (
+          SELECT CAST(LEAST(GREATEST(FLOOR((CAST(n_chars AS DOUBLE) - 0.0) / 50.0),
+                                     0), 11) AS BIGINT) AS bin,
+                 CAST(n_chars AS DOUBLE) AS v
+          FROM documents)
+        GROUP BY bin
+        """,
+        doc="clamped fixed-width histogram, map-side combined",
+    )
+)
+
+
+def _decile_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer account-balance deciles (curriculum-bucket shape):
+    ntile(10) in a total deterministic order.  Global window — fine at
+    dimension scale; corpus-scale variant is percentile_approx cut
+    points + broadcast range join (operators/sampling.py)."""
+    df = ntile_assign(
+        load_table(spark, sf_dir, "customer"), "c_acctbal", "c_custkey", 10
+    )
+    return df.select(
+        "c_custkey", "c_acctbal", F.col("tile").cast("bigint").alias("tile")
+    )
+
+
+_register(
+    QuerySpec(
+        "decile_customer_acctbal",
+        _decile_acctbal,
+        oracle="""
+        SELECT c_custkey, c_acctbal,
+               CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tile
+        FROM customer
+        """,
+        doc="equal-count quantile bins in a deterministic total order",
+    )
+)
+
+
+def _profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-health profile of the orders table — rows/nulls/distinct/
+    min/max per column, all columns in ONE pass (side-by-side
+    aggregates, then unpivot), not one scan per column."""
+    return profile(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+def _profile_oracle_one(c: str) -> str:
+    return f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str
+        FROM orders"""
+
+
+_register(
+    QuerySpec(
+        "profile_orders_columns",
+        _profile_orders,
+        oracle=" UNION ALL ".join(
+            _profile_oracle_one(c)
+            for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        ),
+        doc="single-pass multi-column profile (rows/nulls/distinct/min/max)",
+    )
+)
 
 
 def registry() -> list[QuerySpec]:

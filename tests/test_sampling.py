@@ -1,0 +1,140 @@
+"""Deterministic sampling / mixing / sharding / profiling semantics.
+
+The load-bearing property throughout: the randomness source is
+md5(key), a pure column expression — so every operator is (a)
+reproducible run-to-run, (b) invariant under re-partitioning, and
+(c) monotone in the sampling rate (nested ablation subsets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from square_etl_spark.operators.sampling import (
+    hash_sample,
+    histogram,
+    ntile_assign,
+    profile,
+    rate_threshold,
+    shard_assign,
+    stratified_take,
+    weighted_mix,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_rate_threshold_endpoints_and_midpoint():
+    assert rate_threshold(0.0) == "00000000"
+    assert rate_threshold(0.5) == "80000000"
+    assert rate_threshold(1.0) == "ffffffff"
+
+
+def test_hash_sample_rate_roughly_holds(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    total = docs.count()
+    kept = hash_sample(docs, "doc_id", 0.5).count()
+    assert 0.35 * total < kept < 0.65 * total
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b  # rand(seed) would fail this: it is seeded per-partition
+
+
+def test_hash_sample_monotone_nesting(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    s10 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    s40 = {r.doc_id for r in hash_sample(docs, "doc_id", 0.4).select("doc_id").collect()}
+    assert s10 <= s40  # 10% ablation subset nests inside the 40% one
+
+
+def test_hash_sample_salt_gives_independent_draws(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, "s1").select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, "s2").select("doc_id").collect()}
+    assert a != b
+
+
+def test_weighted_mix_rates_and_unlisted_dropped(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = weighted_mix(docs, "source", "doc_id", {"src0": 1.0, "src1": 0.0})
+    by_src = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    src0_total = docs.filter(F.col("source") == "src0").count()
+    assert by_src.get("src0") == src0_total  # rate 1.0 keeps everything
+    assert "src1" not in by_src  # rate 0.0 drops all
+    assert set(by_src) <= {"src0"}  # unlisted sources dropped
+
+
+def test_stratified_take_exact_per_stratum(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n = 5
+    out = stratified_take(docs, "lang", "doc_id", n)
+    sizes = {r.lang: r.c for r in docs.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    got = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert got == {lang: min(n, c) for lang, c in sizes.items()}
+
+
+def test_shard_assign_covers_keys_and_positions_are_dense(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = shard_assign(docs, "doc_id", 4)
+    assert out.count() == docs.count()  # partition of the corpus, no loss
+    rows = out.select("shard", "shard_pos").collect()
+    assert {r.shard for r in rows} == {0, 1, 2, 3}
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shard_assign_stable_under_repartition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {(r.doc_id, r.shard) for r in shard_assign(docs, "doc_id", 4).collect()}
+    b = {
+        (r.doc_id, r.shard)
+        for r in shard_assign(docs.repartition(5), "doc_id", 4).collect()
+    }
+    assert a == b
+
+
+def test_histogram_partitions_all_rows_and_clamps(spark):
+    df = spark.range(0, 100).select((F.col("id") * 10 - 50).alias("v"))  # -50..940
+    h = histogram(df, "v", 0, 100, 10).collect()
+    assert sum(r.n for r in h) == 100  # clamping: outliers land in edge bins
+    bins = {r.bin: r for r in h}
+    assert min(bins) == 0 and max(bins) == 9
+    assert bins[0].min_v == -50.0  # below-lo clamped into bin 0
+    assert bins[9].max_v == 940.0  # above-hi clamped into bin 9
+    assert bins[3].lo_edge == 30.0
+
+
+def test_ntile_assign_equal_count_bins(spark):
+    df = spark.range(1, 101).select(F.col("id").alias("v"), F.col("id").alias("k"))
+    out = ntile_assign(df, "v", "k", 4)
+    got = {r.tile: r.c for r in out.groupBy("tile").agg(F.count("*").alias("c")).collect()}
+    assert got == {1: 25, 2: 25, 3: 25, 4: 25}
+    # deterministic order: value 1 is in tile 1, value 100 in tile 4
+    assert out.filter(F.col("v") == 1).first().tile == 1
+    assert out.filter(F.col("v") == 100).first().tile == 4
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")], ["x", "s"]
+    )
+    rows = {r.column_name: r for r in profile(df, ["x", "s"]).collect()}
+    assert rows["x"].n_rows == 4 and rows["x"].n_nulls == 1
+    assert rows["x"].n_distinct == 3  # COUNT(DISTINCT) excludes NULL
+    assert rows["s"].n_distinct == 2
+    assert rows["x"].min_str == "1" and rows["x"].max_str == "3"
+    assert rows["s"].min_str == "a" and rows["s"].max_str == "b"
