@@ -62,6 +62,10 @@ from square_etl_spark.operators.projections import (
     nullify_when,
     tolerant_double,
 )
+from square_etl_spark.operators.arrow_ops import (
+    group_median_deviation,
+    token_count_arrow,
+)
 from square_etl_spark.operators.quality import quarantine_split
 from square_etl_spark.operators.sampling import (
     hash_sample,
@@ -3196,6 +3200,54 @@ _register(
             for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
         ),
         doc="single-pass multi-column profile (rows/nulls/distinct/min/max)",
+    )
+)
+
+
+def _arrow_median_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas (one Arrow frame per language) computing
+    the per-group median and each doc's deviation — exact selection
+    arithmetic, so the Python path hash-matches the SQL oracle."""
+    return group_median_deviation(
+        load_table(spark, sf_dir, "documents"), "lang", "n_chars", "doc_id"
+    )
+
+
+_register(
+    QuerySpec(
+        "arrow_group_median_dev",
+        _arrow_median_dev,
+        oracle="""
+        SELECT doc_id, lang, n_chars,
+               CAST(MEDIAN(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+                 AS group_median,
+               CAST(n_chars AS DOUBLE)
+                 - CAST(MEDIAN(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+                 AS dev
+        FROM documents
+        """,
+        doc="oracle-checked grouped Arrow operator (applyInPandas)",
+    )
+)
+
+
+def _arrow_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas token counter — streaming Arrow batches, no shuffle;
+    integer output makes the Python path oracle-checkable."""
+    return token_count_arrow(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    QuerySpec(
+        "arrow_token_count",
+        _arrow_tokens,
+        oracle=r"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+        doc="oracle-checked streaming Arrow operator (mapInPandas)",
     )
 )
 
