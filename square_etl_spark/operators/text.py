@@ -161,6 +161,56 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+):
+    """Split documents into overlapping fixed-size token windows — the
+    context-window chunking step of an LLM training pipeline.
+
+    Chunk k covers tokens [k·step+1, k·step+chunk_size] with
+    step = chunk_size − overlap, so consecutive chunks share ``overlap``
+    tokens; the final chunk is short rather than padded; empty docs
+    yield no chunks.  Emits (id, chunk_idx, n_tokens, chunk).
+
+    Pure higher-order expressions (split → explode a chunk-index
+    sequence → per-index array slice): no UDF, no shuffle — a 100 TB
+    chunking pass is a plain parallel map, and the 1→N fan-out happens
+    inside codegen (explode), never in Python.  Token definition is
+    whitespace runs, matching token_count/tfidf in this module.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    words = F.filter(F.split(_c(text_col), r"\s+"), lambda w: w != F.lit(""))
+    base = (
+        df.select(F.col(id_col), words.alias("__w"), F.size(words).alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__w",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.floor((F.col("__n") - 1) / F.lit(step)),
+                )
+            ).alias("chunk_idx"),
+        )
+    )
+    piece = F.slice(
+        F.col("__w"), (F.col("chunk_idx") * step + 1).cast("int"), chunk_size
+    )
+    return base.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk"),
+    )
+
+
 def fingerprint64(col: Column | str = "text") -> Column:
     """Deterministic 64-bit document fingerprint: polynomial rolling
     hash over whitespace tokens (hash chaining via aggregate — O(tokens)

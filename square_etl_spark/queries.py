@@ -1319,6 +1319,43 @@ _register(
     )
 )
 
+
+def _chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return tx.chunk_documents(d, chunk_size=64, overlap=16)
+
+
+_register(
+    QuerySpec(
+        "text_chunk_windows",
+        _chunks,
+        # step = chunk_size − overlap = 48; chunk k covers tokens
+        # [k·48+1, k·48+64]; list_slice is 1-based inclusive like F.slice.
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        base AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        idx AS (
+          SELECT doc_id, w,
+                 UNNEST(range(0, CAST(floor((n - 1) / 48) AS BIGINT) + 1))
+                   AS chunk_idx
+          FROM base)
+        SELECT doc_id,
+               CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+                    AS BIGINT) AS n_tokens,
+               array_to_string(
+                 list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+                 AS chunk
+        FROM idx
+        """,
+        doc="overlapping token-window chunking (no UDF, no shuffle)",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Extension: embedding similarity search
 # ---------------------------------------------------------------------------

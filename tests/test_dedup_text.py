@@ -163,3 +163,30 @@ def test_minhash_banded_bucket_cap_drops_hot_bucket(spark):
     loose = minhash_banded_pairs(df, threshold=0.5, bucket_cap=100)
     assert strict.count() == 0
     assert loose.count() == 30 * 29 // 2
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from square_etl_spark.operators.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "solo"), (3, "")],
+                               "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_idx): r
+            for r in chunk_documents(df, chunk_size=4, overlap=2).collect()}
+    # step=2 → chunk indices 0..4 for doc 1 (floor(9/2)=4)
+    assert sorted(k for k in rows if k[0] == 1) == [(1, i) for i in range(5)]
+    assert rows[(1, 0)].chunk == "w1 w2 w3 w4"
+    assert rows[(1, 1)].chunk == "w3 w4 w5 w6"   # 2-token overlap
+    assert rows[(1, 4)].chunk == "w9 w10" and rows[(1, 4)].n_tokens == 2
+    # single short doc → one short chunk; empty doc → no chunks
+    assert rows[(2, 0)].chunk == "solo" and rows[(2, 0)].n_tokens == 1
+    assert not any(k[0] == 3 for k in rows)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from square_etl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_size=4, overlap=4)
