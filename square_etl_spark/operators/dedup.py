@@ -490,3 +490,56 @@ def minhash_lsh_pairs(
             F.round(F.lit(1.0) - F.col("jaccard_dist"), 6).alias("est_jaccard"),
         )
     )
+
+
+def contamination_hits(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document count of distinct word n-grams shared with a
+    benchmark/eval set — the signal behind train/test decontamination.
+
+    Emits (id_col, n_hits) for documents with ≥1 shared shingle.
+    Plan shape: shingle both sides to 64-bit hashes
+    (:func:`hashed_word_shingles`), collapse the benchmark side to a
+    DISTINCT shingle set, and probe it with a **broadcast semi-ish
+    inner join** — eval sets are tiny (thousands of docs) next to a
+    100 TB corpus, so the corpus-side postings are never shuffled; the
+    whole pass is scan → explode → broadcast-join → partial-agg.
+    A 64-bit shingle collision could count one phantom hit
+    (≈1e-11 per shingle pair) — irrelevant for a thresholded filter.
+    """
+    corpus_sh = df.select(
+        F.col(id_col), F.explode(hashed_word_shingles(content_col, n)).alias("sh")
+    )
+    bench_sh = (
+        benchmark_df.select(
+            F.explode(hashed_word_shingles(content_col, n)).alias("sh")
+        )
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))  # corpus shingles are distinct per doc
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop documents sharing ≥ ``min_hits`` distinct word n-grams with
+    the benchmark set (left-anti join against :func:`contamination_hits`).
+    The anti join is broadcast-able too: the contaminated-id list is at
+    most benchmark-sized."""
+    hits = contamination_hits(df, benchmark_df, id_col, content_col, n)
+    flagged = hits.filter(F.col("n_hits") >= min_hits).select(id_col)
+    return df.join(F.broadcast(flagged), id_col, "left_anti")

@@ -204,3 +204,65 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         )
         stacked = row if stacked is None else stacked.unionByName(row)
     return stacked
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    key_cols: Sequence[str] = ("doc_id", "chunk_idx"),
+    budget: int = 2048,
+) -> DataFrame:
+    """Pack token-counted chunks into fixed-budget training sequences.
+
+    Every chunk gets a deterministic position in a global hash-order
+    stream (md5 of its key — the same engine-portable "shuffle" as
+    ``shard_assign``); ``seq_id = floor(prefix_tokens / budget)`` and
+    ``seq_offset = prefix_tokens % budget`` place it in the
+    concatenate-and-split layout LLM trainers consume.  A chunk may
+    straddle two sequences (offset + n_tokens > budget); trainers that
+    need hard boundaries should feed chunk_size-aligned budgets.
+
+    The global exclusive prefix sum is computed WITHOUT a
+    single-partition window: shard on the first md5 byte (256 shards),
+    cumsum per shard in parallel, then add per-shard offsets from a
+    256-row driver-side prefix table broadcast back.  Because the
+    shard key is a PREFIX of the hash, (shard, hash, key) order IS
+    (hash, key) order — so the result equals a global
+    ``SUM() OVER (ORDER BY md5(key), key)``, which is exactly what the
+    DuckDB oracle states.  Scales to any corpus: one unskewed 256-way
+    shuffle + one broadcast join.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    tagged = df.withColumn("__h", F.md5(key)).withColumn(
+        "__shard", F.substring("__h", 1, 2)
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy("__h", *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn(
+        "__cum_incl", F.sum(F.col(token_col).cast("long")).over(w)
+    )
+    totals = (
+        tagged.groupBy("__shard")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__tot"))
+        .orderBy("__shard")
+        .collect()
+    )
+    offsets, running = [], 0
+    for r in totals:
+        offsets.append((r["__shard"], running))
+        running += r["__tot"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [("00", 0)], "__shard string, __off long"
+    )
+    cum = F.col("__off") + F.col("__cum_incl") - F.col(token_col).cast("long")
+    return (
+        local.join(F.broadcast(off_df), "__shard")
+        .withColumn("seq_id", F.floor(cum / budget).cast("bigint"))
+        .withColumn("seq_offset", (cum % budget).cast("bigint"))
+        .drop("__h", "__shard", "__cum_incl", "__off")
+    )

@@ -211,6 +211,75 @@ def chunk_documents(
     )
 
 
+#: PII redaction rules, applied in order (earlier rules must not
+#: produce text a later rule would re-match).  Patterns are restricted
+#: to the Java-regex ∩ RE2 dialect (no backrefs, no lookarounds) so the
+#: DuckDB oracle's regexp_replace behaves identically.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column | str = "text") -> Column:
+    """Mask common PII (emails, SSNs, phone numbers, IPv4) with typed
+    placeholder tokens — the scrubbing pass of a training-data
+    pipeline.
+
+    A chain of ``regexp_replace`` calls: one codegen'd projection, no
+    UDF, no shuffle — at 100 TB this is a plain parallel map fused into
+    whatever scan feeds it.  Rule order matters (SSN before phone:
+    ``123-45-6789`` must not half-match the phone pattern) and is fixed
+    by PII_RULES.
+    """
+    out = _c(col)
+    for _, pat, rep in PII_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_flags(col: Column | str = "text") -> dict[str, Column]:
+    """Per-category booleans: does the raw text match each PII rule?
+    Evaluated on the ORIGINAL text (before redaction)."""
+    return {name: _c(col).rlike(pat) for name, pat, _ in PII_RULES}
+
+
+def repetition_metrics(col: Column | str = "text") -> dict[str, Column]:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate lines, duplicate words, and duplicate word-bigrams.
+
+    High values mark boilerplate / spam / template pages that poison a
+    training corpus.  All pure array expressions (split → distinct →
+    size ratios): per-row work linear in document length, no shuffle.
+    Fractions are 0.0 for empty inputs.
+    """
+    raw = _c(col)
+    lines = F.filter(F.split(raw, r"\n"), lambda x: F.trim(x) != F.lit(""))
+    words = F.filter(F.split(F.trim(raw), r"\s+"), lambda w: w != F.lit(""))
+    k = F.greatest(F.size(words) - F.lit(1), F.lit(0))
+    grams2 = F.zip_with(
+        F.slice(words, 1, k),
+        F.slice(words, 2, k),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0,
+            F.lit(1.0) - F.size(F.array_distinct(arr)) / n.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return {
+        "n_lines": F.size(lines).cast("bigint"),
+        "dup_line_frac": dup_frac(lines),
+        "dup_word_frac": dup_frac(words),
+        "dup_2gram_frac": dup_frac(grams2),
+    }
+
+
 def fingerprint64(col: Column | str = "text") -> Column:
     """Deterministic 64-bit document fingerprint: polynomial rolling
     hash over whitespace tokens (hash chaining via aggregate — O(tokens)

@@ -39,6 +39,7 @@ from square_etl_spark.operators.aggregations import (
 )
 from square_etl_spark.operators.dedup import (
     connected_components,
+    contamination_hits,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_banded_pairs,
@@ -69,6 +70,7 @@ from square_etl_spark.operators.arrow_ops import (
 from square_etl_spark.operators.quality import quarantine_split
 from square_etl_spark.operators.sampling import (
     hash_sample,
+    pack_sequences,
     histogram,
     ntile_assign,
     profile,
@@ -3285,6 +3287,268 @@ _register(
         FROM documents
         """,
         doc="oracle-checked streaming Arrow operator (mapInPandas)",
+    )
+)
+
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline batch 2: PII scrub, repetition, packing, decontamination,
+# and the q21-style only-late-supplier shape
+# ---------------------------------------------------------------------------
+
+
+def _pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture corpus carries no PII, so the query plants a
+    deterministic synthetic tail (email/phone/SSN/IP derived from
+    doc_id) on BOTH engines before scrubbing — the oracle hash then
+    genuinely exercises every redaction regex, not just the identity
+    path."""
+    d = load_table(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-867-5309 ssn 123-45-6789 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    flags = tx.pii_flags("text")
+    return salted.select(
+        "doc_id",
+        tx.redact_pii("text").alias("clean_text"),
+        *[v.alias(f"has_{k}") for k, v in flags.items()],
+    )
+
+
+_PII_SALT_SQL = """
+          SELECT doc_id,
+                 text || ' contact user' || doc_id
+                      || '@example.com or 555-867-5309 ssn 123-45-6789 ip 10.0.0.'
+                      || (doc_id % 256) AS text
+          FROM documents"""
+
+_register(
+    QuerySpec(
+        "text_pii_redaction",
+        _pii_redaction,
+        oracle=f"""
+        WITH s AS ({_PII_SALT_SQL})
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+            '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b', '<SSN>', 'g'),
+            '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'),
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g')
+            AS clean_text,
+          regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+            AS has_email,
+          regexp_matches(text, '\\b\\d{{3}}-\\d{{2}}-\\d{{4}}\\b') AS has_ssn,
+          regexp_matches(text, '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b') AS has_phone,
+          regexp_matches(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')
+            AS has_ipv4
+        FROM s
+        """,
+        doc="PII scrub (email/SSN/phone/IP) — codegen regexp_replace chain",
+    )
+)
+
+
+def _repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = tx.repetition_metrics("text")
+    return d.select("doc_id", *[v.alias(k) for k, v in m.items()])
+
+
+_register(
+    QuerySpec(
+        "text_repetition_stats",
+        _repetition,
+        oracle="""
+        WITH s AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)), l -> trim(l) <> '')
+                   AS lines,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        g AS (
+          SELECT *, CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    ELSE CAST([] AS VARCHAR[]) END AS g2
+          FROM s)
+        SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CASE WHEN len(lines) > 0
+               THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+               ELSE 0.0 END AS dup_line_frac,
+          CASE WHEN len(w) > 0
+               THEN 1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+               ELSE 0.0 END AS dup_word_frac,
+          CASE WHEN len(g2) > 0
+               THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+               ELSE 0.0 END AS dup_2gram_frac
+        FROM g
+        """,
+        doc="Gopher-style within-doc repetition fractions (lines/words/bigrams)",
+    )
+)
+
+
+def _pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk the corpus, then pack chunks into 512-token training
+    sequences via the two-phase distributed prefix sum (see
+    sampling.pack_sequences — no single-partition window)."""
+    d = load_table(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(d, chunk_size=64, overlap=16)
+    return pack_sequences(chunks, budget=512).select(
+        "doc_id", "chunk_idx", "n_tokens", "seq_id", "seq_offset"
+    )
+
+
+_register(
+    QuerySpec(
+        "pack_training_sequences",
+        _pack,
+        oracle="""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        base AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        idx AS (
+          SELECT doc_id, w,
+                 UNNEST(range(0, CAST(floor((n - 1) / 48) AS BIGINT) + 1))
+                   AS chunk_idx
+          FROM base),
+        chunks AS (
+          SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(len(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+                      AS BIGINT) AS n_tokens
+          FROM idx),
+        ord AS (
+          SELECT doc_id, chunk_idx, n_tokens,
+                 SUM(n_tokens) OVER (
+                   ORDER BY md5(doc_id || ':' || chunk_idx), doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS cum
+          FROM chunks)
+        SELECT doc_id, chunk_idx, n_tokens,
+               CAST(cum // 512 AS BIGINT) AS seq_id,
+               CAST(cum % 512 AS BIGINT) AS seq_offset
+        FROM ord
+        """,
+        doc="concat-and-split sequence packing: two-phase prefix sum, hash order",
+    )
+)
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination signal: docs sharing 3-gram shingles
+    with a benchmark split (every 97th doc stands in for the eval set).
+    Corpus side joins hashed shingles against a BROADCAST distinct
+    benchmark-shingle set — no corpus shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_hits(corpus, bench, "doc_id", "text", n=3)
+
+
+_register(
+    QuerySpec(
+        "dedup_decontaminate",
+        _decontaminate,
+        oracle="""
+        WITH bsh AS (
+          SELECT DISTINCT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+          FROM (SELECT w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                      FROM documents WHERE doc_id % 97 = 0)
+                WHERE len(w) >= 3)),
+        csh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+          FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS w
+                      FROM documents WHERE doc_id % 97 <> 0)
+                WHERE len(w) >= 3))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM csh JOIN bsh USING (sh)
+        GROUP BY doc_id
+        """,
+        doc="benchmark decontamination hits: broadcast shingle semi-join",
+    )
+)
+
+
+def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (only-late supplier on multi-supplier orders),
+    reformulated Spark-first: the classic EXISTS + NOT-EXISTS pair of
+    correlated self-joins collapses into ONE per-order aggregate
+    (count distinct suppliers / distinct LATE suppliers) joined back —
+    two shuffles total instead of three self-join shuffles of
+    lineitem.  The DuckDB oracle states the same semantics
+    independently.  numwait = orders where this supplier was the only
+    late one among several."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).withColumn(
+        "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+    )
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        l.filter("late")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_register(
+    QuerySpec(
+        "q21_waiting_suppliers",
+        _q21_waiting_supplier,
+        oracle="""
+        WITH l AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 365 DAY AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'),
+        po AS (
+          SELECT l_orderkey,
+                 COUNT(DISTINCT l_suppkey) AS n_supps,
+                 COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+          FROM l GROUP BY 1),
+        w AS (SELECT DISTINCT l_orderkey, l_suppkey FROM l WHERE late)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM w JOIN po USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE n_supps > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+        """,
+        doc="q21 shape: EXISTS/NOT-EXISTS pair as one per-order aggregate",
     )
 )
 

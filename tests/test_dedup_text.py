@@ -190,3 +190,58 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_size=4, overlap=4)
+
+
+def test_redact_pii_rules_and_order(spark):
+    from square_etl_spark.operators.text import pii_flags, redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex-1.co.uk ssn 123-45-6789 tel 555.867.5309 ip 8.8.8.8 ok")],
+        "id long, text string",
+    )
+    row = df.select(
+        redact_pii("text").alias("clean"),
+        *[v.alias(k) for k, v in pii_flags("text").items()],
+    ).first()
+    assert row.clean == "mail <EMAIL> ssn <SSN> tel <PHONE> ip <IP> ok"
+    assert row.email and row.ssn and row.phone and row.ipv4
+    # SSN is consumed by the SSN rule, never half-eaten by the phone rule
+    assert "<PHONE>" not in row.clean.replace("tel <PHONE>", "")
+
+
+def test_repetition_metrics_fractions(spark):
+    from square_etl_spark.operators.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),        # words: 2/4 dup; 2-grams: a b, b a, a b -> 1/3 dup
+            (2, "x\nx\ny"),        # lines: 3 total, 2 distinct
+            (3, ""),
+        ],
+        "id long, text string",
+    )
+    m = repetition_metrics("text")
+    rows = {r.id: r for r in df.select("id", *[v.alias(k) for k, v in m.items()]).collect()}
+    assert rows[1].dup_word_frac == 0.5
+    assert abs(rows[1].dup_2gram_frac - (1 - 2 / 3)) < 1e-15
+    assert rows[2].n_lines == 3 and abs(rows[2].dup_line_frac - (1 - 2 / 3)) < 1e-15
+    assert rows[3].n_lines == 0 and rows[3].dup_word_frac == 0.0
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    from square_etl_spark.operators.dedup import contamination_hits, decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "totally unrelated spark engine text here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox runs")], "doc_id long, text string"
+    )
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench).collect()}
+    assert hits == {1: 1}  # shares exactly the 'quick brown fox' 3-gram
+    kept = [r.doc_id for r in decontaminate(corpus, bench).collect()]
+    assert kept == [2]

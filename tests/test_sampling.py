@@ -138,3 +138,41 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert rows["s"].n_distinct == 2
     assert rows["x"].min_str == "1" and rows["x"].max_str == "3"
     assert rows["s"].min_str == "a" and rows["s"].max_str == "b"
+
+
+def test_pack_sequences_prefix_sum_and_straddle(spark):
+    from square_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 0, 10) for i in range(1, 21)],
+        "doc_id long, chunk_idx long, n_tokens long",
+    )
+    out = pack_sequences(df, budget=25).collect()
+    # exclusive prefix sums are exactly {0,10,...,190} in hash order
+    assert sorted(r.seq_id * 25 + r.seq_offset for r in out) == list(range(0, 200, 10))
+    # 200 tokens / 25-token budget -> seq ids 0..7, each bin sees >=2 chunks
+    ids = [r.seq_id for r in out]
+    assert min(ids) == 0 and max(ids) == 7
+    # chunk at cum=20 straddles (offset 20 + 10 > 25): offsets stay < budget
+    assert all(0 <= r.seq_offset < 25 for r in out)
+
+
+def test_pack_sequences_partition_invariance(spark):
+    from square_etl_spark.operators.sampling import pack_sequences
+
+    rows = [(i, j, 5 + (i * 7 + j) % 9) for i in range(30) for j in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_tokens long")
+    a = {(r.doc_id, r.chunk_idx): (r.seq_id, r.seq_offset)
+         for r in pack_sequences(df, budget=64).collect()}
+    b = {(r.doc_id, r.chunk_idx): (r.seq_id, r.seq_offset)
+         for r in pack_sequences(df.repartition(7), budget=64).collect()}
+    assert a == b
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    import pytest as _pytest
+    from square_etl_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 0, 5)], "doc_id long, chunk_idx long, n_tokens long")
+    with _pytest.raises(ValueError):
+        pack_sequences(df, budget=0)
