@@ -161,6 +161,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup: all id-ordered pairs with cosine
     similarity ≥ threshold (rounded to 6 decimals before the filter so
@@ -174,20 +175,27 @@ def embedding_cosine_pairs(
     an IVF cell assignment (similarity.ivf_assign), then run THIS
     exact verify only inside buckets — the same candidates→verify
     split as every other near-dup operator in this module.
-    """
-    from square_etl_spark.operators.similarity import cosine
 
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
+    Per-pair cost discipline: vectors are unit-normalized ONCE per row
+    (below the join), so each of the O(N²) pairs pays a single dot
+    product instead of dot + two norms; pass ``dim`` when the embedding
+    dimension is fixed to swap the interpreted higher-order aggregate
+    for an unrolled whole-stage-codegen sum (~5× measured, see
+    similarity.dot_unrolled).
+    """
+    from square_etl_spark.operators.similarity import dot, dot_unrolled, normalize
+
+    normed = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("__nv"))
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"))
     pairs = a.join(F.broadcast(b), on=F.col("id_a") < F.col("id_b"))
+    sim = (
+        dot_unrolled(F.col("__va"), F.col("__vb"), dim)
+        if dim is not None
+        else dot(F.col("__va"), F.col("__vb"))
+    )
     return (
-        pairs.withColumn(
-            "cosine_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-        )
+        pairs.withColumn("cosine_sim", F.round(sim, 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

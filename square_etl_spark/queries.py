@@ -2994,7 +2994,8 @@ _register(
 
 def _cos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.35)
+    # fixture embeddings are fixed 64-d (TESTDATA.md) → unrolled codegen dot
+    return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.35, dim=64)
 
 
 _register(
