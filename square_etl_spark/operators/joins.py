@@ -90,9 +90,19 @@ def salted_join(
     non-AQE surfaces (streaming joins).
 
     ``dim`` should be the smaller side (it is replicated ``salt``×).
+
+    The salt is CONTENT-DERIVED (xxhash64 of the whole fact row, mod
+    salt) rather than ``rand(seed)``: rand is seeded per-partition, so
+    its value changes under task retry / AQE re-partitioning — a
+    retried task would route rows to different salt buckets than its
+    first attempt.  A row-content hash is identical on every attempt
+    and every partitioning, keeping results retry-deterministic, while
+    still spreading a hot key uniformly (distinct payloads hash
+    uniformly; identical full-duplicate rows co-locate, which only
+    matters if the hot key's rows are ALL byte-identical).
     """
     salted_facts = facts.withColumn(
-        "__salt", (F.rand(seed=42) * salt).cast("int")
+        "__salt", F.pmod(F.xxhash64(*facts.columns), F.lit(salt)).cast("int")
     )
     replicated_dim = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -57,10 +57,20 @@ def hash_bucket(key: Column | str, salt: str = "") -> Column:
 
 
 def rate_threshold(rate: float) -> str:
-    """Hex threshold t such that P[hash_bucket(k) < t] = rate."""
+    """Hex threshold t such that P[hash_bucket(k) < t] = rate.
+
+    rate >= 1.0 returns ``"g" + "0"*7`` — lexicographically ABOVE every
+    8-hex-digit bucket ('f' < 'g'), so ``bucket < threshold`` is always
+    true and rate-1.0 keeps EVERY row, including keys whose md5 prefix
+    is exactly 'ffffffff' (~1 in 2^32; a strict '<' against 'ffffffff'
+    would silently drop them).  The sentinel compares identically in
+    Spark and ANSI SQL, so interpolated oracles stay in lockstep.
+    """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), f"0{_HEX_DIGITS}x")
+    if rate >= 1.0:
+        return "g" + "0" * (_HEX_DIGITS - 1)
+    return format(int(rate * _HEX_SPACE), f"0{_HEX_DIGITS}x")
 
 
 def hash_sample(df: DataFrame, key: str, rate: float, salt: str = "") -> DataFrame:
@@ -260,9 +270,13 @@ def pack_sequences(
         offsets or [("00", 0)], "__shard string, __off long"
     )
     cum = F.col("__off") + F.col("__cum_incl") - F.col(token_col).cast("long")
+    # long DIV keeps seq_id exact past 2^53 cumulative tokens, where
+    # floor(cum / budget)'s double division would lose low bits and
+    # disagree with the exact long `cum % budget` offset.
     return (
         local.join(F.broadcast(off_df), "__shard")
-        .withColumn("seq_id", F.floor(cum / budget).cast("bigint"))
-        .withColumn("seq_offset", (cum % budget).cast("bigint"))
-        .drop("__h", "__shard", "__cum_incl", "__off")
+        .withColumn("__cum", cum)
+        .withColumn("seq_id", F.expr(f"__cum DIV {int(budget)}").cast("bigint"))
+        .withColumn("seq_offset", (F.col("__cum") % budget).cast("bigint"))
+        .drop("__h", "__shard", "__cum_incl", "__off", "__cum")
     )

@@ -253,9 +253,12 @@ def repetition_metrics(col: Column | str = "text") -> dict[str, Column]:
     High values mark boilerplate / spam / template pages that poison a
     training corpus.  All pure array expressions (split → distinct →
     size ratios): per-row work linear in document length, no shuffle.
-    Fractions are 0.0 for empty inputs.
+    Fractions are 0.0 for empty inputs.  NULL text is treated as empty
+    (coalesce) so the operator and its ANSI oracle agree — Spark's
+    ``size(NULL)`` is -1 while SQL ``len(NULL)`` is NULL, and the
+    documents.text column is nullable per schema.
     """
-    raw = _c(col)
+    raw = F.coalesce(_c(col), F.lit(""))
     lines = F.filter(F.split(raw, r"\n"), lambda x: F.trim(x) != F.lit(""))
     words = F.filter(F.split(F.trim(raw), r"\s+"), lambda w: w != F.lit(""))
     k = F.greatest(F.size(words) - F.lit(1), F.lit(0))

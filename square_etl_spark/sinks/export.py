@@ -19,12 +19,22 @@ file order IS the training order, and bounds records per file with
 from __future__ import annotations
 
 import json
-import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from square_etl_spark.operators.sampling import shard_assign
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — resolves
+    the correct filesystem impl for any supported scheme (file://,
+    hdfs://, s3a://), so the manifest step works wherever the writer
+    itself can write, not just on the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
 
 
 def export_jsonl_shards(
@@ -71,20 +81,29 @@ def export_jsonl_shards(
         .agg(F.count(F.lit(1)).alias("rows"))
         .collect()
     }
+    # enumerate shard dirs via the Hadoop FileSystem API (scheme-aware:
+    # local, HDFS, S3A all resolve) and write _manifest.json through the
+    # same FS — the sink never assumes driver-local disk.
+    fs, root = _hadoop_fs(df.sparkSession, path)
     manifest: dict[str, dict[str, int]] = {}
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith("shard="):
+    for status in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
+        entry = status.getPath().getName()
+        if not (status.isDirectory() and entry.startswith("shard=")):
             continue
-        shard_dir = os.path.join(path, entry)
         files = [
-            f
-            for f in os.listdir(shard_dir)
-            if f.startswith("part-") and not f.endswith(".crc")
+            f.getPath().getName()
+            for f in fs.listStatus(status.getPath())
+            if f.getPath().getName().startswith("part-")
         ]
         shard_id = int(entry.split("=", 1)[1])
         manifest[entry] = {"files": len(files), "rows": counts.get(shard_id, 0)}
     out = {"n_shards": n_shards, "max_records_per_file": max_records_per_file,
            "shards": manifest}
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(out, fh, indent=2, sort_keys=True)
+    stream = fs.create(
+        df.sparkSession._jvm.org.apache.hadoop.fs.Path(root, "_manifest.json"), True
+    )
+    try:
+        stream.write(bytearray(json.dumps(out, indent=2, sort_keys=True), "utf-8"))
+    finally:
+        stream.close()
     return out

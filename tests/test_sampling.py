@@ -29,7 +29,21 @@ def _docs(spark, sf_dir):
 def test_rate_threshold_endpoints_and_midpoint():
     assert rate_threshold(0.0) == "00000000"
     assert rate_threshold(0.5) == "80000000"
-    assert rate_threshold(1.0) == "ffffffff"
+    # rate 1.0 must keep EVERYTHING, including md5-prefix 'ffffffff'
+    # keys: the sentinel sorts above every hex bucket ('f' < 'g').
+    assert rate_threshold(1.0) == "g0000000"
+    assert "ffffffff" < rate_threshold(1.0)
+
+
+def test_rate_one_keeps_adversarial_key(spark):
+    # a literal bucket of 'ffffffff' survives rate-1.0 sampling
+    from square_etl_spark.operators.sampling import hash_bucket
+    import pyspark.sql.functions as F
+
+    df = spark.range(1).select(F.lit("x").alias("k"))
+    thresh = rate_threshold(1.0)
+    kept = df.filter(F.lit("ffffffff") < F.lit(thresh)).count()
+    assert kept == 1
 
 
 def test_hash_sample_rate_roughly_holds(spark, sf_dir):
