@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def content_digest(col: str = "text") -> F.Column:
@@ -198,6 +199,80 @@ def embedding_cosine_pairs(
         pairs.withColumn("cosine_sim", F.round(sim, 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def embedding_cosine_pairs_bucketed(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: sign-LSH candidate buckets →
+    exact in-bucket cosine verify.  This is the DEFAULT embedding-dedup
+    path; :func:`embedding_cosine_pairs` (all-pairs) is the small-SF
+    exactness baseline only.
+
+    Candidates: each vector lands in one bucket per hash table (bucket
+    id = ``bits`` hyperplane signs; ``n_tables`` independent tables
+    union'd for recall — P[candidate] = 1-(1-p_bit^bits)^tables, p_bit
+    = 1-θ/π).  Pairs sharing any (table, bucket) are verified with the
+    exact rounded dot product of unit-normalized vectors, then
+    ``distinct`` collapses multi-table hits.  The verify inside a
+    bucket is exact, so precision is 1.0; recall is the tunable.
+
+    Plan shape — the point of the operator: the self-match is an
+    EQUI-join on (table, bucket) — shuffle-hash, never a
+    BroadcastNestedLoopJoin over all pairs (pinned in
+    tests/test_plans.py).  At 100 TB: raise ``bits`` with log2(N) so
+    per-bucket population stays bounded, and set ``bucket_cap`` to
+    drop (and report) pathological buckets — the same hot-key guard as
+    :func:`minhash_lsh_pairs`.  Cost is O(Σ bucket²·d) instead of
+    O(N²·d).
+    """
+    from square_etl_spark.operators.similarity import (
+        dot_unrolled,
+        lsh_bucket,
+        normalize,
+        random_hyperplanes,
+    )
+
+    normed = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("__nv"))
+    buckets = [
+        lsh_bucket(F.col("__nv"), random_hyperplanes(dim, bits, seed + t))
+        for t in range(n_tables)
+    ]
+    tagged = normed.select(
+        id_col,
+        "__nv",
+        F.posexplode(F.array(*buckets)).alias("__tbl", "__bucket"),
+    )
+    if bucket_cap is not None:
+        w = Window.partitionBy("__tbl", "__bucket")
+        tagged = (
+            tagged.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"), "__tbl", "__bucket"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"), "__tbl", "__bucket"
+    )
+    sim = dot_unrolled(F.col("__va"), F.col("__vb"), dim)
+    return (
+        a.join(b, on=["__tbl", "__bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .distinct()
     )
 
 

@@ -41,6 +41,7 @@ from square_etl_spark.operators.dedup import (
     connected_components,
     contamination_hits,
     embedding_cosine_pairs,
+    embedding_cosine_pairs_bucketed,
     exact_dedup,
     minhash_banded_pairs,
     ngram_jaccard_pairs,
@@ -3001,21 +3002,87 @@ def _cos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_pairs(e, "vec_id", "embedding", threshold=0.35, dim=64)
 
 
+#: oracle-side twin of similarity.normalize∘dot: normalize-then-dot in the
+#: SAME float evaluation order as the Spark expression (ADVICE r1: the old
+#: divide-after-sum list_cosine_similarity could flip a 5e-7 boundary pair).
+_NV_CTE = """
+        nv AS (
+          SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[]))))
+                   AS nv
+          FROM embeddings)"""
+
 _register(
     QuerySpec(
         "dedup_embedding_cosine",
         _cos_dedup,
-        oracle="""
+        oracle=f"""
+        WITH {_NV_CTE}
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 6)
-                 AS cosine_sim
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                           CAST(b.embedding AS DOUBLE[])), 6)
-              >= 0.35
+               ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine_sim
+        FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35
         """,
-        doc="exact all-pairs cosine near-dup (LSH/IVF bucketing is the scale path)",
+        doc="exact all-pairs cosine near-dup — small-SF ORACLE BASELINE ONLY; "
+        "dedup_embedding_cosine_bucketed is the default/scale path",
+    )
+)
+
+
+def _lsh_bucket_sql(nv_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of similarity.lsh_bucket over the same plane constants:
+    bit i set iff dot(nv, plane_i) >= 0 (bitwiseOR∘shiftleft ≡ Σ 2^i)."""
+    terms = []
+    for i, plane in enumerate(planes):
+        arr = "[" + ",".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({nv_expr}, {arr}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _cos_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT embedding near-dup: sign-LSH buckets (4 bits × 8 tables)
+    → exact in-bucket verify.  Same threshold as the all-pairs oracle
+    twin; candidate generation is an equi-join on (table, bucket) — no
+    BroadcastNestedLoopJoin anywhere in the plan (pinned)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_bucketed(
+        e, "vec_id", "embedding", threshold=0.35, dim=64, bits=4, n_tables=8
+    )
+
+
+def _cos_dedup_bucketed_oracle() -> str:
+    from square_etl_spark.operators.similarity import random_hyperplanes
+
+    tagged = "\n          UNION ALL ".join(
+        f"SELECT vec_id, nv, {t} AS tbl, "
+        f"{_lsh_bucket_sql('nv', random_hyperplanes(64, 4, 42 + t))} AS bkt FROM nv"
+        for t in range(8)
+    )
+    return f"""
+        WITH {_NV_CTE},
+        tagged AS (
+          {tagged})
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine_sim
+        FROM tagged a
+        JOIN tagged b ON a.tbl = b.tbl AND a.bkt = b.bkt
+                     AND a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35
+        """
+
+
+_register(
+    QuerySpec(
+        "dedup_embedding_cosine_bucketed",
+        _cos_dedup_bucketed,
+        oracle=_cos_dedup_bucketed_oracle(),
+        doc="DEFAULT embedding near-dup: LSH candidate buckets + exact verify, "
+        "equi-join plan (scale path; all-pairs twin is the exactness oracle)",
     )
 )
 

@@ -245,3 +245,44 @@ def test_decontaminate_drops_only_contaminated(spark):
     assert hits == {1: 1}  # shares exactly the 'quick brown fox' 3-gram
     kept = [r.doc_id for r in decontaminate(corpus, bench).collect()]
     assert kept == [2]
+
+
+def test_bucketed_embedding_dedup_is_exact_subset(spark, sf_dir):
+    """LSH bucketing trades recall, never precision: every pair the
+    bucketed operator returns must appear in the all-pairs exact result
+    with the identical rounded cosine, and recall at the fixture's
+    0.35-threshold band must be in the analytically expected range."""
+    from square_etl_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_bucketed,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_cosine_pairs(e, dim=64, threshold=0.35).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_cosine_pairs_bucketed(
+            e, dim=64, threshold=0.35, bits=4, n_tables=8
+        ).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for pair, sim in bucketed.items():
+        assert sim == exact[pair]
+    # recall ≈ 1-(1-p^4)^8 with p = 1-acos(s)/pi; ~0.7 at s=0.35
+    assert len(bucketed) >= 0.5 * len(exact)
+
+
+def test_bucketed_embedding_dedup_bucket_cap_drops_hot_buckets(spark, sf_dir):
+    from square_etl_spark.operators.dedup import embedding_cosine_pairs_bucketed
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    capped = embedding_cosine_pairs_bucketed(
+        e, dim=64, threshold=0.35, bits=4, n_tables=8, bucket_cap=10
+    ).count()
+    uncapped = embedding_cosine_pairs_bucketed(
+        e, dim=64, threshold=0.35, bits=4, n_tables=8
+    ).count()
+    assert capped <= uncapped  # cap only removes candidates

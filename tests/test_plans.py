@@ -113,7 +113,8 @@ def test_pair_dedup_queries_never_go_quadratic(spark, sf_dir):
     # bands / buckets) — a cartesian or nested-loop pair join would
     # "work" at test scale and melt at 100 TB.
     qs = queries()
-    for name in ["dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh"]:
+    for name in ["dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh",
+                 "dedup_embedding_cosine_bucketed"]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
