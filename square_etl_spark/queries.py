@@ -894,6 +894,64 @@ _register(
 )
 
 
+def _merge_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 at the 100 TB shape: MATERIALIZED partition-restricted merge.
+    Seeds a year-partitioned parquet target (orders < 1997), merges a
+    repriced 1996-H2 batch, and returns the resulting table — only the
+    o_year=1996 partition rewrites; 1992-1995 files stay byte-identical
+    (pinned in tests/test_merge.py; this query checks the semantics)."""
+    import os
+    import tempfile
+    import uuid
+
+    from square_etl_spark.sinks.merge import merge_upsert_partitioned
+
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"k1part-{uuid.uuid4().hex}")
+    windowed_scan(o, "o_orderdate", None, "1997-01-01").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).write.mode("overwrite").partitionBy("o_year").parquet(path)
+    batch = windowed_scan(o, "o_orderdate", "1996-06-01", "1997-01-01").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    merge_upsert_partitioned(
+        spark, path, batch, ["o_orderkey"], ["o_orderkey"], "o_year"
+    )
+    return (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, o_orderstatus string, o_year int"
+        )
+        .option("basePath", path)
+        .parquet(path)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", "o_year")
+    )
+
+
+_register(
+    QuerySpec(
+        "k1_merge_partitioned",
+        _merge_part,
+        oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderdate >= TIMESTAMP '1996-06-01'
+                    THEN o_totalprice * 1.1 ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderdate >= TIMESTAMP '1996-06-01'
+                    THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+               CAST(year(o_orderdate) AS INT) AS o_year
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        """,
+        doc="partition-restricted materialized merge: only touched partitions rewrite",
+    )
+)
+
+
 def _e1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1: quarantine split — reject stream with first-matching-reason
     (reference skip-and-warn mappers; SURVEY.md §2.9)."""

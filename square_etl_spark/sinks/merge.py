@@ -109,3 +109,77 @@ def merge_upsert(
         shutil.rmtree(target_path)
     shutil.move(tmp, target_path)
     return n
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    partition_col: str,
+    stamp_updated_at: bool = False,
+) -> int:
+    """Partition-restricted MERGE: rewrite only the partitions the batch
+    touches — the 100 TB-shaped upsert (SURVEY.md hard-list #1).
+
+    The target is a hive-layout parquet table partitioned by
+    ``partition_col`` (``target/<col>=<val>/``).  A 24 h incremental
+    batch touches ~1 day of partition values, so the merge:
+
+    1. collects the batch's DISTINCT partition values (driver-side,
+       bounded — it is the number of touched partitions, not rows);
+    2. reads ONLY those partitions of the target (the ``isin`` filter
+       is partition pruning — untouched partitions are never opened);
+    3. anti-join + union within the touched slice (same
+       :func:`merge_dataframes` semantics as the full merge);
+    4. writes the slice to a temp dir and swaps each touched partition
+       directory individually.  Untouched partition directories are
+       left byte-identical on disk (pinned in tests/test_merge.py).
+
+    INVARIANT the caller owns: ``partition_col`` must be immutable per
+    natural key (creation date, tenant id) — if a key could move
+    between partitions, its old row would survive in an untouched
+    partition.  This is the standard constraint for partition-scoped
+    MERGE (Delta/Iceberg ``ON ... AND target.part IN (...)`` has the
+    same one).
+
+    Atomicity is per partition (each swap is a dir move); a mid-swap
+    failure leaves earlier partitions new and later ones old, but every
+    partition is internally consistent and the merge is idempotent —
+    re-running converges.  A real deployment gets table-level commits
+    from Delta/Iceberg; plain parquet cannot.
+    """
+    if batch.isEmpty():
+        return 0
+    touched = [r[0] for r in batch.select(partition_col).distinct().collect()]
+    if not os.path.exists(target_path):
+        batch_dedup = merge_dataframes(None, batch, keys, order_cols)
+        batch_dedup.write.mode("overwrite").partitionBy(partition_col).parquet(
+            target_path
+        )
+        return spark.read.parquet(target_path).count()
+
+    target_slice = (
+        spark.read.schema(batch.schema)
+        .option("basePath", target_path)
+        .parquet(target_path)
+        .filter(F.col(partition_col).isin(touched))
+    )
+    merged = merge_dataframes(
+        target_slice, batch, keys, order_cols, stamp_updated_at
+    )
+    tmp = os.path.join(tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}")
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    # swap ONLY the partition dirs the batch touched (tmp holds exactly
+    # the touched values by construction — merged == slice ∪ batch)
+    for entry in os.listdir(tmp):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        dst = os.path.join(target_path, entry)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        shutil.move(os.path.join(tmp, entry), dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

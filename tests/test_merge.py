@@ -122,3 +122,91 @@ def test_merge_upsert_failed_write_leaves_target_intact(spark, tmp_path):
     with pytest.raises(Exception, match="injected write failure"):
         merge_upsert(spark, target, poison, ["k"], ["updated_at"])
     assert _rows(spark, target) == {("a", 1)}
+
+
+# ---------------------------------------------------------------------------
+# Partition-restricted merge (the 100 TB shape): only touched partitions
+# rewrite; untouched partition files stay byte-identical on disk.
+# ---------------------------------------------------------------------------
+
+PSCHEMA = "k string, v long, updated_at timestamp, day string"
+
+
+def _pfiles(path, day):
+    """(name, size, sha256) of every parquet file in one partition dir."""
+    import hashlib
+
+    d = os.path.join(path, f"day={day}")
+    out = []
+    for f in sorted(os.listdir(d)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(d, f)
+        with open(p, "rb") as fh:
+            out.append((f, os.path.getsize(p), hashlib.sha256(fh.read()).hexdigest()))
+    return out
+
+
+def _pbatch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, v long, updated_at string, day string"
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at", "day")
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    from square_etl_spark.sinks.merge import merge_upsert_partitioned
+
+    target = os.path.join(tmp_path, "tbl")
+    seed = _pbatch(spark, [
+        ("a", 1, "2024-01-01 00:00:00", "2024-01-01"),
+        ("b", 2, "2024-01-01 00:00:00", "2024-01-01"),
+        ("c", 3, "2024-01-02 00:00:00", "2024-01-02"),
+    ])
+    merge_upsert_partitioned(spark, target, seed, ["k"], ["updated_at"], "day")
+    day1_before = _pfiles(target, "2024-01-01")
+
+    batch = _pbatch(spark, [
+        ("c", 30, "2024-01-02 12:00:00", "2024-01-02"),
+        ("d", 40, "2024-01-02 12:00:00", "2024-01-02"),
+    ])
+    n = merge_upsert_partitioned(spark, target, batch, ["k"], ["updated_at"], "day")
+    assert n == 2  # rows written = touched-slice size, not table size
+
+    # untouched partition: files byte-identical (not rewritten)
+    assert _pfiles(target, "2024-01-01") == day1_before
+    got = {
+        (r.k, r.v)
+        for r in spark.read.schema(PSCHEMA)
+        .option("basePath", target).parquet(target).collect()
+    }
+    assert got == {("a", 1), ("b", 2), ("c", 30), ("d", 40)}
+
+
+def test_partitioned_merge_idempotent(spark, tmp_path):
+    from square_etl_spark.sinks.merge import merge_upsert_partitioned
+
+    target = os.path.join(tmp_path, "tbl")
+    batch = _pbatch(spark, [
+        ("a", 1, "2024-01-01 00:00:00", "2024-01-01"),
+        ("c", 3, "2024-01-02 00:00:00", "2024-01-02"),
+    ])
+    n1 = merge_upsert_partitioned(spark, target, batch, ["k"], ["updated_at"], "day")
+    n2 = merge_upsert_partitioned(spark, target, batch, ["k"], ["updated_at"], "day")
+    got = {
+        (r.k, r.v)
+        for r in spark.read.schema(PSCHEMA)
+        .option("basePath", target).parquet(target).collect()
+    }
+    assert n1 == n2 == 2
+    assert got == {("a", 1), ("c", 3)}
+
+
+def test_partitioned_merge_empty_batch_short_circuits(spark, tmp_path):
+    from square_etl_spark.sinks.merge import merge_upsert_partitioned
+
+    target = os.path.join(tmp_path, "tbl")
+    empty = spark.createDataFrame([], PSCHEMA)
+    assert merge_upsert_partitioned(
+        spark, target, empty, ["k"], ["updated_at"], "day"
+    ) == 0
+    assert not os.path.exists(target)
