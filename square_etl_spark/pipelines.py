@@ -1,0 +1,455 @@
+"""End-to-end warehouse pipelines — the reference's six ETL mains.
+
+Each reference entry point (``src/etl-square-*.ts``) is a straight-line
+composition: fetch a page window → map rows (null-coalesce, tolerant
+parse, skip-and-warn) → upsert into one ``pos.pos_*`` table.  This
+module re-expresses each composition Spark-first over the SAME operator
+library the rest of the engine uses (projections/joins/quality/merge):
+one declarative plan per pipeline, quarantine instead of console.warn,
+and :func:`square_etl_spark.sinks.merge.merge_upsert` as the
+transactional tail.
+
+Source adapters: the driver fixtures carry no POS data, so each
+pipeline has a deterministic adapter that reshapes a fixture table into
+the source rows the reference would have fetched (nulls planted with
+explicit CASEs, identically reproducible in the DuckDB oracles — the
+same convention as the P1–P9 queries).  Swap the adapter for the real
+paginated REST source (``sources/paginated.py``) in production; every
+stage downstream is unchanged.
+
+Scale notes: every pipeline is map + (at most) one broadcast join +
+one merge — no unbounded shuffles.  The merge is the only wide stage,
+and at 100 TB it runs partition-restricted
+(:func:`square_etl_spark.sinks.merge.merge_upsert_partitioned`).
+
+Reference parity map:
+  payments    — src/etl-square-payments.ts:27-47 (map), 130-138 (main)
+  order items — src/etl-square-orders.ts:48-90 (map), 174-217 (main)
+  catalog     — src/etl-square-catalog.ts:30-58 (map), 129-172 (main)
+  inventory   — src/etl-square-inventory.ts:30-60 (map), 126-142 (main)
+  categories  — src/etl-square-categories.ts:29-53 (map)
+  locations   — src/etl-square-locations.ts:29-53 (map)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from square_etl_spark.io import load_table
+from square_etl_spark.operators.joins import first_wins
+from square_etl_spark.operators.projections import (
+    coalesce_first,
+    enrich_constants,
+    flatten_address,
+    nullify_when,
+    with_default,
+)
+from square_etl_spark.operators.quality import quarantine_split
+from square_etl_spark.schemas import WAREHOUSE_TABLES
+from square_etl_spark.sinks.merge import merge_upsert
+
+#: the reference's env-driven tenancy constants with their defaults
+#: (src/etl-square-payments.ts:8-11).
+TENANCY = {
+    "tenant_id": "tenant-1",
+    "provider": "square",
+    "provider_account_id": "default-square",
+}
+
+
+def _conform(df: DataFrame, table: str) -> DataFrame:
+    """Project to the declared POS schema: exact column order + types
+    (schema inference never decides a warehouse layout)."""
+    schema, _ = WAREHOUSE_TABLES[table]
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Payments (src/etl-square-payments.ts)
+# ---------------------------------------------------------------------------
+
+
+def payments_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture adapter: orders → the page of SquarePayment records a
+    24 h window fetch would return, optional fields nulled with
+    explicit CASEs (reproduced verbatim in the oracle SQL)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        F.concat(F.lit("pay-"), F.col("o_orderkey")).alias("payment_id"),
+        nullify_when(
+            F.concat(F.lit("ord-"), F.col("o_orderkey")), F.col("o_orderkey") % 5 == 0
+        ).alias("order_id"),
+        F.concat(F.lit("loc-"), F.col("o_custkey") % 10).alias("location_id"),
+        F.col("o_orderdate").alias("created_at"),
+        nullify_when(
+            F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR"),
+            F.col("o_orderkey") % 3 == 0,
+        ).alias("updated_at"),
+        nullify_when(cents, F.col("o_orderkey") % 7 == 0).alias("total_amount"),
+        nullify_when(cents, F.col("o_orderkey") % 9 == 0).alias("amount_amount"),
+        F.lit("USD").alias("currency"),
+        F.col("o_orderstatus").alias("status"),
+        F.concat(F.lit("cust-"), F.col("o_custkey")).alias("customer_id"),
+        nullify_when(
+            F.concat(F.lit("ref-"), F.col("o_orderkey")), F.col("o_orderkey") % 2 == 0
+        ).alias("reference_id"),
+    )
+
+
+def payments_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Map + quarantine for payments: money = total ?? amount; a row
+    with NEITHER is the reference's throw (src/etl-square-payments.ts:
+    30-32) — here it lands in quarantine instead of killing the batch
+    (E1 posture, SURVEY.md §2.9).  Returns (warehouse rows conforming
+    to POS_PAYMENTS, rejects)."""
+    money = coalesce_first("total_amount", "amount_amount")
+    mapped = source.withColumn("amount", money)
+    good, rejects = quarantine_split(
+        mapped, [("no_money_fields", F.col("amount").isNull())]
+    )
+    rows = enrich_constants(good, **TENANCY).withColumn(
+        "raw_payload",
+        F.to_json(F.struct(*source.columns)),
+    )
+    return _conform(rows, "pos_payments"), rejects
+
+
+# ---------------------------------------------------------------------------
+# Order items (src/etl-square-orders.ts) — the widest composition:
+# payments → first-wins order→payment map → line-item explode-shaped
+# join → per-line validity filters → upsert.
+# ---------------------------------------------------------------------------
+
+
+def order_items_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture adapter: lineitem → the per-order line_items arrays the
+    order fetch loop would return, one row per line (the J4 explode is
+    pre-flattened by the fixture's relational layout; the reference
+    explodes JSON arrays — same cardinality either way)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("ord-"), F.col("l_orderkey")).alias("order_id"),
+        nullify_when(
+            F.concat(
+                F.lit("li-"), F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")
+            ),
+            (F.col("l_orderkey") + F.col("l_linenumber")) % 13 == 0,
+        ).alias("line_item_uid"),
+        F.concat(F.lit("obj-"), F.col("l_partkey")).alias("catalog_object_id"),
+        nullify_when(
+            F.concat(F.lit("item "), F.col("l_partkey")), F.col("l_partkey") % 6 == 0
+        ).alias("item_name"),
+        # reference parses quantity from a STRING (parseFloat) — plant
+        # garbage and non-positive values like the P2 query does
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit("garbage"))
+        .when(F.col("l_orderkey") % 11 == 0, (-F.col("l_quantity")).cast("string"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("quantity_str"),
+        nullify_when(
+            F.floor(F.col("l_extendedprice") * 100).cast("long"),
+            F.col("l_linenumber") % 4 == 0,
+        ).alias("base_price_amount"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("total_money_amount"),
+        F.concat(F.lit("loc-"), F.col("l_suppkey") % 10).alias("location_id"),
+    )
+
+
+def order_items_pipeline(
+    payments: DataFrame, lines: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The reference main (src/etl-square-orders.ts:174-217) as one
+    declarative plan:
+
+    1. order→payment map, FIRST payment wins per order (:182-190) —
+       deterministic ``first_wins`` on payment_id (the reference gets
+       arrival order; we re-specify, SURVEY.md §2.8 T4);
+    2. line items join the map on order_id — INNER, so orders without a
+       payment drop, matching ``if (!order) continue`` (:200) in
+       reverse, and lines without uid / with invalid quantity are
+       quarantined, matching the per-line skips (:53-68);
+    3. tenancy constants + raw payload, conform to POS_ORDER_ITEMS.
+
+    The order→payment map is small relative to lines (one row per
+    order) — broadcast it so line items never shuffle.
+    """
+    o2p = first_wins(
+        payments.filter(F.col("order_id").isNotNull()).select(
+            "order_id", "payment_id"
+        ),
+        key_cols=["order_id"],
+        order_cols=["payment_id"],
+    )
+    qty = F.col("quantity_str").try_cast("double")
+    staged = lines.join(F.broadcast(o2p), on="order_id", how="inner").withColumn(
+        "quantity", qty
+    )
+    good, rejects = quarantine_split(
+        staged,
+        [
+            ("missing_uid", F.col("line_item_uid").isNull()),
+            (
+                "invalid_quantity",
+                F.col("quantity").isNull() | (F.col("quantity") <= 0),
+            ),
+        ],
+    )
+    rows = (
+        enrich_constants(good, **TENANCY)
+        .withColumn("sku", F.lit(None).cast("string"))  # :82 "fill later"
+        .withColumn("currency", F.lit("USD"))
+        .withColumn(
+            "raw_payload",
+            F.to_json(
+                F.struct("order_id", "line_item_uid", "catalog_object_id", "quantity")
+            ),
+        )
+    )
+    return _conform(rows, "pos_order_items"), rejects
+
+
+# ---------------------------------------------------------------------------
+# Catalog (src/etl-square-catalog.ts) — parent-item broadcast join
+# ---------------------------------------------------------------------------
+
+
+def catalog_source(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Fixture adapter: part → (ITEM objects, ITEM_VARIATION objects).
+    Each part yields one item and one variation pointing at it."""
+    p = load_table(spark, sf_dir, "part")
+    items = p.select(
+        F.concat(F.lit("item-"), F.col("p_partkey")).alias("item_id"),
+        nullify_when(F.col("p_name"), F.col("p_partkey") % 2 == 0).alias("item_name"),
+        nullify_when(
+            F.concat(F.lit("cat-"), F.col("p_partkey") % 25),
+            F.col("p_partkey") % 6 == 0,
+        ).alias("category_id"),
+    )
+    variations = p.select(
+        nullify_when(
+            F.concat(F.lit("var-"), F.col("p_partkey")), F.col("p_partkey") % 17 == 0
+        ).alias("catalog_object_id"),
+        F.lit("ITEM_VARIATION").alias("object_type"),
+        F.concat(F.lit("item-"), F.col("p_partkey")).alias("item_id"),
+        F.col("p_type").alias("variation_name"),
+        nullify_when(
+            F.concat(F.col("p_brand"), F.lit("-"), F.col("p_partkey")),
+            F.col("p_partkey") % 4 == 0,
+        ).alias("sku"),
+        (F.col("p_partkey") % 10 == 0).alias("is_deleted"),
+    )
+    return items, variations
+
+
+def catalog_pipeline(
+    items: DataFrame, variations: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The reference builds driver-side ITEM.id→name / →category maps
+    then walks variations (src/etl-square-catalog.ts:134-168); here the
+    maps are ONE broadcast left join (items per tenant are a small
+    dim), and the name fallback ``parentName ?? variationName`` is P3's
+    coalesce.  Variations without id are quarantined (:35-38)."""
+    joined = variations.join(F.broadcast(items), on="item_id", how="left")
+    good, rejects = quarantine_split(
+        joined, [("missing_id", F.col("catalog_object_id").isNull())]
+    )
+    rows = enrich_constants(
+        good.select(
+            "catalog_object_id",
+            "object_type",
+            coalesce_first("item_name", "variation_name").alias("item_name"),
+            "variation_name",
+            "sku",
+            "category_id",
+            with_default("is_deleted", False).alias("is_deleted"),
+        ),
+        **TENANCY,
+    ).withColumn(
+        "raw_payload",
+        F.to_json(F.struct("catalog_object_id", "variation_name", "sku")),
+    )
+    return _conform(rows, "pos_catalog"), rejects
+
+
+# ---------------------------------------------------------------------------
+# Inventory (src/etl-square-inventory.ts)
+# ---------------------------------------------------------------------------
+
+
+def inventory_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture adapter: lineitem → inventory count records (one count
+    per (part, supplier-location, returnflag-state) observation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        nullify_when(
+            F.concat(F.lit("obj-"), F.col("l_partkey")), F.col("l_orderkey") % 19 == 0
+        ).alias("catalog_object_id"),
+        F.lit("ITEM_VARIATION").alias("catalog_object_type"),
+        F.concat(F.lit("loc-"), F.col("l_suppkey") % 10).alias("location_id"),
+        nullify_when(
+            F.col("l_returnflag"), F.col("l_linenumber") % 3 == 0
+        ).alias("state_raw"),
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit("garbage"))
+        .otherwise(F.col("l_quantity").cast("string"))
+        .alias("quantity_str"),
+        F.col("l_shipdate").alias("calculated_at"),
+    )
+
+
+def inventory_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Inventory map (src/etl-square-inventory.ts:30-60): id required
+    (skip), quantity parseFloat with skip ONLY on non-finite — zero and
+    negative counts are legitimate stock states (:39-45) — and
+    ``state ?? "UNKNOWN"`` (:55).  The natural key spans
+    (object, location, state), so within-batch duplicates collapse
+    last-writer-wins by calculated_at at merge time."""
+    qty = F.col("quantity_str").try_cast("double")
+    staged = source.withColumn("quantity", qty)
+    good, rejects = quarantine_split(
+        staged,
+        [
+            ("missing_object_id", F.col("catalog_object_id").isNull()),
+            ("invalid_quantity", F.col("quantity").isNull()),
+        ],
+    )
+    rows = enrich_constants(
+        good.select(
+            "catalog_object_id",
+            "catalog_object_type",
+            "location_id",
+            with_default("state_raw", "UNKNOWN").alias("state"),
+            "quantity",
+            "calculated_at",
+        ),
+        **TENANCY,
+    ).withColumn(
+        "raw_payload",
+        F.to_json(F.struct("catalog_object_id", "location_id", "quantity")),
+    )
+    return _conform(rows, "pos_inventory"), rejects
+
+
+# ---------------------------------------------------------------------------
+# Categories (src/etl-square-categories.ts)
+# ---------------------------------------------------------------------------
+
+
+def categories_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        nullify_when(
+            F.concat(F.lit("cat-"), F.col("n_nationkey")), F.col("n_nationkey") % 23 == 0
+        ).alias("category_id"),
+        nullify_when(F.col("n_name"), F.col("n_nationkey") % 5 == 0).alias(
+            "name_raw"
+        ),
+        nullify_when(
+            F.col("n_regionkey") == 0, F.col("n_nationkey") % 3 == 0
+        ).alias("top_level_raw"),
+    )
+
+
+def categories_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Category map (src/etl-square-categories.ts:29-53): id required,
+    ``name ?? "Unknown Category"`` (:36), ``is_top_level ?? true``
+    (:38), parent left NULL exactly as the reference does (:42)."""
+    good, rejects = quarantine_split(
+        source, [("missing_id", F.col("category_id").isNull())]
+    )
+    rows = enrich_constants(
+        good.select(
+            "category_id",
+            with_default("name_raw", "Unknown Category").alias("category_name"),
+            F.lit(None).cast("string").alias("parent_category_id"),
+            with_default("top_level_raw", True).alias("is_top_level"),
+            F.lit(False).alias("is_deleted"),
+        ),
+        **TENANCY,
+    ).withColumn("raw_payload", F.to_json(F.struct("category_id")))
+    return _conform(rows, "pos_categories"), rejects
+
+
+# ---------------------------------------------------------------------------
+# Locations (src/etl-square-locations.ts)
+# ---------------------------------------------------------------------------
+
+
+def locations_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        nullify_when(
+            F.concat(F.lit("loc-"), F.col("c_custkey")), F.col("c_custkey") % 31 == 0
+        ).alias("location_id"),
+        nullify_when(F.col("c_name"), F.col("c_custkey") % 4 == 0).alias(
+            "location_name"
+        ),
+        nullify_when(F.col("c_mktsegment"), F.col("c_custkey") % 6 == 0).alias(
+            "addr_line1"
+        ),
+        nullify_when(
+            F.concat(F.lit("city-"), F.col("c_nationkey")), F.col("c_custkey") % 9 == 0
+        ).alias("addr_locality"),
+        nullify_when(F.lit("UTC"), F.col("c_custkey") % 11 == 0).alias("timezone"),
+        nullify_when(F.lit("ACTIVE"), F.col("c_custkey") % 13 == 0).alias("status"),
+    )
+
+
+def locations_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Location map (src/etl-square-locations.ts:29-53): id AND name
+    required (:30-33, the only two-field requirement in the reference),
+    address parts joined null-skipping with ''→NULL (P6 exactly)."""
+    good, rejects = quarantine_split(
+        source,
+        [
+            ("missing_id", F.col("location_id").isNull()),
+            ("missing_name", F.col("location_name").isNull()),
+        ],
+    )
+    rows = enrich_constants(
+        good.select(
+            "location_id",
+            "location_name",
+            flatten_address("addr_line1", "addr_locality").alias("address"),
+            "timezone",
+            "status",
+        ),
+        **TENANCY,
+    ).withColumn("raw_payload", F.to_json(F.struct("location_id")))
+    return _conform(rows, "pos_locations"), rejects
+
+
+# ---------------------------------------------------------------------------
+# Runner: the main() tail every reference script shares — upsert the
+# mapped batch into the warehouse table, short-circuit on empty.
+# ---------------------------------------------------------------------------
+
+
+def run_pipeline(
+    spark: SparkSession,
+    table: str,
+    rows: DataFrame,
+    target_path: str,
+) -> int:
+    """Merge pipeline output into its warehouse table (the reference's
+    BEGIN → ON CONFLICT upsert loop → COMMIT, src/etl-square-payments.ts
+    :49-128).  Key + last-writer order come from the declared schema
+    registry; returns rows in the target after the merge."""
+    _, key = WAREHOUSE_TABLES[table]
+    order_cols = [c for c in ("updated_at", "calculated_at") if c in rows.columns]
+    return merge_upsert(
+        spark, target_path, rows, keys=key, order_cols=order_cols or key
+    )
+
+
+#: pipeline name → (source adapter, pipeline fn) for tests/discovery.
+PIPELINES = {
+    "pos_payments": (payments_source, payments_pipeline),
+    "pos_inventory": (inventory_source, inventory_pipeline),
+    "pos_categories": (categories_source, categories_pipeline),
+    "pos_locations": (locations_source, locations_pipeline),
+}
