@@ -18,7 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from square_etl_spark.schemas import EVENTS_RAW, FIXTURE_TABLES
+from square_etl_spark.schemas import FIXTURE_TABLES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
@@ -49,17 +49,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Column pruning + predicate pushdown happen in whatever the caller
     layers on top — callers should ``.select`` only what they need.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
-    cannot represent: it is read as raw int64 nanoseconds and truncated
-    to microseconds (``ts div 1000`` — integer division, so exactly
-    DuckDB's ns→µs cast semantics for the oracle comparison).
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (which Spark cannot represent
+    natively — with ``nanosAsLong`` it reads as raw int64 nanoseconds,
+    truncated here to microseconds with integer division, exactly
+    DuckDB's ns→µs cast) and plain TIMESTAMP(MICROS) (read directly).
+    The footer decides which path applies — hard-coding either one
+    corrupts the other by 1000× (epoch-1970 symptom).
     """
     ensure_engine_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        raw = spark.read.schema(EVENTS_RAW).parquet(path)
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).select(
-            "event_id", "ts", "user_id", "event_type", "value", "props"
+        raw = spark.read.parquet(path)  # footer-inferred: bigint iff NANOS
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return raw.select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+            F.col("props").cast("string").alias("props"),
         )
     schema = FIXTURE_TABLES.get(name)
     reader = spark.read

@@ -1173,6 +1173,7 @@ _register(
         SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
         """,
         doc="connected components over near-dup pairs (iterative min-label propagation)",
+        bench=True,
     )
 )
 
@@ -2356,6 +2357,7 @@ _register(
         ) GROUP BY supp_nation, o_year
         """,
         doc="TPC-H Q9 shape (adapted cost: no partsupp in fixtures)",
+        bench=True,
     )
 )
 
@@ -3572,6 +3574,7 @@ _register(
         FROM ord
         """,
         doc="concat-and-split sequence packing: two-phase prefix sum, hash order",
+        bench=True,
     )
 )
 
@@ -3610,6 +3613,7 @@ _register(
         GROUP BY doc_id
         """,
         doc="benchmark decontamination hits: broadcast shingle semi-join",
+        bench=True,
     )
 )
 
@@ -3682,17 +3686,222 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# End-to-end warehouse pipelines (reference mains, §2 composition proof)
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payments ETL main end-to-end (src/etl-square-payments.ts:130-150):
+    fixture-adapter scan → money coalesce + quarantine → tenancy enrich →
+    POS_PAYMENTS conformance.  ``raw_payload`` is excluded from the
+    checked output only because Spark's ``to_json`` and DuckDB's JSON
+    serialization differ on key order/null elision — the column itself
+    is pinned by tests/test_pipelines.py."""
+    from square_etl_spark import pipelines as P
+
+    rows, _ = P.payments_pipeline(P.payments_source(spark, sf_dir))
+    return rows.drop("raw_payload")
+
+
+_register(
+    QuerySpec(
+        "pipeline_payments",
+        _pipeline_payments,
+        oracle="""
+        WITH src AS (
+          SELECT 'pay-' || o_orderkey AS payment_id,
+                 CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                      ELSE 'ord-' || o_orderkey END AS order_id,
+                 'loc-' || (o_custkey % 10) AS location_id,
+                 o_orderdate AS created_at,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_orderdate + INTERVAL 1 HOUR END AS updated_at,
+                 CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                      ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS total_amount,
+                 CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                      ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS amount_amount,
+                 'USD' AS currency,
+                 o_orderstatus AS status,
+                 'cust-' || o_custkey AS customer_id,
+                 CASE WHEN o_orderkey % 2 = 0 THEN NULL
+                      ELSE 'ref-' || o_orderkey END AS reference_id
+          FROM orders)
+        SELECT 'tenant-1' AS tenant_id,
+               'square' AS provider,
+               'default-square' AS provider_account_id,
+               payment_id, order_id, location_id, created_at, updated_at,
+               COALESCE(total_amount, amount_amount) AS amount,
+               currency, status, customer_id, reference_id
+        FROM src
+        WHERE COALESCE(total_amount, amount_amount) IS NOT NULL
+        """,
+        doc="payments ETL main end-to-end: scan → map → quarantine → conform",
+    )
+)
+
+
+def _pipeline_order_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The order-items ETL main end-to-end (src/etl-square-orders.ts:174-217):
+    first-wins order→payment map, broadcast join onto exploded lines,
+    per-line validity quarantine, POS_ORDER_ITEMS conformance — the
+    reference's widest composition as one declarative plan."""
+    from square_etl_spark import pipelines as P
+
+    rows, _ = P.order_items_pipeline(
+        P.payments_source(spark, sf_dir), P.order_items_source(spark, sf_dir)
+    )
+    return rows.drop("raw_payload")
+
+
+_register(
+    QuerySpec(
+        "pipeline_order_items",
+        _pipeline_order_items,
+        oracle="""
+        WITH o2p AS (
+          SELECT 'ord-' || o_orderkey AS order_id,
+                 MIN('pay-' || o_orderkey) AS payment_id
+          FROM orders WHERE o_orderkey % 5 <> 0
+          GROUP BY 1),
+        lines AS (
+          SELECT 'ord-' || l_orderkey AS order_id,
+                 CASE WHEN (l_orderkey + l_linenumber) % 13 = 0 THEN NULL
+                      ELSE 'li-' || l_orderkey || '-' || l_linenumber
+                 END AS line_item_uid,
+                 'obj-' || l_partkey AS catalog_object_id,
+                 CASE WHEN l_partkey % 6 = 0 THEN NULL
+                      ELSE 'item ' || l_partkey END AS item_name,
+                 CASE WHEN l_orderkey % 7 = 0 THEN 'garbage'
+                      WHEN l_orderkey % 11 = 0 THEN CAST(-l_quantity AS VARCHAR)
+                      ELSE CAST(l_quantity AS VARCHAR)
+                 END AS quantity_str,
+                 CASE WHEN l_linenumber % 4 = 0 THEN NULL
+                      ELSE CAST(floor(l_extendedprice * 100) AS BIGINT)
+                 END AS base_price_amount,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS total_money_amount,
+                 'loc-' || (l_suppkey % 10) AS location_id
+          FROM lineitem),
+        staged AS (
+          SELECT l.*, p.payment_id,
+                 TRY_CAST(l.quantity_str AS DOUBLE) AS quantity
+          FROM lines l JOIN o2p p USING (order_id))
+        SELECT 'tenant-1' AS tenant_id,
+               'square' AS provider,
+               'default-square' AS provider_account_id,
+               order_id, payment_id, line_item_uid, catalog_object_id,
+               item_name, CAST(NULL AS VARCHAR) AS sku, quantity,
+               base_price_amount, total_money_amount,
+               'USD' AS currency, location_id
+        FROM staged
+        WHERE line_item_uid IS NOT NULL
+          AND quantity IS NOT NULL AND quantity > 0
+        """,
+        doc="order-items ETL main end-to-end: first-wins map → broadcast join → quarantine → conform",
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Check-priority ordering
+# ---------------------------------------------------------------------------
+# The driver's correctness harness checks queries in `queries()` dict order
+# and caps at 50 entries per round, so with 90+ registered queries the
+# ordering decides which get a hard oracle signal.  Round 1 checked the
+# first 50 in registration order (CORRECTNESS_r01.json) and left 41 with
+# no row.  This list front-loads, for round 2: every query with no round-1
+# row, the one round-1 errored check (multimodal_decode, now emitting JSON
+# features), and one anchor per already-green operator family (scan,
+# functions, quality, streaming windows, dedup-core, flagship) so each
+# family keeps a current-round row.  Queries not listed follow in
+# registration order — they all have green r01 rows.  Rotate per round so
+# every query is re-checked regularly.
+_CHECK_PRIORITY: list[str] = [
+    # -- unchecked in round 1: TPC-H / SQL shapes
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q21_waiting_suppliers",
+    "q22_dormant_rich",
+    "agg_grouping_sets",
+    "agg_cube",
+    "pivot_event_counts",
+    # -- unchecked: projections / aggregation observability
+    "p4_cast_guard_default",
+    "p5_literal_defaults",
+    "p7_type_dispatch",
+    "a2_stage_counts",
+    # -- unchecked: window / analytic
+    "window_rank_lag",
+    "window_running_total",
+    "orders_above_cust_avg",
+    # -- unchecked: join family extensions
+    "join_semi_active",
+    "join_anti_dormant",
+    "asof_join_clicks",
+    "range_join_binned",
+    "sessionize_events",
+    # -- unchecked: similarity / dedup scale paths
+    "ann_topk_ivf",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_decontaminate",
+    "corpus_clean_pipeline",
+    # -- unchecked: sampling / sharding / profiling
+    "sample_hash_documents",
+    "mix_weighted_sources",
+    "sample_stratified_lang",
+    "shard_assignment",
+    "histogram_doc_length",
+    "decile_customer_acctbal",
+    "profile_orders_columns",
+    # -- unchecked: arrow / text extensions / packing
+    "arrow_group_median_dev",
+    "arrow_token_count",
+    "text_pii_redaction",
+    "text_repetition_stats",
+    "pack_training_sequences",
+    # -- unchecked: partition-restricted merge (new this round)
+    "k1_merge_partitioned",
+    # -- errored in round 1 (array canonicalization, now fixed)
+    "multimodal_decode",
+    # -- end-to-end POS pipeline compositions (new this round)
+    "pipeline_payments",
+    "pipeline_order_items",
+    # -- anchors: one per already-green family, re-checked each round
+    "flagship_star_revenue",
+    "s1_windowed_scan",
+    "f2_json_extract",
+    "e1_quarantine_rejects",
+]
+
+
+def _ordered() -> list[QuerySpec]:
+    by_name = {spec.name: spec for spec in _REGISTRY}
+    unknown = [n for n in _CHECK_PRIORITY if n not in by_name]
+    if unknown:  # fail loudly — a typo here silently loses coverage
+        raise KeyError(f"_CHECK_PRIORITY names unknown queries: {unknown}")
+    head = [by_name[n] for n in _CHECK_PRIORITY]
+    tail = [spec for spec in _REGISTRY if spec.name not in set(_CHECK_PRIORITY)]
+    return head + tail
+
+
 def registry() -> list[QuerySpec]:
-    return list(_REGISTRY)
+    return _ordered()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {spec.name: spec.fn for spec in _REGISTRY}
+    return {spec.name: spec.fn for spec in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        spec.name: spec.oracle for spec in _REGISTRY if spec.oracle is not None
+        spec.name: spec.oracle for spec in _ordered() if spec.oracle is not None
     }
 
 

@@ -236,10 +236,12 @@ EVENTS = T.StructType(
     ]
 )
 
-#: physical read schema for events: the fixture stores ts as parquet
-#: TIMESTAMP(NANOS), which Spark cannot represent — it is read as raw
-#: int64 (legacy.parquet.nanosAsLong) and truncated to µs in
-#: io.load_table, matching DuckDB's ns→µs cast.
+#: physical read schema for events WHEN the fixture stores ts as
+#: parquet TIMESTAMP(NANOS) (which Spark cannot represent — read as
+#: raw int64 via legacy.parquet.nanosAsLong, truncated to µs in
+#: io.load_table, matching DuckDB's ns→µs cast).  Current fixture
+#: generations store TIMESTAMP(MICROS); io.load_table sniffs the
+#: footer and only applies the ns path when ts reads as bigint.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
