@@ -47,7 +47,7 @@ from square_etl_spark.operators.projections import (
 )
 from square_etl_spark.operators.quality import quarantine_split
 from square_etl_spark.schemas import WAREHOUSE_TABLES
-from square_etl_spark.sinks.merge import merge_upsert
+from square_etl_spark.sinks.merge import merge_upsert, merge_upsert_partitioned
 
 #: the reference's env-driven tenancy constants with their defaults
 #: (src/etl-square-payments.ts:8-11).
@@ -58,13 +58,16 @@ TENANCY = {
 }
 
 
-def _conform(df: DataFrame, table: str) -> DataFrame:
+def _conform(df: DataFrame, table: str, extra: tuple[str, ...] = ()) -> DataFrame:
     """Project to the declared POS schema: exact column order + types
-    (schema inference never decides a warehouse layout)."""
+    (schema inference never decides a warehouse layout).  ``extra``
+    appends non-schema columns (e.g. a derived partition date) after
+    the declared layout — used only on the merge path, never in the
+    checked query output."""
     schema, _ = WAREHOUSE_TABLES[table]
-    return df.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    )
+    cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    cols += [F.col(c) for c in extra]
+    return df.select(*cols)
 
 
 # ---------------------------------------------------------------------------
@@ -100,12 +103,19 @@ def payments_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def payments_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
+def payments_pipeline(
+    source: DataFrame, with_part_date: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """Map + quarantine for payments: money = total ?? amount; a row
     with NEITHER is the reference's throw (src/etl-square-payments.ts:
     30-32) — here it lands in quarantine instead of killing the batch
     (E1 posture, SURVEY.md §2.9).  Returns (warehouse rows conforming
-    to POS_PAYMENTS, rejects)."""
+    to POS_PAYMENTS, rejects).
+
+    ``with_part_date`` appends ``part_date = to_date(created_at)`` for
+    the partition-restricted merge path (run_pipeline): payment
+    creation date is immutable per natural key, the invariant
+    merge_upsert_partitioned requires."""
     money = coalesce_first("total_amount", "amount_amount")
     mapped = source.withColumn("amount", money)
     good, rejects = quarantine_split(
@@ -115,7 +125,14 @@ def payments_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
         "raw_payload",
         F.to_json(F.struct(*source.columns)),
     )
-    return _conform(rows, "pos_payments"), rejects
+    extra: tuple[str, ...] = ()
+    if with_part_date:
+        # month granularity in-container (the fixture spans ~7 years;
+        # daily would mean thousands of tiny partition dirs at sf0.001)
+        # — at production volume make this F.to_date(created_at) daily.
+        rows = rows.withColumn("part_date", F.trunc("created_at", "month"))
+        extra = ("part_date",)
+    return _conform(rows, "pos_payments", extra), rejects
 
 
 # ---------------------------------------------------------------------------
@@ -161,7 +178,7 @@ def order_items_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_items_pipeline(
-    payments: DataFrame, lines: DataFrame
+    payments: DataFrame, lines: DataFrame, with_part_date: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """The reference main (src/etl-square-orders.ts:174-217) as one
     declarative plan:
@@ -177,11 +194,19 @@ def order_items_pipeline(
 
     The order→payment map is small relative to lines (one row per
     order) — broadcast it so line items never shuffle.
+
+    ``with_part_date`` carries the winning payment's ``created_at``
+    through the map and appends ``part_date = to_date(created_at)``
+    for the partition-restricted merge path: order date is immutable
+    per (order_id, line_item_uid) natural key — order_id is IN the
+    key, and the first-wins payment choice is deterministic — so the
+    merge_upsert_partitioned invariant holds.
     """
+    o2p_cols = ["order_id", "payment_id"] + (
+        ["created_at"] if with_part_date else []
+    )
     o2p = first_wins(
-        payments.filter(F.col("order_id").isNotNull()).select(
-            "order_id", "payment_id"
-        ),
+        payments.filter(F.col("order_id").isNotNull()).select(*o2p_cols),
         key_cols=["order_id"],
         order_cols=["payment_id"],
     )
@@ -210,7 +235,11 @@ def order_items_pipeline(
             ),
         )
     )
-    return _conform(rows, "pos_order_items"), rejects
+    extra: tuple[str, ...] = ()
+    if with_part_date:
+        rows = rows.withColumn("part_date", F.trunc("created_at", "month"))
+        extra = ("part_date",)
+    return _conform(rows, "pos_order_items", extra), rejects
 
 
 # ---------------------------------------------------------------------------
@@ -429,18 +458,51 @@ def locations_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
 # ---------------------------------------------------------------------------
 
 
+#: fact table → its partition column for the partition-restricted
+#: merge path.  Dimensions (catalog/categories/locations, and
+#: inventory whose calculated_at MUTATES per key, violating the
+#: partition invariant) stay on the full merge — they are small.
+#: Facts partition by the derived ``part_date`` (creation date,
+#: immutable per natural key), so an hourly 24 h-lookback batch
+#: rewrites ~1 day of partitions instead of the whole table — the
+#: difference between O(batch) and O(table) I/O per run at 100 TB.
+FACT_PARTITION: dict[str, str] = {
+    "pos_payments": "part_date",
+    "pos_order_items": "part_date",
+}
+
+
 def run_pipeline(
     spark: SparkSession,
     table: str,
     rows: DataFrame,
     target_path: str,
+    partition_col: str | None = None,
 ) -> int:
     """Merge pipeline output into its warehouse table (the reference's
     BEGIN → ON CONFLICT upsert loop → COMMIT, src/etl-square-payments.ts
     :49-128).  Key + last-writer order come from the declared schema
-    registry; returns rows in the target after the merge."""
+    registry; returns rows in the target after the merge.
+
+    Routing: fact tables (FACT_PARTITION) go through the
+    partition-restricted merge automatically when their pipeline was
+    built ``with_part_date=True`` — pass ``partition_col`` explicitly
+    to override, or build dims without one to get the full merge."""
     _, key = WAREHOUSE_TABLES[table]
     order_cols = [c for c in ("updated_at", "calculated_at") if c in rows.columns]
+    if partition_col is None:
+        default_part = FACT_PARTITION.get(table)
+        if default_part is not None and default_part in rows.columns:
+            partition_col = default_part
+    if partition_col is not None:
+        return merge_upsert_partitioned(
+            spark,
+            target_path,
+            rows,
+            keys=key,
+            order_cols=order_cols or key,
+            partition_col=partition_col,
+        )
     return merge_upsert(
         spark, target_path, rows, keys=key, order_cols=order_cols or key
     )

@@ -3802,6 +3802,176 @@ _register(
     )
 )
 
+def _pipeline_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog ETL main end-to-end (src/etl-square-catalog.ts:129-172):
+    the reference's driver-side ITEM.id→name/category maps become ONE
+    broadcast left join, the ``parentName ?? variationName`` fallback is
+    P3's coalesce, missing-id variations quarantine (:35-38), conform to
+    POS_CATALOG.  ``raw_payload`` excluded as in pipeline_payments."""
+    from square_etl_spark import pipelines as P
+
+    items, variations = P.catalog_source(spark, sf_dir)
+    rows, _ = P.catalog_pipeline(items, variations)
+    return rows.drop("raw_payload")
+
+
+_register(
+    QuerySpec(
+        "pipeline_catalog",
+        _pipeline_catalog,
+        oracle="""
+        WITH items AS (
+          SELECT 'item-' || p_partkey AS item_id,
+                 CASE WHEN p_partkey % 2 = 0 THEN NULL ELSE p_name END AS item_name,
+                 CASE WHEN p_partkey % 6 = 0 THEN NULL
+                      ELSE 'cat-' || (p_partkey % 25) END AS category_id
+          FROM part),
+        vars AS (
+          SELECT CASE WHEN p_partkey % 17 = 0 THEN NULL
+                      ELSE 'var-' || p_partkey END AS catalog_object_id,
+                 'ITEM_VARIATION' AS object_type,
+                 'item-' || p_partkey AS item_id,
+                 p_type AS variation_name,
+                 CASE WHEN p_partkey % 4 = 0 THEN NULL
+                      ELSE p_brand || '-' || p_partkey END AS sku,
+                 p_partkey % 10 = 0 AS is_deleted
+          FROM part)
+        SELECT 'tenant-1' AS tenant_id,
+               'square' AS provider,
+               'default-square' AS provider_account_id,
+               catalog_object_id, object_type,
+               COALESCE(item_name, variation_name) AS item_name,
+               variation_name, sku, category_id,
+               COALESCE(is_deleted, FALSE) AS is_deleted
+        FROM vars LEFT JOIN items USING (item_id)
+        WHERE catalog_object_id IS NOT NULL
+        """,
+        doc="catalog ETL main end-to-end: broadcast build/probe + parent-name fallback",
+    )
+)
+
+
+def _pipeline_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inventory ETL main end-to-end (src/etl-square-inventory.ts:
+    126-142): id required, parseFloat-with-skip quantity (zero/negative
+    stock states legal), ``state ?? "UNKNOWN"``, conform to
+    POS_INVENTORY."""
+    from square_etl_spark import pipelines as P
+
+    rows, _ = P.inventory_pipeline(P.inventory_source(spark, sf_dir))
+    return rows.drop("raw_payload")
+
+
+_register(
+    QuerySpec(
+        "pipeline_inventory",
+        _pipeline_inventory,
+        oracle="""
+        WITH src AS (
+          SELECT CASE WHEN l_orderkey % 19 = 0 THEN NULL
+                      ELSE 'obj-' || l_partkey END AS catalog_object_id,
+                 'ITEM_VARIATION' AS catalog_object_type,
+                 'loc-' || (l_suppkey % 10) AS location_id,
+                 CASE WHEN l_linenumber % 3 = 0 THEN NULL
+                      ELSE l_returnflag END AS state_raw,
+                 CASE WHEN l_orderkey % 7 = 0 THEN 'garbage'
+                      ELSE CAST(l_quantity AS VARCHAR) END AS quantity_str,
+                 l_shipdate AS calculated_at
+          FROM lineitem)
+        SELECT 'tenant-1' AS tenant_id,
+               'square' AS provider,
+               'default-square' AS provider_account_id,
+               catalog_object_id, catalog_object_type, location_id,
+               COALESCE(state_raw, 'UNKNOWN') AS state,
+               TRY_CAST(quantity_str AS DOUBLE) AS quantity,
+               calculated_at
+        FROM src
+        WHERE catalog_object_id IS NOT NULL
+          AND TRY_CAST(quantity_str AS DOUBLE) IS NOT NULL
+        """,
+        doc="inventory ETL main end-to-end: tolerant parse + enum default + conform",
+    )
+)
+
+
+def _pipeline_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categories ETL main end-to-end (src/etl-square-categories.ts):
+    id required, ``name ?? "Unknown Category"``, ``is_top_level ?? true``,
+    parent left NULL exactly as the reference does (:42)."""
+    from square_etl_spark import pipelines as P
+
+    rows, _ = P.categories_pipeline(P.categories_source(spark, sf_dir))
+    return rows.drop("raw_payload")
+
+
+_register(
+    QuerySpec(
+        "pipeline_categories",
+        _pipeline_categories,
+        oracle="""
+        WITH src AS (
+          SELECT CASE WHEN n_nationkey % 23 = 0 THEN NULL
+                      ELSE 'cat-' || n_nationkey END AS category_id,
+                 CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END AS name_raw,
+                 CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                      ELSE n_regionkey = 0 END AS top_level_raw
+          FROM nation)
+        SELECT 'tenant-1' AS tenant_id,
+               'square' AS provider,
+               'default-square' AS provider_account_id,
+               category_id,
+               COALESCE(name_raw, 'Unknown Category') AS category_name,
+               CAST(NULL AS VARCHAR) AS parent_category_id,
+               COALESCE(top_level_raw, TRUE) AS is_top_level,
+               FALSE AS is_deleted
+        FROM src
+        WHERE category_id IS NOT NULL
+        """,
+        doc="categories ETL main end-to-end: literal defaults + typed null parent",
+    )
+)
+
+
+def _pipeline_locations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The locations ETL main end-to-end (src/etl-square-locations.ts):
+    the reference's only two-field requirement (id AND name, :30-33),
+    address struct flattened null-skipping with ''→NULL (P6)."""
+    from square_etl_spark import pipelines as P
+
+    rows, _ = P.locations_pipeline(P.locations_source(spark, sf_dir))
+    return rows.drop("raw_payload")
+
+
+_register(
+    QuerySpec(
+        "pipeline_locations",
+        _pipeline_locations,
+        oracle="""
+        WITH src AS (
+          SELECT CASE WHEN c_custkey % 31 = 0 THEN NULL
+                      ELSE 'loc-' || c_custkey END AS location_id,
+                 CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name END AS location_name,
+                 CASE WHEN c_custkey % 6 = 0 THEN NULL
+                      ELSE c_mktsegment END AS addr_line1,
+                 CASE WHEN c_custkey % 9 = 0 THEN NULL
+                      ELSE 'city-' || c_nationkey END AS addr_locality,
+                 CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE 'UTC' END AS timezone,
+                 CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE 'ACTIVE' END AS status
+          FROM customer)
+        SELECT 'tenant-1' AS tenant_id,
+               'square' AS provider,
+               'default-square' AS provider_account_id,
+               location_id, location_name,
+               NULLIF(concat_ws(', ', addr_line1, addr_locality), '') AS address,
+               timezone, status
+        FROM src
+        WHERE location_id IS NOT NULL AND location_name IS NOT NULL
+        """,
+        doc="locations ETL main end-to-end: two-field requirement + address flatten",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

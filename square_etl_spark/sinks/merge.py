@@ -34,10 +34,25 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from square_etl_spark.operators.aggregations import last_writer_wins
+
+
+def _write_counted(df: DataFrame, path: str, partition_col: str | None = None) -> int:
+    """Write ``df`` as parquet and return its row count WITHOUT a
+    second scan: an :class:`Observation` piggybacks the count on the
+    write job itself (the write is the action that populates it).
+    Replaces the old ``spark.read.parquet(path).count()`` re-read —
+    at 100 TB that re-read was a full extra pass over the merged
+    output per batch."""
+    obs = Observation()
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
+    return obs.get["n"]
 
 
 def merge_dataframes(
@@ -103,8 +118,7 @@ def merge_upsert(
     tmp = os.path.join(
         tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}", os.path.basename(target_path)
     )
-    merged.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    n = _write_counted(merged, tmp)
     if os.path.exists(target_path):
         shutil.rmtree(target_path)
     shutil.move(tmp, target_path)
@@ -155,10 +169,7 @@ def merge_upsert_partitioned(
     touched = [r[0] for r in batch.select(partition_col).distinct().collect()]
     if not os.path.exists(target_path):
         batch_dedup = merge_dataframes(None, batch, keys, order_cols)
-        batch_dedup.write.mode("overwrite").partitionBy(partition_col).parquet(
-            target_path
-        )
-        return spark.read.parquet(target_path).count()
+        return _write_counted(batch_dedup, target_path, partition_col)
 
     target_slice = (
         spark.read.schema(batch.schema)
@@ -170,8 +181,7 @@ def merge_upsert_partitioned(
         target_slice, batch, keys, order_cols, stamp_updated_at
     )
     tmp = os.path.join(tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}")
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    n = _write_counted(merged, tmp, partition_col)
     # swap ONLY the partition dirs the batch touched (tmp holds exactly
     # the touched values by construction — merged == slice ∪ batch)
     for entry in os.listdir(tmp):

@@ -210,3 +210,27 @@ def test_partitioned_merge_empty_batch_short_circuits(spark, tmp_path):
         spark, target, empty, ["k"], ["updated_at"], "day"
     ) == 0
     assert not os.path.exists(target)
+
+
+def test_merge_upsert_counts_on_write_no_reread_job(spark, tmp_path):
+    """The merge returns its row count from an Observation riding the
+    write job (merge._write_counted) instead of re-reading the merged
+    output — one fewer Spark job, and at 100 TB one fewer full scan,
+    per merge.  Pinned via job groups: the old re-read variant measured
+    exactly one job more on both paths (4 fresh / 7 existing)."""
+    target = os.path.join(tmp_path, "tbl")
+    batch = _pbatch(spark, [
+        ("a", 1, "2024-01-01 00:00:00", "2024-01-01"),
+        ("b", 2, "2024-01-01 00:00:00", "2024-01-01"),
+    ]).drop("day")
+    sc = spark.sparkContext
+    sc.setJobGroup("merge-fresh", "observe count, fresh target")
+    n1 = merge_upsert(spark, target, batch, ["k"], ["updated_at"])
+    fresh_jobs = len(sc.statusTracker().getJobIdsForGroup("merge-fresh"))
+    sc.setJobGroup("merge-existing", "observe count, existing target")
+    n2 = merge_upsert(spark, target, batch, ["k"], ["updated_at"])
+    existing_jobs = len(sc.statusTracker().getJobIdsForGroup("merge-existing"))
+    sc.setLocalProperty("spark.jobGroup.id", None)
+    assert n1 == n2 == 2
+    assert fresh_jobs <= 3, f"fresh merge ran {fresh_jobs} jobs (re-read crept back?)"
+    assert existing_jobs <= 6, f"existing merge ran {existing_jobs} jobs"

@@ -128,3 +128,75 @@ def test_pipeline_merge_run_twice_equals_run_once(spark, sf_dir, tmp_path):
     # key uniqueness in the warehouse table
     _, key = WAREHOUSE_TABLES["pos_payments"]
     assert state2.groupBy(*key).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_pipeline_partitioned_merge_run_twice(spark, sf_dir, tmp_path):
+    """Fact tables route through the partition-restricted merge
+    (FACT_PARTITION): with_part_date=True lays the target out hive-
+    partitioned by month, and run-twice ≡ run-once holds on that path."""
+    rows, _ = P.payments_pipeline(
+        P.payments_source(spark, sf_dir), with_part_date=True
+    )
+    target = os.path.join(tmp_path, "pos_payments")
+    n1 = P.run_pipeline(spark, "pos_payments", rows, target)
+    assert any(e.startswith("part_date=") for e in os.listdir(target))
+    n2 = P.run_pipeline(spark, "pos_payments", rows, target)
+    state = spark.read.option("basePath", target).parquet(target)
+    assert n1 == n2 == state.count()
+    _, key = WAREHOUSE_TABLES["pos_payments"]
+    assert state.groupBy(*key).count().filter(F.col("count") > 1).count() == 0
+
+
+def test_pipeline_partitioned_merge_leaves_out_of_window_partitions_untouched(
+    spark, sf_dir, tmp_path
+):
+    """An incremental batch restricted to one month rewrites ONLY that
+    month's partition: every out-of-window partition's files stay
+    byte-identical (same name, size, sha256) — the O(batch)-not-
+    O(table) property that makes hourly merges viable at 100 TB."""
+    import hashlib
+
+    rows, _ = P.payments_pipeline(
+        P.payments_source(spark, sf_dir), with_part_date=True
+    )
+    target = os.path.join(tmp_path, "pos_payments")
+    P.run_pipeline(spark, "pos_payments", rows, target)
+    parts = sorted(e for e in os.listdir(target) if e.startswith("part_date="))
+    assert len(parts) > 1
+    window = parts[0].split("=", 1)[1]
+
+    def files_outside_window():
+        out = {}
+        for d in parts[1:]:
+            pdir = os.path.join(target, d)
+            for f in sorted(os.listdir(pdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(pdir, f)
+                with open(p, "rb") as fh:
+                    digest = hashlib.sha256(fh.read()).hexdigest()
+                out[(d, f)] = (os.path.getsize(p), digest)
+        return out
+
+    before = files_outside_window()
+    batch = rows.filter(F.col("part_date") == window)
+    assert batch.count() > 0
+    P.run_pipeline(spark, "pos_payments", batch, target)
+    assert files_outside_window() == before
+
+
+def test_pipeline_order_items_part_date_immutable_per_key(spark, sf_dir):
+    """part_date on order_items derives from the deterministic first-wins
+    payment's created_at: one part_date per order across re-runs — the
+    immutability invariant merge_upsert_partitioned requires."""
+    pay = P.payments_source(spark, sf_dir)
+    lines = P.order_items_source(spark, sf_dir)
+    rows, _ = P.order_items_pipeline(pay, lines, with_part_date=True)
+    assert rows.filter(F.col("part_date").isNull()).count() == 0
+    assert (
+        rows.groupBy("order_id")
+        .agg(F.countDistinct("part_date").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+        == 0
+    )
