@@ -26,28 +26,45 @@ wins on the natural key; ``updated_at`` stamped only when an existing row
 actually changes is the caller's concern — the reference stamps it
 unconditionally from the payload, and so do we here).
 
-CONTAINER NOTE: this environment has no Postgres server and no JDBC
-driver jar, so ``write_jdbc_upsert`` cannot be integration-tested here.
-The SQL generation and plan shape (staging write → set-based merge) are
-unit-tested in tests/test_jdbc_sink.py; the connection path raises a
-clear error when no driver is present.  This is the "thin adapter,
-marked as such" resolution of VERDICT r1 'What's missing' #3.
+CONTAINER NOTE: no Postgres server exists in this environment, so the
+``ON CONFLICT`` dialect stays SQL-gen-tested only — but Spark ships
+embedded Apache Derby jars, so the FULL wire path (parallel staging
+write → one server-side set-based merge in one transaction → staging
+drop) IS integration-tested against a live JDBC database using the
+ANSI ``MERGE`` dialect (tests/test_jdbc_sink.py::test_write_jdbc_
+upsert_derby_end_to_end).  Identifiers are emitted double-quoted
+lowercase to match what Spark's JDBC writer creates for the staging
+table (unquoted names would fold to uppercase on Derby and miss).
 """
 
 from __future__ import annotations
 
+import re
+import uuid
+
 from pyspark.sql import DataFrame
 
-_IDENT_OK = frozenset("abcdefghijklmnopqrstuvwxyz0123456789_.")
+_SEGMENT_RE = re.compile(r"^[a-z_][a-z0-9_]*$")
 
 
 def _ident(name: str) -> str:
-    """Validate a SQL identifier (we never interpolate user data, only
-    column/table names that come from our own schemas — but be strict
-    anyway)."""
-    if not name or not set(name.lower()) <= _IDENT_OK:
+    """Validate a SQL identifier: every dot-separated segment must be a
+    well-formed lowercase name (no leading digits, no empty segments,
+    no lone dots) so malformed names fail fast here instead of as a
+    server-side syntax error.  We never interpolate user data — only
+    column/table names from our own schemas — but be strict anyway."""
+    segments = name.split(".") if name else []
+    if not segments or not all(_SEGMENT_RE.match(s) for s in segments):
         raise ValueError(f"unsafe SQL identifier: {name!r}")
     return name
+
+
+def _q(name: str) -> str:
+    """Validated identifier, double-quoted per segment ("pos"."t").
+    Matches the quoted-lowercase staging table Spark's JDBC writer
+    creates, on both Postgres (which would fold unquoted to lowercase
+    anyway) and Derby (which would fold to uppercase and fail)."""
+    return ".".join(f'"{s}"' for s in _ident(name).split("."))
 
 
 def upsert_statement(
@@ -70,25 +87,59 @@ def upsert_statement(
     missing = [k for k in key_cols if k not in columns]
     if missing:
         raise ValueError(f"key columns not in column list: {missing}")
-    cols = ", ".join(_ident(c) for c in columns)
-    keys = ", ".join(_ident(k) for k in key_cols)
+    cols = ", ".join(_q(c) for c in columns)
+    keys = ", ".join(_q(k) for k in key_cols)
     updates = [c for c in columns if c not in key_cols]
     if not updates:
         # pure-key table: nothing to update on conflict
         return (
-            f"INSERT INTO {_ident(target)} ({cols})\n"
-            f"SELECT {cols} FROM {_ident(staging)}\n"
+            f"INSERT INTO {_q(target)} ({cols})\n"
+            f"SELECT {cols} FROM {_q(staging)}\n"
             f"ON CONFLICT ({keys}) DO NOTHING"
         )
-    set_clause = ",\n  ".join(f"{_ident(c)} = EXCLUDED.{_ident(c)}" for c in updates)
+    set_clause = ",\n  ".join(f"{_q(c)} = EXCLUDED.{_q(c)}" for c in updates)
     changed_guard = " OR ".join(
-        f"t.{_ident(c)} IS DISTINCT FROM EXCLUDED.{_ident(c)}" for c in updates
+        f"t.{_q(c)} IS DISTINCT FROM EXCLUDED.{_q(c)}" for c in updates
     )
     return (
-        f"INSERT INTO {_ident(target)} AS t ({cols})\n"
-        f"SELECT {cols} FROM {_ident(staging)}\n"
+        f"INSERT INTO {_q(target)} AS t ({cols})\n"
+        f"SELECT {cols} FROM {_q(staging)}\n"
         f"ON CONFLICT ({keys}) DO UPDATE SET\n  {set_clause}\n"
         f"WHERE {changed_guard}"
+    )
+
+
+def merge_statement(
+    target: str,
+    staging: str,
+    columns: list[str],
+    key_cols: list[str],
+) -> str:
+    """ANSI ``MERGE INTO`` equivalent of :func:`upsert_statement` for
+    engines without Postgres's ON CONFLICT (Derby, Oracle, SQL Server,
+    DB2).  Same last-writer-wins semantics; the one difference is the
+    no-op-update guard: IS DISTINCT FROM isn't portable, so matched
+    rows are updated unconditionally (still idempotent — re-running
+    rewrites identical values)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    missing = [k for k in key_cols if k not in columns]
+    if missing:
+        raise ValueError(f"key columns not in column list: {missing}")
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
+    updates = [c for c in columns if c not in key_cols]
+    insert_cols = ", ".join(_q(c) for c in columns)
+    insert_vals = ", ".join(f"s.{_q(c)}" for c in columns)
+    matched = ""
+    if updates:
+        set_clause = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in updates)
+        matched = f"WHEN MATCHED THEN UPDATE SET {set_clause}\n"
+    return (
+        f"MERGE INTO {_q(target)} t\n"
+        f"USING {_q(staging)} s\n"
+        f"ON ({on})\n"
+        f"{matched}"
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) VALUES ({insert_vals})"
     )
 
 
@@ -99,14 +150,19 @@ def dedupe_batch(df: DataFrame, key_cols: list[str], order_col: str | None = Non
     where the later loop iteration wins: etl-square-payments.ts:97-99,
     and merge.py's contract).  ``order_col`` picks the winner
     (e.g. updated_at); without it, an arbitrary-but-deterministic max
-    over all columns' struct is used.
+    over all columns' struct is used.  With ``order_col`` the same
+    full-row struct breaks ties, so two rows sharing key AND order_col
+    but differing in payload still pick the same winner on every run —
+    without the tiebreaker a re-run could flip the stored row and
+    defeat the IS DISTINCT FROM idempotence guard.
     """
     from pyspark.sql import Window, functions as F
 
+    full_row = F.struct(*[F.col(c) for c in df.columns]).desc()
     if order_col is not None:
-        ordering = [F.col(order_col).desc_nulls_last()]
+        ordering = [F.col(order_col).desc_nulls_last(), full_row]
     else:
-        ordering = [F.struct(*[F.col(c) for c in df.columns]).desc()]
+        ordering = [full_row]
     w = Window.partitionBy(*key_cols).orderBy(*ordering)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -122,8 +178,9 @@ def write_jdbc_upsert(
     key_cols: list[str],
     properties: dict[str, str] | None = None,
     order_col: str | None = None,
-    staging_suffix: str = "_staging",
     num_partitions: int | None = None,
+    dialect: str = "postgres",
+    run_id: str | None = None,
 ) -> str:
     """Distributed JDBC upsert: parallel staging write + one set-based
     server-side merge.  Returns the merge SQL it ran (or would run),
@@ -136,16 +193,28 @@ def write_jdbc_upsert(
     statement the database executes as a relational plan.  Empty
     batches short-circuit before any connection is opened (reference
     K3: etl-square-payments.ts:50-53).
+
+    ``dialect``: ``"postgres"`` → ON CONFLICT (the reference's sink,
+    db.ts:1-21); ``"ansi"`` → MERGE INTO (Derby/Oracle/SQL Server).
+
+    The staging table name is unique per run (``run_id``, default a
+    random hex token) so two concurrent upserts into the same target
+    can't overwrite each other's staging data mid-merge; on a failed
+    merge the staging table is best-effort dropped before the error
+    propagates, so no orphaned staging data survives.
     """
     props = dict(properties or {})
     props.setdefault("batchsize", "10000")
-    staging = table + staging_suffix
+    staging = f"{table}_stg_{run_id or uuid.uuid4().hex[:12]}"
 
     batch = dedupe_batch(df, key_cols, order_col)
     if num_partitions is not None:
         batch = batch.coalesce(num_partitions)
 
-    merge_sql = upsert_statement(table, staging, batch.columns, key_cols)
+    make_sql = {"postgres": upsert_statement, "ansi": merge_statement}
+    if dialect not in make_sql:
+        raise ValueError(f"unknown dialect {dialect!r}; use 'postgres' or 'ansi'")
+    merge_sql = make_sql[dialect](table, staging, batch.columns, key_cols)
 
     # K3 empty-batch short-circuit: isEmpty() is a limit-1 scan, cheap.
     if batch.isEmpty():
@@ -156,12 +225,14 @@ def write_jdbc_upsert(
         raise RuntimeError(
             "write_jdbc_upsert needs a JDBC driver on the Spark classpath "
             "and its class name in properties['driver'] (e.g. "
-            "'org.postgresql.Driver'). This container ships no driver jar, "
-            "so the connection path is untestable here by design; see the "
-            "module docstring."
+            "'org.postgresql.Driver', or the in-container "
+            "'org.apache.derby.jdbc.EmbeddedDriver' Spark ships)."
         )
 
-    batch.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
+    # Pass the staging name pre-quoted: Spark embeds it verbatim in its
+    # CREATE TABLE, so an unquoted name would case-fold server-side
+    # (uppercase on Derby) and the quoted merge SQL below would miss it.
+    batch.write.jdbc(url=url, table=_q(staging), mode="overwrite", properties=props)
 
     # One transaction: merge staging into target, drop staging.
     jvm = spark._jvm  # noqa: SLF001 — py4j bridge is the supported JDBC path
@@ -173,10 +244,16 @@ def write_jdbc_upsert(
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
         stmt.execute(merge_sql)
-        stmt.execute(f"DROP TABLE {_ident(staging)}")
+        stmt.execute(f"DROP TABLE {_q(staging)}")
         conn.commit()
     except Exception:
         conn.rollback()
+        try:  # best-effort cleanup: don't leave orphaned staging data
+            stmt = conn.createStatement()
+            stmt.execute(f"DROP TABLE {_q(staging)}")
+            conn.commit()
+        except Exception:  # noqa: BLE001 — original error matters more
+            pass
         raise
     finally:
         conn.close()

@@ -1,15 +1,16 @@
-"""JDBC upsert sink: SQL generation + batch-dedupe semantics.
-
-The connection path needs a driver jar this container doesn't have, so
-these tests pin everything up to the wire: statement text, identifier
-safety, key-uniqueness of the staged batch, and the no-driver error.
+"""JDBC upsert sink: SQL generation, batch-dedupe semantics, and a live
+end-to-end integration test against embedded Apache Derby (the JDBC
+database Spark ships in its own jars) using the ANSI MERGE dialect.
+The Postgres ON CONFLICT dialect stays SQL-gen-pinned (no server here).
 """
 
 import pytest
 from pyspark.sql import functions as F
 
 from square_etl_spark.sinks.jdbc import (
+    _ident,
     dedupe_batch,
+    merge_statement,
     upsert_statement,
     write_jdbc_upsert,
 )
@@ -18,27 +19,40 @@ from square_etl_spark.sinks.jdbc import (
 def test_upsert_statement_shape():
     sql = upsert_statement(
         "pos.pos_payments",
-        "pos.pos_payments_staging",
+        "pos.pos_payments_stg_abc",
         ["tenant_id", "provider", "payment_id", "amount", "status"],
         ["tenant_id", "provider", "payment_id"],
     )
-    assert "INSERT INTO pos.pos_payments AS t" in sql
-    assert "FROM pos.pos_payments_staging" in sql
-    assert "ON CONFLICT (tenant_id, provider, payment_id) DO UPDATE SET" in sql
-    assert "amount = EXCLUDED.amount" in sql
-    assert "status = EXCLUDED.status" in sql
+    assert 'INSERT INTO "pos"."pos_payments" AS t' in sql
+    assert 'FROM "pos"."pos_payments_stg_abc"' in sql
+    assert 'ON CONFLICT ("tenant_id", "provider", "payment_id") DO UPDATE SET' in sql
+    assert '"amount" = EXCLUDED."amount"' in sql
+    assert '"status" = EXCLUDED."status"' in sql
     # key columns are never in the SET list
-    assert "payment_id = EXCLUDED" not in sql
+    assert '"payment_id" = EXCLUDED' not in sql
     # idempotence guard: no-op update rows are skipped server-side
-    assert "t.amount IS DISTINCT FROM EXCLUDED.amount" in sql
+    assert 't."amount" IS DISTINCT FROM EXCLUDED."amount"' in sql
 
 
 def test_upsert_statement_pure_key_table():
-    sql = upsert_statement("t", "t_staging", ["a", "b"], ["a", "b"])
+    sql = upsert_statement("t", "t_stg_x", ["a", "b"], ["a", "b"])
     assert sql.endswith("DO NOTHING")
 
 
-def test_upsert_statement_rejects_bad_identifiers():
+def test_merge_statement_shape():
+    sql = merge_statement(
+        "wh", "wh_stg_x", ["id", "ver", "payload"], ["id"]
+    )
+    assert 'MERGE INTO "wh" t' in sql
+    assert 'USING "wh_stg_x" s' in sql
+    assert 'ON (t."id" = s."id")' in sql
+    assert 'WHEN MATCHED THEN UPDATE SET "ver" = s."ver", "payload" = s."payload"' in sql
+    assert 'WHEN NOT MATCHED THEN INSERT ("id", "ver", "payload")' in sql
+    # key columns are never in the SET list
+    assert '"id" = s."id", ' not in sql.split("ON (")[1]
+
+
+def test_statements_reject_bad_identifiers():
     with pytest.raises(ValueError):
         upsert_statement("t; DROP TABLE x", "s", ["a"], ["a"])
     with pytest.raises(ValueError):
@@ -47,6 +61,18 @@ def test_upsert_statement_rejects_bad_identifiers():
         upsert_statement("t", "s", ["a"], ["missing"])
     with pytest.raises(ValueError):
         upsert_statement("t", "s", ["a"], [])
+    with pytest.raises(ValueError):
+        merge_statement("t", "s", ["a"], [])
+
+
+def test_ident_rejects_degenerate_segments():
+    # every dot-separated segment must be a well-formed name: no leading
+    # digits, no empty segments, no lone dots (ADVICE r2)
+    for bad in ("a..b", ".", "a.", ".a", "1abc", "a.2b", ""):
+        with pytest.raises(ValueError):
+            _ident(bad)
+    assert _ident("pos.pos_payments") == "pos.pos_payments"
+    assert _ident("_x.y_2") == "_x.y_2"
 
 
 def test_dedupe_batch_last_writer_wins(spark):
@@ -67,6 +93,19 @@ def test_dedupe_batch_deterministic_without_order_col(spark):
     assert a == b  # partition-invariant winner
 
 
+def test_dedupe_batch_order_col_ties_break_deterministically(spark):
+    # two rows share key AND order_col but differ in payload: the winner
+    # must be partition-invariant (full-row struct tiebreaker, ADVICE r2)
+    df = spark.createDataFrame(
+        [("k", 5, "a"), ("k", 5, "b"), ("k", 4, "c")],
+        "id string, ver int, payload string",
+    )
+    a = dedupe_batch(df, ["id"], order_col="ver").collect()
+    b = dedupe_batch(df.repartition(8), ["id"], order_col="ver").collect()
+    assert a == b
+    assert a[0].payload == "b"  # max full-row struct among ver=5 ties
+
+
 def test_write_jdbc_upsert_requires_driver(spark):
     df = spark.createDataFrame([("k", 1)], "id string, v int")
     with pytest.raises(RuntimeError, match="driver"):
@@ -77,4 +116,86 @@ def test_write_jdbc_upsert_empty_batch_short_circuits(spark):
     # K3: empty batch returns the would-be SQL without needing a driver
     df = spark.createDataFrame([], "id string, v int").filter(F.lit(False))
     sql = write_jdbc_upsert(df, "jdbc:postgresql://nowhere/db", "t", ["id"])
-    assert "ON CONFLICT (id)" in sql
+    assert 'ON CONFLICT ("id")' in sql
+
+
+# ---------------------------------------------------------------------------
+# Live integration: embedded Derby (jars ship inside Spark itself), ANSI
+# MERGE dialect — the full wire path: parallel staging write → one
+# server-side set-based merge in one transaction → staging dropped.
+# ---------------------------------------------------------------------------
+
+DERBY_PROPS = {
+    "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    "createTableColumnTypes": "id VARCHAR(64), ver INT, payload VARCHAR(64)",
+}
+
+
+def _derby_query(spark, url, sql, ncols):
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.createStatement().executeQuery(sql)
+        out = []
+        while rs.next():
+            out.append(tuple(rs.getObject(i + 1) for i in range(ncols)))
+        return out
+    finally:
+        conn.close()
+
+
+def _derby_state(spark, url):
+    return sorted(
+        _derby_query(spark, url, 'SELECT "id", "ver", "payload" FROM "wh"', 3)
+    )
+
+
+def test_write_jdbc_upsert_derby_end_to_end(spark, tmp_path):
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+        'CREATE TABLE "wh" ("id" VARCHAR(64) NOT NULL, "ver" INT, '
+        '"payload" VARCHAR(64), PRIMARY KEY ("id"))'
+    )
+    conn.close()
+
+    batch = spark.createDataFrame(
+        [("a", 1, "a1"), ("a", 2, "a2"), ("b", 1, "b1")],
+        "id string, ver int, payload string",
+    )
+    sql = write_jdbc_upsert(
+        batch, url, "wh", ["id"],
+        properties=DERBY_PROPS, order_col="ver", dialect="ansi",
+    )
+    assert "MERGE INTO" in sql
+    state1 = _derby_state(spark, url)
+    # in-batch dedupe picked ver=2 for key a
+    assert state1 == [("a", 2, "a2"), ("b", 1, "b1")]
+
+    # upsert-twice-is-idempotent against a LIVE database
+    write_jdbc_upsert(
+        batch, url, "wh", ["id"],
+        properties=DERBY_PROPS, order_col="ver", dialect="ansi",
+    )
+    assert _derby_state(spark, url) == state1
+
+    # update branch + insert branch in one later batch
+    batch2 = spark.createDataFrame(
+        [("b", 3, "b3"), ("c", 1, "c1")], "id string, ver int, payload string"
+    )
+    write_jdbc_upsert(
+        batch2, url, "wh", ["id"],
+        properties=DERBY_PROPS, order_col="ver", dialect="ansi",
+    )
+    assert _derby_state(spark, url) == [
+        ("a", 2, "a2"), ("b", 3, "b3"), ("c", 1, "c1")
+    ]
+
+    # staging tables are dropped in the merge transaction — none linger
+    leftovers = _derby_query(
+        spark, url,
+        "SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLENAME LIKE 'wh_stg_%'",
+        1,
+    )
+    assert leftovers == []
