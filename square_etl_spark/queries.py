@@ -3977,77 +3977,74 @@ _register(
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks queries in `queries()` dict order
 # and caps at 50 entries per round, so with 90+ registered queries the
-# ordering decides which get a hard oracle signal.  Round 1 checked the
-# first 50 in registration order (CORRECTNESS_r01.json) and left 41 with
-# no row.  This list front-loads, for round 2: every query with no round-1
-# row, the one round-1 errored check (multimodal_decode, now emitting JSON
-# features), and one anchor per already-green operator family (scan,
-# functions, quality, streaming windows, dedup-core, flagship) so each
-# family keeps a current-round row.  Queries not listed follow in
-# registration order — they all have green r01 rows.  Rotate per round so
-# every query is re-checked regularly.
+# ordering decides which get a hard oracle signal.  Rotation policy: each
+# round front-loads (a) queries never yet checked, then (b) the cohort
+# whose last green row is oldest, so every query's green evidence stays
+# ≤1 round old.  Round 3 = the four POS pipelines registered this round
+# (never checked) + the 45 queries whose last row is round 1
+# (CORRECTNESS_r01 minus CORRECTNESS_r02) + one flagship anchor = 50.
 _CHECK_PRIORITY: list[str] = [
-    # -- unchecked in round 1: TPC-H / SQL shapes
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q13_custdist",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_pushdown",
-    "q21_waiting_suppliers",
-    "q22_dormant_rich",
-    "agg_grouping_sets",
-    "agg_cube",
-    "pivot_event_counts",
-    # -- unchecked: projections / aggregation observability
-    "p4_cast_guard_default",
-    "p5_literal_defaults",
-    "p7_type_dispatch",
-    "a2_stage_counts",
-    # -- unchecked: window / analytic
-    "window_rank_lag",
-    "window_running_total",
-    "orders_above_cust_avg",
-    # -- unchecked: join family extensions
-    "join_semi_active",
-    "join_anti_dormant",
-    "asof_join_clicks",
-    "range_join_binned",
-    "sessionize_events",
-    # -- unchecked: similarity / dedup scale paths
-    "ann_topk_ivf",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_decontaminate",
-    "corpus_clean_pipeline",
-    # -- unchecked: sampling / sharding / profiling
-    "sample_hash_documents",
-    "mix_weighted_sources",
-    "sample_stratified_lang",
-    "shard_assignment",
-    "histogram_doc_length",
-    "decile_customer_acctbal",
-    "profile_orders_columns",
-    # -- unchecked: arrow / text extensions / packing
-    "arrow_group_median_dev",
-    "arrow_token_count",
-    "text_pii_redaction",
-    "text_repetition_stats",
-    "pack_training_sequences",
-    # -- unchecked: partition-restricted merge (new this round)
-    "k1_merge_partitioned",
-    # -- errored in round 1 (array canonicalization, now fixed)
-    "multimodal_decode",
-    # -- end-to-end POS pipeline compositions (new this round)
-    "pipeline_payments",
-    "pipeline_order_items",
-    # -- anchors: one per already-green family, re-checked each round
+    # -- never checked: the four POS pipelines completing "every
+    #    reference main is an oracle-checked query" (VERDICT r2 #1)
+    "pipeline_catalog",
+    "pipeline_inventory",
+    "pipeline_categories",
+    "pipeline_locations",
+    # -- last green row is round 1: core TPC-H / scan / SQL-API shapes
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_late_ship",
+    "q5_local_supplier_volume",
+    "q10_returned_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "sql_api_revenue",
+    "s3_typed_scan",
+    # -- r01 cohort: projections
+    "p1_money_coalesce",
+    "p2_quantity_validity",
+    "p3_parent_fallback",
+    "p6_address_concat",
+    "p9_constant_enrichment",
+    "f2_variant_extract",
+    # -- r01 cohort: joins
+    "j1_catalog_build_probe",
+    "j2_first_wins",
+    "j3_lookup_join",
+    "j4_explode_line_items",
+    # -- r01 cohort: aggregations / analytics
+    "a1_distinct_keys",
+    "a3_last_writer_wins",
+    "agg_rollup",
+    "topk_revenue_customers",
+    "setop_union_except",
+    "distinct_users_by_type",
+    "percentiles_by_type",
+    "approx_distinct_users",
+    # -- r01 cohort: merge + streaming windows
+    "k1_merge_upsert",
+    "t2_tumbling_hourly",
+    "t2_sliding_2h_1h",
+    # -- r01 cohort: dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assignment",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # -- r01 cohort: text analysis
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_totals",
+    "text_tfidf_top_terms",
+    "text_fingerprint",
+    "text_chunk_windows",
+    # -- r01 cohort: similarity / embeddings / multimodal
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "embedding_norms",
+    "multimodal_manifest",
+    # -- anchor: flagship re-checked every round
     "flagship_star_revenue",
-    "s1_windowed_scan",
-    "f2_json_extract",
-    "e1_quarantine_rejects",
 ]
 
 
