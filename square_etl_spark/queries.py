@@ -1178,6 +1178,39 @@ _register(
 )
 
 
+def _ngram_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cluster collapse via the large-star/small-star algorithm
+    (Kiveris et al., SoCC'14) — the O(log diameter) scale path for deep
+    components; identical labels by construction, so it shares
+    dedup_cluster_assignment's recursive-CTE oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1, df_cap=100)
+    return connected_components(pairs, algorithm="star")
+
+
+_register(
+    QuerySpec(
+        "dedup_cluster_star",
+        _ngram_clusters_star,
+        oracle=f"""
+        WITH RECURSIVE {_ngram_pairs_ctes()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        doc="connected components via alternating large-star/small-star (log-diameter rounds)",
+    )
+)
+
+
 def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_banded_pairs(
@@ -3990,6 +4023,7 @@ _CHECK_PRIORITY: list[str] = [
     "pipeline_inventory",
     "pipeline_categories",
     "pipeline_locations",
+    "dedup_cluster_star",
     # -- last green row is round 1: core TPC-H / scan / SQL-API shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4020,7 +4054,6 @@ _CHECK_PRIORITY: list[str] = [
     "setop_union_except",
     "distinct_users_by_type",
     "percentiles_by_type",
-    "approx_distinct_users",
     # -- r01 cohort: merge + streaming windows
     "k1_merge_upsert",
     "t2_tumbling_hourly",

@@ -195,7 +195,13 @@ def test_connected_components_equals_union_find(spark, edges):
 
     norm = [(min(a, b), max(a, b)) for a, b in edges]
     df = spark.createDataFrame(norm, "id_a long, id_b long")
+    # both algorithms must agree with the union-find oracle
     got = {r.doc_id: r.cluster_id for r in connected_components(df).collect()}
+    got_ml = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(df, algorithm="min_label").collect()
+    }
+    assert got == got_ml
 
     parent: dict[int, int] = {}
 
