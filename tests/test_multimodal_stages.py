@@ -100,3 +100,84 @@ def test_declared_schema_tolerates_file_schema_evolution(spark, tmp_path):
         .collect()
     )
     assert {r.id: r.nf for r in recovered} == {1: "x", 2: None}
+
+
+# ---------------------------------------------------------------------------
+# REAL codecs: binary PPM (P6) + 24-bit BMP, parsed pure-python+numpy to
+# pixels and summarized as the 4x4 luminance-grid descriptor.
+# ---------------------------------------------------------------------------
+
+
+def _media_df(spark, blob, fmt):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ),
+    )
+
+
+def test_decode_media_real_ppm_codec(spark):
+    from square_etl_spark.operators.multimodal import decode_media
+
+    # 8x8 PPM: left half black, right half white -> the 4x4 luminance
+    # grid must be exactly [0, 0, 1, 1] on every row
+    row = b"\x00\x00\x00" * 4 + b"\xff\xff\xff" * 4
+    blob = b"P6\n8 8\n255\n" + row * 8
+    out = decode_media(_media_df(spark, blob, "ppm")).collect()[0]
+    assert out.ok is True
+    assert out.features == [0.0, 0.0, 1.0, 1.0] * 4
+
+
+def test_decode_media_real_bmp_codec(spark):
+    from square_etl_spark.operators.multimodal import decode_media
+
+    # 2x2 BMP (24bpp, bottom-up, 2-byte row padding):
+    #   top:    red   green
+    #   bottom: blue  white
+    bottom = b"\xff\x00\x00" + b"\xff\xff\xff" + b"\x00\x00"  # BGR + pad
+    top = b"\x00\x00\xff" + b"\x00\xff\x00" + b"\x00\x00"
+    header = (
+        b"BM"
+        + (54 + 16).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)   # width
+        + (2).to_bytes(4, "little", signed=True)   # height (bottom-up)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")                # BI_RGB
+        + b"\x00" * 20
+    )
+    blob = header + bottom + top
+    out = decode_media(_media_df(spark, blob, "bmp")).collect()[0]
+    assert out.ok is True
+    r, g, b, w = 0.299, 0.587, 0.114, 1.0
+    assert out.features == [r, r, g, g] * 2 + [b, b, w, w] * 2
+
+
+def test_decode_media_malformed_image_quarantines(spark):
+    from square_etl_spark.operators.multimodal import decode_media
+
+    out = decode_media(_media_df(spark, b"not an image at all", "ppm")).collect()[0]
+    assert out.ok is False and out.features is None
+    # and a malformed BMP likewise (row-level ok=false, not task failure)
+    out = decode_media(_media_df(spark, b"BMgarbage", "bmp")).collect()[0]
+    assert out.ok is False and out.features is None
+
+
+def test_decode_media_stub_formats_still_flow(spark):
+    from square_etl_spark.operators.multimodal import FEATURE_DIM, decode_media
+
+    out = decode_media(_media_df(spark, b"arbitrary bytes here", "png")).collect()[0]
+    assert out.ok is True and len(out.features) == FEATURE_DIM
