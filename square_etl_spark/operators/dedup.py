@@ -16,7 +16,7 @@ pipeline needs.  Scale design notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -336,18 +336,33 @@ def connected_components(
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
         ).select(F.col("src").alias("node"), "label")
+        # one job per round: the convergence count (nodes whose label
+        # shrank) rides the checkpoint materialization as an
+        # Observation instead of a separate join+count job.  The old
+        # label travels through the same aggregation (w=1 marks it),
+        # so no second shuffle either.
+        combined = labels.select(
+            "node", F.col("label").alias("lbl"), F.lit(1).alias("w")
+        ).unionByName(
+            nbr.select("node", F.col("label").alias("lbl"), F.lit(0).alias("w"))
+        )
+        obs = Observation()
         new_labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            combined.groupBy("node")
+            .agg(
+                F.min("lbl").alias("label"),
+                F.max(F.when(F.col("w") == 1, F.col("lbl"))).alias("__old"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") < F.col("__old"), 1).otherwise(0)
+                ).alias("changed"),
+            )
+            .drop("__old")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, on="node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
+        changed = obs.get["changed"]
         labels = new_labels
         if changed == 0:
             break
@@ -413,13 +428,16 @@ def _cc_star(
             .select(F.col("nu").alias("u"), F.col("nv").alias("v"))
             .distinct()
         )
-        edges = small.localCheckpoint(eager=True)
         # bit_xor, not sum: order-insensitive over the distinct edge
-        # set and cannot overflow under ANSI arithmetic
-        check = edges.agg(
+        # set and cannot overflow under ANSI arithmetic.  The checksum
+        # rides the checkpoint job as an Observation — no extra action.
+        obs = Observation()
+        edges = small.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
-        ).collect()[0]
+        ).localCheckpoint(eager=True)
+        check = obs.get
         cur_sum = (check["n"], check["h"])
         if cur_sum == prev_sum:
             break

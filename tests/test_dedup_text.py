@@ -140,7 +140,10 @@ def test_connected_components_star_fewer_rounds_on_chain(spark):
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
     want = {i: 0 for i in range(n + 1)}
-    got_star = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    got_star = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
     star_rounds = CC_STATS["star"]
     got_ml = {
         r.doc_id: r.cluster_id
