@@ -92,3 +92,50 @@ def grouped_rollup(df: DataFrame, group_cols: list[str], aggs: list[Column]) -> 
     pass (Spark expands to grouping sets; partial aggregation still
     applies map-side)."""
     return df.rollup(*group_cols).agg(*aggs)
+
+
+def incremental_rollup(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Algebraic rollup maintenance — the materialized-view refresh
+    pattern: keep per-key partial aggregates (SUMs + a row COUNT) as a
+    stored table and fold each incremental batch in with O(batch) work
+    instead of an O(history) rescan.
+
+    Works because SUM/COUNT are commutative monoids: the stored rollup
+    rows and the batch's fresh partials combine with the SAME groupBy
+    that built them, so ``maintain(maintain(∅, b1), b2) ≡
+    aggregate(b1 ∪ b2)`` exactly (integer/decimal measures; pinned in
+    tests and the driver oracle).  AVG-style measures derive as
+    sum/count at read time; non-algebraic measures (MEDIAN, exact
+    DISTINCT) cannot be maintained this way and need a sketch
+    (HLL/t-digest) or a rescan — the classic cube-maintenance
+    trade-off.
+
+    At 100 TB: the rollup table is keys-sized (small), the batch scan
+    is the only data-volume cost per refresh, and the combine is a
+    shuffle on the rollup key.  The same shape backs streaming
+    ``foreachBatch`` maintenance of dashboard tables.
+
+    Reference context: the reference recomputes nothing incrementally —
+    every dashboard query re-reads Postgres; this is the Spark-first
+    upgrade the 24 h-lookback design implies (SURVEY.md §2.8 T2).
+    """
+    partial = batch.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols],
+        F.count(F.lit(1)).cast("long").alias(count_col),
+    )
+    if target is None:
+        return partial
+    return (
+        target.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            *[F.sum(c).alias(c) for c in sum_cols],
+            F.sum(count_col).cast("long").alias(count_col),
+        )
+    )

@@ -3835,6 +3835,53 @@ _register(
     )
 )
 
+def _incremental_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance proof: orders arrive as three
+    disjoint batches (keyed split), each folded into the stored rollup
+    with O(batch) work; the final table must equal the one-shot
+    GROUP BY over everything — which is exactly what the DuckDB oracle
+    computes.  SUM/COUNT are monoids, so maintain∘maintain ≡ aggregate
+    (operators/aggregations.incremental_rollup)."""
+    from square_etl_spark.operators.aggregations import incremental_rollup
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("order_year"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    rollup = None
+    for i in range(3):  # three incremental refreshes
+        batch = src.filter(F.col("o_orderkey") % 3 == i).drop("o_orderkey")
+        rollup = incremental_rollup(
+            rollup, batch, ["o_orderstatus", "order_year"], ["cents"]
+        )
+    return rollup.select(
+        "o_orderstatus",
+        "order_year",
+        F.col("cents").alias("revenue_cents"),
+        "n_rows",
+    )
+
+
+_register(
+    QuerySpec(
+        "incremental_rollup_revenue",
+        _incremental_rollup_revenue,
+        oracle="""
+        SELECT o_orderstatus,
+               CAST(year(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM orders
+        GROUP BY 1, 2
+        """,
+        doc="algebraic rollup maintenance: 3 incremental refreshes ≡ one-shot aggregate",
+    )
+)
+
+
 def _pipeline_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The catalog ETL main end-to-end (src/etl-square-catalog.ts:129-172):
     the reference's driver-side ITEM.id→name/category maps become ONE
