@@ -139,3 +139,33 @@ def incremental_rollup(
             F.sum(count_col).cast("long").alias(count_col),
         )
     )
+
+
+def incremental_hll(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+    sketch_col: str = "hll",
+) -> DataFrame:
+    """COUNT DISTINCT maintained incrementally — the sketch
+    counterpart of :func:`incremental_rollup` for the one common
+    measure that is NOT a monoid on scalars: per-key Datasketches HLL
+    sketches of each batch union with the stored sketches
+    (``hll_union_agg``), because sketch-union IS a monoid.  Estimates
+    derive at read time via ``hll_sketch_estimate``; union-then-
+    estimate is deterministic and equals the one-shot sketch of all
+    data (pinned in tests/test_rollup.py).  The stored table is
+    keys-sized with ~KB sketches — the only way to keep distinct
+    counts over 100 TB without re-scanning history each refresh.
+    """
+    partial = batch.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col).alias(sketch_col)
+    )
+    if target is None:
+        return partial
+    return (
+        target.unionByName(partial)
+        .groupBy(*keys)
+        .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
+    )

@@ -3882,6 +3882,38 @@ _register(
 )
 
 
+def _incremental_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type maintained across three
+    incremental refreshes via HLL sketch union
+    (operators/aggregations.incremental_hll) — rows-only by design:
+    the Datasketches estimate is engine-specific, so no ANSI oracle
+    exists; the maintain≡one-shot equality is pinned in
+    tests/test_rollup.py instead."""
+    from square_etl_spark.operators.aggregations import incremental_hll
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    sketches = None
+    for i in range(3):
+        batch = e.filter(F.col("event_id") % 3 == i).drop("event_id")
+        sketches = incremental_hll(sketches, batch, ["event_type"], "user_id")
+    return sketches.select(
+        "event_type",
+        F.hll_sketch_estimate("hll").alias("approx_users"),
+    ).orderBy("event_type")
+
+
+_register(
+    QuerySpec(
+        "incremental_hll_users",
+        _incremental_hll_users,
+        oracle=None,  # sketch estimates are engine-specific
+        doc="incremental distinct maintenance via HLL sketch union (rows-only check)",
+    )
+)
+
+
 def _pipeline_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The catalog ETL main end-to-end (src/etl-square-catalog.ts:129-172):
     the reference's driver-side ITEM.id→name/category maps become ONE

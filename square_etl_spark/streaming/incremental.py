@@ -117,3 +117,69 @@ def windowed_stream_agg(
             "sum_value",
         )
     )
+
+
+def stream_rollup_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    rollup_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    schema=None,
+) -> None:
+    """Materialized-rollup maintenance as a streaming sink: each
+    micro-batch folds into the stored rollup with O(batch) work
+    (:func:`square_etl_spark.operators.aggregations.incremental_rollup`)
+    and atomically swaps the rollup table (temp dir + move, E3).
+
+    Unlike the keyed merge, a fold is NOT idempotent under re-delivery
+    — re-folding a replayed batch would double-count — so the sink
+    records the last applied ``batch_id`` inside the rollup dir and
+    skips batches at or below it: the standard transactional
+    ``foreachBatch`` pattern that upgrades Spark's at-least-once
+    re-delivery to exactly-once aggregate effects.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from square_etl_spark.operators.aggregations import incremental_rollup
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_dir)
+    marker = "_last_batch_id"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        target = None
+        applied = -1
+        if os.path.exists(rollup_path):
+            mpath = os.path.join(rollup_path, marker)
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    applied = int(fh.read().strip())
+            target = spark.read.parquet(rollup_path)
+        if batch_id <= applied:
+            return  # replayed batch: already folded in
+        merged = incremental_rollup(target, batch_df, keys, sum_cols)
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"rollup-{uuid.uuid4().hex}",
+            os.path.basename(rollup_path),
+        )
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as fh:
+            fh.write(str(batch_id))
+        if os.path.exists(rollup_path):
+            shutil.rmtree(rollup_path)
+        shutil.move(tmp, rollup_path)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
