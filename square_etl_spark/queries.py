@@ -3882,6 +3882,70 @@ _register(
 )
 
 
+def _scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history: two monthly snapshots of a
+    customer→segment dimension flow through scd2_merge
+    (sinks/merge.py) — month 2 moves every third customer to a new
+    segment, so those keys must show a closed version plus a new
+    current one, everyone else exactly one untouched current row.  The
+    oracle restates the semantics declaratively: version starts =
+    value-change points over the unioned snapshots (LAG), valid_to =
+    next start (LEAD)."""
+    from square_etl_spark.sinks.merge import scd2_merge
+
+    c = load_table(spark, sf_dir, "customer")
+    b1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    b2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    hist = scd2_merge(None, b1, ["c_custkey"], "ts", ["segment"])
+    hist = scd2_merge(hist, b2, ["c_custkey"], "ts", ["segment"])
+    return hist
+
+
+_register(
+    QuerySpec(
+        "scd2_customer_segment",
+        _scd2_customer_segment,
+        oracle="""
+        WITH b AS (
+          SELECT c_custkey, c_mktsegment AS segment,
+                 TIMESTAMP '2024-01-01 00:00:00' AS ts
+          FROM customer
+          UNION ALL
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END,
+                 TIMESTAMP '2024-02-01 00:00:00'
+          FROM customer),
+        v AS (
+          SELECT c_custkey, segment, ts,
+                 LAG(segment) OVER (PARTITION BY c_custkey ORDER BY ts) AS prev
+          FROM b),
+        starts AS (
+          SELECT c_custkey, segment, ts FROM v
+          WHERE prev IS NULL OR segment <> prev),
+        hist AS (
+          SELECT c_custkey, segment, ts AS valid_from,
+                 LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to
+          FROM starts)
+        SELECT c_custkey, segment, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM hist
+        """,
+        doc="SCD Type-2 dimension history: close-and-open on value change",
+    )
+)
+
+
 def _incremental_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type maintained across three
     incremental refreshes via HLL sketch union

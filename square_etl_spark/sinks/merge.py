@@ -193,3 +193,87 @@ def merge_upsert_partitioned(
         shutil.move(os.path.join(tmp, entry), dst)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
+
+
+def scd2_merge(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    order_col: str,
+    change_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: instead of overwriting a
+    dimension row (the reference's ON CONFLICT DO UPDATE posture,
+    src/etl-square-catalog.ts:71-100), keep its full history — each
+    value change closes the current version (``valid_to`` stamped,
+    ``is_current`` false) and opens a new one.
+
+    Layout: ``keys + change_cols + valid_from + valid_to + is_current``
+    with exactly one current (``valid_to IS NULL``) row per key.
+    Semantics per batch row (last-writer-wins within the batch on
+    ``order_col``):
+
+    - new key                    → insert as current
+    - same payload (null-safe)   → no-op (re-delivered rows don't churn)
+    - changed payload            → close current at the new row's
+                                   timestamp, insert new current
+
+    Pure DataFrame-in/DataFrame-out like :func:`merge_dataframes`: one
+    full-outer join of the key-sized current slice against the deduped
+    batch — history rows are untouched (at scale, store them in
+    separate partitions so the merge never reads closed versions).
+    """
+    from functools import reduce
+    from operator import or_
+
+    from square_etl_spark.operators.aggregations import last_writer_wins
+
+    b = last_writer_wins(batch, keys, [order_col]).select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in change_cols],
+        F.col(order_col).alias("__n_from"),
+    )
+    if target is None:
+        return b.select(
+            *keys,
+            *[F.col(f"__n_{c}").alias(c) for c in change_cols],
+            F.col("__n_from").alias("valid_from"),
+            F.lit(None).cast(b.schema["__n_from"].dataType).alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    hist = target.filter(~F.col("is_current"))
+    cur = target.filter(F.col("is_current")).select(
+        *keys,
+        *[F.col(c).alias(f"__c_{c}") for c in change_cols],
+        F.col("valid_from").alias("__c_from"),
+    )
+    j = cur.join(b, on=keys, how="full_outer")
+    has_c = F.col("__c_from").isNotNull()
+    has_n = F.col("__n_from").isNotNull()
+    differs = reduce(
+        or_,
+        [~F.col(f"__c_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in change_cols],
+    )
+    ts_type = b.schema["__n_from"].dataType
+    keep_cur = j.filter(has_c & (~has_n | ~differs)).select(
+        *keys,
+        *[F.col(f"__c_{c}").alias(c) for c in change_cols],
+        F.col("__c_from").alias("valid_from"),
+        F.lit(None).cast(ts_type).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = j.filter(has_c & has_n & differs).select(
+        *keys,
+        *[F.col(f"__c_{c}").alias(c) for c in change_cols],
+        F.col("__c_from").alias("valid_from"),
+        F.col("__n_from").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.filter(has_n & (~has_c | differs)).select(
+        *keys,
+        *[F.col(f"__n_{c}").alias(c) for c in change_cols],
+        F.col("__n_from").alias("valid_from"),
+        F.lit(None).cast(ts_type).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return hist.unionByName(keep_cur).unionByName(closed).unionByName(opened)

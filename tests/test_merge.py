@@ -234,3 +234,69 @@ def test_merge_upsert_counts_on_write_no_reread_job(spark, tmp_path):
     assert n1 == n2 == 2
     assert fresh_jobs <= 3, f"fresh merge ran {fresh_jobs} jobs (re-read crept back?)"
     assert existing_jobs <= 6, f"existing merge ran {existing_jobs} jobs"
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history
+# ---------------------------------------------------------------------------
+
+
+def _scd_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, payload string, ts string"
+    ).selectExpr("k", "payload", "cast(ts as timestamp) ts")
+
+
+def _scd_state(df):
+    return {
+        (r.k, r.payload, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in df.collect()
+    }
+
+
+def test_scd2_change_reopen_and_noop(spark):
+    """a changes then changes BACK (3 versions), b never changes
+    (1 version, no churn on re-delivery), c appears late."""
+    from square_etl_spark.sinks.merge import scd2_merge
+
+    h = scd2_merge(
+        None,
+        _scd_batch(spark, [("a", "x", "2024-01-01 00:00:00"),
+                           ("b", "q", "2024-01-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    h = scd2_merge(
+        h,
+        _scd_batch(spark, [("a", "y", "2024-02-01 00:00:00"),
+                           ("b", "q", "2024-02-01 00:00:00"),
+                           ("c", "n", "2024-02-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    h = scd2_merge(
+        h,
+        _scd_batch(spark, [("a", "x", "2024-03-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    got = _scd_state(h)
+    assert got == {
+        ("a", "x", "2024-01-01 00:00:00", "2024-02-01 00:00:00", False),
+        ("a", "y", "2024-02-01 00:00:00", "2024-03-01 00:00:00", False),
+        ("a", "x", "2024-03-01 00:00:00", "None", True),
+        ("b", "q", "2024-01-01 00:00:00", "None", True),
+        ("c", "n", "2024-02-01 00:00:00", "None", True),
+    }
+    # invariant: exactly one current row per key
+    cur = h.filter("is_current").groupBy("k").count().filter("count > 1")
+    assert cur.count() == 0
+
+
+def test_scd2_in_batch_dedupe_last_writer(spark):
+    from square_etl_spark.sinks.merge import scd2_merge
+
+    h = scd2_merge(
+        None,
+        _scd_batch(spark, [("a", "v1", "2024-01-01 00:00:00"),
+                           ("a", "v2", "2024-01-02 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    assert _scd_state(h) == {("a", "v2", "2024-01-02 00:00:00", "None", True)}
