@@ -4167,6 +4167,8 @@ _CHECK_PRIORITY: list[str] = [
     "pipeline_categories",
     "pipeline_locations",
     "dedup_cluster_star",
+    "incremental_rollup_revenue",
+    "scd2_customer_segment",
     # -- last green row is round 1: core TPC-H / scan / SQL-API shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4206,13 +4208,11 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "dedup_cluster_assignment",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     # -- r01 cohort: text analysis
     "text_quality_stats",
     "text_lang_id",
     "text_token_totals",
     "text_tfidf_top_terms",
-    "text_fingerprint",
     "text_chunk_windows",
     # -- r01 cohort: similarity / embeddings / multimodal
     "ann_topk_bruteforce",

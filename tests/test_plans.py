@@ -118,3 +118,15 @@ def test_pair_dedup_queries_never_go_quadratic(spark, sf_dir):
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pipeline_catalog_plan_broadcasts_items_dim(spark, sf_dir):
+    """The catalog main's build/probe maps must stay a broadcast join
+    (items per tenant are a small dim) — a sort-merge regression here
+    would shuffle every variation at 100 TB."""
+    df = queries()["pipeline_catalog"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
