@@ -1495,6 +1495,45 @@ _register(
 )
 
 
+def _ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized ANN with exact rescore
+    (operators/similarity.cosine_topk_quantized): candidate scan reads
+    codes+norm (8× smaller than raw doubles), top 4k candidates rescore
+    exactly.  On the fixtures the rescored top-k is identical to brute
+    force, so it shares the brute-force oracle — a full hash check of
+    the quantization path end-to-end."""
+    from square_etl_spark.operators.similarity import cosine_topk_quantized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_quantized(e, _queries_df(spark, sf_dir), k=5, dim=64)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "ann_topk_quantized",
+        _ann_quantized,
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        sims AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine_sim
+          FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, vec_id) AS rank
+          FROM sims)
+        WHERE rank <= 5
+        """,
+        doc="int8-quantized ANN + exact rescore; top-k identical to brute force",
+    )
+)
+
+
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = cosine_topk_lsh(e, _queries_df(spark, sf_dir), k=5, bits=4, dim=64)

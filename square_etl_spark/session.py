@@ -49,6 +49,9 @@ ENGINE_CONF: dict[str, str] = {
     # 100 TB deployments override upward via env/spark-submit — there
     # the concern inverts to capping task count.
     "spark.sql.parquet.filterPushdown": "true",
+    # zstd beats snappy ~30-40% on warehouse data for similar CPU —
+    # at 100 TB that's tens of TB of storage and scan bandwidth.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.files.maxPartitionBytes": os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)
     ),

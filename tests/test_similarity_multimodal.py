@@ -94,3 +94,37 @@ def test_decode_media_unknown_type_quarantined_not_fatal(spark):
     rows = decode_media(media).collect()
     assert rows[0].ok is False and rows[0].features is None
     assert rows[0].n_bytes == 3
+
+
+def test_quantize_int8_layout_and_range(spark, sf_dir):
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.similarity import quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    codes, factors = quantize_int8(e, dim=64)
+    assert codes.columns == ["vec_id", "codes", "qnorm"]
+    assert len(factors) == 64 and all(f > 0 for f in factors)
+    row = codes.agg(
+        F.min(F.array_min("codes")), F.max(F.array_max("codes"))
+    ).collect()[0]
+    assert -127 <= row[0] and row[1] <= 127
+    assert codes.filter(F.col("qnorm") <= 0).count() == 0
+
+
+def test_quantized_topk_matches_brute_force(spark, sf_dir):
+    """Int8 candidates + exact rescore must reproduce the brute-force
+    top-k exactly on the fixtures (recall 1.0) — the property that lets
+    the quantized query share the brute-force oracle."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_quantized,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    brute = {tuple(r) for r in cosine_topk(e, q, k=5).collect()}
+    quant = {tuple(r) for r in cosine_topk_quantized(e, q, k=5, dim=64).collect()}
+    assert quant == brute
