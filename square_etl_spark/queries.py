@@ -1495,6 +1495,54 @@ _register(
 )
 
 
+def _salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join end-to-end: lineitem (facts, salted by content
+    hash) ⋈ orders-derived dim (replicated salt×), then revenue by
+    order status — result must be EXACTLY the unsalted join's (salting
+    is pure physical redistribution), which is what the plain-SQL
+    oracle states.  The pytest side pins the salt spread; this query
+    pins the semantics under the driver hash."""
+    from square_etl_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    dim = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = salted_join(li, dim, on="l_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_register(
+    QuerySpec(
+        "salted_join_revenue",
+        _salted_join_revenue,
+        oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        doc="skew-salted join ≡ plain join: content-hash salt, dim replicated",
+    )
+)
+
+
 def _ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantized ANN with exact rescore
     (operators/similarity.cosine_topk_quantized): candidate scan reads
@@ -4208,6 +4256,8 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_cluster_star",
     "incremental_rollup_revenue",
     "scd2_customer_segment",
+    "ann_topk_quantized",
+    "salted_join_revenue",
     # -- last green row is round 1: core TPC-H / scan / SQL-API shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -4246,7 +4296,6 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_cluster_assignment",
-    "dedup_minhash_lsh",
     # -- r01 cohort: text analysis
     "text_quality_stats",
     "text_lang_id",
@@ -4255,7 +4304,6 @@ _CHECK_PRIORITY: list[str] = [
     "text_chunk_windows",
     # -- r01 cohort: similarity / embeddings / multimodal
     "ann_topk_bruteforce",
-    "ann_topk_lsh",
     "embedding_norms",
     "multimodal_manifest",
     # -- anchor: flagship re-checked every round
