@@ -1495,6 +1495,70 @@ _register(
 )
 
 
+def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact⋈fact join end-to-end: both sides are
+    written bucketed+sorted on the join key, so the sort-merge join
+    (forced via hint — broadcast would bypass the layout at this SF)
+    pairs buckets locally with ZERO exchange on either side
+    (tests/test_bucketing.py pins the plan).  The result must equal
+    the plain SQL join — bucketing is physical layout only.  At 100 TB
+    this is THE recurring-join answer: orders⋈lineitem at every
+    incremental run without re-shuffling either table."""
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="bucketed_join_")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    (
+        o.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", f"{base}/orders_b").mode("overwrite")
+        .saveAsTable(f"orders_b_{tag}")
+    )
+    (
+        li.write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem_b").mode("overwrite")
+        .saveAsTable(f"lineitem_b_{tag}")
+    )
+    ob = spark.table(f"orders_b_{tag}")
+    lb = spark.table(f"lineitem_b_{tag}")
+    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_register(
+    QuerySpec(
+        "bucketed_join_revenue",
+        _bucketed_join_revenue,
+        oracle="""
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        doc="bucketed co-located join ≡ plain join: zero-exchange sort-merge",
+    )
+)
+
+
 def _salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join end-to-end: lineitem (facts, salted by content
     hash) ⋈ orders-derived dim (replicated salt×), then revenue by
