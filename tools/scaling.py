@@ -42,7 +42,10 @@ from square_etl_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
 )
-from square_etl_spark.operators.similarity import cosine_topk  # noqa: E402
+from square_etl_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    cosine_topk_quantized,
+)
 from square_etl_spark.operators.text import quality_metrics  # noqa: E402
 
 VOCAB = 30_000
@@ -114,6 +117,7 @@ def main() -> None:
                 docs.select("doc_id", *[v.alias(k) for k, v in m.items()]),
             )
             run("ann_bruteforce", cosine_topk(emb, qset, k=5))
+            run("ann_quantized", cosine_topk_quantized(emb, qset, k=5, dim=DIM))
             # our banded implementation (bucket-cap skew guard); the
             # spark.ml wrapper is measured separately below when small
             # enough — it goes superlinear on skewed corpora.
