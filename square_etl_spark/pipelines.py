@@ -459,16 +459,21 @@ def locations_pipeline(source: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 #: fact table → its partition column for the partition-restricted
-#: merge path.  Dimensions (catalog/categories/locations, and
-#: inventory whose calculated_at MUTATES per key, violating the
-#: partition invariant) stay on the full merge — they are small.
-#: Facts partition by the derived ``part_date`` (creation date,
-#: immutable per natural key), so an hourly 24 h-lookback batch
-#: rewrites ~1 day of partitions instead of the whole table — the
-#: difference between O(batch) and O(table) I/O per run at 100 TB.
+#: merge path.  Dimensions (catalog/categories/locations) stay on the
+#: full merge — they are small.  Payments/order-items partition by the
+#: derived ``part_date`` (creation date, immutable per natural key),
+#: so an hourly 24 h-lookback batch rewrites ~1 day of partitions
+#: instead of the whole table — the difference between O(batch) and
+#: O(table) I/O per run at 100 TB.  Inventory's timestamp
+#: (calculated_at) MUTATES per key and would violate the partition
+#: invariant, but ``location_id`` is IN its natural key — immutable by
+#: definition — so inventory partitions by location: a sync touching a
+#: subset of stores rewrites only their partitions, and downstream
+#: per-location queries get partition pruning for free.
 FACT_PARTITION: dict[str, str] = {
     "pos_payments": "part_date",
     "pos_order_items": "part_date",
+    "pos_inventory": "location_id",
 }
 
 

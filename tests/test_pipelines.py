@@ -200,3 +200,44 @@ def test_pipeline_order_items_part_date_immutable_per_key(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_pipeline_inventory_partitioned_by_location(spark, sf_dir, tmp_path):
+    """Inventory routes through the partitioned merge on location_id
+    (in the natural key, hence immutable — calculated_at is not): a
+    single-store batch rewrites only that store's partition, and
+    run-twice ≡ run-once holds."""
+    rows, _ = P.inventory_pipeline(P.inventory_source(spark, sf_dir))
+    target = os.path.join(tmp_path, "pos_inventory")
+    n1 = P.run_pipeline(spark, "pos_inventory", rows, target)
+    assert any(e.startswith("location_id=") for e in os.listdir(target))
+    n2 = P.run_pipeline(spark, "pos_inventory", rows, target)
+    state = spark.read.option("basePath", target).parquet(target)
+    assert n1 == n2 == state.count()
+    _, key = WAREHOUSE_TABLES["pos_inventory"]
+    assert state.groupBy(*key).count().filter(F.col("count") > 1).count() == 0
+    # single-store batch: every other store's files stay untouched
+    import hashlib
+
+    parts = sorted(e for e in os.listdir(target) if e.startswith("location_id="))
+    assert len(parts) > 1
+    one = parts[0].split("=", 1)[1]
+
+    def others():
+        out = {}
+        for d in parts[1:]:
+            pdir = os.path.join(target, d)
+            for f in sorted(os.listdir(pdir)):
+                if f.endswith(".parquet"):
+                    p = os.path.join(pdir, f)
+                    out[(d, f)] = (
+                        os.path.getsize(p),
+                        hashlib.sha256(open(p, "rb").read()).hexdigest(),
+                    )
+        return out
+
+    before = others()
+    P.run_pipeline(
+        spark, "pos_inventory", rows.filter(F.col("location_id") == one), target
+    )
+    assert others() == before
