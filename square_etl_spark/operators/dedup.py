@@ -276,18 +276,13 @@ def embedding_cosine_pairs_bucketed(
     )
 
 
-#: observability: rounds the last connected-components call took, per
-#: algorithm — lets tests/benches pin the round-count win of the star
-#: variant without changing the DataFrame-out API.
-CC_STATS: dict[str, int] = {}
-
-
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
     algorithm: str = "min_label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Collapse near-dup pairs into clusters (connected components).
     Returns one row per node that appears in any pair:
@@ -308,9 +303,13 @@ def connected_components(
     tests/test_dedup_text.py).  Each round of either is equi-joins/
     aggregations keyed by node id; at scale co-partitioning on that
     key makes rounds local.
+
+    ``stats``, if given, is populated in place with ``{"algorithm",
+    "rounds"}`` — per-call observability (a module global here would
+    race if two CC runs interleaved on one driver).
     """
     if algorithm == "star":
-        return _cc_star(pairs, id_a, id_b, max_iterations)
+        return _cc_star(pairs, id_a, id_b, max_iterations, stats)
     if algorithm != "min_label":
         raise ValueError(f"unknown algorithm {algorithm!r}")
     # localCheckpoint (not just persist) each round: an iterative plan
@@ -332,6 +331,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    rounds = 0
     for rounds in range(1, max_iterations + 1):
         nbr = edges.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
@@ -355,8 +355,14 @@ def connected_components(
             )
             .observe(
                 obs,
-                F.sum(
-                    F.when(F.col("label") < F.col("__old"), 1).otherwise(0)
+                # coalesce: SUM over zero rows is NULL, and an empty
+                # edge set would otherwise never satisfy changed == 0
+                # and spin all max_iterations rounds (r03 ADVICE).
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("label") < F.col("__old"), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 ).alias("changed"),
             )
             .drop("__old")
@@ -364,16 +370,21 @@ def connected_components(
         )
         changed = obs.get["changed"]
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
-    CC_STATS["min_label"] = rounds
+    if stats is not None:
+        stats.update(algorithm="min_label", rounds=rounds)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 
 def _cc_star(
-    pairs: DataFrame, id_a: str, id_b: str, max_iterations: int
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iterations: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star rounds until the edge set
     reaches its fixpoint (per-component stars centered at the minimum
@@ -442,7 +453,8 @@ def _cc_star(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    CC_STATS["star"] = rounds
+    if stats is not None:
+        stats.update(algorithm="star", rounds=rounds)
     # fixpoint edges are (node → component-min); roots label themselves
     return (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))

@@ -1503,7 +1503,16 @@ def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_bucketing.py pins the plan).  The result must equal
     the plain SQL join — bucketing is physical layout only.  At 100 TB
     this is THE recurring-join answer: orders⋈lineitem at every
-    incremental run without re-shuffling either table."""
+    incremental run without re-shuffling either table.
+
+    The bucketed layout lives in catalog tables + a scratch dir; both
+    are torn down in the ``finally`` (earlier rounds leaked one table
+    pair + dir per run, r03 ADVICE).  The aggregate is
+    status-cardinality-sized, so it is materialized inside the
+    try-block and returned as a local DataFrame — the zero-exchange
+    join still executes, and no lazy reference to the dropped tables
+    escapes."""
+    import shutil
     import tempfile
     import uuid
 
@@ -1513,32 +1522,39 @@ def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    (
-        o.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", f"{base}/orders_b").mode("overwrite")
-        .saveAsTable(f"orders_b_{tag}")
-    )
-    (
-        li.write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", f"{base}/lineitem_b").mode("overwrite")
-        .saveAsTable(f"lineitem_b_{tag}")
-    )
-    ob = spark.table(f"orders_b_{tag}")
-    lb = spark.table(f"lineitem_b_{tag}")
-    joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
-    return (
-        joined.groupBy("o_orderstatus")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .cast("decimal(18,4)")
-            )
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
+    try:
+        (
+            o.write.format("parquet").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{base}/orders_b").mode("overwrite")
+            .saveAsTable(f"orders_b_{tag}")
         )
-        .orderBy("o_orderstatus")
-    )
+        (
+            li.write.format("parquet").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{base}/lineitem_b").mode("overwrite")
+            .saveAsTable(f"lineitem_b_{tag}")
+        )
+        ob = spark.table(f"orders_b_{tag}")
+        lb = spark.table(f"lineitem_b_{tag}")
+        joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey)
+        agg = (
+            joined.groupBy("o_orderstatus")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                )
+                .cast("double")
+                .alias("revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{tag}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{tag}")
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 _register(

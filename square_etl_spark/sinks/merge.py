@@ -171,11 +171,22 @@ def merge_upsert_partitioned(
         batch_dedup = merge_dataframes(None, batch, keys, order_cols)
         return _write_counted(batch_dedup, target_path, partition_col)
 
+    # NULL partition values land in hive's __HIVE_DEFAULT_PARTITION__
+    # dir.  ``isin`` never matches NULL (three-valued logic), so without
+    # the explicit isNull branch the target's NULL-partition rows would
+    # be excluded from the merge slice while the swap below still
+    # replaced their directory — silently dropping them.
+    non_null = [t for t in touched if t is not None]
+    slice_cond = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if len(non_null) != len(touched):  # batch touches the NULL partition
+        slice_cond = slice_cond | F.col(partition_col).isNull()
     target_slice = (
         spark.read.schema(batch.schema)
         .option("basePath", target_path)
         .parquet(target_path)
-        .filter(F.col(partition_col).isin(touched))
+        .filter(slice_cond)
     )
     merged = merge_dataframes(
         target_slice, batch, keys, order_cols, stamp_updated_at

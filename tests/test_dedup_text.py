@@ -133,28 +133,44 @@ def test_connected_components_star_fewer_rounds_on_chain(spark):
     rounds where min-label propagation needs O(diameter): on a 16-hop
     chain the star variant must land the same labels in strictly fewer
     rounds (VERDICT r2 #6)."""
-    from square_etl_spark.operators.dedup import CC_STATS, connected_components
+    from square_etl_spark.operators.dedup import connected_components
 
     n = 16
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
     want = {i: 0 for i in range(n + 1)}
+    star_stats, ml_stats = {}, {}
     got_star = {
         r.doc_id: r.cluster_id
-        for r in connected_components(pairs, algorithm="star").collect()
+        for r in connected_components(
+            pairs, algorithm="star", stats=star_stats
+        ).collect()
     }
-    star_rounds = CC_STATS["star"]
     got_ml = {
         r.doc_id: r.cluster_id
         for r in connected_components(
-            pairs, algorithm="min_label", max_iterations=50
+            pairs, algorithm="min_label", max_iterations=50, stats=ml_stats
         ).collect()
     }
-    ml_rounds = CC_STATS["min_label"]
     assert got_star == got_ml == want
-    assert star_rounds < ml_rounds
-    assert star_rounds <= 8  # ~log₂(16) + fixpoint-detect rounds
+    assert star_stats["rounds"] < ml_stats["rounds"]
+    assert star_stats["rounds"] <= 8  # ~log₂(16) + fixpoint-detect rounds
+
+
+def test_connected_components_empty_pairs_converge_fast(spark):
+    """SUM over zero rows observes NULL; before the coalesce, an empty
+    edge set never satisfied changed == 0 and the min-label loop spun
+    all max_iterations rounds (r03 ADVICE).  Both algorithms must
+    return empty and stop within 2 rounds."""
+    from square_etl_spark.operators.dedup import connected_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    for algo, cap in [("min_label", 1), ("star", 2)]:
+        stats = {}
+        out = connected_components(empty, algorithm=algo, stats=stats)
+        assert out.count() == 0
+        assert stats["rounds"] <= cap, (algo, stats)
 
 
 def test_minhash_banded_finds_planted_dups(spark):

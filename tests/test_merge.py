@@ -201,6 +201,53 @@ def test_partitioned_merge_idempotent(spark, tmp_path):
     assert got == {("a", 1), ("c", 3)}
 
 
+def test_partitioned_merge_null_partition_rows_survive(spark, tmp_path):
+    """NULL partition values (hive __HIVE_DEFAULT_PARTITION__) must merge,
+    not vanish: ``isin(touched)`` never matches NULL, so before the
+    explicit isNull branch the target's prior NULL-partition rows were
+    excluded from the merge slice while the swap still replaced their
+    directory — silent data loss (r03 ADVICE, medium)."""
+    from square_etl_spark.sinks.merge import merge_upsert_partitioned
+
+    target = os.path.join(tmp_path, "tbl")
+    seed = _pbatch(spark, [
+        ("a", 1, "2024-01-01 00:00:00", "2024-01-01"),
+        ("n1", 9, "2024-01-01 00:00:00", None),   # NULL partition
+        ("n2", 8, "2024-01-01 00:00:00", None),
+    ])
+    merge_upsert_partitioned(spark, target, seed, ["k"], ["updated_at"], "day")
+
+    # batch touches the NULL partition: updates n1, inserts n3 — n2 must survive
+    batch = _pbatch(spark, [
+        ("n1", 90, "2024-01-02 00:00:00", None),
+        ("n3", 7, "2024-01-02 00:00:00", None),
+    ])
+    n = merge_upsert_partitioned(spark, target, batch, ["k"], ["updated_at"], "day")
+    assert n == 3  # n1 (updated) + n2 (survivor) + n3 (insert)
+    got = {
+        (r.k, r.v)
+        for r in spark.read.schema(PSCHEMA)
+        .option("basePath", target).parquet(target).collect()
+    }
+    assert got == {("a", 1), ("n1", 90), ("n2", 8), ("n3", 7)}
+
+    # batch NOT touching the NULL partition leaves it byte-identical
+    import hashlib
+
+    null_dir = os.path.join(target, "day=__HIVE_DEFAULT_PARTITION__")
+    before = sorted(
+        (f, hashlib.sha256(open(os.path.join(null_dir, f), "rb").read()).hexdigest())
+        for f in os.listdir(null_dir) if f.endswith(".parquet")
+    )
+    batch2 = _pbatch(spark, [("a", 11, "2024-01-03 00:00:00", "2024-01-01")])
+    merge_upsert_partitioned(spark, target, batch2, ["k"], ["updated_at"], "day")
+    after = sorted(
+        (f, hashlib.sha256(open(os.path.join(null_dir, f), "rb").read()).hexdigest())
+        for f in os.listdir(null_dir) if f.endswith(".parquet")
+    )
+    assert before == after
+
+
 def test_partitioned_merge_empty_batch_short_circuits(spark, tmp_path):
     from square_etl_spark.sinks.merge import merge_upsert_partitioned
 
