@@ -26,8 +26,11 @@ wins on the natural key; ``updated_at`` stamped only when an existing row
 actually changes is the caller's concern — the reference stamps it
 unconditionally from the payload, and so do we here).
 
-CONTAINER NOTE: no Postgres server exists in this environment, so the
-``ON CONFLICT`` dialect stays SQL-gen-tested only — but Spark ships
+CONTAINER NOTE: no Postgres server exists in this environment, but the
+``ON CONFLICT`` dialect is executed semantically end-to-end on DuckDB
+(which implements Postgres's INSERT ... ON CONFLICT grammar verbatim —
+update/insert branches, NULL-safe change guard, replay idempotence:
+tests/test_jdbc_sink.py::test_postgres_dialect_*), and Spark ships
 embedded Apache Derby jars, so the FULL wire path (parallel staging
 write → one server-side set-based merge in one transaction → staging
 drop) IS integration-tested against a live JDBC database using the

@@ -199,3 +199,90 @@ def test_write_jdbc_upsert_derby_end_to_end(spark, tmp_path):
         1,
     )
     assert leftovers == []
+
+
+# ---------------------------------------------------------------------------
+# Postgres ON CONFLICT dialect, executed semantically on DuckDB.
+#
+# No Postgres server exists in this container, but DuckDB — the same
+# engine the driver uses as the correctness oracle — implements
+# Postgres's INSERT ... ON CONFLICT DO UPDATE SET ... WHERE grammar
+# (EXCLUDED, IS DISTINCT FROM, target alias) verbatim.  Running the
+# GENERATED statement through a staging+target round trip validates the
+# dialect end-to-end: update branch, insert branch, NULL-safe change
+# guard, and idempotence (re-run touches zero rows), mirroring the
+# reference's per-row loop (etl-square-payments.ts:59-95).
+# ---------------------------------------------------------------------------
+
+
+def _duck_payments():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        'CREATE TABLE "payments" (payment_id VARCHAR PRIMARY KEY, '
+        "amount BIGINT, status VARCHAR)"
+    )
+    con.execute(
+        'CREATE TABLE "payments_stg" (payment_id VARCHAR, '
+        "amount BIGINT, status VARCHAR)"
+    )
+    return con
+
+
+def test_postgres_dialect_executes_on_duckdb_update_insert_idempotent():
+    con = _duck_payments()
+    sql = upsert_statement(
+        "payments", "payments_stg",
+        ["payment_id", "amount", "status"], ["payment_id"],
+    )
+    con.execute(
+        "INSERT INTO payments VALUES ('p0', 1, 'DONE'), ('p1', 100, 'PENDING')"
+    )
+    con.execute(
+        "INSERT INTO payments_stg VALUES "
+        "('p1', 150, 'COMPLETED'), ('p2', 50, 'PENDING')"
+    )
+    # first run: p1 updated, p2 inserted, p0 untouched
+    assert con.execute(sql).fetchall() == [(2,)]
+    assert con.execute(
+        "SELECT * FROM payments ORDER BY payment_id"
+    ).fetchall() == [
+        ("p0", 1, "DONE"), ("p1", 150, "COMPLETED"), ("p2", 50, "PENDING")
+    ]
+    # re-run of the same batch: IS DISTINCT FROM guard makes it a
+    # server-side no-op — zero rows touched (the reference's replay
+    # safety, K2/K3)
+    assert con.execute(sql).fetchall() == [(0,)]
+
+
+def test_postgres_dialect_null_safe_guard_on_duckdb():
+    con = _duck_payments()
+    sql = upsert_statement(
+        "payments", "payments_stg",
+        ["payment_id", "amount", "status"], ["payment_id"],
+    )
+    con.execute("INSERT INTO payments VALUES ('p1', 100, 'PENDING')")
+    con.execute("INSERT INTO payments_stg VALUES ('p1', NULL, 'PENDING')")
+    # value → NULL is a real change (plain <> would miss it)...
+    assert con.execute(sql).fetchall() == [(1,)]
+    assert con.execute("SELECT amount FROM payments").fetchall() == [(None,)]
+    # ...and NULL → NULL is a no-op, not a perpetual update
+    assert con.execute(sql).fetchall() == [(0,)]
+
+
+def test_postgres_dialect_pure_key_do_nothing_on_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute('CREATE TABLE "seen" (k VARCHAR, v BIGINT, PRIMARY KEY (k, v))')
+    con.execute('CREATE TABLE "seen_stg" (k VARCHAR, v BIGINT)')
+    con.execute("INSERT INTO seen VALUES ('a', 1)")
+    con.execute("INSERT INTO seen_stg VALUES ('a', 1), ('b', 2)")
+    sql = upsert_statement("seen", "seen_stg", ["k", "v"], ["k", "v"])
+    assert sql.endswith("DO NOTHING")
+    assert con.execute(sql).fetchall() == [(1,)]   # only the new pair lands
+    assert con.execute(sql).fetchall() == [(0,)]   # replay is a no-op
+    assert con.execute("SELECT * FROM seen ORDER BY k").fetchall() == [
+        ("a", 1), ("b", 2)
+    ]
