@@ -228,11 +228,25 @@ def scd2_merge(
     - same payload (null-safe)   → no-op (re-delivered rows don't churn)
     - changed payload            → close current at the new row's
                                    timestamp, insert new current
+    - LATE row (``order_col`` ≤ current ``valid_from``)
+                                 → ignored (standard SCD2 late-data
+                                   posture — applying it would write
+                                   inverted/overlapping validity
+                                   windows).  Batches are expected to
+                                   arrive in non-decreasing
+                                   ``order_col`` order per key; this
+                                   guard makes an out-of-order replay
+                                   a no-op instead of corruption.
 
     Pure DataFrame-in/DataFrame-out like :func:`merge_dataframes`: one
     full-outer join of the key-sized current slice against the deduped
     batch — history rows are untouched (at scale, store them in
     separate partitions so the merge never reads closed versions).
+    SINGLE-PASS: each joined row emits its 0–2 output versions as an
+    array of structs that is then exploded, so the join subtree appears
+    (and executes) exactly once in the plan — the earlier
+    filter-three-ways-and-union shape ran the same join up to 3×
+    (pinned in tests/test_merge.py::test_scd2_single_join_in_plan).
     """
     from functools import reduce
     from operator import or_
@@ -265,26 +279,38 @@ def scd2_merge(
         or_,
         [~F.col(f"__c_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in change_cols],
     )
+    late = has_c & has_n & (F.col("__n_from") <= F.col("__c_from"))
     ts_type = b.schema["__n_from"].dataType
-    keep_cur = j.filter(has_c & (~has_n | ~differs)).select(
-        *keys,
-        *[F.col(f"__c_{c}").alias(c) for c in change_cols],
-        F.col("__c_from").alias("valid_from"),
-        F.lit(None).cast(ts_type).alias("valid_to"),
-        F.lit(True).alias("is_current"),
+
+    def _version(prefix: str, vfrom, vto, is_cur):
+        return F.struct(
+            *[F.col(f"{prefix}{c}").alias(c) for c in change_cols],
+            vfrom.alias("valid_from"),
+            vto.cast(ts_type).alias("valid_to"),
+            is_cur.alias("is_current"),
+        )
+
+    none_ts = F.lit(None).cast(ts_type)
+    effective_change = has_c & has_n & differs & ~late
+    keep_cur = F.when(
+        has_c & (~has_n | ~differs | late),
+        _version("__c_", F.col("__c_from"), none_ts, F.lit(True)),
     )
-    closed = j.filter(has_c & has_n & differs).select(
-        *keys,
-        *[F.col(f"__c_{c}").alias(c) for c in change_cols],
-        F.col("__c_from").alias("valid_from"),
-        F.col("__n_from").alias("valid_to"),
-        F.lit(False).alias("is_current"),
+    closed = F.when(
+        effective_change,
+        _version("__c_", F.col("__c_from"), F.col("__n_from"), F.lit(False)),
     )
-    opened = j.filter(has_n & (~has_c | differs)).select(
-        *keys,
-        *[F.col(f"__n_{c}").alias(c) for c in change_cols],
-        F.col("__n_from").alias("valid_from"),
-        F.lit(None).cast(ts_type).alias("valid_to"),
-        F.lit(True).alias("is_current"),
+    opened = F.when(
+        has_n & (~has_c | effective_change),
+        _version("__n_", F.col("__n_from"), none_ts, F.lit(True)),
     )
-    return hist.unionByName(keep_cur).unionByName(closed).unionByName(opened)
+    exploded = (
+        j.select(
+            *keys,
+            F.explode(
+                F.array_compact(F.array(keep_cur, closed, opened))
+            ).alias("__v"),
+        )
+        .select(*keys, "__v.*")
+    )
+    return hist.unionByName(exploded)

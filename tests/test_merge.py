@@ -347,3 +347,71 @@ def test_scd2_in_batch_dedupe_last_writer(spark):
         ["k"], "ts", ["payload"],
     )
     assert _scd_state(h) == {("a", "v2", "2024-01-02 00:00:00", "None", True)}
+
+
+def test_scd2_late_batch_is_ignored_not_corrupting(spark):
+    """A batch whose ts predates (or equals) the current version's
+    valid_from must be a no-op: applying it would close the current row
+    with valid_to < valid_from — inverted/overlapping history (r03
+    ADVICE).  Batches are contractually non-decreasing in order_col;
+    the guard turns an out-of-order replay into a no-op."""
+    from square_etl_spark.sinks.merge import scd2_merge
+
+    h = scd2_merge(
+        None,
+        _scd_batch(spark, [("a", "current", "2024-06-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    want = {("a", "current", "2024-06-01 00:00:00", "None", True)}
+    # strictly earlier ts, different payload → ignored
+    h = scd2_merge(
+        h,
+        _scd_batch(spark, [("a", "stale", "2024-01-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    assert _scd_state(h) == want
+    # equal ts, different payload → also ignored (zero-length version
+    # would otherwise appear)
+    h = scd2_merge(
+        h,
+        _scd_batch(spark, [("a", "tied", "2024-06-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    assert _scd_state(h) == want
+    # and a later-ts change still applies normally afterwards
+    h = scd2_merge(
+        h,
+        _scd_batch(spark, [("a", "newer", "2024-07-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    assert _scd_state(h) == {
+        ("a", "current", "2024-06-01 00:00:00", "2024-07-01 00:00:00", False),
+        ("a", "newer", "2024-07-01 00:00:00", "None", True),
+    }
+
+
+def test_scd2_single_join_in_plan(spark):
+    """The keep/close/open branches are emitted in ONE pass over the
+    full-outer join (array-of-structs + explode): the join subtree must
+    appear exactly once in the physical plan.  The earlier
+    filter-three-ways-and-union shape planned (and could execute) the
+    same join 3× (r03 VERDICT nit)."""
+    import re
+
+    from square_etl_spark.sinks.merge import scd2_merge
+
+    target = scd2_merge(
+        None,
+        _scd_batch(spark, [("a", "x", "2024-01-01 00:00:00"),
+                           ("b", "q", "2024-01-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    out = scd2_merge(
+        target,
+        _scd_batch(spark, [("a", "y", "2024-02-01 00:00:00"),
+                           ("c", "n", "2024-02-01 00:00:00")]),
+        ["k"], "ts", ["payload"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert len(joins) == 1, f"expected exactly 1 join in plan, got {joins}"
