@@ -5,10 +5,12 @@ a typed metadata struct — the columnar layout that lets Catalyst prune
 bytes out of any query that only touches metadata (Dremel-style
 striping; a metadata-only scan never reads the blobs).  Decode /
 feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
-PPM (binary P6) and 24-bit BMP images are REAL — parsed pure-python +
-numpy to pixels and summarized as a 4×4 luminance-grid descriptor;
-formats needing codec libraries this container doesn't ship (PNG/JPEG/
-WAV/MP4 → PIL/torchaudio/ffmpeg) remain STUBBED and clearly marked.
+PPM (binary P6), 24-bit BMP, and PNG (non-interlaced 8-bit
+gray/RGB/RGBA via stdlib zlib + filter reconstruction) images are
+REAL — parsed pure-python + numpy to pixels and summarized as a 4×4
+luminance-grid descriptor; formats needing codec libraries this
+container doesn't ship (JPEG/WAV/MP4 → PIL/torchaudio/ffmpeg) remain
+STUBBED and clearly marked.
 The Spark-side contract — schemas, batch iteration, partitioning — is
 real and tested for all of them.
 
@@ -124,6 +126,90 @@ def _parse_bmp(data: bytes):
     return px[..., ::-1]  # BGR → RGB
 
 
+def _parse_png(data: bytes):
+    """REAL codec: PNG parser — stdlib zlib + numpy only, no codec
+    libraries.  Supports non-interlaced 8-bit-per-channel grayscale
+    (color type 0), RGB (2), and RGBA (6); all five scanline filters
+    (None/Sub/Up/Average/Paeth) are reconstructed per the PNG spec
+    §9 (filtering is byte-wise over the decompressed IDAT stream,
+    each scanline prefixed by its filter id).  Alpha is dropped,
+    grayscale replicated — returns (h, w, 3) uint8."""
+    import zlib
+
+    import numpy as np
+
+    if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if len(chunk) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if bit_depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, "
+            f"interlace={interlace}) — only 8-bit non-interlaced gray/RGB/RGBA"
+        )
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PNG geometry")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG zlib stream: {e}") from e
+    stride, bpp = w * channels, channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    p = 0
+    for y in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw[p + 1 : p + 1 + stride], np.uint8).astype(np.int32)
+        p += 1 + stride
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left neighbor
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up: vectorized over the row
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px[..., :3]  # RGBA → RGB
+
+
 def _grid_features(px) -> list[float]:
     """4×4 mean-luminance grid descriptor (FEATURE_DIM=16): a real,
     classic tiny-image feature.  Block bounds are integer-split with a
@@ -147,15 +233,16 @@ def _grid_features(px) -> list[float]:
 def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> list[float]:
     """bytes → fixed FEATURE_DIM float feature vector.
 
-    REAL codecs (pure python + numpy, nothing beyond the container):
-    ``format='ppm'`` (binary P6) and ``format='bmp'`` (24-bit
-    uncompressed) are parsed to pixels and summarized as a 4×4
-    luminance-grid descriptor.  Every other format keeps the STUB
-    below — PNG/JPEG/WAV/MP4 need codec libraries (PIL, torchaudio,
-    ffmpeg) this container doesn't ship; swap the stub for a real
-    codec without touching any Spark plumbing.  Malformed PPM/BMP
-    bytes raise ValueError → the decode stage marks the row ok=false
-    (quarantine posture, not task failure).
+    REAL codecs (pure python + stdlib zlib + numpy, nothing beyond the
+    container): ``format='ppm'`` (binary P6), ``format='bmp'`` (24-bit
+    uncompressed), and ``format='png'`` (non-interlaced 8-bit
+    gray/RGB/RGBA, all five scanline filters) are parsed to pixels and
+    summarized as a 4×4 luminance-grid descriptor.  Every other format
+    keeps the STUB below — JPEG/WAV/MP4 need codec libraries (PIL,
+    torchaudio, ffmpeg) this container doesn't ship; swap the stub for
+    a real codec without touching any Spark plumbing.  Malformed
+    PPM/BMP/PNG bytes raise ValueError → the decode stage marks the
+    row ok=false (quarantine posture, not task failure).
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
@@ -163,6 +250,8 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_ppm(bytes(content)))
     if media_type == "image" and fmt == "bmp":
         return _grid_features(_parse_bmp(bytes(content)))
+    if media_type == "image" and fmt == "png":
+        return _grid_features(_parse_png(bytes(content)))
     # STUB path: deterministic fake — bucket byte sums over windows
     if not content:
         return [0.0] * FEATURE_DIM

@@ -166,6 +166,98 @@ def test_decode_media_real_bmp_codec(spark):
     assert out.features == [r, r, g, g] * 2 + [b, b, w, w] * 2
 
 
+def _encode_png(px, color_type, filters):
+    """Minimal PNG ENCODER for the tests: 8-bit, non-interlaced, one
+    explicit filter id per scanline (so the decoder's reconstruction of
+    every filter type is exercised against spec-filtered bytes)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = px.shape[:2]
+    ch = 1 if px.ndim == 2 else px.shape[2]
+    rows = px.reshape(h, w * ch).astype(np.int32)
+    bpp = ch
+    raw = bytearray()
+    for y, f in zip(range(h), filters, strict=True):
+        cur = rows[y]
+        prev = rows[y - 1] if y > 0 else np.zeros_like(cur)
+        line = np.zeros_like(cur)
+        for x in range(len(cur)):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_parser_roundtrip_all_filters():
+    """decode(encode(px)) == px for every scanline filter type
+    (None/Sub/Up/Average/Paeth) and every supported color type —
+    deterministic pseudo-random pixels so filter arithmetic (mod-256
+    wraparound, bpp offsets) is fully exercised."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5, [0, 1, 2, 3, 4]):
+        got = _parse_png(_encode_png(px, 2, filters))
+        assert np.array_equal(got, px), f"filters={filters}"
+    # RGBA: alpha dropped, RGB planes exact
+    rgba = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    assert np.array_equal(_parse_png(_encode_png(rgba, 6, [4, 3, 1])), rgba[..., :3])
+    # grayscale: replicated to 3 channels
+    gray = rng.integers(0, 256, (4, 2), dtype=np.uint8)
+    got = _parse_png(_encode_png(gray, 0, [2, 4, 1, 3]))
+    assert np.array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+
+
+def test_decode_media_real_png_codec(spark):
+    """Exact-feature pin, like the PPM/BMP tests: an 8x8 PNG with the
+    left half black / right half white (Paeth+Sub filtered rows) must
+    produce the exact [0, 0, 1, 1] luminance grid on every row."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import decode_media
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:, 4:] = 255
+    blob = _encode_png(px, 2, [4, 1, 4, 1, 4, 1, 4, 1])
+    out = decode_media(_media_df(spark, blob, "png")).collect()[0]
+    assert out.ok is True
+    assert out.features == [0.0, 0.0, 1.0, 1.0] * 4
+
+
 def test_decode_media_malformed_image_quarantines(spark):
     from square_etl_spark.operators.multimodal import decode_media
 
@@ -174,10 +266,42 @@ def test_decode_media_malformed_image_quarantines(spark):
     # and a malformed BMP likewise (row-level ok=false, not task failure)
     out = decode_media(_media_df(spark, b"BMgarbage", "bmp")).collect()[0]
     assert out.ok is False and out.features is None
+    # malformed PNGs: bad signature, truncated chunk, corrupt zlib,
+    # interlaced (unsupported) — all quarantine, none crash the task
+    from square_etl_spark.operators.multimodal import _parse_png
+    import struct
+    import zlib
+
+    import pytest
+
+    good = _encode_png(
+        __import__("numpy").zeros((2, 2, 3), "uint8"), 2, [0, 0]
+    )
+    for bad in [
+        b"\x89PNG\r\n\x1a\nnope",
+        good[:20],
+        good.replace(zlib.compress(b"\x00" * 0), b"", 1)[:30],
+    ]:
+        with pytest.raises(ValueError):
+            _parse_png(bad)
+    # interlace flag set → explicit unsupported error
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    crc = zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr + crc
+        + good[8 + 12 + 13 :]
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        _parse_png(interlaced)
+    out = decode_media(_media_df(spark, b"\x89PNG\r\n\x1a\ngarbage", "png")).collect()[0]
+    assert out.ok is False and out.features is None
 
 
 def test_decode_media_stub_formats_still_flow(spark):
+    # jpeg remains a STUB codec (PIL not in container): deterministic
+    # fake features, row still flows (png graduated to a real codec)
     from square_etl_spark.operators.multimodal import FEATURE_DIM, decode_media
 
-    out = decode_media(_media_df(spark, b"arbitrary bytes here", "png")).collect()[0]
+    out = decode_media(_media_df(spark, b"arbitrary bytes here", "jpeg")).collect()[0]
     assert out.ok is True and len(out.features) == FEATURE_DIM
