@@ -31,6 +31,15 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+#: above this dimension, "unrolled" expression builders switch to array
+#: higher-order functions: a d-term Add chain (and d per-dim columns in
+#: quantize) is a Catalyst liability at d≥1024 — analysis/codegen cost
+#: grows with the expression tree while the HOF plan stays one node.
+#: 128 keeps the common embedding dims (64/96/128) on the codegen-fast
+#: unrolled path and the big ones (256/768/1024+) on the bounded one.
+UNROLL_MAX_DIM = 128
+
+
 def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Σ aᵢ·bᵢ as a flat unrolled expression for a KNOWN dimension.
 
@@ -41,11 +50,16 @@ def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
     output dim), unrolling into ``a[0]*b[0] + … + a[d-1]*b[d-1]``
     keeps the whole thing inside whole-stage codegen: measured ~5×
     on the sf0.01 all-pairs near-dup.  Same left-to-right accumulation
-    order as :func:`dot`, so results are bit-identical.
+    order as :func:`dot`, so results are bit-identical — which also
+    holds for the ``dim > UNROLL_MAX_DIM`` fallback to the HOF
+    :func:`dot` (same order, interpreted instead of codegen'd;
+    property-pinned at d=256 in tests/test_similarity_multimodal.py).
 
     Arrays shorter than ``dim`` would yield nulls (or, under ANSI,
     an index error) — callers own that invariant.
     """
+    if dim > UNROLL_MAX_DIM:
+        return dot(a, b)
     terms = [
         a[i].cast("double") * b[i].cast("double") for i in range(dim)
     ]
@@ -254,36 +268,71 @@ def quantize_int8(
     float32, 8× vs float64), which at 100 TB of embeddings is the
     difference between fitting the scan in page cache or not.
 
+    Two expression strategies, identical results (property-pinned):
+    ``dim ≤ UNROLL_MAX_DIM`` builds per-dimension columns (whole-stage
+    codegen keeps them fast); above it, the per-dim max becomes a
+    posexplode→groupBy(pos) aggregation (map-side partial, dim-sized
+    result) and codes/norm become array HOFs — bounded Catalyst trees
+    at d=1024+.
+
     Returns (DataFrame[id, codes array<int>, qnorm double], scales).
     """
-    mx = vectors.agg(
-        *[
-            F.max(F.abs(F.element_at(F.col(vec_col), i + 1))).alias(f"s{i}")
+    if dim <= UNROLL_MAX_DIM:
+        mx = vectors.agg(
+            *[
+                F.max(F.abs(F.element_at(F.col(vec_col), i + 1))).alias(f"s{i}")
+                for i in range(dim)
+            ]
+        ).collect()[0]
+        factors = [(float(mx[i]) / 127.0) if mx[i] else 1.0 for i in range(dim)]
+        code = [
+            F.round(F.element_at(F.col(vec_col), i + 1) / F.lit(factors[i]))
+            .cast("int")
+            .alias(f"c{i}")
             for i in range(dim)
         ]
-    ).collect()[0]
-    factors = [(float(mx[i]) / 127.0) if mx[i] else 1.0 for i in range(dim)]
-    code = [
-        F.round(F.element_at(F.col(vec_col), i + 1) / F.lit(factors[i]))
-        .cast("int")
-        .alias(f"c{i}")
+        staged = vectors.select(id_col, *code)
+        dequant_sq = [
+            (F.col(f"c{i}") * F.lit(factors[i])) ** 2 for i in range(dim)
+        ]
+        norm = dequant_sq[0]
+        for t in dequant_sq[1:]:
+            norm = norm + t
+        return (
+            staged.select(
+                id_col,
+                F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("codes"),
+                F.sqrt(norm).alias("qnorm"),
+            ),
+            factors,
+        )
+    # HOF path: dim-agnostic, bounded expression trees
+    mx_rows = (
+        vectors.select(F.posexplode(F.col(vec_col)).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("m"))
+        .collect()
+    )
+    mx_by_pos = {r["pos"]: r["m"] for r in mx_rows}
+    factors = [
+        (float(mx_by_pos[i]) / 127.0) if mx_by_pos.get(i) else 1.0
         for i in range(dim)
     ]
-    staged = vectors.select(id_col, *code)
-    dequant_sq = [
-        (F.col(f"c{i}") * F.lit(factors[i])) ** 2 for i in range(dim)
-    ]
-    norm = dequant_sq[0]
-    for t in dequant_sq[1:]:
-        norm = norm + t
-    return (
-        staged.select(
-            id_col,
-            F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("codes"),
-            F.sqrt(norm).alias("qnorm"),
-        ),
-        factors,
+    farr = F.lit(factors)
+    codes = F.zip_with(
+        F.col(vec_col), farr, lambda x, f: F.round(x.cast("double") / f).cast("int")
     )
+    staged = vectors.select(id_col, codes.alias("codes"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"), farr, lambda c, f: (c.cast("double") * f) ** 2
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return staged.select(id_col, "codes", norm.alias("qnorm")), factors
 
 
 def cosine_topk_quantized(
@@ -313,19 +362,66 @@ def cosine_topk_quantized(
 
     Output schema matches :func:`cosine_topk`; on the driver fixtures
     the rescored result is IDENTICAL to brute force (recall 1.0 —
-    pinned by reusing the brute-force oracle), while the candidate
-    scan reads an 8× smaller table.
+    pinned by reusing the brute-force oracle; NOTE this is not a
+    recall *guarantee* — see :func:`topk_from_codes`), while the
+    candidate scan reads an 8× smaller table.
+
+    This convenience wrapper quantizes per call; the scan win only
+    materializes when the codes table is written ONCE and re-probed —
+    that is :func:`topk_from_codes` over a stored codes+norm table
+    (the ``ann_topk_codes`` registry query).
     """
     codes_df, factors = quantize_int8(vectors, dim, id_col, vec_col)
-    qscaled = queries.select(
-        query_id_col,
-        F.array(
+    return topk_from_codes(
+        codes_df, factors, vectors, queries, k=k, dim=dim,
+        rescore_factor=rescore_factor, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )
+
+
+def topk_from_codes(
+    codes_df: DataFrame,
+    factors: list[float],
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN probe over a PRE-MATERIALIZED codes+norm table (the
+    deployment shape: quantize once at ingest, write
+    ``[id, codes array<int>, qnorm]`` + the dim-sized ``factors``
+    sidecar, then every probe scans only the 8×-smaller table).
+
+    The per-dim dequantization factors fold into the BROADCAST query
+    side, so the approximate score is a plain weighted dot over int
+    codes; the top ``k·rescore_factor`` candidates per query are
+    exactly rescored against the raw vectors (a key-sized join).
+
+    RECALL NOTE: rescore repairs quantization error only within the
+    candidate set — if quantization pushes a true top-k vector below
+    the top ``k·rescore_factor`` approx ranks, it is lost.  On the
+    driver fixtures recall is 1.0 and the result hash-matches brute
+    force, but that is an empirical property of these fixtures, not an
+    invariant; raise ``rescore_factor`` (candidate cost is linear in
+    it) if fixtures or models change.
+    """
+    if dim <= UNROLL_MAX_DIM:
+        qs = F.array(
             *[
                 F.element_at(F.col(query_vec_col), i + 1) * F.lit(factors[i])
                 for i in range(dim)
             ]
-        ).alias("__qs"),
-    )
+        )
+    else:
+        qs = F.zip_with(
+            F.col(query_vec_col), F.lit(factors), lambda x, f: x.cast("double") * f
+        )
+    qscaled = queries.select(query_id_col, qs.alias("__qs"))
     approx = (
         codes_df.crossJoin(F.broadcast(qscaled))
         .withColumn(

@@ -128,3 +128,91 @@ def test_quantized_topk_matches_brute_force(spark, sf_dir):
     brute = {tuple(r) for r in cosine_topk(e, q, k=5).collect()}
     quant = {tuple(r) for r in cosine_topk_quantized(e, q, k=5, dim=64).collect()}
     assert quant == brute
+
+
+def test_topk_from_materialized_codes_matches_brute_force(spark, sf_dir, tmp_path):
+    """The deployment shape: quantize ONCE, write codes+norm parquet,
+    probe the stored table via topk_from_codes — result identical to
+    brute force on the fixtures (and to the per-call wrapper)."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.similarity import (
+        cosine_topk,
+        quantize_int8,
+        topk_from_codes,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes_df, factors = quantize_int8(e, dim=64)
+    path = str(tmp_path / "codes")
+    codes_df.write.parquet(path)
+    stored = spark.read.parquet(path)
+    got = {tuple(r) for r in topk_from_codes(stored, factors, e, q, k=5, dim=64).collect()}
+    brute = {tuple(r) for r in cosine_topk(e, q, k=5).collect()}
+    assert got == brute
+
+
+def test_dot_unrolled_hof_fallback_matches_at_d256(spark):
+    """Above UNROLL_MAX_DIM, dot_unrolled falls back to the aggregate()
+    HOF: at d=256 the fallback must equal the explicitly-unrolled sum
+    bit-for-bit (same left-to-right accumulation order), and the plan
+    must stay bounded (one HOF node, not a 256-term Add chain)."""
+    import numpy as np
+
+    from square_etl_spark.operators.similarity import (
+        UNROLL_MAX_DIM,
+        dot,
+        dot_unrolled,
+    )
+
+    assert 256 > UNROLL_MAX_DIM
+    d = 256
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, rng.normal(size=d).tolist(), rng.normal(size=d).tolist())
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    # explicit unroll (the reference computation, bypassing the threshold)
+    terms = F.col("a")[0] * F.col("b")[0]
+    for i in range(1, d):
+        terms = terms + F.col("a")[i] * F.col("b")[i]
+    got = df.select(
+        "id",
+        dot_unrolled(F.col("a"), F.col("b"), d).alias("hof"),
+        terms.alias("unrolled"),
+        dot(F.col("a"), F.col("b")).alias("plain_hof"),
+    ).collect()
+    for r in got:
+        assert r.hof == r.unrolled == r.plain_hof  # bit-identical
+
+
+def test_quantize_int8_hof_path_matches_unrolled_at_d256(spark):
+    """dim > UNROLL_MAX_DIM switches quantize_int8 to posexplode scales
+    + zip_with/aggregate codes+norm: at d=256 every code and norm must
+    equal a numpy re-derivation of the same per-dim-symmetric scheme."""
+    import numpy as np
+
+    from square_etl_spark.operators.similarity import quantize_int8
+
+    d = 256
+    rng = np.random.default_rng(5)
+    mat = rng.normal(scale=3.0, size=(50, d))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        "vec_id long, embedding array<double>",
+    )
+    codes_df, factors = quantize_int8(df, dim=d)
+    want_factors = np.abs(mat).max(axis=0) / 127.0
+    assert np.allclose(factors, want_factors)
+    rows = {r.vec_id: r for r in codes_df.collect()}
+    f = np.array(factors)
+    for i in range(len(mat)):
+        want_codes = np.round(mat[i] / f).astype(int)
+        assert list(want_codes) == rows[i].codes, f"vec {i}"
+        assert abs(rows[i].qnorm - np.linalg.norm(want_codes * f)) < 1e-9
+    assert codes_df.filter(F.col("qnorm") <= 0).count() == 0

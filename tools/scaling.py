@@ -45,6 +45,8 @@ from square_etl_spark.operators.dedup import (  # noqa: E402
 from square_etl_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     cosine_topk_quantized,
+    quantize_int8,
+    topk_from_codes,
 )
 from square_etl_spark.operators.text import quality_metrics  # noqa: E402
 
@@ -118,6 +120,17 @@ def main() -> None:
             )
             run("ann_bruteforce", cosine_topk(emb, qset, k=5))
             run("ann_quantized", cosine_topk_quantized(emb, qset, k=5, dim=DIM))
+            # deployment shape: quantize+write ONCE (untimed setup, the
+            # ingest-time cost), then time the probe over the stored
+            # codes+norm table — this is what ann_topk_codes benches
+            codes_path = os.path.join(scratch, f"codes_{n}")
+            codes_df, factors = quantize_int8(emb, DIM)
+            codes_df.write.mode("overwrite").parquet(codes_path)
+            stored = spark.read.parquet(codes_path)
+            run(
+                "ann_codes_probe",
+                topk_from_codes(stored, factors, emb, qset, k=5, dim=DIM),
+            )
             # our banded implementation (bucket-cap skew guard); the
             # spark.ml wrapper is measured separately below when small
             # enough — it goes superlinear on skewed corpora.
