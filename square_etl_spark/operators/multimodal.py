@@ -6,10 +6,11 @@ bytes out of any query that only touches metadata (Dremel-style
 striping; a metadata-only scan never reads the blobs).  Decode /
 feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
 PPM (binary P6), 24-bit BMP, and PNG (non-interlaced 8-bit
-gray/RGB/RGBA via stdlib zlib + filter reconstruction) images are
-REAL — parsed pure-python + numpy to pixels and summarized as a 4×4
-luminance-grid descriptor; formats needing codec libraries this
-container doesn't ship (JPEG/WAV/MP4 → PIL/torchaudio/ffmpeg) remain
+gray/RGB/RGBA via stdlib zlib + filter reconstruction) images and
+WAV (8/16-bit integer PCM) audio are REAL — parsed pure-python +
+numpy to pixels/samples and summarized as a 4×4 luminance grid /
+16-window RMS energy profile; formats needing codec libraries this
+container doesn't ship (JPEG/MP3/MP4 → PIL/torchaudio/ffmpeg) remain
 STUBBED and clearly marked.
 The Spark-side contract — schemas, batch iteration, partitioning — is
 real and tested for all of them.
@@ -210,6 +211,67 @@ def _parse_png(data: bytes):
     return px[..., :3]  # RGBA → RGB
 
 
+def _parse_wav(data: bytes):
+    """REAL codec: RIFF/WAVE PCM parser — stdlib + numpy only.
+    Supports 8-bit unsigned and 16-bit signed little-endian PCM, any
+    channel count (mono-mixed by mean).  Returns (samples float64 in
+    [-1, 1], sample_rate)."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are even-padded
+    if fmt is None or len(fmt) < 16 or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        raise ValueError(
+            f"only 8/16-bit integer PCM WAV (format={audio_format}, bits={bits})"
+        )
+    if bits == 8:  # unsigned, midpoint 128
+        raw = np.frombuffer(pcm, np.uint8).astype(np.float64)
+        samples = (raw - 128.0) / 128.0
+    else:  # signed little-endian
+        raw = np.frombuffer(pcm[: len(pcm) & ~1], "<i2").astype(np.float64)
+        samples = raw / 32768.0
+    frames = len(samples) // n_channels
+    if frames == 0:
+        raise ValueError("empty WAV data chunk")
+    samples = samples[: frames * n_channels].reshape(frames, n_channels).mean(axis=1)
+    return samples, sample_rate
+
+
+def _rms_features(samples) -> list[float]:
+    """FEATURE_DIM-window RMS energy profile — the audio analog of the
+    4×4 luminance grid: a real, classic loudness-envelope descriptor.
+    Window bounds are integer-split with a ≥1-sample floor, so any
+    length (even 1 sample) fills all 16 cells."""
+    import numpy as np
+
+    n = len(samples)
+    feats = []
+    for i in range(FEATURE_DIM):
+        s0 = (i * n) // FEATURE_DIM
+        s1 = max(s0 + 1, ((i + 1) * n) // FEATURE_DIM)
+        w = samples[s0:s1]
+        feats.append(round(float(np.sqrt(np.mean(w * w))), 6))
+    return feats
+
+
 def _grid_features(px) -> list[float]:
     """4×4 mean-luminance grid descriptor (FEATURE_DIM=16): a real,
     classic tiny-image feature.  Block bounds are integer-split with a
@@ -237,12 +299,15 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     container): ``format='ppm'`` (binary P6), ``format='bmp'`` (24-bit
     uncompressed), and ``format='png'`` (non-interlaced 8-bit
     gray/RGB/RGBA, all five scanline filters) are parsed to pixels and
-    summarized as a 4×4 luminance-grid descriptor.  Every other format
-    keeps the STUB below — JPEG/WAV/MP4 need codec libraries (PIL,
-    torchaudio, ffmpeg) this container doesn't ship; swap the stub for
-    a real codec without touching any Spark plumbing.  Malformed
-    PPM/BMP/PNG bytes raise ValueError → the decode stage marks the
-    row ok=false (quarantine posture, not task failure).
+    summarized as a 4×4 luminance-grid descriptor; ``format='wav'``
+    (8/16-bit integer PCM, any channel count) is parsed to mono
+    samples and summarized as a 16-window RMS energy profile.  Every
+    other format keeps the STUB below — JPEG/MP3/MP4 need codec
+    libraries (PIL, torchaudio, ffmpeg) this container doesn't ship;
+    swap the stub for a real codec without touching any Spark
+    plumbing.  Malformed PPM/BMP/PNG/WAV bytes raise ValueError → the
+    decode stage marks the row ok=false (quarantine posture, not task
+    failure).
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
@@ -252,6 +317,9 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_bmp(bytes(content)))
     if media_type == "image" and fmt == "png":
         return _grid_features(_parse_png(bytes(content)))
+    if media_type == "audio" and fmt == "wav":
+        samples, _rate = _parse_wav(bytes(content))
+        return _rms_features(samples)
     # STUB path: deterministic fake — bucket byte sums over windows
     if not content:
         return [0.0] * FEATURE_DIM

@@ -108,7 +108,7 @@ def test_declared_schema_tolerates_file_schema_evolution(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def _media_df(spark, blob, fmt):
+def _media_df(spark, blob, fmt, media_type="image"):
     from pyspark.sql import functions as F
 
     return spark.createDataFrame(
@@ -116,7 +116,7 @@ def _media_df(spark, blob, fmt):
     ).withColumn(
         "meta",
         F.struct(
-            F.lit("image").alias("media_type"),
+            F.lit(media_type).alias("media_type"),
             F.lit(fmt).alias("format"),
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
@@ -305,3 +305,89 @@ def test_decode_media_stub_formats_still_flow(spark):
 
     out = decode_media(_media_df(spark, b"arbitrary bytes here", "jpeg")).collect()[0]
     assert out.ok is True and len(out.features) == FEATURE_DIM
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec: RIFF/WAVE integer PCM -> mono samples -> 16-window
+# RMS energy profile.
+# ---------------------------------------------------------------------------
+
+
+def _encode_wav(data, bits=16, channels=1, rate=8000, extra_chunk=None):
+    """Minimal WAV ENCODER for the tests. ``data`` is raw sample bytes."""
+    import struct
+
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate,
+        rate * channels * bits // 8, channels * bits // 8, bits,
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk is not None:  # odd-sized chunk exercises even-padding
+        chunks += b"LIST" + len(extra_chunk).to_bytes(4, "little") + extra_chunk
+        if len(extra_chunk) & 1:
+            chunks += b"\x00"
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_parser_stereo_mix_8bit_and_chunk_padding():
+    import struct
+
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_wav
+
+    # 16-bit stereo: L=+8192, R=-8192 -> mono mean exactly 0
+    frames = 12
+    data = b"".join(struct.pack("<hh", 8192, -8192) for _ in range(frames))
+    samples, rate = _parse_wav(_encode_wav(data, 16, 2, 44100))
+    assert rate == 44100 and len(samples) == frames
+    assert np.allclose(samples, 0.0)
+    # 8-bit unsigned mono: 128 is silence, 255 ~ +0.992, 0 = -1.0
+    samples, _ = _parse_wav(_encode_wav(bytes([128, 255, 0]), 8, 1))
+    assert np.allclose(samples, [0.0, 127 / 128.0, -1.0])
+    # an odd-sized LIST chunk before data must be skipped (even-padded)
+    samples, _ = _parse_wav(
+        _encode_wav(bytes([128, 128]), 8, 1, extra_chunk=b"abc")
+    )
+    assert np.allclose(samples, [0.0, 0.0])
+
+
+def test_decode_media_real_wav_codec(spark):
+    """Exact-feature pin: a constant-amplitude +-0.5 square wave has RMS
+    exactly 0.5 in every one of the 16 windows."""
+    import struct
+
+    from square_etl_spark.operators.multimodal import decode_media
+
+    data = b"".join(
+        struct.pack("<h", 16384 if i % 2 == 0 else -16384) for i in range(160)
+    )
+    out = decode_media(
+        _media_df(spark, _encode_wav(data), "wav", media_type="audio")
+    ).collect()[0]
+    assert out.ok is True
+    assert out.features == [0.5] * 16
+
+
+def test_decode_media_malformed_wav_quarantines(spark):
+    import struct
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_wav, decode_media
+
+    # float PCM (format 3) is explicitly unsupported, not mis-decoded
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF" + (4 + 8 + len(fmt) + 8).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    for bad in [b"RIFFgarbage", _encode_wav(b"", 16, 1), float_wav]:
+        with pytest.raises(ValueError):
+            _parse_wav(bad)
+    out = decode_media(
+        _media_df(spark, b"RIFFnope", "wav", media_type="audio")
+    ).collect()[0]
+    assert out.ok is False and out.features is None
