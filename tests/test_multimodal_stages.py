@@ -391,3 +391,101 @@ def test_decode_media_malformed_wav_quarantines(spark):
         _media_df(spark, b"RIFFnope", "wav", media_type="audio")
     ).collect()[0]
     assert out.ok is False and out.features is None
+
+
+# ---------------------------------------------------------------------------
+# REAL video codec: uncompressed AVI (RIFF) -> DIB frames -> 16-window
+# temporal luminance profile.
+# ---------------------------------------------------------------------------
+
+
+def _encode_avi(frames_rgb, bottom_up=True):
+    """Minimal AVI ENCODER for the tests: RIFF('AVI ') with a hdrl list
+    (zeroed avih/strh, real BITMAPINFOHEADER strf) and a movi list of
+    00db DIB frames (bottom-up BGR, 4-byte row stride)."""
+    import numpy as np
+
+    h, w, _ = frames_rgb[0].shape
+    stride = (w * 3 + 3) & ~3
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (h if bottom_up else -h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")          # BI_RGB
+        + b"\x00" * 20
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", b"\x00" * 56)
+        + lst(b"strl", chunk(b"strh", b"\x00" * 56) + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    for f in frames_rgb:
+        bgr = f[..., ::-1]
+        if bottom_up:
+            bgr = bgr[::-1]
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        movi_body += chunk(b"00db", rows.tobytes())
+    body = b"AVI " + hdrl + lst(b"movi", movi_body)
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_parser_roundtrip_and_orientation():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_avi
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (3, 2, 3), dtype=np.uint8) for _ in range(4)]
+    for bottom_up in (True, False):
+        got = _parse_avi(_encode_avi(frames, bottom_up=bottom_up))
+        assert len(got) == 4
+        for a, b in zip(got, frames, strict=True):
+            assert np.array_equal(a, b), f"bottom_up={bottom_up}"
+
+
+def test_decode_media_real_avi_codec(spark):
+    """Exact-feature pin: 4 frames fading black -> white give a
+    monotone step temporal-luminance profile (4 windows per frame)."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import decode_media
+
+    levels = [0, 85, 170, 255]
+    frames = [np.full((2, 2, 3), v, np.uint8) for v in levels]
+    out = decode_media(
+        _media_df(spark, _encode_avi(frames), "avi", media_type="video")
+    ).collect()[0]
+    assert out.ok is True
+    want = []
+    for v in levels:
+        want += [round(v / 255.0, 6)] * 4
+    assert out.features == want
+
+
+def test_decode_media_malformed_avi_quarantines(spark):
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_avi, decode_media
+
+    good = _encode_avi([np.zeros((2, 2, 3), np.uint8)])
+    for bad in [b"RIFFxxxxAVI", good[:40], good[:-8]]:
+        with pytest.raises(ValueError):
+            _parse_avi(bad)
+    out = decode_media(
+        _media_df(spark, b"RIFF\x04\x00\x00\x00AVI ", "avi", media_type="video")
+    ).collect()[0]
+    assert out.ok is False and out.features is None
