@@ -130,3 +130,38 @@ def test_pipeline_catalog_plan_broadcasts_items_dim(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_codes_probe_scans_only_codes_and_broadcasts_rescore(spark, sf_dir, tmp_path):
+    """The materialized-codes ANN probe's 100 TB posture: the candidate
+    scan reads ONLY the codes+norm table columns (the raw embedding
+    table appears in the plan solely behind the key-sized rescore
+    join), and both query-side joins are broadcasts — the N-sized
+    codes scan is never shuffled."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.similarity import quantize_int8, topk_from_codes
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes_df, factors = quantize_int8(e, dim=64)
+    path = str(tmp_path / "codes")
+    codes_df.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = _plan(topk_from_codes(stored, factors, e, q, k=5, dim=64))
+    # codes-table scan carries exactly the codes layout, no embedding
+    codes_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "codes" in l
+    ]
+    assert codes_scans, plan
+    assert all("embedding" not in l for l in codes_scans)
+    assert "BroadcastExchange" in plan
+    # the big-side codes scan must not sit under a shuffle exchange:
+    # the only Exchanges allowed are the window's hash partitioning on
+    # query_id (Q-sized after candidate pruning) — never on codes rows
+    import re
+
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("query_id" in e for e in exchanges), exchanges
