@@ -451,15 +451,32 @@ def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Arrow-batched image resize stage (STUB codec).
+_IMAGE_PARSERS = {}  # populated below, after the parsers are defined
 
-    Real body needs PIL/opencv (not in this container): it would be
-    ``Image.open(BytesIO(blob)).resize((w, h))`` per blob inside the
-    batch loop.  The deterministic fake truncates/pads bytes to
-    ``w*h`` so tests pin the contract: schema, per-batch iteration,
-    blob-in/blob-out flow, and that the ORIGINAL blob does not survive
-    the stage (downstream shuffles carry only resized bytes).
+
+def _resample_nearest(px, width: int, height: int):
+    """Nearest-neighbor resample (h,w,3) → (height,width,3): the
+    index-map formulation (src = floor((dst + 0.5) · src/dst)) — two
+    fancy-index numpy ops, no Python pixel loop."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(int), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(int), w - 1)
+    return px[rows][:, cols]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize stage — REAL for the decodable
+    formats (``meta.format`` in ppm/bmp/png: decode → nearest-neighbor
+    resample → raw ``width*height*3`` RGB bytes out), STUB for
+    everything else (deterministic truncate/pad to ``w*h`` bytes, so
+    the Spark contract — schema, per-batch iteration, blob-in/blob-out,
+    original blob does not survive the stage — stays pinned even for
+    formats whose codec libs this container doesn't ship).  Undecodable
+    bytes in a decodable format fall back to the stub rather than
+    failing the task (quarantine posture lives in :func:`decode_media`;
+    resize is best-effort by design).
     """
     import pandas as pd
 
@@ -468,10 +485,24 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {"media_id": [], "width": [], "height": [], "content": []}
-            for mid, blob in zip(pdf["media_id"], pdf["content"], strict=True):
+            metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
+            for mid, blob, meta in zip(
+                pdf["media_id"], pdf["content"], metas, strict=True
+            ):
                 raw = bytes(blob or b"")
-                # STUB: real codec decodes + resamples; fake keeps size contract
-                resized = raw[:target].ljust(target, b"\x00")
+                fmt = (meta or {}).get("format")
+                resized = None
+                parser = _IMAGE_PARSERS.get(fmt)
+                if parser is not None:
+                    try:  # REAL: decode + resample
+                        resized = _resample_nearest(
+                            parser(raw), width, height
+                        ).tobytes()
+                    except ValueError:
+                        resized = None
+                if resized is None:
+                    # STUB: keeps the size contract for undecodables
+                    resized = raw[:target].ljust(target, b"\x00")
                 out["media_id"].append(mid)
                 out["width"].append(width)
                 out["height"].append(height)
@@ -485,27 +516,58 @@ FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling stage for video blobs (STUB codec) — a 1-to-N
-    ``mapInPandas`` expansion (each asset yields up to ``max_frames``
-    rows), the multimodal analog of J4's explode.
+    """Frame-sampling stage for video blobs — a 1-to-N ``mapInPandas``
+    expansion (each asset yields up to ``max_frames`` rows), the
+    multimodal analog of J4's explode.
 
-    Real body would use ffmpeg/pyav keyframe extraction; the
-    deterministic fake emits fixed-stride byte windows as "frames".
-    The Spark contract being pinned: output cardinality is data-driven
-    per input row (generator semantics), ordering within an asset is
-    by frame_idx, and blobs never join the shuffle unless selected.
+    REAL for ``meta.format == 'avi'`` (uncompressed 24bpp DIB): frames
+    are decoded and emitted as raw RGB bytes, evenly subsampled to
+    ``max_frames`` when the clip is longer; STUB for formats needing
+    ffmpeg/pyav (fixed-stride byte windows stand in as "frames").
+    The Spark contract pinned either way: output cardinality is
+    data-driven per input row (generator semantics), ordering within
+    an asset is by frame_idx, and blobs never join the shuffle unless
+    selected.
     """
     import pandas as pd
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "frame": []}
-            for mid, blob in zip(pdf["media_id"], pdf["content"], strict=True):
+            metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
+            for mid, blob, meta in zip(
+                pdf["media_id"], pdf["content"], metas, strict=True
+            ):
                 raw = bytes(blob or b"")
-                for i in range(min(max_frames, max(1, len(raw) // every_n_bytes))):
+                frames = None
+                if (meta or {}).get("format") == "avi":
+                    try:  # REAL: decoded frames, evenly subsampled
+                        decoded = _parse_avi(raw)
+                        n = len(decoded)
+                        take = (
+                            range(n)
+                            if n <= max_frames
+                            else [(i * n) // max_frames for i in range(max_frames)]
+                        )
+                        frames = [decoded[i].tobytes() for i in take]
+                    except ValueError:
+                        frames = None
+                if frames is None:
+                    # STUB: fixed-stride byte windows
+                    frames = [
+                        raw[i * every_n_bytes : (i + 1) * every_n_bytes]
+                        for i in range(
+                            min(max_frames, max(1, len(raw) // every_n_bytes))
+                        )
+                    ]
+                for i, fr in enumerate(frames):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(i)
-                    out["frame"].append(raw[i * every_n_bytes : (i + 1) * every_n_bytes])
+                    out["frame"].append(fr)
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# decodable-image dispatch for resize (defined after the parsers exist)
+_IMAGE_PARSERS.update({"ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png})

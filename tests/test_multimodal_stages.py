@@ -489,3 +489,37 @@ def test_decode_media_malformed_avi_quarantines(spark):
         _media_df(spark, b"RIFF\x04\x00\x00\x00AVI ", "avi", media_type="video")
     ).collect()[0]
     assert out.ok is False and out.features is None
+
+
+def test_resize_real_for_decodable_formats(spark):
+    """meta.format in ppm/bmp/png -> REAL decode + nearest-neighbor
+    resample to raw w*h*3 RGB bytes (not the stub's truncate/pad)."""
+    import numpy as np
+
+    row = b"\x00\x00\x00" * 4 + b"\xff\xff\xff" * 4
+    blob = b"P6\n8 8\n255\n" + row * 8        # left half black, right white
+    out = resize_images(_media_df(spark, blob, "ppm"), 4, 2).collect()[0]
+    got = np.frombuffer(bytes(out.content), np.uint8).reshape(2, 4, 3)
+    want = np.zeros((2, 4, 3), np.uint8)
+    want[:, 2:] = 255                          # halves survive the resample
+    assert np.array_equal(got, want)
+    assert (out.width, out.height) == (4, 2)
+    # undecodable bytes in a decodable format fall back to the stub size
+    out = resize_images(_media_df(spark, b"P6 garbage", "ppm"), 4, 2).collect()[0]
+    assert len(out.content) == 8
+
+
+def test_sample_frames_real_for_avi(spark):
+    """meta.format == 'avi' -> REAL decoded RGB frames, evenly
+    subsampled to max_frames when the clip is longer."""
+    import numpy as np
+
+    frames = [np.full((2, 2, 3), v, np.uint8) for v in range(6)]
+    media = _media_df(spark, _encode_avi(frames), "avi", media_type="video")
+    got = sorted(
+        sample_frames(media, max_frames=3).collect(), key=lambda r: r.frame_idx
+    )
+    assert [r.frame_idx for r in got] == [0, 1, 2]
+    # even subsample of 6 frames to 3: indices 0, 2, 4
+    for r, src in zip(got, [0, 2, 4], strict=True):
+        assert bytes(r.frame) == frames[src].tobytes()
