@@ -218,3 +218,74 @@ def test_connected_components_equals_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expect = {n: find(n) for n in parent}
     assert got == expect
+
+
+@st.composite
+def _scd_batches(draw):
+    """2-4 batches of (key, payload, ts) rows; (key, ts) unique within a
+    batch (ties on the order column alone are contractually undefined),
+    payloads include None to exercise the null-safe change comparison,
+    ts collide across batches to exercise the late-data guard."""
+    n_batches = draw(st.integers(2, 4))
+    payload = st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))
+    batch = st.lists(
+        st.tuples(_key, payload, st.integers(0, 12)),
+        min_size=0,
+        max_size=8,
+        unique_by=lambda r: (r[0], r[2]),
+    )
+    return [draw(batch) for _ in range(n_batches)]
+
+
+@given(batches=_scd_batches())
+@SETTINGS
+def test_scd2_equals_python_fold(spark, batches):
+    """Applying batches through scd2_merge == a pure-Python SCD2 fold:
+    per batch, per key, the max-ts row wins; vs the current version it
+    is ignored when late (ts <= current valid_from), a no-op when the
+    payload is unchanged (null-safe), else it closes the current
+    version at its ts and becomes current."""
+    from square_etl_spark.sinks.merge import scd2_merge
+
+    target = None
+    applied = False
+    for rows in batches:
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "k string, payload string, ts long")
+        target = scd2_merge(target, df, ["k"], "ts", ["payload"])
+        target = target.localCheckpoint(eager=True)  # keep plans bounded
+        applied = True
+    if not applied:
+        return
+    got = {
+        (r.k, r.payload, r.valid_from, r.valid_to, r.is_current)
+        for r in target.collect()
+    }
+
+    hist: dict[str, list] = {}
+    cur: dict[str, tuple] = {}
+    for rows in batches:
+        winners: dict[str, tuple] = {}
+        for k, p, t in rows:
+            if k not in winners or t > winners[k][1]:
+                winners[k] = (p, t)
+        for k, (p, t) in winners.items():
+            if k not in cur:
+                cur[k] = (p, t)
+            else:
+                cp, ct = cur[k]
+                if t <= ct or p == cp:
+                    continue  # late or unchanged
+                hist.setdefault(k, []).append((cp, ct, t))
+                cur[k] = (p, t)
+    expect = {
+        (k, p, vf, vt, False) for k, vs in hist.items() for (p, vf, vt) in vs
+    } | {(k, p, vf, None, True) for k, (p, vf) in cur.items()}
+    assert got == expect
+    # invariant: exactly one current version per key ever seen
+    by_key: dict[str, int] = {}
+    for k, _p, _vf, vt, is_cur in got:
+        if is_cur:
+            by_key[k] = by_key.get(k, 0) + 1
+    assert all(v == 1 for v in by_key.values())
