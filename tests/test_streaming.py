@@ -98,3 +98,69 @@ def test_windowed_stream_agg_matches_batch(spark, sf_dir, tmp_path):
     )
     expected = {(r.ws, r.event_type): r["count"] for r in batch.collect()}
     assert streamed == expected
+
+
+def test_watermark_drops_late_events_across_microbatches(spark, tmp_path):
+    """The watermark's late-data contract, pinned across checkpointed
+    runs in APPEND mode: batch 1 advances the watermark and finalizes
+    its early window; a batch-2 event behind the watermark must NOT
+    reopen or re-emit that window (it is dropped pre-aggregation),
+    while on-time batch-2 data flows normally.  This is the streaming
+    analog of the reference's bounded 24 h lookback — state stays
+    bounded because closed windows can never resurrect."""
+    import datetime as dt
+
+    src = os.path.join(tmp_path, "src")
+    out = os.path.join(tmp_path, "out")
+    ckpt = os.path.join(tmp_path, "ckpt")
+
+    def ev(eid, hour, minute=0):
+        return (
+            eid,
+            dt.datetime(2024, 1, 1, hour, minute),
+            1,
+            "x",
+            1.0,
+            None,
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS).parquet(src)
+        agg = windowed_stream_agg(stream, watermark="1 hour", window_duration="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two events in hour 0, one at hour 10 (advances the
+    # watermark to 09:00 — hour-0's window is closed and emitted)
+    spark.createDataFrame(
+        [ev(1, 0, 5), ev(2, 0, 40), ev(3, 10)], EVENTS
+    ).write.mode("append").parquet(src)
+    run_once()
+    first = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    h0 = (dt.datetime(2024, 1, 1, 0), "x")
+    assert first[h0] == 2  # hour-0 window finalized with its 2 events
+
+    # batch 2: one LATE event in hour 0 (behind the 09:00 watermark)
+    # and one fresh event at hour 13 (advances watermark past hour 10)
+    spark.createDataFrame(
+        [ev(4, 0, 50), ev(5, 13)], EVENTS
+    ).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    final = {}
+    for r in rows:
+        key = (r.window_start, r.event_type)
+        assert key not in final or key != h0, "hour-0 window re-emitted"
+        final[key] = final.get(key, 0) + r.n_events
+    assert final[h0] == 2  # late event dropped, window NOT reopened
+    assert final[(dt.datetime(2024, 1, 1, 10), "x")] == 1  # on-time flow
