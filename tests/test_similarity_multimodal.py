@@ -216,3 +216,33 @@ def test_quantize_int8_hof_path_matches_unrolled_at_d256(spark):
         assert list(want_codes) == rows[i].codes, f"vec {i}"
         assert abs(rows[i].qnorm - np.linalg.norm(want_codes * f)) < 1e-9
     assert codes_df.filter(F.col("qnorm") <= 0).count() == 0
+
+
+def test_quantize_plan_compiles_bounded_at_d1024(spark):
+    """The HOF path's reason to exist: at d=1024 the whole
+    quantize -> codes+norm plan must ANALYZE in bounded time (an
+    unrolled build would put 3x1024 expression nodes per projection
+    into Catalyst).  Generous wall bound - the pre-HOF shape took
+    tens of seconds and grew superlinearly with dim."""
+    import time
+
+    import numpy as np
+
+    from square_etl_spark.operators.similarity import quantize_int8
+
+    d = 1024
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(8, d))
+    df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(len(mat))],
+        "vec_id long, embedding array<double>",
+    )
+    t0 = time.perf_counter()
+    codes_df, factors = quantize_int8(df, dim=d)
+    codes_df.schema  # force analysis
+    elapsed = time.perf_counter() - t0
+    assert len(factors) == d
+    assert elapsed < 30, f"quantize analysis took {elapsed:.1f}s at d={d}"
+    # and the result is actually computable
+    row = codes_df.orderBy("vec_id").first()
+    assert len(row.codes) == d and row.qnorm > 0
