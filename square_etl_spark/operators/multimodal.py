@@ -213,6 +213,127 @@ def _parse_png(data: bytes):
     return px[..., :3]  # RGBA → RGB
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW decode (LSB-first variable-width codes, clear /
+    end-of-information codes, 12-bit table cap) — stdlib only."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i = bitpos // 8
+        word = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (word >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+def _parse_gif(data: bytes):
+    """REAL codec: GIF87a/89a parser — stdlib LZW + numpy only.
+    Global/local color tables, interlaced row reorder, extension-block
+    skipping; decodes the FIRST image frame to (h, w, 3) uint8
+    (animation frames beyond the first are ignored; transparency is
+    treated as the palette color)."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + size-prefixed sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(data):
+            raise ValueError("truncated image descriptor")
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        ipacked = data[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:  # local color table wins
+            n = 2 ** ((ipacked & 0x07) + 1)
+            ct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+            if len(ct) < 3 * n:
+                raise ValueError("truncated local color table")
+            ct = ct.reshape(n, 3)
+            pos += 3 * n
+        if ct is None or w <= 0 or h <= 0:
+            raise ValueError("missing color table or bad geometry")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            size = data[pos]
+            lzw += data[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), min_code)[: w * h], np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            deinterlaced = np.empty_like(rows)
+            deinterlaced[order] = rows
+            rows = deinterlaced
+        return ct[rows]  # palette lookup → (h, w, 3)
+    raise ValueError("no image block in GIF")
+
+
 def _parse_wav(data: bytes):
     """REAL codec: RIFF/WAVE PCM parser — stdlib + numpy only.
     Supports 8-bit unsigned and 16-bit signed little-endian PCM, any
@@ -381,8 +502,10 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     summarized as a 4×4 luminance-grid descriptor; ``format='wav'``
     (8/16-bit integer PCM, any channel count) is parsed to mono
     samples and summarized as a 16-window RMS energy profile;
-    ``format='avi'`` (uncompressed 24bpp DIB frames) is parsed to
-    frames and summarized as a 16-window temporal luminance profile.
+    ``format='gif'`` (GIF87a/89a, stdlib LZW decode, global/local
+    palettes, interlace) decodes the first frame like the other image
+    codecs; ``format='avi'`` (uncompressed 24bpp DIB frames) is parsed
+    to frames and summarized as a 16-window temporal luminance profile.
     Every other format keeps the STUB below — JPEG/MP3/MP4 need codec
     libraries (PIL, torchaudio, ffmpeg) this container doesn't ship;
     swap the stub for a real codec without touching any Spark
@@ -398,6 +521,8 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_bmp(bytes(content)))
     if media_type == "image" and fmt == "png":
         return _grid_features(_parse_png(bytes(content)))
+    if media_type == "image" and fmt == "gif":
+        return _grid_features(_parse_gif(bytes(content)))
     if media_type == "audio" and fmt == "wav":
         samples, _rate = _parse_wav(bytes(content))
         return _rms_features(samples)
@@ -570,4 +695,6 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 
 
 # decodable-image dispatch for resize (defined after the parsers exist)
-_IMAGE_PARSERS.update({"ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png})
+_IMAGE_PARSERS.update(
+    {"ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png, "gif": _parse_gif}
+)

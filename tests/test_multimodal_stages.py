@@ -523,3 +523,211 @@ def test_sample_frames_real_for_avi(spark):
     # even subsample of 6 frames to 3: indices 0, 2, 4
     for r, src in zip(got, [0, 2, 4], strict=True):
         assert bytes(r.frame) == frames[src].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec: LZW decode + palette lookup + interlace reorder.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices, min_code_size):
+    """Real GIF-variant LZW ENCODER for the tests (emit-then-add, width
+    bump when the added code reaches 2^width, 12-bit cap with CLEAR)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = fresh()
+    codes = [(clear, width)]
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        codes.append((table[w], width))
+        if next_code < 4096:
+            table[wk] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: clear and restart
+            codes.append((clear, width))
+            table, next_code, width = fresh()
+        w = bytes([k])
+    if w:
+        codes.append((table[w], width))
+    codes.append((end, width))
+    # pack LSB-first
+    acc = bitlen = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << bitlen
+        bitlen += cw
+        while bitlen >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(rows, palette, min_code_size=2, interlace=False):
+    """Minimal GIF89a ENCODER: global color table, one image block,
+    optional interlace (rows stored in 4-pass order)."""
+    import numpy as np
+
+    h, w = rows.shape
+    n = len(palette)
+    ct_bits = max(1, (n - 1).bit_length())
+    ct = bytearray()
+    for r, g, b in palette:
+        ct += bytes([r, g, b])
+    ct += b"\x00" * (3 * ((1 << ct_bits) - n))
+    header = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (ct_bits - 1), 0, 0])
+        + ct
+    )
+    store = rows
+    if interlace:
+        order = (
+            list(range(0, h, 8)) + list(range(4, h, 8))
+            + list(range(2, h, 4)) + list(range(1, h, 2))
+        )
+        store = rows[order]
+    lzw = _lzw_encode(store.reshape(-1).tolist(), min_code_size)
+    sub = b""
+    for i in range(0, len(lzw), 255):
+        blockb = lzw[i : i + 255]
+        sub += bytes([len(blockb)]) + blockb
+    img = (
+        b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0])
+        + bytes([min_code_size]) + sub + b"\x00"
+    )
+    # a graphic-control extension before the image pins extension skipping
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    return header + ext + img + b"\x3b"
+
+
+def test_gif_lzw_roundtrip_with_width_growth():
+    """decode(encode(idx)) == idx on a random 4-color stream long
+    enough to force several code-width bumps — validates the
+    emit-then-add / grow-at-capacity synchronization both ways."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _lzw_decode
+
+    rng = np.random.default_rng(9)
+    idx = rng.integers(0, 4, 5000).astype(np.uint8).tolist()
+    assert list(_lzw_decode(_lzw_encode(idx, 2), 2)) == idx
+
+
+def test_gif_parser_palette_and_interlace():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_gif
+
+    palette = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0)]
+    rng = np.random.default_rng(4)
+    rows = rng.integers(0, 4, (9, 5)).astype(np.uint8)  # odd h: all 4 passes
+    want = np.array(palette, np.uint8)[rows]
+    for interlace in (False, True):
+        got = _parse_gif(_encode_gif(rows, palette, interlace=interlace))
+        assert np.array_equal(got, want), f"interlace={interlace}"
+
+
+def test_decode_media_real_gif_codec(spark):
+    """Exact-feature pin like the other image codecs: 8x8 left-half
+    black / right-half white GIF -> [0, 0, 1, 1] per grid row."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import decode_media
+
+    rows = np.zeros((8, 8), np.uint8)
+    rows[:, 4:] = 1
+    blob = _encode_gif(rows, [(0, 0, 0), (255, 255, 255)])
+    out = decode_media(_media_df(spark, blob, "gif")).collect()[0]
+    assert out.ok is True
+    assert out.features == [0.0, 0.0, 1.0, 1.0] * 4
+
+
+def test_decode_media_malformed_gif_quarantines(spark):
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_gif, decode_media
+
+    good = _encode_gif(
+        np.zeros((2, 2), np.uint8), [(0, 0, 0), (255, 255, 255)]
+    )
+    for bad in [b"GIF89a", good[:20], good[:-6], b"GIF89x" + good[6:]]:
+        with pytest.raises(ValueError):
+            _parse_gif(bad)
+    out = decode_media(_media_df(spark, b"GIF89a!!!", "gif")).collect()[0]
+    assert out.ok is False and out.features is None
+
+
+def test_all_parsers_valueerror_only_under_truncation_and_corruption():
+    """Quarantine safety net: every codec must raise ValueError (the
+    type decode_media converts to ok=false) — never IndexError /
+    struct.error / numpy errors — for EVERY truncation point and under
+    random single-byte corruption.  A non-ValueError escape would fail
+    whole Spark tasks instead of quarantining rows."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _parse_avi,
+        _parse_bmp,
+        _parse_gif,
+        _parse_png,
+        _parse_ppm,
+        _parse_wav,
+    )
+
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    stride = (4 * 3 + 3) & ~3
+    bmp_rows = np.zeros((5, stride), np.uint8)
+    bmp_rows[:, :12] = px[::-1][..., ::-1].reshape(5, 12)
+    bmp = (
+        b"BM" + (54 + 5 * 16).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (4).to_bytes(4, "little", signed=True)
+        + (5).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20
+        + bmp_rows.tobytes()
+    )
+    cases = [
+        (_parse_png, _encode_png(px, 2, [0, 1, 2, 3, 4])),
+        (_parse_wav, _encode_wav(bytes(range(100)), 8, 1)),
+        (_parse_avi, _encode_avi([px, px])),
+        (_parse_ppm, b"P6\n4 5\n255\n" + px.tobytes()),
+        (_parse_gif, _encode_gif(
+            rng.integers(0, 2, (6, 6)).astype(np.uint8),
+            [(0, 0, 0), (9, 9, 9)],
+        )),
+        (_parse_bmp, bmp),
+    ]
+    for parser, blob in cases:
+        parser(blob)  # sanity: the full blob parses
+        for cut in range(len(blob)):
+            try:
+                parser(blob[:cut])
+            except ValueError:
+                pass
+        for _ in range(100):
+            b = bytearray(blob)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                parser(bytes(b))
+            except ValueError:
+                pass
