@@ -1832,6 +1832,69 @@ _register(
 )
 
 
+#: constant 54-byte header of a 4×4 24bpp bottom-up BMP whose 48 pixel
+#: bytes follow (stride 12 = 4·3, already 4-aligned → no row padding).
+_BMP_4X4_HEADER = (
+    b"BM" + (54 + 48).to_bytes(4, "little") + b"\x00" * 4
+    + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+    + (4).to_bytes(4, "little", signed=True)
+    + (4).to_bytes(4, "little", signed=True)
+    + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    + (0).to_bytes(4, "little") + b"\x00" * 20
+)
+
+
+def _mm_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-codec decode path, oracle-hash-checked end-to-end: per
+    document, CONSTRUCT a 4×4 gray 24bpp BMP in pure Column expressions
+    (constant header ++ 48 copies of the byte ``n_chars % 256``), run
+    it through the Arrow-batched decode stage (real BMP parse → 4×4
+    luminance grid), and emit the first grid cell.  For a uniform gray
+    v the Rec.601 luminance is exactly v (0.299+0.587+0.114 = 1), so
+    DuckDB can predict the feature arithmetically —
+    ``ROUND((n_chars%256)/255.0, 6)`` — without any image code:
+    header parsing, stride/bottom-up handling, the luminance grid, and
+    the mapInPandas plumbing all sit inside the hash check (verified
+    bit-exact for all 256 gray values against python round semantics).
+    Upgrades the decode stage from rows-only to full-oracle evidence."""
+    docs = load_table(spark, sf_dir, "documents")
+    gray_byte = F.unhex(F.lpad(F.hex(F.col("n_chars") % 256), 2, "0"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_BMP_4X4_HEADER), *([gray_byte] * 48)).alias("content"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("bmp").alias("format"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_gray"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_bmp",
+        _mm_decode_bmp,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(102 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 255.0, 6) AS f_gray
+        FROM documents
+        """,
+        doc="REAL-codec decode, oracle-checked: constructed BMPs, predicted features",
+    )
+)
+
+
 def _approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
@@ -4410,16 +4473,19 @@ _register(
 # ≤1 round old.  Round 4 = the two round-3 registrations that missed the
 # r03 cap (VERDICT r3 #2) + ann_topk_codes (new this round) + 46 of the
 # 49 queries whose last row is round 2 (CORRECTNESS_r02 minus
-# CORRECTNESS_r03) + the flagship anchor = 50.  Three r02-cohort queries
+# CORRECTNESS_r03) + the flagship anchor = 50.  Four r02-cohort queries
 # defer to round 5 to fit the cap: multimodal_decode (rows-only — the
-# weakest signal to age), arrow_token_count and a2_stage_counts (both
+# weakest signal to age, and superseded by the new ORACLE-checked
+# multimodal_decode_bmp), arrow_token_count and a2_stage_counts (both
 # overlap other green coverage: text_token_totals / pytest Observation
-# pins).
+# pins), histogram_doc_length (text-stat coverage overlaps
+# text_quality_stats).
 _CHECK_PRIORITY: list[str] = [
     # -- never driver-checked
     "bucketed_join_revenue",
     "incremental_hll_users",
     "ann_topk_codes",
+    "multimodal_decode_bmp",
     # -- last green row is round 2: projections / functions
     "p4_cast_guard_default",
     "p5_literal_defaults",
@@ -4445,7 +4511,6 @@ _CHECK_PRIORITY: list[str] = [
     "window_running_total",
     "orders_above_cust_avg",
     "decile_customer_acctbal",
-    "histogram_doc_length",
     "profile_orders_columns",
     # -- r02 cohort: join family
     "join_semi_active",
