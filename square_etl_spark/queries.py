@@ -1895,6 +1895,51 @@ _register(
 )
 
 
+def _mm_features_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → relational composition, oracle-checked end-to-end:
+    the decoded feature stream (real BMP codec over constructed blobs,
+    :func:`_mm_decode_bmp`) joins BACK to the documents table and
+    aggregates per language — the shape of any real extract-features-
+    then-analyze pipeline (decode is a map-only Arrow stage; the join
+    is key-sized; the agg is a partial-aggregated shuffle on lang).
+    Feature sums go through DECIMAL(18,6) so both engines add exactly
+    (float summation order would differ); the hash therefore certifies
+    decode + join + aggregation together."""
+    feats = _mm_decode_bmp(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "lang"
+    )
+    return (
+        feats.join(docs, on="media_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("f_gray").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_f_gray"),
+        )
+        .orderBy("lang")
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_features_by_lang",
+        _mm_features_by_lang,
+        oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(ROUND((n_chars % 256) / 255.0, 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS sum_f_gray
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+        """,
+        doc="decode -> join -> agg composition, full hash via exact decimal sums",
+    )
+)
+
+
 def _approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
