@@ -392,7 +392,13 @@ def _parse_avi(data: bytes):
     geom: dict = {}
     frame_spans: list[tuple[int, int]] = []
 
-    def walk(pos: int, end: int) -> None:
+    # Iterative walk with an explicit stack: a crafted blob with
+    # thousands of nested LIST headers must raise ValueError (the
+    # quarantine contract), never RecursionError (which would escape
+    # decode_media's except-net and kill the whole Spark task).
+    stack: list[tuple[int, int]] = [(12, len(data))]
+    while stack:
+        pos, end = stack.pop()
         while pos + 8 <= end:
             cid = data[pos : pos + 4]
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
@@ -400,7 +406,11 @@ def _parse_avi(data: bytes):
             if body + size > end:
                 raise ValueError("truncated AVI chunk")
             if cid in (b"RIFF", b"LIST"):
-                walk(body + 4, body + size)  # first 4 bytes = list type
+                if len(stack) >= 64:  # no sane AVI nests this deep
+                    raise ValueError("AVI chunk nesting too deep")
+                stack.append((body + size + (size & 1), end))  # resume after list
+                pos, end = body + 4, body + size  # first 4 bytes = list type
+                continue
             elif cid == b"strf" and "bpp" not in geom:
                 if size < 20:
                     raise ValueError("bad strf (BITMAPINFOHEADER)")
@@ -415,8 +425,6 @@ def _parse_avi(data: bytes):
             elif cid[2:4] in (b"db", b"dc") and size > 0:
                 frame_spans.append((body, size))
             pos = body + size + (size & 1)  # chunks are even-padded
-
-    walk(12, len(data))
     w, h = geom.get("w", 0), geom.get("h", 0)
     if not frame_spans or w <= 0 or h == 0:
         raise ValueError("missing strf geometry or frame data")
@@ -573,7 +581,9 @@ def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return media.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
-RESIZED_SCHEMA = "media_id long, width int, height int, content binary"
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, channels int, content binary"
+)
 
 
 _IMAGE_PARSERS = {}  # populated below, after the parsers are defined
@@ -593,23 +603,34 @@ def _resample_nearest(px, width: int, height: int):
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize stage — REAL for the decodable
-    formats (``meta.format`` in ppm/bmp/png: decode → nearest-neighbor
-    resample → raw ``width*height*3`` RGB bytes out), STUB for
-    everything else (deterministic truncate/pad to ``w*h`` bytes, so
-    the Spark contract — schema, per-batch iteration, blob-in/blob-out,
-    original blob does not survive the stage — stays pinned even for
-    formats whose codec libs this container doesn't ship).  Undecodable
-    bytes in a decodable format fall back to the stub rather than
-    failing the task (quarantine posture lives in :func:`decode_media`;
-    resize is best-effort by design).
+    formats (``meta.format`` in ppm/bmp/png/gif, i.e. the
+    ``_IMAGE_PARSERS`` dispatch table: decode → nearest-neighbor
+    resample → raw RGB bytes out), STUB for everything else
+    (deterministic truncate/pad, so the Spark contract — schema,
+    per-batch iteration, blob-in/blob-out, original blob does not
+    survive the stage — stays pinned even for formats whose codec libs
+    this container doesn't ship).  BOTH paths emit exactly
+    ``width*height*3`` bytes; the ``channels`` column records
+    provenance (3 = real interleaved RGB, 1 = stub bytes zero-padded
+    to the same contract size), so downstream consumers get one
+    size invariant and an explicit flag for which path produced the
+    blob.  Undecodable bytes in a decodable format fall back to the
+    stub rather than failing the task (quarantine posture lives in
+    :func:`decode_media`; resize is best-effort by design).
     """
     import pandas as pd
 
-    target = width * height
+    target = width * height * 3
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = {"media_id": [], "width": [], "height": [], "content": []}
+            out = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "content": [],
+            }
             metas = pdf["meta"] if "meta" in pdf.columns else [None] * len(pdf)
             for mid, blob, meta in zip(
                 pdf["media_id"], pdf["content"], metas, strict=True
@@ -617,6 +638,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 raw = bytes(blob or b"")
                 fmt = (meta or {}).get("format")
                 resized = None
+                channels = 3
                 parser = _IMAGE_PARSERS.get(fmt)
                 if parser is not None:
                     try:  # REAL: decode + resample
@@ -626,11 +648,13 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     except ValueError:
                         resized = None
                 if resized is None:
-                    # STUB: keeps the size contract for undecodables
+                    # STUB: same w*h*3 size contract as the real path
                     resized = raw[:target].ljust(target, b"\x00")
+                    channels = 1
                 out["media_id"].append(mid)
                 out["width"].append(width)
                 out["height"].append(height)
+                out["channels"].append(channels)
                 out["content"].append(resized)
             yield pd.DataFrame(out)
 

@@ -237,6 +237,19 @@ def scd2_merge(
                                    ``order_col`` order per key; this
                                    guard makes an out-of-order replay
                                    a no-op instead of corruption.
+                                   TIES ARE TREATED AS LATE by design:
+                                   a changed payload whose ``order_col``
+                                   exactly equals the current row's
+                                   ``valid_from`` is dropped, because
+                                   applying it would close the current
+                                   version with ``valid_to ==
+                                   valid_from`` — a zero-length validity
+                                   window no as-of lookup can ever hit.
+                                   Sources that can emit two distinct
+                                   states at the same timestamp must
+                                   disambiguate upstream (e.g. a
+                                   sequence number folded into
+                                   ``order_col``).
 
     Pure DataFrame-in/DataFrame-out like :func:`merge_dataframes`: one
     full-outer join of the key-sized current slice against the deduped

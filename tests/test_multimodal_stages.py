@@ -26,11 +26,12 @@ def test_resize_contract(spark):
     assert set(out) == {1, 2, 3}
     for r in out.values():
         assert (r.width, r.height) == (8, 4)
-        assert len(r.content) == 32  # every blob normalized to w*h
+        assert len(r.content) == 96  # every blob normalized to w*h*3
+        assert r.channels == 1       # stub provenance (text blobs)
     assert bytes(out[2].content[:10]) == b"y" * 10  # content, then zero padding
     # schema excludes the original blob/meta — nothing heavy survives
     assert set(resize_images(_media(spark), 8, 4).columns) == {
-        "media_id", "width", "height", "content",
+        "media_id", "width", "height", "channels", "content",
     }
 
 
@@ -482,7 +483,14 @@ def test_decode_media_malformed_avi_quarantines(spark):
     from square_etl_spark.operators.multimodal import _parse_avi, decode_media
 
     good = _encode_avi([np.zeros((2, 2, 3), np.uint8)])
-    for bad in [b"RIFFxxxxAVI", good[:40], good[:-8]]:
+    # ~4000 nested LIST headers: must raise ValueError (nesting cap),
+    # never RecursionError — that would escape the quarantine net and
+    # kill the whole Spark task, not just the row.
+    nested = b""
+    for _ in range(4000):
+        nested = b"LIST" + len(nested + b"movi").to_bytes(4, "little") + b"movi" + nested
+    deep = b"RIFF" + len(nested + b"AVI ").to_bytes(4, "little") + b"AVI " + nested
+    for bad in [b"RIFFxxxxAVI", good[:40], good[:-8], deep]:
         with pytest.raises(ValueError):
             _parse_avi(bad)
     out = decode_media(
@@ -503,10 +511,11 @@ def test_resize_real_for_decodable_formats(spark):
     want = np.zeros((2, 4, 3), np.uint8)
     want[:, 2:] = 255                          # halves survive the resample
     assert np.array_equal(got, want)
-    assert (out.width, out.height) == (4, 2)
-    # undecodable bytes in a decodable format fall back to the stub size
+    assert (out.width, out.height, out.channels) == (4, 2, 3)
+    # undecodable bytes in a decodable format fall back to the stub,
+    # SAME w*h*3 size contract, channels=1 provenance
     out = resize_images(_media_df(spark, b"P6 garbage", "ppm"), 4, 2).collect()[0]
-    assert len(out.content) == 8
+    assert len(out.content) == 24 and out.channels == 1
 
 
 def test_sample_frames_real_for_avi(spark):

@@ -61,6 +61,21 @@ def test_topk_plans_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ann_topk_uses_partial_window_group_limit(spark, sf_dir):
+    # The ANN top-k rank-filter (row_number over query_id, <= k) must
+    # compile to WindowGroupLimit with a map-side Partial pass: each
+    # input partition keeps only its local top-k BEFORE the shuffle, so
+    # the exchange carries O(partitions*k) rows, not all N similarity
+    # scores.  At 100 TB, losing this pushdown means a full-corpus sort
+    # per query — pin it against config/version drift.
+    df = queries()["ann_topk_bruteforce"](spark, sf_dir)
+    df.collect()  # executed plan: AQE finalizes modes only after run
+    plan = _plan(df)
+    limits = [l for l in plan.splitlines() if "WindowGroupLimit" in l]
+    assert any("Partial" in l for l in limits), "map-side partial top-k gone"
+    assert any("Final" in l for l in limits)
+
+
 def test_temporal_queries_single_exchange(spark, sf_dir):
     # asof (union+window), sessionize (lag+prefix-sum+agg), and the
     # two-window rank/lag query each share ONE hash partitioning on
