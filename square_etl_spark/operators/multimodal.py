@@ -5,15 +5,17 @@ a typed metadata struct — the columnar layout that lets Catalyst prune
 bytes out of any query that only touches metadata (Dremel-style
 striping; a metadata-only scan never reads the blobs).  Decode /
 feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
-PPM (binary P6), 24-bit BMP, and PNG (non-interlaced 8-bit
-gray/RGB/RGBA via stdlib zlib + filter reconstruction) images, WAV
-(8/16-bit integer PCM) audio, and uncompressed AVI (24bpp DIB
-frames) video are REAL — parsed pure-python + numpy to
-pixels/samples/frames and summarized as a 4×4 luminance grid /
-16-window RMS energy profile / 16-window temporal luminance profile;
-formats needing codec libraries this container doesn't ship
-(JPEG/MP3/MP4 → PIL/torchaudio/ffmpeg) remain STUBBED and clearly
-marked.  Every media_type now has ≥1 real codec.
+PPM (binary P6), 24-bit BMP, PNG (non-interlaced 8-bit gray/RGB/RGBA
+via stdlib zlib + filter reconstruction), GIF (stdlib LZW), and
+baseline JPEG (sequential 8-bit Huffman: entropy decode → dequant →
+IDCT → chroma upsample → YCbCr→RGB) images, WAV (8/16-bit integer
+PCM) audio, and AVI (uncompressed 24bpp DIB or MJPG frames) video
+are REAL — parsed pure-python + numpy to pixels/samples/frames and
+summarized as a 4×4 luminance grid / 16-window RMS energy profile /
+16-window temporal luminance profile; formats needing codec
+libraries this container doesn't ship (progressive JPEG/MP3/MP4 →
+libjpeg/torchaudio/ffmpeg) remain STUBBED and clearly marked.  Every
+media_type has ≥1 real codec.
 The Spark-side contract — schemas, batch iteration, partitioning — is
 real and tested for all of them.
 
@@ -334,6 +336,314 @@ def _parse_gif(data: bytes):
     raise ValueError("no image block in GIF")
 
 
+#: zigzag scan order: _JPEG_ZZ[k] = linear 8x8 index of the k-th
+#: zigzag-ordered coefficient (ITU-T T.81 figure 5).
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_JPEG_DCT_T = None  # lazy 8x8 orthonormal DCT-II matrix (numpy)
+
+
+def _jpeg_dct_matrix():
+    global _JPEG_DCT_T
+    if _JPEG_DCT_T is None:
+        import math
+
+        import numpy as np
+
+        t = np.empty((8, 8), np.float64)
+        for u in range(8):
+            c = math.sqrt(0.5) if u == 0 else 1.0
+            for x in range(8):
+                t[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+        _JPEG_DCT_T = t
+    return _JPEG_DCT_T
+
+
+def _jpeg_build_huff(counts, symbols) -> dict:
+    """Canonical JPEG Huffman table → {(code_length, code): symbol}.
+    Canonical codes are prefix-free, so keying by exact length removes
+    any ambiguity during bit-serial decode."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            if k >= len(symbols):
+                raise ValueError("bad JPEG huffman table")
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        if code > (1 << length):  # more codes than the length can hold
+            raise ValueError("overfull JPEG huffman table")
+        code <<= 1
+    return table
+
+
+class _JpegBits:
+    """Bit-serial reader over a JPEG entropy-coded segment: un-stuffs
+    0xFF00, raises ValueError on markers or EOF mid-read (truncation →
+    quarantine, never IndexError), and consumes RSTn on request."""
+
+    __slots__ = ("data", "pos", "buf", "n")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data, self.pos, self.buf, self.n = data, pos, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            d, p = self.data, self.pos
+            if p >= len(d):
+                raise ValueError("truncated JPEG scan")
+            b = d[p]
+            if b == 0xFF:
+                if p + 1 >= len(d):
+                    raise ValueError("truncated JPEG scan")
+                if d[p + 1] != 0x00:  # a real marker mid-entropy-data
+                    raise ValueError("JPEG scan ended early")
+                self.pos = p + 2  # stuffed 0xFF00 → literal 0xFF
+            else:
+                self.pos = p + 1
+            self.buf, self.n = b, 8
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, m: int) -> None:
+        """Byte-align and consume the expected RSTm marker."""
+        self.n = 0
+        p = self.pos
+        if p + 2 > len(self.data) or self.data[p] != 0xFF:
+            raise ValueError("missing JPEG restart marker")
+        if self.data[p + 1] != 0xD0 + m:
+            raise ValueError("bad JPEG restart marker")
+        self.pos = p + 2
+
+
+def _jpeg_huffdecode(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map the s low-order bits v to the signed value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _parse_jpeg(data: bytes):
+    """REAL codec: baseline sequential 8-bit JPEG decoder — stdlib +
+    numpy only, no codec libraries.  Supports SOF0/SOF1 (sequential
+    DCT, Huffman), 1-component grayscale and 3-component YCbCr with
+    sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0), restart intervals,
+    0xFF00 byte stuffing, 8- and 16-bit quantization tables.  Decode:
+    Huffman entropy decode → dequantize → de-zigzag → batched 8×8
+    IDCT (numpy matrix form) → level shift → chroma upsample (sample
+    replication) → YCbCr→RGB (JFIF/Rec.601 full range).  Progressive
+    (SOF2), arithmetic coding, 12-bit precision, and 4-component
+    (CMYK) files raise ValueError → quarantine.  Returns (h, w, 3)
+    uint8.  The reference has no media handling at all (extension
+    surface; its ETL is catalog/orders TypeScript, e.g.
+    src/etl-square-catalog.ts) — this exists for the 100 TB
+    training-data mandate where image corpora are JPEG-dominated."""
+    import numpy as np
+
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, "np.ndarray"] = {}  # id → 64 int32, zigzag order
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) → decode table
+    frame = None  # (h, w, [[cid, hs, vs, tq], ...])
+    ri = 0  # restart interval in MCUs
+    scan = None
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1  # skip fill bytes
+        if pos >= len(data):
+            raise ValueError("truncated JPEG")
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI without a scan
+            raise ValueError("JPEG has no scan data")
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone RST/TEM
+            continue
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment")
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq > 1 or tq > 3:
+                    raise ValueError("bad JPEG DQT")
+                n = 128 if pq else 64
+                if i + n > len(body):
+                    raise ValueError("truncated JPEG DQT")
+                raw = body[i : i + n]
+                qt[tq] = (
+                    np.frombuffer(raw, ">u2") if pq else np.frombuffer(raw, np.uint8)
+                ).astype(np.int32)
+                i += n
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated JPEG DHT")
+                tc, th = body[i] >> 4, body[i] & 15
+                if tc > 1 or th > 3:
+                    raise ValueError("bad JPEG DHT")
+                counts = list(body[i + 1 : i + 17])
+                i += 17
+                total = sum(counts)
+                if i + total > len(body):
+                    raise ValueError("truncated JPEG DHT")
+                huff[(tc, th)] = _jpeg_build_huff(counts, body[i : i + total])
+                i += total
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF")
+            prec = body[0]
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if prec != 8 or nc not in (1, 3) or w <= 0 or h <= 0:
+                raise ValueError(
+                    f"unsupported JPEG (precision={prec}, components={nc})"
+                )
+            if w * h > (1 << 24):  # allocation guard for crafted headers
+                raise ValueError("JPEG dimensions too large")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise ValueError("unsupported JPEG sampling factors")
+                comps.append([cid, hs, vs, tq])
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                raise ValueError("bad JPEG DRI")
+            ri = int.from_bytes(body, "big")
+        elif marker == 0xDA:  # SOS — single interleaved baseline scan
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            if len(body) < 1 or body[0] != len(frame[2]):
+                raise ValueError("JPEG scan must cover all components")
+            if len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated JPEG SOS")
+            tables = {}
+            for c in range(body[0]):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                tables[cs] = (tt >> 4, tt & 15)
+            scan = (tables, pos)
+            break
+        # else: APPn/COM — skipped
+    if scan is None:
+        raise ValueError("JPEG has no SOS")
+
+    h, w, comps = frame
+    sel, start = scan
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs, dctabs, actabs, quants = [], [], [], []
+    for cid, hs, vs, tq in comps:
+        if cid not in sel:
+            raise ValueError("JPEG scan references unknown component")
+        if tq not in qt:
+            raise ValueError("JPEG component references missing DQT")
+        td, ta = sel[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("JPEG scan references missing DHT")
+        coefs.append(
+            np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+        )
+        dctabs.append(huff[(0, td)])
+        actabs.append(huff[(1, ta)])
+        quants.append(qt[tq])
+
+    bits = _JpegBits(data, start)
+    preds = [0] * len(comps)
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if ri and mcu_i and mcu_i % ri == 0:
+                bits.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dct, act, vecs = dctabs[ci], actabs[ci], coefs[ci]
+                for bv in range(vs):
+                    for bh in range(hs):
+                        vec = vecs[my * vs + bv, mx * hs + bh]
+                        s = _jpeg_huffdecode(bits, dct)
+                        if s > 11:
+                            raise ValueError("bad JPEG DC category")
+                        preds[ci] += _jpeg_extend(bits.bits(s), s) if s else 0
+                        vec[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huffdecode(bits, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63 or s > 10:
+                                raise ValueError("bad JPEG AC coefficient")
+                            vec[k] = _jpeg_extend(bits.bits(s), s)
+                            k += 1
+
+    t = _jpeg_dct_matrix()
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        vecs = coefs[ci] * quants[ci]  # dequantize (both zigzag-ordered)
+        blocks = np.zeros(vecs.shape, np.float64)
+        blocks[..., _JPEG_ZZ] = vecs  # de-zigzag
+        nby, nbx = blocks.shape[:2]
+        blocks = blocks.reshape(nby, nbx, 8, 8)
+        spatial = np.einsum("ux,...uv,vy->...xy", t, blocks, t) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        plane = plane.repeat(vmax // vs, axis=0).repeat(hmax // hs, axis=1)
+        planes.append(plane[: mcuy * vmax * 8, : mcux * hmax * 8])
+
+    if len(planes) == 1:
+        y = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        return np.repeat(y[..., None], 3, axis=2)
+    y, cb, cr = (p[:h, :w] for p in planes)
+    rgb = np.empty((h, w, 3), np.float64)
+    rgb[..., 0] = y + 1.402 * (cr - 128.0)
+    rgb[..., 1] = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    rgb[..., 2] = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _parse_wav(data: bytes):
     """REAL codec: RIFF/WAVE PCM parser — stdlib + numpy only.
     Supports 8-bit unsigned and 16-bit signed little-endian PCM, any
@@ -379,12 +689,13 @@ def _parse_wav(data: bytes):
 
 
 def _parse_avi(data: bytes):
-    """REAL codec: uncompressed AVI (RIFF) parser — stdlib + numpy
-    only.  Walks the RIFF/LIST chunk tree, reads the video stream's
-    BITMAPINFOHEADER from ``strf`` (24bpp BI_RGB only), and extracts
-    every ``..db``/``..dc`` DIB frame from the ``movi`` list — frames
-    are bottom-up BGR with 4-byte row stride, exactly the BMP pixel
-    layout.  Returns a list of (h, w, 3) uint8 frames."""
+    """REAL codec: AVI (RIFF) parser — stdlib + numpy only.  Walks the
+    RIFF/LIST chunk tree, reads the video stream's BITMAPINFOHEADER
+    from ``strf``, and extracts every ``..db``/``..dc`` frame from the
+    ``movi`` list.  Two frame codecs: 24bpp BI_RGB DIB (bottom-up BGR
+    with 4-byte row stride, exactly the BMP pixel layout) and MJPG
+    (each chunk a standalone baseline JPEG, decoded via
+    :func:`_parse_jpeg`).  Returns a list of (h, w, 3) uint8 frames."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
@@ -417,10 +728,13 @@ def _parse_avi(data: bytes):
                 geom["w"] = int.from_bytes(data[body + 4 : body + 8], "little", signed=True)
                 geom["h"] = int.from_bytes(data[body + 8 : body + 12], "little", signed=True)
                 geom["bpp"] = int.from_bytes(data[body + 14 : body + 16], "little")
-                compression = int.from_bytes(data[body + 16 : body + 20], "little")
-                if geom["bpp"] != 24 or compression != 0:
+                compression = data[body + 16 : body + 20]
+                geom["mjpg"] = compression == b"MJPG"
+                if not geom["mjpg"] and (
+                    geom["bpp"] != 24 or compression != b"\x00\x00\x00\x00"
+                ):
                     raise ValueError(
-                        f"only 24bpp uncompressed AVI (bpp={geom['bpp']})"
+                        f"only 24bpp uncompressed or MJPG AVI (bpp={geom['bpp']})"
                     )
             elif cid[2:4] in (b"db", b"dc") and size > 0:
                 frame_spans.append((body, size))
@@ -428,6 +742,10 @@ def _parse_avi(data: bytes):
     w, h = geom.get("w", 0), geom.get("h", 0)
     if not frame_spans or w <= 0 or h == 0:
         raise ValueError("missing strf geometry or frame data")
+    if geom.get("mjpg"):
+        # MJPG: every ..db/..dc chunk is a standalone baseline JPEG —
+        # the entropy/IDCT machinery is shared with format='jpeg'.
+        return [_parse_jpeg(data[s : s + n]) for s, n in frame_spans]
     bottom_up, hh = h > 0, abs(h)
     stride = (w * 3 + 3) & ~3
     frames = []
@@ -512,14 +830,17 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     samples and summarized as a 16-window RMS energy profile;
     ``format='gif'`` (GIF87a/89a, stdlib LZW decode, global/local
     palettes, interlace) decodes the first frame like the other image
-    codecs; ``format='avi'`` (uncompressed 24bpp DIB frames) is parsed
-    to frames and summarized as a 16-window temporal luminance profile.
-    Every other format keeps the STUB below — JPEG/MP3/MP4 need codec
-    libraries (PIL, torchaudio, ffmpeg) this container doesn't ship;
-    swap the stub for a real codec without touching any Spark
-    plumbing.  Malformed PPM/BMP/PNG/WAV bytes raise ValueError → the
-    decode stage marks the row ok=false (quarantine posture, not task
-    failure).
+    codecs; ``format='jpeg'`` (baseline sequential 8-bit, Huffman,
+    4:4:4/4:2:2/4:2:0 and grayscale, restart intervals) is fully
+    decoded — entropy decode, dequant, IDCT, chroma upsample,
+    YCbCr→RGB — pure python + numpy; ``format='avi'`` (uncompressed
+    24bpp DIB or MJPG frames) is parsed to frames and summarized as a
+    16-window temporal luminance profile.  Every other format keeps
+    the STUB below — MP3/MP4 and progressive JPEG need codec
+    libraries (torchaudio, ffmpeg, libjpeg) this container doesn't
+    ship; swap the stub for a real codec without touching any Spark
+    plumbing.  Malformed bytes raise ValueError → the decode stage
+    marks the row ok=false (quarantine posture, not task failure).
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
@@ -531,6 +852,8 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_png(bytes(content)))
     if media_type == "image" and fmt == "gif":
         return _grid_features(_parse_gif(bytes(content)))
+    if media_type == "image" and fmt == "jpeg":
+        return _grid_features(_parse_jpeg(bytes(content)))
     if media_type == "audio" and fmt == "wav":
         samples, _rate = _parse_wav(bytes(content))
         return _rms_features(samples)
@@ -669,10 +992,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     expansion (each asset yields up to ``max_frames`` rows), the
     multimodal analog of J4's explode.
 
-    REAL for ``meta.format == 'avi'`` (uncompressed 24bpp DIB): frames
-    are decoded and emitted as raw RGB bytes, evenly subsampled to
-    ``max_frames`` when the clip is longer; STUB for formats needing
-    ffmpeg/pyav (fixed-stride byte windows stand in as "frames").
+    REAL for ``meta.format == 'avi'`` (uncompressed 24bpp DIB or MJPG
+    frames): frames are decoded and emitted as raw RGB bytes, evenly
+    subsampled to ``max_frames`` when the clip is longer; STUB for
+    formats needing ffmpeg/pyav (fixed-stride byte windows stand in
+    as "frames").
     The Spark contract pinned either way: output cardinality is
     data-driven per input row (generator semantics), ordering within
     an asset is by frame_idx, and blobs never join the shuffle unless
@@ -720,5 +1044,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 
 # decodable-image dispatch for resize (defined after the parsers exist)
 _IMAGE_PARSERS.update(
-    {"ppm": _parse_ppm, "bmp": _parse_bmp, "png": _parse_png, "gif": _parse_gif}
+    {
+        "ppm": _parse_ppm,
+        "bmp": _parse_bmp,
+        "png": _parse_png,
+        "gif": _parse_gif,
+        "jpeg": _parse_jpeg,
+    }
 )

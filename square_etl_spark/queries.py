@@ -1917,6 +1917,120 @@ _register(
 )
 
 
+def _uniform_gray_jpeg(v: int, size: int = 176) -> bytes:
+    """Deterministic 16×16 4:2:0 baseline JPEG of uniform gray ``v``,
+    zero-padded after EOI to a fixed ``size`` bytes (trailing bytes are
+    ignored by the decoder; the constant length keeps ``n_bytes``
+    oracle-predictable).  With all-ones quantization tables only the
+    luma DC coefficient is nonzero and divides exactly, so the decode
+    is BIT-EXACT: every output pixel equals ``v`` — the JPEG analog of
+    the uniform-gray BMP trick in :func:`_mm_decode_bmp`, but the bytes
+    ride the full entropy pipeline (huffman decode, DC prediction
+    across the six MCU blocks, dequant, IDCT, chroma upsample,
+    YCbCr→RGB)."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = b"\xff\xd8"
+    head += seg(0xDB, b"\x00" + b"\x01" * 64)  # DQT 0: all ones
+    head += seg(  # SOF0: 16×16, Y 2×2 + Cb/Cr 1×1, all on DQT 0
+        0xC0,
+        b"\x08" + (16).to_bytes(2, "big") + (16).to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    # DC table: categories 0..11 as canonical 8-bit codes (code == symbol)
+    head += seg(0xC4, b"\x00" + bytes([0] * 7 + [12] + [0] * 8) + bytes(range(12)))
+    # AC table: EOB only, as the single 1-bit code '0'
+    head += seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+    head += seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+
+    out, acc, n = bytearray(), 0, 0
+
+    def put(val: int, k: int) -> None:
+        nonlocal acc, n
+        for i in range(k - 1, -1, -1):
+            acc = (acc << 1) | ((val >> i) & 1)
+            n += 1
+            if n == 8:
+                out.append(acc)
+                if acc == 0xFF:
+                    out.append(0x00)
+                acc, n = 0, 0
+
+    d = 8 * (v - 128)  # luma DC; blocks 2-4 and both chroma DCs diff 0
+    for blk_d in (d, 0, 0, 0, 0, 0):
+        s = abs(blk_d).bit_length()
+        put(s, 8)  # DC category code
+        if s:
+            put(blk_d if blk_d >= 0 else blk_d + (1 << s) - 1, s)
+        put(0, 1)  # EOB
+    while n:
+        put(1, 1)  # pad to byte with 1s
+    blob = head + bytes(out) + b"\xff\xd9"
+    return blob + b"\x00" * (size - len(blob))
+
+
+def _mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JPEG decode path, oracle-hash-checked end-to-end: a 256-row
+    lookup table of uniform-gray baseline JPEGs (driver-built,
+    broadcast) joins to documents on ``n_chars % 256``, the blobs run
+    through the Arrow-batched decode stage (REAL baseline-JPEG codec:
+    huffman entropy decode → dequant → IDCT → 4:2:0 chroma upsample →
+    YCbCr→RGB → luminance grid), and DuckDB predicts the first grid
+    cell arithmetically — decode is bit-exact for uniform gray under
+    all-ones quantization (see :func:`_uniform_gray_jpeg`).  At scale
+    the broadcast is 256 × 176 B; the decode stays a map-only stage."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    lut = spark.createDataFrame(
+        [(v, bytearray(_uniform_gray_jpeg(v))) for v in range(256)],
+        "gray int, content binary",
+    )
+    media = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("n_chars") % 256).cast("int").alias("gray"),
+        )
+        .join(F.broadcast(lut), on="gray")
+        .select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("jpeg").alias("format"),
+                F.lit(16).alias("width"),
+                F.lit(16).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit(None).cast("string").alias("uri"),
+            ).alias("meta"),
+        )
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_gray"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_jpeg",
+        _mm_decode_jpeg,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(176 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 255.0, 6) AS f_gray
+        FROM documents
+        """,
+        doc="REAL JPEG codec decode, oracle-checked: entropy pipeline end-to-end",
+    )
+)
+
+
 def _mm_features_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → relational composition, oracle-checked end-to-end:
     the decoded feature stream (real BMP codec over constructed blobs,
@@ -4556,6 +4670,7 @@ _register(
 _CHECK_PRIORITY: list[str] = [
     # -- never driver-checked / new this round
     "multimodal_features_by_lang",
+    "multimodal_decode_jpeg",
     # -- r02 cohort deferred from the r04 head (oldest green rows)
     "multimodal_decode",
     "arrow_token_count",

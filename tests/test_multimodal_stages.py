@@ -300,11 +300,12 @@ def test_decode_media_malformed_image_quarantines(spark):
 
 
 def test_decode_media_stub_formats_still_flow(spark):
-    # jpeg remains a STUB codec (PIL not in container): deterministic
-    # fake features, row still flows (png graduated to a real codec)
+    # webp remains a STUB codec (libwebp not in container):
+    # deterministic fake features, row still flows (png/gif/jpeg all
+    # graduated to real codecs)
     from square_etl_spark.operators.multimodal import FEATURE_DIM, decode_media
 
-    out = decode_media(_media_df(spark, b"arbitrary bytes here", "jpeg")).collect()[0]
+    out = decode_media(_media_df(spark, b"arbitrary bytes here", "webp")).collect()[0]
     assert out.ok is True and len(out.features) == FEATURE_DIM
 
 
@@ -695,6 +696,7 @@ def test_all_parsers_valueerror_only_under_truncation_and_corruption():
         _parse_avi,
         _parse_bmp,
         _parse_gif,
+        _parse_jpeg,
         _parse_png,
         _parse_ppm,
         _parse_wav,
@@ -724,6 +726,9 @@ def test_all_parsers_valueerror_only_under_truncation_and_corruption():
             [(0, 0, 0), (9, 9, 9)],
         )),
         (_parse_bmp, bmp),
+        (_parse_jpeg, _encode_jpeg(
+            rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        )[0]),
     ]
     for parser, blob in cases:
         parser(blob)  # sanity: the full blob parses
@@ -740,3 +745,412 @@ def test_all_parsers_valueerror_only_under_truncation_and_corruption():
                 parser(bytes(b))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec: baseline sequential JPEG (huffman + IDCT + YCbCr)
+# ---------------------------------------------------------------------------
+
+
+class _JpegBitWriter:
+    """Test-side bit writer: MSB-first, 0xFF00 byte stuffing, 1-padding."""
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, v, k):
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def pad(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _jpeg_seg(marker, body):
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jpeg_dct_mat():
+    import numpy as np
+
+    t = np.empty((8, 8), np.float64)
+    for u in range(8):
+        c = 0.5 ** 0.5 if u == 0 else 1.0
+        for x in range(8):
+            t[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return t
+
+
+def _encode_jpeg(px, subsample=False, qy=None, qc=None, restart=0, sampling=None):
+    """Minimal baseline JPEG ENCODER for the tests — independent
+    implementation (RGB→YCbCr, optional chroma subsampling, FDCT,
+    quantize, fixed 8-bit canonical huffman codes, stuffing, optional
+    DRI/RSTn).  ``sampling`` is the luma (hs, vs) pair — (2, 2) is
+    4:2:0, (2, 1) is 4:2:2; ``subsample=True`` is shorthand for
+    (2, 2).  Returns (blob, coeff_planes) where coeff_planes are the
+    QUANTIZED zigzag coefficient arrays per component, so tests can
+    compute the expected decode independently of the decoder's
+    bitstream logic."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _JPEG_ZZ
+
+    h, w = px.shape[:2]
+    qy = np.ones(64, np.int64) if qy is None else np.asarray(qy, np.int64)
+    qc = qy if qc is None else np.asarray(qc, np.int64)
+    rgb = px.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+    cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+    hs, vs = sampling if sampling else ((2, 2) if subsample else (1, 1))
+    mw, mh = 8 * hs, 8 * vs
+    mcux, mcuy = -(-w // mw), -(-h // mh)
+
+    def edge_pad(p, ph, pw):
+        out = np.empty((ph, pw), np.float64)
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    planes = [edge_pad(y, mcuy * mh, mcux * mw)]
+    for c in (cb, cr):
+        p = edge_pad(c, mcuy * mh, mcux * mw)
+        if (hs, vs) != (1, 1):
+            p = p.reshape(mcuy * 8, vs, mcux * 8, hs).mean(axis=(1, 3))
+        planes.append(p)
+
+    t = _jpeg_dct_mat()
+
+    def to_coeffs(plane, q):
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) - 128.0
+        f = np.einsum("ux,...xy,vy->...uv", t, blocks, t)
+        zz = f.reshape(nby, nbx, 64)[..., _JPEG_ZZ]
+        return np.round(zz / q).astype(np.int64)
+
+    coeffs = [to_coeffs(planes[0], qy), to_coeffs(planes[1], qc),
+              to_coeffs(planes[2], qc)]
+
+    def category(d):
+        return abs(int(d)).bit_length()
+
+    # token pass to collect symbols, then fixed 8-bit canonical codes
+    samplings = [(hs, vs), (1, 1), (1, 1)]
+    dc_syms, ac_syms = set(), {0x00}
+    mcu_tokens = []  # per MCU: list of (dc_s, dc_bits_val, [(ac_sym, s, val)...])
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and (my * mcux + mx) % restart == 0 and (my or mx):
+                preds = [0, 0, 0]
+            blk_toks = []
+            for ci, (chs, cvs) in enumerate(samplings):
+                for bv in range(cvs):
+                    for bh in range(chs):
+                        vec = coeffs[ci][my * cvs + bv, mx * chs + bh]
+                        d = int(vec[0]) - preds[ci]
+                        preds[ci] = int(vec[0])
+                        s = category(d)
+                        dc_syms.add(s)
+                        acs = []
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(vec[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                acs.append((0xF0, 0, 0))
+                                ac_syms.add(0xF0)
+                                run -= 16
+                            sv = category(v)
+                            acs.append(((run << 4) | sv, sv, v))
+                            ac_syms.add((run << 4) | sv)
+                            run = 0
+                        if run:
+                            acs.append((0x00, 0, 0))  # EOB
+                        blk_toks.append((s, d, acs))
+            mcu_tokens.append(blk_toks)
+
+    def huff(symbols):
+        symbols = sorted(symbols)
+        assert len(symbols) <= 255
+        counts = bytes([0] * 7 + [len(symbols)] + [0] * 8)
+        return counts, bytes(symbols), {sym: i for i, sym in enumerate(symbols)}
+
+    dc_counts, dc_symbolbytes, dc_code = huff(dc_syms)
+    ac_counts, ac_symbolbytes, ac_code = huff(ac_syms)
+
+    head = b"\xff\xd8"
+    head += _jpeg_seg(0xDB, b"\x00" + bytes(int(v) & 0xFF for v in qy))
+    if not np.array_equal(qy, qc):
+        head += _jpeg_seg(0xDB, b"\x01" + bytes(int(v) & 0xFF for v in qc))
+    qcid = 0 if np.array_equal(qy, qc) else 1
+    head += _jpeg_seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+        + bytes([1, (hs << 4) | vs, 0])
+        + bytes([2, 0x11, qcid]) + bytes([3, 0x11, qcid]),
+    )
+    head += _jpeg_seg(0xC4, b"\x00" + dc_counts + dc_symbolbytes)
+    head += _jpeg_seg(0xC4, b"\x10" + ac_counts + ac_symbolbytes)
+    if restart:
+        head += _jpeg_seg(0xDD, restart.to_bytes(2, "big"))
+    head += _jpeg_seg(
+        0xDA, b"\x03" + bytes([1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00"
+    )
+
+    bw = _JpegBitWriter()
+    body = bytearray()
+    rst = 0
+    for i, blk_toks in enumerate(mcu_tokens):
+        if restart and i and i % restart == 0:
+            bw.pad()
+            body += bw.out
+            bw = _JpegBitWriter()
+            body += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        for s, d, acs in blk_toks:
+            bw.put(dc_code[s], 8)
+            if s:
+                bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+            for sym, sv, v in acs:
+                bw.put(ac_code[sym], 8)
+                if sv:
+                    bw.put(v if v >= 0 else v + (1 << sv) - 1, sv)
+    bw.pad()
+    body += bw.out
+    return head + bytes(body) + b"\xff\xd9", coeffs
+
+
+def _expected_jpeg_decode(coeffs, h, w, sampling, qy, qc):
+    """Independent expected-decode path from QUANTIZED coefficients:
+    dequant + de-zigzag + IDCT + upsample + YCbCr→RGB, written from
+    the spec — validates the decoder's bitstream/entropy layer exactly
+    (same coefficients in, so outputs must agree to ±1)."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _JPEG_ZZ
+
+    t = _jpeg_dct_mat()
+    qs = [qy, qc, qc]
+    planes = []
+    for ci, vec in enumerate(coeffs):
+        deq = vec.astype(np.float64) * qs[ci]
+        blocks = np.zeros(deq.shape, np.float64)
+        blocks[..., _JPEG_ZZ] = deq
+        nby, nbx = blocks.shape[:2]
+        blocks = blocks.reshape(nby, nbx, 8, 8)
+        sp = np.einsum("ux,...uv,vy->...xy", t, blocks, t) + 128.0
+        plane = sp.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if ci > 0:
+            hs, vs = sampling
+            plane = plane.repeat(vs, axis=0).repeat(hs, axis=1)
+        planes.append(plane[:h, :w])
+    y, cb, cr = planes
+    rgb = np.empty((h, w, 3), np.float64)
+    rgb[..., 0] = y + 1.402 * (cr - 128.0)
+    rgb[..., 1] = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    rgb[..., 2] = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_uniform_gray_exact_all_sampling():
+    """Uniform gray + all-ones quant tables decode BIT-EXACTLY (only
+    the DC coefficient is nonzero and quantization divides it
+    exactly) — for 4:4:4 and 4:2:0, across gray values."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    for v in (0, 1, 77, 128, 200, 254, 255):
+        img = np.full((16, 16, 3), v, np.uint8)
+        for subsample in (False, True):
+            blob, _ = _encode_jpeg(img, subsample=subsample)
+            got = _parse_jpeg(blob)
+            assert got.shape == (16, 16, 3)
+            assert (got == v).all(), (v, subsample)
+
+
+def test_jpeg_bitstream_matches_independent_idct_path():
+    """Random image, 4:4:4, all-ones quant: the decoder must reproduce
+    the independently-computed dequant+IDCT+color-convert of the very
+    coefficients the encoder wrote (±1 for float rounding at .5
+    boundaries).  Non-multiple-of-8 size exercises edge-block crop."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    qy = np.ones(64, np.int64)
+    blob, coeffs = _encode_jpeg(img, subsample=False)
+    got = _parse_jpeg(blob)
+    want = _expected_jpeg_decode(coeffs, 13, 11, (1, 1), qy, qy)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_jpeg_420_restart_interval_and_quality_roundtrip():
+    """4:2:0 with a realistic non-flat quant table and DRI=2: decodes,
+    is identical to the no-restart encoding of the same image (restart
+    markers are pure framing), matches the independent IDCT path, and
+    stays within a sane lossy error bound of the original."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    # smooth gradient: lossy error bounds are only meaningful for
+    # low-frequency content (JPEG deliberately discards noise)
+    yy, xx = np.mgrid[0:24, 0:21]
+    base = np.stack(
+        [60 + 3 * xx + 2 * yy, 80 + 2 * xx + yy, 100 + xx + 2 * yy], axis=2
+    ).astype(np.uint8)
+    qy = np.clip(np.arange(64) // 4 + 2, 2, 18).astype(np.int64)  # zigzag ramp
+    qc = np.full(64, 12, np.int64)
+    with_rst, coeffs = _encode_jpeg(base, subsample=True, qy=qy, qc=qc, restart=2)
+    no_rst, _ = _encode_jpeg(base, subsample=True, qy=qy, qc=qc, restart=0)
+    a = _parse_jpeg(with_rst)
+    b = _parse_jpeg(no_rst)
+    assert np.array_equal(a, b)
+    want = _expected_jpeg_decode(coeffs, 24, 21, (2, 2), qy, qc)
+    assert int(np.abs(a.astype(int) - want.astype(int)).max()) <= 1
+    # lossy sanity vs the original (quant ≤ 18, chroma subsampled)
+    assert float(np.abs(a.astype(int) - base.astype(int)).mean()) < 12.0
+
+
+def test_jpeg_rejects_unsupported_variants():
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    img = np.full((8, 8, 3), 99, np.uint8)
+    blob, _ = _encode_jpeg(img)
+    # progressive: flip SOF0 marker to SOF2
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        _parse_jpeg(prog)
+    # 12-bit precision
+    i = blob.index(b"\xff\xc0")
+    twelve = blob[: i + 4] + b"\x0c" + blob[i + 5 :]
+    with pytest.raises(ValueError):
+        _parse_jpeg(twelve)
+    # crafted huge dimensions must be rejected before allocation
+    huge = blob[: i + 5] + b"\xff\xff\xff\xff" + blob[i + 9 :]
+    with pytest.raises(ValueError):
+        _parse_jpeg(huge)
+    with pytest.raises(ValueError):
+        _parse_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+
+
+def test_jpeg_truncation_and_corruption_valueerror_only():
+    """The standard quarantine fuzz net, JPEG edition: every truncation
+    point and 300 random single-byte corruptions must either decode or
+    raise ValueError — nothing else escapes to kill a Spark task."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob, _ = _encode_jpeg(img, subsample=True, restart=1)
+    _parse_jpeg(blob)  # sanity
+    for cut in range(len(blob)):
+        try:
+            _parse_jpeg(blob[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            _parse_jpeg(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_decode_media_real_jpeg_and_quarantine(spark):
+    """format='jpeg' rides the REAL codec path end-to-end through
+    decode_media: uniform gray v → every luminance grid cell is
+    exactly v/255; malformed JPEG bytes quarantine as ok=false."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import decode_media
+
+    blob, _ = _encode_jpeg(np.full((16, 16, 3), 190, np.uint8), subsample=True)
+    out = decode_media(_media_df(spark, blob, "jpeg")).collect()[0]
+    assert out.ok is True
+    assert out.features == [round(190 / 255.0, 6)] * 16
+    bad = decode_media(_media_df(spark, b"\xff\xd8junk", "jpeg")).collect()[0]
+    assert bad.ok is False and bad.features is None
+
+
+def test_mjpeg_avi_frames_decode():
+    """AVI with fourcc MJPG: every movi chunk is a standalone baseline
+    JPEG; _parse_avi must route frames through the JPEG codec."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_avi
+
+    frames = []
+    for v in (10, 120, 250):
+        blob, _ = _encode_jpeg(np.full((16, 16, 3), v, np.uint8))
+        frames.append(blob)
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strf = (
+        (40).to_bytes(4, "little")
+        + (16).to_bytes(4, "little", signed=True)
+        + (16).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + b"MJPG" + b"\x00" * 20
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", b"\x00" * 56)
+        + lst(b"strl", chunk(b"strh", b"\x00" * 56) + chunk(b"strf", strf)),
+    )
+    movi = b"".join(chunk(b"00dc", f) for f in frames)
+    body = b"AVI " + hdrl + lst(b"movi", movi)
+    avi = b"RIFF" + len(body).to_bytes(4, "little") + body
+    got = _parse_avi(avi)
+    assert len(got) == 3
+    for px, v in zip(got, (10, 120, 250), strict=True):
+        assert px.shape == (16, 16, 3) and (px == v).all()
+
+
+def test_jpeg_422_asymmetric_sampling():
+    """4:2:2 (luma 2×1, chroma half-width full-height) exercises the
+    asymmetric chroma upsample axis: uniform gray stays bit-exact, and
+    a random image must match the independent IDCT path."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    img = np.full((16, 16, 3), 133, np.uint8)
+    blob, _ = _encode_jpeg(img, sampling=(2, 1))
+    assert (_parse_jpeg(blob) == 133).all()
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (10, 19, 3), dtype=np.uint8)
+    qy = np.ones(64, np.int64)
+    blob, coeffs = _encode_jpeg(img, sampling=(2, 1))
+    got = _parse_jpeg(blob)
+    want = _expected_jpeg_decode(coeffs, 10, 19, (2, 1), qy, qy)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
