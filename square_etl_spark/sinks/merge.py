@@ -40,6 +40,57 @@ from pyspark.sql import functions as F
 from square_etl_spark.operators.aggregations import last_writer_wins
 
 
+def _recover_swap(target_path: str) -> None:
+    """Crash recovery for :func:`_swap_into`, run before any merge
+    touches ``target_path``.  The swap protocol leaves exactly three
+    possible on-disk states, each repaired by one rename/cleanup:
+
+    - ``target`` exists, no ``target.old``   → normal, nothing to do;
+    - ``target.old`` only (crash between the two renames) → restore
+      the old version: ``rename(target.old, target)``;
+    - both exist (crash after the new version landed, before cleanup)
+      → the new version is complete (it only appears via a rename of a
+      fully-written staging dir), so drop ``target.old``.
+
+    Stale ``target.tmp-*`` staging dirs from crashed writes are swept
+    here too — they are only ever referenced within a single call.
+    """
+    import glob
+
+    old = target_path + ".old"
+    if os.path.exists(old):
+        if os.path.exists(target_path):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, target_path)
+    for stale in glob.glob(target_path + ".tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _staging_dir(target_path: str) -> str:
+    """Staging dir as a SIBLING of the target: same parent directory →
+    same filesystem → the publish step is an atomic ``os.rename``, not
+    a copy-and-delete ``shutil.move`` across mount points (the old
+    ``tempfile.gettempdir()`` staging path could silently degrade to a
+    non-atomic copy when /tmp was a different filesystem)."""
+    return f"{target_path}.tmp-{uuid.uuid4().hex}"
+
+
+def _swap_into(tmp: str, target_path: str) -> None:
+    """Publish a fully-written staging dir over the target using only
+    same-filesystem renames (E3 atomicity).  The previous rmtree+move
+    protocol had a crash window in which the target was already
+    deleted and the replacement not yet in place — a crash there lost
+    the table.  Now every intermediate state is repaired by
+    :func:`_recover_swap`: the old version is renamed aside, the new
+    one renamed in, and only then is the old version deleted."""
+    old = target_path + ".old"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def _write_counted(df: DataFrame, path: str, partition_col: str | None = None) -> int:
     """Write ``df`` as parquet and return its row count WITHOUT a
     second scan: an :class:`Observation` piggybacks the count on the
@@ -103,25 +154,26 @@ def merge_upsert(
     """Materialized MERGE into a parquet path; returns rows written.
 
     Atomicity (E3, the reference's BEGIN/COMMIT): the merged result is
-    written to a sibling temp dir first, then swapped in — a failed
-    write leaves the old target untouched.  Empty batch short-circuits
-    (K3, src/etl-square-payments.ts:50-53).
+    written to a sibling staging dir first, then published with the
+    rename-only protocol of :func:`_swap_into` — a failure at ANY
+    point leaves a state :func:`_recover_swap` (run on the next call)
+    restores to either the old or the new complete version, never a
+    lost or half-written table.  Pinned end-to-end by the streaming
+    crash tests (kill mid-write → restart converges).  Empty batch
+    short-circuits (K3, src/etl-square-payments.ts:50-53).
     """
     if batch.isEmpty():
         return 0
+    _recover_swap(target_path)
     target = (
         spark.read.schema(batch.schema).parquet(target_path)
         if os.path.exists(target_path)
         else None
     )
     merged = merge_dataframes(target, batch, keys, order_cols, stamp_updated_at)
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}", os.path.basename(target_path)
-    )
+    tmp = _staging_dir(target_path)
     n = _write_counted(merged, tmp)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
-    shutil.move(tmp, target_path)
+    _swap_into(tmp, target_path)
     return n
 
 
@@ -164,8 +216,16 @@ def merge_upsert_partitioned(
     re-running converges.  A real deployment gets table-level commits
     from Delta/Iceberg; plain parquet cannot.
     """
+    import glob
+
     if batch.isEmpty():
         return 0
+    # repair any partition-dir swap a previous crash interrupted, and
+    # sweep staging dirs a crashed run left beside the target
+    for old in glob.glob(os.path.join(target_path, "*.old")):
+        _recover_swap(old[: -len(".old")])
+    for stale in glob.glob(target_path + ".tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
     touched = [r[0] for r in batch.select(partition_col).distinct().collect()]
     if not os.path.exists(target_path):
         batch_dedup = merge_dataframes(None, batch, keys, order_cols)
@@ -191,17 +251,17 @@ def merge_upsert_partitioned(
     merged = merge_dataframes(
         target_slice, batch, keys, order_cols, stamp_updated_at
     )
-    tmp = os.path.join(tempfile.gettempdir(), f"merge-{uuid.uuid4().hex}")
+    tmp = _staging_dir(target_path)
     n = _write_counted(merged, tmp, partition_col)
     # swap ONLY the partition dirs the batch touched (tmp holds exactly
-    # the touched values by construction — merged == slice ∪ batch)
+    # the touched values by construction — merged == slice ∪ batch);
+    # tmp is a sibling of the target, so each per-partition publish is
+    # the same rename-only _swap_into protocol (atomic per partition,
+    # crash-recoverable via the *.old sweep above)
     for entry in os.listdir(tmp):
         if not entry.startswith(f"{partition_col}="):
             continue
-        dst = os.path.join(target_path, entry)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        shutil.move(os.path.join(tmp, entry), dst)
+        _swap_into(os.path.join(tmp, entry), os.path.join(target_path, entry))
     shutil.rmtree(tmp, ignore_errors=True)
     return n
 

@@ -141,11 +141,13 @@ def stream_rollup_availablenow(
     re-delivery to exactly-once aggregate effects.
     """
     import os
-    import shutil
-    import tempfile
-    import uuid
 
     from square_etl_spark.operators.aggregations import incremental_rollup
+    from square_etl_spark.sinks.merge import (
+        _recover_swap,
+        _staging_dir,
+        _swap_into,
+    )
 
     reader = spark.readStream
     if schema is not None:
@@ -154,6 +156,8 @@ def stream_rollup_availablenow(
     marker = "_last_batch_id"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # repair a swap a previous crash interrupted before reading
+        _recover_swap(rollup_path)
         target = None
         applied = -1
         if os.path.exists(rollup_path):
@@ -165,16 +169,13 @@ def stream_rollup_availablenow(
         if batch_id <= applied:
             return  # replayed batch: already folded in
         merged = incremental_rollup(target, batch_df, keys, sum_cols)
-        tmp = os.path.join(
-            tempfile.gettempdir(), f"rollup-{uuid.uuid4().hex}",
-            os.path.basename(rollup_path),
-        )
+        tmp = _staging_dir(rollup_path)
         merged.write.mode("overwrite").parquet(tmp)
+        # batch_id lands INSIDE the staging dir, so the marker and the
+        # data publish in the same atomic rename
         with open(os.path.join(tmp, marker), "w") as fh:
             fh.write(str(batch_id))
-        if os.path.exists(rollup_path):
-            shutil.rmtree(rollup_path)
-        shutil.move(tmp, rollup_path)
+        _swap_into(tmp, rollup_path)
 
     (
         stream.writeStream.foreachBatch(sink)
