@@ -1154,3 +1154,55 @@ def test_jpeg_422_asymmetric_sampling():
     got = _parse_jpeg(blob)
     want = _expected_jpeg_decode(coeffs, 10, 19, (2, 1), qy, qy)
     assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 1
+
+
+def test_jpeg_grayscale_single_component():
+    """1-component JPEG: decoder must replicate luma into RGB, handle
+    multi-MCU DC prediction, and crop non-multiple-of-8 geometry.
+    Uniform gray with all-ones quant is bit-exact."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    def gray_jpeg(v, h, w):
+        def seg(marker, body):
+            return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+        head = b"\xff\xd8"
+        head += seg(0xDB, b"\x00" + b"\x01" * 64)
+        head += seg(
+            0xC0,
+            b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+            + b"\x01" + b"\x01\x11\x00",
+        )
+        head += seg(0xC4, b"\x00" + bytes([0] * 7 + [12] + [0] * 8) + bytes(range(12)))
+        head += seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + b"\x00")
+        head += seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+        bw = _JpegBitWriter()
+        nblocks = (-(-h // 8)) * (-(-w // 8))
+        for i in range(nblocks):  # DC diff only nonzero for block 0
+            d = 8 * (v - 128) if i == 0 else 0
+            s = abs(d).bit_length()
+            bw.put(s, 8)
+            if s:
+                bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+            bw.put(0, 1)  # EOB
+        bw.pad()
+        return head + bytes(bw.out) + b"\xff\xd9"
+
+    for v, (h, w) in [(0, (8, 8)), (140, (12, 9)), (255, (16, 24))]:
+        got = _parse_jpeg(gray_jpeg(v, h, w))
+        assert got.shape == (h, w, 3)
+        assert (got == v).all(), (v, h, w)
+
+
+def test_resize_real_for_jpeg(spark):
+    """jpeg participates in the real-resize dispatch: a decodable JPEG
+    is decoded + resampled (channels=3), not stub-truncated."""
+    import numpy as np
+
+    blob, _ = _encode_jpeg(np.full((16, 16, 3), 205, np.uint8), subsample=True)
+    out = resize_images(_media_df(spark, blob, "jpeg"), 4, 4).collect()[0]
+    assert (out.width, out.height, out.channels) == (4, 4, 3)
+    got = np.frombuffer(bytes(out.content), np.uint8)
+    assert (got == 205).all()
