@@ -383,42 +383,45 @@ def _jpeg_build_huff(counts, symbols) -> dict:
 
 
 class _JpegBits:
-    """Bit-serial reader over a JPEG entropy-coded segment: un-stuffs
-    0xFF00, raises ValueError on markers or EOF mid-read (truncation →
-    quarantine, never IndexError), and consumes RSTn on request."""
+    """Accumulator-based bit reader over a JPEG entropy-coded segment:
+    un-stuffs 0xFF00, raises ValueError on markers or EOF mid-read
+    (truncation → quarantine, never IndexError), and consumes RSTn on
+    request.  Bits live MSB-first in an int accumulator refilled a
+    byte at a time — much faster than bit-at-a-time reads, and the
+    32-bit mask keeps the accumulator a machine int (n never exceeds
+    ~23: refills stop once ≥16 bits are buffered)."""
 
-    __slots__ = ("data", "pos", "buf", "n")
+    __slots__ = ("data", "pos", "acc", "n")
 
     def __init__(self, data: bytes, pos: int):
-        self.data, self.pos, self.buf, self.n = data, pos, 0, 0
+        self.data, self.pos, self.acc, self.n = data, pos, 0, 0
 
-    def bit(self) -> int:
-        if self.n == 0:
-            d, p = self.data, self.pos
-            if p >= len(d):
+    def _fill(self) -> None:
+        """Buffer one more (un-stuffed) byte; ValueError at marker/EOF."""
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("truncated JPEG scan")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 >= len(d):
                 raise ValueError("truncated JPEG scan")
-            b = d[p]
-            if b == 0xFF:
-                if p + 1 >= len(d):
-                    raise ValueError("truncated JPEG scan")
-                if d[p + 1] != 0x00:  # a real marker mid-entropy-data
-                    raise ValueError("JPEG scan ended early")
-                self.pos = p + 2  # stuffed 0xFF00 → literal 0xFF
-            else:
-                self.pos = p + 1
-            self.buf, self.n = b, 8
-        self.n -= 1
-        return (self.buf >> self.n) & 1
+            if d[p + 1] != 0x00:  # a real marker mid-entropy-data
+                raise ValueError("JPEG scan ended early")
+            self.pos = p + 2  # stuffed 0xFF00 → literal 0xFF
+        else:
+            self.pos = p + 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+        self.n += 8
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
 
     def restart(self, m: int) -> None:
         """Byte-align and consume the expected RSTm marker."""
-        self.n = 0
+        self.acc, self.n = 0, 0
         p = self.pos
         if p + 2 > len(self.data) or self.data[p] != 0xFF:
             raise ValueError("missing JPEG restart marker")
@@ -427,10 +430,35 @@ class _JpegBits:
         self.pos = p + 2
 
 
-def _jpeg_huffdecode(bits: _JpegBits, table: dict) -> int:
+def _jpeg_fast_table(table: dict) -> list:
+    """8-bit prefix lookup for a canonical table: entry i resolves any
+    code of length ≤ 8 whose bits prefix i to (symbol, length) in one
+    step — the overwhelmingly common case; longer codes fall back to
+    the bit-serial walk."""
+    fast: list = [None] * 256
+    for (length, code), sym in table.items():
+        if length <= 8:
+            base = code << (8 - length)
+            for suffix in range(1 << (8 - length)):
+                fast[base | suffix] = (sym, length)
+    return fast
+
+
+def _jpeg_huffdecode(bits: _JpegBits, table: dict, fast: list) -> int:
+    if bits.n < 8:
+        try:
+            while bits.n < 8:
+                bits._fill()
+        except ValueError:
+            pass  # near end-of-scan: the code may still fit what's left
+    if bits.n >= 8:
+        hit = fast[(bits.acc >> (bits.n - 8)) & 0xFF]
+        if hit is not None:
+            bits.n -= hit[1]  # consume only the code's own bits
+            return hit[0]
     code = 0
-    for length in range(1, 17):
-        code = (code << 1) | bits.bit()
+    for length in range(1, 17):  # slow path: codes longer than 8 bits
+        code = (code << 1) | bits.bits(1)
         sym = table.get((length, code))
         if sym is not None:
             return sym
@@ -581,8 +609,8 @@ def _parse_jpeg(data: bytes):
         coefs.append(
             np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
         )
-        dctabs.append(huff[(0, td)])
-        actabs.append(huff[(1, ta)])
+        dctabs.append((huff[(0, td)], _jpeg_fast_table(huff[(0, td)])))
+        actabs.append((huff[(1, ta)], _jpeg_fast_table(huff[(1, ta)])))
         quants.append(qt[tq])
 
     bits = _JpegBits(data, start)
@@ -600,14 +628,14 @@ def _parse_jpeg(data: bytes):
                 for bv in range(vs):
                     for bh in range(hs):
                         vec = vecs[my * vs + bv, mx * hs + bh]
-                        s = _jpeg_huffdecode(bits, dct)
+                        s = _jpeg_huffdecode(bits, *dct)
                         if s > 11:
                             raise ValueError("bad JPEG DC category")
                         preds[ci] += _jpeg_extend(bits.bits(s), s) if s else 0
                         vec[0] = preds[ci]
                         k = 1
                         while k < 64:
-                            rs = _jpeg_huffdecode(bits, act)
+                            rs = _jpeg_huffdecode(bits, *act)
                             r, s = rs >> 4, rs & 15
                             if s == 0:
                                 if r != 15:

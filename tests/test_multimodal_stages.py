@@ -1206,3 +1206,27 @@ def test_resize_real_for_jpeg(spark):
     assert (out.width, out.height, out.channels) == (4, 4, 3)
     got = np.frombuffer(bytes(out.content), np.uint8)
     assert (got == 205).all()
+
+
+def test_jpeg_zigzag_and_dct_matrix_against_spec():
+    """The encoder and decoder SHARE _JPEG_ZZ and the DCT matrix, so a
+    wrong table would cancel out in every roundtrip test — validate
+    both against independently-derived ground truth instead: the
+    zigzag order is reconstructed from its defining diagonal traversal
+    (ITU-T T.81 figure 5), and the DCT matrix must be orthogonal with
+    the constant basis row (IDCT of a DC-only block is uniform)."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _JPEG_ZZ, _jpeg_dct_matrix
+
+    order = []
+    for d in range(15):  # anti-diagonals r+c = d
+        cells = [(r, d - r) for r in range(max(0, d - 7), min(d, 7) + 1)]
+        if d % 2 == 0:
+            cells.reverse()  # even diagonals run bottom-left → top-right
+        order += [r * 8 + c for r, c in cells]
+    assert _JPEG_ZZ == order
+
+    t = _jpeg_dct_matrix()
+    assert np.allclose(t @ t.T, np.eye(8), atol=1e-12)  # orthonormal
+    assert np.allclose(t[0], 1 / np.sqrt(8))            # constant DC basis
