@@ -4666,7 +4666,12 @@ _register(
 # t2_sliding_2h_1h (window binning shared with t2_tumbling_hourly),
 # setop_union_except (set ops also pytest-pinned), j3_lookup_join
 # (equi-join core exercised by j1/j2).  These six go first in the r06
-# head together with the r04 cohort.
+# head together with the r04 cohort, plus the five rows-only queries
+# whose last driver row is r01 (dedup_minhash_lsh, dedup_simhash,
+# text_fingerprint, ann_topk_lsh, approx_distinct_users — weaker
+# signal, but cheap to refresh).  `python tools/rotation.py` audits
+# this list against the CORRECTNESS history and prints the
+# recommended next head mechanically.
 _CHECK_PRIORITY: list[str] = [
     # -- never driver-checked / new this round
     "multimodal_features_by_lang",

@@ -1,0 +1,108 @@
+"""Check-rotation auditor: verifies `_CHECK_PRIORITY` against the
+driver's CORRECTNESS_r*.json history.
+
+The driver caps correctness checks at 50 queries per round, so the
+head of ``queries()`` decides which registered queries get a hard
+oracle signal.  The rotation policy (queries.py) promises every
+query's green row stays ≤2 rounds old.  This tool makes the policy
+auditable and the next round's head mechanical:
+
+    python tools/rotation.py            # audit + recommended next head
+
+It reports, for the CURRENT priority order:
+  - queries that have NEVER had a driver row (must go first);
+  - queries whose latest green row is older than the policy window;
+  - any name in _CHECK_PRIORITY that is not a registered query
+    (queries.py raises on this too — here it's a readable report);
+  - the recommended next-round head: never-checked first, then
+    cohorts oldest-round-first, flagship anchor last, capped at 50.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CAP = 50
+MAX_AGE_ROUNDS = 2
+
+
+def load_history() -> dict[str, int]:
+    """query name → latest round with a driver CORRECTNESS row."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            for name in json.load(fh):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def main() -> int:
+    sys.path.insert(0, REPO)
+    from square_etl_spark.queries import _CHECK_PRIORITY, registry
+
+    specs = registry()
+    names = [spec.name for spec in specs]
+    has_oracle = {spec.name: spec.oracle is not None for spec in specs}
+    latest = load_history()
+    current_round = max(latest.values(), default=0)
+
+    unknown = [n for n in _CHECK_PRIORITY if n not in set(names)]
+    never = [n for n in names if n not in latest]
+    # assume the upcoming driver run checks the current head
+    head_now = set(names[:CAP])
+    stale = sorted(
+        (n for n, r in latest.items()
+         if n in set(names) and n not in head_now
+         and current_round + 1 - r > MAX_AGE_ROUNDS),
+        key=lambda n: latest[n],
+    )
+    # the ≤2-round window is the policy for ORACLE-checked queries;
+    # rows-only rows are a weaker signal and age without violating it
+    stale_oracle = [n for n in stale if has_oracle[n]]
+    stale_rows_only = [n for n in stale if not has_oracle[n]]
+
+    print(f"registered queries : {len(names)}")
+    print(f"driver rounds seen : {current_round}")
+    print(f"head (first {CAP})   : checked next round")
+    print(f"never checked      : {[n for n in never if n not in head_now] or 'none outside head'}")
+    if unknown:
+        print(f"UNKNOWN in priority: {unknown}")
+    if stale_oracle:
+        print(f"POLICY VIOLATION — oracle-checked queries aging past {MAX_AGE_ROUNDS} rounds:")
+        for n in stale_oracle:
+            print(f"  {n}  (last green r{latest[n]:02d})")
+    else:
+        print("rotation healthy: no oracle-checked query ages past the window")
+    if stale_rows_only:
+        print("info: rows-only rows older than the window (weaker signal, allowed):")
+        for n in stale_rows_only:
+            print(f"  {n}  (last row r{latest[n]:02d})")
+
+    # recommended next head: never-checked → oldest cohort → … → anchor
+    cohorts: dict[int, list[str]] = {}
+    for n in names:
+        if n == "flagship_star_revenue":
+            continue
+        cohorts.setdefault(latest.get(n, 0), []).append(n)
+    rec: list[str] = []
+    for rnd in sorted(cohorts):  # 0 = never checked, then oldest rounds
+        rec.extend(cohorts[rnd])
+    rec = rec[: CAP - 1] + ["flagship_star_revenue"]
+    print(f"\nrecommended NEXT head ({CAP} incl. anchor, oldest-first):")
+    for n in rec:
+        tag = "" if has_oracle[n] else "  [rows-only]"
+        print(f"  {n}  (last r{latest.get(n, 0):02d}){tag}")
+    return 1 if unknown or stale_oracle else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
