@@ -2031,6 +2031,61 @@ _register(
 )
 
 
+def _mm_probe_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only metadata probe, oracle-hash-checked end-to-end: per
+    document, CONSTRUCT a variable-geometry binary PPM in pure Column
+    expressions (ASCII header + repeated printable gray byte — every
+    byte derivable in SQL), then run
+    :func:`square_etl_spark.operators.multimodal.probe_media`, which
+    detects the container by magic bytes and reads the geometry from
+    the header WITHOUT touching pixel payload.  DuckDB predicts every
+    output column arithmetically (the header length varies with the
+    digit counts of w and h — the oracle recomputes it with LENGTH).
+    The at-scale story: probing is the cheap first pass that validates
+    declared metadata across a 100 TB corpus before any decode compute
+    is spent — map-only, header bytes only."""
+    from square_etl_spark.operators.multimodal import probe_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (1 + F.col("n_chars") % 13).cast("int")
+    h = (1 + F.col("n_chars") % 7).cast("int")
+    v = (32 + F.col("n_chars") % 64).cast("int")  # printable → 1-byte UTF-8
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(
+            F.concat(
+                F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                h.cast("string"), F.lit("\n255\n"),
+                F.repeat(F.char(v), (w * h * 3).cast("int")),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    return probe_media(media)
+
+
+_register(
+    QuerySpec(
+        "multimodal_probe_dimensions",
+        _mm_probe_dimensions,
+        oracle="""
+        SELECT doc_id AS media_id,
+               'ppm' AS detected_format,
+               CAST(1 + n_chars % 13 AS INTEGER) AS width,
+               CAST(1 + n_chars % 7 AS INTEGER) AS height,
+               CAST(NULL AS INTEGER) AS sample_rate,
+               CAST(9 + LENGTH(CAST(1 + n_chars % 13 AS VARCHAR))
+                      + LENGTH(CAST(1 + n_chars % 7 AS VARCHAR))
+                      + 3 * (1 + n_chars % 13) * (1 + n_chars % 7)
+                    AS BIGINT) AS n_bytes,
+               true AS ok
+        FROM documents
+        """,
+        doc="header-only metadata probe, oracle-checked: constructed PPMs, predicted geometry",
+    )
+)
+
+
 def _mm_features_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → relational composition, oracle-checked end-to-end:
     the decoded feature stream (real BMP codec over constructed blobs,
@@ -4676,6 +4731,7 @@ _CHECK_PRIORITY: list[str] = [
     # -- never driver-checked / new this round
     "multimodal_features_by_lang",
     "multimodal_decode_jpeg",
+    "multimodal_probe_dimensions",
     # -- r02 cohort deferred from the r04 head (oldest green rows)
     "multimodal_decode",
     "arrow_token_count",
@@ -4732,8 +4788,11 @@ _CHECK_PRIORITY: list[str] = [
     "pipeline_categories",
     "pipeline_inventory",
     "pipeline_locations",
-    # -- anchor: flagship re-checked every round
-    "flagship_star_revenue",
+    # NOTE: the flagship anchor sits out THIS round only — three new
+    # registrations took its slot and its green row is r04 (1 round
+    # old), while every query above would otherwise age past the
+    # window.  The driver's entry() smoke still runs flagship every
+    # round; it re-anchors first thing in the r06 head.
 ]
 
 

@@ -1230,3 +1230,86 @@ def test_jpeg_zigzag_and_dct_matrix_against_spec():
     t = _jpeg_dct_matrix()
     assert np.allclose(t @ t.T, np.eye(8), atol=1e-12)  # orthonormal
     assert np.allclose(t[0], 1 / np.sqrt(8))            # constant DC basis
+
+
+def test_probe_blob_all_formats_header_only():
+    """_probe_blob detects every real container by magic bytes and
+    reads geometry/rate from the header alone — including when only
+    the header bytes are present (payload never touched)."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    px = np.zeros((5, 4, 3), np.uint8)
+    jpeg, _ = _encode_jpeg(np.zeros((16, 16, 3), np.uint8))
+    cases = [
+        (b"P6\n4 5\n255\n" + px.tobytes(), ("ppm", 4, 5, None)),
+        (_encode_png(px, 2, [0] * 5), ("png", 4, 5, None)),
+        (_encode_gif(np.zeros((6, 6), np.uint8), [(0, 0, 0), (9, 9, 9)]),
+         ("gif", 6, 6, None)),
+        (jpeg, ("jpeg", 16, 16, None)),
+        (_encode_wav(bytes(range(100)), 8, 1, rate=44100),
+         ("wav", None, None, 44100)),
+        (_encode_avi([px, px]), ("avi", 4, 5, None)),
+    ]
+    for blob, (fmt, w, h, rate) in cases:
+        got = _probe_blob(blob)
+        assert got["detected_format"] == fmt, fmt
+        assert got["width"] == w and got["height"] == h, fmt
+        assert got["sample_rate"] == rate, fmt
+        # header-only: the payload can be absent entirely (PPM header
+        # is self-delimiting; drop everything after it)
+        if fmt == "ppm":
+            assert _probe_blob(b"P6\n4 5\n255\n")["width"] == 4
+
+
+def test_probe_blob_valueerror_only_fuzz():
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    rng = np.random.default_rng(19)
+    jpeg, _ = _encode_jpeg(np.zeros((8, 8, 3), np.uint8))
+    blobs = [jpeg, _encode_wav(bytes(range(64)), 8, 1),
+             _encode_avi([np.zeros((2, 2, 3), np.uint8)])]
+    for blob in blobs:
+        for cut in range(len(blob)):
+            try:
+                _probe_blob(blob[:cut])
+            except ValueError:
+                pass
+        for _ in range(100):
+            b = bytearray(blob)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                _probe_blob(bytes(b))
+            except ValueError:
+                pass
+    with pytest.raises(ValueError):
+        _probe_blob(b"not a media file at all")
+    with pytest.raises(ValueError):
+        _probe_blob(b"")
+
+
+def test_probe_media_detects_real_container_ignoring_claimed_format(spark):
+    """probe_media trusts magic bytes, not meta.format: a blob claimed
+    to be 'png' that is actually a BMP probes as bmp; junk quarantines
+    as ok=false with nulls."""
+    from square_etl_spark.operators.multimodal import probe_media
+
+    bmp_header = (
+        b"BM" + (54 + 16).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + b"\x00" * 20 + b"\x00" * 16
+    )
+    out = probe_media(_media_df(spark, bmp_header, "png")).collect()[0]
+    assert out.ok is True and out.detected_format == "bmp"
+    assert (out.width, out.height) == (2, 2)
+    bad = probe_media(_media_df(spark, b"garbage", "png")).collect()[0]
+    assert bad.ok is False and bad.detected_format is None
