@@ -8,8 +8,9 @@ feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
 PPM (binary P6), 24-bit BMP, PNG (non-interlaced 8-bit gray/RGB/RGBA
 via stdlib zlib + filter reconstruction), GIF (stdlib LZW), and
 baseline JPEG (sequential 8-bit Huffman: entropy decode → dequant →
-IDCT → chroma upsample → YCbCr→RGB) images, WAV (8/16-bit integer
-PCM) audio, and AVI (uncompressed 24bpp DIB or MJPG frames) video
+IDCT → chroma upsample → YCbCr→RGB) images, WAV/AU/AIFF (8/16-bit
+integer PCM in all three container families) audio, and AVI
+(uncompressed 24bpp DIB or MJPG frames) video
 are REAL — parsed pure-python + numpy to pixels/samples/frames and
 summarized as a 4×4 luminance grid / 16-window RMS energy profile /
 16-window temporal luminance profile; formats needing codec
@@ -716,6 +717,98 @@ def _parse_wav(data: bytes):
     return samples, sample_rate
 
 
+def _parse_au(data: bytes):
+    """REAL codec: Sun/NeXT AU parser — stdlib + numpy only.  Big-endian
+    header (magic '.snd', data offset/size, encoding, rate, channels);
+    supports encoding 2 (8-bit linear PCM) and 3 (16-bit linear PCM),
+    any channel count (mono-mixed by mean).  Returns (samples float64
+    in [-1, 1], sample_rate) — same contract as :func:`_parse_wav`."""
+    import numpy as np
+
+    if len(data) < 24 or data[:4] != b".snd":
+        raise ValueError("not an AU file")
+    off = int.from_bytes(data[4:8], "big")
+    enc = int.from_bytes(data[12:16], "big")
+    rate = int.from_bytes(data[16:20], "big")
+    n_channels = int.from_bytes(data[20:24], "big")
+    if enc not in (2, 3) or n_channels < 1 or rate <= 0 or off < 24:
+        raise ValueError(f"unsupported AU (encoding={enc})")
+    pcm = data[off:]
+    if enc == 2:  # 8-bit SIGNED linear (unlike WAV's unsigned 8-bit)
+        samples = np.frombuffer(pcm, np.int8).astype(np.float64) / 128.0
+    else:  # 16-bit signed BIG-endian
+        samples = np.frombuffer(pcm[: len(pcm) & ~1], ">i2").astype(np.float64) / 32768.0
+    frames = len(samples) // n_channels
+    if frames == 0:
+        raise ValueError("empty AU data")
+    samples = samples[: frames * n_channels].reshape(frames, n_channels).mean(axis=1)
+    return samples, rate
+
+
+def _parse_f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rate): 1 sign,
+    15 exponent, 64 mantissa with explicit integer bit."""
+    if len(b) != 10:
+        raise ValueError("bad 80-bit float")
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _parse_aiff(data: bytes):
+    """REAL codec: AIFF parser — stdlib + numpy only.  IFF chunk walk:
+    COMM (channels, frames, bit depth, 80-bit-float rate) + SSND
+    (offset/blocksize then big-endian PCM).  Supports 8/16-bit PCM,
+    any channel count (mono-mixed).  Returns (samples float64 in
+    [-1, 1], sample_rate)."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF file")
+    comm = ssnd = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body = pos + 8
+        if body + size > len(data):
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM" and comm is None:
+            if size < 18:
+                raise ValueError("bad AIFF COMM chunk")
+            comm = (
+                int.from_bytes(data[body : body + 2], "big"),        # channels
+                int.from_bytes(data[body + 2 : body + 6], "big"),    # frames
+                int.from_bytes(data[body + 6 : body + 8], "big"),    # bits
+                _parse_f80(data[body + 8 : body + 18]),              # rate
+            )
+        elif cid == b"SSND" and ssnd is None:
+            if size < 8:
+                raise ValueError("bad AIFF SSND chunk")
+            off = int.from_bytes(data[body : body + 4], "big")
+            ssnd = data[body + 8 + off : body + size]
+        pos = body + size + (size & 1)  # chunks are even-padded
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND")
+    n_channels, _frames, bits, rate = comm
+    if bits not in (8, 16) or n_channels < 1 or not rate > 0:
+        raise ValueError(f"unsupported AIFF (bits={bits})")
+    if bits == 8:  # signed, unlike WAV
+        samples = np.frombuffer(ssnd, np.int8).astype(np.float64) / 128.0
+    else:
+        samples = np.frombuffer(ssnd[: len(ssnd) & ~1], ">i2").astype(np.float64) / 32768.0
+    frames = len(samples) // n_channels
+    if frames == 0:
+        raise ValueError("empty AIFF data")
+    samples = samples[: frames * n_channels].reshape(frames, n_channels).mean(axis=1)
+    return samples, int(round(rate))
+
+
 def _parse_avi(data: bytes):
     """REAL codec: AVI (RIFF) parser — stdlib + numpy only.  Walks the
     RIFF/LIST chunk tree, reads the video stream's BITMAPINFOHEADER
@@ -861,7 +954,10 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     codecs; ``format='jpeg'`` (baseline sequential 8-bit, Huffman,
     4:4:4/4:2:2/4:2:0 and grayscale, restart intervals) is fully
     decoded — entropy decode, dequant, IDCT, chroma upsample,
-    YCbCr→RGB — pure python + numpy; ``format='avi'`` (uncompressed
+    YCbCr→RGB — pure python + numpy; ``format='au'`` (Sun/NeXT, 8/16
+    bit linear PCM) and ``format='aiff'`` (IFF COMM/SSND, 8/16-bit
+    big-endian PCM, 80-bit-float rate) parse like WAV to mono samples
+    → RMS profile; ``format='avi'`` (uncompressed
     24bpp DIB or MJPG frames) is parsed to frames and summarized as a
     16-window temporal luminance profile.  Every other format keeps
     the STUB below — MP3/MP4 and progressive JPEG need codec
@@ -884,6 +980,12 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_jpeg(bytes(content)))
     if media_type == "audio" and fmt == "wav":
         samples, _rate = _parse_wav(bytes(content))
+        return _rms_features(samples)
+    if media_type == "audio" and fmt == "au":
+        samples, _rate = _parse_au(bytes(content))
+        return _rms_features(samples)
+    if media_type == "audio" and fmt == "aiff":
+        samples, _rate = _parse_aiff(bytes(content))
         return _rms_features(samples)
     if media_type == "video" and fmt == "avi":
         return _temporal_features(_parse_avi(bytes(content)))
@@ -1026,6 +1128,28 @@ def _probe_blob(data: bytes) -> dict:
                 return out
             pos += 8 + size + (size & 1)
         raise ValueError("WAV has no fmt chunk")
+    elif data[:4] == b".snd":
+        if len(data) < 24:
+            raise ValueError("truncated AU header")
+        out.update(
+            detected_format="au",
+            sample_rate=int.from_bytes(data[16:20], "big"),
+        )
+    elif data[:4] == b"FORM" and data[8:12] == b"AIFF":
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = int.from_bytes(data[pos + 4 : pos + 8], "big")
+            if cid == b"COMM" and size >= 18 and pos + 8 + 18 <= len(data):
+                out.update(
+                    detected_format="aiff",
+                    sample_rate=int(round(_parse_f80(
+                        data[pos + 16 : pos + 26]
+                    ))),
+                )
+                return out
+            pos += 8 + size + (size & 1)
+        raise ValueError("AIFF has no COMM header")
     elif data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         # find the first strf BITMAPINFOHEADER (bounded iterative walk,
         # same nesting cap as the full parser)

@@ -1313,3 +1313,149 @@ def test_probe_media_detects_real_container_ignoring_claimed_format(spark):
     assert (out.width, out.height) == (2, 2)
     bad = probe_media(_media_df(spark, b"garbage", "png")).collect()[0]
     assert bad.ok is False and bad.detected_format is None
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codecs: AU (Sun/NeXT) + AIFF — big-endian PCM containers,
+# same mono-mix + 16-window RMS contract as WAV.
+# ---------------------------------------------------------------------------
+
+
+def _encode_au(data, encoding=3, rate=8000, channels=1, annotation=b""):
+    """Minimal AU ENCODER for the tests: big-endian header, optional
+    annotation field (exercises non-minimal data offsets)."""
+    off = 24 + len(annotation)
+    return (
+        b".snd" + off.to_bytes(4, "big") + len(data).to_bytes(4, "big")
+        + encoding.to_bytes(4, "big") + rate.to_bytes(4, "big")
+        + channels.to_bytes(4, "big") + annotation + data
+    )
+
+
+def _f80(x):
+    """Encode a positive number as an 80-bit IEEE extended float."""
+    import math
+
+    if x == 0:
+        return b"\x00" * 10
+    m, e = math.frexp(x)              # x = m * 2**e, m in [0.5, 1)
+    mant = int(m * (1 << 64))         # explicit integer bit at 2**63
+    return (e - 1 + 16383).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+
+def _encode_aiff(data, bits=16, rate=8000, channels=1, ssnd_offset=0):
+    """Minimal AIFF ENCODER for the tests: COMM + SSND (with optional
+    leading offset bytes, exercising the offset field)."""
+    frames = len(data) // (channels * bits // 8)
+    comm = (
+        channels.to_bytes(2, "big") + frames.to_bytes(4, "big")
+        + bits.to_bytes(2, "big") + _f80(rate)
+    )
+    ssnd_body = (
+        ssnd_offset.to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + b"\x7f" * ssnd_offset + data
+    )
+    chunks = b"COMM" + len(comm).to_bytes(4, "big") + comm
+    chunks += b"SSND" + len(ssnd_body).to_bytes(4, "big") + ssnd_body
+    if len(ssnd_body) & 1:
+        chunks += b"\x00"
+    return b"FORM" + (4 + len(chunks)).to_bytes(4, "big") + b"AIFF" + chunks
+
+
+def test_au_parser_encodings_and_offset():
+    import struct
+
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_au
+
+    # 16-bit BE, annotation shifts the data offset
+    pcm = b"".join(struct.pack(">h", v) for v in (16384, -16384, 0, 8192))
+    samples, rate = _parse_au(
+        _encode_au(pcm, 3, 44100, 1, annotation=b"meta")
+    )
+    assert rate == 44100
+    assert np.allclose(samples, [0.5, -0.5, 0.0, 0.25])
+    # 8-bit SIGNED (unlike WAV's unsigned 8-bit), stereo mono-mix
+    samples, _ = _parse_au(_encode_au(bytes([64, 192, 0, 0]), 2, 8000, 2))
+    assert np.allclose(samples, [(0.5 - 0.5) / 2, 0.0])
+
+
+def test_aiff_parser_f80_rate_and_ssnd_offset():
+    import struct
+
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_aiff, _parse_f80
+
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert _parse_f80(_f80(rate)) == rate
+    pcm = b"".join(struct.pack(">h", v) for v in (16384, -16384, 8192, -8192))
+    samples, rate = _parse_aiff(
+        _encode_aiff(pcm, 16, 44100, 1, ssnd_offset=6)
+    )
+    assert rate == 44100
+    assert np.allclose(samples, [0.5, -0.5, 0.25, -0.25])
+    # 8-bit signed stereo mono-mix
+    samples, _ = _parse_aiff(_encode_aiff(bytes([64, 64, 192, 192]), 8, 8000, 2))
+    assert np.allclose(samples, [0.5, -0.5])
+
+
+def test_decode_media_real_au_aiff_codecs(spark):
+    """Exact-feature pin for both containers: a constant-amplitude
+    ±0.5 square wave has RMS exactly 0.5 in all 16 windows."""
+    import struct
+
+    from square_etl_spark.operators.multimodal import decode_media
+
+    pcm = b"".join(
+        struct.pack(">h", 16384 if i % 2 == 0 else -16384) for i in range(160)
+    )
+    for fmt, blob in [
+        ("au", _encode_au(pcm, 3, 8000, 1)),
+        ("aiff", _encode_aiff(pcm, 16, 8000, 1)),
+    ]:
+        out = decode_media(_media_df(spark, blob, fmt, media_type="audio")).collect()[0]
+        assert out.ok is True, fmt
+        assert out.features == [0.5] * 16, fmt
+        bad = decode_media(
+            _media_df(spark, blob[:10], fmt, media_type="audio")
+        ).collect()[0]
+        assert bad.ok is False, fmt
+
+
+def test_au_aiff_probe_and_fuzz():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _parse_aiff,
+        _parse_au,
+        _probe_blob,
+    )
+
+    au = _encode_au(bytes(range(100)), 2, 22050, 1)
+    aiff = _encode_aiff(bytes(range(100)), 8, 44100, 1)
+    assert _probe_blob(au) == {
+        "detected_format": "au", "width": None, "height": None,
+        "sample_rate": 22050,
+    }
+    assert _probe_blob(aiff)["detected_format"] == "aiff"
+    assert _probe_blob(aiff)["sample_rate"] == 44100
+    rng = np.random.default_rng(23)
+    for parser, blob in [(_parse_au, au), (_parse_aiff, aiff)]:
+        parser(blob)  # sanity
+        for cut in range(len(blob)):
+            for fn in (parser, _probe_blob):
+                try:
+                    fn(blob[:cut])
+                except ValueError:
+                    pass
+        for _ in range(150):
+            b = bytearray(blob)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            for fn in (parser, _probe_blob):
+                try:
+                    fn(bytes(b))
+                except ValueError:
+                    pass
