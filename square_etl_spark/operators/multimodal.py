@@ -8,7 +8,9 @@ feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
 PPM (binary P6), 24-bit BMP, PNG (non-interlaced 8-bit gray/RGB/RGBA
 via stdlib zlib + filter reconstruction), GIF (stdlib LZW), and
 baseline JPEG (sequential 8-bit Huffman: entropy decode → dequant →
-IDCT → chroma upsample → YCbCr→RGB) images, WAV/AU/AIFF (8/16-bit
+IDCT → chroma upsample → YCbCr→RGB) and baseline TIFF (II/MM byte
+orders, strips, none/LZW/PackBits compression, horizontal predictor)
+images, WAV/AU/AIFF (8/16-bit
 integer PCM in all three container families) audio, and AVI
 (uncompressed 24bpp DIB or MJPG frames) video
 are REAL — parsed pure-python + numpy to pixels/samples/frames and
@@ -335,6 +337,216 @@ def _parse_gif(data: bytes):
             rows = deinterlaced
         return ct[rows]  # palette lookup → (h, w, 3)
     raise ValueError("no image block in GIF")
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW decode — stdlib only.  Differs from the GIF
+    variant (:func:`_lzw_decode`) in three spec'd ways: codes are
+    packed MSB-first (GIF is LSB-first), the code width grows one code
+    EARLY (the TIFF 6.0 "early change" convention: 9→10 bits when the
+    table reaches 511 entries, not 512 — likewise 1023/2047), and the
+    stream is a single run (no GIF sub-blocks).  Clear=256, EOI=257,
+    first dynamic entry 258, 12-bit cap.  Decoding stops at EOI or
+    once ``expected`` bytes are produced (strips are size-bounded), so
+    output is bounded by min(expected, input growth) — a corrupted
+    header can never force an unbounded allocation."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated TIFF LZW stream")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code beyond table")
+        out += entry
+        prev = entry
+        # early change: 9→10 at table length 511 (2^9-1), 10→11 at
+        # 1023, 11→12 at 2047; writers must emit CLEAR before 4094.
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(table) > 4094:
+            raise ValueError("TIFF LZW table overflow (missing clear)")
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (TIFF compression 32773) decode — stdlib only.
+    Control byte n: 0..127 → copy n+1 literals; -127..-1 → repeat the
+    next byte 1-n times; -128 → no-op.  Output bounded by
+    ``expected`` (strip sizes are known up front)."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected:
+        if pos >= len(data):
+            raise ValueError("truncated PackBits stream")
+        n = data[pos] - 256 if data[pos] > 127 else data[pos]
+        pos += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            lit = data[pos : pos + n + 1]
+            if len(lit) < n + 1:
+                raise ValueError("truncated PackBits literal run")
+            out += lit
+            pos += n + 1
+        else:
+            if pos >= len(data):
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[pos]]) * (1 - n)
+            pos += 1
+    if len(out) != expected:
+        raise ValueError("PackBits run overruns strip size")
+    return bytes(out)
+
+
+def _parse_tiff(data: bytes):
+    """REAL codec: baseline TIFF 6.0 parser — stdlib + numpy only.
+    Both byte orders (``II``/``MM``), strip-organized 8-bit data,
+    compression 1 (none), 5 (LZW with the early-change convention,
+    :func:`_tiff_lzw_decode`) and 32773 (PackBits), horizontal-
+    differencing predictor (tag 317 = 2), photometric 0 (WhiteIsZero,
+    inverted grayscale), 1 (grayscale) and 2 (RGB, alpha/extra sample
+    dropped).  Tiled TIFF, 16-bit data, and palette-color raise
+    ValueError → quarantine.  Reads IFD0 only (the baseline "image
+    file directory"); multi-page files decode their first page like
+    GIF decodes its first frame.  Returns (h, w, 3) uint8."""
+    import numpy as np
+
+    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF")
+    bo = "little" if data[:2] == b"II" else "big"
+
+    def _u(b: bytes) -> int:
+        return int.from_bytes(b, bo)
+
+    ifd_off = _u(data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD offset")
+    n_entries = _u(data[ifd_off : ifd_off + 2])
+    if ifd_off + 2 + 12 * n_entries > len(data):
+        raise ValueError("truncated TIFF IFD")
+    _TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        tag = _u(data[e : e + 2])
+        typ = _u(data[e + 2 : e + 4])
+        count = _u(data[e + 4 : e + 8])
+        if typ not in _TYPE_SIZE:
+            continue  # RATIONAL/ASCII metadata tags — not needed
+        size = _TYPE_SIZE[typ] * count
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            off = _u(data[e + 8 : e + 12])
+            raw = data[off : off + size]
+            if len(raw) < size:
+                raise ValueError("truncated TIFF tag value")
+        step = _TYPE_SIZE[typ]
+        tags[tag] = [_u(raw[j : j + step]) for j in range(0, size, step)]
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if not v:
+            if default is None:
+                raise ValueError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w = one(256)
+    h = one(257)
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    predictor = one(317, 1)
+    bits = tags.get(258, [8] * spp)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TIFF geometry")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported (strips only)")
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise ValueError(f"only 8-bit TIFF samples (bits={bits})")
+    if photometric not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photometric}")
+    if photometric == 2 and spp not in (3, 4):
+        raise ValueError(f"RGB TIFF needs 3/4 samples (got {spp})")
+    if photometric != 2 and spp != 1:
+        raise ValueError(f"grayscale TIFF needs 1 sample (got {spp})")
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
+
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        raise ValueError("TIFF missing strip offsets")
+    rows_per_strip = one(278, h)
+    if counts is None or len(counts) != len(offsets):
+        if compression == 1 and len(offsets) == 1:
+            counts = [h * w * spp]  # writers may omit 279 when trivial
+        else:
+            raise ValueError("TIFF strip counts missing/mismatched")
+
+    row_bytes = w * spp
+    raw = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        if n_rows <= 0:
+            raise ValueError("TIFF strip beyond image height")
+        expected = n_rows * row_bytes
+        if compression == 1:
+            if len(strip) < expected:
+                raise ValueError("short uncompressed TIFF strip")
+            raw += strip[:expected]
+        elif compression == 5:
+            raw += _tiff_lzw_decode(strip, expected)
+        else:
+            raw += _packbits_decode(strip, expected)
+    if len(raw) != h * row_bytes:
+        raise ValueError("TIFF strip data does not cover the image")
+
+    px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo per row/channel
+        px = np.cumsum(px, axis=1, dtype=np.uint8)
+    if photometric == 2:
+        return np.ascontiguousarray(px[..., :3])  # drop alpha if present
+    gray = px[..., 0]
+    if photometric == 0:  # WhiteIsZero
+        gray = 255 - gray
+    return np.repeat(gray[..., None], 3, axis=2)
 
 
 #: zigzag scan order: _JPEG_ZZ[k] = linear 8x8 index of the k-th
@@ -954,7 +1166,10 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     codecs; ``format='jpeg'`` (baseline sequential 8-bit, Huffman,
     4:4:4/4:2:2/4:2:0 and grayscale, restart intervals) is fully
     decoded — entropy decode, dequant, IDCT, chroma upsample,
-    YCbCr→RGB — pure python + numpy; ``format='au'`` (Sun/NeXT, 8/16
+    YCbCr→RGB — pure python + numpy; ``format='tiff'`` (baseline
+    TIFF 6.0: II/MM byte orders, strips, compression none/LZW
+    early-change/PackBits, horizontal predictor, gray/RGB) decodes
+    like the other image codecs; ``format='au'`` (Sun/NeXT, 8/16
     bit linear PCM) and ``format='aiff'`` (IFF COMM/SSND, 8/16-bit
     big-endian PCM, 80-bit-float rate) parse like WAV to mono samples
     → RMS profile; ``format='avi'`` (uncompressed
@@ -978,6 +1193,8 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_gif(bytes(content)))
     if media_type == "image" and fmt == "jpeg":
         return _grid_features(_parse_jpeg(bytes(content)))
+    if media_type == "image" and fmt == "tiff":
+        return _grid_features(_parse_tiff(bytes(content)))
     if media_type == "audio" and fmt == "wav":
         samples, _rate = _parse_wav(bytes(content))
         return _rms_features(samples)
@@ -1074,6 +1291,28 @@ def _probe_blob(data: bytes) -> dict:
             width=int.from_bytes(data[16:20], "big"),
             height=int.from_bytes(data[20:24], "big"),
         )
+    elif data[:4] in (b"II*\x00", b"MM\x00*"):
+        # read IFD0's width/height tags only — never touches strips
+        bo = "little" if data[:2] == b"II" else "big"
+        if len(data) < 8:
+            raise ValueError("truncated TIFF header")
+        ifd = int.from_bytes(data[4:8], bo)
+        if ifd + 2 > len(data):
+            raise ValueError("truncated TIFF IFD")
+        n = int.from_bytes(data[ifd : ifd + 2], bo)
+        if ifd + 2 + 12 * n > len(data):
+            raise ValueError("truncated TIFF IFD")
+        dims = {}
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            tag = int.from_bytes(data[e : e + 2], bo)
+            typ = int.from_bytes(data[e + 2 : e + 4], bo)
+            if tag in (256, 257) and typ in (3, 4):
+                width_bytes = 2 if typ == 3 else 4
+                dims[tag] = int.from_bytes(data[e + 8 : e + 8 + width_bytes], bo)
+        if 256 not in dims or 257 not in dims:
+            raise ValueError("TIFF IFD lacks geometry tags")
+        out.update(detected_format="tiff", width=dims[256], height=dims[257])
     elif data[:6] in (b"GIF87a", b"GIF89a"):
         if len(data) < 10:
             raise ValueError("truncated GIF header")
@@ -1369,5 +1608,6 @@ _IMAGE_PARSERS.update(
         "png": _parse_png,
         "gif": _parse_gif,
         "jpeg": _parse_jpeg,
+        "tiff": _parse_tiff,
     }
 )

@@ -699,6 +699,7 @@ def test_all_parsers_valueerror_only_under_truncation_and_corruption():
         _parse_jpeg,
         _parse_png,
         _parse_ppm,
+        _parse_tiff,
         _parse_wav,
     )
 
@@ -729,6 +730,7 @@ def test_all_parsers_valueerror_only_under_truncation_and_corruption():
         (_parse_jpeg, _encode_jpeg(
             rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
         )[0]),
+        (_parse_tiff, _encode_tiff(px, compression=5, predictor=2)),
     ]
     for parser, blob in cases:
         parser(blob)  # sanity: the full blob parses
@@ -1459,3 +1461,367 @@ def test_au_aiff_probe_and_fuzz():
                     fn(bytes(b))
                 except ValueError:
                     pass
+
+
+# ---------------------------------------------------------------------------
+# REAL image codec: baseline TIFF (II/MM, strips, none/LZW/PackBits)
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Test-side TIFF LZW encoder: MSB-first packing, TIFF 6.0
+    early-change width growth.  The spec decoder's table runs one add
+    behind the encoder's, so width bumps are driven off a SHADOW of
+    the decoder's table length — that pins the decoder's early-change
+    convention at the exact code-stream positions a conforming writer
+    produces."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def width_for(shadow_len: int) -> int:
+        if shadow_len < 511:
+            return 9
+        if shadow_len < 1023:
+            return 10
+        if shadow_len < 2047:
+            return 11
+        return 12
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, shadow, n_emitted = 258, 258, 0
+    emit(CLEAR, width_for(shadow))
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width_for(shadow))
+        if n_emitted > 0:
+            shadow += 1  # decoder adds an entry per code after the first
+        n_emitted += 1
+        table[w + c] = next_code
+        next_code += 1
+        w = c
+        if next_code > 4093:  # restart before the decoder's 4094 cap
+            emit(CLEAR, width_for(shadow))
+            table = {bytes([i]): i for i in range(256)}
+            next_code, shadow, n_emitted = 258, 258, 0
+    if w:
+        emit(table[w], width_for(shadow))
+        if n_emitted > 0:
+            shadow += 1
+        n_emitted += 1
+    emit(EOI, width_for(shadow))
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Test-side PackBits encoder: greedy runs ≥3 as repeats, else
+    literal groups (both capped at 128)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while (run < 128 and i + run < len(data)
+               and data[i + run] == data[i]):
+            run += 1
+        if run >= 3:
+            out += bytes([256 - (run - 1), data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < len(data) and i - lit_start < 128:
+            run = 1
+            while (run < 3 and i + run < len(data)
+                   and data[i + run] == data[i]):
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        n = i - lit_start
+        out += bytes([n - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _encode_tiff(px, byte_order="little", compression=1, photometric=None,
+                 predictor=1, rows_per_strip=None, alpha=False):
+    """Test-side baseline TIFF writer.  ``px`` is (h, w, 3) uint8 for
+    RGB (``photometric=2``) or (h, w) uint8 for grayscale
+    (``photometric`` 1 = BlackIsZero, 0 = WhiteIsZero — pixel values
+    are stored as given; interpretation is the reader's job).
+    ``alpha=True`` appends a constant 0x80 alpha sample (spp=4)."""
+    import numpy as np
+
+    bo = byte_order
+
+    def pk(v, n):
+        return int(v).to_bytes(n, bo)
+
+    if px.ndim == 2:
+        photometric = 1 if photometric is None else photometric
+        spp = 1
+        sample_rows = px[..., None]
+    else:
+        photometric = 2 if photometric is None else photometric
+        if alpha:
+            a = np.full(px.shape[:2] + (1,), 0x80, np.uint8)
+            sample_rows = np.concatenate([px, a], axis=2)
+        else:
+            sample_rows = px
+        spp = sample_rows.shape[2]
+    h, w = sample_rows.shape[:2]
+    rps = h if rows_per_strip is None else rows_per_strip
+
+    strips = []
+    for s0 in range(0, h, rps):
+        rows = sample_rows[s0 : s0 + rps].astype(np.uint8)
+        if predictor == 2:
+            d = rows.astype(np.int16)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            rows = (d % 256).astype(np.uint8)
+        raw = rows.tobytes()
+        if compression == 5:
+            strips.append(_tiff_lzw_encode(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            strips.append(raw)
+
+    body = bytearray()
+    offsets, counts = [], []
+    data_start = 8
+    for s in strips:
+        offsets.append(data_start + len(body))
+        counts.append(len(s))
+        body += s
+    aux_start = data_start + len(body)
+    aux = bytearray()
+
+    def arr_value(values, typ_size, typ_pack):
+        """Inline if it fits 4 bytes (left-justified) else aux offset."""
+        raw = b"".join(typ_pack(v) for v in values)
+        if len(raw) <= 4:
+            return raw + b"\x00" * (4 - len(raw)), None
+        off = aux_start + len(aux)
+        aux.extend(raw)
+        return pk(off, 4), off
+
+    entries = []  # (tag, type, count, 4-byte value field)
+
+    def add(tag, typ, values):
+        size = {3: 2, 4: 4}[typ]
+        val, _ = arr_value(values, size, lambda v: pk(v, size))
+        entries.append((tag, typ, len(values), val))
+
+    add(256, 3, [w])
+    add(257, 3, [h])
+    add(258, 3, [8] * spp)
+    add(259, 3, [compression])
+    add(262, 3, [photometric])
+    add(273, 4, offsets)
+    add(277, 3, [spp])
+    add(278, 3, [rps])
+    add(279, 4, counts)
+    if predictor != 1:
+        add(317, 3, [predictor])
+    entries.sort()  # IFD entries must be tag-ascending per spec
+
+    ifd_off = aux_start + len(aux)
+    ifd = bytearray(pk(len(entries), 2))
+    for tag, typ, count, val in entries:
+        ifd += pk(tag, 2) + pk(typ, 2) + pk(count, 4) + val
+    ifd += pk(0, 4)  # next-IFD pointer: none
+
+    magic = b"II*\x00" if bo == "little" else b"MM\x00*"
+    return bytes(magic + pk(ifd_off, 4) + body + aux + ifd)
+
+
+def test_tiff_lzw_roundtrip_early_change():
+    """Encoder/decoder roundtrip across the 9→10→11→12-bit early-change
+    boundaries and a mid-stream CLEAR (table restart), on repetitive,
+    random, and mixed payloads."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _tiff_lzw_decode
+
+    rng = np.random.default_rng(7)
+    payloads = [
+        b"",
+        b"\x00" * 10,
+        bytes(range(256)) * 2,
+        bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),   # > 511 adds
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),  # forces CLEAR
+        (b"abcab" * 2000) + bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),
+    ]
+    for p in payloads:
+        enc = _tiff_lzw_encode(p)
+        assert _tiff_lzw_decode(enc, len(p)) == p
+    # random data barely compresses; the 20 k payload must have crossed
+    # the 4093-entry table cap, i.e. contained a mid-stream CLEAR
+    assert len(_tiff_lzw_encode(payloads[4])) > 4093
+
+
+def test_packbits_roundtrip():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _packbits_decode
+
+    rng = np.random.default_rng(11)
+    payloads = [
+        b"\x00" * 400,
+        bytes(rng.integers(0, 4, 500, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 500, dtype=np.uint8)),
+        b"\xaa",
+    ]
+    for p in payloads:
+        assert _packbits_decode(_packbits_encode(p), len(p)) == p
+
+
+def test_tiff_parser_variants_exact():
+    """Every supported axis decodes bit-exact: both byte orders, all
+    three compressions, multi-strip layout, horizontal predictor,
+    grayscale both photometrics, and RGBA alpha-drop."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_tiff
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    for kw in [
+        dict(byte_order="little", compression=1),
+        dict(byte_order="big", compression=1),
+        dict(byte_order="little", compression=5),
+        dict(byte_order="big", compression=5, predictor=2),
+        dict(byte_order="little", compression=32773),
+        dict(byte_order="big", compression=32773, rows_per_strip=5),
+        dict(byte_order="little", compression=5, rows_per_strip=3,
+             predictor=2),
+        dict(byte_order="little", compression=1, alpha=True),
+    ]:
+        got = _parse_tiff(_encode_tiff(px, **kw))
+        assert np.array_equal(got, px), kw
+    gray = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+    got = _parse_tiff(_encode_tiff(gray, photometric=1, compression=5))
+    assert np.array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+    # WhiteIsZero: stored values invert on read
+    got = _parse_tiff(_encode_tiff(gray, photometric=0))
+    assert np.array_equal(got, np.repeat((255 - gray)[..., None], 3, axis=2))
+
+
+def test_tiff_rejects_unsupported_variants():
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_tiff
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    blob = bytearray(_encode_tiff(px, predictor=2))  # tag 317 present
+
+    def with_tag(tag, value):
+        """Rewrite a SHORT IFD value in place (little-endian fixture)."""
+        b = bytearray(blob)
+        ifd = int.from_bytes(b[4:8], "little")
+        n = int.from_bytes(b[ifd : ifd + 2], "little")
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            if int.from_bytes(b[e : e + 2], "little") == tag:
+                b[e + 8 : e + 10] = int(value).to_bytes(2, "little")
+        return bytes(b)
+
+    for tag, value, why in [
+        (259, 7, "jpeg-in-tiff compression"),
+        (262, 3, "palette color"),
+        (258, 16, "16-bit samples"),
+        (317, 3, "floating-point predictor"),
+    ]:
+        with pytest.raises(ValueError):
+            _parse_tiff(with_tag(tag, value)), why
+    with pytest.raises(ValueError):
+        _parse_tiff(b"II+\x00" + bytes(blob[4:]))  # BigTIFF magic 43
+
+
+def test_decode_media_real_tiff_codec(spark):
+    """e2e through decode_media: exact 4x4 luminance grid from a TIFF
+    blob; malformed TIFF quarantines ok=false."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _grid_features,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = _encode_tiff(px, compression=5, predictor=2, rows_per_strip=4)
+    out = decode_media(_media_df(spark, blob, "tiff")).collect()[0]
+    assert out.ok
+    assert out.features == _grid_features(px)
+    bad = decode_media(
+        _media_df(spark, blob[:40], "tiff")
+    ).collect()[0]
+    assert not bad.ok
+
+
+def test_resize_real_for_tiff(spark):
+    import numpy as np
+
+    row = np.zeros((8, 8, 3), np.uint8)
+    row[:, 4:] = 255  # left half black, right half white
+    blob = _encode_tiff(row, compression=32773)
+    out = resize_images(_media_df(spark, blob, "tiff"), 4, 2).collect()[0]
+    got = np.frombuffer(bytes(out.content), np.uint8).reshape(2, 4, 3)
+    want = np.zeros((2, 4, 3), np.uint8)
+    want[:, 2:] = 255
+    assert np.array_equal(got, want)
+    assert (out.width, out.height, out.channels) == (4, 2, 3)
+
+
+def test_tiff_probe_and_fuzz():
+    """Header-only probe reads geometry without touching strips (both
+    byte orders); parser + probe raise ValueError only, at every
+    truncation point and under random corruption."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _parse_tiff,
+        _probe_blob,
+    )
+
+    rng = np.random.default_rng(29)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    for bo in ("little", "big"):
+        blob = _encode_tiff(px, byte_order=bo, compression=5)
+        got = _probe_blob(blob)
+        assert got["detected_format"] == "tiff"
+        assert (got["width"], got["height"]) == (5, 6)
+    blob = _encode_tiff(px, compression=5, predictor=2, rows_per_strip=2)
+    _parse_tiff(blob)  # sanity: full blob parses
+    for cut in range(len(blob)):
+        for fn in (_parse_tiff, _probe_blob):
+            try:
+                fn(blob[:cut])
+            except ValueError:
+                pass
+    for _ in range(300):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        for fn in (_parse_tiff, _probe_blob):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
