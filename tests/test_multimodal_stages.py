@@ -1825,3 +1825,361 @@ def test_tiff_probe_and_fuzz():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# REAL audio codec: native FLAC (subframes + Rice residuals + stereo)
+# ---------------------------------------------------------------------------
+
+
+class _FlacBitWriter:
+    """Test-side MSB-first bit writer with zero-padding to byte."""
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def w(self, value: int, k: int) -> None:
+        assert 0 <= value < (1 << k), (value, k)
+        self.acc = (self.acc << k) | value
+        self.n += k
+        while self.n >= 8:
+            self.out.append((self.acc >> (self.n - 8)) & 0xFF)
+            self.n -= 8
+
+    def sw(self, value: int, k: int) -> None:
+        self.w(value & ((1 << k) - 1), k)
+
+    def align(self) -> None:
+        if self.n:
+            self.w(0, 8 - self.n)
+
+    def bytes_(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.out)
+
+
+def _flac_crc8(bs: bytes) -> int:
+    from square_etl_spark.operators.multimodal import _flac_crc_tables
+
+    t8, _ = _flac_crc_tables()
+    crc = 0
+    for b in bs:
+        crc = t8[crc ^ b]
+    return crc
+
+
+def _flac_crc16(bs: bytes) -> int:
+    from square_etl_spark.operators.multimodal import _flac_crc_tables
+
+    _, t16 = _flac_crc_tables()
+    crc = 0
+    for b in bs:
+        crc = ((crc << 8) & 0xFFFF) ^ t16[(crc >> 8) ^ b]
+    return crc
+
+
+def _flac_write_residual(bw, residual, order, part_order=0, escape_bits=None):
+    """Rice method 0: partitions, adaptive param, or raw escape when
+    ``escape_bits`` is given."""
+    bw.w(0, 2)  # coding method 0: 4-bit rice params
+    bw.w(part_order, 4)
+    blocksize = len(residual) + order
+    n_part = 1 << part_order
+    assert blocksize % n_part == 0
+    idx = 0
+    for i in range(n_part):
+        cnt = (blocksize >> part_order) - (order if i == 0 else 0)
+        part = residual[idx : idx + cnt]
+        idx += cnt
+        if escape_bits is not None:
+            bw.w(0xF, 4)
+            bw.w(escape_bits, 5)
+            for r in part:
+                bw.sw(r, escape_bits)
+            continue
+        zz = [(r << 1) if r >= 0 else ((-r) << 1) - 1 for r in part]
+        p = max(0, (max(zz).bit_length() - 2) if zz and max(zz) else 0)
+        p = min(p, 14)  # 15 is the method-0 escape code
+        bw.w(p, 4)
+        for v in zz:
+            q = v >> p
+            for _ in range(q):
+                bw.w(0, 1)
+            bw.w(1, 1)
+            if p:
+                bw.w(v & ((1 << p) - 1), p)
+
+
+def _flac_write_subframe(bw, samples, bps, kind="verbatim", wasted=0,
+                         part_order=0, escape_bits=None, lpc=None):
+    """kind: constant | verbatim | fixed<order> | lpc (with
+    ``lpc=(coefs, shift, precision)``)."""
+    bw.w(0, 1)  # padding bit
+    if kind == "constant":
+        type_code = 0
+    elif kind == "verbatim":
+        type_code = 1
+    elif kind.startswith("fixed"):
+        type_code = 8 + int(kind[5:])
+    else:
+        type_code = 32 + (len(lpc[0]) - 1)
+    bw.w(type_code, 6)
+    if wasted:
+        assert all(s % (1 << wasted) == 0 for s in samples)
+        bw.w(1, 1)
+        for _ in range(wasted - 1):
+            bw.w(0, 1)
+        bw.w(1, 1)
+        samples = [s >> wasted for s in samples]
+    else:
+        bw.w(0, 1)
+    eb = bps - wasted
+    if kind == "constant":
+        assert len(set(samples)) == 1
+        bw.sw(samples[0], eb)
+    elif kind == "verbatim":
+        for s in samples:
+            bw.sw(s, eb)
+    elif kind.startswith("fixed"):
+        order = int(kind[5:])
+        coefs = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]][order]
+        for s in samples[:order]:
+            bw.sw(s, eb)
+        residual = [
+            samples[i] - sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+            for i in range(order, len(samples))
+        ]
+        _flac_write_residual(bw, residual, order, part_order, escape_bits)
+    else:
+        coefs, shift, prec = lpc
+        order = len(coefs)
+        for s in samples[:order]:
+            bw.sw(s, eb)
+        bw.w(prec - 1, 4)
+        bw.sw(shift, 5)
+        for c in coefs:
+            bw.sw(c, prec)
+        residual = [
+            samples[i]
+            - (sum(c * samples[i - 1 - j] for j, c in enumerate(coefs)) >> shift)
+            for i in range(order, len(samples))
+        ]
+        _flac_write_residual(bw, residual, order, part_order, escape_bits)
+
+
+def _encode_flac(chans, rate=44100, bps=16, blocksize=192, mode="independent",
+                 subframe="verbatim", wasted=0, part_order=0,
+                 escape_bits=None, lpc=None):
+    """Test-side FLAC writer: fLaC magic + STREAMINFO, then frames of
+    ``blocksize`` (short last frame allowed).  ``mode``: independent |
+    left_side | right_side | mid_side.  Subframe options apply to
+    every channel."""
+    n_ch = len(chans)
+    total = len(chans[0])
+    assert all(len(c) == total for c in chans)
+    si = _FlacBitWriter()
+    si.w(min(blocksize, total) or blocksize, 16)
+    si.w(blocksize, 16)
+    si.w(0, 24)
+    si.w(0, 24)
+    si.w(rate, 20)
+    si.w(n_ch - 1, 3)
+    si.w(bps - 1, 5)
+    si.w(total, 36)
+    stream = bytearray(b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+                       + si.bytes_() + b"\x00" * 16)
+    asgn = {"independent": n_ch - 1, "left_side": 8, "right_side": 9,
+            "mid_side": 10}[mode]
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps]
+    frame_no = 0
+    for s0 in range(0, total, blocksize):
+        block = [c[s0 : s0 + blocksize] for c in chans]
+        bs = len(block[0])
+        hdr = bytearray([0xFF, 0xF8, 0x70, (asgn << 4) | (ss_code << 1)])
+        assert frame_no < 128  # single-byte coded number
+        hdr.append(frame_no)
+        hdr += (bs - 1).to_bytes(2, "big")
+        hdr.append(_flac_crc8(hdr))
+        bw = _FlacBitWriter()
+        if mode == "independent":
+            subs = [(ch, bps) for ch in block]
+        elif mode == "left_side":
+            side = [l - r for l, r in zip(block[0], block[1])]
+            subs = [(block[0], bps), (side, bps + 1)]
+        elif mode == "right_side":
+            side = [l - r for l, r in zip(block[0], block[1])]
+            subs = [(side, bps + 1), (block[1], bps)]
+        else:  # mid_side
+            mid = [(l + r) >> 1 for l, r in zip(block[0], block[1])]
+            side = [l - r for l, r in zip(block[0], block[1])]
+            subs = [(mid, bps), (side, bps + 1)]
+        for samples, cbps in subs:
+            _flac_write_subframe(bw, samples, cbps, kind=subframe,
+                                 wasted=wasted, part_order=part_order,
+                                 escape_bits=escape_bits, lpc=lpc)
+        bw.align()
+        frame = bytes(hdr) + bw.bytes_()
+        stream += frame + _flac_crc16(frame).to_bytes(2, "big")
+        frame_no += 1
+    return bytes(stream)
+
+
+def test_flac_crc_check_values():
+    """Pin the CRC polynomials against the published check values so
+    encoder/decoder can't drift into a self-consistent nonstandard
+    pair: CRC-8/SMBUS(0x07)=0xF4, CRC-16/BUYPASS(0x8005)=0xFEE8."""
+    assert _flac_crc8(b"123456789") == 0xF4
+    assert _flac_crc16(b"123456789") == 0xFEE8
+
+
+def _flac_expected(chans, bps):
+    import numpy as np
+
+    return np.array(chans, dtype=np.float64).mean(axis=0) / float(1 << (bps - 1))
+
+
+def test_flac_roundtrip_subframe_types():
+    """Lossless roundtrip for every subframe type, Rice partitions,
+    raw-escape residuals, wasted bits, and a short last frame."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_flac
+
+    rng = np.random.default_rng(31)
+    mono = [int(v) for v in rng.integers(-2000, 2000, 500)]
+    cases = [
+        dict(subframe="verbatim"),
+        dict(subframe="constant"),
+        dict(subframe="fixed0"),
+        dict(subframe="fixed1"),
+        dict(subframe="fixed2", part_order=2),
+        dict(subframe="fixed3"),
+        dict(subframe="fixed4", escape_bits=20),
+        dict(subframe="lpc", lpc=([1229, -205], 10, 12)),
+        dict(subframe="fixed2", wasted=2),
+    ]
+    for kw in cases:
+        sig = mono
+        if kw["subframe"] == "constant":
+            sig = [137] * 500
+        if kw.get("wasted"):
+            sig = [s << kw["wasted"] for s in mono]
+        blob = _encode_flac([sig], blocksize=192, **kw)
+        samples, rate = _parse_flac(blob)
+        assert rate == 44100
+        assert np.array_equal(samples, _flac_expected([sig], 16)), kw
+
+
+def test_flac_stereo_decorrelation_modes():
+    """left/side, right/side, mid/side all reconstruct the same L/R as
+    the independent encoding — bit-exact."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_flac
+
+    rng = np.random.default_rng(37)
+    left = [int(v) for v in rng.integers(-5000, 5000, 384)]
+    right = [int(v) for v in rng.integers(-5000, 5000, 384)]
+    want = _flac_expected([left, right], 16)
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        samples, _ = _parse_flac(
+            _encode_flac([left, right], mode=mode, subframe="fixed2")
+        )
+        assert np.array_equal(samples, want), mode
+
+
+def test_flac_bit_depths():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_flac
+
+    rng = np.random.default_rng(41)
+    for bps, lim in [(8, 100), (12, 1500), (16, 20000), (20, 300000),
+                     (24, 5000000)]:
+        sig = [int(v) for v in rng.integers(-lim, lim, 200)]
+        samples, _ = _parse_flac(_encode_flac([sig], bps=bps))
+        assert np.array_equal(samples, _flac_expected([sig], bps)), bps
+
+
+def test_flac_rejects_corrupt_crc_and_reserved():
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_flac
+
+    rng = np.random.default_rng(43)
+    sig = [int(v) for v in rng.integers(-100, 100, 192)]
+    blob = bytearray(_encode_flac([sig]))
+    good = bytes(blob)
+    _parse_flac(good)  # sanity
+    flipped = bytearray(good)
+    flipped[-1] ^= 0xFF  # frame CRC-16 byte
+    with pytest.raises(ValueError):
+        _parse_flac(bytes(flipped))
+    flipped = bytearray(good)
+    flipped[46] ^= 0x04  # reserved bit in frame header byte 3
+    with pytest.raises(ValueError):
+        _parse_flac(bytes(flipped))
+    with pytest.raises(ValueError):
+        _parse_flac(b"fLaX" + good[4:])
+
+
+def test_decode_media_real_flac_codec(spark):
+    """e2e through decode_media: FLAC features equal the RMS profile of
+    the decoded mono mix; malformed FLAC quarantines ok=false."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _rms_features,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(47)
+    left = [int(v) for v in rng.integers(-20000, 20000, 700)]
+    right = [int(v) for v in rng.integers(-20000, 20000, 700)]
+    blob = _encode_flac([left, right], mode="mid_side", subframe="fixed2")
+    out = decode_media(
+        _media_df(spark, blob, "flac", media_type="audio")
+    ).collect()[0]
+    assert out.ok
+    assert out.features == _rms_features(_flac_expected([left, right], 16))
+    bad = decode_media(
+        _media_df(spark, blob[:60], "flac", media_type="audio")
+    ).collect()[0]
+    assert not bad.ok
+
+
+def test_flac_probe_and_fuzz():
+    """Header-only probe reads the sample rate from STREAMINFO; parser
+    and probe raise ValueError only at every truncation point and
+    under random corruption (CRCs catch what structure checks miss)."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _parse_flac,
+        _probe_blob,
+    )
+
+    rng = np.random.default_rng(53)
+    sig = [int(v) for v in rng.integers(-3000, 3000, 400)]
+    blob = _encode_flac([sig], rate=48000, subframe="fixed1")
+    got = _probe_blob(blob)
+    assert got["detected_format"] == "flac"
+    assert got["sample_rate"] == 48000
+    _parse_flac(blob)  # sanity
+    for cut in range(len(blob)):
+        for fn in (_parse_flac, _probe_blob):
+            try:
+                fn(blob[:cut])
+            except ValueError:
+                pass
+    for _ in range(300):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        for fn in (_parse_flac, _probe_blob):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
