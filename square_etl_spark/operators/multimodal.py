@@ -19,8 +19,10 @@ are REAL — parsed pure-python + numpy to pixels/samples/frames and
 summarized as a 4×4 luminance grid / 16-window RMS energy profile /
 16-window temporal luminance profile; formats needing codec
 libraries this container doesn't ship (progressive JPEG/MP3/MP4 →
-libjpeg/torchaudio/ffmpeg) remain STUBBED and clearly marked.  Every
-media_type has ≥1 real codec.
+libjpeg/torchaudio/ffmpeg) remain STUBBED and clearly marked — though
+MP4 and MP3 are still DETECTED and measured (box walk / frame-header
+parse) by the header-only probe, so manifests over those corpora work
+without any decode.  Every media_type has ≥1 real codec.
 The Spark-side contract — schemas, batch iteration, partitioning — is
 real and tested for all of them.
 
@@ -1736,6 +1738,76 @@ def _probe_blob(data: bytes) -> dict:
                     return out
                 pos = body + size + (size & 1)
         raise ValueError("AVI has no strf header")
+    elif len(data) >= 12 and data[4:8] == b"ftyp":
+        # ISO BMFF (MP4/MOV/M4A): box walk moov→trak→tkhd for track
+        # geometry (16.16 fixed point).  Decode itself stays stubbed
+        # (needs ffmpeg-class codecs) — but manifests over MP4 corpora
+        # need exactly this header-only pass.
+        stack = [(0, len(data))]
+        depth = 0
+        while stack:
+            pos, end = stack.pop()
+            while pos + 8 <= end:
+                size = int.from_bytes(data[pos : pos + 4], "big")
+                btype = data[pos + 4 : pos + 8]
+                body = pos + 8
+                if size == 1:  # 64-bit largesize
+                    if body + 8 > end:
+                        raise ValueError("truncated MP4 largesize box")
+                    size = int.from_bytes(data[body : body + 8], "big")
+                    body += 8
+                    if size < 16:
+                        raise ValueError("bad MP4 largesize")
+                elif size == 0:  # box extends to end of file
+                    size = end - pos
+                elif size < 8:
+                    raise ValueError("bad MP4 box size")
+                if pos + size > end:
+                    raise ValueError("truncated MP4 box")
+                if btype in (b"moov", b"trak"):
+                    if len(stack) >= 64:
+                        raise ValueError("MP4 box nesting too deep")
+                    stack.append((pos + size, end))
+                    pos, end = body, pos + size
+                    continue
+                if btype == b"tkhd" and size >= body - pos + 4:
+                    v = data[body]
+                    geo = body + (88 if v == 1 else 76)
+                    if geo + 8 <= pos + size:
+                        tw = int.from_bytes(data[geo : geo + 4], "big") >> 16
+                        th = int.from_bytes(data[geo + 4 : geo + 8], "big") >> 16
+                        if tw and th:  # audio tracks carry 0x0 geometry
+                            out.update(detected_format="mp4", width=tw,
+                                       height=th)
+                            return out
+                pos += size
+        out.update(detected_format="mp4")  # audio-only / no video track
+    elif (
+        data[:3] == b"ID3"
+        or (len(data) >= 4 and data[0] == 0xFF and data[1] & 0xE0 == 0xE0)
+    ):
+        # MPEG audio (MP3): optional ID3v2 tag, then a frame header —
+        # version/layer/rate fields are enough for the manifest pass;
+        # decode stays stubbed (needs a polyphase/IMDCT codec lib).
+        pos = 0
+        if data[:3] == b"ID3":
+            if len(data) < 10 or any(b & 0x80 for b in data[6:10]):
+                raise ValueError("bad ID3v2 tag header")
+            tag = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+            pos = 10 + tag
+        if pos + 4 > len(data):
+            raise ValueError("truncated MPEG audio frame header")
+        h0, h1, h2 = data[pos], data[pos + 1], data[pos + 2]
+        if h0 != 0xFF or h1 & 0xE0 != 0xE0:
+            raise ValueError("no MPEG audio frame sync")
+        version = (h1 >> 3) & 0x3  # 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+        layer = (h1 >> 1) & 0x3  # 1=III, 2=II, 3=I
+        sr_idx = (h2 >> 2) & 0x3
+        if version == 1 or layer == 0 or sr_idx == 3 or (h2 >> 4) == 0xF:
+            raise ValueError("reserved MPEG audio header value")
+        sr = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}[version][sr_idx]
+        out.update(detected_format="mp3", sample_rate=sr)
     else:
         raise ValueError("unrecognized media container")
     return out

@@ -2183,3 +2183,73 @@ def test_flac_probe_and_fuzz():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# Header-only probe for the stubbed-decode containers: MP4 / MP3
+# ---------------------------------------------------------------------------
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+
+def _encode_mp4(width=None, height=None, tkhd_version=0) -> bytes:
+    """Minimal ISO BMFF: ftyp + moov(trak(tkhd)); geometry as 16.16
+    fixed point, zero for audio-only."""
+    long_fields = 8 if tkhd_version == 1 else 4
+    tkhd = bytes([tkhd_version, 0, 0, 0])
+    tkhd += b"\x00" * (3 * long_fields + 4 + 4)   # ctime mtime id resv dur
+    tkhd += b"\x00" * 8                            # reserved
+    tkhd += b"\x00" * 8 + b"\x00" * 36             # layer/group/vol + matrix
+    tkhd += ((width or 0) << 16).to_bytes(4, "big")
+    tkhd += ((height or 0) << 16).to_bytes(4, "big")
+    moov = _mp4_box(b"moov", _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd)))
+    ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def _encode_mp3_header(rate=44100, id3=False) -> bytes:
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    frame = bytes([0xFF, 0xFB, 0x90 | (sr_idx << 2), 0x00]) + b"\x00" * 100
+    if id3:
+        tag_body = b"\x00" * 37
+        return (b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(tag_body)])
+                + tag_body + frame)
+    return frame
+
+
+def test_probe_mp4_mp3_header_only():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    got = _probe_blob(_encode_mp4(640, 360))
+    assert got["detected_format"] == "mp4"
+    assert (got["width"], got["height"]) == (640, 360)
+    got = _probe_blob(_encode_mp4(1920, 1080, tkhd_version=1))
+    assert (got["width"], got["height"]) == (1920, 1080)
+    got = _probe_blob(_encode_mp4())  # audio-only: geometry absent
+    assert got["detected_format"] == "mp4"
+    assert got["width"] is None and got["height"] is None
+    for rate in (44100, 48000, 32000):
+        for id3 in (False, True):
+            got = _probe_blob(_encode_mp3_header(rate, id3=id3))
+            assert got["detected_format"] == "mp3", (rate, id3)
+            assert got["sample_rate"] == rate
+    # fuzz: ValueError only under truncation + corruption
+    rng = np.random.default_rng(59)
+    for blob in (_encode_mp4(640, 360), _encode_mp3_header(id3=True)):
+        for cut in range(len(blob)):
+            try:
+                _probe_blob(blob[:cut])
+            except ValueError:
+                pass
+        for _ in range(200):
+            b = bytearray(blob)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                _probe_blob(bytes(b))
+            except ValueError:
+                pass
