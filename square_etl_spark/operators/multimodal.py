@@ -369,8 +369,9 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             acc = (acc << 8) | data[pos]
             pos += 1
             nbits += 8
-        code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # keep acc bounded: shifts stay O(1)
         if code == EOI:
             break
         if code == CLEAR:
@@ -1069,7 +1070,9 @@ class _FlacBits:
             self.pos += 1
             self.n += 8
         self.n -= k
-        return (self.acc >> self.n) & ((1 << k) - 1)
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1  # keep acc bounded: shifts stay O(1)
+        return v
 
     def sbits(self, k: int) -> int:
         v = self.bits(k)
