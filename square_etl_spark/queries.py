@@ -2031,6 +2031,87 @@ _register(
 )
 
 
+def _tiff_4x4_parts() -> tuple[bytes, bytes]:
+    """Constant (prefix, suffix) of a 4×4 grayscale PackBits TIFF whose
+    single variable byte — the uniform gray value — sits between them:
+    ``prefix ++ gray ++ suffix`` is a complete little-endian baseline
+    TIFF.  The strip is PackBits ``F1 <gray>`` (repeat 16), so the
+    oracle-checked path rides the real decompressor, not just the
+    uncompressed fast path."""
+
+    def short(tag: int, v: int) -> bytes:
+        return (tag.to_bytes(2, "little") + (3).to_bytes(2, "little")
+                + (1).to_bytes(4, "little") + v.to_bytes(2, "little")
+                + b"\x00\x00")
+
+    def long_(tag: int, v: int) -> bytes:
+        return (tag.to_bytes(2, "little") + (4).to_bytes(2, "little")
+                + (1).to_bytes(4, "little") + v.to_bytes(4, "little"))
+
+    # layout: header(8) | strip(2 @ offset 8) | IFD(@ offset 10)
+    prefix = b"II*\x00" + (10).to_bytes(4, "little") + b"\xf1"
+    entries = (
+        short(256, 4) + short(257, 4) + short(258, 8)  # w, h, bits
+        + short(259, 32773) + short(262, 1)            # PackBits, gray
+        + long_(273, 8) + short(277, 1)                # strip off, spp
+        + short(278, 4) + long_(279, 2)                # rows/strip, count
+    )
+    suffix = (9).to_bytes(2, "little") + entries + b"\x00\x00\x00\x00"
+    return prefix, suffix
+
+
+def _mm_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIFF decode path, oracle-hash-checked end-to-end: per
+    document, CONSTRUCT a 4×4 grayscale PackBits-compressed TIFF in
+    pure Column expressions (constant header/IFD with the single gray
+    byte ``n_chars % 256`` spliced into the compressed strip), run it
+    through the Arrow-batched decode stage (real TIFF parse: IFD walk
+    → PackBits decompress → photometric expansion → luminance grid),
+    and emit the first grid cell.  Uniform gray v → feature exactly
+    ``ROUND(v/255.0, 6)``, predicted arithmetically by DuckDB — same
+    uniform-gray trick as :func:`_mm_decode_bmp`, but the bytes ride
+    the compression path."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    prefix, suffix = _tiff_4x4_parts()
+    docs = load_table(spark, sf_dir, "documents")
+    gray_byte = F.unhex(F.lpad(F.hex(F.col("n_chars") % 256), 2, "0"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(prefix), gray_byte, F.lit(suffix)).alias("content"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("tiff").alias("format"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_gray"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_tiff",
+        _mm_decode_tiff,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(124 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 255.0, 6) AS f_gray
+        FROM documents
+        """,
+        doc="REAL TIFF codec decode, oracle-checked: PackBits strip end-to-end",
+    )
+)
+
+
 def _mm_probe_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only metadata probe, oracle-hash-checked end-to-end: per
     document, CONSTRUCT a variable-geometry binary PPM in pure Column
@@ -4724,7 +4805,9 @@ _register(
 # head together with the r04 cohort, plus the five rows-only queries
 # whose last driver row is r01 (dedup_minhash_lsh, dedup_simhash,
 # text_fingerprint, ann_topk_lsh, approx_distinct_users — weaker
-# signal, but cheap to refresh).  `python tools/rotation.py` audits
+# signal, but cheap to refresh), plus `multimodal_decode_tiff`
+# (registered mid-r05 after this head was frozen at the 50-cap;
+# judge-selfcheck green at sf0.01, needs its first driver row).  `python tools/rotation.py` audits
 # this list against the CORRECTNESS history and prints the
 # recommended next head mechanically.
 _CHECK_PRIORITY: list[str] = [
