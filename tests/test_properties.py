@@ -289,3 +289,65 @@ def test_scd2_equals_python_fold(spark, batches):
         if is_cur:
             by_key[k] = by_key.get(k, 0) + 1
     assert all(v == 1 for v in by_key.values())
+
+
+# ---------------------------------------------------------------------------
+# Codec roundtrip properties (no Spark fixture: pure parser level)
+# ---------------------------------------------------------------------------
+
+
+@given(payload=st.binary(min_size=0, max_size=4000))
+@settings(max_examples=60, deadline=None)
+def test_tiff_lzw_roundtrip_property(payload):
+    """decode(encode(x)) == x for arbitrary bytes — pins the TIFF
+    early-change convention wherever the width boundaries land."""
+    from test_multimodal_stages import _tiff_lzw_encode
+
+    from square_etl_spark.operators.multimodal import _tiff_lzw_decode
+
+    assert _tiff_lzw_decode(_tiff_lzw_encode(payload), len(payload)) == payload
+
+
+@given(payload=st.binary(min_size=1, max_size=2000))
+@settings(max_examples=60, deadline=None)
+def test_packbits_roundtrip_property(payload):
+    from test_multimodal_stages import _packbits_encode
+
+    from square_etl_spark.operators.multimodal import _packbits_decode
+
+    assert _packbits_decode(_packbits_encode(payload), len(payload)) == payload
+
+
+@given(
+    chans=st.integers(min_value=1, max_value=2),
+    n=st.integers(min_value=1, max_value=400),
+    bps=st.sampled_from([8, 12, 16, 20, 24]),
+    subframe=st.sampled_from(
+        ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4"]
+    ),
+    blocksize=st.sampled_from([16, 192, 256]),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_flac_roundtrip_property(chans, n, bps, subframe, blocksize, seed):
+    """Lossless FLAC roundtrip over random signals for every fixed
+    predictor order, bit depth, blocksize (incl. short last frames),
+    and channel count — samples reconstruct bit-exactly."""
+    import numpy as np
+
+    from test_multimodal_stages import _encode_flac, _flac_expected
+
+    from square_etl_spark.operators.multimodal import _parse_flac
+
+    order = 0 if subframe == "verbatim" else int(subframe[-1])
+    if n < order + 1:
+        n = order + 1
+    rng = np.random.default_rng(seed)
+    lim = (1 << (bps - 1)) // 5  # headroom: fixed-order residuals stay in range
+    sig = [
+        [int(v) for v in rng.integers(-lim, lim, n)] for _ in range(chans)
+    ]
+    blob = _encode_flac(sig, bps=bps, blocksize=blocksize, subframe=subframe)
+    samples, rate = _parse_flac(blob)
+    assert rate == 44100
+    assert np.array_equal(samples, _flac_expected(sig, bps))
