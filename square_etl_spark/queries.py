@@ -2112,6 +2112,162 @@ _register(
 )
 
 
+#: constant 44-byte header of a 16-bit mono 8 kHz PCM WAV whose 64
+#: data bytes (32 samples) follow.
+_WAV_16BIT_HEADER = (
+    b"RIFF" + (36 + 64).to_bytes(4, "little") + b"WAVEfmt "
+    + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+    + (1).to_bytes(2, "little") + (8000).to_bytes(4, "little")
+    + (16000).to_bytes(4, "little") + (2).to_bytes(2, "little")
+    + (16).to_bytes(2, "little") + b"data" + (64).to_bytes(4, "little")
+)
+
+
+def _mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO decode path, oracle-hash-checked end-to-end: per
+    document, CONSTRUCT a 16-bit mono PCM WAV in pure Column
+    expressions (constant 44-byte header ++ 32 copies of the
+    little-endian sample ``n_chars % 256``), run it through the
+    Arrow-batched decode stage (real RIFF/PCM parse → 16-window RMS
+    energy profile), and emit the first window.  A constant signal s
+    has RMS exactly ``|s|/32768`` (s/32768 is a dyadic rational, the
+    square is exact, and IEEE sqrt of an exact square is exact), so
+    DuckDB predicts it as ``ROUND((n_chars%256)/32768.0, 6)`` —
+    verified tie-free for all 256 sample values (s=256·odd would hit a
+    half-way case; s<256 never does).  Upgrades the audio side of the
+    codec rack from pytest-only to full-oracle evidence."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = F.concat(  # little-endian 16-bit: low byte varies, high 0
+        F.unhex(F.lpad(F.hex(F.col("n_chars") % 256), 2, "0")),
+        F.lit(b"\x00"),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(_WAV_16BIT_HEADER), *([sample] * 32)).alias("content"),
+        F.struct(
+            F.lit("audio").alias("media_type"),
+            F.lit("wav").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(4).alias("duration_ms").cast("long"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_rms"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_wav",
+        _mm_decode_wav,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(108 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 32768.0, 6) AS f_rms
+        FROM documents
+        """,
+        doc="REAL WAV codec decode, oracle-checked: constructed PCM, predicted RMS",
+    )
+)
+
+
+def _constant_flac(s: int, n: int = 192) -> bytes:
+    """Minimal spec-complete FLAC of ``n`` 16-bit mono samples all
+    equal to ``s``: STREAMINFO + one CONSTANT-subframe frame with real
+    CRC-8 and CRC-16 (the decoder verifies both).  Driver-built for
+    the 256-row broadcast LUT in :func:`_mm_decode_flac` — the FLAC
+    analog of :func:`_uniform_gray_jpeg`."""
+    from square_etl_spark.operators.multimodal import _flac_crc_tables
+
+    t8, t16 = _flac_crc_tables()
+    si = 0
+    for v, k in [(n, 16), (n, 16), (0, 24), (0, 24), (8000, 20),
+                 (0, 3), (15, 5), (n, 36)]:
+        si = (si << k) | v
+    stream = (b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big")
+              + si.to_bytes(18, "big") + b"\x00" * 16)
+    # frame: sync/blocking, bs_code 7 + sr_code 0, mono + 16-bit,
+    # coded number 0, 16-bit blocksize-1, CRC-8
+    hdr = bytearray([0xFF, 0xF8, 0x70, 0x08, 0x00]) + (n - 1).to_bytes(2, "big")
+    crc8 = 0
+    for b in hdr:
+        crc8 = t8[crc8 ^ b]
+    hdr.append(crc8)
+    # subframe: pad 0 + type 000000 + wasted 0 = 0x00, then the value
+    frame = bytes(hdr) + b"\x00" + (s & 0xFFFF).to_bytes(2, "big")
+    crc16 = 0
+    for b in frame:
+        crc16 = ((crc16 << 8) & 0xFFFF) ^ t16[(crc16 >> 8) ^ b]
+    return stream + frame + crc16.to_bytes(2, "big")
+
+
+def _mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC decode path, oracle-hash-checked end-to-end: a 256-row
+    LUT of constant-signal FLACs (driver-built with real CRCs,
+    broadcast) joins to documents on ``n_chars % 256``, the blobs run
+    through the Arrow-batched decode stage (STREAMINFO parse, frame
+    header + CRC-8, CONSTANT subframe, frame CRC-16 → RMS profile),
+    and DuckDB predicts the RMS arithmetically — exact for a constant
+    signal (see :func:`_mm_decode_wav`).  At scale the broadcast is
+    256 × 55 B; the decode stays a map-only stage."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    lut = spark.createDataFrame(
+        [(s, bytearray(_constant_flac(s))) for s in range(256)],
+        "sval int, content binary",
+    )
+    media = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("n_chars") % 256).cast("int").alias("sval"),
+        )
+        .join(F.broadcast(lut), on="sval")
+        .select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("audio").alias("media_type"),
+                F.lit("flac").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(24).alias("duration_ms").cast("long"),
+                F.lit(None).cast("string").alias("uri"),
+            ).alias("meta"),
+        )
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_rms"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_flac",
+        _mm_decode_flac,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(55 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 32768.0, 6) AS f_rms
+        FROM documents
+        """,
+        doc="REAL FLAC codec decode, oracle-checked: CRC-verified frames end-to-end",
+    )
+)
+
+
 def _mm_probe_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only metadata probe, oracle-hash-checked end-to-end: per
     document, CONSTRUCT a variable-geometry binary PPM in pure Column
@@ -4805,9 +4961,11 @@ _register(
 # head together with the r04 cohort, plus the five rows-only queries
 # whose last driver row is r01 (dedup_minhash_lsh, dedup_simhash,
 # text_fingerprint, ann_topk_lsh, approx_distinct_users — weaker
-# signal, but cheap to refresh), plus `multimodal_decode_tiff`
-# (registered mid-r05 after this head was frozen at the 50-cap;
-# judge-selfcheck green at sf0.01, needs its first driver row).  `python tools/rotation.py` audits
+# signal, but cheap to refresh), plus the three codec queries
+# registered mid-r05 after this head was frozen at the 50-cap
+# (`multimodal_decode_tiff`, `multimodal_decode_wav`,
+# `multimodal_decode_flac` — judge-selfcheck green at sf0.01, need
+# their first driver rows).  `python tools/rotation.py` audits
 # this list against the CORRECTNESS history and prints the
 # recommended next head mechanically.
 _CHECK_PRIORITY: list[str] = [
