@@ -284,22 +284,24 @@ def repetition_metrics(col: Column | str = "text") -> dict[str, Column]:
 
 
 def fingerprint64(col: Column | str = "text") -> Column:
-    """Deterministic 64-bit document fingerprint: polynomial rolling
-    hash over whitespace tokens (hash chaining via aggregate — O(tokens)
-    JVM ops).  Unlike content SHA-256 this is cheap to combine/shard
-    and stable under the same tokenization across engines that share
-    the polynomial (31, mod 2^64 via native long overflow semantics is
-    NOT used — an explicit Mersenne prime keeps it portable)."""
+    """Deterministic document fingerprint: polynomial rolling hash over
+    whitespace tokens (hash chaining via aggregate — O(tokens) JVM
+    ops).  Unlike content SHA-256 this is cheap to combine/shard and
+    FULLY engine-portable: the per-token hash is the first 32 bits of
+    md5 (not Spark's seeded xxhash64) and the fold is an explicit
+    mask, so any engine with md5 + the same tokenization reproduces it
+    bit-for-bit — proven by the `text_fingerprint` DuckDB oracle,
+    which recomputes the whole fold in ANSI SQL."""
     toks = F.filter(F.split(F.trim(_c(col)), r"\s+"), lambda t: t != F.lit(""))
-    # h = (h*31 + (xxhash64(token) & 0xFFFFFFFF)) & (2^57 − 1).
-    # Masks keep every intermediate below 2^63 so ANSI mode never sees
-    # a long overflow: acc < 2^57 ⇒ 31·acc < 2^62, + 2^32 ≪ 2^63.
+    # h = (h*31 + first32bits(md5(token))) & (2^57 − 1).  Masks keep
+    # every intermediate below 2^63 so ANSI mode never sees a long
+    # overflow: acc < 2^57 ⇒ 31·acc < 2^62, + 2^32 ≪ 2^63.
     acc_mask = F.lit((1 << 57) - 1)
-    tok_mask = F.lit(0xFFFFFFFF)
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: (
-            acc * F.lit(31) + F.xxhash64(t).bitwiseAND(tok_mask)
+            acc * F.lit(31)
+            + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
         ).bitwiseAND(acc_mask),
     )

@@ -1401,6 +1401,11 @@ _register(
 
 
 def _fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upgraded from rows-only to full oracle in r05: the per-token
+    hash is now the first 32 bits of md5 (engine-portable, unlike the
+    seeded xxhash64 it replaced), so DuckDB can recompute the entire
+    polynomial fold — tokenization, per-token hash, chained
+    multiply-add, mask — in ANSI SQL with list lambdas."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", tx.fingerprint64("text").alias("fingerprint"))
 
@@ -1409,8 +1414,23 @@ _register(
     QuerySpec(
         "text_fingerprint",
         _fingerprints,
-        oracle=None,  # xxhash64-based rolling hash has no DuckDB twin
-        doc="rolling-hash doc fingerprint (rows-only check)",
+        oracle=r"""
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            t -> t <> ''),
+                t -> list_sum(list_transform(generate_series(1, 8),
+                       i -> (CAST(strpos('0123456789abcdef',
+                                         substr(md5(t), i, 1)) AS BIGINT) - 1)
+                            * (CAST(1 AS BIGINT)
+                               << (4 * (8 - CAST(i AS INTEGER)))))))),
+            (acc, h) -> (acc * 31 + h) & 144115188075855871
+          ) AS fingerprint
+        FROM documents
+        """,
+        doc="portable rolling-hash doc fingerprint, oracle-recomputed fold",
     )
 )
 
@@ -4960,8 +4980,11 @@ _register(
 # (equi-join core exercised by j1/j2).  These six go first in the r06
 # head together with the r04 cohort, plus the five rows-only queries
 # whose last driver row is r01 (dedup_minhash_lsh, dedup_simhash,
-# text_fingerprint, ann_topk_lsh, approx_distinct_users — weaker
-# signal, but cheap to refresh), plus the three codec queries
+# ann_topk_lsh, approx_distinct_users — weaker signal, but cheap to
+# refresh; text_fingerprint left this cohort in r05 when its token
+# hash became engine-portable md5 and gained a full DuckDB oracle —
+# it needs a fresh driver row under the new semantics), plus the
+# three codec queries
 # registered mid-r05 after this head was frozen at the 50-cap
 # (`multimodal_decode_tiff`, `multimodal_decode_wav`,
 # `multimodal_decode_flac` — judge-selfcheck green at sf0.01, need
