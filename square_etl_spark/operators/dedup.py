@@ -468,14 +468,26 @@ def _cc_star(
 def simhash64(col: str = "text") -> F.Column:
     """64-bit SimHash signature over whitespace tokens.
 
-    For each token, xxhash64 gives 64 pseudo-random bits; each bit
-    votes +1/−1; the signature's bit i is 1 iff the vote sum is
-    positive.  Expressed entirely with higher-order functions
+    For each token, the first 64 md5 bits give 64 pseudo-random bits;
+    each bit votes +1/−1; the signature's bit i is 1 iff the vote sum
+    is positive.  Expressed entirely with higher-order functions
     (transform/aggregate) — per-row cost is O(tokens·64) JVM ops, no
     Python.  Near-dup docs differ in few bits (Hamming distance).
     """
     tokens = F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != F.lit(""))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    # Engine-portable 64-bit token hash (r05: replaced Spark's seeded
+    # xxhash64): the first 16 hex chars of md5, assembled from two
+    # 32-bit halves with shiftleft/bitwiseOR — bit ops don't ANSI-
+    # overflow, bit 63 just lands in the sign.  Any engine with md5
+    # reproduces the signature; the `dedup_simhash` DuckDB oracle
+    # recomputes the whole pipeline from these bits.
+    def _h64(t: F.Column) -> F.Column:
+        hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+        return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    hashes = F.transform(tokens, _h64)
     bits = F.sequence(F.lit(0), F.lit(63))
     # vote per bit: sum over tokens of (bit set ? +1 : −1) > 0
     votes = F.transform(
@@ -514,8 +526,12 @@ def simhash_near_dup_pairs(
     """SimHash near-dup: candidates via 16-bit band buckets, verified
     by exact Hamming distance.
 
-    Pigeonhole: two signatures within Hamming distance ≤ 12 share at
-    least one of four 16-bit bands exactly, so the candidate join is an
+    Pigeonhole: two signatures within Hamming distance ≤ 3 are
+    GUARANTEED to share one of the four 16-bit bands exactly; for
+    larger distances a clean band is the usual case but not certain
+    (the differing bits must spread across all four bands to evade
+    it) — standard banded-LSH recall semantics.  Either way the
+    candidate join is an
     equi-join on (band index, band value) — no cross join.  Band
     buckets are the shuffle key; a degenerate band (e.g. all-zero from
     empty docs) is the skew hazard, same mitigation as any hot key.

