@@ -574,6 +574,51 @@ def simhash_near_dup_pairs(
     )
 
 
+#: fixed permutation constants for the portable minhash family
+#: h_i(x) = (A[i]·x + B[i]) mod P over 32-bit shingle hashes.  A < 2^25
+#: keeps A·x < 2^57, so ANSI mode never sees a long overflow; embedded
+#: verbatim in the `dedup_minhash_lsh` DuckDB oracle.
+MINHASH_P = 2147483647  # 2^31 − 1
+MINHASH_A = [
+    26887927, 13674783, 24414285, 16429969, 12934123, 11369591,
+    10282127, 20646303, 27058393, 28963181, 2127103, 13680389,
+    13146667, 25134127, 8403341, 22928615,
+]
+MINHASH_B = [
+    1211867255, 581458994, 179161648, 933453965, 1791899561, 140351864,
+    841969008, 1594477002, 551354163, 787215454, 1142722558, 678078693,
+    1020593517, 231276609, 535126606, 1352911147,
+]
+_PORTABLE_MASK = (1 << 57) - 1
+
+
+def portable_word_shingles(col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams as 57-bit ENGINE-PORTABLE hashes
+    (``array<long>``): per-word hash = first 32 md5 bits, adjacent
+    word hashes chained with the masked 31-polynomial — the same md5
+    recipe as :func:`square_etl_spark.operators.text.fingerprint64`,
+    reproducible by any engine with md5 (the `dedup_minhash_lsh`
+    DuckDB oracle recomputes it).  Same zip_with-over-slices shape as
+    :func:`hashed_word_shingles` (n array slices per document, not one
+    per shingle); that sibling keeps xxhash64 for the queries whose
+    oracles compare on shingle STRINGS and never need the values."""
+    words = F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda w: w != F.lit(""))
+    hw = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    mask = F.lit(_PORTABLE_MASK)
+    acc = F.slice(hw, 1, k)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(hw, i + 1, k),
+            lambda a, b: (a * F.lit(31) + b).bitwiseAND(mask),
+        )
+    return F.array_distinct(acc)
+
+
 def minhash_banded_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -591,7 +636,8 @@ def minhash_banded_pairs(
     89 s @ 20 k).  This implementation owns every stage:
 
     1. shingle each doc once into hashed 3-gram sets
-       (:func:`hashed_word_shingles`);
+       (:func:`portable_word_shingles` — md5-based, so the DuckDB
+       oracle recomputes the identical values);
     2. k minhashes per doc in ONE higher-order expression — no
        per-hash shuffle, no ml.Vector conversion;
     3. group the k minhashes into ``bands`` bands of k/bands rows;
@@ -615,16 +661,30 @@ def minhash_banded_pairs(
     """
     r = num_hashes // bands
     assert bands * r == num_hashes, "bands must divide num_hashes"
+    assert num_hashes <= len(MINHASH_A), "extend MINHASH_A/B for more hashes"
 
     sh = df.select(
-        F.col(id_col), hashed_word_shingles(content_col, 3).alias("sh")
+        F.col(id_col), portable_word_shingles(content_col, 3).alias("sh")
     ).filter(F.size("sh") > 0).persist()
 
+    # portable permutation family over the 32 low bits of each shingle
+    # hash (r05: replaced seeded xxhash64 so the DuckDB oracle can
+    # recompute every stage): h_i(s) = (A[i]·(s & 0xFFFFFFFF) + B[i])
+    # mod P — all intermediates < 2^57, ANSI-overflow-free.
+    a_lit = F.array(*[F.lit(a).cast("long") for a in MINHASH_A])
+    b_lit = F.array(*[F.lit(b).cast("long") for b in MINHASH_B])
+    lo32 = F.lit(0xFFFFFFFF)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     minhashes = F.transform(
         seeds,
         lambda i: F.array_min(
-            F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))
+            F.transform(
+                F.col("sh"),
+                lambda s: (
+                    F.element_at(a_lit, i + 1) * s.bitwiseAND(lo32)
+                    + F.element_at(b_lit, i + 1)
+                ) % F.lit(MINHASH_P),
+            )
         ),
     )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -633,7 +693,9 @@ def minhash_banded_pairs(
         lambda b: F.aggregate(
             F.slice(minhashes, b * r + 1, r),
             F.lit(0).cast("long"),
-            lambda acc, x: F.xxhash64(acc, x),
+            lambda acc, x: (acc * F.lit(31) + x).bitwiseAND(
+                F.lit(_PORTABLE_MASK)
+            ),
         ),
     )
     buckets = sh.select(

@@ -1212,18 +1212,93 @@ _register(
 
 
 def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upgraded from rows-only to full oracle in r05: shingle hashes
+    and the permutation family became md5-based + modular-affine
+    (engine-portable, replacing seeded xxhash64), so DuckDB recomputes
+    EVERY stage — word hashes, chained shingle hashes, the 16
+    permutations' minima, band folds, the >200 hot-bucket cap, the
+    in-bucket candidate join, and the exact Jaccard verify."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_banded_pairs(
         d, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5, bucket_cap=200
     )
 
 
+def _minhash_oracle() -> str:
+    from square_etl_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    a = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in MINHASH_A) + "]"
+    b = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in MINHASH_B) + "]"
+    mask = (1 << 57) - 1
+    hex32 = (
+        "list_sum(list_transform(generate_series(1, 8),"
+        " p -> (CAST(strpos('0123456789abcdef',"
+        " substr(md5(x), p, 1)) AS BIGINT) - 1)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))"
+    )
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        tw AS (
+          SELECT doc_id,
+                 list_transform(w, x -> {hex32}) AS hw
+          FROM t WHERE len(w) >= 3),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(hw) - 2),
+                   i -> ((((hw[CAST(i AS INTEGER)] * 31
+                            + hw[CAST(i + 1 AS INTEGER)]) & {mask}) * 31
+                          + hw[CAST(i + 2 AS INTEGER)]) & {mask}))) AS sh
+          FROM tw),
+        mh AS (
+          SELECT doc_id, sh,
+                 list_transform(generate_series(0, 15),
+                   i -> list_min(list_transform(sh,
+                     s -> ({a}[CAST(i + 1 AS INTEGER)] * (s & 4294967295)
+                           + {b}[CAST(i + 1 AS INTEGER)])
+                          % 2147483647))) AS mins
+          FROM shl),
+        buckets AS (
+          SELECT doc_id, b,
+                 (mins[CAST(2 * b + 1 AS INTEGER)] * 31
+                  + mins[CAST(2 * b + 2 AS INTEGER)]) & {mask} AS bhash
+          FROM mh, generate_series(0, 7) g(b)),
+        cool AS (
+          SELECT bu.doc_id, bu.b, bu.bhash
+          FROM buckets bu
+          ANTI JOIN (SELECT b, bhash FROM buckets
+                     GROUP BY b, bhash HAVING COUNT(*) > 200) hot
+          ON bu.b = hot.b AND bu.bhash = hot.bhash),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM cool x JOIN cool y ON x.b = y.b AND x.bhash = y.bhash
+          WHERE x.doc_id < y.doc_id),
+        verified AS (
+          SELECT id_a, id_b,
+                 ROUND(len(list_intersect(sa.sh, sb.sh))
+                       / (len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+          FROM cand
+          JOIN shl sa ON sa.doc_id = id_a
+          JOIN shl sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+        """
+
+
 _register(
     QuerySpec(
         "dedup_minhash_lsh",
         _minhash,
-        oracle=None,  # minhash band selection: not ANSI-SQL-expressible
-        doc="banded MinHash LSH with bucket-size cap + exact verify (rows-only check)",
+        oracle=_minhash_oracle(),
+        doc="banded MinHash LSH with bucket cap + exact verify, oracle-recomputed",
     )
 )
 
