@@ -1904,17 +1904,53 @@ _register(
 
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upgraded from rows-only to full oracle in r05: the hyperplanes
+    were always deterministic driver-side constants, so the oracle
+    simply embeds all 4×64 of them as SQL literals (float repr
+    round-trips to the identical double) and recomputes bucket
+    assignment (sign bits), the bucket equi-join, and the in-bucket
+    exact cosine top-k."""
     e = load_table(spark, sf_dir, "embeddings")
     out = cosine_topk_lsh(e, _queries_df(spark, sf_dir), k=5, bits=4, dim=64)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _ann_lsh_oracle() -> str:
+    from square_etl_spark.operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 4, 42)
+
+    def arr(p: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in p) + "]"
+
+    bucket = " + ".join(
+        f"{1 << i} * (CASE WHEN list_dot_product(v, {arr(p)}) >= 0"
+        " THEN 1 ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        vb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+        qb AS (SELECT vec_id AS query_id, v AS qv, bucket
+               FROM vb WHERE vec_id < 5),
+        sims AS (
+          SELECT qb.query_id, vb.vec_id,
+                 ROUND(list_cosine_similarity(vb.v, qb.qv), 6) AS cosine_sim
+          FROM vb JOIN qb USING (bucket))
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine_sim DESC, vec_id) AS rank FROM sims)
+        WHERE rank <= 5
+        """
 
 
 _register(
     QuerySpec(
         "ann_topk_lsh",
         _ann_lsh,
-        oracle=None,  # hyperplane constants not practical to mirror in SQL
-        doc="sign-LSH bucketed ANN (rows-only check)",
+        oracle=_ann_lsh_oracle(),
+        doc="sign-LSH bucketed ANN, oracle-recomputed buckets + in-bucket top-k",
     )
 )
 
@@ -5094,12 +5130,13 @@ _register(
 # setop_union_except (set ops also pytest-pinned), j3_lookup_join
 # (equi-join core exercised by j1/j2).  These six go first in the r06
 # head together with the r04 cohort, plus the five rows-only queries
-# whose last driver row is r01 (dedup_minhash_lsh, dedup_simhash,
-# ann_topk_lsh, approx_distinct_users — weaker signal, but cheap to
-# refresh; text_fingerprint left this cohort in r05 when its token
-# hash became engine-portable md5 and gained a full DuckDB oracle —
-# it needs a fresh driver row under the new semantics), plus the
-# three codec queries
+# whose last driver row is r01 — a cohort that r05 shrank to ONE
+# genuinely engine-specific query (approx_distinct_users, an HLL
+# estimate): dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, and
+# text_fingerprint all switched to engine-portable md5/affine hashing
+# and gained FULL DuckDB oracles that recompute their entire
+# pipelines, so they need fresh driver rows under the new semantics —
+# plus the three codec queries
 # registered mid-r05 after this head was frozen at the 50-cap
 # (`multimodal_decode_tiff`, `multimodal_decode_wav`,
 # `multimodal_decode_flac` — judge-selfcheck green at sf0.01, need
