@@ -5148,6 +5148,9 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_features_by_lang",
     "multimodal_decode_jpeg",
     "multimodal_probe_dimensions",
+    "multimodal_decode_tiff",
+    "multimodal_decode_wav",
+    "multimodal_decode_flac",
     # -- r02 cohort deferred from the r04 head (oldest green rows)
     "multimodal_decode",
     "arrow_token_count",
@@ -5155,12 +5158,18 @@ _CHECK_PRIORITY: list[str] = [
     "histogram_doc_length",
     # -- front-loaded per r4 ADVICE: tie-semantics change needs a driver row
     "scd2_customer_segment",
+    # -- semantics changed in r05 (portable md5/affine hashing) and the
+    # -- rows-only→oracle upgrade makes their old r01 rows stale: these
+    # -- outrank cohort refreshes, same precedent as scd2 above
+    "text_fingerprint",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "ann_topk_lsh",
     # -- r03 cohort: scans / projections / functions
     "s3_typed_scan",
     "p1_money_coalesce",
     "p2_quantity_validity",
     "p3_parent_fallback",
-    "p6_address_concat",
     "f2_variant_extract",
     # -- r03 cohort: joins
     "j1_catalog_build_probe",
@@ -5169,8 +5178,6 @@ _CHECK_PRIORITY: list[str] = [
     "salted_join_revenue",
     # -- r03 cohort: aggregations / windows
     "a1_distinct_keys",
-    "a3_last_writer_wins",
-    "agg_rollup",
     "percentiles_by_type",
     "topk_revenue_customers",
     "incremental_rollup_revenue",
@@ -5178,11 +5185,7 @@ _CHECK_PRIORITY: list[str] = [
     # -- r03 cohort: TPC-H + SQL API
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_priority_late_ship",
-    "q5_local_supplier_volume",
     "q10_returned_revenue",
-    "q14_promo_share",
-    "q18_large_orders",
     "sql_api_revenue",
     # -- r03 cohort: merge / dedup / similarity
     "k1_merge_upsert",
@@ -5204,11 +5207,21 @@ _CHECK_PRIORITY: list[str] = [
     "pipeline_categories",
     "pipeline_inventory",
     "pipeline_locations",
-    # NOTE: the flagship anchor sits out THIS round only — three new
-    # registrations took its slot and its green row is r04 (1 round
-    # old), while every query above would otherwise age past the
-    # window.  The driver's entry() smoke still runs flagship every
-    # round; it re-anchors first thing in the r06 head.
+    # NOTE: the flagship anchor sits out THIS round only — new
+    # registrations and the four semantics-changed upgrades took its
+    # slot and its green row is r04 (1 round old).  The driver's
+    # entry() smoke still runs flagship every round; it re-anchors
+    # first thing in the r06 head.  Seven r03-cohort queries also
+    # defer to r06 to fit the 50-cap, chosen because a sibling green
+    # at r04 covers their semantics: q4_priority_late_ship +
+    # q18_large_orders (exists/in subqueries — q21/q22 green r04),
+    # q5_local_supplier_volume (multi-join star — q7/q8/q9 r04),
+    # q14_promo_share (conditional agg — q8/q17/q19 r04),
+    # p6_address_concat (string flatten — pipeline_locations in head),
+    # a3_last_writer_wins (keyed latest — k1_merge_upsert in head,
+    # j2_first_wins in head), agg_rollup (grouping analytics —
+    # agg_cube/agg_grouping_sets green r04).  They lead the r06
+    # cohort section together with the r04 cohort.
 ]
 
 
