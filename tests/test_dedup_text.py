@@ -337,3 +337,107 @@ def test_bucketed_embedding_dedup_bucket_cap_drops_hot_buckets(spark, sf_dir):
         e, dim=64, threshold=0.35, bits=4, n_tables=8
     ).count()
     assert capped <= uncapped  # cap only removes candidates
+
+
+def test_portable_hashing_matches_python_reference(spark):
+    """The md5/affine hash recipe behind the r05 oracle upgrades
+    (fingerprint64, simhash64, portable_word_shingles + the minhash
+    permutation family) pinned against an independent pure-Python
+    implementation — the same recipe the DuckDB oracles embed."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        portable_word_shingles,
+        simhash64,
+    )
+    from square_etl_spark.operators.text import fingerprint64
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b c d e f g",
+        "",
+        "  one  ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {
+        r.id: r
+        for r in df.select(
+            "id",
+            fingerprint64("text").alias("fp"),
+            simhash64("text").alias("sig"),
+            portable_word_shingles("text", 3).alias("sh"),
+        ).collect()
+    }
+
+    M = (1 << 57) - 1
+
+    def h32(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+
+    def h64(w):
+        v = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    for i, t in enumerate(texts):
+        words = t.strip().split()
+        fp = 0
+        for w in words:
+            fp = (fp * 31 + h32(w)) & M
+        assert got[i].fp == fp, ("fingerprint", t)
+        sig = 0
+        for j in range(64):
+            vote = sum(1 if (h64(w) >> j) & 1 else -1 for w in words)
+            if vote > 0:
+                sig |= 1 << j
+        assert got[i].sig == (sig - (1 << 64) if sig >= (1 << 63) else sig), (
+            "simhash", t)
+        sh, seen = [], set()
+        for j in range(max(0, len(words) - 2)):
+            v = ((h32(words[j]) * 31 + h32(words[j + 1])) & M) * 31
+            v = (v + h32(words[j + 2])) & M
+            if v not in seen:
+                seen.add(v)
+                sh.append(v)
+        assert got[i].sh == sh, ("shingles", t)
+
+    # the permutation family over one shingle hash, Spark vs python
+    s = got[0].sh[0]
+    mins = (
+        df.filter(F.col("id") == 0)
+        .select(portable_word_shingles("text", 3).alias("sh"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: F.array_min(
+                    F.transform(
+                        F.col("sh"),
+                        lambda x: (
+                            F.element_at(
+                                F.array(*[F.lit(a).cast("long") for a in MINHASH_A]),
+                                i + 1,
+                            ) * x.bitwiseAND(F.lit(0xFFFFFFFF))
+                            + F.element_at(
+                                F.array(*[F.lit(b).cast("long") for b in MINHASH_B]),
+                                i + 1,
+                            )
+                        ) % F.lit(MINHASH_P),
+                    )
+                ),
+            ).alias("mins")
+        )
+        .collect()[0]
+        .mins
+    )
+    sh0 = got[0].sh
+    want = [
+        min((MINHASH_A[i] * (x & 0xFFFFFFFF) + MINHASH_B[i]) % MINHASH_P
+            for x in sh0)
+        for i in range(16)
+    ]
+    assert mins == want
