@@ -2555,6 +2555,77 @@ _register(
     )
 )
 
+
+def _kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ORACLE-CHECKABLE approximate distinct (r05): a KMV
+    (k-minimum-values) sketch over md5 hashes — keep the k smallest
+    32-bit hash values of the distinct keys per group; if fewer than k
+    exist the count is exact, else estimate (k−1)·2³²⁄x₍ₖ₎ (the
+    classic bottom-k estimator).  Everything is portable arithmetic,
+    so DuckDB recomputes the IDENTICAL estimate — the approximate-
+    aggregate analog of the other r05 oracle upgrades, complementing
+    `approx_distinct_users` which keeps demonstrating Spark's native
+    HLL++ (whose estimate is engine-specific by nature).  KMV sketches
+    are mergeable (union = k smallest of the union), so the same
+    construction slots into the incremental-rollup pattern; at scale
+    the per-group k-smallest is one grouped shuffle of pre-deduped
+    32-bit keys."""
+    K = 64
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    dh = e.select("event_type", h.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
+    kept = dh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
+    return (
+        kept.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("hv").alias("kth"))
+        .select(
+            "event_type",
+            F.when(F.col("n") < K, F.col("n"))
+            .otherwise(
+                F.round(F.lit(float(K - 1)) * F.lit(4294967296.0) / F.col("kth"))
+            )
+            .cast("long")
+            .alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_register(
+    QuerySpec(
+        "approx_distinct_kmv",
+        _kmv_users,
+        oracle="""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+            list_sum(list_transform(generate_series(1, 8),
+              p -> (CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), p, 1))
+                    AS BIGINT) - 1)
+                   * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))
+              AS hv
+          FROM events),
+        r AS (
+          SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY hv) AS rk
+          FROM h),
+        k AS (
+          SELECT event_type, COUNT(*) AS n, MAX(hv) AS kth
+          FROM r WHERE rk <= 64 GROUP BY event_type)
+        SELECT event_type,
+               CAST(CASE WHEN n < 64 THEN n
+                    ELSE ROUND(63.0 * 4294967296.0 / kth) END AS BIGINT)
+                 AS approx_users
+        FROM k ORDER BY event_type
+        """,
+        doc="KMV bottom-k distinct sketch: deterministic, oracle-recomputed estimate",
+    )
+)
+
 def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's Spark SQL surface: the same star-join revenue
     rollup as the flagship, written as SQL over registered views —
