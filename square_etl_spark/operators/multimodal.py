@@ -11,7 +11,8 @@ baseline JPEG (sequential 8-bit Huffman: entropy decode → dequant →
 IDCT → chroma upsample → YCbCr→RGB) and baseline TIFF (II/MM byte
 orders, strips, none/LZW/PackBits compression, horizontal predictor)
 images, WAV/AU/AIFF (8/16-bit
-integer PCM in all three container families) and native FLAC (full
+integer PCM in all three container families, plus G.711 µ-law/A-law
+companded WAV and AU — audioop-reference-exact) and native FLAC (full
 lossless decode: Rice residuals, fixed + LPC predictors, stereo
 decorrelation, CRC-verified frames) audio, and AVI
 (uncompressed 24bpp DIB or MJPG frames) video
@@ -890,11 +891,43 @@ def _parse_jpeg(data: bytes):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
+_G711_TABLES = None
+
+
+def _g711_tables():
+    """ITU-T G.711 expansion tables, 256 codes → 16-bit linear, built
+    from the spec formulas (µ-law: complemented code, bias 132,
+    3-bit mantissa shift; A-law: XOR 0x55, segmented with bias 8/264).
+    Pinned value-for-value against CPython's `audioop` reference in
+    tests.  Returns (ulaw, alaw) float64 arrays scaled to [-1, 1]."""
+    global _G711_TABLES
+    if _G711_TABLES is None:
+        import numpy as np
+
+        ulaw = np.empty(256, np.float64)
+        alaw = np.empty(256, np.float64)
+        for c in range(256):
+            u = ~c & 0xFF
+            e, m = (u >> 4) & 7, u & 0xF
+            mag = (((m << 3) + 132) << e) - 132
+            ulaw[c] = (-mag if u & 0x80 else mag) / 32768.0
+            a = c ^ 0x55
+            e, m = (a >> 4) & 7, a & 0xF
+            t = (m << 4) + 8
+            if e > 0:
+                t = (t + 256) << (e - 1)
+            alaw[c] = (t if a & 0x80 else -t) / 32768.0
+        _G711_TABLES = (ulaw, alaw)
+    return _G711_TABLES
+
+
 def _parse_wav(data: bytes):
-    """REAL codec: RIFF/WAVE PCM parser — stdlib + numpy only.
-    Supports 8-bit unsigned and 16-bit signed little-endian PCM, any
-    channel count (mono-mixed by mean).  Returns (samples float64 in
-    [-1, 1], sample_rate)."""
+    """REAL codec: RIFF/WAVE parser — stdlib + numpy only.  Supports
+    8-bit unsigned / 16-bit signed little-endian integer PCM plus
+    G.711 A-law (format 6) and µ-law (format 7) companded audio
+    (telephony-era corpora are full of both), any channel count
+    (mono-mixed by mean).  Returns (samples float64 in [-1, 1],
+    sample_rate)."""
     import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -917,11 +950,20 @@ def _parse_wav(data: bytes):
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+    if (
+        audio_format not in (1, 6, 7)
+        or (audio_format == 1 and bits not in (8, 16))
+        or (audio_format in (6, 7) and bits != 8)
+        or n_channels < 1
+    ):
         raise ValueError(
-            f"only 8/16-bit integer PCM WAV (format={audio_format}, bits={bits})"
+            f"only integer PCM / G.711 WAV (format={audio_format}, bits={bits})"
         )
-    if bits == 8:  # unsigned, midpoint 128
+    if audio_format in (6, 7):  # G.711 A-law / µ-law companded
+        ulaw, alaw = _g711_tables()
+        table = ulaw if audio_format == 7 else alaw
+        samples = table[np.frombuffer(pcm, np.uint8)]
+    elif bits == 8:  # unsigned, midpoint 128
         raw = np.frombuffer(pcm, np.uint8).astype(np.float64)
         samples = (raw - 128.0) / 128.0
     else:  # signed little-endian
@@ -937,9 +979,11 @@ def _parse_wav(data: bytes):
 def _parse_au(data: bytes):
     """REAL codec: Sun/NeXT AU parser — stdlib + numpy only.  Big-endian
     header (magic '.snd', data offset/size, encoding, rate, channels);
-    supports encoding 2 (8-bit linear PCM) and 3 (16-bit linear PCM),
-    any channel count (mono-mixed by mean).  Returns (samples float64
-    in [-1, 1], sample_rate) — same contract as :func:`_parse_wav`."""
+    supports encoding 1 (G.711 µ-law — the AU format's historical
+    default), 2 (8-bit linear PCM), 3 (16-bit linear PCM), and 27
+    (G.711 A-law), any channel count (mono-mixed by mean).  Returns
+    (samples float64 in [-1, 1], sample_rate) — same contract as
+    :func:`_parse_wav`."""
     import numpy as np
 
     if len(data) < 24 or data[:4] != b".snd":
@@ -948,10 +992,14 @@ def _parse_au(data: bytes):
     enc = int.from_bytes(data[12:16], "big")
     rate = int.from_bytes(data[16:20], "big")
     n_channels = int.from_bytes(data[20:24], "big")
-    if enc not in (2, 3) or n_channels < 1 or rate <= 0 or off < 24:
+    if enc not in (1, 2, 3, 27) or n_channels < 1 or rate <= 0 or off < 24:
         raise ValueError(f"unsupported AU (encoding={enc})")
     pcm = data[off:]
-    if enc == 2:  # 8-bit SIGNED linear (unlike WAV's unsigned 8-bit)
+    if enc in (1, 27):  # G.711 µ-law / A-law companded
+        ulaw, alaw = _g711_tables()
+        table = ulaw if enc == 1 else alaw
+        samples = table[np.frombuffer(pcm, np.uint8)]
+    elif enc == 2:  # 8-bit SIGNED linear (unlike WAV's unsigned 8-bit)
         samples = np.frombuffer(pcm, np.int8).astype(np.float64) / 128.0
     else:  # 16-bit signed BIG-endian
         samples = np.frombuffer(pcm[: len(pcm) & ~1], ">i2").astype(np.float64) / 32768.0
@@ -1465,8 +1513,9 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     uncompressed), and ``format='png'`` (non-interlaced 8-bit
     gray/RGB/RGBA, all five scanline filters) are parsed to pixels and
     summarized as a 4×4 luminance-grid descriptor; ``format='wav'``
-    (8/16-bit integer PCM, any channel count) is parsed to mono
-    samples and summarized as a 16-window RMS energy profile;
+    (8/16-bit integer PCM or G.711 µ-law/A-law, any channel count) is
+    parsed to mono samples and summarized as a 16-window RMS energy
+    profile;
     ``format='gif'`` (GIF87a/89a, stdlib LZW decode, global/local
     palettes, interlace) decodes the first frame like the other image
     codecs; ``format='jpeg'`` (baseline sequential 8-bit, Huffman,

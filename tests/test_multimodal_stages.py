@@ -2253,3 +2253,101 @@ def test_probe_mp4_mp3_header_only():
                 _probe_blob(bytes(b))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# G.711 µ-law / A-law companded audio (WAV formats 6/7, AU encodings 1/27)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_tables_match_audioop_reference():
+    """Pin both expansion tables value-for-value against CPython's
+    audioop (the stdlib G.711 reference implementation) across all 256
+    codes."""
+    import warnings
+
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _g711_tables
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    codes = bytes(range(256))
+    ulaw, alaw = _g711_tables()
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2")
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), "<i2")
+    assert np.array_equal(ulaw * 32768.0, ref_u.astype(np.float64))
+    assert np.array_equal(alaw * 32768.0, ref_a.astype(np.float64))
+
+
+def test_wav_au_g711_decode_and_fuzz(spark):
+    """µ-law WAV (format 7), A-law WAV (format 6), µ-law AU
+    (encoding 1), A-law AU (encoding 27) all decode through the real
+    parsers to the audioop-reference samples; e2e through decode_media;
+    truncation/corruption stays ValueError-only."""
+    import warnings
+
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _parse_au,
+        _parse_wav,
+        _rms_features,
+        decode_media,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+
+    rng = np.random.default_rng(61)
+    codes = bytes(int(v) for v in rng.integers(0, 256, 300))
+
+    def wav_blob(fmt_code):
+        return (b"RIFF" + (36 + len(codes)).to_bytes(4, "little")
+                + b"WAVEfmt " + (16).to_bytes(4, "little")
+                + fmt_code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+                + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+                + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+                + b"data" + len(codes).to_bytes(4, "little") + codes)
+
+    def au_blob(enc):
+        return (b".snd" + (24).to_bytes(4, "big")
+                + len(codes).to_bytes(4, "big") + enc.to_bytes(4, "big")
+                + (8000).to_bytes(4, "big") + (1).to_bytes(4, "big") + codes)
+
+    ref_u = np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2").astype(np.float64) / 32768.0
+    ref_a = np.frombuffer(audioop.alaw2lin(codes, 2), "<i2").astype(np.float64) / 32768.0
+    cases = [
+        (_parse_wav, wav_blob(7), ref_u),
+        (_parse_wav, wav_blob(6), ref_a),
+        (_parse_au, au_blob(1), ref_u),
+        (_parse_au, au_blob(27), ref_a),
+    ]
+    for parser, blob, want in cases:
+        samples, rate = parser(blob)
+        assert rate == 8000
+        assert np.array_equal(samples, want), parser.__name__
+
+    out = decode_media(
+        _media_df(spark, wav_blob(7), "wav", media_type="audio")
+    ).collect()[0]
+    assert out.ok
+    assert out.features == _rms_features(ref_u)
+
+    for parser, blob, _ in cases[:1] + cases[2:3]:
+        for cut in range(len(blob)):
+            try:
+                parser(blob[:cut])
+            except ValueError:
+                pass
+        for _ in range(150):
+            b = bytearray(blob)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                parser(bytes(b))
+            except ValueError:
+                pass
