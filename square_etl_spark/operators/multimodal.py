@@ -1924,7 +1924,7 @@ def _resample_nearest(px, width: int, height: int):
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize stage — REAL for the decodable
-    formats (``meta.format`` in ppm/bmp/png/gif, i.e. the
+    formats (``meta.format`` in ppm/bmp/png/gif/jpeg/tiff, i.e. the
     ``_IMAGE_PARSERS`` dispatch table: decode → nearest-neighbor
     resample → raw RGB bytes out), STUB for everything else
     (deterministic truncate/pad, so the Spark contract — schema,

@@ -351,3 +351,34 @@ def test_flac_roundtrip_property(chans, n, bps, subframe, blocksize, seed):
     samples, rate = _parse_flac(blob)
     assert rate == 44100
     assert np.array_equal(samples, _flac_expected(sig, bps))
+
+
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    gray=st.booleans(),
+    byte_order=st.sampled_from(["little", "big"]),
+    compression=st.sampled_from([1, 5, 32773]),
+    predictor=st.sampled_from([1, 2]),
+    rps=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=50, deadline=None)
+def test_tiff_container_roundtrip_property(h, w, gray, byte_order,
+                                           compression, predictor, rps, seed):
+    """Bit-exact TIFF decode across randomized geometry, byte order,
+    compression, predictor, and strip layout."""
+    import numpy as np
+
+    from test_multimodal_stages import _encode_tiff
+
+    from square_etl_spark.operators.multimodal import _parse_tiff
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = _parse_tiff(_encode_tiff(px, byte_order=byte_order,
+                                   compression=compression,
+                                   predictor=predictor, rows_per_strip=rps))
+    want = px[..., None].repeat(3, axis=2) if gray else px
+    assert np.array_equal(got, want)
