@@ -2198,6 +2198,7 @@ _register(
         FROM documents
         """,
         doc="REAL JPEG codec decode, oracle-checked: entropy pipeline end-to-end",
+        bench=True,  # r05: the Arrow decode stage earns a recorded number
     )
 )
 
