@@ -3297,6 +3297,319 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# Derived partsupp: closes the q2/q11/q16/q20 gap (no partsupp fixture)
+# ---------------------------------------------------------------------------
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H ``partsupp`` derived deterministically — the fixture ships
+    no partsupp table, so the four queries that need one (q2/q11/q16/
+    q20) build it from ``part`` × TPC-H's own supplier-assignment
+    formula (4 suppliers per part, adapted to the fixture's 0-based
+    keys): ``ps_suppkey = (p + i·(S/4 + p/S)) mod S``, with availqty
+    and supply cost from modular arithmetic on the keys.  The oracle
+    rebuilds the IDENTICAL table in SQL, so these are full value-hash
+    checks, not fixtures of convenience.  Supply cost is kept in
+    integer CENTS so every aggregate stays exact.  The supplier count
+    is a bounded driver-side scalar (one count, like the quantization
+    scales)."""
+    S = load_table(spark, sf_dir, "supplier").count()
+    pk = F.col("p_partkey")
+    base = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    )
+    supp = (
+        pk + F.col("i") * (F.lit(S // 4) + F.floor(pk / F.lit(S)).cast("long"))
+    ) % F.lit(S)
+    return base.select(
+        pk.alias("ps_partkey"),
+        supp.alias("ps_suppkey"),
+        ((pk * 7 + supp * 3) % 9999 + 1).alias("ps_availqty"),
+        ((pk * 17 + supp * 29) % 90000 + 10000).alias("ps_supplycost_cents"),
+    )
+
+
+#: oracle-side twin of _derived_partsupp (S folds in as a scalar
+#: subquery so the same SQL is correct at every sf)
+_PARTSUPP_CTE = """
+        partsupp AS (
+          SELECT p_partkey AS ps_partkey,
+                 supp AS ps_suppkey,
+                 (p_partkey * 7 + supp * 3) % 9999 + 1 AS ps_availqty,
+                 (p_partkey * 17 + supp * 29) % 90000 + 10000
+                   AS ps_supplycost_cents
+          FROM (
+            SELECT p_partkey,
+                   (p_partkey + i * (S.s // 4 + p_partkey // S.s)) % S.s
+                     AS supp
+            FROM part
+            CROSS JOIN (SELECT COUNT(*) AS s FROM supplier) S
+            CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) g))
+"""
+
+
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for EUROPE suppliers of selected part sizes,
+    keep only the supplier(s) matching the per-part MINIMUM supply
+    cost — the correlated-subquery pattern expressed as a window min
+    over the already-filtered join (one pass, no re-scan; Catalyst
+    can't decorrelate what was never correlated).  Dimension chain
+    supplier→nation→region collapses to a broadcast."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(15, 25, 35)
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey", "n_name")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    j = ps.join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        ps.ps_partkey == F.col("p_partkey"),
+    ).join(s, ps.ps_suppkey == F.col("s_suppkey"))
+    w = Window.partitionBy("ps_partkey")
+    return (
+        j.withColumn("min_cost", F.min("ps_supplycost_cents").over(w))
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("ps_supplycost_cents").cast("double") / 100.0).alias(
+                "supplycost"
+            ),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+_register(
+    QuerySpec(
+        "q2_min_cost_supplier",
+        _q2_min_cost_supplier,
+        oracle=f"""
+        WITH {_PARTSUPP_CTE.strip()},
+        sn AS (
+          SELECT s_suppkey, s_acctbal, s_name, n_name
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'),
+        j AS (
+          SELECT sn.*, ps_partkey, ps_supplycost_cents,
+                 MIN(ps_supplycost_cents)
+                   OVER (PARTITION BY ps_partkey) AS min_cost
+          FROM partsupp
+          JOIN part ON ps_partkey = p_partkey
+          JOIN sn ON ps_suppkey = s_suppkey
+          WHERE p_size IN (15, 25, 35))
+        SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+               CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS supplycost
+        FROM j WHERE ps_supplycost_cents = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """,
+        doc="TPC-H Q2 shape: per-part min-cost supplier via window min",
+    )
+)
+
+
+def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value for one nation's
+    suppliers, kept when above a fixed fraction of the nation's total
+    — the scalar-aggregate-threshold pattern.  All value arithmetic
+    stays in integer cents, so the HAVING comparison is EXACT
+    (value·1000 > total, no float boundary): the same
+    determinism-first posture as decimal_sum.  The total rides a
+    1-row broadcast cross join."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    j = (
+        ps.join(
+            F.broadcast(
+                s.join(
+                    F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+                ).select("s_suppkey")
+            ),
+            ps.ps_suppkey == F.col("s_suppkey"),
+        )
+        .withColumn(
+            "value_cents", F.col("ps_supplycost_cents") * F.col("ps_availqty")
+        )
+    )
+    per_part = j.groupBy("ps_partkey").agg(
+        F.sum("value_cents").alias("value_cents")
+    )
+    total = j.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+_register(
+    QuerySpec(
+        "q11_important_stock",
+        _q11_important_stock,
+        oracle=f"""
+        WITH {_PARTSUPP_CTE.strip()},
+        j AS (
+          SELECT ps_partkey,
+                 ps_supplycost_cents * ps_availqty AS value_cents
+          FROM partsupp
+          JOIN supplier ON ps_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_7'),
+        pp AS (
+          SELECT ps_partkey, SUM(value_cents) AS value_cents
+          FROM j GROUP BY ps_partkey)
+        SELECT ps_partkey,
+               CAST(value_cents AS DOUBLE) / 100.0 AS value
+        FROM pp
+        WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM j)
+        ORDER BY value DESC, ps_partkey
+        """,
+        doc="TPC-H Q11 shape: exact integer-cents threshold vs grand total",
+    )
+)
+
+
+def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    triple, with a brand/type/size exclusion and a supplier blocklist
+    applied as a broadcast ANTI join (the fixture has no s_comment, so
+    the 'complaints' blocklist becomes negative-balance suppliers —
+    same shape: exclude a computed supplier set)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").startswith("MEDIUM"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q16_supplier_counts",
+        _q16_supplier_counts,
+        oracle=f"""
+        WITH {_PARTSUPP_CTE.strip()}
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3'
+          AND p_type NOT LIKE 'MEDIUM%'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND ps_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        doc="TPC-H Q16 shape: distinct counts with attribute + blocklist exclusion",
+    )
+)
+
+
+def _q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation holding stock above
+    half of what they actually shipped of that part in a window — the
+    nested-exists pattern as a semi join against an aggregated
+    subquery.  Quantity sums are exact (fixture quantities are
+    integers in a double column; SUM stays exact far below 2^53)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1996-01-01"
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (ps.ps_partkey == F.col("l_partkey"))
+            & (ps.ps_suppkey == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty").cast("double") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+_register(
+    QuerySpec(
+        "q20_excess_stock_suppliers",
+        _q20_excess_stock_suppliers,
+        oracle=f"""
+        WITH {_PARTSUPP_CTE.strip()},
+        shipped AS (
+          SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          GROUP BY l_partkey, l_suppkey),
+        excess AS (
+          SELECT DISTINCT ps_suppkey
+          FROM partsupp
+          JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          WHERE CAST(ps_availqty AS DOUBLE) > 0.5 * qty)
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+          AND s_suppkey IN (SELECT ps_suppkey FROM excess)
+        ORDER BY s_suppkey
+        """,
+        doc="TPC-H Q20 shape: nested exists as semi join over aggregated shipments",
+    )
+)
+
+
 def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's share of a region's import revenue
     by year — a ratio of two conditional decimal sums over a 6-table
@@ -5208,11 +5521,12 @@ _register(
 # text_fingerprint all switched to engine-portable md5/affine hashing
 # and gained FULL DuckDB oracles that recompute their entire
 # pipelines, so they need fresh driver rows under the new semantics —
-# plus the three codec queries
-# registered mid-r05 after this head was frozen at the 50-cap
-# (`multimodal_decode_tiff`, `multimodal_decode_wav`,
-# `multimodal_decode_flac` — judge-selfcheck green at sf0.01, need
-# their first driver rows).  `python tools/rotation.py` audits
+# plus the queries registered mid-r05 after this head was frozen at
+# the 50-cap (`multimodal_decode_tiff`/`_wav`/`_flac`,
+# `approx_distinct_kmv`, and the derived-partsupp TPC-H quartet
+# q2/q11/q16/q20 — all judge-selfcheck green at sf0.01, need their
+# first driver rows and lead the r06 head).
+# `python tools/rotation.py` audits
 # this list against the CORRECTNESS history and prints the
 # recommended next head mechanically.
 _CHECK_PRIORITY: list[str] = [
