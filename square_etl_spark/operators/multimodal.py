@@ -8,8 +8,10 @@ feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
 PPM (binary P6), 24-bit BMP, PNG (non-interlaced 8-bit gray/RGB/RGBA
 via stdlib zlib + filter reconstruction), GIF (stdlib LZW), and
 baseline JPEG (sequential 8-bit Huffman: entropy decode → dequant →
-IDCT → chroma upsample → YCbCr→RGB) and baseline TIFF (II/MM byte
-orders, strips, none/LZW/PackBits compression, horizontal predictor)
+IDCT → chroma upsample → YCbCr→RGB), baseline TIFF (II/MM byte
+orders, strips, none/LZW/PackBits compression, horizontal predictor),
+TGA (uncompressed + RLE, truecolor/gray), and ICO (largest directory
+entry, PNG or DIB payload)
 images, WAV/AU/AIFF (8/16-bit
 integer PCM in all three container families, plus G.711 µ-law/A-law
 companded WAV and AU — audioop-reference-exact) and native FLAC (full
@@ -1074,6 +1076,122 @@ def _parse_aiff(data: bytes):
     return samples, int(round(rate))
 
 
+def _parse_tga(data: bytes):
+    """REAL codec: Truevision TGA parser — stdlib + numpy only.
+    Uncompressed and RLE, truecolor 24/32-bit (BGRA order, alpha
+    dropped) and 8-bit grayscale, both vertical origins.  TGA has no
+    magic number, so it is decode-by-declared-format only (never
+    probed).  Returns (h, w, 3) uint8."""
+    import numpy as np
+
+    if len(data) < 18:
+        raise ValueError("truncated TGA header")
+    idlen, cmaptype, imgtype = data[0], data[1], data[2]
+    w = int.from_bytes(data[12:14], "little")
+    h = int.from_bytes(data[14:16], "little")
+    bpp = data[16]
+    top_down = bool(data[17] & 0x20)
+    if cmaptype != 0:
+        raise ValueError("color-mapped TGA not supported")
+    if imgtype in (2, 10):
+        if bpp not in (24, 32):
+            raise ValueError(f"truecolor TGA needs 24/32 bpp (got {bpp})")
+    elif imgtype in (3, 11):
+        if bpp != 8:
+            raise ValueError(f"grayscale TGA needs 8 bpp (got {bpp})")
+    else:
+        raise ValueError(f"unsupported TGA image type {imgtype}")
+    if w <= 0 or h <= 0:
+        raise ValueError("bad TGA geometry")
+    px_bytes = bpp // 8
+    expected = w * h * px_bytes
+    pos = 18 + idlen
+    if imgtype in (2, 3):  # uncompressed
+        raw = data[pos : pos + expected]
+        if len(raw) < expected:
+            raise ValueError("truncated TGA pixel data")
+    else:  # RLE packets
+        out = bytearray()
+        while len(out) < expected:
+            if pos >= len(data):
+                raise ValueError("truncated TGA RLE stream")
+            head = data[pos]
+            pos += 1
+            count = (head & 0x7F) + 1
+            if head & 0x80:  # run packet: one pixel repeated
+                pix = data[pos : pos + px_bytes]
+                if len(pix) < px_bytes:
+                    raise ValueError("truncated TGA RLE run")
+                out += pix * count
+                pos += px_bytes
+            else:  # raw packet
+                chunk = data[pos : pos + count * px_bytes]
+                if len(chunk) < count * px_bytes:
+                    raise ValueError("truncated TGA RLE literals")
+                out += chunk
+                pos += count * px_bytes
+        if len(out) != expected:
+            raise ValueError("TGA RLE packet overruns image")
+        raw = bytes(out)
+    px = np.frombuffer(raw, np.uint8).reshape(h, w, px_bytes)
+    if not top_down:
+        px = px[::-1]  # TGA default origin is bottom-left
+    if px_bytes == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[..., 2::-1])  # BGR(A) → RGB, drop A
+
+
+def _parse_ico(data: bytes):
+    """REAL codec: Windows ICO container parser — stdlib + numpy only.
+    Reads the icon directory, picks the LARGEST image, and decodes its
+    payload: embedded PNG (delegated to :func:`_parse_png`) or a DIB —
+    a BITMAPINFOHEADER with doubled height whose XOR image is 32-bit
+    BGRA or 24-bit BGR (the trailing AND mask is ignored; 32-bit alpha
+    subsumes it for feature purposes).  Favicon corpora from web
+    crawls are full of these.  Returns (h, w, 3) uint8."""
+    import numpy as np
+
+    if len(data) < 6 or data[:4] != b"\x00\x00\x01\x00":
+        raise ValueError("not an ICO")
+    count = int.from_bytes(data[4:6], "little")
+    if count == 0 or 6 + 16 * count > len(data):
+        raise ValueError("truncated ICO directory")
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        w = data[e] or 256
+        h = data[e + 1] or 256
+        size = int.from_bytes(data[e + 8 : e + 12], "little")
+        off = int.from_bytes(data[e + 12 : e + 16], "little")
+        if best is None or w * h > best[0] * best[1]:
+            best = (w, h, off, size)
+    w, h, off, size = best
+    body = data[off : off + size]
+    if len(body) < size or size < 8:
+        raise ValueError("truncated ICO image data")
+    if body[:8] == b"\x89PNG\r\n\x1a\n":
+        return _parse_png(body)
+    # DIB: BITMAPINFOHEADER with height doubled for the AND mask
+    if len(body) < 40 or int.from_bytes(body[0:4], "little") != 40:
+        raise ValueError("unsupported ICO bitmap header")
+    bw = int.from_bytes(body[4:8], "little", signed=True)
+    bh = int.from_bytes(body[8:12], "little", signed=True) // 2
+    bpp = int.from_bytes(body[14:16], "little")
+    compression = int.from_bytes(body[16:20], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only 24/32bpp uncompressed ICO DIB (bpp={bpp})")
+    if bw <= 0 or bh <= 0 or bw != w or bh != h:
+        raise ValueError("ICO DIB geometry mismatch")
+    stride = (bw * (bpp // 8) + 3) & ~3
+    need = 40 + stride * bh
+    if len(body) < need:
+        raise ValueError("truncated ICO DIB pixels")
+    rows = np.frombuffer(body[40:need], np.uint8).reshape(bh, stride)
+    px = rows[:, : bw * (bpp // 8)].reshape(bh, bw, bpp // 8)
+    px = px[::-1]  # bottom-up
+    return np.ascontiguousarray(px[..., 2::-1])  # BGR(A) → RGB, drop A
+
+
 _FLAC_CRC8: list[int] | None = None
 _FLAC_CRC16: list[int] | None = None
 
@@ -1523,7 +1641,10 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     decoded — entropy decode, dequant, IDCT, chroma upsample,
     YCbCr→RGB — pure python + numpy; ``format='tiff'`` (baseline
     TIFF 6.0: II/MM byte orders, strips, compression none/LZW
-    early-change/PackBits, horizontal predictor, gray/RGB) decodes
+    early-change/PackBits, horizontal predictor, gray/RGB),
+    ``format='tga'`` (uncompressed/RLE truecolor + gray, both
+    origins), and ``format='ico'`` (largest icon, PNG or 24/32-bit
+    DIB payload) decode
     like the other image codecs; ``format='au'`` (Sun/NeXT, 8/16
     bit linear PCM) and ``format='aiff'`` (IFF COMM/SSND, 8/16-bit
     big-endian PCM, 80-bit-float rate) parse like WAV to mono samples
@@ -1554,6 +1675,10 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_jpeg(bytes(content)))
     if media_type == "image" and fmt == "tiff":
         return _grid_features(_parse_tiff(bytes(content)))
+    if media_type == "image" and fmt == "tga":
+        return _grid_features(_parse_tga(bytes(content)))
+    if media_type == "image" and fmt == "ico":
+        return _grid_features(_parse_ico(bytes(content)))
     if media_type == "audio" and fmt == "wav":
         samples, _rate = _parse_wav(bytes(content))
         return _rms_features(samples)
@@ -1729,6 +1854,19 @@ def _probe_blob(data: bytes) -> dict:
                 return out
             pos += 8 + size + (size & 1)
         raise ValueError("WAV has no fmt chunk")
+    elif data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
+        # ICO: geometry of the largest directory entry (0 byte = 256).
+        # TGA is deliberately absent here — it has no magic number.
+        n = int.from_bytes(data[4:6], "little")
+        if n == 0 or 6 + 16 * n > len(data):
+            raise ValueError("truncated ICO directory")
+        bw = bh = 0
+        for i in range(n):
+            e = 6 + 16 * i
+            ww, hh = data[e] or 256, data[e + 1] or 256
+            if ww * hh > bw * bh:
+                bw, bh = ww, hh
+        out.update(detected_format="ico", width=bw, height=bh)
     elif data[:4] == b"fLaC":
         # STREAMINFO is mandatory first block; rate sits at fixed offsets
         if len(data) < 22 or (data[4] & 0x7F) != 0:
@@ -1924,7 +2062,8 @@ def _resample_nearest(px, width: int, height: int):
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize stage — REAL for the decodable
-    formats (``meta.format`` in ppm/bmp/png/gif/jpeg/tiff, i.e. the
+    formats (``meta.format`` in ppm/bmp/png/gif/jpeg/tiff/tga/ico,
+    i.e. the
     ``_IMAGE_PARSERS`` dispatch table: decode → nearest-neighbor
     resample → raw RGB bytes out), STUB for everything else
     (deterministic truncate/pad, so the Spark contract — schema,
@@ -2049,5 +2188,7 @@ _IMAGE_PARSERS.update(
         "gif": _parse_gif,
         "jpeg": _parse_jpeg,
         "tiff": _parse_tiff,
+        "tga": _parse_tga,
+        "ico": _parse_ico,
     }
 )

@@ -2351,3 +2351,159 @@ def test_wav_au_g711_decode_and_fuzz(spark):
                 parser(bytes(b))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# REAL image codecs: TGA (uncompressed + RLE) and ICO (PNG or DIB payload)
+# ---------------------------------------------------------------------------
+
+
+def _encode_tga(px, rle=False, top_down=False, alpha=False):
+    """Test-side TGA writer: (h,w,3) RGB or (h,w) gray uint8."""
+    import numpy as np
+
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        body_px = px[..., None]
+        bpp = 8
+        imgtype = 3
+    else:
+        bgr = px[..., ::-1]
+        if alpha:
+            a = np.full((h, w, 1), 0xCC, np.uint8)
+            body_px = np.concatenate([bgr, a], axis=2)
+            bpp = 32
+        else:
+            body_px = bgr
+            bpp = 24
+        imgtype = 2
+    if not top_down:
+        body_px = body_px[::-1]
+    raw = body_px.tobytes()
+    nbytes = bpp // 8
+    if rle:
+        imgtype += 8
+        out = bytearray()
+        pixels = [raw[i : i + nbytes] for i in range(0, len(raw), nbytes)]
+        i = 0
+        while i < len(pixels):
+            run = 1
+            while (run < 128 and i + run < len(pixels)
+                   and pixels[i + run] == pixels[i]):
+                run += 1
+            if run >= 2:
+                out += bytes([0x80 | (run - 1)]) + pixels[i]
+                i += run
+            else:
+                j = i + 1
+                while (j < len(pixels) and j - i < 128
+                       and not (j + 1 < len(pixels)
+                                and pixels[j] == pixels[j + 1])):
+                    j += 1
+                out += bytes([j - i - 1]) + b"".join(pixels[i:j])
+                i = j
+        raw = bytes(out)
+    header = bytes([0, 0, imgtype]) + b"\x00" * 9
+    header += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    header += bytes([bpp, 0x20 if top_down else 0x00])
+    return header + raw
+
+
+def _encode_ico(px, payload="dib"):
+    """Test-side ICO writer around a single (h,w,3) image: 32-bit BGRA
+    DIB (doubled height + empty AND mask) or embedded PNG."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    if payload == "png":
+        body = _encode_png(px, 2, [0] * h)
+    else:
+        bgra = np.concatenate(
+            [px[..., ::-1], np.full((h, w, 1), 0xFF, np.uint8)], axis=2
+        )[::-1]
+        mask_stride = ((w + 31) // 32) * 4
+        body = ((40).to_bytes(4, "little")
+                + w.to_bytes(4, "little", signed=True)
+                + (h * 2).to_bytes(4, "little", signed=True)
+                + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+                + (0).to_bytes(4, "little") + b"\x00" * 20
+                + bgra.tobytes() + b"\x00" * (mask_stride * h))
+    entry = (bytes([w % 256, h % 256, 0, 0]) + (1).to_bytes(2, "little")
+             + (32).to_bytes(2, "little") + len(body).to_bytes(4, "little")
+             + (22).to_bytes(4, "little"))
+    return b"\x00\x00\x01\x00" + (1).to_bytes(2, "little") + entry + body
+
+
+def test_tga_parser_variants_exact():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_tga
+
+    rng = np.random.default_rng(67)
+    px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    for kw in [dict(), dict(rle=True), dict(top_down=True),
+               dict(alpha=True), dict(rle=True, top_down=True, alpha=True)]:
+        got = _parse_tga(_encode_tga(px, **kw))
+        assert np.array_equal(got, px), kw
+    gray = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    got = _parse_tga(_encode_tga(gray, rle=True))
+    assert np.array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+    # highly repetitive image exercises long RLE runs
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(_parse_tga(_encode_tga(flat, rle=True)), flat)
+
+
+def test_ico_parser_png_and_dib_payloads():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_ico, _probe_blob
+
+    rng = np.random.default_rng(71)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    for payload in ("dib", "png"):
+        got = _parse_ico(_encode_ico(px, payload=payload))
+        assert np.array_equal(got, px), payload
+    info = _probe_blob(_encode_ico(px))
+    assert info["detected_format"] == "ico"
+    assert (info["width"], info["height"]) == (16, 16)
+
+
+def test_tga_ico_decode_media_and_fuzz(spark):
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _grid_features,
+        _parse_ico,
+        _parse_tga,
+        _probe_blob,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(73)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    for fmt, blob in [("tga", _encode_tga(px, rle=True)),
+                      ("ico", _encode_ico(px))]:
+        out = decode_media(_media_df(spark, blob, fmt)).collect()[0]
+        assert out.ok, fmt
+        assert out.features == _grid_features(px), fmt
+        bad = decode_media(_media_df(spark, blob[:10], fmt)).collect()[0]
+        assert not bad.ok, fmt
+    for parser, blob in [(_parse_tga, _encode_tga(px, rle=True)),
+                         (_parse_ico, _encode_ico(px)),
+                         (_parse_ico, _encode_ico(px, payload="png"))]:
+        parser(blob)  # sanity
+        for cut in range(len(blob)):
+            try:
+                parser(blob[:cut])
+            except ValueError:
+                pass
+        for _ in range(200):
+            b = bytearray(blob)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            for fn in (parser, _probe_blob):
+                try:
+                    fn(bytes(b))
+                except ValueError:
+                    pass
