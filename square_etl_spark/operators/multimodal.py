@@ -6,7 +6,8 @@ bytes out of any query that only touches metadata (Dremel-style
 striping; a metadata-only scan never reads the blobs).  Decode /
 feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
 PPM (binary P6), 24-bit BMP, PNG (non-interlaced 8-bit gray/RGB/RGBA
-via stdlib zlib + filter reconstruction), GIF (stdlib LZW), and
+via stdlib zlib + filter reconstruction), GIF (stdlib LZW; animated GIFs decode to canvas-composed
+frame sequences with transparency + disposal semantics), and
 baseline JPEG (sequential 8-bit Huffman: entropy decode → dequant →
 IDCT → chroma upsample → YCbCr→RGB), baseline TIFF (II/MM byte
 orders, strips, none/LZW/PackBits compression, horizontal predictor),
@@ -344,6 +345,127 @@ def _parse_gif(data: bytes):
             rows = deinterlaced
         return ct[rows]  # palette lookup → (h, w, 3)
     raise ValueError("no image block in GIF")
+
+
+def _parse_gif_frames(data: bytes, max_frames: int = 0):
+    """REAL codec: ANIMATED GIF decoder — stdlib LZW + numpy only.
+    Composes every frame onto the logical-screen canvas with full
+    GIF89a animation semantics: per-frame sub-rectangle placement,
+    Graphic Control Extension transparency (transparent pixels leave
+    the canvas untouched), and disposal methods 0/1 (leave), 2
+    (restore background color) and 3 (restore previous canvas).
+    Returns a list of (H, W, 3) uint8 canvas snapshots, one per frame
+    (``max_frames`` 0 = all).  :func:`_parse_gif` stays the
+    single-image fast path (first frame in its OWN rect, no canvas)."""
+    import numpy as np
+
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    W = int.from_bytes(data[6:8], "little")
+    H = int.from_bytes(data[8:10], "little")
+    if W <= 0 or H <= 0:
+        raise ValueError("bad GIF logical screen")
+    packed, bg_idx = data[10], data[11]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 ** ((packed & 0x07) + 1)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+        if len(gct) < 3 * n:
+            raise ValueError("truncated global color table")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    bg_color = gct[bg_idx] if gct is not None and bg_idx < len(gct) else 0
+    canvas = np.zeros((H, W, 3), np.uint8)
+    canvas[:] = bg_color
+    frames: list = []
+    transparent: int | None = None
+    disposal = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                gce = data[pos + 1 : pos + 1 + data[pos]]
+                if len(gce) < 4:
+                    raise ValueError("truncated GIF GCE")
+                disposal = (gce[0] >> 2) & 0x7
+                transparent = gce[3] if gce[0] & 1 else None
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        if pos + 10 > len(data):
+            raise ValueError("truncated image descriptor")
+        left = int.from_bytes(data[pos + 1 : pos + 3], "little")
+        top = int.from_bytes(data[pos + 3 : pos + 5], "little")
+        w = int.from_bytes(data[pos + 5 : pos + 7], "little")
+        h = int.from_bytes(data[pos + 7 : pos + 9], "little")
+        ipacked = data[pos + 9]
+        pos += 10
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 0x07) + 1)
+            ct = np.frombuffer(data[pos : pos + 3 * n], np.uint8)
+            if len(ct) < 3 * n:
+                raise ValueError("truncated local color table")
+            ct = ct.reshape(n, 3)
+            pos += 3 * n
+        if ct is None or w <= 0 or h <= 0:
+            raise ValueError("missing color table or bad geometry")
+        if left + w > W or top + h > H:
+            raise ValueError("GIF frame rect outside logical screen")
+        if pos >= len(data):
+            raise ValueError("truncated GIF image data")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            size = data[pos]
+            lzw += data[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1  # sub-block terminator
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), min_code)[: w * h], np.uint8
+        )
+        if len(idx) < w * h:
+            raise ValueError("truncated GIF pixel data")
+        if idx.max(initial=0) >= len(ct):
+            raise ValueError("palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # interlaced
+            order = (
+                list(range(0, h, 8)) + list(range(4, h, 8))
+                + list(range(2, h, 4)) + list(range(1, h, 2))
+            )
+            deinterlaced = np.empty_like(rows)
+            deinterlaced[order] = rows
+            rows = deinterlaced
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        colors = ct[rows]
+        if transparent is not None:
+            mask = rows != transparent
+            region[mask] = colors[mask]
+        else:
+            region[:] = colors
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore background
+            canvas[top : top + h, left : left + w] = bg_color
+        elif disposal == 3 and prev is not None:  # restore previous
+            canvas = prev
+        transparent, disposal = None, 0
+        if max_frames and len(frames) >= max_frames:
+            break
+    if not frames:
+        raise ValueError("no image block in GIF")
+    return frames
 
 
 def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
@@ -2130,7 +2252,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     multimodal analog of J4's explode.
 
     REAL for ``meta.format == 'avi'`` (uncompressed 24bpp DIB or MJPG
-    frames): frames are decoded and emitted as raw RGB bytes, evenly
+    frames) and ``'gif'`` (animated GIF: canvas-composed frames with
+    GCE transparency + disposal semantics, :func:`_parse_gif_frames`):
+    frames are decoded and emitted as raw RGB bytes, evenly
     subsampled to ``max_frames`` when the clip is longer; STUB for
     formats needing ffmpeg/pyav (fixed-stride byte windows stand in
     as "frames").
@@ -2150,9 +2274,14 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
             ):
                 raw = bytes(blob or b"")
                 frames = None
-                if (meta or {}).get("format") == "avi":
+                fmt = (meta or {}).get("format")
+                if fmt in ("avi", "gif"):
                     try:  # REAL: decoded frames, evenly subsampled
-                        decoded = _parse_avi(raw)
+                        decoded = (
+                            _parse_avi(raw)
+                            if fmt == "avi"
+                            else _parse_gif_frames(raw)
+                        )
                         n = len(decoded)
                         take = (
                             range(n)

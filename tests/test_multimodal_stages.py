@@ -2507,3 +2507,138 @@ def test_tga_ico_decode_media_and_fuzz(spark):
                     fn(bytes(b))
                 except ValueError:
                     pass
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF: canvas composition, transparency, disposal methods
+# ---------------------------------------------------------------------------
+
+
+def _encode_gif_anim(screen_wh, palette, frames, bg_idx=0):
+    """Test-side animated GIF writer.  ``frames`` is a list of dicts:
+    {idx: 2-D index array, left, top, disposal, transparent}."""
+    import numpy as np
+
+    W, H = screen_wh
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    n_pad = 1 << bits
+    out = bytearray(b"GIF89a")
+    out += W.to_bytes(2, "little") + H.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), bg_idx, 0])
+    for r, g, b in list(palette) + [(0, 0, 0)] * (n_pad - len(palette)):
+        out += bytes([r, g, b])
+    for fr in frames:
+        idx = np.asarray(fr["idx"], np.uint8)
+        h, w = idx.shape
+        disposal = fr.get("disposal", 0)
+        transparent = fr.get("transparent")
+        gce = bytes([
+            (disposal << 2) | (1 if transparent is not None else 0),
+            0, 0,
+            transparent if transparent is not None else 0,
+        ])
+        out += bytes([0x21, 0xF9, 4]) + gce + b"\x00"
+        out += bytes([0x2C])
+        out += fr.get("left", 0).to_bytes(2, "little")
+        out += fr.get("top", 0).to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        out += bytes([0x00])  # no local table, not interlaced
+        min_code = max(2, bits)
+        lzw = _lzw_encode(idx.ravel().tolist(), min_code)
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_gif_animation_composition_and_disposal():
+    """Frame-over-frame canvas semantics: sub-rect placement,
+    transparent pixels leaving the canvas intact, disposal 2 restoring
+    background, disposal 3 restoring the previous canvas."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_gif_frames
+
+    pal = [(10, 10, 10), (200, 0, 0), (0, 200, 0), (0, 0, 200)]
+    # frame 1: full 4x4 of color 1; frame 2: 2x2 patch of color 2 at
+    # (1,1) with disposal 2 (restore bg); frame 3: 2x2 patch color 3
+    # at (0,0) where index 0 is transparent
+    f1 = {"idx": np.full((4, 4), 1), "disposal": 1}
+    f2 = {"idx": np.full((2, 2), 2), "left": 1, "top": 1, "disposal": 2}
+    f3 = {"idx": np.array([[3, 0], [0, 3]]), "transparent": 0}
+    blob = _encode_gif_anim((4, 4), pal, [f1, f2, f3])
+    frames = _parse_gif_frames(blob)
+    assert len(frames) == 3
+    want1 = np.tile(np.array(pal[1], np.uint8), (4, 4, 1))
+    assert np.array_equal(frames[0], want1)
+    want2 = want1.copy()
+    want2[1:3, 1:3] = pal[2]
+    assert np.array_equal(frames[1], want2)
+    # disposal 2 restored the 2x2 rect to BACKGROUND (palette 0), then
+    # frame 3 painted color 3 at (0,0)/(1,1) with 0 transparent
+    want3 = want1.copy()
+    want3[1:3, 1:3] = pal[0]
+    want3[0, 0] = pal[3]
+    want3[1, 1] = pal[3]
+    assert np.array_equal(frames[2], want3)
+    # disposal 3: a frame rendered on top, then next frame sees the
+    # canvas as it was BEFORE it
+    g1 = {"idx": np.full((4, 4), 1), "disposal": 1}
+    g2 = {"idx": np.full((4, 4), 2), "disposal": 3}
+    g3 = {"idx": np.array([[3]]), "left": 0, "top": 0}
+    fr = _parse_gif_frames(_encode_gif_anim((4, 4), pal, [g1, g2, g3]))
+    assert np.array_equal(fr[1], np.tile(np.array(pal[2], np.uint8), (4, 4, 1)))
+    want = np.tile(np.array(pal[1], np.uint8), (4, 4, 1))
+    want[0, 0] = pal[3]
+    assert np.array_equal(fr[2], want)
+    assert len(_parse_gif_frames(blob, max_frames=2)) == 2
+
+
+def test_sample_frames_real_for_animated_gif(spark):
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import sample_frames
+
+    pal = [(0, 0, 0), (255, 255, 255)]
+    frames = [{"idx": np.full((3, 3), i % 2), "disposal": 1} for i in range(5)]
+    blob = _encode_gif_anim((3, 3), pal, frames)
+    out = sample_frames(
+        _media_df(spark, blob, "gif", media_type="video"), max_frames=8
+    ).collect()
+    assert len(out) == 5
+    for i, row in enumerate(sorted(out, key=lambda r: r.frame_idx)):
+        v = 255 if i % 2 else 0
+        got = np.frombuffer(bytes(row.frame), np.uint8).reshape(3, 3, 3)
+        assert (got == v).all(), i
+
+
+def test_gif_frames_fuzz_valueerror_only():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_gif_frames
+
+    rng = np.random.default_rng(79)
+    pal = [(0, 0, 0), (9, 9, 9), (99, 99, 99), (200, 200, 200)]
+    blob = _encode_gif_anim((5, 5), pal, [
+        {"idx": rng.integers(0, 4, (5, 5)), "disposal": 1},
+        {"idx": rng.integers(0, 4, (2, 3)), "left": 2, "top": 1,
+         "transparent": 1, "disposal": 2},
+    ])
+    _parse_gif_frames(blob)  # sanity
+    for cut in range(len(blob)):
+        try:
+            _parse_gif_frames(blob[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            _parse_gif_frames(bytes(b))
+        except ValueError:
+            pass
