@@ -7,8 +7,10 @@ striping; a metadata-only scan never reads the blobs).  Decode /
 feature-extract run as Arrow-batched ``mapInPandas`` stages.  Codecs:
 PPM (binary P6), 24-bit BMP, PNG (non-interlaced 8-bit gray/RGB/RGBA
 via stdlib zlib + filter reconstruction), GIF (stdlib LZW; animated GIFs decode to canvas-composed
-frame sequences with transparency + disposal semantics), and
-baseline JPEG (sequential 8-bit Huffman: entropy decode → dequant →
+frame sequences with transparency + disposal semantics), JPEG —
+both baseline sequential AND progressive (SOF2: spectral selection,
+successive approximation, EOB runs, refinement correction bits) —
+(8-bit Huffman: entropy decode → dequant →
 IDCT → chroma upsample → YCbCr→RGB), baseline TIFF (II/MM byte
 orders, strips, none/LZW/PackBits compression, horizontal predictor),
 TGA (uncompressed + RLE, truecolor/gray), and ICO (largest directory
@@ -22,8 +24,8 @@ decorrelation, CRC-verified frames) audio, and AVI
 are REAL — parsed pure-python + numpy to pixels/samples/frames and
 summarized as a 4×4 luminance grid / 16-window RMS energy profile /
 16-window temporal luminance profile; formats needing codec
-libraries this container doesn't ship (progressive JPEG/MP3/MP4 →
-libjpeg/torchaudio/ffmpeg) remain STUBBED and clearly marked — though
+libraries this container doesn't ship (MP3/MP4 →
+torchaudio/ffmpeg) remain STUBBED and clearly marked — though
 MP4 and MP3 are still DETECTED and measured (box walk / frame-header
 parse) by the header-only probe, so manifests over those corpora work
 without any decode.  Every media_type has ≥1 real codec.
@@ -813,16 +815,199 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
+def _jpeg_progressive_scan(data, pos, body, frame, huff, ri, state):
+    """Decode ONE progressive-JPEG scan (ITU-T T.81 §G.2) into the
+    accumulated coefficient arrays in ``state``: spectral selection
+    (Ss..Se), successive approximation (Ah/Al), interleaved or
+    single-component DC scans, single-component AC scans with EOB
+    runs, and the refinement correction-bit procedure.  Returns the
+    byte position just past the scan's entropy-coded segment."""
+    import numpy as np
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    if "coefs" not in state:
+        state["coefs"] = {
+            cid: np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+            for cid, hs, vs, tq in comps
+        }
+    ns = body[0] if body else 0
+    if ns < 1 or ns > len(comps) or len(body) < 1 + 2 * ns + 3:
+        raise ValueError("bad JPEG progressive SOS")
+    sel = []
+    for c in range(ns):
+        cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+        comp = next((x for x in comps if x[0] == cs), None)
+        if comp is None:
+            raise ValueError("JPEG scan references unknown component")
+        sel.append((comp, tt >> 4, tt & 15))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+    if se > 63 or ss > se or al > 13 or (ah and ah != al + 1):
+        raise ValueError("bad JPEG spectral selection / approximation")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG DC scan must have Se = 0")
+    if ss > 0 and ns != 1:
+        raise ValueError("JPEG AC scans must be single-component")
+
+    bits = _JpegBits(data, pos)
+    eobrun = 0
+    p1 = 1 << al
+
+    def correction(vec, k):
+        """Refinement correction bit for an already-nonzero coef."""
+        c = int(vec[k])
+        if bits.bits(1) and (c & p1) == 0:
+            vec[k] = c + (p1 if c >= 0 else -p1)
+
+    if ss == 0:  # --- DC scan (first or refinement), may interleave
+        tabs = []
+        for comp, td, ta in sel:
+            if ah == 0:
+                if (0, td) not in huff:
+                    raise ValueError("JPEG scan references missing DHT")
+                tabs.append((huff[(0, td)], _jpeg_fast_table(huff[(0, td)])))
+            else:
+                tabs.append(None)
+        preds = [0] * len(sel)
+
+        def dc_block(vec, ci):
+            if ah == 0:
+                s = _jpeg_huffdecode(bits, *tabs[ci])
+                if s > 11:
+                    raise ValueError("bad JPEG DC category")
+                preds[ci] += _jpeg_extend(bits.bits(s), s) if s else 0
+                vec[0] = preds[ci] << al
+            elif bits.bits(1):
+                vec[0] = int(vec[0]) | p1
+
+        if ns == 1:  # non-interleaved: the component's own block grid
+            comp = sel[0][0]
+            cid, hs, vs, tq = comp
+            arr = state["coefs"][cid]
+            bwc = -(-(-(-(w * hs) // hmax)) // 8)  # ceil(ceil(w·hs/hmax)/8)
+            bhc = -(-(-(-(h * vs) // vmax)) // 8)
+            rst = 0
+            for i in range(bhc * bwc):
+                if ri and i and i % ri == 0:
+                    bits.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0]
+                dc_block(arr[i // bwc, i % bwc], 0)
+        else:
+            rst = 0
+            for m in range(mcuy * mcux):
+                if ri and m and m % ri == 0:
+                    bits.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * len(sel)
+                my, mx = m // mcux, m % mcux
+                for ci, (comp, td, ta) in enumerate(sel):
+                    cid, hs, vs, tq = comp
+                    arr = state["coefs"][cid]
+                    for bv in range(vs):
+                        for bh in range(hs):
+                            dc_block(arr[my * vs + bv, mx * hs + bh], ci)
+    else:  # --- AC scan: single component over its own block grid
+        comp, td, ta = sel[0]
+        cid, hs, vs, tq = comp
+        arr = state["coefs"][cid]
+        if (1, ta) not in huff:  # both AC phases read the AC table
+            raise ValueError("JPEG scan references missing DHT")
+        act = (huff[(1, ta)], _jpeg_fast_table(huff[(1, ta)]))
+        bwc = -(-(-(-(w * hs) // hmax)) // 8)  # ceil(ceil(w·hs/hmax)/8)
+        bhc = -(-(-(-(h * vs) // vmax)) // 8)
+
+        def ac_first(vec):
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huffdecode(bits, *act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits.bits(r)
+                    return
+                k += r
+                if k > se or s > 13:
+                    raise ValueError("bad JPEG AC coefficient")
+                vec[k] = _jpeg_extend(bits.bits(s), s) << al
+                k += 1
+
+        def ac_refine(vec):
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_huffdecode(bits, *act)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r != 15:  # EOB run starts here
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.bits(r)
+                            break
+                        # r == 15 (ZRL): skip 16 zero-history coefs
+                    else:
+                        if s != 1:
+                            raise ValueError("bad JPEG AC refinement code")
+                        newval = p1 if bits.bits(1) else -p1
+                    while k <= se:
+                        if int(vec[k]) != 0:
+                            correction(vec, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        vec[k] = newval
+                    k += 1
+            if eobrun:
+                while k <= se:
+                    if int(vec[k]) != 0:
+                        correction(vec, k)
+                    k += 1
+                eobrun -= 1
+
+        block = ac_first if ah == 0 else ac_refine
+        rst = 0
+        for i in range(bhc * bwc):
+            if ri and i and i % ri == 0:
+                bits.restart(rst)
+                rst = (rst + 1) & 7
+                eobrun = 0
+            block(arr[i // bwc, i % bwc])
+
+    state["nscans"] = state.get("nscans", 0) + 1
+    return bits.pos
+
+
 def _parse_jpeg(data: bytes):
-    """REAL codec: baseline sequential 8-bit JPEG decoder — stdlib +
-    numpy only, no codec libraries.  Supports SOF0/SOF1 (sequential
-    DCT, Huffman), 1-component grayscale and 3-component YCbCr with
+    """REAL codec: 8-bit JPEG decoder — stdlib + numpy only, no
+    codec libraries.  Supports SOF0/SOF1 (baseline/extended
+    sequential DCT) AND SOF2 (progressive DCT: spectral selection,
+    successive approximation, interleaved/non-interleaved DC scans,
+    single-component AC scans with EOB runs and refinement
+    correction bits — :func:`_jpeg_progressive_scan`), 1-component
+    grayscale and 3-component YCbCr with
     sampling factors 1–2 (4:4:4, 4:2:2, 4:2:0), restart intervals,
     0xFF00 byte stuffing, 8- and 16-bit quantization tables.  Decode:
     Huffman entropy decode → dequantize → de-zigzag → batched 8×8
     IDCT (numpy matrix form) → level shift → chroma upsample (sample
-    replication) → YCbCr→RGB (JFIF/Rec.601 full range).  Progressive
-    (SOF2), arithmetic coding, 12-bit precision, and 4-component
+    replication) → YCbCr→RGB (JFIF/Rec.601 full range).  Arithmetic
+    coding, 12-bit precision, and 4-component
     (CMYK) files raise ValueError → quarantine.  Returns (h, w, 3)
     uint8.  The reference has no media handling at all (extension
     surface; its ETL is catalog/orders TypeScript, e.g.
@@ -837,6 +1022,8 @@ def _parse_jpeg(data: bytes):
     frame = None  # (h, w, [[cid, hs, vs, tq], ...])
     ri = 0  # restart interval in MCUs
     scan = None
+    progressive = False
+    pstate: dict = {}  # progressive coefficient accumulator
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -847,7 +1034,10 @@ def _parse_jpeg(data: bytes):
             raise ValueError("truncated JPEG")
         marker = data[pos]
         pos += 1
-        if marker == 0xD9:  # EOI without a scan
+        if marker == 0xD9:  # EOI
+            if progressive and pstate.get("nscans"):
+                pstate["done"] = True
+                break
             raise ValueError("JPEG has no scan data")
         if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone RST/TEM
             continue
@@ -888,7 +1078,8 @@ def _parse_jpeg(data: bytes):
                     raise ValueError("truncated JPEG DHT")
                 huff[(tc, th)] = _jpeg_build_huff(counts, body[i : i + total])
                 i += total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated JPEG SOF")
             prec = body[0]
@@ -911,15 +1102,20 @@ def _parse_jpeg(data: bytes):
                     raise ValueError("unsupported JPEG sampling factors")
                 comps.append([cid, hs, vs, tq])
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
-            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise ValueError("unsupported JPEG coding process")
         elif marker == 0xDD:  # DRI
             if len(body) != 2:
                 raise ValueError("bad JPEG DRI")
             ri = int.from_bytes(body, "big")
-        elif marker == 0xDA:  # SOS — single interleaved baseline scan
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if progressive:  # decode this scan now; more may follow
+                pos = _jpeg_progressive_scan(
+                    data, pos, body, frame, huff, ri, pstate
+                )
+                continue
             if len(body) < 1 or body[0] != len(frame[2]):
                 raise ValueError("JPEG scan must cover all components")
             if len(body) < 1 + 2 * body[0] + 3:
@@ -931,65 +1127,80 @@ def _parse_jpeg(data: bytes):
             scan = (tables, pos)
             break
         # else: APPn/COM — skipped
-    if scan is None:
-        raise ValueError("JPEG has no SOS")
+    if progressive:
+        if not pstate.get("done"):
+            raise ValueError("truncated progressive JPEG (missing EOI)")
+        h, w, comps = frame
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        coefs, quants = [], []
+        for cid, hs, vs, tq in comps:
+            if tq not in qt:
+                raise ValueError("JPEG component references missing DQT")
+            coefs.append(pstate["coefs"][cid])
+            quants.append(qt[tq])
+    else:
+        if scan is None:
+            raise ValueError("JPEG has no SOS")
 
-    h, w, comps = frame
-    sel, start = scan
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    coefs, dctabs, actabs, quants = [], [], [], []
-    for cid, hs, vs, tq in comps:
-        if cid not in sel:
-            raise ValueError("JPEG scan references unknown component")
-        if tq not in qt:
-            raise ValueError("JPEG component references missing DQT")
-        td, ta = sel[cid]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise ValueError("JPEG scan references missing DHT")
-        coefs.append(
-            np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
-        )
-        dctabs.append((huff[(0, td)], _jpeg_fast_table(huff[(0, td)])))
-        actabs.append((huff[(1, ta)], _jpeg_fast_table(huff[(1, ta)])))
-        quants.append(qt[tq])
+        h, w, comps = frame
+        sel, start = scan
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        coefs, dctabs, actabs, quants = [], [], [], []
+        for cid, hs, vs, tq in comps:
+            if cid not in sel:
+                raise ValueError("JPEG scan references unknown component")
+            if tq not in qt:
+                raise ValueError("JPEG component references missing DQT")
+            td, ta = sel[cid]
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("JPEG scan references missing DHT")
+            coefs.append(
+                np.zeros((mcuy * vs, mcux * hs, 64), np.int32)
+            )
+            dctabs.append((huff[(0, td)], _jpeg_fast_table(huff[(0, td)])))
+            actabs.append((huff[(1, ta)], _jpeg_fast_table(huff[(1, ta)])))
+            quants.append(qt[tq])
 
-    bits = _JpegBits(data, start)
-    preds = [0] * len(comps)
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            mcu_i = my * mcux + mx
-            if ri and mcu_i and mcu_i % ri == 0:
-                bits.restart(rst)
-                rst = (rst + 1) & 7
-                preds = [0] * len(comps)
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                dct, act, vecs = dctabs[ci], actabs[ci], coefs[ci]
-                for bv in range(vs):
-                    for bh in range(hs):
-                        vec = vecs[my * vs + bv, mx * hs + bh]
-                        s = _jpeg_huffdecode(bits, *dct)
-                        if s > 11:
-                            raise ValueError("bad JPEG DC category")
-                        preds[ci] += _jpeg_extend(bits.bits(s), s) if s else 0
-                        vec[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huffdecode(bits, *act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r != 15:
-                                    break  # EOB
-                                k += 16
-                                continue
-                            k += r
-                            if k > 63 or s > 10:
-                                raise ValueError("bad JPEG AC coefficient")
-                            vec[k] = _jpeg_extend(bits.bits(s), s)
-                            k += 1
+        bits = _JpegBits(data, start)
+        preds = [0] * len(comps)
+        rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                mcu_i = my * mcux + mx
+                if ri and mcu_i and mcu_i % ri == 0:
+                    bits.restart(rst)
+                    rst = (rst + 1) & 7
+                    preds = [0] * len(comps)
+                for ci, (cid, hs, vs, tq) in enumerate(comps):
+                    dct, act, vecs = dctabs[ci], actabs[ci], coefs[ci]
+                    for bv in range(vs):
+                        for bh in range(hs):
+                            vec = vecs[my * vs + bv, mx * hs + bh]
+                            s = _jpeg_huffdecode(bits, *dct)
+                            if s > 11:
+                                raise ValueError("bad JPEG DC category")
+                            preds[ci] += _jpeg_extend(bits.bits(s), s) if s else 0
+                            vec[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_huffdecode(bits, *act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r != 15:
+                                        break  # EOB
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63 or s > 10:
+                                    raise ValueError("bad JPEG AC coefficient")
+                                vec[k] = _jpeg_extend(bits.bits(s), s)
+                                k += 1
 
     t = _jpeg_dct_matrix()
     planes = []
@@ -1777,8 +1988,8 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     (uncompressed
     24bpp DIB or MJPG frames) is parsed to frames and summarized as a
     16-window temporal luminance profile.  Every other format keeps
-    the STUB below — MP3/MP4 and progressive JPEG need codec
-    libraries (torchaudio, ffmpeg, libjpeg) this container doesn't
+    the STUB below — MP3/MP4 need codec
+    libraries (torchaudio, ffmpeg) this container doesn't
     ship; swap the stub for a real codec without touching any Spark
     plumbing.  Malformed bytes raise ValueError → the decode stage
     marks the row ok=false (quarantine posture, not task failure).

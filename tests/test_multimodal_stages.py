@@ -1037,7 +1037,9 @@ def test_jpeg_rejects_unsupported_variants():
 
     img = np.full((8, 8, 3), 99, np.uint8)
     blob, _ = _encode_jpeg(img)
-    # progressive: flip SOF0 marker to SOF2
+    # a BASELINE scan relabeled SOF2 is malformed progressive (its SOS
+    # has Ss=0, Se=63 — a DC scan must have Se=0); real progressive
+    # streams decode, see test_jpeg_progressive_matches_baseline_decode
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError):
         _parse_jpeg(prog)
@@ -2640,5 +2642,229 @@ def test_gif_frames_fuzz_valueerror_only():
         b[i] = int(rng.integers(0, 256))
         try:
             _parse_gif_frames(bytes(b))
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+
+def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
+    """Test-side PROGRESSIVE JPEG encoder (ITU-T T.81 §G.1): reuses the
+    baseline encoder's quantized coefficients, then writes a scan
+    script — interleaved DC first (point transform = arithmetic
+    shift), DC refinements, per-component AC first scans in two
+    spectral bands (point transform = truncate toward zero), then AC
+    refinement scans with the correction-bit buffering rules (ZRL
+    flushed at the first significant-or-history coefficient after >15
+    insignificant zeros, EOB carrying trailing correction bits)."""
+    import numpy as np
+
+    _, coeffs = _encode_jpeg(px, sampling=sampling, qy=qy)
+    h, w = px.shape[:2]
+    hs, vs = sampling if sampling else (1, 1)
+    samplings = [(hs, vs), (1, 1), (1, 1)]
+    mcux, mcuy = -(-w // (8 * hs)), -(-h // (8 * vs))
+    q = np.ones(64, np.int64) if qy is None else np.asarray(qy, np.int64)
+
+    head = b"\xff\xd8"
+    head += _jpeg_seg(0xDB, b"\x00" + bytes(int(v) & 0xFF for v in q))
+    head += _jpeg_seg(
+        0xC2,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+        + bytes([1, (hs << 4) | vs, 0]) + bytes([2, 0x11, 0])
+        + bytes([3, 0x11, 0]),
+    )
+
+    def huffseg(symbols, cls):
+        symbols = sorted(symbols)
+        counts = [0] * 7 + [len(symbols)] + [0] * 8
+        code = {sym: i for i, sym in enumerate(symbols)}
+        seg = _jpeg_seg(
+            0xC4, bytes([cls << 4] + counts) + bytes(symbols)
+        )
+        return seg, code
+
+    def sos(comp_specs, ss, se, ah, a_l):
+        body = bytes([len(comp_specs)])
+        for cid, td, ta in comp_specs:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | a_l])
+        return _jpeg_seg(0xDA, body)
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (chs, cvs) in enumerate(samplings):
+                    for bv in range(cvs):
+                        for bh in range(chs):
+                            yield ci, coeffs[ci][my * cvs + bv, mx * chs + bh]
+
+    stream = bytearray(head)
+
+    # ---- DC first scan (all components interleaved, Al = al)
+    toks, syms, preds = [], set(), [0, 0, 0]
+    for ci, vec in mcu_blocks():
+        t = int(vec[0]) >> al  # DC point transform: arithmetic shift
+        d = t - preds[ci]
+        preds[ci] = t
+        s = abs(d).bit_length()
+        syms.add(s)
+        toks.append((s, d))
+    seg, code = huffseg(syms, 0)
+    bw = _JpegBitWriter()
+    for s, d in toks:
+        bw.put(code[s], 8)
+        if s:
+            bw.put(d if d >= 0 else d + (1 << s) - 1, s)
+    bw.pad()
+    stream += seg + sos([(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, 0, al)
+    stream += bytes(bw.out)
+
+    # ---- DC refinement scans (Ah = level+1, Al = level)
+    for level in range(al - 1, -1, -1):
+        bw = _JpegBitWriter()
+        for ci, vec in mcu_blocks():
+            bw.put((int(vec[0]) >> level) & 1, 1)
+        bw.pad()
+        stream += sos(
+            [(1, 0, 0), (2, 0, 0), (3, 0, 0)], 0, 0, level + 1, level
+        )
+        stream += bytes(bw.out)
+
+    # ---- AC scans, per component, two spectral bands
+    def comp_blocks(ci):
+        chs, cvs = samplings[ci]
+        bwc = -(-(-(-(w * chs) // hs)) // 8)
+        bhc = -(-(-(-(h * cvs) // vs)) // 8)
+        for i in range(bhc * bwc):
+            yield coeffs[ci][i // bwc, i % bwc]
+
+    def ac_first(ci, ss, se, a_l, emit, code=None):
+        for vec in comp_blocks(ci):
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(vec[k])
+                t = (abs(v) >> a_l) * (1 if v > 0 else -1)
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    emit(0xF0, None, [])
+                    run -= 16
+                s = abs(t).bit_length()
+                emit((run << 4) | s,
+                     (t if t >= 0 else t + (1 << s) - 1, s), [])
+                run = 0
+            if run:
+                emit(0x00, None, [])
+
+    def ac_refine(ci, ss, se, a_l, emit, code=None):
+        for vec in comp_blocks(ci):
+            run, corrections = 0, []
+            for k in range(ss, se + 1):
+                a = abs(int(vec[k]))
+                now = a >> a_l
+                if now == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    emit(0xF0, None, corrections)
+                    corrections = []
+                    run -= 16
+                if now > 1:  # history-nonzero: buffer the next bit
+                    corrections.append(now & 1)
+                    continue
+                emit((run << 4) | 1,
+                     (1 if int(vec[k]) > 0 else 0, 1), corrections)
+                corrections = []
+                run = 0
+            if run or corrections:
+                emit(0x00, None, corrections)
+
+    for ci in range(3):
+        bands = [(1, split), (split + 1, 63)]
+        for ss, se in bands:
+            for phase, levels in (("first", [al]),
+                                  ("refine", range(al - 1, -1, -1))):
+                for level in levels:
+                    fn = ac_first if phase == "first" else ac_refine
+                    syms = set()
+                    fn(ci, ss, se, level,
+                       lambda sym, extra, corr: syms.add(sym))
+                    seg, code = huffseg(syms or {0x00}, 1)
+                    bw = _JpegBitWriter()
+
+                    def emit(sym, extra, corr):
+                        bw.put(code[sym], 8)
+                        if extra is not None:
+                            bw.put(*extra)
+                        for b in corr:
+                            bw.put(b, 1)
+
+                    fn(ci, ss, se, level, emit)
+                    bw.pad()
+                    ah = 0 if phase == "first" else level + 1
+                    stream += seg + sos([(ci + 1, 0, 0)], ss, se, ah, level)
+                    stream += bytes(bw.out)
+
+    return bytes(stream) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The whole point of progressive coding: the SAME quantized
+    coefficients, delivered across a scan script, must reconstruct the
+    IDENTICAL image.  Random images across sampling modes and two
+    successive-approximation depths, compared pixel-exact against the
+    baseline decode."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(83)
+    for sampling in [(1, 1), (2, 2), (2, 1)]:
+        for al in (1, 2):
+            px = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+            base, _ = _encode_jpeg(px, sampling=sampling)
+            prog = _encode_jpeg_progressive(px, al=al, sampling=sampling)
+            assert np.array_equal(_parse_jpeg(prog), _parse_jpeg(base)), (
+                sampling, al)
+
+
+def test_jpeg_progressive_uniform_gray_exact():
+    """All-ones quant + uniform gray decodes bit-exact through the
+    progressive path (only DC survives; AC scans are pure EOB)."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    for v in (0, 7, 128, 255):
+        px = np.full((16, 16, 3), v, np.uint8)
+        got = _parse_jpeg(_encode_jpeg_progressive(px, al=1, sampling=(2, 2)))
+        assert (got == v).all(), v
+
+
+def test_jpeg_progressive_fuzz_valueerror_only():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(89)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = _encode_jpeg_progressive(px, al=1, sampling=(2, 2))
+    _parse_jpeg(blob)  # sanity
+    for cut in range(len(blob)):
+        try:
+            _parse_jpeg(blob[:cut])
+        except ValueError:
+            pass
+    for _ in range(250):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        try:
+            _parse_jpeg(bytes(b))
         except ValueError:
             pass
