@@ -2163,7 +2163,7 @@ def _probe_blob(data: bytes) -> dict:
             seglen = int.from_bytes(data[pos : pos + 2], "big")
             if seglen < 2 or pos + seglen > len(data):
                 raise ValueError("truncated JPEG segment")
-            if marker in (0xC0, 0xC1) and seglen >= 7:
+            if marker in (0xC0, 0xC1, 0xC2) and seglen >= 7:
                 out.update(
                     detected_format="jpeg",
                     height=int.from_bytes(data[pos + 3 : pos + 5], "big"),
