@@ -2016,9 +2016,15 @@ def _encode_flac(chans, rate=44100, bps=16, blocksize=192, mode="independent",
             side = [l - r for l, r in zip(block[0], block[1])]
             subs = [(mid, bps), (side, bps + 1)]
         for samples, cbps in subs:
-            _flac_write_subframe(bw, samples, cbps, kind=subframe,
+            kind = subframe
+            order = (len(lpc[0]) if kind == "lpc"
+                     else int(kind[5:]) if kind.startswith("fixed") else 0)
+            if order >= len(samples):
+                kind = "verbatim"  # short last frame: order must fit
+            _flac_write_subframe(bw, samples, cbps, kind=kind,
                                  wasted=wasted, part_order=part_order,
-                                 escape_bits=escape_bits, lpc=lpc)
+                                 escape_bits=escape_bits,
+                                 lpc=lpc if kind == "lpc" else None)
         bw.align()
         frame = bytes(hdr) + bw.bytes_()
         stream += frame + _flac_crc16(frame).to_bytes(2, "big")
