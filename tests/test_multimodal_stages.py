@@ -2657,7 +2657,8 @@ def test_gif_frames_fuzz_valueerror_only():
 # ---------------------------------------------------------------------------
 
 
-def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
+def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None,
+                             restart=0):
     """Test-side PROGRESSIVE JPEG encoder (ITU-T T.81 §G.1): reuses the
     baseline encoder's quantized coefficients, then writes a scan
     script — interleaved DC first (point transform = arithmetic
@@ -2677,6 +2678,8 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
 
     head = b"\xff\xd8"
     head += _jpeg_seg(0xDB, b"\x00" + bytes(int(v) & 0xFF for v in q))
+    if restart:
+        head += _jpeg_seg(0xDD, restart.to_bytes(2, "big"))
     head += _jpeg_seg(
         0xC2,
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
@@ -2710,6 +2713,11 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
 
     stream = bytearray(head)
 
+    def rst_marker(bw, state):
+        bw.pad()
+        bw.out += bytes([0xFF, 0xD0 + state[0]])
+        state[0] = (state[0] + 1) & 7
+
     # ---- DC first scan (all components interleaved, Al = al)
     toks, syms, preds = [], set(), [0, 0, 0]
     for ci, vec in mcu_blocks():
@@ -2719,9 +2727,27 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
         s = abs(d).bit_length()
         syms.add(s)
         toks.append((s, d))
+    # recompute tokens with per-restart prediction resets if needed
+    if restart:
+        toks, preds, i = [], [0, 0, 0], 0
+        per_mcu = sum(chs * cvs for chs, cvs in samplings)
+        for ci, vec in mcu_blocks():
+            if i % (restart * per_mcu) == 0 and i:
+                preds = [0, 0, 0]
+            i += 1
+            t = int(vec[0]) >> al
+            d = t - preds[ci]
+            preds[ci] = t
+            s = abs(d).bit_length()
+            syms.add(s)
+            toks.append((s, d))
     seg, code = huffseg(syms, 0)
     bw = _JpegBitWriter()
-    for s, d in toks:
+    rst = [0]
+    per_mcu = sum(chs * cvs for chs, cvs in samplings)
+    for i, (s, d) in enumerate(toks):
+        if restart and i and i % (restart * per_mcu) == 0:
+            rst_marker(bw, rst)
         bw.put(code[s], 8)
         if s:
             bw.put(d if d >= 0 else d + (1 << s) - 1, s)
@@ -2732,7 +2758,10 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
     # ---- DC refinement scans (Ah = level+1, Al = level)
     for level in range(al - 1, -1, -1):
         bw = _JpegBitWriter()
-        for ci, vec in mcu_blocks():
+        rst = [0]
+        for i, (ci, vec) in enumerate(mcu_blocks()):
+            if restart and i and i % (restart * per_mcu) == 0:
+                rst_marker(bw, rst)
             bw.put((int(vec[0]) >> level) & 1, 1)
         bw.pad()
         stream += sos(
@@ -2748,8 +2777,10 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
         for i in range(bhc * bwc):
             yield coeffs[ci][i // bwc, i % bwc]
 
-    def ac_first(ci, ss, se, a_l, emit, code=None):
-        for vec in comp_blocks(ci):
+    def ac_first(ci, ss, se, a_l, emit, code=None, on_block=None):
+        for bi, vec in enumerate(comp_blocks(ci)):
+            if on_block:
+                on_block(bi)
             run = 0
             for k in range(ss, se + 1):
                 v = int(vec[k])
@@ -2767,8 +2798,10 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
             if run:
                 emit(0x00, None, [])
 
-    def ac_refine(ci, ss, se, a_l, emit, code=None):
-        for vec in comp_blocks(ci):
+    def ac_refine(ci, ss, se, a_l, emit, code=None, on_block=None):
+        for bi, vec in enumerate(comp_blocks(ci)):
+            if on_block:
+                on_block(bi)
             run, corrections = 0, []
             for k in range(ss, se + 1):
                 a = abs(int(vec[k]))
@@ -2802,6 +2835,7 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
                        lambda sym, extra, corr: syms.add(sym))
                     seg, code = huffseg(syms or {0x00}, 1)
                     bw = _JpegBitWriter()
+                    rst = [0]
 
                     def emit(sym, extra, corr):
                         bw.put(code[sym], 8)
@@ -2810,7 +2844,11 @@ def _encode_jpeg_progressive(px, al=1, split=20, sampling=None, qy=None):
                         for b in corr:
                             bw.put(b, 1)
 
-                    fn(ci, ss, se, level, emit)
+                    def on_block(bi):
+                        if restart and bi and bi % restart == 0:
+                            rst_marker(bw, rst)
+
+                    fn(ci, ss, se, level, emit, on_block=on_block)
                     bw.pad()
                     ah = 0 if phase == "first" else level + 1
                     stream += seg + sos([(ci + 1, 0, 0)], ss, se, ah, level)
@@ -2874,3 +2912,20 @@ def test_jpeg_progressive_fuzz_valueerror_only():
             _parse_jpeg(bytes(b))
         except ValueError:
             pass
+
+
+def test_jpeg_progressive_restart_intervals():
+    """RSTn markers inside progressive scans: DC prediction and EOB-run
+    state reset at each restart, in interleaved DC scans AND
+    per-component AC scans — decode must stay pixel-identical to the
+    restart-free stream."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_jpeg
+
+    rng = np.random.default_rng(97)
+    px = rng.integers(0, 256, (40, 33, 3), dtype=np.uint8)
+    plain = _parse_jpeg(_encode_jpeg_progressive(px, al=1, sampling=(2, 2)))
+    for ri in (1, 3):
+        blob = _encode_jpeg_progressive(px, al=1, sampling=(2, 2), restart=ri)
+        assert np.array_equal(_parse_jpeg(blob), plain), ri
