@@ -637,6 +637,14 @@ def _parse_tiff(data: bytes):
         raise ValueError(f"unsupported TIFF compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
+    # variants that would silently MIS-decode if ignored → hard reject
+    if one(266, 1) != 1:  # FillOrder 2: LSB-first bit packing
+        raise ValueError("LSB-first TIFF FillOrder not supported")
+    if one(284, 1) != 1:  # PlanarConfiguration 2: separate planes
+        raise ValueError("planar TIFF configuration not supported")
+    orientation = one(274, 1)
+    if not 1 <= orientation <= 8:
+        raise ValueError(f"bad TIFF orientation {orientation}")
 
     offsets = tags.get(273)
     counts = tags.get(279)
@@ -674,11 +682,30 @@ def _parse_tiff(data: bytes):
     if predictor == 2:  # horizontal differencing: undo per row/channel
         px = np.cumsum(px, axis=1, dtype=np.uint8)
     if photometric == 2:
-        return np.ascontiguousarray(px[..., :3])  # drop alpha if present
-    gray = px[..., 0]
-    if photometric == 0:  # WhiteIsZero
-        gray = 255 - gray
-    return np.repeat(gray[..., None], 3, axis=2)
+        px = px[..., :3]  # drop alpha if present
+    else:
+        gray = px[..., 0]
+        if photometric == 0:  # WhiteIsZero
+            gray = 255 - gray
+        px = np.repeat(gray[..., None], 3, axis=2)
+    # EXIF/TIFF orientation (tag 274): normalize to row0=top, col0=left
+    # — camera files commonly carry 3/6/8 and ignoring the tag would
+    # hand downstream features a rotated image.
+    if orientation == 2:
+        px = px[:, ::-1]
+    elif orientation == 3:
+        px = px[::-1, ::-1]
+    elif orientation == 4:
+        px = px[::-1]
+    elif orientation == 5:
+        px = px.transpose(1, 0, 2)
+    elif orientation == 6:
+        px = px.transpose(1, 0, 2)[:, ::-1]
+    elif orientation == 7:
+        px = px.transpose(1, 0, 2)[::-1, ::-1]
+    elif orientation == 8:
+        px = px.transpose(1, 0, 2)[::-1]
+    return np.ascontiguousarray(px)
 
 
 #: zigzag scan order: _JPEG_ZZ[k] = linear 8x8 index of the k-th

@@ -2929,3 +2929,56 @@ def test_jpeg_progressive_restart_intervals():
     for ri in (1, 3):
         blob = _encode_jpeg_progressive(px, al=1, sampling=(2, 2), restart=ri)
         assert np.array_equal(_parse_jpeg(blob), plain), ri
+
+
+def test_tiff_orientation_and_misdecode_rejections():
+    """Orientation tag 274 normalizes all 8 EXIF poses to
+    row0=top/col0=left; FillOrder 2 and PlanarConfiguration 2 (which
+    would silently mis-decode if ignored) hard-reject."""
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_tiff
+
+    rng = np.random.default_rng(101)
+    px = rng.integers(0, 256, (6, 4, 3), dtype=np.uint8)
+
+    def with_short_tag(blob, tag, value):
+        """Append/patch a SHORT tag by rebuilding the IFD in place is
+        complex; instead splice the tag value into an existing one via
+        the encoder being extended — simpler: rewrite entry if present
+        else rebuild via direct IFD surgery."""
+        b = bytearray(blob)
+        ifd = int.from_bytes(b[4:8], "little")
+        n = int.from_bytes(b[ifd : ifd + 2], "little")
+        entries = [bytes(b[ifd + 2 + 12 * i : ifd + 14 + 12 * i])
+                   for i in range(n)]
+        new = (tag.to_bytes(2, "little") + (3).to_bytes(2, "little")
+               + (1).to_bytes(4, "little")
+               + int(value).to_bytes(2, "little") + b"\x00\x00")
+        entries = sorted(
+            [e for e in entries
+             if int.from_bytes(e[:2], "little") != tag] + [new]
+        )
+        out = (bytes(b[:ifd]) + len(entries).to_bytes(2, "little")
+               + b"".join(entries) + b"\x00\x00\x00\x00")
+        return out
+
+    base = _encode_tiff(px)
+    want = {
+        1: px,
+        2: px[:, ::-1],
+        3: px[::-1, ::-1],
+        4: px[::-1],
+        5: px.transpose(1, 0, 2),
+        6: px.transpose(1, 0, 2)[:, ::-1],
+        7: px.transpose(1, 0, 2)[::-1, ::-1],
+        8: px.transpose(1, 0, 2)[::-1],
+    }
+    for o, exp in want.items():
+        got = _parse_tiff(with_short_tag(base, 274, o))
+        assert np.array_equal(got, exp), o
+    for tag, val in [(266, 2), (284, 2), (274, 9), (274, 0)]:
+        with pytest.raises(ValueError):
+            _parse_tiff(with_short_tag(base, tag, val))
