@@ -1388,16 +1388,24 @@ def _parse_f80(b: bytes) -> float:
 
 
 def _parse_aiff(data: bytes):
-    """REAL codec: AIFF parser — stdlib + numpy only.  IFF chunk walk:
-    COMM (channels, frames, bit depth, 80-bit-float rate) + SSND
-    (offset/blocksize then big-endian PCM).  Supports 8/16-bit PCM,
+    """REAL codec: AIFF / AIFF-C parser — stdlib + numpy only.  IFF
+    chunk walk: COMM (channels, frames, bit depth, 80-bit-float rate)
+    + SSND (offset/blocksize then PCM).  AIFF-C (FORM type ``AIFC``)
+    adds a compression type to COMM: ``NONE`` (big-endian, like plain
+    AIFF) and ``sowt`` (byte-swapped little-endian 16-bit — the
+    Mac-origin convention) are supported; compressed types (ima4,
+    ulaw, ...) raise ValueError → quarantine.  Supports 8/16-bit PCM,
     any channel count (mono-mixed).  Returns (samples float64 in
     [-1, 1], sample_rate)."""
     import numpy as np
 
-    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] != b"AIFF":
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] not in (
+        b"AIFF", b"AIFC"
+    ):
         raise ValueError("not an AIFF file")
+    aifc = data[8:12] == b"AIFC"
     comm = ssnd = None
+    little = False
     pos = 12
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -1406,7 +1414,7 @@ def _parse_aiff(data: bytes):
         if body + size > len(data):
             raise ValueError("truncated AIFF chunk")
         if cid == b"COMM" and comm is None:
-            if size < 18:
+            if size < 18 or (aifc and size < 22):
                 raise ValueError("bad AIFF COMM chunk")
             comm = (
                 int.from_bytes(data[body : body + 2], "big"),        # channels
@@ -1414,6 +1422,14 @@ def _parse_aiff(data: bytes):
                 int.from_bytes(data[body + 6 : body + 8], "big"),    # bits
                 _parse_f80(data[body + 8 : body + 18]),              # rate
             )
+            if aifc:
+                ctype = data[body + 18 : body + 22]
+                if ctype == b"sowt":
+                    little = True
+                elif ctype != b"NONE":
+                    raise ValueError(
+                        f"unsupported AIFF-C compression {ctype!r}"
+                    )
         elif cid == b"SSND" and ssnd is None:
             if size < 8:
                 raise ValueError("bad AIFF SSND chunk")
@@ -1428,7 +1444,8 @@ def _parse_aiff(data: bytes):
     if bits == 8:  # signed, unlike WAV
         samples = np.frombuffer(ssnd, np.int8).astype(np.float64) / 128.0
     else:
-        samples = np.frombuffer(ssnd[: len(ssnd) & ~1], ">i2").astype(np.float64) / 32768.0
+        dt = "<i2" if little else ">i2"
+        samples = np.frombuffer(ssnd[: len(ssnd) & ~1], dt).astype(np.float64) / 32768.0
     frames = len(samples) // n_channels
     if frames == 0:
         raise ValueError("empty AIFF data")
@@ -2242,7 +2259,7 @@ def _probe_blob(data: bytes) -> dict:
             detected_format="au",
             sample_rate=int.from_bytes(data[16:20], "big"),
         )
-    elif data[:4] == b"FORM" and data[8:12] == b"AIFF":
+    elif data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         pos = 12
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]

@@ -2982,3 +2982,35 @@ def test_tiff_orientation_and_misdecode_rejections():
     for tag, val in [(266, 2), (284, 2), (274, 9), (274, 0)]:
         with pytest.raises(ValueError):
             _parse_tiff(with_short_tag(base, tag, val))
+
+
+def test_aifc_sowt_and_none_decode():
+    """AIFF-C: 'NONE' decodes like plain AIFF; 'sowt' is byte-swapped
+    little-endian 16-bit; compressed types quarantine."""
+    import numpy as np
+
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_aiff, _probe_blob
+
+    rng = np.random.default_rng(103)
+    samples = rng.integers(-20000, 20000, 200).astype(np.int16)
+
+    def aifc(ctype, pcm):
+        comm = ((1).to_bytes(2, "big") + len(samples).to_bytes(4, "big")
+                + (16).to_bytes(2, "big")
+                + b"\x40\x0e\xac\x44\x00\x00\x00\x00\x00\x00"  # 44100 f80
+                + ctype + b"\x00\x00")  # pstring name (empty, padded)
+        ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + pcm
+        chunks = (b"COMM" + len(comm).to_bytes(4, "big") + comm
+                  + b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd)
+        return b"FORM" + (4 + len(chunks)).to_bytes(4, "big") + b"AIFC" + chunks
+
+    want = samples.astype(np.float64) / 32768.0
+    got_be, rate = _parse_aiff(aifc(b"NONE", samples.astype(">i2").tobytes()))
+    assert rate == 44100 and np.array_equal(got_be, want)
+    got_le, _ = _parse_aiff(aifc(b"sowt", samples.astype("<i2").tobytes()))
+    assert np.array_equal(got_le, want)
+    assert _probe_blob(aifc(b"sowt", b""))["sample_rate"] == 44100
+    with pytest.raises(ValueError):
+        _parse_aiff(aifc(b"ima4", samples.tobytes()))
