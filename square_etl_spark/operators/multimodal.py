@@ -13,8 +13,9 @@ successive approximation, EOB runs, refinement correction bits) —
 (8-bit Huffman: entropy decode → dequant →
 IDCT → chroma upsample → YCbCr→RGB), baseline TIFF (II/MM byte
 orders, strips, none/LZW/PackBits compression, horizontal predictor),
-TGA (uncompressed + RLE, truecolor/gray), and ICO (largest directory
-entry, PNG or DIB payload)
+TGA (uncompressed + RLE, truecolor/gray), ICO (largest directory
+entry, PNG or DIB payload), and PCX (RLE, 3-plane RGB or
+VGA-paletted)
 images, WAV/AU/AIFF (8/16-bit
 integer PCM in all three container families, plus G.711 µ-law/A-law
 companded WAV and AU — audioop-reference-exact) and native FLAC (full
@@ -1453,6 +1454,55 @@ def _parse_aiff(data: bytes):
     return samples, int(round(rate))
 
 
+def _parse_pcx(data: bytes):
+    """REAL codec: ZSoft PCX parser — stdlib + numpy only.  RLE
+    decoding (0xC0-prefixed runs), row-planar layout, 8 bits per
+    plane: 3-plane RGB and 1-plane VGA-paletted (256-color table
+    after the 0x0C marker at EOF).  Returns (h, w, 3) uint8."""
+    import numpy as np
+
+    if len(data) < 128 or data[0] != 0x0A or data[2] != 1:
+        raise ValueError("not an RLE PCX")
+    bpp = data[3]
+    xmin = int.from_bytes(data[4:6], "little")
+    ymin = int.from_bytes(data[6:8], "little")
+    xmax = int.from_bytes(data[8:10], "little")
+    ymax = int.from_bytes(data[10:12], "little")
+    nplanes = data[65]
+    bpl = int.from_bytes(data[66:68], "little")
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    if bpp != 8 or nplanes not in (1, 3) or w <= 0 or h <= 0 or bpl < w:
+        raise ValueError(
+            f"unsupported PCX (bpp={bpp}, planes={nplanes}, {w}x{h})"
+        )
+    total = h * nplanes * bpl
+    out = bytearray()
+    pos = 128
+    while len(out) < total:
+        if pos >= len(data):
+            raise ValueError("truncated PCX RLE stream")
+        b = data[pos]
+        pos += 1
+        if b >= 0xC0:
+            if pos >= len(data):
+                raise ValueError("truncated PCX RLE run")
+            out += bytes([data[pos]]) * (b & 0x3F)
+            pos += 1
+        else:
+            out.append(b)
+    rows = np.frombuffer(bytes(out[:total]), np.uint8).reshape(h, nplanes, bpl)
+    px = rows[:, :, :w].transpose(0, 2, 1)  # (h, w, planes)
+    if nplanes == 3:
+        return np.ascontiguousarray(px)
+    # paletted: VGA table = 0x0C marker + 768 bytes, at EXACTLY the
+    # last 769 bytes of the file (searching for the marker byte would
+    # false-match 0x0C values inside the palette itself)
+    if len(data) < pos + 769 or data[-769] != 0x0C:
+        raise ValueError("PCX missing VGA palette")
+    pal = np.frombuffer(data[-768:], np.uint8).reshape(256, 3)
+    return pal[px[..., 0]]
+
+
 def _parse_tga(data: bytes):
     """REAL codec: Truevision TGA parser — stdlib + numpy only.
     Uncompressed and RLE, truecolor 24/32-bit (BGRA order, alpha
@@ -2020,8 +2070,9 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     TIFF 6.0: II/MM byte orders, strips, compression none/LZW
     early-change/PackBits, horizontal predictor, gray/RGB),
     ``format='tga'`` (uncompressed/RLE truecolor + gray, both
-    origins), and ``format='ico'`` (largest icon, PNG or 24/32-bit
-    DIB payload) decode
+    origins), ``format='ico'`` (largest icon, PNG or 24/32-bit
+    DIB payload), and ``format='pcx'`` (RLE, 3-plane RGB or
+    VGA-paletted) decode
     like the other image codecs; ``format='au'`` (Sun/NeXT, 8/16
     bit linear PCM) and ``format='aiff'`` (IFF COMM/SSND, 8/16-bit
     big-endian PCM, 80-bit-float rate) parse like WAV to mono samples
@@ -2054,6 +2105,8 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_tiff(bytes(content)))
     if media_type == "image" and fmt == "tga":
         return _grid_features(_parse_tga(bytes(content)))
+    if media_type == "image" and fmt == "pcx":
+        return _grid_features(_parse_pcx(bytes(content)))
     if media_type == "image" and fmt == "ico":
         return _grid_features(_parse_ico(bytes(content)))
     if media_type == "audio" and fmt == "wav":
@@ -2231,6 +2284,14 @@ def _probe_blob(data: bytes) -> dict:
                 return out
             pos += 8 + size + (size & 1)
         raise ValueError("WAV has no fmt chunk")
+    elif len(data) >= 12 and data[0] == 0x0A and data[2] == 1 and data[1] in (0, 2, 3, 4, 5):
+        out.update(
+            detected_format="pcx",
+            width=int.from_bytes(data[8:10], "little")
+            - int.from_bytes(data[4:6], "little") + 1,
+            height=int.from_bytes(data[10:12], "little")
+            - int.from_bytes(data[6:8], "little") + 1,
+        )
     elif data[:4] == b"\x00\x00\x01\x00" and len(data) >= 8:
         # ICO: geometry of the largest directory entry (0 byte = 256).
         # TGA is deliberately absent here — it has no magic number.
@@ -2574,5 +2635,6 @@ _IMAGE_PARSERS.update(
         "tiff": _parse_tiff,
         "tga": _parse_tga,
         "ico": _parse_ico,
+        "pcx": _parse_pcx,
     }
 )

@@ -3014,3 +3014,80 @@ def test_aifc_sowt_and_none_decode():
     assert _probe_blob(aifc(b"sowt", b""))["sample_rate"] == 44100
     with pytest.raises(ValueError):
         _parse_aiff(aifc(b"ima4", samples.tobytes()))
+
+
+def test_pcx_parser_rgb_and_paletted():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_pcx, _probe_blob
+
+    rng = np.random.default_rng(107)
+
+    def rle(row_bytes):
+        out = bytearray()
+        i = 0
+        while i < len(row_bytes):
+            run = 1
+            while (run < 63 and i + run < len(row_bytes)
+                   and row_bytes[i + run] == row_bytes[i]):
+                run += 1
+            if run > 1 or row_bytes[i] >= 0xC0:
+                out += bytes([0xC0 | run, row_bytes[i]])
+            else:
+                out.append(row_bytes[i])
+            i += run
+        return bytes(out)
+
+    def encode(px, pal=None):
+        h, w = px.shape[:2]
+        nplanes = 1 if pal is not None else 3
+        bpl = w + (w & 1)  # even bytes-per-line like real writers
+        head = bytearray(128)
+        head[0], head[1], head[2], head[3] = 0x0A, 5, 1, 8
+        head[4:6] = (0).to_bytes(2, "little")
+        head[6:8] = (0).to_bytes(2, "little")
+        head[8:10] = (w - 1).to_bytes(2, "little")
+        head[10:12] = (h - 1).to_bytes(2, "little")
+        head[65] = nplanes
+        head[66:68] = bpl.to_bytes(2, "little")
+        body = bytearray()
+        for y in range(h):
+            if nplanes == 3:
+                for c in range(3):
+                    row = bytes(px[y, :, c]) + b"\x00" * (bpl - w)
+                    body += rle(row)
+            else:
+                row = bytes(px[y]) + b"\x00" * (bpl - w)
+                body += rle(row)
+        blob = bytes(head) + bytes(body)
+        if pal is not None:
+            blob += b"\x0c" + bytes(np.asarray(pal, np.uint8).ravel())
+        return blob
+
+    px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    got = _parse_pcx(encode(px))
+    assert np.array_equal(got, px)
+    info = _probe_blob(encode(px))
+    assert info["detected_format"] == "pcx"
+    assert (info["width"], info["height"]) == (7, 9)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    got = _parse_pcx(encode(idx, pal=pal))
+    assert np.array_equal(got, pal[idx])
+    # fuzz: ValueError only
+    blob = encode(px)
+    for cut in range(len(blob)):
+        for fn in (_parse_pcx, _probe_blob):
+            try:
+                fn(blob[:cut])
+            except ValueError:
+                pass
+    for _ in range(250):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        for fn in (_parse_pcx, _probe_blob):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
