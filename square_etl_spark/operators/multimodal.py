@@ -94,27 +94,52 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
 
 
 def _parse_ppm(data: bytes):
-    """REAL codec: binary PPM (P6) parser — stdlib + numpy only.
-    Header: ``P6 <width> <height> <maxval>`` with whitespace/comment
-    separators, then raw RGB triples.  Returns (h, w, 3) uint8."""
+    """REAL codec: binary PNM family parser — stdlib + numpy only.
+    ``P6`` (PPM, raw RGB triples), ``P5`` (PGM, raw grayscale — the
+    classic ML-dataset format), and ``P4`` (PBM, packed 1-bit rows,
+    1 = black per spec).  Header: magic, width, height, then maxval
+    for P5/P6, with whitespace/comment separators.  Returns
+    (h, w, 3) uint8."""
     import re
 
     import numpy as np
 
-    m = re.match(
-        rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s",
-        data,
-    )
-    if not m:
-        raise ValueError("not a binary PPM (P6)")
-    w, h, maxval = (int(g) for g in m.groups())
-    if maxval != 255 or w <= 0 or h <= 0:
-        raise ValueError(f"unsupported PPM geometry ({w}x{h}, maxval={maxval})")
-    need = w * h * 3
+    dims = rb"\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)"
+    if data[:2] == b"P4":
+        m = re.match(rb"P4" + dims + rb"\s", data)
+        if not m:
+            raise ValueError("bad PBM (P4) header")
+        w, h = (int(g) for g in m.groups())
+        maxval = 1
+    else:
+        m = re.match(
+            rb"(P[56])" + dims + rb"\s+(?:#[^\n]*\s+)*(\d+)\s", data
+        )
+        if not m:
+            raise ValueError("not a binary PNM (P4/P5/P6)")
+        w, h, maxval = (int(g) for g in m.groups()[1:])
+    if (data[:2] != b"P4" and maxval != 255) or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PNM geometry ({w}x{h}, maxval={maxval})")
+    if data[:2] == b"P4":  # packed bits, row-aligned to whole bytes
+        stride = (w + 7) // 8
+        need = stride * h
+        raw = data[m.end() : m.end() + need]
+        if len(raw) < need:
+            raise ValueError("truncated PBM pixel data")
+        bits = np.unpackbits(
+            np.frombuffer(raw, np.uint8).reshape(h, stride), axis=1
+        )[:, :w]
+        gray = (1 - bits).astype(np.uint8) * 255  # 1 = black per spec
+        return np.repeat(gray[..., None], 3, axis=2)
+    ch = 3 if data[:2] == b"P6" else 1
+    need = w * h * ch
     px = data[m.end() : m.end() + need]
     if len(px) < need:
-        raise ValueError("truncated PPM pixel data")
-    return np.frombuffer(px, np.uint8).reshape(h, w, 3)
+        raise ValueError("truncated PNM pixel data")
+    px = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px)
 
 
 def _parse_bmp(data: bytes):
@@ -2091,7 +2116,7 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     """
     if media_type not in ("image", "audio", "video"):
         raise NotImplementedError(f"no codec for media_type={media_type!r}")
-    if media_type == "image" and fmt == "ppm":
+    if media_type == "image" and fmt in ("ppm", "pgm", "pbm"):
         return _grid_features(_parse_ppm(bytes(content)))
     if media_type == "image" and fmt == "bmp":
         return _grid_features(_parse_bmp(bytes(content)))
@@ -2181,16 +2206,17 @@ def _probe_blob(data: bytes) -> dict:
     quarantine contract as the decoders)."""
     out = {"detected_format": None, "width": None, "height": None,
            "sample_rate": None}
-    if data[:2] == b"P6":
+    if data[:2] in (b"P4", b"P5", b"P6"):
         import re as _re
 
         m = _re.match(
-            rb"P6\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s",
+            rb"P[456]\s+(?:#[^\n]*\s+)*(\d+)\s+(?:#[^\n]*\s+)*(\d+)\s",
             data,
         )
         if not m:
-            raise ValueError("bad PPM header")
-        out.update(detected_format="ppm", width=int(m.group(1)),
+            raise ValueError("bad PNM header")
+        fmt = {b"P4": "pbm", b"P5": "pgm", b"P6": "ppm"}[data[:2]]
+        out.update(detected_format=fmt, width=int(m.group(1)),
                    height=int(m.group(2)))
     elif data[:2] == b"BM":
         if len(data) < 26:
@@ -2628,6 +2654,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 _IMAGE_PARSERS.update(
     {
         "ppm": _parse_ppm,
+        "pgm": _parse_ppm,
+        "pbm": _parse_ppm,
         "bmp": _parse_bmp,
         "png": _parse_png,
         "gif": _parse_gif,

@@ -3091,3 +3091,35 @@ def test_pcx_parser_rgb_and_paletted():
                 fn(bytes(b))
             except ValueError:
                 pass
+
+
+def test_pnm_family_pgm_pbm():
+    """P5 grayscale and P4 packed-bitmap decode exactly; probe reports
+    the accurate family name per magic."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_ppm, _probe_blob
+
+    rng = np.random.default_rng(109)
+    gray = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+    pgm = b"P5\n7 5\n255\n" + gray.tobytes()
+    got = _parse_ppm(pgm)
+    assert np.array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+    assert _probe_blob(pgm)["detected_format"] == "pgm"
+    bits = rng.integers(0, 2, (4, 11), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)
+    pbm = b"P4\n11 4\n" + packed.tobytes()
+    got = _parse_ppm(pbm)
+    want = np.repeat(((1 - bits) * 255).astype(np.uint8)[..., None], 3, axis=2)
+    assert np.array_equal(got, want)
+    info = _probe_blob(pbm)
+    assert info["detected_format"] == "pbm"
+    assert (info["width"], info["height"]) == (11, 4)
+    # fuzz both
+    for blob in (pgm, pbm):
+        for cut in range(len(blob)):
+            for fn in (_parse_ppm, _probe_blob):
+                try:
+                    fn(blob[:cut])
+                except ValueError:
+                    pass
