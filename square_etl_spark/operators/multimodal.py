@@ -14,8 +14,8 @@ successive approximation, EOB runs, refinement correction bits) —
 IDCT → chroma upsample → YCbCr→RGB), baseline TIFF (II/MM byte
 orders, strips, none/LZW/PackBits compression, horizontal predictor),
 TGA (uncompressed + RLE, truecolor/gray), ICO (largest directory
-entry, PNG or DIB payload), and PCX (RLE, 3-plane RGB or
-VGA-paletted)
+entry, PNG or DIB payload), PCX (RLE, 3-plane RGB or
+VGA-paletted), and QOI (all six op types)
 images, WAV/AU/AIFF (8/16-bit
 integer PCM in all three container families, plus G.711 µ-law/A-law
 companded WAV and AU — audioop-reference-exact) and native FLAC (full
@@ -27,9 +27,10 @@ summarized as a 4×4 luminance grid / 16-window RMS energy profile /
 16-window temporal luminance profile; formats needing codec
 libraries this container doesn't ship (MP3/MP4 →
 torchaudio/ffmpeg) remain STUBBED and clearly marked — though
-MP4 and MP3 are still DETECTED and measured (box walk / frame-header
-parse) by the header-only probe, so manifests over those corpora work
-without any decode.  Every media_type has ≥1 real codec.
+MP4, MP3, WebP, and Ogg (Vorbis/Opus) are still DETECTED and
+measured (box walk / frame-header / chunk-header parse) by the
+header-only probe, so manifests over those corpora work without any
+decode.  Every media_type has ≥1 real codec.
 The Spark-side contract — schemas, batch iteration, partitioning — is
 real and tested for all of them.
 
@@ -1479,6 +1480,73 @@ def _parse_aiff(data: bytes):
     return samples, int(round(rate))
 
 
+def _parse_qoi(data: bytes):
+    """REAL codec: QOI ("Quite OK Image", qoiformat.org spec) decoder
+    — stdlib + numpy only.  All six op types (RGB, RGBA, INDEX, DIFF,
+    LUMA, RUN), the 64-entry hash index, and the 8-byte end marker.
+    Alpha is dropped.  Returns (h, w, 3) uint8."""
+    import numpy as np
+
+    if len(data) < 22 or data[:4] != b"qoif":
+        raise ValueError("not a QOI")
+    w = int.from_bytes(data[4:8], "big")
+    h = int.from_bytes(data[8:12], "big")
+    channels, colorspace = data[12], data[13]
+    if channels not in (3, 4) or colorspace > 1 or w <= 0 or h <= 0:
+        raise ValueError(f"bad QOI header ({w}x{h}, ch={channels})")
+    if w * h > (1 << 24):
+        raise ValueError("QOI dimensions too large")
+    n = w * h
+    out = np.empty((n, 3), np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r = g = b = 0
+    a = 255
+    pos, i = 14, 0
+    while i < n:
+        if pos >= len(data):
+            raise ValueError("truncated QOI stream")
+        op = data[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            if pos + 3 > len(data):
+                raise ValueError("truncated QOI RGB op")
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            if pos + 4 > len(data):
+                raise ValueError("truncated QOI RGBA op")
+            r, g, b, a = data[pos : pos + 4]
+            pos += 4
+        elif op >> 6 == 0:  # INDEX
+            r, g, b, a = index[op & 0x3F]
+        elif op >> 6 == 1:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) & 0xFF
+            g = (g + ((op >> 2) & 3) - 2) & 0xFF
+            b = (b + (op & 3) - 2) & 0xFF
+        elif op >> 6 == 2:  # LUMA
+            if pos >= len(data):
+                raise ValueError("truncated QOI LUMA op")
+            dg = (op & 0x3F) - 32
+            b2 = data[pos]
+            pos += 1
+            r = (r + dg + ((b2 >> 4) & 0xF) - 8) & 0xFF
+            g = (g + dg) & 0xFF
+            b = (b + dg + (b2 & 0xF) - 8) & 0xFF
+        else:  # RUN (1..62 stored as run-1; 63/64 are RGB/RGBA tags)
+            run = (op & 0x3F) + 1
+            if i + run > n:
+                raise ValueError("QOI run overflows image")
+            out[i : i + run] = (r, g, b)
+            i += run
+            continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[i] = (r, g, b)
+        i += 1
+    if data[pos : pos + 8] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI missing end marker")
+    return out.reshape(h, w, 3)
+
+
 def _parse_pcx(data: bytes):
     """REAL codec: ZSoft PCX parser — stdlib + numpy only.  RLE
     decoding (0xC0-prefixed runs), row-planar layout, 8 bits per
@@ -2096,8 +2164,9 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     early-change/PackBits, horizontal predictor, gray/RGB),
     ``format='tga'`` (uncompressed/RLE truecolor + gray, both
     origins), ``format='ico'`` (largest icon, PNG or 24/32-bit
-    DIB payload), and ``format='pcx'`` (RLE, 3-plane RGB or
-    VGA-paletted) decode
+    DIB payload), ``format='pcx'`` (RLE, 3-plane RGB or
+    VGA-paletted), and ``format='qoi'`` (full op set + hash index)
+    decode
     like the other image codecs; ``format='au'`` (Sun/NeXT, 8/16
     bit linear PCM) and ``format='aiff'`` (IFF COMM/SSND, 8/16-bit
     big-endian PCM, 80-bit-float rate) parse like WAV to mono samples
@@ -2132,6 +2201,8 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _grid_features(_parse_tga(bytes(content)))
     if media_type == "image" and fmt == "pcx":
         return _grid_features(_parse_pcx(bytes(content)))
+    if media_type == "image" and fmt == "qoi":
+        return _grid_features(_parse_qoi(bytes(content)))
     if media_type == "image" and fmt == "ico":
         return _grid_features(_parse_ico(bytes(content)))
     if media_type == "audio" and fmt == "wav":
@@ -2310,6 +2381,62 @@ def _probe_blob(data: bytes) -> dict:
                 return out
             pos += 8 + size + (size & 1)
         raise ValueError("WAV has no fmt chunk")
+    elif data[:4] == b"qoif":
+        if len(data) < 14:
+            raise ValueError("truncated QOI header")
+        out.update(
+            detected_format="qoi",
+            width=int.from_bytes(data[4:8], "big"),
+            height=int.from_bytes(data[8:12], "big"),
+        )
+    elif data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # WebP: geometry from the first VP8/VP8L/VP8X chunk header —
+        # decode itself needs libwebp (manifest-only, like MP4/MP3)
+        if len(data) < 20:
+            raise ValueError("truncated WebP header")
+        ct = data[12:16]
+        if ct == b"VP8X" and len(data) >= 30:
+            out.update(
+                detected_format="webp",
+                width=int.from_bytes(data[24:27], "little") + 1,
+                height=int.from_bytes(data[27:30], "little") + 1,
+            )
+        elif ct == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+            packed = int.from_bytes(data[21:25], "little")
+            out.update(
+                detected_format="webp",
+                width=(packed & 0x3FFF) + 1,
+                height=((packed >> 14) & 0x3FFF) + 1,
+            )
+        elif ct == b"VP8 " and len(data) >= 30 and data[23:26] == b"\x9d\x01\x2a":
+            out.update(
+                detected_format="webp",
+                width=int.from_bytes(data[26:28], "little") & 0x3FFF,
+                height=int.from_bytes(data[28:30], "little") & 0x3FFF,
+            )
+        else:
+            raise ValueError("unrecognized WebP chunk layout")
+    elif data[:4] == b"OggS":
+        # Ogg: rate from the id header in the first page — Vorbis
+        # ("\x01vorbis", u32 LE at +12) or Opus ("OpusHead", u32 LE
+        # input rate at +12); decode needs codec libs (manifest-only)
+        if len(data) < 28:
+            raise ValueError("truncated Ogg page")
+        nseg = data[26]
+        body = 27 + nseg
+        seg = data[body : body + 64]
+        if seg[:8] == b"OpusHead" and len(seg) >= 16:
+            out.update(
+                detected_format="ogg",
+                sample_rate=int.from_bytes(seg[12:16], "little"),
+            )
+        elif seg[:7] == b"\x01vorbis" and len(seg) >= 16:
+            out.update(
+                detected_format="ogg",
+                sample_rate=int.from_bytes(seg[12:16], "little"),
+            )
+        else:
+            raise ValueError("unrecognized Ogg stream type")
     elif len(data) >= 12 and data[0] == 0x0A and data[2] == 1 and data[1] in (0, 2, 3, 4, 5):
         out.update(
             detected_format="pcx",
@@ -2664,5 +2791,6 @@ _IMAGE_PARSERS.update(
         "tga": _parse_tga,
         "ico": _parse_ico,
         "pcx": _parse_pcx,
+        "qoi": _parse_qoi,
     }
 )

@@ -3123,3 +3123,142 @@ def test_pnm_family_pgm_pbm():
                     fn(blob[:cut])
                 except ValueError:
                     pass
+
+
+# ---------------------------------------------------------------------------
+# QOI codec + WebP/Ogg header-only probes
+# ---------------------------------------------------------------------------
+
+
+def _encode_qoi(px):
+    """Test-side QOI encoder exercising all six op types."""
+    import numpy as np
+
+    h, w = px.shape[:2]
+    out = bytearray(b"qoif" + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                    + bytes([3, 0]))
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    flat = px.reshape(-1, 3)
+    i = 0
+    while i < len(flat):
+        r, g, b = (int(v) for v in flat[i])
+        cur = (r, g, b, 255)
+        if cur == prev:
+            run = 1
+            while (run < 62 and i + run < len(flat)
+                   and tuple(int(v) for v in flat[i + run]) == (r, g, b)):
+                run += 1
+            out.append(0xC0 | (run - 1))
+            i += run
+            continue
+        hidx = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if index[hidx] == cur:
+            out.append(hidx)
+        else:
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([0xFE, r, g, b])
+        index[hidx] = cur
+        prev = cur
+        i += 1
+    return bytes(out) + b"\x00" * 7 + b"\x01"
+
+
+def test_qoi_roundtrip_and_probe():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _parse_qoi, _probe_blob
+
+    rng = np.random.default_rng(113)
+    # smooth image → DIFF/LUMA/RUN/INDEX ops; random → RGB ops
+    smooth = np.cumsum(rng.integers(-2, 3, (16, 16, 3)), axis=1).astype(np.uint8)
+    noisy = rng.integers(0, 256, (9, 5, 3), dtype=np.uint8)
+    flat = np.full((4, 4, 3), 77, np.uint8)
+    for px in (smooth, noisy, flat):
+        blob = _encode_qoi(px)
+        assert np.array_equal(_parse_qoi(blob), px)
+    info = _probe_blob(_encode_qoi(noisy))
+    assert info["detected_format"] == "qoi"
+    assert (info["width"], info["height"]) == (5, 9)
+    blob = _encode_qoi(smooth)
+    for cut in range(len(blob)):
+        for fn in (_parse_qoi, _probe_blob):
+            try:
+                fn(blob[:cut])
+            except ValueError:
+                pass
+    for _ in range(250):
+        b = bytearray(blob)
+        i = int(rng.integers(0, len(b)))
+        b[i] = int(rng.integers(0, 256))
+        for fn in (_parse_qoi, _probe_blob):
+            try:
+                fn(bytes(b))
+            except ValueError:
+                pass
+
+
+def test_webp_ogg_probe_header_only():
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    def riff_webp(chunk):
+        return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+    # VP8 lossy: chunk header + 3-byte frame tag + start code + dims
+    vp8 = riff_webp(b"VP8 " + (10).to_bytes(4, "little")
+                    + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                    + (640).to_bytes(2, "little") + (360).to_bytes(2, "little"))
+    got = _probe_blob(vp8)
+    assert got["detected_format"] == "webp"
+    assert (got["width"], got["height"]) == (640, 360)
+    # VP8L lossless: signature byte + 14+14 bit packed dims
+    packed = (99 | (49 << 14)).to_bytes(4, "little")  # 100x50 stored -1
+    vp8l = riff_webp(b"VP8L" + (5).to_bytes(4, "little") + b"\x2f" + packed)
+    got = _probe_blob(vp8l)
+    assert (got["width"], got["height"]) == (100, 50)
+    # VP8X extended: flags + 24-bit dims - 1
+    vp8x = riff_webp(b"VP8X" + (10).to_bytes(4, "little") + b"\x00" * 4
+                     + (1919).to_bytes(3, "little") + (1079).to_bytes(3, "little"))
+    got = _probe_blob(vp8x)
+    assert (got["width"], got["height"]) == (1920, 1080)
+
+    def ogg_page(payload):
+        nseg = 1
+        return (b"OggS" + b"\x00\x02" + b"\x00" * 20
+                + bytes([nseg, len(payload)]) + payload)
+
+    opus = ogg_page(b"OpusHead" + bytes([1, 2]) + b"\x00\x00"
+                    + (48000).to_bytes(4, "little") + b"\x00" * 3)
+    got = _probe_blob(opus)
+    assert got["detected_format"] == "ogg"
+    assert got["sample_rate"] == 48000
+    vorbis = ogg_page(b"\x01vorbis" + b"\x00" * 5
+                      + (44100).to_bytes(4, "little") + b"\x00" * 8)
+    got = _probe_blob(vorbis)
+    assert got["sample_rate"] == 44100
+    rng = np.random.default_rng(127)
+    for blob in (vp8, vp8l, opus, vorbis):
+        for cut in range(len(blob)):
+            try:
+                _probe_blob(blob[:cut])
+            except ValueError:
+                pass
+        for _ in range(150):
+            b = bytearray(blob)
+            i = int(rng.integers(0, len(b)))
+            b[i] = int(rng.integers(0, 256))
+            try:
+                _probe_blob(bytes(b))
+            except ValueError:
+                pass
