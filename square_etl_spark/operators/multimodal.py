@@ -2230,7 +2230,22 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     return feats
 
 
-def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+#: detected_format → (media_type, format) for detection-based decode
+#: dispatch; only formats with a REAL decoder appear (mp3/mp4/webp/
+#: ogg probe fine but have no in-container decoder, so detection
+#: falls back to the declared metadata for them).
+_DETECTED_DECODERS = {
+    **{f: ("image", f) for f in
+       ("ppm", "pgm", "pbm", "bmp", "png", "gif", "jpeg", "tiff",
+        "ico", "pcx", "qoi")},
+    **{f: ("audio", f) for f in ("wav", "au", "aiff", "flac")},
+    "avi": ("video", "avi"),
+}
+
+
+def decode_media(
+    media: DataFrame, batch_size_hint: int = 256, detect: bool = False
+) -> DataFrame:
     """Arrow-batched decode stage: binary blobs → feature vectors.
 
     ``mapInPandas`` streams Arrow record batches through Python once;
@@ -2239,7 +2254,15 @@ def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     downstream shuffles never carry bytes).  Failures are per-row
     (ok=false), matching the engine's quarantine posture (E1) rather
     than failing the task.
-    """
+
+    ``detect=True`` dispatches on the blob's MAGIC BYTES instead of
+    trusting ``meta.format`` — real corpora routinely mislabel
+    containers (a .png that is actually a BMP), and declared-format
+    dispatch would quarantine rows a probe-then-decode pass handles
+    fine.  Detection falls back to the declared metadata when the
+    container is unrecognized or has no in-container decoder
+    (mp3/mp4/webp/ogg).  TGA is declared-only either way (it has no
+    magic number)."""
     import pandas as pd
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -2250,10 +2273,18 @@ def decode_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             ):
                 media_type = (meta or {}).get("media_type")
                 fmt = (meta or {}).get("format")
+                raw = bytes(blob or b"")
+                if detect:
+                    try:
+                        found = _probe_blob(raw)["detected_format"]
+                        if found in _DETECTED_DECODERS:
+                            media_type, fmt = _DETECTED_DECODERS[found]
+                    except ValueError:
+                        pass  # unrecognized container: declared wins
                 out["media_id"].append(mid)
                 out["n_bytes"].append(len(blob) if blob is not None else 0)
                 try:
-                    feats = _decode_blob(bytes(blob or b""), media_type, fmt)
+                    feats = _decode_blob(raw, media_type, fmt)
                     out["ok"].append(True)
                     out["features"].append(feats)
                 except (NotImplementedError, ValueError):

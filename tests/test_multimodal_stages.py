@@ -3262,3 +3262,38 @@ def test_webp_ogg_probe_header_only():
                 _probe_blob(bytes(b))
             except ValueError:
                 pass
+
+
+def test_decode_media_detect_dispatches_on_magic_bytes(spark):
+    """detect=True decodes a blob whose declared format lies (a 'png'
+    that is actually a BMP, a 'wav' that is actually FLAC) by
+    dispatching on magic bytes; declared-format dispatch quarantines
+    the same rows.  Unrecognized containers fall back to the declared
+    metadata (the stub path), and TGA still decodes by declaration."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _grid_features,
+        _rms_features,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(131)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    bmp_blob = _encode_tiff(px)  # actually a TIFF, declared png
+    out = decode_media(_media_df(spark, bmp_blob, "png"), detect=True).collect()[0]
+    assert out.ok and out.features == _grid_features(px)
+    assert not decode_media(_media_df(spark, bmp_blob, "png")).collect()[0].ok
+
+    sig = [int(v) for v in rng.integers(-3000, 3000, 300)]
+    flac_blob = _encode_flac([sig])  # declared wav, actually FLAC
+    out = decode_media(
+        _media_df(spark, flac_blob, "wav", media_type="audio"), detect=True
+    ).collect()[0]
+    assert out.ok
+    assert out.features == _rms_features(_flac_expected([sig], 16))
+
+    # no magic (TGA): declared dispatch still applies under detect=True
+    tga_blob = _encode_tga(px, rle=True)
+    out = decode_media(_media_df(spark, tga_blob, "tga"), detect=True).collect()[0]
+    assert out.ok and out.features == _grid_features(px)
