@@ -1530,8 +1530,11 @@ _register(
         "text_fingerprint",
         _fingerprints,
         oracle=r"""
+        -- CAST to BIGINT is load-bearing: list_sum types the per-token
+        -- hash HUGEINT, which pandas/arrow coerces to float64 on fetch;
+        -- 57-bit fingerprints exceed 2^53 and round (r05 red row).
         SELECT doc_id,
-          list_reduce(
+          CAST(list_reduce(
             list_prepend(CAST(0 AS BIGINT),
               list_transform(
                 list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -1542,7 +1545,7 @@ _register(
                             * (CAST(1 AS BIGINT)
                                << (4 * (8 - CAST(i AS INTEGER)))))))),
             (acc, h) -> (acc * 31 + h) & 144115188075855871
-          ) AS fingerprint
+          ) AS BIGINT) AS fingerprint
         FROM documents
         """,
         doc="portable rolling-hash doc fingerprint, oracle-recomputed fold",

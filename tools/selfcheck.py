@@ -6,6 +6,13 @@ order-insensitive value hash (values canonicalized: floats rounded to
 9 significant-ish decimals, timestamps to ISO strings).  Stricter than
 necessary is fine — if this passes, the driver's check should too.
 
+Driver-faithful since r06: the oracle side is fetched via ``.df()``
+(pandas) rather than ``fetchall()``, so arrow/pandas type coercion —
+e.g. DuckDB HUGEINT → float64, which silently rounds values > 2^53 —
+is applied here exactly as the driver applies it.  ``fetchall()``
+returned exact Python ints and let the r05 ``text_fingerprint``
+HUGEINT oracle ship selfcheck-green but driver-red.
+
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
 
@@ -25,6 +32,22 @@ from square_etl_spark import get_spark  # noqa: E402
 from square_etl_spark.queries import registry  # noqa: E402
 
 
+def _from_pandas(v):
+    """Normalize pandas null sentinels (NaN/NaT/NA) back to None so a
+    SQL NULL hashes as ∅ on both sides; leave every other value — in
+    particular float64s produced by HUGEINT coercion — untouched."""
+    if v is None:
+        return None
+    try:
+        import pandas as pd
+
+        if pd.isna(v):
+            return None
+    except (TypeError, ValueError):
+        pass  # array-valued cell: pd.isna is elementwise, keep as-is
+    return v
+
+
 def canon(v) -> str:
     if v is None:
         return "∅"
@@ -39,7 +62,7 @@ def canon(v) -> str:
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
-    if isinstance(v, list):
+    if isinstance(v, list) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
@@ -89,9 +112,22 @@ def main() -> int:
                 print(f"      note: empty result")
             continue
         try:
+            # .df() (not fetchall) so pandas/arrow coercion — HUGEINT →
+            # float64, DATE → Timestamp — hits the oracle values exactly
+            # as it does in the driver's comparison path.
             cur = con.execute(spec.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            date_cols = {d[0] for d in cur.description if d[1] == "Date"}
+            odf = cur.df()
+            ocols = list(odf.columns)
+            # .df() widens DATE to midnight Timestamp; fold it back so a
+            # SQL DATE canonicalizes like Spark's datetime.date (the
+            # driver compares these green, so this is not a real skew).
+            for c in date_cols:
+                odf[c] = odf[c].dt.date
+            orows = [
+                tuple(_from_pandas(v) for v in r)
+                for r in odf.itertuples(index=False, name=None)
+            ]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {spec.name}: oracle error: {exc}")
             failures.append(spec.name)
