@@ -592,6 +592,27 @@ MINHASH_B = [
 _PORTABLE_MASK = (1 << 57) - 1
 
 
+def _minhash_constants(k: int) -> tuple[list[int], list[int]]:
+    """Permutation constants for ``k`` minhash functions: the first 16
+    are the literal :data:`MINHASH_A`/:data:`MINHASH_B` (embedded
+    verbatim in the ``dedup_minhash_lsh`` DuckDB oracle — they must
+    never change), and any further constants are generated by a fixed
+    64-bit LCG so arbitrary ``k`` (32/64 permutations for tighter
+    Jaccard estimates) works deterministically with the same
+    guarantees: A in [1, 2^25) keeps A·x < 2^57 overflow-free in ANSI
+    mode, B in [0, P)."""
+    a, b = list(MINHASH_A), list(MINHASH_B)
+    x = 0x5DEECE66D  # fixed seed: constants are part of the contract
+    while len(a) < k:
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        ai = (x >> 24) % ((1 << 25) - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        bi = (x >> 24) % MINHASH_P
+        a.append(ai)
+        b.append(bi)
+    return a[:k], b[:k]
+
+
 def portable_word_shingles(col: str, n: int = 3) -> F.Column:
     """Distinct word n-grams as 57-bit ENGINE-PORTABLE hashes
     (``array<long>``): per-word hash = first 32 md5 bits, adjacent
@@ -661,7 +682,7 @@ def minhash_banded_pairs(
     """
     r = num_hashes // bands
     assert bands * r == num_hashes, "bands must divide num_hashes"
-    assert num_hashes <= len(MINHASH_A), "extend MINHASH_A/B for more hashes"
+    mh_a, mh_b = _minhash_constants(num_hashes)
 
     sh = df.select(
         F.col(id_col), portable_word_shingles(content_col, 3).alias("sh")
@@ -671,8 +692,8 @@ def minhash_banded_pairs(
     # hash (r05: replaced seeded xxhash64 so the DuckDB oracle can
     # recompute every stage): h_i(s) = (A[i]·(s & 0xFFFFFFFF) + B[i])
     # mod P — all intermediates < 2^57, ANSI-overflow-free.
-    a_lit = F.array(*[F.lit(a).cast("long") for a in MINHASH_A])
-    b_lit = F.array(*[F.lit(b).cast("long") for b in MINHASH_B])
+    a_lit = F.array(*[F.lit(a).cast("long") for a in mh_a])
+    b_lit = F.array(*[F.lit(b).cast("long") for b in mh_b])
     lo32 = F.lit(0xFFFFFFFF)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     minhashes = F.transform(

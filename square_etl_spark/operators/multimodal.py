@@ -394,6 +394,12 @@ def _parse_gif_frames(data: bytes, max_frames: int = 0):
     H = int.from_bytes(data[8:10], "little")
     if W <= 0 or H <= 0:
         raise ValueError("bad GIF logical screen")
+    if W * H > (1 << 24):
+        # same cap as the JPEG/QOI parsers: a crafted 13-byte header
+        # claiming 65535×65535 must quarantine as ValueError, not
+        # trigger a multi-GB canvas allocation (MemoryError escapes
+        # the decode stages' ValueError-only quarantine).
+        raise ValueError("GIF logical screen too large")
     packed, bg_idx = data[10], data[11]
     pos, gct = 13, None
     if packed & 0x80:
@@ -492,6 +498,12 @@ def _parse_gif_frames(data: bytes, max_frames: int = 0):
         transparent, disposal = None, 0
         if max_frames and len(frames) >= max_frames:
             break
+        if len(frames) * H * W * 3 > (1 << 28):
+            # unbounded-caller (max_frames=0) decompression-bomb cap:
+            # a tiny blob can declare thousands of frames, each a full
+            # canvas copy — quarantine past 256 MB of decoded frames
+            # rather than exhaust executor memory.
+            raise ValueError("GIF animation too large to decode")
     if not frames:
         raise ValueError("no image block in GIF")
     return frames
@@ -2176,7 +2188,9 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
     losslessly to the same mono-samples contract; ``format='avi'``
     (uncompressed
     24bpp DIB or MJPG frames) is parsed to frames and summarized as a
-    16-window temporal luminance profile.  Every other format keeps
+    16-window temporal luminance profile; ``media_type='video',
+    format='gif'`` runs the animated-GIF canvas composer
+    (:func:`_parse_gif_frames`) to the same temporal-profile contract.  Every other format keeps
     the STUB below — MP3/MP4 need codec
     libraries (torchaudio, ffmpeg) this container doesn't
     ship; swap the stub for a real codec without touching any Spark
@@ -2219,6 +2233,12 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         return _rms_features(samples)
     if media_type == "video" and fmt == "avi":
         return _temporal_features(_parse_avi(bytes(content)))
+    if media_type == "video" and fmt == "gif":
+        # animated GIF as a video asset: canvas-composed frames
+        # (GCE transparency + disposal semantics) → temporal profile,
+        # same contract as AVI.  media_type='image'/gif above stays
+        # the first-frame grid-feature fast path.
+        return _temporal_features(_parse_gif_frames(bytes(content)))
     # STUB path: deterministic fake — bucket byte sums over windows
     if not content:
         return [0.0] * FEATURE_DIM

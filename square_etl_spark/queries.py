@@ -2498,6 +2498,213 @@ _register(
 )
 
 
+def _gif_2frame_parts() -> tuple[bytes, bytes]:
+    """Constant (prefix, suffix) of a 2-frame 2×2 animated GIF89a whose
+    single variable run — the 6-byte global color table, two gray
+    entries ``g,g,g,h,h,h`` — sits between them.  Frame 1 paints the
+    full canvas with palette index 0 (color g); frame 2 is a full-rect
+    image whose pixels are ``[0,0,0,1]`` with a Graphic Control
+    Extension declaring index 0 TRANSPARENT, so composition leaves
+    three canvas pixels at g and sets the bottom-right to h — the
+    oracle-checked bytes ride LZW decode, GCE transparency, and
+    cross-frame canvas persistence, not just a single-image parse.
+    The LZW streams emit CLEAR before every pixel code so all codes
+    stay 3-bit (no width growth) and the data is a pure constant."""
+
+    def pack3(codes: list[int]) -> bytes:
+        acc = bits = 0
+        out = bytearray()
+        for c in codes:  # GIF packs codes LSB-first
+            acc |= c << bits
+            bits += 3
+            while bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # header + logical screen (2×2, GCT flag, 2 entries, bg index 0)
+    prefix = (
+        b"GIF89a"
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + bytes([0xF0, 0x00, 0x00])
+    )
+    desc_full = (
+        bytes([0x2C])
+        + (0).to_bytes(2, "little") * 2
+        + (2).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + b"\x00"
+    )
+    # min_code=2 → codes 3-bit: CLEAR=4, EOI=5, literals 0/1
+    lzw1 = pack3([4, 0, 4, 0, 4, 0, 4, 0, 5])  # pixels 0,0,0,0
+    lzw2 = pack3([4, 0, 4, 0, 4, 0, 4, 1, 5])  # pixels 0,0,0,1
+    gce_plain = bytes([0x21, 0xF9, 0x04, 0x00, 0x0A, 0x00, 0x00, 0x00])
+    gce_transp0 = bytes([0x21, 0xF9, 0x04, 0x01, 0x0A, 0x00, 0x00, 0x00])
+    suffix = (
+        gce_plain + desc_full + bytes([2, len(lzw1)]) + lzw1 + b"\x00"
+        + gce_transp0 + desc_full + bytes([2, len(lzw2)]) + lzw2 + b"\x00"
+        + b"\x3B"
+    )
+    return prefix, suffix
+
+
+def _mm_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANIMATED-GIF frame path, oracle-hash-checked end-to-end:
+    per document, CONSTRUCT a 2-frame animated GIF in pure Column
+    expressions (constant structure, the 6-byte palette ``g,g,g,h,h,h``
+    spliced in with g = n_chars % 256, h = (31·n_chars + 7) % 256),
+    run it through the Arrow-batched decode stage as a VIDEO asset
+    (canvas composition with GCE transparency, then the 16-window
+    temporal luminance profile), and emit the first and last windows.
+    With 2 frames the integer-split windows are frame 1 for windows
+    1-8 and frame 2 for 9-16, so DuckDB predicts both arithmetically:
+    frame 1 is uniform g → g/255; frame 2 keeps three canvas pixels
+    at g (transparent index) and one at h → (3g+h)/1020.  Same
+    constructed-blob technique as :func:`_mm_decode_tiff`, but the
+    bytes ride the multi-frame composition path the frame sampler
+    uses (reference parity: sequential per-row decode, reference
+    src/jobs — here an Arrow stage; blobs never join a shuffle)."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    prefix, suffix = _gif_2frame_parts()
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.col("n_chars") % 256
+    h = (F.col("n_chars") * 31 + 7) % 256
+    byte_of = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
+    bg, bh = byte_of(g), byte_of(h)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(prefix), bg, bg, bg, bh, bh, bh, F.lit(suffix)).alias(
+            "content"
+        ),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("gif").alias("format"),
+            F.lit(2).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_first"),
+        F.element_at("features", 16).alias("f_last"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_gif_frames",
+        _mm_decode_gif_frames,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(70 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 255.0, 6) AS f_first,
+               ROUND((3 * (n_chars % 256) + (n_chars * 31 + 7) % 256)
+                     / 1020.0, 6) AS f_last
+        FROM documents
+        """,
+        doc="REAL animated-GIF canvas composition, oracle-checked: LZW + transparency end-to-end",
+    )
+)
+
+
+def _mm_probe_then_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-then-decode COMPOSITION, oracle-hash-checked: the
+    documented 100 TB posture (SCALING.md) run as ONE query instead of
+    two separately-checked stages.  A mixed-format corpus is
+    constructed per document (n_chars % 3 picks: a decodable 1×1
+    binary PPM, a valid WAV, or junk bytes), every row's declared
+    metadata LIES (``format='png'``), and the pipeline is:
+
+    1. header-only :func:`probe_media` over the whole corpus — magic
+       bytes only, no payload decode;
+    2. filter the manifest to ``ok AND detected_format = 'ppm'`` —
+       the probe predicate;
+    3. LEFT SEMI join the selection back to the media (at scale: the
+       second pass re-reads only selected blobs; the semi join is the
+       pushdown mechanism — the decode stage's input IS the filtered
+       set, so no decode compute is spent on WAV or junk rows);
+    4. detection-based :func:`decode_media(detect=True)` (declared
+       'png' would quarantine — detection routes to the PPM parser);
+    5. join decoded features to the manifest's probed geometry.
+
+    The oracle predicts the surviving rows (exactly the n_chars%3==0
+    documents) AND their values, so a green row certifies the decoded
+    row count equals the probe-selected count — the pushdown proof —
+    plus the composed values end-to-end."""
+    from square_etl_spark.operators.multimodal import (
+        decode_media,
+        probe_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = (32 + F.col("n_chars") % 64).cast("int")  # printable → 1-byte UTF-8
+    ppm = F.encode(
+        F.concat(F.lit("P6\n1 1\n255\n"), F.repeat(F.char(v), 3)), "UTF-8"
+    )
+    wav = F.lit(_WAV_16BIT_HEADER + b"\x00" * 64)
+    junk = F.lit(b"NOT-A-MEDIA-CONTAINER")
+    branch = F.col("n_chars") % 3
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(branch == 0, ppm).when(branch == 1, wav).otherwise(junk).alias(
+            "content"
+        ),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("png").alias("format"),  # deliberately wrong for all
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+    manifest = probe_media(media)
+    selected = manifest.filter(
+        F.col("ok") & (F.col("detected_format") == "ppm")
+    ).select("media_id", "detected_format", "width", "height")
+    decoded = decode_media(
+        media.join(selected.select("media_id"), on="media_id", how="left_semi"),
+        detect=True,
+    )
+    return decoded.join(selected, on="media_id").select(
+        "media_id",
+        "detected_format",
+        "width",
+        "height",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_gray"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_probe_then_decode",
+        _mm_probe_then_decode,
+        oracle="""
+        SELECT doc_id AS media_id,
+               'ppm' AS detected_format,
+               CAST(1 AS INTEGER) AS width,
+               CAST(1 AS INTEGER) AS height,
+               CAST(14 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((32 + n_chars % 64) / 255.0, 6) AS f_gray
+        FROM documents
+        WHERE n_chars % 3 = 0
+        """,
+        doc="probe→filter→semi-join→detect-decode composition: decode input pinned to probe selection",
+    )
+)
+
+
 def _mm_features_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → relational composition, oracle-checked end-to-end:
     the decoded feature stream (real BMP codec over constructed blobs,

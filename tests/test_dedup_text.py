@@ -441,3 +441,37 @@ def test_portable_hashing_matches_python_reference(spark):
         for i in range(16)
     ]
     assert mins == want
+
+
+def test_minhash_arbitrary_num_hashes(spark):
+    """num_hashes beyond the 16 literal constants works: the constant
+    generator extends the family deterministically (fixed LCG), the
+    first 16 stay the oracle-embedded literals, and every generated A
+    stays in [1, 2^25) so A·x never overflows a long in ANSI mode."""
+    from square_etl_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        _minhash_constants,
+        minhash_banded_pairs,
+    )
+
+    a32, b32 = _minhash_constants(32)
+    assert a32[:16] == MINHASH_A and b32[:16] == MINHASH_B
+    assert a32 == _minhash_constants(32)[0]  # deterministic
+    assert all(1 <= a < (1 << 25) for a in a32)
+    assert all(0 <= b < MINHASH_P for b in b32)
+    assert len(set(zip(a32, b32))) == 32
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "entirely different unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_banded_pairs(
+            df, num_hashes=32, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}

@@ -3297,3 +3297,68 @@ def test_decode_media_detect_dispatches_on_magic_bytes(spark):
     tga_blob = _encode_tga(px, rle=True)
     out = decode_media(_media_df(spark, tga_blob, "tga"), detect=True).collect()[0]
     assert out.ok and out.features == _grid_features(px)
+
+
+def test_decode_media_video_gif_temporal_profile(spark):
+    """media_type='video', format='gif' runs the animated-GIF canvas
+    composer through decode_media to the temporal-profile contract:
+    2 frames → windows 1-8 are frame 1's mean luminance, 9-16 frame
+    2's — the same dispatch shape as AVI."""
+    import numpy as np
+
+    from square_etl_spark.operators.multimodal import (
+        _parse_gif_frames,
+        _temporal_features,
+        decode_media,
+    )
+
+    pal = [(10, 10, 10), (250, 250, 250)]
+    frames = [
+        {"idx": np.zeros((2, 2), int)},
+        # transparency on idx 0: three canvas pixels stay at pal[0]
+        {"idx": np.array([[0, 0], [0, 1]]), "transparent": 0},
+    ]
+    blob = _encode_gif_anim((2, 2), pal, frames)
+    out = decode_media(
+        _media_df(spark, blob, "gif", media_type="video")
+    ).collect()[0]
+    assert out.ok
+    assert out.features == _temporal_features(_parse_gif_frames(blob))
+    assert out.features[0] == round(10 / 255.0, 6)
+    assert out.features[15] == round((3 * 10 + 250) / 4.0 / 255.0, 6)
+
+
+def test_gif_frames_logical_screen_bomb_guard():
+    """A 13-byte header claiming 65535×65535 must raise ValueError
+    (quarantine), not allocate a multi-GB canvas."""
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_gif_frames
+
+    blob = (
+        b"GIF89a"
+        + (65535).to_bytes(2, "little") * 2
+        + bytes([0x00, 0x00, 0x00])
+        + b"\x3B"
+    )
+    with pytest.raises(ValueError, match="too large"):
+        _parse_gif_frames(blob)
+
+
+def test_gif_frames_animation_bomb_cap():
+    """An unbounded-caller decode (max_frames=0) of a GIF whose frames
+    would compose past 256 MB of canvas snapshots quarantines with
+    ValueError instead of exhausting executor memory; a bounded caller
+    (the frame sampler's max_frames) is unaffected."""
+    import numpy as np
+    import pytest
+
+    from square_etl_spark.operators.multimodal import _parse_gif_frames
+
+    # 1024×1024 canvas → 3 MiB/frame-snapshot → cap trips at ~85 frames
+    one_px = {"idx": np.zeros((1, 1), int), "disposal": 1}
+    blob = _encode_gif_anim((1024, 1024), [(0, 0, 0), (1, 1, 1)],
+                            [one_px] * 100)
+    with pytest.raises(ValueError, match="too large"):
+        _parse_gif_frames(blob)
+    assert len(_parse_gif_frames(blob, max_frames=3)) == 3
