@@ -5707,117 +5707,97 @@ _register(
 # The driver's correctness harness checks queries in `queries()` dict order
 # and caps at 50 entries per round, so with 100+ registered queries the
 # ordering decides which get a hard oracle signal.  Rotation policy: each
-# round front-loads (a) queries never yet checked, then (b) new
-# registrations, then (c) the cohort whose last green row is oldest, so
-# every query's green evidence stays <=2 rounds old.  Round 5 =
-# multimodal_features_by_lang (registered r04 tail, never driver-checked)
-# + multimodal_decode_jpeg (new this round) + the four r02-cohort queries
-# deferred from the r04 head (their green rows are now three rounds old —
-# they MUST go first) + scd2_customer_segment front-loaded per r4 ADVICE
-# (the late-batch tie-semantics change shipped with test-only evidence)
-# + 42 of the 48 remaining r03-cohort queries + the flagship anchor = 50.
-# Six r03-cohort queries defer to round 6 to fit the cap, chosen for
-# overlapping green coverage elsewhere in this head: embedding_norms
-# (same arithmetic as the ann_topk_* family), distinct_users_by_type
-# (distinct machinery overlaps a1_distinct_keys), p9_constant_enrichment
-# (literal projection overlaps p5_literal_defaults, green r04),
-# t2_sliding_2h_1h (window binning shared with t2_tumbling_hourly),
-# setop_union_except (set ops also pytest-pinned), j3_lookup_join
-# (equi-join core exercised by j1/j2).  These six go first in the r06
-# head together with the r04 cohort, plus the five rows-only queries
-# whose last driver row is r01 — a cohort that r05 shrank to ONE
-# genuinely engine-specific query (approx_distinct_users, an HLL
-# estimate): dedup_minhash_lsh, dedup_simhash, ann_topk_lsh, and
-# text_fingerprint all switched to engine-portable md5/affine hashing
-# and gained FULL DuckDB oracles that recompute their entire
-# pipelines, so they need fresh driver rows under the new semantics —
-# plus the queries registered mid-r05 after this head was frozen at
-# the 50-cap (`multimodal_decode_tiff`/`_wav`/`_flac`,
-# `approx_distinct_kmv`, and the derived-partsupp TPC-H quartet
-# q2/q11/q16/q20 — all judge-selfcheck green at sf0.01, need their
-# first driver rows and lead the r06 head).
-# `python tools/rotation.py` audits
-# this list against the CORRECTNESS history and prints the
-# recommended next head mechanically.
+# round front-loads (a) red rows needing re-check after a fix, then (b)
+# queries never yet checked, then (c) new registrations, then (d) the
+# cohort whose last green row is oldest, so every query's green evidence
+# stays <=2 rounds old.  Round 6 = text_fingerprint FIRST (the only red
+# driver row in five rounds — the oracle's HUGEINT output type, fixed
+# this round with a BIGINT cast; the engine side was verified correct)
+# + the five queries registered after the r05 head froze (KMV sketch +
+# the derived-partsupp TPC-H quartet q2/q11/q16/q20, all judge-selfcheck
+# green at sf0.01) + the two new registrations
+# (multimodal_decode_gif_frames, multimodal_probe_then_decode) + the
+# r01 rows-only HLL estimate + the thirteen r03-cohort queries at the
+# staleness ceiling + the flagship re-anchor (green row r04; it sat out
+# the r05 head) + 27 of the 30 r04-cohort queries = 50.
 _CHECK_PRIORITY: list[str] = [
-    # -- never driver-checked / new this round
-    "multimodal_features_by_lang",
-    "multimodal_decode_jpeg",
-    "multimodal_probe_dimensions",
-    "multimodal_decode_tiff",
-    "multimodal_decode_wav",
-    "multimodal_decode_flac",
-    # -- r02 cohort deferred from the r04 head (oldest green rows)
-    "multimodal_decode",
-    "arrow_token_count",
-    "a2_stage_counts",
-    "histogram_doc_length",
-    # -- front-loaded per r4 ADVICE: tie-semantics change needs a driver row
-    "scd2_customer_segment",
-    # -- semantics changed in r05 (portable md5/affine hashing) and the
-    # -- rows-only→oracle upgrade makes their old r01 rows stale: these
-    # -- outrank cohort refreshes, same precedent as scd2 above
+    # -- the only red driver row ever recorded (r05): the oracle's
+    # -- HUGEINT output type rounded through the driver's pandas fetch;
+    # -- fixed with CAST(... AS BIGINT) this round — re-check FIRST
     "text_fingerprint",
-    "dedup_simhash",
-    "dedup_minhash_lsh",
-    "ann_topk_lsh",
-    # -- r03 cohort: scans / projections / functions
-    "s3_typed_scan",
-    "p1_money_coalesce",
-    "p2_quantity_validity",
-    "p3_parent_fallback",
-    "f2_variant_extract",
-    # -- r03 cohort: joins
-    "j1_catalog_build_probe",
-    "j2_first_wins",
-    "j4_explode_line_items",
-    "salted_join_revenue",
-    # -- r03 cohort: aggregations / windows
-    "a1_distinct_keys",
-    "percentiles_by_type",
-    "topk_revenue_customers",
-    "incremental_rollup_revenue",
-    "t2_tumbling_hourly",
-    # -- r03 cohort: TPC-H + SQL API
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q10_returned_revenue",
-    "sql_api_revenue",
-    # -- r03 cohort: merge / dedup / similarity
-    "k1_merge_upsert",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assignment",
-    "dedup_cluster_star",
-    "ann_topk_bruteforce",
-    "ann_topk_quantized",
-    # -- r03 cohort: text / multimodal
-    "text_quality_stats",
-    "text_lang_id",
-    "text_token_totals",
-    "text_tfidf_top_terms",
-    "text_chunk_windows",
-    "multimodal_manifest",
-    # -- r03 cohort: e2e pipelines
-    "pipeline_catalog",
-    "pipeline_categories",
-    "pipeline_inventory",
-    "pipeline_locations",
-    # NOTE: the flagship anchor sits out THIS round only — new
-    # registrations and the four semantics-changed upgrades took its
-    # slot and its green row is r04 (1 round old).  The driver's
-    # entry() smoke still runs flagship every round; it re-anchors
-    # first thing in the r06 head.  Seven r03-cohort queries also
-    # defer to r06 to fit the 50-cap, chosen because a sibling green
-    # at r04 covers their semantics: q4_priority_late_ship +
-    # q18_large_orders (exists/in subqueries — q21/q22 green r04),
-    # q5_local_supplier_volume (multi-join star — q7/q8/q9 r04),
-    # q14_promo_share (conditional agg — q8/q17/q19 r04),
-    # p6_address_concat (string flatten — pipeline_locations in head),
-    # a3_last_writer_wins (keyed latest — k1_merge_upsert in head,
-    # j2_first_wins in head), agg_rollup (grouping analytics —
-    # agg_cube/agg_grouping_sets green r04).  They lead the r06
-    # cohort section together with the r04 cohort.
+    # -- never driver-checked (registered after the r05 head froze;
+    # -- all five judge-selfcheck green at sf0.01)
+    "approx_distinct_kmv",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_counts",
+    "q20_excess_stock_suppliers",
+    # -- new registrations this round
+    "multimodal_decode_gif_frames",
+    "multimodal_probe_then_decode",
+    # -- rows-only row from r01 (HLL estimate, weaker signal allowed
+    # -- past the window but due a refresh)
+    "approx_distinct_users",
+    # -- r03 cohort: green rows now three rounds old — policy ceiling
+    "p6_address_concat",
+    "p9_constant_enrichment",
+    "j3_lookup_join",
+    "a3_last_writer_wins",
+    "agg_rollup",
+    "setop_union_except",
+    "distinct_users_by_type",
+    "t2_sliding_2h_1h",
+    "embedding_norms",
+    "q5_local_supplier_volume",
+    "q4_priority_late_ship",
+    "q14_promo_share",
+    "q18_large_orders",
+    # -- flagship re-anchor (green row is r04; sat out the r05 head)
+    "flagship_star_revenue",
+    # -- r04 cohort: scans / sinks / quality
+    "s1_windowed_scan",
+    "f2_json_extract",
+    "k1_merge_partitioned",
+    "e1_quarantine_rejects",
+    # -- r04 cohort: joins
+    "bucketed_join_revenue",
+    "join_semi_active",
+    "join_anti_dormant",
+    "asof_join_clicks",
+    "range_join_binned",
+    # -- r04 cohort: projections / windows / aggregations
+    "p4_cast_guard_default",
+    "p7_type_dispatch",
+    "window_running_total",
+    "orders_above_cust_avg",
+    "sessionize_events",
+    "agg_grouping_sets",
+    "agg_cube",
+    "pivot_event_counts",
+    # -- r04 cohort: TPC-H
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_rich",
+    # -- r04 cohort: similarity / multimodal
+    "ann_topk_codes",
+    "multimodal_decode_bmp",
+    # NOTE: exactly 50 entries above — the driver's per-round cap.
+    # Three r04-cohort queries defer to the r07 head to make room for
+    # the red-row re-check and the two new registrations, each chosen
+    # because an in-head sibling covers its semantics this round:
+    # p5_literal_defaults (literal projection — p9_constant_enrichment
+    # and p4_cast_guard_default in head), q8_market_share (multi-join
+    # star + conditional share — q5_local_supplier_volume,
+    # q14_promo_share, q9_product_profit in head), window_rank_lag
+    # (window machinery — window_running_total, orders_above_cust_avg
+    # in head).  They go first in the r07 cohort section.
+    # `python tools/rotation.py` audits this list against the
+    # CORRECTNESS history and prints the recommended next head.
 ]
 
 
