@@ -2011,19 +2011,57 @@ _register(
 
 
 def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic decode stage over REAL document bytes (format='raw' →
+    the deterministic stub: 16 byte-windows, each summarized as
+    sum/255·len).  Upgraded from rows-only to FULL oracle in r06: the
+    stub's arithmetic is exactly recomputable from the UTF-8 bytes of
+    ``text``, and DuckDB reaches those bytes via ``hex(encode(text))``
+    + the same hex-digit-parse trick the md5 oracles use — so the
+    mapInPandas plumbing, Arrow round-trip, window split, and edge
+    cases (short docs, truncated tail window) all sit inside the hash
+    check.  Scalar first/last windows are emitted instead of the old
+    JSON-serialized array so the value hash has no float-formatting
+    dependency."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
-    # features is array<double>; the driver's rows-only canonicalizer
-    # sorts with pandas and dies on list cells — emit it as JSON text
-    # so the output is hashable/sortable (VERDICT r1 "what's wrong" #1).
-    return decode_media(media).withColumn("features", F.to_json("features"))
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_first"),
+        F.element_at("features", 16).alias("f_last"),
+    )
 
 
 _register(
     QuerySpec(
         "multimodal_decode",
         _mm_decode,
-        oracle=None,  # Arrow-batched Python decode stage (stubbed codec)
-        doc="mapInPandas decode stage (rows-only check)",
+        oracle=r"""
+        WITH b AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents),
+        p AS (SELECT doc_id, hx, n, GREATEST(1, n // 16) AS step FROM b),
+        f AS (
+          SELECT doc_id, n, i,
+            CASE WHEN i * step >= n THEN 0.0
+            ELSE ROUND(
+              list_sum(list_transform(
+                generate_series(i * step + 1, LEAST((i + 1) * step, n)),
+                j -> (strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1)) - 1)
+                     * 16
+                     + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1)) - 1)))
+              / (255.0 * (LEAST((i + 1) * step, n) - i * step)), 6)
+            END AS fv
+          FROM p, generate_series(0, 15) g(i) WHERE i IN (0, 15))
+        SELECT doc_id AS media_id,
+               CAST(MAX(n) AS BIGINT) AS n_bytes,
+               true AS ok,
+               MAX(CASE WHEN i = 0 THEN fv END) AS f_first,
+               MAX(CASE WHEN i = 15 THEN fv END) AS f_last
+        FROM f GROUP BY doc_id
+        """,
+        doc="mapInPandas decode stage over real doc bytes, oracle-recomputed byte windows",
     )
 )
 
@@ -5732,9 +5770,12 @@ _CHECK_PRIORITY: list[str] = [
     "q11_important_stock",
     "q16_supplier_counts",
     "q20_excess_stock_suppliers",
-    # -- new registrations this round
+    # -- new registrations this round, plus the rows-only→full-oracle
+    # -- upgrade whose output schema changed (scalar windows replace the
+    # -- JSON array): its old no_oracle row no longer describes it
     "multimodal_decode_gif_frames",
     "multimodal_probe_then_decode",
+    "multimodal_decode",
     # -- rows-only row from r01 (HLL estimate, weaker signal allowed
     # -- past the window but due a refresh)
     "approx_distinct_users",
@@ -5772,7 +5813,6 @@ _CHECK_PRIORITY: list[str] = [
     "orders_above_cust_avg",
     "sessionize_events",
     "agg_grouping_sets",
-    "agg_cube",
     "pivot_event_counts",
     # -- r04 cohort: TPC-H
     "q6_forecast_revenue",
@@ -5795,7 +5835,10 @@ _CHECK_PRIORITY: list[str] = [
     # star + conditional share — q5_local_supplier_volume,
     # q14_promo_share, q9_product_profit in head), window_rank_lag
     # (window machinery — window_running_total, orders_above_cust_avg
-    # in head).  They go first in the r07 cohort section.
+    # in head), and — swapped out for the multimodal_decode oracle
+    # upgrade — agg_cube (grouping analytics: agg_rollup,
+    # agg_grouping_sets, pivot_event_counts all in head).  They go
+    # first in the r07 cohort section.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
