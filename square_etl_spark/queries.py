@@ -2743,6 +2743,144 @@ _register(
 )
 
 
+def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling 1-to-N explode, oracle-hash-checked: the
+    same constructed 2-frame animated GIF as
+    :func:`_mm_decode_gif_frames` runs through
+    :func:`square_etl_spark.operators.multimodal.sample_frames`
+    (mapInPandas generator semantics — each asset yields one row per
+    composed canvas snapshot), and per frame the query emits byte
+    length plus the FIRST and LAST raw RGB bytes, extracted JVM-side
+    with ``substring``/``hex``/``conv`` so the blob never reaches a
+    Python row loop.  The canvas math makes both endpoints
+    predictable: every frame starts at pixel (0,0) = g; frame 1 ends
+    at g, frame 2's transparent composition ends at h — so a green
+    row certifies expansion cardinality (exactly 2 rows per asset),
+    frame ordering, and the composed pixel content at both ends of
+    each snapshot."""
+    from square_etl_spark.operators.multimodal import sample_frames
+
+    prefix, suffix = _gif_2frame_parts()
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.col("n_chars") % 256
+    h = (F.col("n_chars") * 31 + 7) % 256
+    byte_of = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
+    bg, bh = byte_of(g), byte_of(h)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(prefix), bg, bg, bg, bh, bh, bh, F.lit(suffix)).alias(
+            "content"
+        ),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("gif").alias("format"),
+            F.lit(2).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+    frames = sample_frames(media, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").alias("n_frame_bytes"),
+        F.conv(F.hex(F.substring("frame", 1, 1)), 16, 10)
+        .cast("long")
+        .alias("first_byte"),
+        F.conv(F.hex(F.substring("frame", 12, 1)), 16, 10)
+        .cast("long")
+        .alias("last_byte"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_frame_sample",
+        _mm_frame_sample,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(g.i AS INTEGER) AS frame_idx,
+               CAST(12 AS INTEGER) AS n_frame_bytes,
+               CAST(n_chars % 256 AS BIGINT) AS first_byte,
+               CAST(CASE WHEN g.i = 0 THEN n_chars % 256
+                    ELSE (n_chars * 31 + 7) % 256 END AS BIGINT) AS last_byte
+        FROM documents, generate_series(0, 1) g(i)
+        """,
+        doc="frame-sampler 1-to-N explode: cardinality, ordering, composed endpoints oracle-pinned",
+    )
+)
+
+
+def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode-aware resize stage, oracle-hash-checked: per
+    document, CONSTRUCT a 2×2 binary PPM whose corner pixels are
+    g (top-left) and h (bottom-right) with black elsewhere, resize to
+    4×4 through :func:`resize_images` (real decode → nearest-neighbor
+    resample → raw RGB out), and emit the contract columns plus the
+    first/last bytes of the resampled blob.  Nearest-neighbor 2×2→4×4
+    maps destination rows/cols [0,0,1,1] to source, so byte 1 is g
+    (from source (0,0)) and byte 48 is h (from source (1,1)) — DuckDB
+    predicts the whole row arithmetically, pinning decode, the
+    index-map resample, and the width·height·3 size contract in one
+    hash."""
+    from square_etl_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.col("n_chars") % 256
+    h = (F.col("n_chars") * 31 + 7) % 256
+    byte_of = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
+    bg, bh = byte_of(g), byte_of(h)
+    zero3 = F.lit(b"\x00\x00\x00")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(
+            F.lit(b"P6\n2 2\n255\n"), bg, bg, bg, zero3, zero3, bh, bh, bh
+        ).alias("content"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.lit("ppm").alias("format"),
+            F.lit(2).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+    resized = resize_images(media, width=4, height=4)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        "channels",
+        F.length("content").alias("n_bytes"),
+        F.conv(F.hex(F.substring("content", 1, 1)), 16, 10)
+        .cast("long")
+        .alias("first_byte"),
+        F.conv(F.hex(F.substring("content", 48, 1)), 16, 10)
+        .cast("long")
+        .alias("last_byte"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_resize",
+        _mm_resize,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(4 AS INTEGER) AS width,
+               CAST(4 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS channels,
+               CAST(48 AS INTEGER) AS n_bytes,
+               CAST(n_chars % 256 AS BIGINT) AS first_byte,
+               CAST((n_chars * 31 + 7) % 256 AS BIGINT) AS last_byte
+        FROM documents
+        """,
+        doc="decode-aware nearest-neighbor resize, oracle-checked: corner-pixel index map + size contract",
+    )
+)
+
+
 def _mm_features_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal → relational composition, oracle-checked end-to-end:
     the decoded feature stream (real BMP codec over constructed blobs,
@@ -5775,6 +5913,8 @@ _CHECK_PRIORITY: list[str] = [
     # -- JSON array): its old no_oracle row no longer describes it
     "multimodal_decode_gif_frames",
     "multimodal_probe_then_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
     "multimodal_decode",
     # -- rows-only row from r01 (HLL estimate, weaker signal allowed
     # -- past the window but due a refresh)
@@ -5803,14 +5943,12 @@ _CHECK_PRIORITY: list[str] = [
     # -- r04 cohort: joins
     "bucketed_join_revenue",
     "join_semi_active",
-    "join_anti_dormant",
     "asof_join_clicks",
     "range_join_binned",
     # -- r04 cohort: projections / windows / aggregations
     "p4_cast_guard_default",
     "p7_type_dispatch",
     "window_running_total",
-    "orders_above_cust_avg",
     "sessionize_events",
     "agg_grouping_sets",
     "pivot_event_counts",
@@ -5835,10 +5973,13 @@ _CHECK_PRIORITY: list[str] = [
     # star + conditional share — q5_local_supplier_volume,
     # q14_promo_share, q9_product_profit in head), window_rank_lag
     # (window machinery — window_running_total, orders_above_cust_avg
-    # in head), and — swapped out for the multimodal_decode oracle
-    # upgrade — agg_cube (grouping analytics: agg_rollup,
-    # agg_grouping_sets, pivot_event_counts all in head).  They go
-    # first in the r07 cohort section.
+    # in head), and — swapped out for the four new/upgraded multimodal
+    # oracle queries — agg_cube (grouping analytics: agg_rollup,
+    # agg_grouping_sets, pivot_event_counts in head), join_anti_dormant
+    # (anti-join semantics: q22_dormant_rich's NOT EXISTS in head), and
+    # orders_above_cust_avg (correlated scalar subquery:
+    # q17_small_qty_revenue's correlated avg in head).  They go first
+    # in the r07 cohort section.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
