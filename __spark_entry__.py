@@ -43,7 +43,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every ANSI-expressible query; omitted
-    keys (MinHash/SimHash/LSH/fingerprint/approx/mapInPandas) get the
-    driver's weaker rows-only check."""
+    """DuckDB-equivalent SQL for every ANSI-expressible query — 121 of
+    123 as of r06 (MinHash/SimHash/LSH/fingerprint/mapInPandas stages
+    all recompute in ANSI SQL via portable md5/affine hashing); the
+    two HLL estimates stay rows-only, engine-specific by nature."""
     return _q.oracle_sql()

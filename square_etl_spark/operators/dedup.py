@@ -799,6 +799,51 @@ def minhash_lsh_pairs(
     )
 
 
+def survivor_selection(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "q",
+) -> DataFrame:
+    """Canonical-survivor pick — the step a real dedup pipeline runs
+    AFTER near-dup clustering: instead of dropping whole clusters
+    (the decontamination posture) keep exactly ONE member per cluster,
+    the highest-quality one (ties break to the smallest id, so the
+    choice is deterministic and reproducible).
+
+    ``df`` must carry ``quality_col``; ``pairs`` is any near-dup pair
+    relation (``id_a``/``id_b``).  Docs appearing in no pair are their
+    own singleton cluster and always kept.  Returns every input row as
+    (id, cluster_id, quality, keep) so callers can either filter
+    ``keep`` for the surviving corpus or audit what was dropped and
+    why — the survivors list IS the dedup decision, which is why
+    quality must be deterministic (ours is the oracle-recomputable
+    :func:`square_etl_spark.operators.text.quality_score`).
+
+    Scale shape: clustering is :func:`connected_components` (iterative
+    equi-joins on node id); the label join is key-sized; the argmax is
+    ONE window over cluster_id — high-cardinality partition keys
+    (mostly singletons), so no skew, and the per-cluster sort is tiny
+    (near-dup clusters are small by construction once pair generation
+    is capped).  Reference parity: the reference dedups by
+    last-write-wins upsert (src/jobs/catalog.ts); survivor selection
+    is that decision generalized to similarity clusters + an explicit
+    quality policy."""
+    clusters = connected_components(pairs)
+    labeled = df.join(clusters, on=id_col, how="left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        quality_col,
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def contamination_hits(
     df: DataFrame,
     benchmark_df: DataFrame,

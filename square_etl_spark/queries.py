@@ -1211,6 +1211,68 @@ _register(
 )
 
 
+def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical-survivor selection: near-dup pairs →
+    connected components → keep the highest-quality member per cluster
+    (ties to smallest doc_id); singletons keep themselves.  The output
+    is the full audit relation (every doc with its cluster, score, and
+    keep flag) — the dedup DECISION a 100 TB pipeline persists, not
+    just the surviving rows."""
+    from square_etl_spark.operators.dedup import survivor_selection
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", tx.quality_score("text").alias("q"))
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.1, df_cap=100
+    )
+    return survivor_selection(scored, pairs, "doc_id", "q")
+
+
+_register(
+    QuerySpec(
+        "dedup_survivor_selection",
+        _survivors,
+        oracle=f"""
+        WITH RECURSIVE scored AS (
+          SELECT doc_id,
+            ROUND(
+              0.5 * LEAST(ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.8, 1.0)
+            + 0.3 * LEAST(ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> list_contains(['the','and','of','to','is','in','that','it'], w))) /
+                    (CASE WHEN trim(text) = '' THEN 1.0
+                          WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                          THEN CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                          ELSE 1.0 END), 6) / 0.4, 1.0)
+            + 0.2 * (1.0 - LEAST(ROUND(len(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.2, 1.0)),
+            6) AS q
+          FROM documents),
+        {_ngram_pairs_ctes().strip().rstrip()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges UNION SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clusters AS (
+          SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        labeled AS (
+          SELECT s.doc_id, COALESCE(c.cluster_id, s.doc_id) AS cluster_id,
+                 s.q
+          FROM scored s LEFT JOIN clusters c ON c.doc_id = s.doc_id)
+        SELECT doc_id, cluster_id, q,
+               (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY q DESC, doc_id) = 1) AS keep
+        FROM labeled
+        """,
+        doc="near-dup clusters → keep max-quality member per cluster (deterministic tie-break)",
+    )
+)
+
+
 def _minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upgraded from rows-only to full oracle in r05: shingle hashes
     and the permutation family became md5-based + modular-affine
@@ -5916,6 +5978,7 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "multimodal_decode",
+    "dedup_survivor_selection",
     # -- rows-only row from r01 (HLL estimate, weaker signal allowed
     # -- past the window but due a refresh)
     "approx_distinct_users",
@@ -5937,7 +6000,6 @@ _CHECK_PRIORITY: list[str] = [
     "flagship_star_revenue",
     # -- r04 cohort: scans / sinks / quality
     "s1_windowed_scan",
-    "f2_json_extract",
     "k1_merge_partitioned",
     "e1_quarantine_rejects",
     # -- r04 cohort: joins
@@ -5978,8 +6040,10 @@ _CHECK_PRIORITY: list[str] = [
     # agg_grouping_sets, pivot_event_counts in head), join_anti_dormant
     # (anti-join semantics: q22_dormant_rich's NOT EXISTS in head), and
     # orders_above_cust_avg (correlated scalar subquery:
-    # q17_small_qty_revenue's correlated avg in head).  They go first
-    # in the r07 cohort section.
+    # q17_small_qty_revenue's correlated avg in head), and
+    # f2_json_extract (JSON-path extraction: f2_variant_extract's
+    # VARIANT raw-payload extraction in head).  They go first in the
+    # r07 cohort section.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]

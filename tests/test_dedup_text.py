@@ -475,3 +475,32 @@ def test_minhash_arbitrary_num_hashes(spark):
         ).collect()
     }
     assert got == {(1, 2): 1.0}
+
+
+def test_survivor_selection_keeps_best_quality(spark):
+    """Per near-dup cluster exactly one survivor: the max-quality
+    member, ties to smallest id; docs in no pair are singletons and
+    always kept."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.dedup import survivor_selection
+
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        "doc_id long, q double",
+    )
+    # cluster {1,2,3} (transitive via 1-2, 2-3); {4} and {5} singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    ).withColumn("jaccard", F.lit(1.0))
+    out = {
+        r.doc_id: (r.cluster_id, r.q, r.keep)
+        for r in survivor_selection(scored, pairs, "doc_id", "q").collect()
+    }
+    assert len(out) == 5
+    assert out[1] == (1, 0.2, False)
+    assert out[2] == (1, 0.9, True)   # 0.9 tie with doc 3 → smaller id wins
+    assert out[3] == (1, 0.9, False)
+    assert out[4] == (4, 0.5, True)   # singleton keeps itself
+    assert out[5] == (5, 0.1, True)
+    assert sum(1 for _, _, k in out.values() if k) == 3
