@@ -180,3 +180,36 @@ def test_codes_probe_scans_only_codes_and_broadcasts_rescore(spark, sf_dir, tmp_
 
     exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     assert all("query_id" in e for e in exchanges), exchanges
+
+
+def test_gif_decode_is_map_only_no_blob_shuffle(spark, sf_dir):
+    """The constructed-blob GIF decode is scan → project → mapInPandas:
+    no Exchange anywhere, so blobs never ride a shuffle — the 100 TB
+    posture for decode stages."""
+    plan = _plan(queries()["multimodal_decode_gif_frames"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_probe_then_decode_semi_join_feeds_decode(spark, sf_dir):
+    """Probe-then-decode: the decode stage's input must be the
+    LEFT-SEMI-joined (probe-selected) media, i.e. the plan carries the
+    semi join and the manifest filter BELOW the decode MapInPandas —
+    no decode compute is spent on unselected rows."""
+    plan = _plan(queries()["multimodal_probe_then_decode"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    # decode's subtree sits above the semi join in the plan text
+    decode_pos = plan.index("MapInPandas")
+    semi_pos = plan.index("LeftSemi")
+    assert decode_pos < semi_pos  # toString prints parents before children
+    assert "detected_format" in plan  # the probe predicate is in-plan
+
+
+def test_survivor_selection_single_window_no_blowup(spark, sf_dir):
+    """Survivor selection adds exactly one Window (the per-cluster
+    argmax) on top of the CC fixed-point — no Cartesian products, no
+    Python UDFs."""
+    plan = _plan(queries()["dedup_survivor_selection"](spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan
