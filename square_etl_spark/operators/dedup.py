@@ -826,9 +826,10 @@ def survivor_selection(
     (mostly singletons), so no skew, and the per-cluster sort is tiny
     (near-dup clusters are small by construction once pair generation
     is capped).  Reference parity: the reference dedups by
-    last-write-wins upsert (src/jobs/catalog.ts); survivor selection
-    is that decision generalized to similarity clusters + an explicit
-    quality policy."""
+    keyed upsert — last write wins per conflict key
+    (src/etl-square-catalog.ts:91 ON CONFLICT ... DO UPDATE);
+    survivor selection is that decision generalized to similarity
+    clusters + an explicit quality policy."""
     clusters = connected_components(pairs)
     labeled = df.join(clusters, on=id_col, how="left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))

@@ -2664,8 +2664,9 @@ def _mm_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     at g (transparent index) and one at h → (3g+h)/1020.  Same
     constructed-blob technique as :func:`_mm_decode_tiff`, but the
     bytes ride the multi-frame composition path the frame sampler
-    uses (reference parity: sequential per-row decode, reference
-    src/jobs — here an Arrow stage; blobs never join a shuffle)."""
+    uses (the reference has no media decode — this is §2.10 extension
+    surface; per-row work is an Arrow stage here, and blobs never
+    join a shuffle)."""
     from square_etl_spark.operators.multimodal import decode_media
 
     prefix, suffix = _gif_2frame_parts()
@@ -3935,6 +3936,97 @@ _register(
         ORDER BY value DESC, ps_partkey
         """,
         doc="TPC-H Q11 shape: exact integer-cents threshold vs grand total",
+    )
+)
+
+
+#: ship modes for the derived Q12 columns (sorted, 1-indexed in SQL)
+_SHIP_MODES = ["AIR", "FOB", "MAIL", "RAIL", "REG AIR", "SHIP", "TRUCK"]
+
+
+def _q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-receipt lines for selected ship modes,
+    counted by order priority class.  The fixture ships no
+    l_shipmode/l_commitdate/l_receiptdate, so — same policy as the
+    derived partsupp quartet — they are DERIVED deterministically from
+    the keys (mode = keyed pick of 7; commit = shipdate + (−15..44) d;
+    receipt = shipdate + (1..30) d) and the oracle rebuilds identical
+    columns, so this is a full value-hash check.  Plan shape is the
+    point: all three predicates (IN-list, commit<receipt,
+    ship<commit) evaluate map-side on derived columns before the
+    orders join, the join carries only (l_orderkey, l_shipmode), and
+    the two CASE counts partial-aggregate before the 7-group shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    mode = F.element_at(
+        F.array(*[F.lit(m) for m in _SHIP_MODES]),
+        (key % 7 + 1).cast("int"),
+    )
+    commit_d = (F.col("l_orderkey") + 3 * F.col("l_linenumber")) % 60 - 15
+    receipt_d = (F.col("l_orderkey") * 5 + F.col("l_linenumber")) % 30 + 1
+    lx = li.select(
+        "l_orderkey",
+        mode.alias("l_shipmode"),
+        (
+            F.col("l_shipdate") + F.make_interval(days=commit_d.cast("int"))
+        ).alias("l_commitdate"),
+        (
+            F.col("l_shipdate") + F.make_interval(days=receipt_d.cast("int"))
+        ).alias("l_receiptdate"),
+        "l_shipdate",
+    ).filter(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lx.join(o, lx.l_orderkey == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+_register(
+    QuerySpec(
+        "q12_shipmode_priority",
+        _q12_shipmode_priority,
+        oracle="""
+        WITH lx AS (
+          SELECT l_orderkey,
+                 (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])
+                   [CAST((l_orderkey * 7 + l_linenumber) % 7 + 1 AS INTEGER)]
+                   AS l_shipmode,
+                 l_shipdate + ((l_orderkey + 3 * l_linenumber) % 60 - 15)
+                   * INTERVAL 1 DAY AS l_commitdate,
+                 l_shipdate + ((l_orderkey * 5 + l_linenumber) % 30 + 1)
+                   * INTERVAL 1 DAY AS l_receiptdate,
+                 l_shipdate
+          FROM lineitem)
+        SELECT l_shipmode,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lx JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipmode IN ('MAIL', 'SHIP')
+          AND l_commitdate < l_receiptdate
+          AND l_shipdate < l_commitdate
+          AND l_receiptdate >= TIMESTAMP '1997-01-01'
+          AND l_receiptdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_shipmode
+        ORDER BY l_shipmode
+        """,
+        doc="TPC-H Q12 shape: derived ship columns, map-side predicates, 2-group conditional counts",
     )
 )
 
@@ -5979,6 +6071,7 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_resize",
     "multimodal_decode",
     "dedup_survivor_selection",
+    "q12_shipmode_priority",
     # -- rows-only row from r01 (HLL estimate, weaker signal allowed
     # -- past the window but due a refresh)
     "approx_distinct_users",
@@ -6015,7 +6108,6 @@ _CHECK_PRIORITY: list[str] = [
     "agg_grouping_sets",
     "pivot_event_counts",
     # -- r04 cohort: TPC-H
-    "q6_forecast_revenue",
     "q7_nation_volume",
     "q9_product_profit",
     "q13_custdist",
@@ -6042,8 +6134,10 @@ _CHECK_PRIORITY: list[str] = [
     # orders_above_cust_avg (correlated scalar subquery:
     # q17_small_qty_revenue's correlated avg in head), and
     # f2_json_extract (JSON-path extraction: f2_variant_extract's
-    # VARIANT raw-payload extraction in head).  They go first in the
-    # r07 cohort section.
+    # VARIANT raw-payload extraction in head), and q6_forecast_revenue
+    # (filtered single-table agg with range pushdown: q1_pricing_summary
+    # and q19_disjunctive_pushdown in head).  They go first in the r07
+    # cohort section.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]

@@ -213,3 +213,24 @@ def test_survivor_selection_single_window_no_blowup(spark, sf_dir):
     assert plan.count("Window") >= 1
     assert "Cartesian" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_q12_derived_predicates_stay_below_the_join(spark, sf_dir):
+    """Q12's three predicates are over DERIVED columns (no parquet
+    pushdown possible), so the scale posture is: evaluate them map-side
+    in the lineitem scan stage BEFORE the orders join.  The plan must
+    show a Filter on the lineitem side beneath the join, and the whole
+    query stays JVM-side."""
+    df = queries()["q12_shipmode_priority"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # filter sits below the join: the Filter node mentioning the
+    # derived ship-mode IN-list appears after (deeper than) the join
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin")) if p >= 0
+    )
+    filter_pos = plan.find("MAIL")
+    assert filter_pos > join_pos  # deeper in the printed tree
