@@ -184,3 +184,44 @@ def stream_rollup_availablenow(
         .start()
         .awaitTermination()
     )
+
+
+def stream_dedup_exact(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    content_col: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """STREAMING exact dedup with bounded state: emit each key's first
+    arrival, drop re-arrivals — the streaming twin of the batch
+    digest-keyed dedup (operators/dedup.exact_dedup) and of J2's
+    first-wins semantics.
+
+    Built on ``dropDuplicatesWithinWatermark``: the state store keeps
+    one entry per key only until the event-time watermark passes the
+    key's last-seen timestamp + the delay, so state is O(keys inside
+    the watermark horizon), not O(all keys ever) — the property that
+    makes this deployable on an unbounded 100 TB/day feed.  (Plain
+    streaming ``dropDuplicates`` grows state forever; the reference's
+    equivalent protection was the 24 h lookback re-scan window, which
+    is exactly what the watermark expresses.)
+
+    ``content_col`` adds a sha2 content digest to the key set — dedup
+    by what the record SAYS, not just its id (e.g. re-sent webhook
+    payloads with fresh delivery ids).  Rows arriving later than the
+    watermark are dropped by the same mechanism that bounds state, so
+    the dedup guarantee and the late-data policy share one knob.
+    """
+    if keys is None:
+        keys = []
+    if content_col is not None:
+        stream = stream.withColumn(
+            "content_digest", F.sha2(F.col(content_col).cast("string"), 256)
+        )
+        keys = [*keys, "content_digest"]
+    if not keys:
+        raise ValueError("need keys and/or content_col to dedup on")
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

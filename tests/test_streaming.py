@@ -260,3 +260,58 @@ def test_stream_merge_crash_mid_batch_restart_converges(spark, tmp_path, monkeyp
         spark, src, ckpt2, tgt, keys=["id"], order_col="ts", schema=schema
     )
     assert state() == want
+
+
+def test_stream_dedup_exact_cross_batch_bounded_state(spark, tmp_path):
+    """Streaming exact dedup: a key re-arriving in a LATER micro-batch
+    is dropped (state store carries the seen-set across batches), new
+    keys pass, and the content-digest mode dedups identical payloads
+    under fresh delivery ids."""
+    import os
+
+    from square_etl_spark.streaming.incremental import stream_dedup_exact
+
+    src = os.path.join(tmp_path, "dsrc")
+    ckpt = os.path.join(tmp_path, "dckpt")
+    schema = "delivery_id long, payload string, ts timestamp"
+    b1 = spark.createDataFrame(
+        [(1, "order-created:42", dt.datetime(2024, 1, 1, 0, 0)),
+         (2, "order-paid:42", dt.datetime(2024, 1, 1, 0, 1))],
+        schema,
+    )
+    b1.write.parquet(src)
+    # batch 2: delivery 3 re-sends delivery 1's payload; delivery 4 is new
+    b2 = spark.createDataFrame(
+        [(3, "order-created:42", dt.datetime(2024, 1, 1, 0, 2)),
+         (4, "order-shipped:42", dt.datetime(2024, 1, 1, 0, 3))],
+        schema,
+    )
+    b2.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1  # force multiple micro-batches
+    ).parquet(src)
+    deduped = stream_dedup_exact(
+        stream, content_col="payload", ts_col="ts", watermark="1 hour"
+    )
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r.delivery_id, r.payload) for r in batch_df.collect()
+        )
+
+    (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    payloads = sorted(p for _, p in seen)
+    assert payloads == [
+        "order-created:42", "order-paid:42", "order-shipped:42"
+    ]
+    # the re-send (delivery 3) was dropped, first arrival won
+    assert (1, "order-created:42") in seen
+    assert all(d != 3 for d, _ in seen)
