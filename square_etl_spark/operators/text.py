@@ -305,3 +305,25 @@ def fingerprint64(col: Column | str = "text") -> Column:
             + F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
         ).bitwiseAND(acc_mask),
     )
+
+
+def strip_markup(col: Column | str = "text") -> Column:
+    """HTML/markup → clean text, pure column expressions (zero UDFs):
+    drop <script>/<style> blocks and <!-- comments -->, replace every
+    remaining tag with a space, decode the six common entities, and
+    collapse whitespace.  The corpus-cleaning first step for web-crawl
+    text; deliberately regex-simple (no backreferences, no DOTALL) so
+    the IDENTICAL patterns run under Java regex here and RE2/DuckDB in
+    the oracle — the entity pass is ordered (amp last) and that order
+    is part of the cross-engine contract."""
+    t = _c(col)
+    t = F.regexp_replace(t, r"<script[^>]*>[^<]*</script>", " ")
+    t = F.regexp_replace(t, r"<style[^>]*>[^<]*</style>", " ")
+    t = F.regexp_replace(t, r"<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -1651,6 +1651,73 @@ _register(
     )
 )
 
+
+def _strip_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping, oracle-hash-checked end-to-end: per document,
+    WRAP the text in deterministic HTML (head with a style block, an
+    entity-bearing heading, the body paragraph, a comment) in pure
+    Column expressions, run :func:`text.strip_markup`, and emit the
+    cleaned string — which must equal ``"T&C docs <doc_id>" + text``
+    whitespace-collapsed.  The oracle builds the same wrapper and runs
+    the same ordered regex/entity pipeline under RE2, so a green row
+    certifies the two regex dialects agree on the whole cleaning
+    contract (block drop, tag strip, entity order, collapse)."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><style>p{color:red}</style>"
+            "<script>var x=1;</script></head>"
+            "<body><h1>T&amp;C &quot;docs&#39;"
+        ),
+        F.lit(" "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><!-- generated --></body></html>"),
+    )
+    return d.select(
+        "doc_id",
+        tx.strip_markup(html).alias("clean"),
+    ).withColumn("n_chars_clean", F.length("clean").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "text_strip_markup",
+        _strip_markup,
+        oracle=r"""
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<html><head><style>p{color:red}</style>'
+                 || '<script>var x=1;</script></head>'
+                 || '<body><h1>T&amp;C &quot;docs&#39; '
+                 || CAST(doc_id AS VARCHAR)
+                 || '</h1><p>' || text
+                 || '</p><!-- generated --></body></html>' AS h
+          FROM documents),
+        stripped AS (
+          SELECT doc_id,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(h, '<script[^>]*>[^<]*</script>', ' ', 'g'),
+                      '<style[^>]*>[^<]*</style>', ' ', 'g'),
+                    '<!--.*?-->', ' ', 'g'),
+                  '<[^>]*>', ' ', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '\s+', ' ', 'g')) AS clean
+          FROM wrapped)
+        SELECT doc_id, clean,
+               CAST(LENGTH(clean) AS BIGINT) AS n_chars_clean
+        FROM stripped
+        """,
+        doc="markup strip: block drop + tag strip + ordered entity decode, RE2/Java-regex parity",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Extension: embedding similarity search
 # ---------------------------------------------------------------------------
@@ -6072,6 +6139,7 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_decode",
     "dedup_survivor_selection",
     "q12_shipmode_priority",
+    "text_strip_markup",
     # -- rows-only row from r01 (HLL estimate, weaker signal allowed
     # -- past the window but due a refresh)
     "approx_distinct_users",
@@ -6117,7 +6185,6 @@ _CHECK_PRIORITY: list[str] = [
     "q22_dormant_rich",
     # -- r04 cohort: similarity / multimodal
     "ann_topk_codes",
-    "multimodal_decode_bmp",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # Three r04-cohort queries defer to the r07 head to make room for
     # the red-row re-check and the two new registrations, each chosen
@@ -6136,8 +6203,10 @@ _CHECK_PRIORITY: list[str] = [
     # f2_json_extract (JSON-path extraction: f2_variant_extract's
     # VARIANT raw-payload extraction in head), and q6_forecast_revenue
     # (filtered single-table agg with range pushdown: q1_pricing_summary
-    # and q19_disjunctive_pushdown in head).  They go first in the r07
-    # cohort section.
+    # and q19_disjunctive_pushdown in head), and multimodal_decode_bmp
+    # (the decode rack has six sibling oracle queries in this head, and
+    # its r05-green dependent multimodal_features_by_lang rides the BMP
+    # path).  They go first in the r07 cohort section.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]

@@ -504,3 +504,27 @@ def test_survivor_selection_keeps_best_quality(spark):
     assert out[4] == (4, 0.5, True)   # singleton keeps itself
     assert out[5] == (5, 0.1, True)
     assert sum(1 for _, _, k in out.values() if k) == 3
+
+
+def test_strip_markup_blocks_tags_entities_collapse(spark):
+    from square_etl_spark.operators.text import strip_markup
+
+    cases = spark.createDataFrame(
+        [
+            (1, "<p>hello   <b>world</b></p>"),
+            (2, "<style>body{x:1}</style>keep<script>var a;</script>me"),
+            (3, "a &amp;&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39;"),
+            (4, "<!-- gone --><div class='x'>text</div>"),
+            (5, "plain unchanged text"),
+        ],
+        "id long, raw string",
+    )
+    got = {
+        r.id: r.clean
+        for r in cases.select("id", strip_markup("raw").alias("clean")).collect()
+    }
+    assert got[1] == "hello world"
+    assert got[2] == "keep me"
+    assert got[3] == 'a & b <tag> "q" \'s\''
+    assert got[4] == "text"
+    assert got[5] == "plain unchanged text"
