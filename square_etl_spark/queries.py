@@ -793,6 +793,98 @@ _register(
 )
 
 
+def _reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-target reconciliation — the audit twin of every merge
+    sink: FULL OUTER join a windowed order book (1997 H1) against the
+    per-order lineitem rollup and classify each key as ``matched``,
+    ``order_only`` (header without detail — the fixture really has
+    those), or ``detail_only`` (detail whose header is outside the
+    window — the drift a real reconciliation hunts).  Value totals go
+    through DECIMAL(18,6) so both engines add exactly.  Plan shape:
+    the rollup partial-aggregates lineitem BEFORE the shuffle, both
+    sides then co-partition on the order key for the sort-merge full
+    outer, and the final 3-group agg is trivial.  This is the one
+    FULL OUTER in the surface — merge/anti/semi cover the other
+    reconciliation halves."""
+    o = windowed_scan(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderdate", "1997-01-01", "1997-07-01",
+    ).select("o_orderkey", "o_totalprice")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ).alias("gross"),
+        )
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, how="full")
+    category = (
+        F.when(F.col("o_orderkey").isNull(), "detail_only")
+        .when(F.col("l_orderkey").isNull(), "order_only")
+        .otherwise("matched")
+    )
+    return (
+        j.select(
+            category.alias("category"),
+            F.coalesce(F.col("n_items"), F.lit(0)).alias("n_items"),
+            F.coalesce(F.col("gross"), F.lit(0).cast("decimal(18,6)")).alias(
+                "gross"
+            ),
+            F.coalesce(F.col("o_totalprice"), F.lit(0.0)).alias("header_total"),
+        )
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("n_items"),
+            F.sum("gross").cast("double").alias("detail_value"),
+            F.sum(F.col("header_total").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("header_value"),
+        )
+        .orderBy("category")
+    )
+
+
+_register(
+    QuerySpec(
+        "reconcile_orders_detail",
+        _reconcile,
+        oracle="""
+        WITH o AS (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-07-01'),
+        li AS (
+          SELECT l_orderkey,
+                 COUNT(*) AS n_items,
+                 SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6))) AS gross
+          FROM lineitem GROUP BY l_orderkey),
+        j AS (
+          SELECT CASE WHEN o.o_orderkey IS NULL THEN 'detail_only'
+                      WHEN li.l_orderkey IS NULL THEN 'order_only'
+                      ELSE 'matched' END AS category,
+                 COALESCE(li.n_items, 0) AS n_items,
+                 COALESCE(li.gross, CAST(0 AS DECIMAL(18,6))) AS gross,
+                 COALESCE(o.o_totalprice, 0.0) AS header_total
+          FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey)
+        SELECT category,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(n_items) AS BIGINT) AS n_items,
+               CAST(SUM(gross) AS DOUBLE) AS detail_value,
+               CAST(SUM(CAST(header_total AS DECIMAL(18,6))) AS DOUBLE)
+                 AS header_value
+        FROM j GROUP BY category ORDER BY category
+        """,
+        doc="FULL OUTER reconciliation: windowed order book vs detail rollup, 3-way classification",
+    )
+)
+
+
 def _distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct-count surface (the approx variant is a separate
     rows-only query — different algorithms can't hash-match)."""
@@ -6140,6 +6232,7 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_survivor_selection",
     "q12_shipmode_priority",
     "text_strip_markup",
+    "reconcile_orders_detail",
     # -- rows-only row from r01 (HLL estimate, weaker signal allowed
     # -- past the window but due a refresh)
     "approx_distinct_users",
@@ -6178,7 +6271,6 @@ _CHECK_PRIORITY: list[str] = [
     # -- r04 cohort: TPC-H
     "q7_nation_volume",
     "q9_product_profit",
-    "q13_custdist",
     "q15_top_supplier",
     "q17_small_qty_revenue",
     "q19_disjunctive_pushdown",
@@ -6206,7 +6298,10 @@ _CHECK_PRIORITY: list[str] = [
     # and q19_disjunctive_pushdown in head), and multimodal_decode_bmp
     # (the decode rack has six sibling oracle queries in this head, and
     # its r05-green dependent multimodal_features_by_lang rides the BMP
-    # path).  They go first in the r07 cohort section.
+    # path), and q13_custdist (outer-join-then-count-distribution: the
+    # new reconcile_orders_detail FULL OUTER classification and
+    # distinct_users_by_type are in head).  They go first in the r07
+    # cohort section.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
