@@ -118,6 +118,12 @@ def _dsum(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _byte_col(c: F.Column) -> F.Column:
+    """One binary byte from an int column in [0, 255] — the splice
+    primitive for the constructed-blob multimodal oracles."""
+    return F.unhex(F.lpad(F.hex(c), 2, "0"))
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-join revenue rollup — lineitem ⋈ orders ⋈ customer ⋈ nation
     ⋈ region with a pushed-down time window, broadcast dimensions, and
@@ -2832,8 +2838,7 @@ def _mm_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = F.col("n_chars") % 256
     h = (F.col("n_chars") * 31 + 7) % 256
-    byte_of = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
-    bg, bh = byte_of(g), byte_of(h)
+    bg, bh = _byte_col(g), _byte_col(h)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit(prefix), bg, bg, bg, bh, bh, bh, F.lit(suffix)).alias(
@@ -2986,8 +2991,7 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = F.col("n_chars") % 256
     h = (F.col("n_chars") * 31 + 7) % 256
-    byte_of = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
-    bg, bh = byte_of(g), byte_of(h)
+    bg, bh = _byte_col(g), _byte_col(h)
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit(prefix), bg, bg, bg, bh, bh, bh, F.lit(suffix)).alias(
@@ -3051,8 +3055,7 @@ def _mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     g = F.col("n_chars") % 256
     h = (F.col("n_chars") * 31 + 7) % 256
-    byte_of = lambda c: F.unhex(F.lpad(F.hex(c), 2, "0"))  # noqa: E731
-    bg, bh = byte_of(g), byte_of(h)
+    bg, bh = _byte_col(g), _byte_col(h)
     zero3 = F.lit(b"\x00\x00\x00")
     media = docs.select(
         F.col("doc_id").alias("media_id"),

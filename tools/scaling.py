@@ -41,6 +41,7 @@ from square_etl_spark.operators.dedup import (  # noqa: E402
     minhash_banded_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    survivor_selection,
 )
 from square_etl_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
@@ -48,7 +49,10 @@ from square_etl_spark.operators.similarity import (  # noqa: E402
     quantize_int8,
     topk_from_codes,
 )
-from square_etl_spark.operators.text import quality_metrics  # noqa: E402
+from square_etl_spark.operators.text import (  # noqa: E402
+    quality_metrics,
+    quality_score,
+)
 
 VOCAB = 30_000
 DOC_WORDS = 55
@@ -130,6 +134,16 @@ def main() -> None:
             run(
                 "ann_codes_probe",
                 topk_from_codes(stored, factors, emb, qset, k=5, dim=DIM),
+            )
+            # cluster + survivor pick over the pair graph: CC rounds are
+            # constant on shallow near-dup graphs, the label join is
+            # key-sized, and the argmax is one window — expect ~linear
+            run(
+                "survivor_selection",
+                survivor_selection(
+                    docs.select("doc_id", quality_score("text").alias("q")),
+                    ngram_jaccard_pairs(docs, threshold=0.5, df_cap=100),
+                ),
             )
             # our banded implementation (bucket-cap skew guard); the
             # spark.ml wrapper is measured separately below when small
