@@ -9,7 +9,7 @@ shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -327,3 +327,58 @@ def strip_markup(col: Column | str = "text") -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Unigram language-model scoring — the classic perplexity-style
+    quality filter (CCNet/Gopher filter on LM perplexity; a unigram LM
+    is its exactly-computable, engine-portable core): score every
+    document by the mean negative log-likelihood of its tokens under
+    the CORPUS's own unigram distribution.  Common boilerplate scores
+    low (its tokens are frequent), rare-garbage scores high — cut both
+    tails and keep the middle.
+
+    Two-pass shape that stays cheap at 100 TB: pass 1 builds the token
+    frequency table (one explode + groupBy — the vocabulary, NOT the
+    corpus, comes out the other side), which then BROADCASTS back onto
+    the exploded tokens (vocabularies are ~10⁵-10⁶ rows no matter how
+    big the corpus — this is why unigram scoring scales where full LM
+    inference needs GPUs); pass 2 is a per-doc aggregation.  The
+    corpus totals ride a 1-row broadcast, so no scalar ever hits the
+    driver.
+
+    Cross-engine determinism: per-token −ln(c/T) is rounded to 6
+    decimals and summed as DECIMAL(18,6) so addition order cannot
+    change the hash; the final mean divides in double and rounds.
+
+    Returns (id, n_tokens, avg_nll) — higher avg_nll = rarer tokens.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(_c(col))), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(F.sum("c").alias("t_total"))
+    nll = F.round(-F.log(F.col("c") / F.col("t_total")), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        toks.join(F.broadcast(freq), on="w")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(nll).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )

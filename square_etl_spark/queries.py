@@ -1816,6 +1816,45 @@ _register(
     )
 )
 
+
+def _unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring (the exactly-computable core of the
+    CCNet/Gopher perplexity quality filter): per-doc mean −ln p(w)
+    under the corpus's own unigram distribution.  The vocabulary table
+    broadcasts back onto the exploded tokens (vocab size is bounded no
+    matter the corpus size — the reason unigram scoring scales), and
+    per-token NLL rounds to 6 decimals into DECIMAL sums so both
+    engines add exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.unigram_logprob(d, "doc_id", "text")
+
+
+_register(
+    QuerySpec(
+        "text_unigram_nll",
+        _unigram_nll,
+        oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+        tot AS (SELECT SUM(c) AS t_total FROM freq),
+        scored AS (
+          SELECT doc_id,
+                 CAST(ROUND(-ln(c / t_total), 6) AS DECIMAL(18,6)) AS nll
+          FROM t JOIN freq USING (w) CROSS JOIN tot)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        FROM scored GROUP BY doc_id
+        """,
+        doc="unigram-LM NLL scoring: corpus freq broadcast, decimal-exact per-doc mean",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Extension: embedding similarity search
 # ---------------------------------------------------------------------------
@@ -6235,6 +6274,7 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_survivor_selection",
     "q12_shipmode_priority",
     "text_strip_markup",
+    "text_unigram_nll",
     "reconcile_orders_detail",
     # -- rows-only row from r01 (HLL estimate, weaker signal allowed
     # -- past the window but due a refresh)
@@ -6261,7 +6301,6 @@ _CHECK_PRIORITY: list[str] = [
     "e1_quarantine_rejects",
     # -- r04 cohort: joins
     "bucketed_join_revenue",
-    "join_semi_active",
     "asof_join_clicks",
     "range_join_binned",
     # -- r04 cohort: projections / windows / aggregations
@@ -6301,10 +6340,12 @@ _CHECK_PRIORITY: list[str] = [
     # and q19_disjunctive_pushdown in head), and multimodal_decode_bmp
     # (the decode rack has six sibling oracle queries in this head, and
     # its r05-green dependent multimodal_features_by_lang rides the BMP
-    # path), and q13_custdist (outer-join-then-count-distribution: the
+    # path), q13_custdist (outer-join-then-count-distribution: the
     # new reconcile_orders_detail FULL OUTER classification and
-    # distinct_users_by_type are in head).  They go first in the r07
-    # cohort section.
+    # distinct_users_by_type are in head), and join_semi_active
+    # (left-semi: q4_priority_late_ship's EXISTS fold and
+    # q20_excess_stock_suppliers' semi chain are in head).  They go
+    # first in the r07 cohort section.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]

@@ -528,3 +528,20 @@ def test_strip_markup_blocks_tags_entities_collapse(spark):
     assert got[3] == 'a & b <tag> "q" \'s\''
     assert got[4] == "text"
     assert got[5] == "plain unchanged text"
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with hand-computed NLLs: freq a=2 b=2 c=1, T=5;
+    nll(a)=nll(b)=-ln(0.4)=0.916291, nll(c)=-ln(0.2)=1.609438."""
+    from square_etl_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_nll)
+        for r in unigram_logprob(df).collect()
+    }
+    assert got[1] == (3, 0.916291)
+    # (0.916291 + 1.609438) / 2 = 1.2628645 → HALF_UP → 1.262865
+    assert got[2] == (2, 1.262865)
