@@ -1463,6 +1463,66 @@ _register(
 )
 
 
+def _minhash_vs_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-agreement audit: FULL OUTER join the banded-MinHash
+    pair set (portable shingles, 16 perms / 8 bands, jaccard ≥ 0.5)
+    against the exhaustive DF-capped postings-join pair set (xxhash
+    shingles, same 0.5 threshold) and count agreement categories.
+    The two generators define similarity over slightly different
+    shingle spaces (the postings join drops stop-shingles; banding
+    only probabilistically surfaces candidates), so `both` vs
+    `*_only` quantifies what each trades away — the eval a real
+    pipeline runs before committing to an LSH config.  Oracle
+    composes the two EXISTING oracle pipelines verbatim as derived
+    tables, so the agreement numbers are recomputed end-to-end by
+    the second engine too."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = minhash_banded_pairs(
+        d, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5,
+        bucket_cap=200,
+    ).select("id_a", "id_b")
+    ng = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, df_cap=100
+    ).select(
+        F.col("id_a").alias("ng_a"), F.col("id_b").alias("ng_b")
+    )
+    j = mh.join(
+        ng, (mh.id_a == ng.ng_a) & (mh.id_b == ng.ng_b), how="full"
+    )
+    category = (
+        F.when(F.col("id_a").isNull(), "ngram_only")
+        .when(F.col("ng_a").isNull(), "minhash_only")
+        .otherwise("both")
+    )
+    return (
+        j.select(category.alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("category")
+    )
+
+
+_register(
+    QuerySpec(
+        "dedup_minhash_vs_ngram",
+        _minhash_vs_ngram,
+        oracle=f"""
+        SELECT category, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM (
+          SELECT CASE WHEN mh.id_a IS NULL THEN 'ngram_only'
+                      WHEN ng.id_a IS NULL THEN 'minhash_only'
+                      ELSE 'both' END AS category
+          FROM ({_minhash_oracle()}) mh
+          FULL OUTER JOIN (
+            WITH {_ngram_pairs_ctes()}
+            SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5
+          ) ng ON mh.id_a = ng.id_a AND mh.id_b = ng.id_b)
+        GROUP BY category ORDER BY category
+        """,
+        doc="LSH-vs-exhaustive pair agreement audit, both pipelines oracle-recomputed",
+    )
+)
+
+
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upgraded from rows-only to full oracle in r05: the token hash
     became the first 64 md5 bits (engine-portable, replacing seeded
@@ -6345,7 +6405,11 @@ _CHECK_PRIORITY: list[str] = [
     # distinct_users_by_type are in head), and join_semi_active
     # (left-semi: q4_priority_late_ship's EXISTS fold and
     # q20_excess_stock_suppliers' semi chain are in head).  They go
-    # first in the r07 cohort section.
+    # first in the r07 cohort section, led by dedup_minhash_vs_ngram —
+    # the one NEW registration deferred rather than displacing an 11th
+    # r04 refresh, because both of its constituent pipelines
+    # (dedup_minhash_lsh, dedup_ngram_jaccard) have their own rows in
+    # THIS head and the agreement join is plain full-outer arithmetic.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
