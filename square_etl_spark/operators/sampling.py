@@ -216,6 +216,45 @@ def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return stacked
 
 
+def skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """Shuffle-key skew diagnostics — run this BEFORE keying a 100 TB
+    join or aggregation on a column: one row of distribution facts
+    that decide whether the key needs salting / AQE skew handling.
+
+    Emits (n_rows, n_keys, max_key_share, skew_ratio, entropy):
+    ``max_key_share`` is the hottest key's row fraction (the single
+    number that predicts a straggler task), ``skew_ratio`` is
+    max/mean rows per key (1.0 = perfectly uniform), and ``entropy``
+    is the Shannon entropy of the key distribution in nats (ln n_keys
+    = uniform; far below it = concentrated).  Two aggregations over
+    the key-frequency relation (whose size is the KEY CARDINALITY,
+    not the data); per-key entropy terms round to 6 decimals into
+    DECIMAL sums so the result is engine-exact and oracle-checkable.
+    """
+    freq = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = freq.agg(
+        F.sum("c").alias("t_rows"), F.count(F.lit(1)).alias("t_keys")
+    )
+    term = F.round(
+        -(F.col("c") / F.col("t_rows")) * F.log(F.col("c") / F.col("t_rows")),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        freq.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("t_rows").alias("n_rows"),
+            F.max("t_keys").alias("n_keys"),
+            F.round(F.max("c") / F.max("t_rows"), 6).alias("max_key_share"),
+            F.round(
+                F.max("c") * F.max("t_keys") / F.max("t_rows"), 6
+            ).alias("skew_ratio"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str = "n_tokens",

@@ -5551,6 +5551,42 @@ _register(
 )
 
 
+def _skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over the key a real deployment
+    would worry about (events.user_id — every per-user aggregation and
+    join shuffles on it).  One row: hottest-key share, max/mean skew
+    ratio, distribution entropy — the pre-flight check that decides
+    whether the key needs salting before a 100 TB shuffle."""
+    from square_etl_spark.operators.sampling import skew_profile
+
+    return skew_profile(load_table(spark, sf_dir, "events"), "user_id")
+
+
+_register(
+    QuerySpec(
+        "skew_profile_event_users",
+        _skew_profile_users,
+        oracle="""
+        WITH freq AS (
+          SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
+        tot AS (SELECT SUM(c) AS t_rows, COUNT(*) AS t_keys FROM freq),
+        terms AS (
+          SELECT c, t_rows, t_keys,
+                 CAST(ROUND(-(c / t_rows) * ln(c / t_rows), 6)
+                      AS DECIMAL(18,6)) AS term
+          FROM freq CROSS JOIN tot)
+        SELECT CAST(MAX(t_rows) AS BIGINT) AS n_rows,
+               CAST(MAX(t_keys) AS BIGINT) AS n_keys,
+               ROUND(MAX(c) / MAX(t_rows), 6) AS max_key_share,
+               ROUND(MAX(c) * MAX(t_keys) / MAX(t_rows), 6) AS skew_ratio,
+               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        FROM terms
+        """,
+        doc="shuffle-key skew pre-flight: hottest-key share + skew ratio + entropy, engine-exact",
+    )
+)
+
+
 def _arrow_median_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped applyInPandas (one Arrow frame per language) computing
     the per-group median and each doc's deviation — exact selection

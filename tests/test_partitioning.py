@@ -65,3 +65,26 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_skew_profile_detects_hot_key(spark):
+    """A planted 50% hot key must show in max_key_share and depress
+    entropy well below ln(n_keys)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.sampling import skew_profile
+
+    rows = [("hot",)] * 50 + [(f"u{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "user_id string")
+    got = skew_profile(df, "user_id").collect()[0]
+    assert got.n_rows == 100 and got.n_keys == 51
+    assert got.max_key_share == 0.5
+    assert got.skew_ratio == round(50 * 51 / 100, 6)
+    # entropy: 0.5*ln2 + 50 * 0.01*ln100 terms, each rounded to 6
+    expect = round(
+        round(0.5 * math.log(2), 6) + 50 * round(0.01 * math.log(100), 6), 6
+    )
+    assert got.entropy == expect
+    assert got.entropy < math.log(51)  # far from uniform
