@@ -225,3 +225,38 @@ def stream_dedup_exact(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts2",
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join with a time-bound join
+    condition — the attribution shape (impression stream ⋈ click
+    stream: a click joins its impression only within ``within``).
+
+    Both sides carry watermarks and the join condition bounds
+    ``right_ts`` to [left_ts, left_ts + within], which is what lets
+    Structured Streaming EXPIRE state: a left row can be dropped once
+    the right watermark passes its ts + within, a right row once the
+    left watermark passes its ts — without the time bound the state
+    store must hold both streams forever.  This is the streaming twin
+    of the batch as-of/range joins (operators/joins.py) with the same
+    at-scale posture: state ∝ rows inside the time horizon, shuffled
+    by key.  ``left_ts``/``right_ts`` must be distinct column names
+    (the joined relation carries both)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must differ in the output")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).drop(rw[key])

@@ -315,3 +315,52 @@ def test_stream_dedup_exact_cross_batch_bounded_state(spark, tmp_path):
     # the re-send (delivery 3) was dropped, first arrival won
     assert (1, "order-created:42") in seen
     assert all(d != 3 for d, _ in seen)
+
+
+def test_stream_stream_join_time_bound(spark, tmp_path):
+    """Impression⋈click attribution: a click joins only within the
+    30-minute bound; the late click (45 min) never emits."""
+    import os
+
+    from square_etl_spark.streaming.incremental import stream_stream_join
+
+    imp_dir = os.path.join(tmp_path, "imps")
+    clk_dir = os.path.join(tmp_path, "clks")
+    ckpt = os.path.join(tmp_path, "ssck")
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    imps = spark.createDataFrame(
+        [("u1", t0, "ad-1"), ("u2", t0, "ad-2"), ("u3", t0, "ad-3")],
+        "user string, ts timestamp, ad string",
+    )
+    clks = spark.createDataFrame(
+        [("u1", t0 + dt.timedelta(minutes=10), "c-1"),   # in window
+         ("u2", t0 + dt.timedelta(minutes=45), "c-2"),   # too late
+         ("u4", t0 + dt.timedelta(minutes=5), "c-4")],   # no impression
+        "user string, ts2 timestamp, click_id string",
+    )
+    imps.write.parquet(imp_dir)
+    clks.write.parquet(clk_dir)
+
+    left = spark.readStream.schema(
+        "user string, ts timestamp, ad string"
+    ).parquet(imp_dir)
+    right = spark.readStream.schema(
+        "user string, ts2 timestamp, click_id string"
+    ).parquet(clk_dir)
+    joined = stream_stream_join(
+        left, right, "user", "ts", "ts2",
+        watermark="2 hours", within="30 minutes",
+    )
+    got: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        got.extend((r.user, r.ad, r.click_id) for r in batch_df.collect())
+
+    (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert got == [("u1", "ad-1", "c-1")]
