@@ -992,6 +992,59 @@ _register(
 )
 
 
+def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log fold, oracle-checked: model the events stream as
+    a per-user profile change feed (signup→I, activity→U, error→D),
+    fold it with :func:`sinks.merge.cdc_merge_dataframes` against an
+    empty target, and emit the surviving final states — users whose
+    LAST event (by ts, event_id) is not a delete.  The full-CRUD
+    upgrade of K1: the reference's ON CONFLICT upsert covers I/U only;
+    deletes need exactly this last-op-wins + drop fold."""
+    from square_etl_spark.sinks.merge import cdc_merge_dataframes
+
+    e = load_table(spark, sf_dir, "events")
+    feed = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+    )
+    return cdc_merge_dataframes(
+        None, feed, keys=["user_id"], order_cols=["ts", "event_id"]
+    ).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+_register(
+    QuerySpec(
+        "cdc_apply_events",
+        _cdc_apply,
+        oracle="""
+        WITH ranked AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN event_type = 'signup' THEN 'I'
+                      WHEN event_type = 'error' THEN 'D'
+                      ELSE 'U' END AS op,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+               value AS last_value
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+        """,
+        doc="CDC fold: last op per key wins, final deletes drop the key",
+    )
+)
+
+
 def _merge_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1 at the 100 TB shape: MATERIALIZED partition-restricted merge.
     Seeds a year-partitioned parquet target (orders < 1997), merges a

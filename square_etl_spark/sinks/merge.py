@@ -177,6 +177,60 @@ def merge_upsert(
     return n
 
 
+def cdc_merge_dataframes(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Pure CDC MERGE: fold a change log carrying ``op_col`` ∈
+    {'I','U','D'} into the target — the full-CRUD upgrade of
+    :func:`merge_dataframes` (which can only upsert).  Within the
+    batch the LAST op per key wins (by ``order_cols`` descending, the
+    same deterministic fold as the upsert path); a key whose final op
+    is ``'D'`` is removed from the target and not re-inserted, any
+    other final op upserts the payload with ``op_col`` dropped.
+    Deleting an absent key is a no-op; a later batch can re-insert a
+    deleted key.  This is the semantics a Debezium-style change feed
+    needs; the reference's ON CONFLICT upsert
+    (src/etl-square-payments.ts:59-95) covers only the I/U half."""
+    last = last_writer_wins(batch, keys, order_cols)
+    upserts = last.filter(F.col(op_col) != "D").drop(op_col)
+    if target is None:
+        return upserts
+    touched = last.select(*keys).distinct()
+    survivors = target.join(touched, on=keys, how="left_anti")
+    return survivors.unionByName(upserts)
+
+
+def cdc_merge(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+) -> int:
+    """Materialized CDC MERGE with the same crash-consistent staging
+    swap as :func:`merge_upsert` (E3).  The stored target does NOT
+    carry ``op_col`` — it exists only on the change feed."""
+    if batch.isEmpty():
+        return 0
+    _recover_swap(target_path)
+    target_schema = batch.drop(op_col).schema
+    target = (
+        spark.read.schema(target_schema).parquet(target_path)
+        if os.path.exists(target_path)
+        else None
+    )
+    merged = cdc_merge_dataframes(target, batch, keys, order_cols, op_col)
+    tmp = _staging_dir(target_path)
+    n = _write_counted(merged, tmp)
+    _swap_into(tmp, target_path)
+    return n
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     target_path: str,

@@ -415,3 +415,39 @@ def test_scd2_single_join_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     joins = re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert len(joins) == 1, f"expected exactly 1 join in plan, got {joins}"
+
+
+def test_cdc_merge_insert_update_delete_fold(spark, tmp_path):
+    """Full-CRUD CDC fold: last op per key wins within a batch, final
+    'D' removes the key, a later batch re-inserts it, deleting an
+    absent key is a no-op."""
+    import os
+
+    from square_etl_spark.sinks.merge import cdc_merge
+
+    tgt = os.path.join(tmp_path, "cdc_tgt")
+    schema = "id long, val string, seq long, op string"
+    # batch 1: insert 1,2,3; key 2 updated then DELETED in-batch;
+    # delete of absent key 9 is a no-op
+    b1 = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (2, "b2", 2, "U"),
+         (2, None, 3, "D"), (3, "c", 1, "I"), (9, None, 1, "D")],
+        schema,
+    )
+    cdc_merge(spark, tgt, b1, ["id"], ["seq"])
+    got = {r.id: r.val for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a", 3: "c"}
+
+    # batch 2: update 1, delete 3, re-insert 2
+    b2 = spark.createDataFrame(
+        [(1, "a2", 4, "U"), (3, None, 4, "D"), (2, "b3", 4, "I")],
+        schema,
+    )
+    cdc_merge(spark, tgt, b2, ["id"], ["seq"])
+    got = {r.id: r.val for r in spark.read.parquet(tgt).collect()}
+    assert got == {1: "a2", 2: "b3"}
+
+    # replaying batch 2 is idempotent (same fold, same survivors)
+    cdc_merge(spark, tgt, b2, ["id"], ["seq"])
+    got2 = {r.id: r.val for r in spark.read.parquet(tgt).collect()}
+    assert got2 == got
