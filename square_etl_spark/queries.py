@@ -6494,11 +6494,14 @@ _CHECK_PRIORITY: list[str] = [
     # distinct_users_by_type are in head), and join_semi_active
     # (left-semi: q4_priority_late_ship's EXISTS fold and
     # q20_excess_stock_suppliers' semi chain are in head).  They go
-    # first in the r07 cohort section, led by dedup_minhash_vs_ngram —
-    # the one NEW registration deferred rather than displacing an 11th
-    # r04 refresh, because both of its constituent pipelines
-    # (dedup_minhash_lsh, dedup_ngram_jaccard) have their own rows in
-    # THIS head and the agreement join is plain full-outer arithmetic.
+    # first in the r07 cohort section, led by the three NEW
+    # registrations deferred rather than displacing further r04
+    # refreshes — each with its constituents or family covered in THIS
+    # head: dedup_minhash_vs_ngram (both constituent pipelines have
+    # their own rows in-head; the agreement join is plain full-outer
+    # arithmetic), skew_profile_event_users (profiling family:
+    # histogram + deciles in-head), cdc_apply_events (its fold is
+    # last_writer_wins, exercised in-head by a3/k1_merge_upsert).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
