@@ -226,31 +226,36 @@ def skew_profile(df: DataFrame, key: str) -> DataFrame:
     number that predicts a straggler task), ``skew_ratio`` is
     max/mean rows per key (1.0 = perfectly uniform), and ``entropy``
     is the Shannon entropy of the key distribution in nats (ln n_keys
-    = uniform; far below it = concentrated).  Two aggregations over
-    the key-frequency relation (whose size is the KEY CARDINALITY,
-    not the data); per-key entropy terms round to 6 decimals into
-    DECIMAL sums so the result is engine-exact and oracle-checkable.
+    = uniform; far below it = concentrated).
+
+    ONE aggregation over the key-frequency relation (whose size is
+    the KEY CARDINALITY, not the data): entropy uses the identity
+    H = ln T − (Σ c·ln c)/T, so the corpus total T never needs to be
+    known before the per-key pass — the naive −Σ (c/T)·ln(c/T) form
+    costs a second full aggregation of the data just to learn T
+    first.  Per-key ``c·ln c`` terms round to 6 decimals into DECIMAL
+    sums so the result is engine-exact and oracle-checkable.
     """
     freq = df.groupBy(F.col(key).alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    totals = freq.agg(
-        F.sum("c").alias("t_rows"), F.count(F.lit(1)).alias("t_keys")
-    )
-    term = F.round(
-        -(F.col("c") / F.col("t_rows")) * F.log(F.col("c") / F.col("t_rows")),
-        6,
-    ).cast("decimal(18,6)")
+    term = F.round(F.col("c") * F.log("c"), 6).cast("decimal(18,6)")
+    t = F.col("t_rows")
     return (
-        freq.crossJoin(F.broadcast(totals))
-        .agg(
-            F.max("t_rows").alias("n_rows"),
-            F.max("t_keys").alias("n_keys"),
-            F.round(F.max("c") / F.max("t_rows"), 6).alias("max_key_share"),
-            F.round(
-                F.max("c") * F.max("t_keys") / F.max("t_rows"), 6
-            ).alias("skew_ratio"),
-            F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+        freq.agg(
+            F.sum("c").alias("t_rows"),
+            F.count(F.lit(1)).alias("t_keys"),
+            F.max("c").alias("max_c"),
+            F.sum(term).cast("double").alias("s_clnc"),
+        )
+        .select(
+            t.alias("n_rows"),
+            F.col("t_keys").alias("n_keys"),
+            F.round(F.col("max_c") / t, 6).alias("max_key_share"),
+            F.round(F.col("max_c") * F.col("t_keys") / t, 6).alias(
+                "skew_ratio"
+            ),
+            F.round(F.log(t) - F.col("s_clnc") / t, 6).alias("entropy"),
         )
     )
 

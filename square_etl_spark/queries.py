@@ -5622,18 +5622,17 @@ _register(
         oracle="""
         WITH freq AS (
           SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id),
-        tot AS (SELECT SUM(c) AS t_rows, COUNT(*) AS t_keys FROM freq),
-        terms AS (
-          SELECT c, t_rows, t_keys,
-                 CAST(ROUND(-(c / t_rows) * ln(c / t_rows), 6)
-                      AS DECIMAL(18,6)) AS term
-          FROM freq CROSS JOIN tot)
-        SELECT CAST(MAX(t_rows) AS BIGINT) AS n_rows,
-               CAST(MAX(t_keys) AS BIGINT) AS n_keys,
-               ROUND(MAX(c) / MAX(t_rows), 6) AS max_key_share,
-               ROUND(MAX(c) * MAX(t_keys) / MAX(t_rows), 6) AS skew_ratio,
-               ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
-        FROM terms
+        agg AS (
+          SELECT SUM(c) AS t_rows, COUNT(*) AS t_keys, MAX(c) AS max_c,
+                 CAST(SUM(CAST(ROUND(c * ln(c), 6) AS DECIMAL(18,6)))
+                      AS DOUBLE) AS s_clnc
+          FROM freq)
+        SELECT CAST(t_rows AS BIGINT) AS n_rows,
+               CAST(t_keys AS BIGINT) AS n_keys,
+               ROUND(max_c / t_rows, 6) AS max_key_share,
+               ROUND(max_c * t_keys / t_rows, 6) AS skew_ratio,
+               ROUND(ln(t_rows) - s_clnc / t_rows, 6) AS entropy
+        FROM agg
         """,
         doc="shuffle-key skew pre-flight: hottest-key share + skew ratio + entropy, engine-exact",
     )

@@ -82,9 +82,8 @@ def test_skew_profile_detects_hot_key(spark):
     assert got.n_rows == 100 and got.n_keys == 51
     assert got.max_key_share == 0.5
     assert got.skew_ratio == round(50 * 51 / 100, 6)
-    # entropy: 0.5*ln2 + 50 * 0.01*ln100 terms, each rounded to 6
-    expect = round(
-        round(0.5 * math.log(2), 6) + 50 * round(0.01 * math.log(100), 6), 6
-    )
+    # one-pass identity: H = ln T − (Σ round(c·ln c, 6))/T
+    s_clnc = round(50 * math.log(50), 6) + 50 * round(1 * math.log(1), 6)
+    expect = round(math.log(100) - s_clnc / 100, 6)
     assert got.entropy == expect
     assert got.entropy < math.log(51)  # far from uniform
