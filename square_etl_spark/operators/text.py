@@ -357,6 +357,8 @@ def unigram_logprob(
 
     Returns (id, n_tokens, avg_nll) — higher avg_nll = rarer tokens.
     """
+    from pyspark.sql.window import Window
+
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -366,14 +368,20 @@ def unigram_logprob(
             )
         ).alias("w"),
     )
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    totals = freq.agg(F.sum("c").alias("t_total"))
+    # corpus total folds INTO the vocab relation with one global
+    # window (single-partition, but over vocab-sized data — fine),
+    # so the expensive token explode+groupBy runs ONCE instead of a
+    # second time just to learn T.
+    freq = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("t_total", F.sum("c").over(Window.partitionBy()))
+    )
     nll = F.round(-F.log(F.col("c") / F.col("t_total")), 6).cast(
         "decimal(18,6)"
     )
     return (
         toks.join(F.broadcast(freq), on="w")
-        .crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
