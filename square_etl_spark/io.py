@@ -15,7 +15,7 @@ from __future__ import annotations
 import datetime as _dt
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from square_etl_spark.schemas import FIXTURE_TABLES
@@ -256,3 +256,30 @@ def pushed_filters(df: DataFrame) -> str:
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "\n".join(line.strip() for line in plan.splitlines() if "PushedFilters" in line)
+
+
+def zorder_key(cols: list[str | Column], bits: int = 16) -> Column:
+    """Z-order (Morton) clustering key: interleave the low ``bits``
+    bits of each column so that sorting by the ONE key co-locates rows
+    that are close in EVERY dimension — the lakehouse data-layout
+    technique behind multi-dimensional data skipping.  Write a table
+    ``.sortWithinPartitions(zorder_key([a, b]))`` (or repartitionByRange
+    on it first for global clustering) and parquet row-group min/max
+    stats become tight on BOTH a and b, so a predicate on EITHER
+    column prunes row groups — a single-column sort gives that for one
+    dimension only.
+
+    Pure bit arithmetic in Column expressions (shift/and/or — stays in
+    whole-stage codegen, and an oracle can recompute it): columns must
+    be non-negative integers; values are masked to ``bits`` low bits
+    (callers bucket/clamp first — for skewed domains feed a bucketed
+    value like ``col % 1024``).  ``bits × len(cols)`` must fit a long
+    (≤ 63)."""
+    assert bits * len(cols) <= 63, "interleaved key must fit a long"
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            cc = F.col(c).cast("long") if isinstance(c, str) else c.cast("long")
+            bit = F.shiftright(cc, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return z

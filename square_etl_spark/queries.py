@@ -5604,6 +5604,53 @@ _register(
 )
 
 
+def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
+    """Unrolled SQL twin of io.zorder_key: OR of disjoint bit terms
+    (written as + — the shifted terms never overlap)."""
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * len(cols) + j})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    ]
+    return " + ".join(terms)
+
+
+def _zorder_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (bucketed custkey, nationkey) —
+    the data-layout primitive for multi-dimensional row-group
+    skipping (sort a 100 TB table by this ONE key and parquet min/max
+    stats get tight on BOTH dimensions; pyarrow-verified in
+    tests/test_partitioning.py).  Pure shift/and/or Column arithmetic,
+    so the oracle recomputes every interleaved bit."""
+    from square_etl_spark.io import zorder_key
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 1024).alias("xb"),
+        F.col("c_nationkey").alias("yb"),
+    ).select(
+        "c_custkey",
+        zorder_key([F.col("xb"), F.col("yb")], bits=10).alias("zkey"),
+    )
+
+
+_register(
+    QuerySpec(
+        "zorder_key_customers",
+        _zorder_customers,
+        oracle=f"""
+        SELECT c_custkey,
+               CAST({_zorder_oracle_expr(['(c_custkey % 1024)',
+                                          'c_nationkey'], 10)}
+                    AS BIGINT) AS zkey
+        FROM customer
+        """,
+        doc="Morton/Z-order clustering key: interleaved-bit layout primitive, oracle-recomputed",
+    )
+)
+
+
 def _skew_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostics over the key a real deployment
     would worry about (events.user_id — every per-user aggregation and
@@ -6500,7 +6547,8 @@ _CHECK_PRIORITY: list[str] = [
     # their own rows in-head; the agreement join is plain full-outer
     # arithmetic), skew_profile_event_users (profiling family:
     # histogram + deciles in-head), cdc_apply_events (its fold is
-    # last_writer_wins, exercised in-head by a3/k1_merge_upsert).
+    # last_writer_wins, exercised in-head by a3/k1_merge_upsert),
+    # zorder_key_customers (pure bit arithmetic, pyarrow-layout-tested).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
