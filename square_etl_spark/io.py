@@ -248,6 +248,52 @@ def json_ingest_quarantine(
     return valid, rejects
 
 
+def csv_ingest_quarantine(
+    spark: SparkSession,
+    raw: DataFrame,
+    csv_col: str,
+    schema,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV twin of :func:`json_ingest_quarantine`: parse a delimited
+    string column against an explicit schema with ``from_csv`` in
+    PERMISSIVE mode + corrupt-record column, split valid rows from the
+    quarantine, keep the raw line on both branches.  Same posture:
+    declared schema (never inference on production paths), one scan
+    feeding both branches, skip-and-warn (E1) instead of task failure.
+    A malformed FIELD (e.g. non-numeric where the schema says long)
+    marks the row corrupt; extra fields beyond the schema do too."""
+    from pyspark.sql import types as T
+
+    augmented = T.StructType(
+        list(schema.fields) + [T.StructField("__corrupt", T.StringType())]
+    )
+    # from_csv takes a DDL string (not a StructType)
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in augmented.fields
+    )
+    parsed = raw.withColumn(
+        "__parsed",
+        F.from_csv(
+            F.col(csv_col),
+            ddl,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": "__corrupt",
+                "sep": sep,
+            },
+        ),
+    )
+    failed = F.col("__parsed.__corrupt").isNotNull()
+    valid = (
+        parsed.filter(~failed)
+        .select("*", "__parsed.*")
+        .drop("__parsed", "__corrupt")
+    )
+    rejects = parsed.filter(failed).drop("__parsed")
+    return valid, rejects
+
+
 def pushed_filters(df: DataFrame) -> str:
     """Return the PushedFilters fragment of a scan's formatted plan.
 

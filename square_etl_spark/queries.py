@@ -5604,6 +5604,52 @@ _register(
 )
 
 
+def _csv_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with quarantine, oracle-checked end-to-end: per
+    order, CONSTRUCT a delimited line (the constructed-blob technique
+    applied to a source format), corrupt every 97th key's numeric
+    field, parse with :func:`io.csv_ingest_quarantine` (from_csv,
+    PERMISSIVE + corrupt-record column, declared schema — no
+    inference), and return the VALID branch.  The oracle predicts the
+    surviving rows directly, so a green row certifies the parse, the
+    malformed-field quarantine split, and the double round-trip
+    through the string form."""
+    from pyspark.sql import types as T
+
+    from square_etl_spark.io import csv_ingest_quarantine
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.when(F.col("o_orderkey") % 97 == 0, F.lit("oops")).otherwise(
+        F.col("o_totalprice").cast("string")
+    )
+    raw = o.select(
+        F.concat_ws(
+            ",", F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"), price,
+        ).alias("line")
+    )
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    valid, _rejects = csv_ingest_quarantine(spark, raw, "line", schema)
+    return valid.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+_register(
+    QuerySpec(
+        "csv_ingest_orders",
+        _csv_ingest_orders,
+        oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 97 <> 0
+        """,
+        doc="CSV source with quarantine: constructed lines, planted corruption, predicted survivors",
+    )
+)
+
+
 def _zorder_oracle_expr(cols: list[str], bits: int) -> str:
     """Unrolled SQL twin of io.zorder_key: OR of disjoint bit terms
     (written as + — the shifted terms never overlap)."""
@@ -6548,7 +6594,8 @@ _CHECK_PRIORITY: list[str] = [
     # arithmetic), skew_profile_event_users (profiling family:
     # histogram + deciles in-head), cdc_apply_events (its fold is
     # last_writer_wins, exercised in-head by a3/k1_merge_upsert),
-    # zorder_key_customers (pure bit arithmetic, pyarrow-layout-tested).
+    # zorder_key_customers (pure bit arithmetic, pyarrow-layout-tested),
+    # csv_ingest_orders (quarantine posture: e1_quarantine_rejects in head).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]

@@ -3362,3 +3362,29 @@ def test_gif_frames_animation_bomb_cap():
     with pytest.raises(ValueError, match="too large"):
         _parse_gif_frames(blob)
     assert len(_parse_gif_frames(blob, max_frames=3)) == 3
+
+
+def test_csv_ingest_quarantine_splits_malformed_fields(spark):
+    """from_csv PERMISSIVE split: well-typed lines pass, a non-numeric
+    field or over-wide line quarantines, and the raw line survives on
+    both branches."""
+    from pyspark.sql import types as T
+
+    from square_etl_spark.io import csv_ingest_quarantine
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("amount", T.DoubleType()),
+    ])
+    raw = spark.createDataFrame(
+        [("1,alpha,10.5",), ("2,beta,oops",), ("3,gamma,7.25,extra",),
+         ("4,delta,0.0",)],
+        "line string",
+    )
+    valid, rejects = csv_ingest_quarantine(spark, raw, "line", schema)
+    ok = {r.id: (r.name, r.amount, r.line) for r in valid.collect()}
+    assert ok == {1: ("alpha", 10.5, "1,alpha,10.5"),
+                  4: ("delta", 0.0, "4,delta,0.0")}
+    bad = sorted(r.line for r in rejects.collect())
+    assert bad == ["2,beta,oops", "3,gamma,7.25,extra"]
