@@ -5604,6 +5604,89 @@ _register(
 )
 
 
+def _corr_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact Pearson correlation between an order's header
+    total and its line count — the native ``corr()`` aggregate is a
+    float fold whose value depends on partition/accumulation order, so
+    two engines (or two RUNS) can disagree in the last ulps; this
+    formulation makes the statistic hash-stable: every moment term
+    (x, y, x², y², xy) rounds to 6 decimals per row and sums as
+    DECIMAL, so the five sums are exact integers-of-6-decimals on any
+    engine, and only the final closed-form division happens in
+    floating point.  One join + one partial-aggregated shuffle; at
+    100 TB the same shape computes any moment-based statistic
+    (variance, covariance matrices, OLS normal equations) exactly."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    d6 = lambda c: F.round(c, 6).cast("decimal(28,6)")  # noqa: E731
+    x, y = F.col("o_totalprice"), F.col("n_items").cast("double")
+    sums = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d6(x)).alias("sx"),
+        F.sum(d6(y)).alias("sy"),
+        F.sum(d6(x * x)).alias("sxx"),
+        F.sum(d6(y * y)).alias("syy"),
+        F.sum(d6(x * y)).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return sums.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round((n * sxy - sx * sy) / (n * (n - 1)), 6).alias("covariance"),
+    )
+
+
+_register(
+    QuerySpec(
+        "corr_price_items",
+        _corr_price_items,
+        oracle="""
+        WITH j AS (
+          SELECT o_totalprice AS x,
+                 CAST(n_items AS DOUBLE) AS y
+          FROM orders
+          JOIN (SELECT l_orderkey, COUNT(*) AS n_items
+                FROM lineitem GROUP BY l_orderkey) li
+            ON o_orderkey = l_orderkey),
+        s AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6))) AS sx,
+                 SUM(CAST(ROUND(y, 6) AS DECIMAL(28,6))) AS sy,
+                 SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6))) AS sxx,
+                 SUM(CAST(ROUND(y * y, 6) AS DECIMAL(28,6))) AS syy,
+                 SUM(CAST(ROUND(x * y, 6) AS DECIMAL(28,6))) AS sxy
+          FROM j)
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               ROUND((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS pearson_r,
+               ROUND((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * (n - 1.0)), 6) AS covariance
+        FROM s
+        """,
+        doc="hash-stable Pearson r / covariance: decimal moment sums, closed-form finish",
+    )
+)
+
+
 def _csv_ingest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest with quarantine, oracle-checked end-to-end: per
     order, CONSTRUCT a delimited line (the constructed-blob technique
@@ -6595,7 +6678,9 @@ _CHECK_PRIORITY: list[str] = [
     # histogram + deciles in-head), cdc_apply_events (its fold is
     # last_writer_wins, exercised in-head by a3/k1_merge_upsert),
     # zorder_key_customers (pure bit arithmetic, pyarrow-layout-tested),
-    # csv_ingest_orders (quarantine posture: e1_quarantine_rejects in head).
+    # csv_ingest_orders (quarantine posture: e1_quarantine_rejects in
+    # head), corr_price_items (decimal moment sums — the flagship's
+    # decimal_sum machinery, anchored in head).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
