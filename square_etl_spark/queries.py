@@ -6557,6 +6557,217 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Event-behavior analytics (§2.10 extension: funnels / retention /
+# streaks / dense time series — operators/behavior.py).  All four are
+# one-Exchange shapes on the per-entity partitioning.
+# ---------------------------------------------------------------------------
+
+
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion view → click → purchase: stage i+1
+    counts only events STRICTLY AFTER the user's stage-i time
+    (operators/behavior.funnel_stage_times).  The reference merges raw
+    events (src/etl-square-payments.ts row conform); this is the
+    analytics layer any consumer builds on top.  The sequential
+    MIN-over-predicate windows all share PARTITION BY user_id — one
+    Exchange for the whole funnel at any scale."""
+    from square_etl_spark.operators.behavior import funnel_stage_times
+
+    e = load_table(spark, sf_dir, "events")
+    st = funnel_stage_times(e, "ts", "user_id", "event_type",
+                            ["view", "click", "purchase"])
+    agg = st.agg(
+        F.count("stage_1_ts").alias("users_view"),
+        F.count("stage_2_ts").alias("users_click"),
+        F.count("stage_3_ts").alias("users_purchase"),
+    )
+    return agg.select(
+        "users_view", "users_click", "users_purchase",
+        F.round(F.col("users_click") / F.col("users_view"), 6).alias(
+            "conv_click"
+        ),
+        F.round(F.col("users_purchase") / F.col("users_view"), 6).alias(
+            "conv_purchase"
+        ),
+    )
+
+
+_register(
+    QuerySpec(
+        "funnel_conversion",
+        _funnel_conversion,
+        oracle="""
+        WITH e1 AS (
+          SELECT user_id, ts, event_type,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS s1
+          FROM events),
+        e2 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > s1
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS s2
+          FROM e1),
+        e3 AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > s2
+                             THEN ts END)
+                      OVER (PARTITION BY user_id) AS s3
+          FROM e2),
+        u AS (SELECT user_id, MIN(s1) AS s1, MIN(s2) AS s2, MIN(s3) AS s3
+              FROM e3 GROUP BY user_id),
+        c AS (SELECT COUNT(s1) AS users_view, COUNT(s2) AS users_click,
+                     COUNT(s3) AS users_purchase
+              FROM u)
+        SELECT users_view, users_click, users_purchase,
+               ROUND(CAST(users_click AS DOUBLE) / users_view, 6)
+                 AS conv_click,
+               ROUND(CAST(users_purchase AS DOUBLE) / users_view, 6)
+                 AS conv_purchase
+        FROM c
+        """,
+        doc="ordered funnel (view→click→purchase), sequential windows, one Exchange",
+    )
+)
+
+
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle over events: cohort = ISO week
+    of first touch, cell = distinct users from that cohort active in
+    week cohort+offset (operators/behavior.retention_cohorts)."""
+    from square_etl_spark.operators.behavior import retention_cohorts
+
+    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(e, "ts", "user_id")
+
+
+_register(
+    QuerySpec(
+        "retention_cohorts",
+        _retention_cohorts,
+        oracle="""
+        WITH f AS (
+          SELECT user_id, ts,
+                 MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+          FROM events),
+        wk AS (
+          SELECT DISTINCT user_id,
+                 date_trunc('week', first_ts) AS cohort_week,
+                 date_trunc('week', ts) AS active_week
+          FROM f),
+        cells AS (
+          SELECT cohort_week,
+                 CAST(date_diff('day', cohort_week, active_week) // 7
+                      AS BIGINT) AS week_offset,
+                 COUNT(*) AS active_users
+          FROM wk GROUP BY 1, 2)
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+               week_offset, active_users,
+               MAX(CASE WHEN week_offset = 0 THEN active_users END)
+                 OVER (PARTITION BY cohort_week) AS cohort_size,
+               ROUND(CAST(active_users AS DOUBLE)
+                     / MAX(CASE WHEN week_offset = 0 THEN active_users END)
+                         OVER (PARTITION BY cohort_week),
+                     6) AS retention
+        FROM cells
+        """,
+        doc="weekly cohort-retention triangle: first-touch window + (user,week) dedup",
+    )
+)
+
+
+def _streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (operators/behavior.activity_streaks):
+    day − row_number is the island anchor, one grouped count per
+    island, deterministic argmax."""
+    from square_etl_spark.operators.behavior import activity_streaks
+
+    e = load_table(spark, sf_dir, "events")
+    return activity_streaks(e, "ts", "user_id")
+
+
+_register(
+    QuerySpec(
+        "streaks_user_activity",
+        _streaks,
+        oracle="""
+        WITH d AS (
+          SELECT DISTINCT user_id AS k, CAST(ts AS DATE) AS day
+          FROM events),
+        i AS (
+          SELECT k, day,
+                 day - CAST(ROW_NUMBER() OVER (PARTITION BY k
+                                               ORDER BY day)
+                            AS INTEGER) AS anchor
+          FROM d),
+        s AS (
+          SELECT k, anchor, COUNT(*) AS streak_days, MIN(day) AS start_day
+          FROM i GROUP BY 1, 2),
+        b AS (
+          SELECT k, streak_days, start_day,
+                 ROW_NUMBER() OVER (PARTITION BY k
+                                    ORDER BY streak_days DESC, start_day)
+                   AS rk
+          FROM s)
+        SELECT k AS user_id, streak_days,
+               strftime(start_day, '%Y-%m-%d') AS streak_start
+        FROM b WHERE rk = 1
+        """,
+        doc="gaps-and-islands: longest consecutive-day streak per user",
+    )
+)
+
+
+def _gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue series with forward-fill for a bounded user
+    cohort (operators/behavior.gapfill_daily): per-day decimal sums on
+    the global calendar grid, gaps carry the last observed value,
+    days before first observation stay NULL."""
+    from square_etl_spark.operators.behavior import gapfill_daily
+    from square_etl_spark.operators.aggregations import decimal_sum
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = gapfill_daily(e, "ts", "user_id", decimal_sum(F.col("value")))
+    return out.select(
+        "user_id", "day", F.round("v_filled", 6).alias("v_filled")
+    )
+
+
+_register(
+    QuerySpec(
+        "timeseries_gapfill",
+        _gapfill,
+        oracle="""
+        WITH daily AS (
+          SELECT user_id AS k, CAST(ts AS DATE) AS day,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+          FROM events WHERE user_id < 30 GROUP BY 1, 2),
+        b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        cal AS (
+          SELECT CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP),
+                                             CAST(d1 AS TIMESTAMP),
+                                             INTERVAL 1 DAY)) AS DATE)
+                   AS day
+          FROM b),
+        grid AS (
+          SELECT k, day FROM (SELECT DISTINCT k FROM daily), cal),
+        filled AS (
+          SELECT grid.k, grid.day,
+                 LAST_VALUE(daily.v IGNORE NULLS)
+                   OVER (PARTITION BY grid.k ORDER BY grid.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS v_filled
+          FROM grid LEFT JOIN daily
+            ON grid.k = daily.k AND grid.day = daily.day)
+        SELECT k AS user_id, strftime(day, '%Y-%m-%d') AS day,
+               ROUND(v_filled, 6) AS v_filled
+        FROM filled
+        """,
+        doc="dense daily grid + forward-fill (sequence/explode calendar, IGNORE NULLS window)",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks queries in `queries()` dict order
