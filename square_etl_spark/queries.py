@@ -6768,6 +6768,177 @@ _register(
 
 
 # ---------------------------------------------------------------------------
+# Mergeable sketches (§2.10 extension: operators/sketches.py) — count-min
+# frequency estimates and Bloom-filter join pruning, md5-hashed so the
+# oracle recomputes the identical sketch.
+# ---------------------------------------------------------------------------
+
+
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 4 x width 64) over event user_ids,
+    estimate vs exact for every key: the estimate is min-over-rows of
+    the key's cells, never below the exact count, over by collision
+    mass only (the CM guarantee, certified row-by-row by the
+    ``overestimate >= 0`` column the oracle recomputes).  The sketch
+    is 256 cells REGARDLESS of input size — one partial-agged shuffle
+    to build, broadcast to probe; the monoid merge is pinned in
+    test_sketches."""
+    from square_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id", depth=4, width=64)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(
+        sketch, exact.select("user_id"), "user_id", depth=4, width=64
+    )
+    return exact.join(est, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt"))
+        .cast("long")
+        .alias("overestimate"),
+    )
+
+
+_register(
+    QuerySpec(
+        "heavy_hitters_cms",
+        _heavy_hitters,
+        oracle="""
+        WITH seeds AS (SELECT UNNEST(generate_series(0, 3)) AS j),
+        cells AS (
+          SELECT j,
+                 CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 64 AS b,
+                 COUNT(*) AS cnt
+          FROM events, seeds GROUP BY 1, 2),
+        exact AS (
+          SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY 1),
+        probe AS (
+          SELECT user_id, j,
+                 CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 64 AS b
+          FROM exact, seeds),
+        est AS (
+          SELECT probe.user_id, MIN(cells.cnt) AS cms_est
+          FROM probe JOIN cells USING (j, b) GROUP BY 1)
+        SELECT exact.user_id, exact_cnt,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
+        FROM exact JOIN est ON exact.user_id = est.user_id
+        """,
+        doc="count-min sketch: deterministic md5 cells, estimate >= exact certified per key",
+    )
+)
+
+
+def _bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning end-to-end: build a 4096-bit / 3-hash
+    filter over BUILDING-segment customer keys, probe the distinct
+    order custkeys, and count what survives at each stage.  A green
+    row certifies zero false negatives (candidates ⊇ true matches —
+    ``orders_after_prune`` ≥ ``orders_true``) and the exact
+    deterministic false-positive set.  At 100 TB this is explicit
+    semi-join pruning: the filter is ≤ m rows broadcast next to the
+    big-side scan, so non-matching rows die before the shuffle."""
+    from square_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe_keys,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    positions = bloom_build(build, "c_custkey", k=3, m=4096)
+    orders = load_table(spark, sf_dir, "orders")
+    probe_keys = orders.select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    passing = bloom_probe_keys(probe_keys, "custkey", positions, k=3, m=4096)
+    true_keys = probe_keys.join(
+        F.broadcast(build), probe_keys.custkey == build.c_custkey, "left_semi"
+    )
+    a = build.agg(F.count(F.lit(1)).alias("build_keys"))
+    b = positions.agg(F.count(F.lit(1)).alias("bits_set"))
+    c = passing.agg(F.count(F.lit(1)).alias("candidate_keys"))
+    d = true_keys.agg(F.count(F.lit(1)).alias("true_keys"))
+    e = (
+        orders.join(
+            F.broadcast(passing),
+            orders.o_custkey == passing.custkey,
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("orders_after_prune"))
+    )
+    f = (
+        orders.join(
+            F.broadcast(build),
+            orders.o_custkey == build.c_custkey,
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("orders_true"))
+    )
+    out = a.crossJoin(b).crossJoin(c).crossJoin(d).crossJoin(e).crossJoin(f)
+    return out.select(
+        "build_keys",
+        "bits_set",
+        "candidate_keys",
+        "true_keys",
+        (F.col("candidate_keys") - F.col("true_keys")).alias(
+            "false_positive_keys"
+        ),
+        "orders_after_prune",
+        "orders_true",
+    )
+
+
+_register(
+    QuerySpec(
+        "bloom_prune_join",
+        _bloom_prune,
+        oracle="""
+        WITH build AS (
+          SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        hashes AS (SELECT UNNEST(generate_series(0, 2)) AS j),
+        positions AS (
+          SELECT DISTINCT
+                 CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 4096 AS pos
+          FROM build, hashes),
+        probe_keys AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+        probe_pos AS (
+          SELECT custkey,
+                 CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(custkey AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 4096 AS pos
+          FROM probe_keys, hashes),
+        passing AS (
+          SELECT custkey FROM probe_pos
+          JOIN positions USING (pos)
+          GROUP BY custkey HAVING COUNT(*) = 3),
+        true_keys AS (
+          SELECT custkey FROM probe_keys
+          WHERE custkey IN (SELECT c_custkey FROM build))
+        SELECT (SELECT COUNT(*) FROM build) AS build_keys,
+               (SELECT COUNT(*) FROM positions) AS bits_set,
+               (SELECT COUNT(*) FROM passing) AS candidate_keys,
+               (SELECT COUNT(*) FROM true_keys) AS true_keys,
+               (SELECT COUNT(*) FROM passing)
+                 - (SELECT COUNT(*) FROM true_keys) AS false_positive_keys,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+                  (SELECT custkey FROM passing)) AS orders_after_prune,
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IN
+                  (SELECT c_custkey FROM build)) AS orders_true
+        """,
+        doc="Bloom semi-join pruning: no false negatives + exact deterministic FP set",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks queries in `queries()` dict order
