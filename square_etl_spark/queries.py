@@ -6938,6 +6938,74 @@ _register(
 )
 
 
+def _snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed generation between two deterministic snapshots of
+    orders (sinks/merge.snapshot_diff — the inverse of cdc_merge):
+    old = keys with k % 10 != 7 at stored price; new = keys with
+    k % 13 != 5, price bumped +1.50 where k % 3 == 0.  One FULL OUTER
+    join classifies every key I/U/D with null-safe compares; the
+    round trip cdc_merge(old, feed) == new is pytest-pinned."""
+    from square_etl_spark.sinks.merge import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 5)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 3 == 0,
+                F.round(F.col("o_totalprice") + 1.5, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+_register(
+    QuerySpec(
+        "snapshot_diff_orders",
+        _snapshot_diff_orders,
+        oracle="""
+        WITH old AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice
+          FROM orders WHERE o_orderkey % 10 <> 7),
+        new AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN ROUND(o_totalprice + 1.5, 2)
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 5),
+        j AS (
+          SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                 old.o_orderkey IS NOT NULL AS in_old,
+                 new.o_orderkey IS NOT NULL AS in_new,
+                 (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+                  OR (old.o_totalprice IS DISTINCT FROM new.o_totalprice)
+                   AS changed,
+                 new.o_orderstatus, new.o_totalprice
+          FROM old FULL OUTER JOIN new
+            ON old.o_orderkey = new.o_orderkey)
+        SELECT o_orderkey,
+               CASE WHEN NOT in_old THEN 'I'
+                    WHEN NOT in_new THEN 'D'
+                    ELSE 'U' END AS op,
+               o_orderstatus, o_totalprice
+        FROM j
+        WHERE (NOT in_old) OR (NOT in_new) OR changed
+        """,
+        doc="snapshot diff -> CDC feed: FULL OUTER I/U/D classification, cdc_merge round-trip pinned",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

@@ -231,6 +231,60 @@ def cdc_merge(
     return n
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Generate the change feed between two snapshots — the INVERSE of
+    :func:`cdc_merge_dataframes`: one FULL OUTER join on the keys,
+    classifying each key as ``'I'`` (new only), ``'D'`` (old only), or
+    ``'U'`` (present in both with any compare column null-safely
+    distinct); unchanged keys emit nothing.  Rows carry the NEW
+    payload (NULL for deletes), so the round trip
+    ``cdc_merge(old, snapshot_diff(old, new)) == new`` holds exactly
+    (pinned in test_merge).
+
+    This is how a pipeline without a native change feed (the
+    reference re-pulls full Square catalog snapshots,
+    src/etl-square-catalog.ts) derives incremental downstream work:
+    diff today's snapshot against yesterday's, ship only the delta.
+    At scale it is one co-partitioned shuffle join on the key — the
+    same cost as the merge it feeds, and far cheaper than
+    re-processing the full snapshot downstream.
+    """
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, on=keys, how="full_outer")
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = d if changed is None else (changed | d)
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(changed, F.lit("U"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[F.col(f"__n_{c}").alias(c) for c in compare_cols],
+        )
+    )
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     target_path: str,

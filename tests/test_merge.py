@@ -451,3 +451,45 @@ def test_cdc_merge_insert_update_delete_fold(spark, tmp_path):
     cdc_merge(spark, tgt, b2, ["id"], ["seq"])
     got2 = {r.id: r.val for r in spark.read.parquet(tgt).collect()}
     assert got2 == got
+
+
+def test_snapshot_diff_classifies_and_round_trips(spark):
+    """snapshot_diff emits exactly the I/U/D delta (unchanged keys are
+    silent), and folding the feed back with cdc_merge_dataframes
+    reconstructs the new snapshot exactly — diff and merge are
+    inverses."""
+    from square_etl_spark.sinks.merge import (
+        cdc_merge_dataframes,
+        snapshot_diff,
+    )
+
+    schema = "id long, status string, amount double"
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "A", 20.0), (3, "B", 30.0), (4, "B", None)],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0),          # unchanged → silent
+         (2, "A", 25.0),          # amount changed → U
+         (4, "B", 40.0),          # NULL → value change → U (null-safe)
+         (5, "C", 50.0)],         # new key → I; key 3 gone → D
+        schema,
+    )
+    feed = snapshot_diff(old, new, ["id"], ["status", "amount"])
+    ops = {r.id: r.op for r in feed.collect()}
+    assert ops == {2: "U", 3: "D", 4: "U", 5: "I"}
+    # delete rows carry NULL payload
+    d3 = [r for r in feed.collect() if r.id == 3][0]
+    assert d3.status is None and d3.amount is None
+
+    merged = cdc_merge_dataframes(old, feed, ["id"], ["id"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_snapshot_diff_identical_snapshots_empty_feed(spark):
+    from square_etl_spark.sinks.merge import snapshot_diff
+
+    df = spark.createDataFrame([(1, "A", 1.0)], "id long, s string, a double")
+    assert snapshot_diff(df, df, ["id"], ["s", "a"]).count() == 0
