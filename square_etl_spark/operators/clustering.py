@@ -1,0 +1,113 @@
+"""Fixed-iteration k-means over embedding columns (§2.10 extension).
+
+Lloyd's algorithm with a deterministic seed (the first k vectors by
+id) and a FIXED iteration count, formulated so two engines produce
+bit-identical results:
+
+- vectors live in LONG FORM (id, dim, val) — posexplode/UNNEST — so
+  every distance and every centroid update is a grouped aggregate,
+  not an array fold whose accumulation order floats;
+- squared-distance terms round to 9 decimals per (dim) and sum as
+  DECIMAL(38,9): the per-(point,cluster) distance is an exact number
+  on any engine, and the argmin (distance ASC, cluster ASC) is a
+  total order with no float ambiguity;
+- centroid updates divide the exact decimal sum by the member count
+  in DOUBLE and round to 9 decimals — one IEEE division, identical
+  everywhere.
+
+Scale shape: the assignment join is |points| x k rows against a
+BROADCAST centroid relation (k x d rows); the update is one grouped
+shuffle keyed (cluster, dim).  Per iteration that is one broadcast
+join + one shuffle — the canonical distributed Lloyd step.  A fixed
+iteration count (rather than convergence polling) keeps the plan
+static and the oracle expressible; production would wrap the same
+step in the checkpointed-loop scaffolding connected_components uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _long_form(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("dim", "valf"),
+    ).select("vid", "dim", F.col("valf").cast("double").alias("val"))
+
+
+def kmeans_fixed(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``iters`` exact Lloyd steps; returns ``(assign, centroids)``:
+    ``assign(vid, c, d2)`` — final cluster per point with its exact
+    decimal squared distance — and ``centroids(c, dim, cval)`` from
+    the final update."""
+    long = _long_form(emb, id_col, vec_col)
+    cent = (
+        long.filter(F.col("vid") < k)
+        .select(F.col("vid").alias("c"), "dim", F.col("val").alias("cval"))
+    )
+    assign = None
+    for _ in range(iters):
+        diff = F.col("val") - F.col("cval")
+        term = F.round(diff * diff, 9).cast(
+            "decimal(38,9)"
+        )
+        dist = (
+            long.join(F.broadcast(cent), "dim")
+            .groupBy("vid", "c")
+            .agg(F.sum(term).alias("d2"))
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("d2").asc(), F.col("c").asc()
+        )
+        assign = (
+            dist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vid", "c", "d2")
+        )
+        cent = (
+            long.join(assign.select("vid", "c"), "vid")
+            .groupBy("c", "dim")
+            .agg(
+                F.round(
+                    F.sum(F.round(F.col("val"), 9).cast("decimal(38,9)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    9,
+                ).alias("cval")
+            )
+        )
+    return assign, cent
+
+
+def kmeans_summary(assign: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-cluster summary of a k-means run: member count, exact-sum
+    inertia (decimal d2 → double, rounded), and the centroid L2-norm²
+    (9-decimal terms, decimal sum, rounded) — the hash-stable footprint
+    of the whole clustering."""
+    members = assign.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("d2").cast("double"), 6).alias("inertia"),
+    )
+    norms = centroids.groupBy("c").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)")
+            ).cast("double"),
+            6,
+        ).alias("centroid_norm2")
+    )
+    return members.join(norms, "c").select(
+        F.col("c").cast("long").alias("cluster"),
+        "n_members",
+        "inertia",
+        "centroid_norm2",
+    )

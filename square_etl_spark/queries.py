@@ -7006,6 +7006,81 @@ _register(
 )
 
 
+def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two exact Lloyd iterations over the embeddings table
+    (operators/clustering.kmeans_fixed): deterministic seed = vectors
+    0..3, long-form decimal-sum distances, argmin with a total order,
+    centroid means from exact decimal sums.  Output is the per-cluster
+    footprint (members / inertia / centroid norm²) and the oracle
+    recomputes BOTH iterations end-to-end — a green row certifies the
+    full iterative computation, not just the final shape."""
+    from square_etl_spark.operators.clustering import (
+        kmeans_fixed,
+        kmeans_summary,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign, cent = kmeans_fixed(e, "vec_id", "embedding", k=4, iters=2)
+    return kmeans_summary(assign, cent)
+
+
+def _kmeans_oracle() -> str:
+    dist = """
+          SELECT lf.vid, {c}.c,
+                 SUM(CAST(ROUND((lf.val - {c}.cval) * (lf.val - {c}.cval), 9)
+                          AS DECIMAL(38,9))) AS d2
+          FROM lf JOIN {c} USING (dim)
+          GROUP BY 1, 2"""
+    argmin = """
+          SELECT vid, c, d2 FROM (
+            SELECT vid, c, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c) AS rk
+            FROM {d}) WHERE rk = 1"""
+    update = """
+          SELECT {a}.c, lf.dim,
+                 ROUND(CAST(SUM(CAST(ROUND(lf.val, 9) AS DECIMAL(38,9)))
+                            AS DOUBLE) / COUNT(*), 9) AS cval
+          FROM lf JOIN {a} USING (vid)
+          GROUP BY 1, 2"""
+    return f"""
+        WITH lf AS (
+          SELECT vec_id AS vid,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(UNNEST(embedding) AS DOUBLE) AS val
+          FROM embeddings),
+        c0 AS (SELECT vid AS c, dim, val AS cval FROM lf WHERE vid < 4),
+        d1 AS ({dist.format(c='c0')}),
+        a1 AS ({argmin.format(d='d1')}),
+        c1 AS ({update.format(a='a1')}),
+        d2i AS ({dist.format(c='c1')}),
+        a2 AS ({argmin.format(d='d2i')}),
+        c2 AS ({update.format(a='a2')}),
+        m AS (
+          SELECT c, COUNT(*) AS n_members,
+                 ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS inertia
+          FROM a2 GROUP BY c),
+        nrm AS (
+          SELECT c,
+                 ROUND(CAST(SUM(CAST(ROUND(cval * cval, 9)
+                                     AS DECIMAL(38,9))) AS DOUBLE), 6)
+                   AS centroid_norm2
+          FROM c2 GROUP BY c)
+        SELECT CAST(m.c AS BIGINT) AS cluster, n_members, inertia,
+               centroid_norm2
+        FROM m JOIN nrm USING (c)
+        """
+
+
+_register(
+    QuerySpec(
+        "kmeans_embeddings",
+        _kmeans_embeddings,
+        oracle=_kmeans_oracle(),
+        doc="2 exact Lloyd iterations, both recomputed by the oracle (decimal distances)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
