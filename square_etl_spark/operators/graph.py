@@ -1,0 +1,76 @@
+"""Iterative graph analytics beyond connected components (§2.10).
+
+PageRank with EXACT INTEGER arithmetic: ranks are scaled to integer
+units of 1e-12 and every step uses only BIGINT add/multiply/divide
+(`div` truncation — positive everywhere, so identical to floor on any
+engine).  Floating-point PageRank accumulates in partition order and
+can differ in last ulps between runs/engines; integer PageRank is a
+single exact answer a DuckDB oracle recomputes verbatim.  The cost is
+a bounded truncation drift (≤ 1 unit = 1e-12 per division), which is
+noise relative to the damping-factor semantics.
+
+Scale shape per iteration: one join of the edge relation against the
+rank relation co-partitioned on src (rank and out-degree relations
+are node-sized), one grouped sum on dst — the canonical distributed
+power-iteration step, same as Pregel/GraphX express.  Fixed iteration
+count keeps the plan static (the same contract as
+clustering.kmeans_fixed); connected_components shows the
+checkpointed-loop form when convergence detection is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """``iters`` power iterations over ``edges(src, dst)``; returns
+    ``(node, pr_scaled)`` with ranks in integer 1e-12 units.
+
+    pr₀ = SCALE div N; each step every node sends ``pr div outdeg``
+    along its edges and collects
+    ``(100−d)·SCALE div (100·N) + d·Σincoming div 100``.
+    Nodes are the union of both endpoint sets, so sinks (no
+    out-edges) and sources (no in-edges) both participate; a sink
+    simply dissipates its mass (the standard non-normalized handling
+    — total mass is not conserved, relative ranking is).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count(F.lit(1)).alias("nn"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base_pct = 100 - damping_pct
+
+    pr = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", F.expr(f"CAST({SCALE} AS BIGINT) div nn").alias("pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outdeg, "src")
+            .select(F.col("dst"), F.expr("pr div outdeg").alias("share"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("share").alias("sin"))
+        pr = (
+            nodes.crossJoin(F.broadcast(n1))
+            .join(incoming, nodes.node == incoming.dst, "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base_pct} AS BIGINT) * {SCALE} div (100 * nn)"
+                    f" + {damping_pct} * COALESCE(sin, CAST(0 AS BIGINT))"
+                    f" div 100"
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", F.col("pr").alias("pr_scaled"))

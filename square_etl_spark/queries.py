@@ -7081,6 +7081,90 @@ _register(
 )
 
 
+def _pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank, 3 power iterations
+    (operators/graph.pagerank_fixed) over a deterministic 3-regular
+    graph on the event users: nodes are dense ranks of the distinct
+    user ids, edges i → (2i+1), (i+7), (3i+11) mod N.  Every step is
+    BIGINT arithmetic, so the oracle recomputes the IDENTICAL ranks —
+    the iterative-graph sibling of dedup's connected components.
+
+    The dense-rank densification is a single-partition window over the
+    DISTINCT user relation — node-sized metadata, not data-sized; a
+    real 100 TB graph would carry its own ids (the iteration itself
+    never needs density)."""
+    from square_etl_spark.operators.graph import pagerank_fixed
+
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    idx = users.select(
+        (
+            F.row_number().over(Window.orderBy("user_id")) - 1
+        ).alias("i")
+    )
+    n1 = idx.agg(F.count(F.lit(1)).alias("nn"))
+    edges = (
+        idx.crossJoin(F.broadcast(n1))
+        .select(
+            F.col("i").alias("src"),
+            F.explode(
+                F.array(
+                    (2 * F.col("i") + 1) % F.col("nn"),
+                    (F.col("i") + 7) % F.col("nn"),
+                    (3 * F.col("i") + 11) % F.col("nn"),
+                )
+            ).alias("dst"),
+        )
+    )
+    return pagerank_fixed(edges, iters=3).orderBy("node")
+
+
+_register(
+    QuerySpec(
+        "pagerank_user_graph",
+        _pagerank_users,
+        oracle=f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        nr AS (SELECT COUNT(*) AS nn FROM u),
+        idx AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS i FROM u),
+        e AS (
+          SELECT i AS src, (2 * i + 1) % nn AS dst FROM idx, nr
+          UNION ALL SELECT i, (i + 7) % nn FROM idx, nr
+          UNION ALL SELECT i, (3 * i + 11) % nn FROM idx, nr),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        nodes AS (
+          SELECT src AS node FROM e UNION SELECT dst FROM e),
+        p0 AS (
+          SELECT node, CAST({10**12} AS BIGINT) // nn AS pr
+          FROM nodes, nr),
+        s1 AS (
+          SELECT dst, SUM(pr // outdeg) AS sin
+          FROM e JOIN p0 ON src = node JOIN deg USING (src) GROUP BY dst),
+        p1 AS (
+          SELECT node, CAST(15 AS BIGINT) * {10**12} // (100 * nn)
+                       + 85 * COALESCE(sin, 0) // 100 AS pr
+          FROM nodes CROSS JOIN nr LEFT JOIN s1 ON node = dst),
+        s2 AS (
+          SELECT dst, SUM(pr // outdeg) AS sin
+          FROM e JOIN p1 ON src = node JOIN deg USING (src) GROUP BY dst),
+        p2 AS (
+          SELECT node, CAST(15 AS BIGINT) * {10**12} // (100 * nn)
+                       + 85 * COALESCE(sin, 0) // 100 AS pr
+          FROM nodes CROSS JOIN nr LEFT JOIN s2 ON node = dst),
+        s3 AS (
+          SELECT dst, SUM(pr // outdeg) AS sin
+          FROM e JOIN p2 ON src = node JOIN deg USING (src) GROUP BY dst),
+        p3 AS (
+          SELECT node, CAST(15 AS BIGINT) * {10**12} // (100 * nn)
+                       + 85 * COALESCE(sin, 0) // 100 AS pr
+          FROM nodes CROSS JOIN nr LEFT JOIN s3 ON node = dst)
+        SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM p3 ORDER BY node
+        """,
+        doc="integer-exact PageRank, 3 iterations oracle-recomputed (BIGINT power steps)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

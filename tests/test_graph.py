@@ -1,0 +1,46 @@
+"""Integer PageRank (operators/graph.py): mass routing, sink/source
+handling, determinism, uniform fixed point."""
+
+from __future__ import annotations
+
+from square_etl_spark.operators.graph import SCALE, pagerank_fixed
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_ranks_the_hub_highest(spark):
+    # star: everyone points at node 0; 0 points at 1
+    e = _edges(spark, [(1, 0), (2, 0), (3, 0), (4, 0), (0, 1)])
+    pr = {r["node"]: r["pr_scaled"] for r in pagerank_fixed(e).collect()}
+    assert pr[0] == max(pr.values())
+    assert pr[1] > pr[2] == pr[3] == pr[4]  # 1 inherits the hub's mass
+
+
+def test_pagerank_uniform_on_a_cycle(spark):
+    # directed 4-cycle: symmetry → all ranks exactly equal
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    vals = {r["pr_scaled"] for r in pagerank_fixed(e, iters=5).collect()}
+    assert len(vals) == 1
+    # and equal to the uniform fixed point: base + 0.85 * pr = pr
+    assert abs(next(iter(vals)) - SCALE // 4) <= 5  # integer-drift units
+
+
+def test_pagerank_source_gets_base_mass_only(spark):
+    # 0 → 1 → 2, 2 → 1: node 0 has no in-edges
+    e = _edges(spark, [(0, 1), (1, 2), (2, 1)])
+    pr = {r["node"]: r["pr_scaled"] for r in pagerank_fixed(e).collect()}
+    assert pr[0] == 15 * SCALE // (100 * 3)
+    assert pr[1] > pr[0] and pr[2] > pr[0]
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    pairs = [(i, (2 * i + 1) % 40) for i in range(40)] + [
+        (i, (i + 7) % 40) for i in range(40)
+    ]
+    e1 = _edges(spark, pairs).repartition(16)
+    e2 = _edges(spark, pairs).coalesce(1)
+    r1 = sorted(map(tuple, pagerank_fixed(e1).collect()))
+    r2 = sorted(map(tuple, pagerank_fixed(e2).collect()))
+    assert r1 == r2
