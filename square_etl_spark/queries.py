@@ -7165,6 +7165,144 @@ _register(
 )
 
 
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting statistics per term: document frequency,
+    total term frequency, and the top document (argmax tf,
+    deterministic min-doc_id tiebreak) — the IR/retrieval build step
+    over the corpus, one explode + one grouped shuffle on term +
+    a term-partitioned argmax window (same partitioning, Exchange
+    reused).  At 100 TB the postings relation is the shuffle — exactly
+    the cost an index build pays anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "top_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("tf")))
+            .cast("long")
+            .alias("top_tf"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "inverted_index_terms",
+        _inverted_index,
+        oracle=r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 UNNEST(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents WHERE trim(text) <> ''),
+        tf AS (
+          SELECT term, doc_id, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY term, doc_id),
+        ranked AS (
+          SELECT term, doc_id, tf,
+                 ROW_NUMBER() OVER (PARTITION BY term
+                                    ORDER BY tf DESC, doc_id) AS rk
+          FROM tf)
+        SELECT term, COUNT(*) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               MAX(CASE WHEN rk = 1 THEN doc_id END) AS top_doc_id,
+               CAST(MAX(CASE WHEN rk = 1 THEN tf END) AS BIGINT) AS top_tf
+        FROM ranked GROUP BY term
+        """,
+        doc="inverted-index posting stats: df / total tf / deterministic top doc per term",
+    )
+)
+
+
+def _outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment z-score outlier detection on order totals: segment
+    mean/stddev from 6-decimal decimal sums over a segment-partitioned
+    window (hash-stable — same discipline as corr_price_items), each
+    order scored (x − μ)/σ in identical IEEE steps on both engines,
+    |z| > 2.5 flagged.  Window + grouped rollup share the segment
+    partitioning: one broadcast join + one Exchange end-to-end."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    d6 = lambda col: F.round(col, 6).cast("decimal(28,6)")  # noqa: E731
+    w = Window.partitionBy("c_mktsegment")
+    x = F.col("o_totalprice")
+    scored = (
+        j.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum(d6(x)).over(w).cast("double"))
+        .withColumn("sxx", F.sum(d6(x * x)).over(w).cast("double"))
+        .withColumn("mean", F.col("sx") / F.col("n"))
+        .withColumn(
+            "sd",
+            F.sqrt(
+                (F.col("sxx") - F.col("n") * F.col("mean") * F.col("mean"))
+                / (F.col("n") - 1)
+            ),
+        )
+        .withColumn("z", (x - F.col("mean")) / F.col("sd"))
+    )
+    return (
+        scored.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.abs("z") > 2.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "outlier_zscore_orders",
+        _outlier_zscore,
+        oracle="""
+        WITH j AS (
+          SELECT c_mktsegment, o_totalprice AS x
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        s AS (
+          SELECT c_mktsegment, x,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n,
+                 CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(28,6)))
+                        OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(ROUND(x * x, 6) AS DECIMAL(28,6)))
+                        OVER (PARTITION BY c_mktsegment) AS DOUBLE) AS sxx
+          FROM j),
+        z AS (
+          SELECT c_mktsegment, n,
+                 (x - sx / n)
+                   / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1)) AS z
+          FROM s)
+        SELECT c_mktsegment,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN abs(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_outliers,
+               ROUND(MAX(abs(z)), 6) AS max_abs_z
+        FROM z GROUP BY c_mktsegment
+        """,
+        doc="per-segment z-score outliers: decimal-sum moments, identical IEEE scoring",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
