@@ -42,13 +42,25 @@ def pagerank_fixed(
     simply dissipates its mass (the standard non-normalized handling
     — total mass is not conserved, relative ranking is).
     """
+    # localCheckpoint the loop-invariant relations ONCE (edges, nodes,
+    # out-degrees) and the rank relation each round — without this the
+    # unrolled lineage re-derives the edge list per iteration (the
+    # pre-fix plan audit showed 44 scans / 95 exchanges for 3
+    # iterations) and Catalyst re-analyzes a tree that grows per round.
+    # Same discipline as dedup.connected_components.
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n1 = nodes.agg(F.count(F.lit(1)).alias("nn"))
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     base_pct = 100 - damping_pct
 
     pr = nodes.crossJoin(F.broadcast(n1)).select(
@@ -72,5 +84,6 @@ def pagerank_fixed(
                     f" div 100"
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=True)
         )
     return pr.select("node", F.col("pr").alias("pr_scaled"))
