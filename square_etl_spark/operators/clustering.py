@@ -44,12 +44,24 @@ def kmeans_fixed(
     vec_col: str,
     k: int = 4,
     iters: int = 2,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iters`` exact Lloyd steps; returns ``(assign, centroids)``:
     ``assign(vid, c, d2)`` — final cluster per point with its exact
     decimal squared distance — and ``centroids(c, dim, cval)`` from
     the final update."""
-    long = _long_form(emb, id_col, vec_col)
+    # localCheckpoint the long form once and each iteration's outputs:
+    # the long relation feeds the distance join AND the centroid update
+    # in every iteration, so without truncation the unrolled lineage
+    # re-explodes the source 2x per round (pre-fix plan audit: 9 scans
+    # for 2 iterations).  Same discipline as graph.pagerank_fixed /
+    # dedup.connected_components.
+    ckpt = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint
+        else (lambda df: df)
+    )
+    long = ckpt(_long_form(emb, id_col, vec_col))
     cent = (
         long.filter(F.col("vid") < k)
         .select(F.col("vid").alias("c"), "dim", F.col("val").alias("cval"))
@@ -73,6 +85,7 @@ def kmeans_fixed(
             .filter(F.col("rk") == 1)
             .select("vid", "c", "d2")
         )
+        assign = ckpt(assign)
         cent = (
             long.join(assign.select("vid", "c"), "vid")
             .groupBy("c", "dim")
@@ -85,6 +98,7 @@ def kmeans_fixed(
                 ).alias("cval")
             )
         )
+        cent = ckpt(cent)
     return assign, cent
 
 

@@ -59,7 +59,9 @@ def test_kmeans_is_deterministic_across_runs(spark):
 
 def test_kmeans_assignment_join_broadcasts_centroids(spark):
     vecs = [[float(i), float(i % 3)] for i in range(20)]
+    # checkpoint=False keeps the lineage visible so the join strategy
+    # is assertable (the default truncates each round's plan)
     assign, _ = kmeans_fixed(_emb(spark, vecs), "vec_id", "embedding",
-                             k=2, iters=1)
+                             k=2, iters=1, checkpoint=False)
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
