@@ -7430,6 +7430,13 @@ _CHECK_PRIORITY: list[str] = [
     # decimal_sum machinery, anchored in head).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
+    #
+    # Registered AFTER this head was frozen (late r06) — all selfcheck
+    # green at sf0.01, first driver rows due in the r07 head:
+    # funnel_conversion, retention_cohorts, streaks_user_activity,
+    # timeseries_gapfill, heavy_hitters_cms, bloom_prune_join,
+    # snapshot_diff_orders, kmeans_embeddings, pagerank_user_graph,
+    # inverted_index_terms, outlier_zscore_orders.
 ]
 
 
