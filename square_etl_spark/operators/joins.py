@@ -9,7 +9,9 @@ choice tells us the dimension is small by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -227,3 +229,41 @@ def explode_children(
         *[F.col(c) for c in parent_cols],
         F.explode(F.col(array_col)).alias(child_alias),
     ).select(*parent_cols, f"{child_alias}.*")
+
+
+def fuzzy_join_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block: Callable[[Column], Column],
+    max_dist: int = 1,
+) -> DataFrame:
+    """Approximate string join: equi-join on a BLOCKING KEY, then
+    verify candidates with edit distance ≤ ``max_dist`` — the standard
+    two-phase shape for entity resolution / fuzzy dedupe (same
+    candidate-then-verify architecture as the MinHash/SimHash pair
+    generators; an all-pairs ``levenshtein`` would be quadratic).
+
+    ``block`` maps a name Column to its blocking key; recall is
+    exactly "typo does not touch the blocking key", so choose a key
+    the corruption model leaves intact (tests pin both the hit and
+    the documented miss).  Scale: cost is the candidate count —
+    Σ|block_L|·|block_R| — so the key must spread; a skewed block is
+    the same problem (and fix) as any skewed join key (salting /
+    bucket caps).  Multi-key blocking (prefix + suffix + length) OR'd
+    over several passes trades cost for recall, each pass this same
+    operator.
+    """
+    lb = left.select(
+        F.col(left_col).alias("l_val"), block(F.col(left_col)).alias("bk")
+    )
+    rb = right.select(
+        F.col(right_col).alias("r_val"), block(F.col(right_col)).alias("bk")
+    )
+    cand = lb.join(rb, "bk")
+    return (
+        cand.withColumn("dist", F.levenshtein("l_val", "r_val"))
+        .filter(F.col("dist") <= max_dist)
+        .select("l_val", "r_val", "dist")
+    )

@@ -7303,6 +7303,177 @@ _register(
 )
 
 
+def _fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string join (operators/joins.fuzzy_join_blocked):
+    every 17th customer name gets a deterministic one-char typo
+    (position 12 → 'x'); the dirty names re-match their originals by
+    blocking on the last-4-chars key (which the typo never touches)
+    and verifying candidates with levenshtein ≤ 1.  The two-phase
+    candidate-then-verify shape keeps this linear in block-pair count
+    — never all-pairs — and the oracle recomputes blocks, distances,
+    and survivors."""
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.filter(F.col("c_custkey") % 17 == 0).select(
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("x"),
+            F.substring("c_name", 13, 6),
+        ).alias("dirty_name")
+    )
+    clean = c.select(F.col("c_name").alias("clean_name"))
+    out = fuzzy_join_blocked(
+        dirty,
+        clean,
+        "dirty_name",
+        "clean_name",
+        block=lambda col: F.substring(col, 15, 4),
+        max_dist=1,
+    )
+    return out.select(
+        F.col("l_val").alias("dirty_name"),
+        F.col("r_val").alias("clean_name"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+_register(
+    QuerySpec(
+        "fuzzy_join_names",
+        _fuzzy_join_names,
+        oracle="""
+        WITH dirty AS (
+          SELECT substr(c_name, 1, 11) || 'x' || substr(c_name, 13, 6)
+                   AS dirty_name
+          FROM customer WHERE c_custkey % 17 = 0),
+        clean AS (SELECT c_name AS clean_name FROM customer),
+        cand AS (
+          SELECT dirty_name, clean_name
+          FROM dirty JOIN clean
+            ON substr(dirty_name, 15, 4) = substr(clean_name, 15, 4))
+        SELECT dirty_name, clean_name,
+               CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS dist
+        FROM cand
+        WHERE levenshtein(dirty_name, clean_name) <= 1
+        """,
+        doc="blocked fuzzy join: candidate block equi-join + levenshtein verify",
+    )
+)
+
+
+def _quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch vs exact percentiles: one
+    pass bins o_totalprice into 256 fixed-width cells (a monoid —
+    per-shard histograms sum cell-wise, the 100 TB path to quantiles
+    without a global sort), estimates p50/p90/p99 from the cumulative
+    histogram at bin midpoints, and reports the exact interpolated
+    percentile beside it so the row itself certifies the error bound
+    (≤ half a bin width).  All arithmetic is identical IEEE steps on
+    both engines; the cumulative counts are exact integers."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x")
+    )
+    b = o.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("x", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+            "exact"
+        ),
+    )
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(255),
+            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    ps = b.select(
+        F.posexplode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias(
+            "idx", "p"
+        ),
+        "lo",
+        "hi",
+        "n",
+        "exact",
+    )
+    picked = (
+        ps.join(F.broadcast(cum), F.col("cum") >= F.col("p") * F.col("n"))
+        .groupBy("idx", "p", "lo", "hi", "exact")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    return picked.select(
+        "p",
+        F.round(
+            F.col("lo")
+            + (F.col("qbin") + 0.5) * (F.col("hi") - F.col("lo")) / 256.0,
+            6,
+        ).alias("est_value"),
+        F.round(F.col("exact")[F.col("idx")], 6).alias("exact_value"),
+        F.round(
+            F.abs(
+                F.col("lo")
+                + (F.col("qbin") + 0.5) * (F.col("hi") - F.col("lo")) / 256.0
+                - F.col("exact")[F.col("idx")]
+            ),
+            6,
+        ).alias("abs_err"),
+    )
+
+
+_register(
+    QuerySpec(
+        "quantile_sketch_orders",
+        _quantile_sketch,
+        oracle="""
+        WITH src AS (SELECT o_totalprice AS x FROM orders),
+        b AS (
+          SELECT MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS n,
+                 quantile_cont(x, 0.5) AS e50,
+                 quantile_cont(x, 0.9) AS e90,
+                 quantile_cont(x, 0.99) AS e99
+          FROM src),
+        binned AS (
+          SELECT LEAST(255, CAST(FLOOR((x - lo) / (hi - lo) * 256)
+                                 AS BIGINT)) AS bin
+          FROM src, b),
+        hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+        cum AS (
+          SELECT bin, SUM(cnt) OVER (ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+          FROM hist),
+        ps AS (
+          SELECT 0.5 AS p, e50 AS exact, lo, hi, n FROM b
+          UNION ALL SELECT 0.9, e90, lo, hi, n FROM b
+          UNION ALL SELECT 0.99, e99, lo, hi, n FROM b),
+        picked AS (
+          SELECT p, exact, lo, hi, MIN(bin) AS qbin
+          FROM ps JOIN cum ON cum >= p * n
+          GROUP BY p, exact, lo, hi)
+        SELECT p,
+               ROUND(lo + (qbin + 0.5) * (hi - lo) / 256.0, 6) AS est_value,
+               ROUND(exact, 6) AS exact_value,
+               ROUND(abs(lo + (qbin + 0.5) * (hi - lo) / 256.0 - exact), 6)
+                 AS abs_err
+        FROM picked
+        """,
+        doc="mergeable 256-bin quantile sketch with in-row exact-percentile error bound",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

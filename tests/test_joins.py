@@ -71,3 +71,53 @@ def test_explode_inner_skips_empty_parents(spark):
     )
     out = explode_children(df, "items", ["order_id"], "li").collect()
     assert [(r.order_id, r.n, r.v) for r in out] == [("o1", 1, "a")]
+
+
+def test_fuzzy_join_matches_one_char_typos_via_block(spark):
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [("Customer#00x000123",), ("Customer#00x000456",)], "name string"
+    )
+    right = spark.createDataFrame(
+        [("Customer#000000123",), ("Customer#000000456",),
+         ("Customer#000000789",)], "name string"
+    )
+    out = fuzzy_join_blocked(
+        left, right, "name", "name",
+        block=lambda c: F.substring(c, 15, 4), max_dist=1,
+    ).collect()
+    got = {(r.l_val, r.r_val, r.dist) for r in out}
+    assert got == {
+        ("Customer#00x000123", "Customer#000000123", 1),
+        ("Customer#00x000456", "Customer#000000456", 1),
+    }
+
+
+def test_fuzzy_join_misses_typos_in_the_blocking_key(spark):
+    """Documented recall contract: a typo INSIDE the blocking key puts
+    the dirty string in a different block, so it cannot match — the
+    trade the two-phase design makes to avoid all-pairs."""
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.createDataFrame([("Customer#00000012x",)], "name string")
+    right = spark.createDataFrame([("Customer#000000123",)], "name string")
+    out = fuzzy_join_blocked(
+        left, right, "name", "name",
+        block=lambda c: F.substring(c, 15, 4), max_dist=1,
+    )
+    assert out.count() == 0
+
+
+def test_fuzzy_join_respects_max_dist(spark):
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.createDataFrame([("abxy1234",)], "name string")  # 2 edits
+    right = spark.createDataFrame([("abcd1234",)], "name string")
+    same_block = lambda c: F.substring(c, 5, 4)  # noqa: E731
+    assert fuzzy_join_blocked(
+        left, right, "name", "name", block=same_block, max_dist=1
+    ).count() == 0
+    assert fuzzy_join_blocked(
+        left, right, "name", "name", block=same_block, max_dist=2
+    ).count() == 1

@@ -88,3 +88,21 @@ def test_sketch_probe_plans_broadcast_the_sketch(spark):
     passing = bloom_probe_keys(data.select("k").distinct(), "k", positions)
     plan2 = passing._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan2
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_dir):
+    """The 256-bin midpoint estimate must sit within one bin width of
+    the exact interpolated percentile — the bound the query's own
+    abs_err column certifies per row."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.queries import queries
+
+    rows = queries()["quantile_sketch_orders"](spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).collect()[0]
+    bin_w = (b[1] - b[0]) / 256.0
+    assert len(rows) == 3
+    for r in rows:
+        assert r["abs_err"] <= bin_w
