@@ -169,3 +169,26 @@ def incremental_hll(
         .groupBy(*keys)
         .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
     )
+
+
+def incremental_cms(
+    target: DataFrame | None,
+    batch: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch maintained incrementally — the FREQUENCY
+    counterpart of :func:`incremental_hll`: sketch each batch with
+    :func:`sketches.cms_build` and merge cell-wise (CM cells are a
+    sum monoid), so heavy-hitter estimates stay queryable over an
+    unbounded history at O(depth x width) state with an O(batch)
+    refresh.  Unlike the HLL path this sketch is md5-deterministic,
+    so maintain ≡ one-shot is pinned EXACTLY (test_rollup), and any
+    engine can recompute or consume the stored cells."""
+    from square_etl_spark.operators.sketches import cms_build, cms_merge
+
+    partial = cms_build(batch, key_col, depth=depth, width=width)
+    if target is None:
+        return partial
+    return cms_merge(target, partial)

@@ -109,3 +109,24 @@ def test_incremental_hll_equals_one_shot_estimate(spark):
     assert got == one_shot
     # HLL at this cardinality is exact; sanity-pin the true counts
     assert dict(got) == {"t1": 37, "t2": 11}
+
+
+def test_incremental_cms_maintain_equals_one_shot_exactly(spark):
+    """CM cells are a sum monoid with deterministic md5 hashing, so
+    folding batches through incremental_cms must equal the one-shot
+    sketch of all data CELL-FOR-CELL (not just estimate-close, the
+    weaker HLL guarantee)."""
+    from square_etl_spark.operators.aggregations import incremental_cms
+    from square_etl_spark.operators.sketches import cms_build
+
+    batches = [
+        spark.createDataFrame([(v,) for v in vals], "k long")
+        for vals in ([1, 1, 2, 7], [2, 3, 3, 3], [1, 9, 9, 50])
+    ]
+    tgt = None
+    for b in batches:
+        tgt = incremental_cms(tgt, b, "k")
+    whole = cms_build(batches[0].union(batches[1]).union(batches[2]), "k")
+    assert sorted(map(tuple, tgt.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
