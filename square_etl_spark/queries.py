@@ -7607,7 +7607,8 @@ _CHECK_PRIORITY: list[str] = [
     # funnel_conversion, retention_cohorts, streaks_user_activity,
     # timeseries_gapfill, heavy_hitters_cms, bloom_prune_join,
     # snapshot_diff_orders, kmeans_embeddings, pagerank_user_graph,
-    # inverted_index_terms, outlier_zscore_orders.
+    # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
+    # quantile_sketch_orders.
 ]
 
 
