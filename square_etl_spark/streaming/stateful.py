@@ -148,3 +148,106 @@ def sessionize_stateful(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),  # 1-based
+        T.StructField("stage_ts", T.TimestampType()),
+    ]
+)
+
+
+def funnel_stateful(
+    events: DataFrame,
+    stages: list[str],
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered funnel — the stateful twin of
+    ``operators.behavior.funnel_stage_times``.  Per-key state is ONE
+    timestamp per stage (O(stages) — bounded forever); each
+    micro-batch sorts its events by time and advances the state
+    machine: stage i is reached by the first processed event of
+    stage-i type strictly after the stage-(i−1) time.  Every newly
+    reached stage emits a ``(user, stage, stage_ts)`` row — a
+    conversion-event stream downstream counts directly, no
+    re-aggregation of history.
+
+    Semantics contract: stage times are SET ONCE, in processing
+    order.  With in-order delivery across micro-batches (availableNow
+    over time-partitioned files, or any source whose cross-batch
+    disorder the watermark bounds within a batch) this equals the
+    batch funnel exactly — pinned in tests.  A stage-1 event arriving
+    AFTER a later batch already set stage 1 from a later event does
+    not retroactively improve the funnel (that would need unbounded
+    candidate retention; the batch twin is the reconciliation path,
+    same lookback posture as the reference's T2 re-scan).
+    """
+    import pandas as pd  # local import: Arrow path only
+
+    n_stages = len(stages)
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        reached = list(state.get) if state.exists else [-1] * n_stages
+        rows = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            for t, typ in zip(ts, pdf[type_col]):
+                rows.append((int(t.value) // 1_000, typ))
+        rows.sort()
+        emitted: list[tuple[int, int]] = []
+        for t_us, typ in rows:
+            i = stage_of.get(typ)
+            if i is None or reached[i] != -1:
+                continue
+            if i > 0 and (reached[i - 1] == -1 or t_us <= reached[i - 1]):
+                continue
+            reached[i] = t_us
+            emitted.append((i + 1, t_us))
+        state.update(tuple(reached))
+        if emitted:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(emitted),
+                    "stage": [s for s, _ in emitted],
+                    "stage_ts": [
+                        pd.Timestamp(t, unit="us") for _, t in emitted
+                    ],
+                }
+            )
+
+    stream = events
+    if events.isStreaming:
+        stream = events.withWatermark(ts_col, watermark)
+    state_schema = T.StructType(
+        [
+            T.StructField(f"s{i}_us", T.LongType())
+            for i in range(n_stages)
+        ]
+    )
+    return (
+        stream.select(
+            F.col(key_col).alias("user_id"), F.col(ts_col), F.col(type_col)
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=FUNNEL_SCHEMA,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -94,3 +94,100 @@ def test_stateful_incremental_batches_keep_state(spark, sf_dir, tmp_path):
     assert skeys <= bkeys
     # no session was emitted twice across the two runs
     assert len(skeys) == len(got)
+
+
+def test_stateful_funnel_matches_batch_twin_in_order(spark, sf_dir, tmp_path):
+    """Three time-ordered micro-batches through funnel_stateful must
+    reproduce the batch funnel exactly: same users, same stages, same
+    stage timestamps — the in-order-delivery contract."""
+    from square_etl_spark.operators.behavior import funnel_stage_times
+    from square_etl_spark.streaming.stateful import funnel_stateful
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 20")
+    src = os.path.join(tmp_path, "fsrc")
+    os.makedirs(src)
+    stages = ["view", "click", "purchase"]
+    got = {}
+    # grow ONE source directory batch by batch (time-ordered files) and
+    # re-run availableNow against the SAME checkpoint — true
+    # cross-micro-batch state carry, like the sessionize test above
+    batches = [
+        ev.filter("ts < '2024-01-08'"),
+        ev.filter("ts >= '2024-01-08' and ts < '2024-01-16'"),
+        ev.filter("ts >= '2024-01-16'"),
+    ]
+    out_dir = os.path.join(tmp_path, "fout")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS).parquet(src)
+        out = funnel_stateful(stream, stages)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option(
+                "checkpointLocation", os.path.join(tmp_path, "fckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    for r in spark.read.parquet(out_dir).collect():
+        key = (r.user_id, r.stage)
+        assert key not in got, "a stage must be emitted exactly once"
+        got[key] = r.stage_ts
+
+    batch = funnel_stage_times(ev, "ts", "user_id", "event_type", stages)
+    want = {}
+    for r in batch.collect():
+        for i in range(1, 4):
+            ts = r[f"stage_{i}_ts"]
+            if ts is not None:
+                want[(r.user_id, i)] = ts
+    assert got == want
+
+
+def test_stateful_funnel_does_not_rewind_on_late_stage_one(spark, tmp_path):
+    """Documented set-once contract: a stage-1 event arriving in a
+    LATER batch than the one that set stage 1 cannot retroactively
+    improve the funnel."""
+    import datetime as dt
+
+    from square_etl_spark.streaming.stateful import funnel_stateful
+
+    src = os.path.join(tmp_path, "lsrc")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    b0 = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 5), 1, "view", 0.0, "{}"),
+         (1, dt.datetime(2024, 1, 6), 1, "click", 0.0, "{}")],
+        schema,
+    )
+    b1 = spark.createDataFrame(  # earlier view, delivered late
+        [(2, dt.datetime(2024, 1, 1), 1, "view", 0.0, "{}")], schema
+    )
+    os.makedirs(src)
+    out_dir = os.path.join(tmp_path, "lout")
+    for i, b in enumerate([b0, b1]):
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            funnel_stateful(stream, ["view", "click"])
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp_path, "lckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        (r.user_id, r.stage): r.stage_ts
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, 1): dt.datetime(2024, 1, 5),  # NOT rewound to Jan 1
+        (1, 2): dt.datetime(2024, 1, 6),
+    }
