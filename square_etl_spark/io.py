@@ -329,3 +329,64 @@ def zorder_key(cols: list[str | Column], bits: int = 16) -> Column:
             bit = F.shiftright(cc, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
     return z
+
+
+def read_jdbc_partitioned(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_col: str,
+    num_partitions: int = 8,
+    properties: dict[str, str] | None = None,
+    lower: int | None = None,
+    upper: int | None = None,
+) -> DataFrame:
+    """Parallel relational read — the source-side complement of
+    ``sinks/jdbc.write_jdbc_upsert`` (the reference only ever reads
+    Square's REST API, but a warehouse engine also ingests FROM
+    relational stores).  Bounds default to one tiny server-side
+    MIN/MAX probe (a 1-row pushed-down aggregate), then Spark issues
+    ``num_partitions`` range-predicated queries in parallel — each
+    executor streams its own slice, no single-connection bottleneck,
+    and WHERE/column pruning still push into every per-partition query
+    (pinned in test_jdbc_sink).
+
+    Scale notes: the partition column should be an indexed, roughly
+    uniform key or the range slices skew (same hot-key story as any
+    shuffle key — and the same fix: a derived bucketed column).
+    ``num_partitions`` is a fan-out POLICY against the database's
+    connection budget, not a throughput dial past ~the server's I/O.
+    """
+    props = dict(properties or {})
+    reader_opts = {
+        "url": url,
+        "dbtable": table,
+        **props,
+    }
+    if lower is None or upper is None:
+        # quoted aliases: unquoted ones case-fold differently per
+        # engine (Derby uppercases, Postgres lowers); quoted "lo"/"hi"
+        # read back identically everywhere (positional access anyway)
+        bounds_sql = (
+            f'(SELECT MIN({partition_col}) AS "lo", '
+            f'MAX({partition_col}) AS "hi" FROM {table}) bounds'
+        )
+        b = (
+            spark.read.format("jdbc")
+            .options(**{**reader_opts, "dbtable": bounds_sql})
+            .load()
+            .collect()[0]
+        )
+        lower = int(b[0]) if lower is None else lower
+        upper = int(b[1]) if upper is None else upper
+    return (
+        spark.read.format("jdbc")
+        .options(
+            **reader_opts,
+            partitionColumn=partition_col,
+            lowerBound=str(lower),
+            upperBound=str(upper),
+            numPartitions=str(num_partitions),
+        )
+        .load()
+    )
