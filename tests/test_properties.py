@@ -382,3 +382,134 @@ def test_tiff_container_roundtrip_property(h, w, gray, byte_order,
                                    predictor=predictor, rows_per_strip=rps))
     want = px[..., None].repeat(3, axis=2) if gray else px
     assert np.array_equal(got, want)
+
+
+_etype = st.sampled_from(["view", "click", "purchase", "other"])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), _ts, _etype), min_size=0, max_size=30
+    )
+)
+@SETTINGS
+def test_funnel_equals_python_fold(spark, rows):
+    """funnel_stage_times vs a direct pure-Python computation of the
+    ordered-funnel semantics (stage i+1 = min qualifying ts strictly
+    after stage i) on random event sets."""
+    from square_etl_spark.operators.behavior import funnel_stage_times
+
+    if not rows:
+        return
+    # distinct (user, ts) so "strictly after" has no tie ambiguity
+    rows = list({(u, t): (u, t, e) for u, t, e in rows}.values())
+    df = spark.createDataFrame(
+        [(u, dt.datetime.fromtimestamp(t, dt.timezone.utc), e) for u, t, e in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    stages = ["view", "click", "purchase"]
+    got = {
+        r["user_id"]: tuple(
+            r[f"stage_{i}_ts"] and r[f"stage_{i}_ts"].timestamp()
+            for i in (1, 2, 3)
+        )
+        for r in funnel_stage_times(
+            df, "ts", "user_id", "event_type", stages
+        ).collect()
+    }
+
+    want = {}
+    for u in {u for u, _, _ in rows}:
+        evs = sorted((t, e) for uu, t, e in rows if uu == u)
+        prev, out = None, []
+        for stage in stages:
+            cand = [
+                t for t, e in evs
+                if e == stage and (prev is None or t > prev)
+            ]
+            cur = min(cand) if cand else None
+            out.append(float(cur) if cur is not None else None)
+            if cur is None:
+                out += [None] * (3 - len(out))
+                break
+            prev = cur
+        want[u] = tuple(out)
+    assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    width=st.sampled_from([8, 32, 64]),
+)
+@SETTINGS
+def test_cms_estimate_bounds_python_counter(spark, vals, width):
+    """CM guarantee on random multisets: exact ≤ estimate ≤ total mass
+    in the key's worst cell (computed by a pure-Python sketch)."""
+    from collections import Counter
+
+    from square_etl_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(v,) for v in vals], "k long")
+    est = {
+        r["k"]: r["cms_est"]
+        for r in cms_estimate(
+            cms_build(df, "k", depth=4, width=width),
+            df.select("k").distinct(),
+            "k",
+            depth=4,
+            width=width,
+        ).collect()
+    }
+    exact = Counter(vals)
+    import hashlib
+
+    def bucket(j, v):
+        h = hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:8]
+        return int(h, 16) % width
+
+    cells = Counter()
+    for v in vals:
+        for j in range(4):
+            cells[(j, bucket(j, v))] += 1
+    for k, ex in exact.items():
+        assert est[k] >= ex
+        assert est[k] == min(cells[(j, bucket(j, k))] for j in range(4))
+
+
+@given(keys=st.lists(st.integers(0, 500), min_size=0, max_size=50))
+@SETTINGS
+def test_bloom_membership_vs_python_set_of_positions(spark, keys):
+    """Bloom probe vs a pure-Python reconstruction: every built key
+    passes, and pass/fail for arbitrary probes matches the positions
+    math exactly (determinism, not just no-false-negatives)."""
+    import hashlib
+
+    from square_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe_keys,
+    )
+
+    if not keys:
+        return
+    m, k = 512, 3
+    build = spark.createDataFrame([(v,) for v in set(keys)], "k long")
+    probe_vals = list(set(keys)) + [v + 1000 for v in set(keys)]
+    probe = spark.createDataFrame([(v,) for v in probe_vals], "k long")
+    got = {
+        r["k"]
+        for r in bloom_probe_keys(
+            probe, "k", bloom_build(build, "k", k=k, m=m), k=k, m=m
+        ).collect()
+    }
+
+    def positions(v):
+        return {
+            int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:8], 16) % m
+            for j in range(k)
+        }
+
+    bits = set()
+    for v in set(keys):
+        bits |= positions(v)
+    want = {v for v in probe_vals if positions(v) <= bits}
+    assert got == want
