@@ -6624,6 +6624,7 @@ _register(
                  AS conv_purchase
         FROM c
         """,
+        bench=True,
         doc="ordered funnel (view→click→purchase), sequential windows, one Exchange",
     )
 )
@@ -6830,6 +6831,7 @@ _register(
                CAST(cms_est - exact_cnt AS BIGINT) AS overestimate
         FROM exact JOIN est ON exact.user_id = est.user_id
         """,
+        bench=True,
         doc="count-min sketch: deterministic md5 cells, estimate >= exact certified per key",
     )
 )
