@@ -267,3 +267,58 @@ def fuzzy_join_blocked(
         .filter(F.col("dist") <= max_dist)
         .select("l_val", "r_val", "dist")
     )
+
+
+def spatial_bin_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: int,
+    cols: tuple[str, str, str, str] = ("lx", "ly", "rx", "ry"),
+) -> DataFrame:
+    """Proximity join on integer planar coordinates: all (left, right)
+    pairs within Euclidean distance ``radius`` — the grid-blocked
+    spatial join (geohash-style).  Each left row lands in ONE cell of
+    a radius-sized grid and is replicated into its 3×3 neighborhood;
+    candidates equi-join on the cell key and verify the EXACT integer
+    squared distance, so no true pair can escape (a pair within r is
+    within one cell step) and no float enters the predicate.
+
+    Scale: candidates per row ≈ 9 × cell occupancy — linear in data
+    for any fixed density, never all-pairs; a hot cell (urban-core
+    skew) is an ordinary hot join key, mitigated the usual ways
+    (salting, cap-and-verify like the LSH buckets).  Returns left
+    and right columns plus ``dist2``.
+
+    ``cols`` names the x/y columns on each side (integers; pick a
+    fixed-point unit fine enough for the radius).
+    """
+    lx, ly, rx, ry = cols
+    neighborhood = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (F.floor(F.col(lx) / radius) + dx).alias("cx"),
+                    (F.floor(F.col(ly) / radius) + dy).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    ).alias("cell")
+    lc = left.select("*", neighborhood).select(
+        "*", F.col("cell.cx").alias("cx"), F.col("cell.cy").alias("cy")
+    ).drop("cell")
+    rc = right.select(
+        "*",
+        F.floor(F.col(rx) / radius).alias("cx"),
+        F.floor(F.col(ry) / radius).alias("cy"),
+    )
+    cand = lc.join(rc, ["cx", "cy"])
+    d2 = (F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx)) + (
+        F.col(ly) - F.col(ry)
+    ) * (F.col(ly) - F.col(ry))
+    return (
+        cand.withColumn("dist2", d2.cast("long"))
+        .filter(F.col("dist2") <= radius * radius)
+        .drop("cx", "cy")
+    )

@@ -7476,6 +7476,70 @@ _register(
 )
 
 
+def _spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial proximity join
+    (operators/joins.spatial_bin_join): suppliers and customers get
+    deterministic integer coordinates on a 10000×10000 plane (affine
+    hashes of their keys), and every pair within Euclidean distance
+    800 is found via radius-sized grid cells + 3×3 neighbor
+    replication + EXACT integer distance² verify — no float in the
+    predicate, no all-pairs anywhere, and the oracle recomputes cells
+    and distances verbatim."""
+    from square_etl_spark.operators.joins import spatial_bin_join
+
+    R = 800
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919) % 10000).alias("lx"),
+        ((F.col("s_suppkey") * 104729) % 10000).alias("ly"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 10000).alias("rx"),
+        ((F.col("c_custkey") * 104729) % 10000).alias("ry"),
+    )
+    out = spatial_bin_join(s, c, radius=R)
+    return out.select("s_suppkey", "c_custkey", "dist2")
+
+
+_register(
+    QuerySpec(
+        "spatial_join_proximity",
+        _spatial_join,
+        oracle="""
+        WITH s AS (
+          SELECT s_suppkey,
+                 (s_suppkey * 7919) % 10000 AS lx,
+                 (s_suppkey * 104729) % 10000 AS ly
+          FROM supplier),
+        c AS (
+          SELECT c_custkey,
+                 (c_custkey * 7919) % 10000 AS rx,
+                 (c_custkey * 104729) % 10000 AS ry
+          FROM customer),
+        d AS (SELECT UNNEST([-1, 0, 1]) AS dx),
+        e AS (SELECT UNNEST([-1, 0, 1]) AS dy),
+        lc AS (
+          SELECT s_suppkey, lx, ly,
+                 CAST(FLOOR(lx / 800) AS BIGINT) + dx AS cx,
+                 CAST(FLOOR(ly / 800) AS BIGINT) + dy AS cy
+          FROM s, d, e),
+        rc AS (
+          SELECT c_custkey, rx, ry,
+                 CAST(FLOOR(rx / 800) AS BIGINT) AS cx,
+                 CAST(FLOOR(ry / 800) AS BIGINT) AS cy
+          FROM c)
+        SELECT s_suppkey, c_custkey,
+               CAST((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)
+                    AS BIGINT) AS dist2
+        FROM lc JOIN rc USING (cx, cy)
+        WHERE (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= 640000
+        """,
+        doc="grid-blocked spatial join: 3x3 neighbor cells + exact integer distance verify",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -7610,7 +7674,7 @@ _CHECK_PRIORITY: list[str] = [
     # timeseries_gapfill, heavy_hitters_cms, bloom_prune_join,
     # snapshot_diff_orders, kmeans_embeddings, pagerank_user_graph,
     # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
-    # quantile_sketch_orders.
+    # quantile_sketch_orders, spatial_join_proximity.
 ]
 
 

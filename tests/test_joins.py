@@ -121,3 +121,38 @@ def test_fuzzy_join_respects_max_dist(spark):
     assert fuzzy_join_blocked(
         left, right, "name", "name", block=same_block, max_dist=2
     ).count() == 1
+
+
+def test_spatial_bin_join_matches_brute_force(spark):
+    """Grid-blocked proximity join vs the all-pairs answer on a dense
+    deterministic point set: exactly the same pairs (completeness —
+    a true pair can never escape the 3x3 neighborhood — and no false
+    survivors past the integer distance verify)."""
+    from square_etl_spark.operators.joins import spatial_bin_join
+
+    pts = [(i, (i * 37) % 200, (i * 61) % 200) for i in range(120)]
+    left = spark.createDataFrame(pts, "lid long, lx long, ly long")
+    right = spark.createDataFrame(pts, "rid long, rx long, ry long")
+    r = 25
+    got = {
+        (row["lid"], row["rid"], row["dist2"])
+        for row in spatial_bin_join(left, right, radius=r).collect()
+    }
+    want = {
+        (a, c, (x1 - x2) ** 2 + (y1 - y2) ** 2)
+        for a, x1, y1 in pts
+        for c, x2, y2 in pts
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= r * r
+    }
+    assert got == want
+
+
+def test_spatial_bin_join_boundary_pairs_cross_cells(spark):
+    """A pair straddling a cell boundary at exactly radius distance
+    must be found (the neighbor replication exists for this)."""
+    from square_etl_spark.operators.joins import spatial_bin_join
+
+    left = spark.createDataFrame([(1, 99, 0)], "lid long, lx long, ly long")
+    right = spark.createDataFrame([(2, 101, 0)], "rid long, rx long, ry long")
+    out = spatial_bin_join(left, right, radius=100).collect()
+    assert len(out) == 1 and out[0]["dist2"] == 4
