@@ -125,3 +125,67 @@ def kmeans_summary(assign: DataFrame, centroids: DataFrame) -> DataFrame:
         "inertia",
         "centroid_norm2",
     )
+
+
+def kmeans_assign_arrow(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Arrow fast-path ASSIGNMENT: numpy argmin against broadcast
+    centroids in a mapInPandas pass — the documented swap point for
+    the exact path's |points| x k distance join (SCALING.md r06).
+    Per-row work only (no cross-row accumulation), deterministic
+    tie-break by cluster id, so it agrees with the decimal argmin
+    except when two centroids sit within float-rounding distance of a
+    point (~1e-9) — agreement on realistic data is pinned in tests;
+    the decimal path stays the oracle-checked default.
+
+    Returns ``(vid, c, d2f)`` with the float64 squared distance.
+    The centroid relation is k x d rows — collected driver-side as
+    metadata (same budget as the quantization maxes) and shipped to
+    executors inside the Arrow closure.
+    """
+    import numpy as np
+
+    rows = centroids.collect()
+    k = max(r["c"] for r in rows) + 1
+    d = max(r["dim"] for r in rows) + 1
+    cent = np.zeros((k, d), dtype=np.float64)
+    for r in rows:
+        cent[r["c"], r["dim"]] = r["cval"]
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("c", T.LongType()),
+            T.StructField("d2f", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            # ||x-c||² = ||x||² - 2x·c + ||c||², argmin ties → lowest c
+            d2 = (
+                (mat * mat).sum(axis=1, keepdims=True)
+                - 2.0 * mat @ cent.T
+                + (cent * cent).sum(axis=1)
+            )
+            best = d2.argmin(axis=1)  # numpy argmin takes FIRST min = lowest c
+            yield pd.DataFrame(
+                {
+                    "vid": pdf[id_col].astype("int64"),
+                    "c": best.astype("int64"),
+                    "d2f": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, out_schema)

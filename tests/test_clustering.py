@@ -65,3 +65,62 @@ def test_kmeans_assignment_join_broadcasts_centroids(spark):
                              k=2, iters=1, checkpoint=False)
     plan = assign._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_arrow_assignment_agrees_with_exact_path(spark, sf_dir):
+    """The numpy fast-path assignment must agree with the decimal
+    argmin on the real embeddings fixture (near-ties at ~1e-9 are the
+    documented caveat; they do not occur on realistic data)."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_arrow,
+        kmeans_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, cent = kmeans_fixed(emb, "vec_id", "embedding", k=4, iters=2)
+    exact = {r["vid"]: r["c"] for r in assign.collect()}
+    fast = {
+        r["vid"]: r["c"]
+        for r in kmeans_assign_arrow(emb, cent, "vec_id", "embedding").collect()
+    }
+    # compare against an assignment round over the SAME final centroids
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    long = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.posexplode("embedding").alias("dim", "valf"),
+    ).select("vid", "dim", F.col("valf").cast("double").alias("val"))
+    diff = F.col("val") - F.col("cval")
+    dist = (
+        long.join(F.broadcast(cent), "dim")
+        .groupBy("vid", "c")
+        .agg(F.sum(F.round(diff * diff, 9).cast("decimal(38,9)")).alias("d2"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("c").asc())
+    exact_same_cent = {
+        r["vid"]: r["c"]
+        for r in dist.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .collect()
+    }
+    assert fast == exact_same_cent
+    assert set(fast) == set(exact)
+
+
+def test_arrow_assignment_is_arrow_not_row_python(spark):
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_arrow,
+        kmeans_fixed,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    _, cent = kmeans_fixed(emb, "vec_id", "embedding", k=2, iters=1)
+    out = kmeans_assign_arrow(emb, cent, "vec_id", "embedding")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
