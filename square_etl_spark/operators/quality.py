@@ -45,3 +45,49 @@ def assert_invariant(df: DataFrame, pred: Column, message: str) -> DataFrame:
     pruned by Catalyst; a filter predicate cannot be) — evaluates
     lazily inside the plan, no extra action."""
     return df.filter(F.when(~pred, F.raise_error(F.lit(message))).otherwise(F.lit(True)))
+
+
+def expectation_report(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Expectation-suite report: evaluate every named EXPECTATION (a
+    boolean Column that should hold per row) in ONE scan and return
+    the long-form relation ``(rule, n_rows, violations,
+    violation_rate)`` — the audit-report twin of
+    :func:`quarantine_split` (which routes rows; this one measures,
+    for the run-ledger a pipeline keeps per batch).
+
+    NULL counts as a violation — an expectation that cannot be
+    evaluated did not hold.  One conditional aggregate per rule in a
+    single partial-agged pass (no per-rule scans), then a k-row
+    unpivot; at 100 TB the cost is the one scan you were already
+    paying, and the report is rule-count-sized.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(
+            F.when(pred.isNull() | ~pred, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias(f"__v{i}")
+        for i, (_, pred) in enumerate(rules)
+    ]
+    wide = df.agg(*aggs)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"__v{i}").alias("violations"),
+                )
+                for i, (name, _) in enumerate(rules)
+            ]
+        )
+    ).alias("p")
+    return wide.select(pairs, F.col("__n").alias("n_rows")).select(
+        F.col("p.rule").alias("rule"),
+        "n_rows",
+        F.col("p.violations").alias("violations"),
+        F.round(F.col("p.violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )

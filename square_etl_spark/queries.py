@@ -7540,6 +7540,136 @@ _register(
 )
 
 
+def _expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite report (operators/quality.expectation_report)
+    over a deterministically dirtied order relation: every 31st key
+    gets a negated price, every 43rd a NULLed status, every 53rd an
+    out-of-range date — four named expectations evaluated in ONE scan,
+    violations counted exactly (NULL = violation), report is
+    rule-count-sized."""
+    from square_etl_spark.operators.quality import expectation_report
+
+    o = load_table(spark, sf_dir, "orders")
+    dirty = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 31 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(F.col("o_orderkey") % 43 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(
+            F.col("o_orderkey") % 53 == 0,
+            F.to_timestamp(F.lit("2031-01-01")),
+        )
+        .otherwise(F.col("o_orderdate"))
+        .alias("odate"),
+    )
+    return expectation_report(
+        dirty,
+        [
+            ("price_positive", F.col("price") > 0),
+            ("status_known", F.col("status").isin("O", "F", "P")),
+            (
+                "date_in_range",
+                (F.col("odate") >= F.to_timestamp(F.lit("1992-01-01")))
+                & (F.col("odate") < F.to_timestamp(F.lit("2000-01-01"))),
+            ),
+            ("key_nonnull", F.col("o_orderkey").isNotNull()),
+        ],
+    )
+
+
+_register(
+    QuerySpec(
+        "expectation_report_orders",
+        _expectation_report,
+        oracle="""
+        WITH dirty AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 31 = 0 THEN -o_totalprice
+                      ELSE o_totalprice END AS price,
+                 CASE WHEN o_orderkey % 43 = 0 THEN NULL
+                      ELSE o_orderstatus END AS status,
+                 CASE WHEN o_orderkey % 53 = 0 THEN TIMESTAMP '2031-01-01'
+                      ELSE o_orderdate END AS odate
+          FROM orders),
+        wide AS (
+          SELECT COUNT(*) AS n,
+                 SUM(CASE WHEN NOT (price > 0) OR price IS NULL
+                          THEN 1 ELSE 0 END) AS v0,
+                 SUM(CASE WHEN status IS NULL
+                            OR status NOT IN ('O', 'F', 'P')
+                          THEN 1 ELSE 0 END) AS v1,
+                 SUM(CASE WHEN NOT (odate >= TIMESTAMP '1992-01-01'
+                                    AND odate < TIMESTAMP '2000-01-01')
+                            OR odate IS NULL
+                          THEN 1 ELSE 0 END) AS v2,
+                 SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS v3
+          FROM dirty),
+        rep AS (
+          SELECT 'price_positive' AS rule, n, v0 AS violations FROM wide
+          UNION ALL SELECT 'status_known', n, v1 FROM wide
+          UNION ALL SELECT 'date_in_range', n, v2 FROM wide
+          UNION ALL SELECT 'key_nonnull', n, v3 FROM wide)
+        SELECT rule, n AS n_rows, CAST(violations AS BIGINT) AS violations,
+               ROUND(CAST(violations AS DOUBLE) / n, 6) AS violation_rate
+        FROM rep
+        """,
+        doc="expectation-suite audit: k named rules, one scan, exact violation counts",
+    )
+)
+
+
+def _transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: per user, consecutive event pairs
+    (LAG over the user timeline) counted into a from→to matrix with
+    per-source probabilities — the Markov-chain view of user behavior
+    that sits beside the funnel.  One Exchange (user window), then a
+    25-cell aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )
+
+
+_register(
+    QuerySpec(
+        "transition_matrix_events",
+        _transition_matrix,
+        oracle="""
+        WITH pairs AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                   AS prev_type,
+                 event_type
+          FROM events),
+        cells AS (
+          SELECT prev_type AS from_type, event_type AS to_type,
+                 COUNT(*) AS n
+          FROM pairs WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM cells
+        """,
+        doc="Markov transition matrix over user event sequences (LAG + 25-cell agg)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -7674,7 +7804,8 @@ _CHECK_PRIORITY: list[str] = [
     # timeseries_gapfill, heavy_hitters_cms, bloom_prune_join,
     # snapshot_diff_orders, kmeans_embeddings, pagerank_user_graph,
     # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
-    # quantile_sketch_orders, spatial_join_proximity.
+    # quantile_sketch_orders, spatial_join_proximity,
+    # expectation_report_orders, transition_matrix_events.
 ]
 
 

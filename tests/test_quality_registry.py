@@ -76,3 +76,45 @@ def test_vanilla_session_confs_are_healed_by_load_table(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_expectation_report_counts_nulls_as_violations(spark):
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.quality import expectation_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 2.0)],
+        "id long, amount double",
+    )
+    rep = {
+        r["rule"]: (r["violations"], r["n_rows"])
+        for r in expectation_report(
+            df,
+            [
+                ("amount_positive", F.col("amount") > 0),
+                ("id_small", F.col("id") < 100),
+            ],
+        ).collect()
+    }
+    # -5.0 violates; NULL cannot be evaluated -> violation too
+    assert rep["amount_positive"] == (2, 4)
+    assert rep["id_small"] == (0, 4)
+
+
+def test_expectation_report_is_single_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.quality import expectation_report
+
+    o = load_table(spark, sf_dir, "orders")
+    rep = expectation_report(
+        o,
+        [
+            ("price_positive", F.col("o_totalprice") > 0),
+            ("key_nonnull", F.col("o_orderkey").isNotNull()),
+        ],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # k rules, ONE pass
