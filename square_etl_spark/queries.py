@@ -7670,6 +7670,78 @@ _register(
 )
 
 
+def _sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound sequence detection (MATCH_RECOGNIZE-lite): for every
+    ERROR event, the first PURCHASE by the same user within the next
+    30 minutes — one RANGE-framed window over the user timeline (no
+    self-join): the frame [0s, +1800s] computes min qualifying
+    purchase ts per row in the same single user Exchange every other
+    behavioral query uses.  Output: per-user counts of errors,
+    recovered errors, and the mean recovery seconds (exact integer
+    sums / rounded division)."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(0, 1800)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", sec)
+    ).over(w)
+    errors = (
+        e.withColumn("sec", sec)
+        .withColumn("next_purchase_sec", nxt)
+        .filter(F.col("event_type") == "error")
+        .withColumn(
+            "recovery_s",
+            F.when(
+                F.col("next_purchase_sec").isNotNull(),
+                F.col("next_purchase_sec") - F.col("sec"),
+            ),
+        )
+    )
+    return errors.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.count("recovery_s").alias("n_recovered"),
+        F.round(
+            F.sum("recovery_s") / F.count("recovery_s"), 6
+        ).alias("mean_recovery_s"),
+    )
+
+
+_register(
+    QuerySpec(
+        "sequence_error_recovery",
+        _sequence_detect,
+        oracle="""
+        WITH t AS (
+          SELECT user_id, event_type,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+          FROM events),
+        fr AS (
+          SELECT user_id, event_type, sec,
+                 MIN(CASE WHEN event_type = 'purchase' THEN sec END)
+                   OVER (PARTITION BY user_id ORDER BY sec
+                         RANGE BETWEEN CURRENT ROW AND 1800 FOLLOWING)
+                   AS next_purchase_sec
+          FROM t),
+        err AS (
+          SELECT user_id, sec,
+                 CASE WHEN next_purchase_sec IS NOT NULL
+                      THEN next_purchase_sec - sec END AS recovery_s
+          FROM fr WHERE event_type = 'error')
+        SELECT user_id, COUNT(*) AS n_errors,
+               COUNT(recovery_s) AS n_recovered,
+               ROUND(CAST(SUM(recovery_s) AS DOUBLE)
+                     / COUNT(recovery_s), 6) AS mean_recovery_s
+        FROM err GROUP BY user_id
+        """,
+        doc="time-bound sequence detection: RANGE-framed window, no self-join",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -7805,7 +7877,8 @@ _CHECK_PRIORITY: list[str] = [
     # snapshot_diff_orders, kmeans_embeddings, pagerank_user_graph,
     # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
     # quantile_sketch_orders, spatial_join_proximity,
-    # expectation_report_orders, transition_matrix_events.
+    # expectation_report_orders, transition_matrix_events,
+    # sequence_error_recovery.
 ]
 
 
