@@ -7742,6 +7742,77 @@ _register(
 )
 
 
+def _q9_profit_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 with the AUTHENTIC supply-cost term: since r05 the
+    derived partsupp exists, so this variant joins lineitem to it on
+    (partkey, suppkey) and computes
+    ``l_extendedprice·(1−l_discount) − ps_supplycost·l_quantity``
+    exactly as spec — closing the one asterisk the adapted
+    `q9_product_profit` carried ("no partsupp in fixtures").  The
+    fixture's lineitem suppkeys are independent of the derived
+    assignment, so the inner join keeps the ~4/|S| matching slice;
+    the SHAPE and arithmetic are the faithful part, and the oracle
+    rebuilds the identical table and join."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - (
+        F.col("ps_supplycost_cents") / 100.0
+    ) * F.col("l_quantity")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(
+            decimal_sum(profit).alias("total_profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "q9_profit_partsupp",
+        _q9_profit_partsupp,
+        oracle=f"""
+        WITH {_PARTSUPP_CTE.strip()}
+        SELECT supp_nation, o_year, {_dsum("profit")} AS total_profit,
+               COUNT(*) AS n_lines
+        FROM (
+          SELECT n_name AS supp_nation,
+                 CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - (ps_supplycost_cents / 100.0) * l_quantity AS profit
+          FROM lineitem
+          JOIN partsupp ON l_partkey = ps_partkey
+                       AND l_suppkey = ps_suppkey
+          JOIN part     ON l_partkey = p_partkey
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          WHERE p_name LIKE '%red%'
+        ) GROUP BY supp_nation, o_year
+        """,
+        doc="TPC-H Q9 with the authentic partsupp supply-cost term (derived partsupp)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -7878,7 +7949,7 @@ _CHECK_PRIORITY: list[str] = [
     # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
     # quantile_sketch_orders, spatial_join_proximity,
     # expectation_report_orders, transition_matrix_events,
-    # sequence_error_recovery.
+    # sequence_error_recovery, q9_profit_partsupp.
 ]
 
 
