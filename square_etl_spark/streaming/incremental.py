@@ -260,3 +260,69 @@ def stream_stream_join(
         & (rw[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
     )
     return lw.join(rw, cond).drop(rw[key])
+
+
+def stream_cms_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sketch_path: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+    schema=None,
+) -> None:
+    """Streaming count-min maintenance: each micro-batch's sketch
+    folds cell-wise into the stored sketch
+    (:func:`operators.aggregations.incremental_cms`) with the SAME
+    transactional ``foreachBatch`` scaffolding as
+    :func:`stream_rollup_availablenow` — batch-id marker inside the
+    atomic swap upgrades re-delivery to exactly-once fold effects.
+    The stored state is ≤ depth·width rows forever; heavy-hitter
+    estimates stay queryable over the unbounded stream at O(batch)
+    refresh cost, and because the cells are md5-deterministic the
+    maintained sketch equals the one-shot sketch of all data
+    CELL-FOR-CELL (pinned in test_streaming)."""
+    import os
+
+    from square_etl_spark.operators.aggregations import incremental_cms
+    from square_etl_spark.sinks.merge import (
+        _recover_swap,
+        _staging_dir,
+        _swap_into,
+    )
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    stream = reader.parquet(source_dir)
+    marker = "_last_batch_id"
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_swap(sketch_path)
+        target = None
+        applied = -1
+        if os.path.exists(sketch_path):
+            mpath = os.path.join(sketch_path, marker)
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    applied = int(fh.read().strip())
+            target = spark.read.parquet(sketch_path)
+        if batch_id <= applied:
+            return  # replayed batch: already folded in
+        merged = incremental_cms(
+            target, batch_df, key_col, depth=depth, width=width
+        )
+        tmp = _staging_dir(sketch_path)
+        merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, marker), "w") as fh:
+            fh.write(str(batch_id))
+        _swap_into(tmp, sketch_path)
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -364,3 +364,52 @@ def test_stream_stream_join_time_bound(spark, tmp_path):
         .awaitTermination()
     )
     assert got == [("u1", "ad-1", "c-1")]
+
+
+def test_stream_cms_maintain_equals_one_shot_cellwise(spark, sf_dir, tmp_path):
+    """Stream the events in two availableNow passes through the CMS
+    maintainer; the stored sketch must equal the one-shot sketch of
+    ALL events cell-for-cell (md5-deterministic monoid), and a
+    re-delivered batch must not double-count (batch-id guard)."""
+    import os
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.sketches import cms_build
+    from square_etl_spark.schemas import EVENTS
+    from square_etl_spark.streaming.incremental import stream_cms_availablenow
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 40")
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    sketch = os.path.join(tmp_path, "sketch")
+
+    first = ev.filter("event_id % 2 = 0")
+    rest = ev.filter("event_id % 2 = 1")
+    first.write.mode("overwrite").parquet(src)
+    stream_cms_availablenow(spark, src, ckpt, sketch, "user_id",
+                            schema=EVENTS)
+    rest.write.mode("append").parquet(src)
+    stream_cms_availablenow(spark, src, ckpt, sketch, "user_id",
+                            schema=EVENTS)
+
+    got = sorted(
+        (r["j"], r["b"], r["cnt"])
+        for r in spark.read.parquet(sketch).select("j", "b", "cnt").collect()
+    )
+    want = sorted(
+        (r["j"], r["b"], r["cnt"]) for r in cms_build(ev, "user_id").collect()
+    )
+    assert got == want
+
+    # replay the whole source against the same sketch WITHOUT the
+    # checkpoint: batch ids restart at 0 <= applied marker, so the
+    # fold must be skipped and the sketch unchanged
+    stream_cms_availablenow(
+        spark, src, os.path.join(tmp_path, "ckpt2"), sketch, "user_id",
+        schema=EVENTS,
+    )
+    again = sorted(
+        (r["j"], r["b"], r["cnt"])
+        for r in spark.read.parquet(sketch).select("j", "b", "cnt").collect()
+    )
+    assert again == want
