@@ -513,3 +513,75 @@ def test_bloom_membership_vs_python_set_of_positions(spark, keys):
         bits |= positions(v)
     want = {v for v in probe_vals if positions(v) <= bits}
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 28)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@SETTINGS
+def test_streaks_equal_python_fold(spark, rows):
+    """activity_streaks vs a direct Python computation of longest
+    consecutive-day runs (earliest-start tiebreak) on random
+    user/day sets."""
+    from square_etl_spark.operators.behavior import activity_streaks
+
+    df = spark.createDataFrame(
+        [(u, dt.datetime(2024, 1, d, 12)) for u, d in rows],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        r["user_id"]: (r["streak_days"], r["streak_start"])
+        for r in activity_streaks(df, "ts", "user_id").collect()
+    }
+    want = {}
+    for u in {u for u, _ in rows}:
+        days = sorted({d for uu, d in rows if uu == u})
+        best_len, best_start = 0, None
+        i = 0
+        while i < len(days):
+            j = i
+            while j + 1 < len(days) and days[j + 1] == days[j] + 1:
+                j += 1
+            if j - i + 1 > best_len:
+                best_len, best_start = j - i + 1, days[i]
+            i = j + 1
+        want[u] = (best_len, f"2024-01-{best_start:02d}")
+    assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    radius=st.sampled_from([1, 5, 13]),
+)
+@SETTINGS
+def test_spatial_join_equals_brute_force_random(spark, pts, radius):
+    from square_etl_spark.operators.joins import spatial_bin_join
+
+    left = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "lid long, lx long, ly long",
+    )
+    right = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "rid long, rx long, ry long",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in spatial_bin_join(left, right, radius=radius).collect()
+    }
+    want = {
+        (a, b)
+        for a, (x1, y1) in enumerate(pts)
+        for b, (x2, y2) in enumerate(pts)
+        if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= radius * radius
+    }
+    assert got == want
