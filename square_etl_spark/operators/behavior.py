@@ -48,6 +48,8 @@ def funnel_stage_times(
     window partitioning is identical, so Catalyst sorts once and
     reuses it; pinned in test_plans).
     """
+    if not stages:
+        raise ValueError("stages must be a non-empty ordered list")
     w = Window.partitionBy(key_col)
     out = df
     prev: Column | None = None

@@ -150,6 +150,8 @@ def kmeans_assign_arrow(
     import numpy as np
 
     rows = centroids.collect()
+    if not rows:
+        raise ValueError("centroids relation is empty — run kmeans_fixed first")
     k = max(r["c"] for r in rows) + 1
     d = max(r["dim"] for r in rows) + 1
     cent = np.zeros((k, d), dtype=np.float64)
