@@ -377,6 +377,11 @@ def read_jdbc_partitioned(
             .load()
             .collect()[0]
         )
+        if b[0] is None or b[1] is None:
+            raise ValueError(
+                f"cannot derive partition bounds: {table} is empty on "
+                f"{partition_col} — pass lower/upper explicitly"
+            )
         lower = int(b[0]) if lower is None else lower
         upper = int(b[1]) if upper is None else upper
     return (

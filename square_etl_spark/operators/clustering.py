@@ -50,6 +50,8 @@ def kmeans_fixed(
     ``assign(vid, c, d2)`` — final cluster per point with its exact
     decimal squared distance — and ``centroids(c, dim, cval)`` from
     the final update."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (there is no assignment yet)")
     # localCheckpoint the long form once and each iteration's outputs:
     # the long relation feeds the distance join AND the centroid update
     # in every iteration, so without truncation the unrolled lineage
@@ -152,11 +154,18 @@ def kmeans_assign_arrow(
     rows = centroids.collect()
     if not rows:
         raise ValueError("centroids relation is empty — run kmeans_fixed first")
-    k = max(r["c"] for r in rows) + 1
+    # build the matrix over the PRESENT cluster ids only and map argmin
+    # results back through them: a Lloyd update drops a cluster that
+    # lost all members, and densifying with np.zeros would leave a
+    # phantom zero-vector centroid that the exact path (inner join on
+    # the centroid relation) can never assign to
+    ids = sorted({r["c"] for r in rows})
+    idx_of = {c: i for i, c in enumerate(ids)}
+    ids_arr = np.asarray(ids, dtype=np.int64)
     d = max(r["dim"] for r in rows) + 1
-    cent = np.zeros((k, d), dtype=np.float64)
+    cent = np.zeros((len(ids), d), dtype=np.float64)
     for r in rows:
-        cent[r["c"], r["dim"]] = r["cval"]
+        cent[idx_of[r["c"]], r["dim"]] = r["cval"]
 
     from pyspark.sql import types as T
 
@@ -181,11 +190,12 @@ def kmeans_assign_arrow(
                 - 2.0 * mat @ cent.T
                 + (cent * cent).sum(axis=1)
             )
-            best = d2.argmin(axis=1)  # numpy argmin takes FIRST min = lowest c
+            best = d2.argmin(axis=1)  # numpy argmin takes FIRST min; ids
+            # are sorted, so first-min == lowest surviving cluster id
             yield pd.DataFrame(
                 {
                     "vid": pdf[id_col].astype("int64"),
-                    "c": best.astype("int64"),
+                    "c": ids_arr[best],
                     "d2f": d2[np.arange(len(best)), best],
                 }
             )

@@ -87,3 +87,28 @@ def pagerank_fixed(
             .localCheckpoint(eager=True)
         )
     return pr.select("node", F.col("pr").alias("pr_scaled"))
+
+
+def regular_user_graph(keys: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Deterministic 3-regular test graph over a key relation: nodes
+    are dense ranks of the distinct keys, edges i → (2i+1), (i+7),
+    (3i+11) mod N.  ONE implementation on purpose — the pagerank query
+    is oracle-pinned to this construction and the scaling sweep must
+    time the same graph.  The densification window is node-sized
+    metadata (see the query docstring)."""
+    from pyspark.sql.window import Window
+
+    idx = keys.select(
+        (F.row_number().over(Window.orderBy(key_col)) - 1).alias("i")
+    )
+    n1 = idx.agg(F.count(F.lit(1)).alias("nn"))
+    return idx.crossJoin(F.broadcast(n1)).select(
+        F.col("i").alias("src"),
+        F.explode(
+            F.array(
+                (2 * F.col("i") + 1) % F.col("nn"),
+                (F.col("i") + 7) % F.col("nn"),
+                (3 * F.col("i") + 11) % F.col("nn"),
+            )
+        ).alias("dst"),
+    )

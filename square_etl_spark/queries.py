@@ -7095,28 +7095,13 @@ def _pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     DISTINCT user relation — node-sized metadata, not data-sized; a
     real 100 TB graph would carry its own ids (the iteration itself
     never needs density)."""
-    from square_etl_spark.operators.graph import pagerank_fixed
+    from square_etl_spark.operators.graph import (
+        pagerank_fixed,
+        regular_user_graph,
+    )
 
     users = load_table(spark, sf_dir, "events").select("user_id").distinct()
-    idx = users.select(
-        (
-            F.row_number().over(Window.orderBy("user_id")) - 1
-        ).alias("i")
-    )
-    n1 = idx.agg(F.count(F.lit(1)).alias("nn"))
-    edges = (
-        idx.crossJoin(F.broadcast(n1))
-        .select(
-            F.col("i").alias("src"),
-            F.explode(
-                F.array(
-                    (2 * F.col("i") + 1) % F.col("nn"),
-                    (F.col("i") + 7) % F.col("nn"),
-                    (3 * F.col("i") + 11) % F.col("nn"),
-                )
-            ).alias("dst"),
-        )
-    )
+    edges = regular_user_graph(users)
     return pagerank_fixed(edges, iters=3).orderBy("node")
 
 

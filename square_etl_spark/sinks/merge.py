@@ -265,10 +265,11 @@ def snapshot_diff(
         F.lit(True).alias("__in_new"),
     )
     j = o.join(n, on=keys, how="full_outer")
-    changed = None
+    # empty compare_cols is the legitimate existence-only diff: keys
+    # present on both sides are unchanged by definition (I/D only)
+    changed = F.lit(False)
     for c in compare_cols:
-        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
-        changed = d if changed is None else (changed | d)
+        changed = changed | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
     op = (
         F.when(F.col("__in_old").isNull(), F.lit("I"))
         .when(F.col("__in_new").isNull(), F.lit("D"))

@@ -119,30 +119,31 @@ def windowed_stream_agg(
     )
 
 
-def stream_rollup_availablenow(
+def _fold_stream_availablenow(
     spark: SparkSession,
     source_dir: str,
     checkpoint_dir: str,
-    rollup_path: str,
-    keys: list[str],
-    sum_cols: list[str],
+    target_path: str,
+    fold,
     schema=None,
 ) -> None:
-    """Materialized-rollup maintenance as a streaming sink: each
-    micro-batch folds into the stored rollup with O(batch) work
-    (:func:`square_etl_spark.operators.aggregations.incremental_rollup`)
-    and atomically swaps the rollup table (temp dir + move, E3).
+    """Shared transactional scaffolding for streaming MONOID
+    maintenance sinks (rollup, count-min): availableNow file stream →
+    ``foreachBatch`` that folds each micro-batch into the stored
+    target via ``fold(target_or_None, batch) -> DataFrame`` and
+    atomically swaps the result (temp dir + move, E3).
 
-    Unlike the keyed merge, a fold is NOT idempotent under re-delivery
-    — re-folding a replayed batch would double-count — so the sink
-    records the last applied ``batch_id`` inside the rollup dir and
-    skips batches at or below it: the standard transactional
-    ``foreachBatch`` pattern that upgrades Spark's at-least-once
-    re-delivery to exactly-once aggregate effects.
+    A fold is NOT idempotent under re-delivery — re-folding a replayed
+    batch would double-count — so the sink records the last applied
+    ``batch_id`` inside the target dir and skips batches at or below
+    it: the standard transactional ``foreachBatch`` pattern that
+    upgrades Spark's at-least-once re-delivery to exactly-once
+    aggregate effects.  ONE implementation on purpose: the swap/
+    marker/replay protocol must not be able to diverge between the
+    maintenance sinks that share it.
     """
     import os
 
-    from square_etl_spark.operators.aggregations import incremental_rollup
     from square_etl_spark.sinks.merge import (
         _recover_swap,
         _staging_dir,
@@ -157,25 +158,25 @@ def stream_rollup_availablenow(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         # repair a swap a previous crash interrupted before reading
-        _recover_swap(rollup_path)
+        _recover_swap(target_path)
         target = None
         applied = -1
-        if os.path.exists(rollup_path):
-            mpath = os.path.join(rollup_path, marker)
+        if os.path.exists(target_path):
+            mpath = os.path.join(target_path, marker)
             if os.path.exists(mpath):
                 with open(mpath) as fh:
                     applied = int(fh.read().strip())
-            target = spark.read.parquet(rollup_path)
+            target = spark.read.parquet(target_path)
         if batch_id <= applied:
             return  # replayed batch: already folded in
-        merged = incremental_rollup(target, batch_df, keys, sum_cols)
-        tmp = _staging_dir(rollup_path)
+        merged = fold(target, batch_df)
+        tmp = _staging_dir(target_path)
         merged.write.mode("overwrite").parquet(tmp)
         # batch_id lands INSIDE the staging dir, so the marker and the
         # data publish in the same atomic rename
         with open(os.path.join(tmp, marker), "w") as fh:
             fh.write(str(batch_id))
-        _swap_into(tmp, rollup_path)
+        _swap_into(tmp, target_path)
 
     (
         stream.writeStream.foreachBatch(sink)
@@ -183,6 +184,34 @@ def stream_rollup_availablenow(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def stream_rollup_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    rollup_path: str,
+    keys: list[str],
+    sum_cols: list[str],
+    schema=None,
+) -> None:
+    """Materialized-rollup maintenance as a streaming sink: each
+    micro-batch folds into the stored rollup with O(batch) work
+    (:func:`square_etl_spark.operators.aggregations.incremental_rollup`);
+    transactional scaffolding shared with the count-min sink via
+    :func:`_fold_stream_availablenow`."""
+    from square_etl_spark.operators.aggregations import incremental_rollup
+
+    _fold_stream_availablenow(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        rollup_path,
+        lambda target, batch: incremental_rollup(
+            target, batch, keys, sum_cols
+        ),
+        schema=schema,
     )
 
 
@@ -274,55 +303,22 @@ def stream_cms_availablenow(
 ) -> None:
     """Streaming count-min maintenance: each micro-batch's sketch
     folds cell-wise into the stored sketch
-    (:func:`operators.aggregations.incremental_cms`) with the SAME
-    transactional ``foreachBatch`` scaffolding as
-    :func:`stream_rollup_availablenow` — batch-id marker inside the
-    atomic swap upgrades re-delivery to exactly-once fold effects.
-    The stored state is ≤ depth·width rows forever; heavy-hitter
-    estimates stay queryable over the unbounded stream at O(batch)
-    refresh cost, and because the cells are md5-deterministic the
-    maintained sketch equals the one-shot sketch of all data
-    CELL-FOR-CELL (pinned in test_streaming)."""
-    import os
-
+    (:func:`operators.aggregations.incremental_cms`); the stored state
+    is ≤ depth·width rows forever, heavy-hitter estimates stay
+    queryable over the unbounded stream at O(batch) refresh cost, and
+    because the cells are md5-deterministic the maintained sketch
+    equals the one-shot sketch of all data CELL-FOR-CELL (pinned in
+    test_streaming).  Exactly-once transactional scaffolding shared
+    with the rollup sink via :func:`_fold_stream_availablenow`."""
     from square_etl_spark.operators.aggregations import incremental_cms
-    from square_etl_spark.sinks.merge import (
-        _recover_swap,
-        _staging_dir,
-        _swap_into,
-    )
 
-    reader = spark.readStream
-    if schema is not None:
-        reader = reader.schema(schema)
-    stream = reader.parquet(source_dir)
-    marker = "_last_batch_id"
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_swap(sketch_path)
-        target = None
-        applied = -1
-        if os.path.exists(sketch_path):
-            mpath = os.path.join(sketch_path, marker)
-            if os.path.exists(mpath):
-                with open(mpath) as fh:
-                    applied = int(fh.read().strip())
-            target = spark.read.parquet(sketch_path)
-        if batch_id <= applied:
-            return  # replayed batch: already folded in
-        merged = incremental_cms(
-            target, batch_df, key_col, depth=depth, width=width
-        )
-        tmp = _staging_dir(sketch_path)
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, marker), "w") as fh:
-            fh.write(str(batch_id))
-        _swap_into(tmp, sketch_path)
-
-    (
-        stream.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+    _fold_stream_availablenow(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        sketch_path,
+        lambda target, batch: incremental_cms(
+            target, batch, key_col, depth=depth, width=width
+        ),
+        schema=schema,
     )

@@ -242,6 +242,12 @@ def funnel_stateful(
         stream.select(
             F.col(key_col).alias("user_id"), F.col(ts_col), F.col(type_col)
         )
+        # SQL NULL semantics like the batch twin: a NULL timestamp can
+        # never be a MIN-qualifying event and a NULL type matches no
+        # stage — dropped HERE so they cannot reach the pandas fold,
+        # where NaT would coerce to a garbage epoch and None types
+        # break the (ts, type) sort
+        .filter(F.col(ts_col).isNotNull() & F.col(type_col).isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             fold,

@@ -124,3 +124,30 @@ def test_arrow_assignment_is_arrow_not_row_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_arrow_assignment_never_emits_dead_clusters(spark):
+    """Regression (r06 review): when a Lloyd update empties a cluster
+    (duplicate seed vectors), the centroid relation drops its id; the
+    Arrow path must then only assign to SURVIVING ids — never to a
+    phantom zero-vector centroid at a dropped id."""
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_arrow,
+        kmeans_fixed,
+    )
+
+    # seeds 0 and 1 are identical → tie-break empties cluster 1 after
+    # the first update; points far from the origin would have been
+    # captured by a phantom zeros-row under the old dense matrix
+    vecs = [[5.0, 5.0], [5.0, 5.0], [5.1, 4.9], [100.0, 100.0],
+            [101.0, 99.0]]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    assign, cent = kmeans_fixed(emb, "vec_id", "embedding", k=2, iters=2)
+    surviving = {r["c"] for r in cent.select("c").distinct().collect()}
+    fast = kmeans_assign_arrow(emb, cent, "vec_id", "embedding").collect()
+    assert {r["c"] for r in fast} <= surviving
+    exact = {r["vid"]: r["c"] for r in assign.collect()}
+    assert {r["vid"]: r["c"] for r in fast} == exact

@@ -25,6 +25,7 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
@@ -82,18 +83,9 @@ def gen_events(n: int, out: str, seed: int = 7) -> int:
     return n_users
 
 
-def gen_embeddings(n: int, out: str, dim: int = 64, seed: int = 11) -> None:
-    rng = np.random.default_rng(seed)
-    mat = rng.standard_normal((n, dim)).astype(np.float32)
-    pq.write_table(
-        pa.table(
-            {
-                "vec_id": pa.array(range(n), pa.int64()),
-                "embedding": pa.array(list(mat), pa.list_(pa.float32())),
-            }
-        ),
-        out,
-    )
+# reuse the main sweep's generator — one definition of "the fixtures'
+# embedding shape" so the two sweeps can never measure different data
+from scaling import gen_embeddings  # noqa: E402
 
 
 def main() -> None:
@@ -158,24 +150,11 @@ def main() -> None:
                     m=1 << 16,
                 ),
             )
-            # 3-regular graph over the user set (the query's shape)
-            users = ev.select("user_id").distinct()
-            idx = users.select(
-                (F.row_number().over(Window.orderBy("user_id")) - 1).alias(
-                    "i"
-                )
-            )
-            n1 = idx.agg(F.count(F.lit(1)).alias("nn"))
-            edges = idx.crossJoin(F.broadcast(n1)).select(
-                F.col("i").alias("src"),
-                F.explode(
-                    F.array(
-                        (2 * F.col("i") + 1) % F.col("nn"),
-                        (F.col("i") + 7) % F.col("nn"),
-                        (3 * F.col("i") + 11) % F.col("nn"),
-                    )
-                ).alias("dst"),
-            )
+            # the query's exact graph shape — shared constructor so the
+            # sweep can never time a different graph than the oracle pins
+            from square_etl_spark.operators.graph import regular_user_graph
+
+            edges = regular_user_graph(ev.select("user_id").distinct())
             run("pagerank_3it", lambda: pagerank_fixed(edges, iters=3))
             run(
                 "snapshot_diff",
