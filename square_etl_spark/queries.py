@@ -7798,6 +7798,105 @@ _register(
 )
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought together in ≥ 3
+    orders, with confidence and lift — association-rule mining's
+    support counting as one postings-style self-join (orders are the
+    "documents", parts the "tokens"; pair cost is Σ basket², bounded
+    by a basket-size cap exactly like the n-gram postings' df_cap —
+    a 10 000-item pathological order would otherwise contribute 10⁸
+    pairs).  Exact integer supports; ratios rounded identically on
+    both engines."""
+    CAP = 30
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    sized = li.withColumn(
+        "basket_n", F.count(F.lit(1)).over(Window.partitionBy("l_orderkey"))
+    ).filter(F.col("basket_n") <= CAP)
+    n_orders = sized.select("l_orderkey").distinct().count()
+    part_supp = sized.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("part_orders")
+    )
+    a = sized.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a")
+    )
+    b = sized.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    sa = part_supp.select(
+        F.col("l_partkey").alias("part_a"), F.col("part_orders").alias("na")
+    )
+    sb = part_supp.select(
+        F.col("l_partkey").alias("part_b"), F.col("part_orders").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("na"), 6).alias("confidence_a"),
+            F.round(
+                F.col("support") * F.lit(float(n_orders))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "basket_part_pairs",
+        _basket_pairs,
+        oracle="""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        sized AS (
+          SELECT l_orderkey, l_partkey,
+                 COUNT(*) OVER (PARTITION BY l_orderkey) AS basket_n
+          FROM li),
+        capped AS (
+          SELECT l_orderkey, l_partkey FROM sized WHERE basket_n <= 30),
+        n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM capped),
+        supp AS (
+          SELECT l_partkey, COUNT(*) AS part_orders
+          FROM capped GROUP BY l_partkey),
+        pairs AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                 COUNT(*) AS support
+          FROM capped a JOIN capped b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= 3)
+        SELECT part_a, part_b, support,
+               ROUND(CAST(support AS DOUBLE) / sa.part_orders, 6)
+                 AS confidence_a,
+               ROUND(support * CAST(n_orders AS DOUBLE)
+                     / (sa.part_orders * CAST(sb.part_orders AS BIGINT)), 6)
+                 AS lift
+        FROM pairs
+        JOIN supp sa ON sa.l_partkey = part_a
+        JOIN supp sb ON sb.l_partkey = part_b
+        CROSS JOIN n
+        """,
+        doc="market-basket pairs: capped postings self-join, support/confidence/lift",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -7934,7 +8033,7 @@ _CHECK_PRIORITY: list[str] = [
     # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
     # quantile_sketch_orders, spatial_join_proximity,
     # expectation_report_orders, transition_matrix_events,
-    # sequence_error_recovery, q9_profit_partsupp.
+    # sequence_error_recovery, q9_profit_partsupp, basket_part_pairs.
 ]
 
 
