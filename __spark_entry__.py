@@ -43,8 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every ANSI-expressible query — 121 of
-    123 as of r06 (MinHash/SimHash/LSH/fingerprint/mapInPandas stages
+    """DuckDB-equivalent SQL for every ANSI-expressible query — all
+    but the two native-HLL estimates as of late r06 (exact counts in
+    COVERAGE.md; MinHash/SimHash/LSH/fingerprint/mapInPandas stages
     all recompute in ANSI SQL via portable md5/affine hashing); the
     two HLL estimates stay rows-only, engine-specific by nature."""
     return _q.oracle_sql()

@@ -830,7 +830,13 @@ def survivor_selection(
     (src/etl-square-catalog.ts:91 ON CONFLICT ... DO UPDATE);
     survivor selection is that decision generalized to similarity
     clusters + an explicit quality policy."""
-    clusters = connected_components(pairs)
+    # connected_components emits (doc_id, cluster_id) regardless of the
+    # pair column names it was given — rename its key to id_col so a
+    # caller's media_id/entity_id id actually joins (r06 review: the
+    # parameter previously only worked for the default "doc_id")
+    clusters = connected_components(pairs).withColumnRenamed(
+        "doc_id", id_col
+    )
     labeled = df.join(clusters, on=id_col, how="left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )

@@ -316,14 +316,18 @@ def strip_markup(col: Column | str = "text") -> Column:
     drop <script>/<style> blocks and <!-- comments -->, replace every
     remaining tag with a space, decode the six common entities, and
     collapse whitespace.  The corpus-cleaning first step for web-crawl
-    text; deliberately regex-simple (no backreferences, no DOTALL) so
-    the IDENTICAL patterns run under Java regex here and RE2/DuckDB in
-    the oracle — the entity pass is ordered (amp last) and that order
-    is part of the cross-engine contract."""
+    text; deliberately regex-simple (no backreferences) so the
+    IDENTICAL patterns run under Java regex here and RE2/DuckDB in the
+    oracle — the entity pass is ordered (amp last) and that order is
+    part of the cross-engine contract.  Block bodies use ``(?is).*?``
+    (dotall, non-greedy, case-fold — both dialects support the inline
+    flags): the r06 review showed ``[^<]*`` leaks any script whose
+    body contains ``<`` (most real inline JS) into the "clean" text,
+    and same-line-only comment stripping missed multi-line comments."""
     t = _c(col)
-    t = F.regexp_replace(t, r"<script[^>]*>[^<]*</script>", " ")
-    t = F.regexp_replace(t, r"<style[^>]*>[^<]*</style>", " ")
-    t = F.regexp_replace(t, r"<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     t = F.regexp_replace(t, r"<[^>]*>", " ")
     for ent, ch in (
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),

@@ -1913,9 +1913,9 @@ _register(
                 regexp_replace(
                   regexp_replace(
                     regexp_replace(
-                      regexp_replace(h, '<script[^>]*>[^<]*</script>', ' ', 'g'),
-                      '<style[^>]*>[^<]*</style>', ' ', 'g'),
-                    '<!--.*?-->', ' ', 'g'),
+                      regexp_replace(h, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
                   '<[^>]*>', ' ', 'g'),
                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
                 '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
@@ -2967,6 +2967,34 @@ def _gif_2frame_parts() -> tuple[bytes, bytes]:
     return prefix, suffix
 
 
+def _gif_2frame_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The constructed 2-frame animated-GIF media relation both GIF
+    queries share (ONE definition — the palette splice and meta struct
+    are oracle-pinned in two queries and must not drift apart): per
+    document, the constant GIF structure from :func:`_gif_2frame_parts`
+    with the 6-byte palette ``g,g,g,h,h,h`` spliced in, where
+    g = n_chars % 256 and h = (31·n_chars + 7) % 256."""
+    prefix, suffix = _gif_2frame_parts()
+    docs = load_table(spark, sf_dir, "documents")
+    g = F.col("n_chars") % 256
+    h = (F.col("n_chars") * 31 + 7) % 256
+    bg, bh = _byte_col(g), _byte_col(h)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(prefix), bg, bg, bg, bh, bh, bh, F.lit(suffix)).alias(
+            "content"
+        ),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("gif").alias("format"),
+            F.lit(2).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("uri"),
+        ).alias("meta"),
+    )
+
+
 def _mm_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANIMATED-GIF frame path, oracle-hash-checked end-to-end:
     per document, CONSTRUCT a 2-frame animated GIF in pure Column
@@ -2986,25 +3014,7 @@ def _mm_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     join a shuffle)."""
     from square_etl_spark.operators.multimodal import decode_media
 
-    prefix, suffix = _gif_2frame_parts()
-    docs = load_table(spark, sf_dir, "documents")
-    g = F.col("n_chars") % 256
-    h = (F.col("n_chars") * 31 + 7) % 256
-    bg, bh = _byte_col(g), _byte_col(h)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(F.lit(prefix), bg, bg, bg, bh, bh, bh, F.lit(suffix)).alias(
-            "content"
-        ),
-        F.struct(
-            F.lit("video").alias("media_type"),
-            F.lit("gif").alias("format"),
-            F.lit(2).alias("width"),
-            F.lit(2).alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-            F.lit(None).cast("string").alias("uri"),
-        ).alias("meta"),
-    )
+    media = _gif_2frame_media(spark, sf_dir)
     return decode_media(media).select(
         "media_id",
         "n_bytes",
@@ -3139,25 +3149,7 @@ def _mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     each snapshot."""
     from square_etl_spark.operators.multimodal import sample_frames
 
-    prefix, suffix = _gif_2frame_parts()
-    docs = load_table(spark, sf_dir, "documents")
-    g = F.col("n_chars") % 256
-    h = (F.col("n_chars") * 31 + 7) % 256
-    bg, bh = _byte_col(g), _byte_col(h)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.concat(F.lit(prefix), bg, bg, bg, bh, bh, bh, F.lit(suffix)).alias(
-            "content"
-        ),
-        F.struct(
-            F.lit("video").alias("media_type"),
-            F.lit("gif").alias("format"),
-            F.lit(2).alias("width"),
-            F.lit(2).alias("height"),
-            F.lit(None).cast("long").alias("duration_ms"),
-            F.lit(None).cast("string").alias("uri"),
-        ).alias("meta"),
-    )
+    media = _gif_2frame_media(spark, sf_dir)
     frames = sample_frames(media, max_frames=8)
     return frames.select(
         "media_id",
@@ -4271,7 +4263,10 @@ def _q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders join, the join carries only (l_orderkey, l_shipmode), and
     the two CASE counts partial-aggregate before the 7-group shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    key = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    # 31 is coprime with 7, so the mode genuinely mixes BOTH keys —
+    # a *7 multiplier here would vanish under % 7 and collapse the
+    # ship mode to a pure function of the line number (r06 review)
+    key = F.col("l_orderkey") * 31 + F.col("l_linenumber")
     mode = F.element_at(
         F.array(*[F.lit(m) for m in _SHIP_MODES]),
         (key % 7 + 1).cast("int"),
@@ -4318,7 +4313,7 @@ _register(
         WITH lx AS (
           SELECT l_orderkey,
                  (['AIR','FOB','MAIL','RAIL','REG AIR','SHIP','TRUCK'])
-                   [CAST((l_orderkey * 7 + l_linenumber) % 7 + 1 AS INTEGER)]
+                   [CAST((l_orderkey * 31 + l_linenumber) % 7 + 1 AS INTEGER)]
                    AS l_shipmode,
                  l_shipdate + ((l_orderkey + 3 * l_linenumber) % 60 - 15)
                    * INTERVAL 1 DAY AS l_commitdate,
@@ -8010,7 +8005,7 @@ _CHECK_PRIORITY: list[str] = [
     # distinct_users_by_type are in head), and join_semi_active
     # (left-semi: q4_priority_late_ship's EXISTS fold and
     # q20_excess_stock_suppliers' semi chain are in head).  They go
-    # first in the r07 cohort section, led by the three NEW
+    # first in the r07 cohort section, led by the six NEW
     # registrations deferred rather than displacing further r04
     # refreshes — each with its constituents or family covered in THIS
     # head: dedup_minhash_vs_ngram (both constituent pipelines have

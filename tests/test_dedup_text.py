@@ -545,3 +545,19 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[1] == (3, 0.916291)
     # (0.916291 + 1.609438) / 2 = 1.2628645 → HALF_UP → 1.262865
     assert got[2] == (2, 1.262865)
+
+
+def test_survivor_selection_custom_id_column(spark):
+    """Regression (r06 review): id_col other than 'doc_id' must work —
+    connected_components' fixed output key is renamed to match."""
+    from square_etl_spark.operators.dedup import survivor_selection
+
+    df = spark.createDataFrame(
+        [(10, 0.5), (11, 0.9), (12, 0.7)], "media_id long, q double"
+    )
+    pairs = spark.createDataFrame([(10, 11)], "id_a long, id_b long")
+    out = {
+        r["media_id"]: r["keep"]
+        for r in survivor_selection(df, pairs, id_col="media_id").collect()
+    }
+    assert out == {10: False, 11: True, 12: True}

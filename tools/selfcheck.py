@@ -35,7 +35,15 @@ from square_etl_spark.queries import registry  # noqa: E402
 def _from_pandas(v):
     """Normalize pandas null sentinels (NaN/NaT/NA) back to None so a
     SQL NULL hashes as ∅ on both sides; leave every other value — in
-    particular float64s produced by HUGEINT coercion — untouched."""
+    particular float64s produced by HUGEINT coercion — untouched.
+
+    Known approximation (r06 review): a GENUINE NaN in an oracle
+    double column is indistinguishable from NULL after the pandas
+    fetch and normalizes to ∅ here, while a Spark-side NaN
+    canonicalizes as 'nan' — so an oracle that can emit NaN (0/0 in a
+    ratio) could selfcheck differently than it drivers.  Registry
+    policy therefore: oracles must not emit NaN — guard ratio
+    denominators (the corr/outlier/retention queries all do)."""
     if v is None:
         return None
     try:
