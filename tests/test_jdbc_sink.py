@@ -326,3 +326,17 @@ def test_read_jdbc_partitioned_derby_parallel_slices(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters" in plan and "LessThan" in plan
+
+
+def test_read_jdbc_partitioned_empty_table_raises_named_error(spark, tmp_path):
+    from square_etl_spark.io import read_jdbc_partitioned
+
+    url = f"jdbc:derby:{tmp_path}/edb;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute('CREATE TABLE "empty" ("k" INT)')
+    conn.close()
+    with pytest.raises(ValueError, match="empty"):
+        read_jdbc_partitioned(
+            spark, url, '"empty"', '"k"',
+            properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+        )

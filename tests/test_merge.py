@@ -493,3 +493,14 @@ def test_snapshot_diff_identical_snapshots_empty_feed(spark):
 
     df = spark.createDataFrame([(1, "A", 1.0)], "id long, s string, a double")
     assert snapshot_diff(df, df, ["id"], ["s", "a"]).count() == 0
+
+
+def test_snapshot_diff_no_compare_cols_is_existence_only(spark):
+    """Empty compare_cols = legitimate key-presence diff: only I and D
+    emit; keys present on both sides are unchanged by definition."""
+    from square_etl_spark.sinks.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1,), (2,)], "id long")
+    new = spark.createDataFrame([(2,), (3,)], "id long")
+    ops = {r.id: r.op for r in snapshot_diff(old, new, ["id"], []).collect()}
+    assert ops == {1: "D", 3: "I"}
