@@ -7892,6 +7892,49 @@ _register(
 )
 
 
+def _unpivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT (``DataFrame.unpivot`` — the inverse of the
+    covered pivot): per order, melt the numeric measures into
+    (measure, value) rows.  A map-side 1-to-k expansion with no
+    shuffle; the long form is what generic profiling/quality passes
+    consume.  Values round to 2 decimals on both engines (they are
+    stored 2-decimal currency/ordinal values anyway)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 50 == 0
+    )
+    wide = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice"), 2).alias("total_price"),
+        F.col("o_custkey").cast("double").alias("cust_key"),
+    )
+    return wide.unpivot(
+        ids=["o_orderkey"],
+        values=["total_price", "cust_key"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+_register(
+    QuerySpec(
+        "unpivot_order_measures",
+        _unpivot_orders,
+        oracle="""
+        WITH wide AS (
+          SELECT o_orderkey,
+                 ROUND(o_totalprice, 2) AS total_price,
+                 CAST(o_custkey AS DOUBLE) AS cust_key
+          FROM orders WHERE o_orderkey % 50 = 0)
+        SELECT o_orderkey, 'total_price' AS measure, total_price AS value
+        FROM wide
+        UNION ALL
+        SELECT o_orderkey, 'cust_key', cust_key FROM wide
+        """,
+        doc="wide-to-long unpivot/melt (inverse of pivot), map-side 1-to-k expansion",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -8028,7 +8071,8 @@ _CHECK_PRIORITY: list[str] = [
     # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
     # quantile_sketch_orders, spatial_join_proximity,
     # expectation_report_orders, transition_matrix_events,
-    # sequence_error_recovery, q9_profit_partsupp, basket_part_pairs.
+    # sequence_error_recovery, q9_profit_partsupp, basket_part_pairs,
+    # unpivot_order_measures.
 ]
 
 
