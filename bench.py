@@ -3,11 +3,16 @@
 Runs every ``bench=True`` registry query (the heavy, scale-relevant
 plans: star join, pricing summary, build/probe join, top-k, tumbling
 windows, exact + n-gram dedup, text scoring, ANN top-k) against the
-bench scale factor and prints ONE JSON line:
+bench scale factor and prints ONE COMPACT JSON line as the final line
+of stdout:
 
     {"metric": "bench_total_s", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "raw_runs": {name: [sec, ...]},
-     "sf": ..., "rows": {...}}
+     "queries": {name: sec, ...}, "sf": ...}
+
+Per-run raw timings and result row counts — the self-diagnosing
+detail that made the r06 line outgrow the driver's bounded tail
+capture (BENCH_r06 parsed: null) — go to ``BENCH_DETAIL.json`` next
+to this script instead, committed like SCALING.md.
 
 Timing is end-to-end per query: plan construction + execution to a
 count-style action (foreach-noop), i.e. full pipeline cost without
@@ -99,6 +104,23 @@ def main() -> None:
         raw_runs[name] = raw
         rows[name] = n
 
+    # raw runs + row counts → side file (committed like SCALING.md).
+    # r06 lesson: putting them on the stdout line grew it past the
+    # driver's bounded tail capture at 20 benched queries → parsed:null.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
+        json.dumps(
+            {"raw_runs": raw_runs, "rows": rows, "sf": sf,
+             "runs_per_query": runs_per_query},
+            indent=1,
+        )
+        + "\n"
+    )
+
+    # the compact record is the FINAL stdout line — nothing may print
+    # after it, and it stays small (~60 bytes + ~25/query) so the
+    # driver's tail capture always holds the whole line.
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -106,8 +128,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "raw_runs": raw_runs,
-                "rows": rows,
                 "sf": sf,
             }
         )

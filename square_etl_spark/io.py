@@ -338,8 +338,8 @@ def read_jdbc_partitioned(
     partition_col: str,
     num_partitions: int = 8,
     properties: dict[str, str] | None = None,
-    lower: int | None = None,
-    upper: int | None = None,
+    lower: int | str | None = None,
+    upper: int | str | None = None,
 ) -> DataFrame:
     """Parallel relational read — the source-side complement of
     ``sinks/jdbc.write_jdbc_upsert`` (the reference only ever reads
@@ -364,12 +364,18 @@ def read_jdbc_partitioned(
         **props,
     }
     if lower is None or upper is None:
-        # quoted aliases: unquoted ones case-fold differently per
-        # engine (Derby uppercases, Postgres lowers); quoted "lo"/"hi"
-        # read back identically everywhere (positional access anyway)
+        # UNQUOTED aliases on purpose: double-quoted ones are string
+        # literals under MySQL's default sql_mode (ANSI_QUOTES off),
+        # and NO alias breaks Derby (Spark's JDBC source re-selects
+        # columns by their reported label, and Derby's auto-generated
+        # names for aliasless aggregates aren't referenceable).
+        # Unquoted aliases case-fold per engine, but Spark quotes the
+        # label the driver reports back — with the dialect's own
+        # quoting — so the follow-up select always matches; our own
+        # access below is positional either way.
         bounds_sql = (
-            f'(SELECT MIN({partition_col}) AS "lo", '
-            f'MAX({partition_col}) AS "hi" FROM {table}) bounds'
+            f"(SELECT MIN({partition_col}) AS lo, "
+            f"MAX({partition_col}) AS hi FROM {table}) bounds"
         )
         b = (
             spark.read.format("jdbc")
@@ -382,8 +388,13 @@ def read_jdbc_partitioned(
                 f"cannot derive partition bounds: {table} is empty on "
                 f"{partition_col} — pass lower/upper explicitly"
             )
-        lower = int(b[0]) if lower is None else lower
-        upper = int(b[1]) if upper is None else upper
+        # str(), not int(): Spark's lowerBound/upperBound accept
+        # numeric, date, AND timestamp strings, and the probe returns
+        # whatever the column's type is — int() broke auto-probing on
+        # date/timestamp partition columns Spark itself supports
+        # (date/datetime str() forms are exactly what the option wants)
+        lower = b[0] if lower is None else lower
+        upper = b[1] if upper is None else upper
     return (
         spark.read.format("jdbc")
         .options(

@@ -208,8 +208,20 @@ def gapfill_daily(
         joined = joined.withColumn(
             "v_filled", F.last("v", ignorenulls=True).over(wf)
         )
-    else:  # zero-fill
-        joined = joined.withColumn("v_filled", F.coalesce("v", F.lit(0.0)))
+    else:  # zero-fill — but only AFTER a key's first observation: the
+        # pre-first-touch contract above applies to both fill modes,
+        # and a whole-partition MIN shares the ffill branch's single
+        # per-key Exchange (no extra shuffle).
+        wk = Window.partitionBy("k")
+        first_day = F.min(
+            F.when(F.col("v").isNotNull(), F.col("day"))
+        ).over(wk)
+        joined = joined.withColumn(
+            "v_filled",
+            F.when(
+                F.col("day") >= first_day, F.coalesce("v", F.lit(0.0))
+            ),
+        )
     return joined.select(
         F.col("k").alias(key_col),
         F.date_format("day", "yyyy-MM-dd").alias("day"),

@@ -89,18 +89,58 @@ def pagerank_fixed(
     return pr.select("node", F.col("pr").alias("pr_scaled"))
 
 
-def regular_user_graph(keys: DataFrame, key_col: str = "user_id") -> DataFrame:
-    """Deterministic 3-regular test graph over a key relation: nodes
-    are dense ranks of the distinct keys, edges i → (2i+1), (i+7),
-    (3i+11) mod N.  ONE implementation on purpose — the pagerank query
-    is oracle-pinned to this construction and the scaling sweep must
-    time the same graph.  The densification window is node-sized
-    metadata (see the query docstring)."""
+def dense_index(keys: DataFrame, key_col: str) -> DataFrame:
+    """Deterministic dense 0..N−1 index over a distinct key relation
+    WITHOUT a global-order window (the r06 plan audit flagged
+    ``row_number().over(Window.orderBy(key))`` here as a
+    single-partition bottleneck if reused on a real key relation).
+
+    Two-phase rank, same shape as sampling.pack_training_sequences'
+    distributed prefix sum: shard on the first md5 byte (256 unskewed
+    shards), row_number per shard in parallel ordered by (hash, key),
+    then add per-shard offsets from a 256-row driver-side prefix table
+    broadcast back.  Because the shard key is a PREFIX of the hash,
+    the resulting index equals a global rank over (md5(key), key) —
+    deterministic and partitioning-invariant, never single-partition.
+
+    Returns ``(key_col, i)``."""
     from pyspark.sql.window import Window
 
-    idx = keys.select(
-        (F.row_number().over(Window.orderBy(key_col)) - 1).alias("i")
+    tagged = keys.withColumn("__h", F.md5(F.col(key_col).cast("string")))
+    tagged = tagged.withColumn("__shard", F.substring("__h", 1, 2))
+    w = Window.partitionBy("__shard").orderBy("__h", key_col)
+    local = tagged.withColumn("__rk", F.row_number().over(w))
+    counts = (
+        tagged.groupBy("__shard")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy("__shard")
+        .collect()  # ≤256 rows of driver metadata, any corpus size
     )
+    offsets, running = [], 0
+    for r in counts:
+        offsets.append((r["__shard"], running))
+        running += r["__cnt"]
+    off_df = keys.sparkSession.createDataFrame(
+        offsets or [("00", 0)], "__shard string, __off long"
+    )
+    return (
+        local.join(F.broadcast(off_df), "__shard")
+        .select(key_col, (F.col("__off") + F.col("__rk") - 1).alias("i"))
+    )
+
+
+def regular_user_graph(keys: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Deterministic 3-regular test graph over a key relation: nodes
+    are dense indices of the distinct keys, edges i → (2i+1), (i+7),
+    (3i+11) mod N.  ONE implementation on purpose — the pagerank query
+    is oracle-pinned to this construction and the scaling sweep must
+    time the same graph.
+
+    The edge set depends ONLY on N (which key maps to which index is
+    irrelevant to the output), so densification just needs a
+    deterministic bijection — ``dense_index``'s partitioned two-phase
+    rank, not a global-order window."""
+    idx = dense_index(keys, key_col).select("i")
     n1 = idx.agg(F.count(F.lit(1)).alias("nn"))
     return idx.crossJoin(F.broadcast(n1)).select(
         F.col("i").alias("src"),

@@ -238,6 +238,7 @@ def fuzzy_join_blocked(
     right_col: str,
     block: Callable[[Column], Column],
     max_dist: int = 1,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """Approximate string join: equi-join on a BLOCKING KEY, then
     verify candidates with edit distance ≤ ``max_dist`` — the standard
@@ -250,8 +251,14 @@ def fuzzy_join_blocked(
     the corruption model leaves intact (tests pin both the hit and
     the documented miss).  Scale: cost is the candidate count —
     Σ|block_L|·|block_R| — so the key must spread; a skewed block is
-    the same problem (and fix) as any skewed join key (salting /
-    bucket caps).  Multi-key blocking (prefix + suffix + length) OR'd
+    the same problem as any skewed join key.  ``block_cap`` is the
+    guard (same cap-and-drop contract as minhash_banded_pairs'
+    bucket_cap / the LSH bucket caps): blocks whose candidate PRODUCT
+    |block_L|·|block_R| exceeds the cap are dropped via a broadcast
+    anti join before the candidate join ever materializes them — a
+    block that hot is a stop-pattern (an empty/constant key), not a
+    plausible match cluster, and the recall loss is explicit and
+    testable.  Multi-key blocking (prefix + suffix + length) OR'd
     over several passes trades cost for recall, each pass this same
     operator.
     """
@@ -261,6 +268,15 @@ def fuzzy_join_blocked(
     rb = right.select(
         F.col(right_col).alias("r_val"), block(F.col(right_col)).alias("bk")
     )
+    if block_cap is not None:
+        ln = lb.groupBy("bk").agg(F.count(F.lit(1)).alias("__ln"))
+        rn = rb.groupBy("bk").agg(F.count(F.lit(1)).alias("__rn"))
+        hot = (
+            ln.join(rn, "bk")
+            .filter(F.col("__ln") * F.col("__rn") > block_cap)
+            .select("bk")
+        )
+        lb = lb.join(F.broadcast(hot), "bk", "left_anti")
     cand = lb.join(rb, "bk")
     return (
         cand.withColumn("dist", F.levenshtein("l_val", "r_val"))
@@ -274,6 +290,7 @@ def spatial_bin_join(
     right: DataFrame,
     radius: int,
     cols: tuple[str, str, str, str] = ("lx", "ly", "rx", "ry"),
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """Proximity join on integer planar coordinates: all (left, right)
     pairs within Euclidean distance ``radius`` — the grid-blocked
@@ -285,9 +302,13 @@ def spatial_bin_join(
 
     Scale: candidates per row ≈ 9 × cell occupancy — linear in data
     for any fixed density, never all-pairs; a hot cell (urban-core
-    skew) is an ordinary hot join key, mitigated the usual ways
-    (salting, cap-and-verify like the LSH buckets).  Returns left
-    and right columns plus ``dist2``.
+    skew) is an ordinary hot join key.  ``cell_cap`` is the guard
+    (same cap-and-drop contract as the LSH bucket caps): cells whose
+    candidate PRODUCT — replicated-left count × right count — exceeds
+    the cap are dropped via a broadcast anti join before the candidate
+    join; pairs in a dropped cell are lost, explicitly, instead of one
+    straggler task absorbing the city-center cell.  Returns left and
+    right columns plus ``dist2``.
 
     ``cols`` names the x/y columns on each side (integers; pick a
     fixed-point unit fine enough for the radius).
@@ -313,6 +334,15 @@ def spatial_bin_join(
         F.floor(F.col(rx) / radius).alias("cx"),
         F.floor(F.col(ry) / radius).alias("cy"),
     )
+    if cell_cap is not None:
+        ln = lc.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__ln"))
+        rn = rc.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("__rn"))
+        hot = (
+            ln.join(rn, ["cx", "cy"])
+            .filter(F.col("__ln") * F.col("__rn") > cell_cap)
+            .select("cx", "cy")
+        )
+        lc = lc.join(F.broadcast(hot), ["cx", "cy"], "left_anti")
     cand = lc.join(rc, ["cx", "cy"])
     d2 = (F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx)) + (
         F.col(ly) - F.col(ry)

@@ -169,16 +169,71 @@ def histogram(
     )
 
 
-def ntile_assign(df: DataFrame, order_col: str, tiebreak: str, n: int) -> DataFrame:
+def ntile_assign(
+    df: DataFrame,
+    order_col: str,
+    tiebreak: str,
+    n: int,
+    partitions: int = 32,
+) -> DataFrame:
     """Equal-count quantile bins (``tile`` 1..n) — curriculum buckets.
 
     Orders by (order_col, tiebreak) so the assignment is total and
-    deterministic.  NOTE: a global ntile is a single-partition window
-    — fine for ≤ millions of rows; at corpus scale switch to
-    ``percentile_approx`` cut points + a broadcast range join.
+    deterministic, and is EXACTLY ``NTILE(n) OVER (ORDER BY order_col,
+    tiebreak)`` — but computed without a single-partition window (the
+    r06 plan audit's gw discipline; a global ntile moves every row to
+    one task).  Distributed two-phase rank instead:
+
+    1. ``repartitionByRange`` on the sort key → ``partitions`` ordered
+       slices, each ranked locally in parallel (``row_number`` per
+       ``spark_partition_id``);
+    2. per-slice row counts → a ≤``partitions``-row driver prefix
+       table broadcast back; global rank = local rank + slice offset.
+       (Boundary placement from range sampling doesn't matter — any
+       boundary yields the same exact global rank.)
+    3. NTILE arithmetic on the rank: the first ``N mod n`` buckets
+       take ``N div n + 1`` rows, the rest ``N div n`` — the standard
+       SQL NTILE split, as plain column math.
     """
-    w = Window.orderBy(F.col(order_col), F.col(tiebreak))
-    return df.withColumn("tile", F.ntile(n).over(w))
+    parts = df.repartitionByRange(
+        partitions, F.col(order_col), F.col(tiebreak)
+    )
+    tagged = parts.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(order_col, tiebreak)
+    local = tagged.withColumn("__rk", F.row_number().over(w))
+    counts = (
+        tagged.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy("__pid")
+        .collect()  # ≤`partitions` rows of driver metadata
+    )
+    offsets, total = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], total))
+        total += r["__cnt"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off long"
+    )
+    rank = F.col("__off") + F.col("__rk")
+    bucket, rem = divmod(total, n) if total else (0, 0)
+    if bucket == 0:
+        # fewer rows than tiles: NTILE gives each row its own tile
+        tile = rank
+    else:
+        head = (bucket + 1) * rem  # rows covered by the larger buckets
+        # integer ceil-div (a + b − 1) div b: exact past 2^53 rows,
+        # where double division's ceil would misround
+        tile = F.when(
+            rank <= head,
+            F.expr(f"(__off + __rk + {bucket}) div {bucket + 1}"),
+        ).otherwise(
+            rem + F.expr(f"(__off + __rk - {head} + {bucket - 1}) div {bucket}")
+        )
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn("tile", tile.cast("int"))
+        .drop("__pid", "__rk", "__off")
+    )
 
 
 def profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:

@@ -137,11 +137,17 @@ def bloom_probe_keys(
     hit, counted with one grouped count on the key partitioning.
 
     The 100 TB use: semi-join pruning.  Build over the small side's
-    keys, probe the big side's DISTINCT keys, and only bloom-passing
-    rows reach the real (expensive) join — the same role Spark's AQE
-    runtime bloom pruning plays, here as an explicit, auditable
-    operator."""
-    probe = keys.select(
+    keys, probe the big side's keys, and only bloom-passing rows reach
+    the real (expensive) join — the same role Spark's AQE runtime
+    bloom pruning plays, here as an explicit, auditable operator.
+
+    Returns DISTINCT passing keys.  The probe side is deduplicated
+    internally: without it, a key appearing d times yields d·k probe
+    rows and n_hits = d·k ≠ k, silently dropping a present key — a
+    false negative the Bloom contract forbids.  (The dedup is a
+    map-side-combinable distinct on the same key partitioning the
+    grouped count needs anyway, so it adds no extra shuffle.)"""
+    probe = keys.select(key_col).distinct().select(
         F.col(key_col),
         F.explode(
             F.array(*[_md5_mod(F.col(key_col), j, m) for j in range(k)])

@@ -98,6 +98,13 @@ class QuerySpec:
     oracle: str | None = None
     bench: bool = False  # include in bench.py headline set
     doc: str = ""
+    #: non-empty ⇒ this query's plan is ALLOWED to contain a
+    #: single-partition window Exchange, with the bounded-input reason
+    #: stated (e.g. "256-bin histogram").  tools/plan_audit.py flags
+    #: any unjustified global-order window as GLOBAL-WINDOW — the r06
+    #: graph densification showed the pattern silently scaling to a
+    #: real bottleneck when reused on a data-sized relation.
+    global_window_ok: str = ""
 
 
 _REGISTRY: list[QuerySpec] = []
@@ -1965,6 +1972,7 @@ _register(
         FROM scored GROUP BY doc_id
         """,
         doc="unigram-LM NLL scoring: corpus freq broadcast, decimal-exact per-doc mean",
+        global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
     )
 )
 
@@ -6576,14 +6584,13 @@ def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("stage_2_ts").alias("users_click"),
         F.count("stage_3_ts").alias("users_purchase"),
     )
+    # denominator guard (selfcheck NaN policy: oracles must not emit
+    # NaN) — zero view-users yields NULL ratios on both engines
+    nz = F.when(F.col("users_view") > 0, F.col("users_view"))
     return agg.select(
         "users_view", "users_click", "users_purchase",
-        F.round(F.col("users_click") / F.col("users_view"), 6).alias(
-            "conv_click"
-        ),
-        F.round(F.col("users_purchase") / F.col("users_view"), 6).alias(
-            "conv_purchase"
-        ),
+        F.round(F.col("users_click") / nz, 6).alias("conv_click"),
+        F.round(F.col("users_purchase") / nz, 6).alias("conv_purchase"),
     )
 
 
@@ -6613,10 +6620,10 @@ _register(
                      COUNT(s3) AS users_purchase
               FROM u)
         SELECT users_view, users_click, users_purchase,
-               ROUND(CAST(users_click AS DOUBLE) / users_view, 6)
-                 AS conv_click,
-               ROUND(CAST(users_purchase AS DOUBLE) / users_view, 6)
-                 AS conv_purchase
+               ROUND(CAST(users_click AS DOUBLE)
+                     / NULLIF(users_view, 0), 6) AS conv_click,
+               ROUND(CAST(users_purchase AS DOUBLE)
+                     / NULLIF(users_view, 0), 6) AS conv_purchase
         FROM c
         """,
         bench=True,
@@ -7081,15 +7088,15 @@ _register(
 def _pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank, 3 power iterations
     (operators/graph.pagerank_fixed) over a deterministic 3-regular
-    graph on the event users: nodes are dense ranks of the distinct
+    graph on the event users: nodes are dense indices of the distinct
     user ids, edges i → (2i+1), (i+7), (3i+11) mod N.  Every step is
     BIGINT arithmetic, so the oracle recomputes the IDENTICAL ranks —
     the iterative-graph sibling of dedup's connected components.
 
-    The dense-rank densification is a single-partition window over the
-    DISTINCT user relation — node-sized metadata, not data-sized; a
-    real 100 TB graph would carry its own ids (the iteration itself
-    never needs density)."""
+    Densification uses graph.dense_index's partitioned two-phase rank
+    (256 md5 shards + broadcast offsets), never a global-order window;
+    the edge set — and therefore the output — depends only on N, so
+    the oracle's ROW_NUMBER densification is equivalent."""
     from square_etl_spark.operators.graph import (
         pagerank_fixed,
         regular_user_graph,
@@ -7364,10 +7371,20 @@ def _quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact"
         ),
     )
+    # degenerate-input guard (selfcheck NaN policy): hi == lo (all
+    # values equal, or a 1-row table) makes the bin expression 0/0 —
+    # collapse to bin 0 so est == exact == lo instead of NaN bins
     binned = o.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.lit(255),
-            F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 256),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255),
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * 256
+                ),
+            )
         )
         .cast("long")
         .alias("bin")
@@ -7427,8 +7444,9 @@ _register(
                  quantile_cont(x, 0.99) AS e99
           FROM src),
         binned AS (
-          SELECT LEAST(255, CAST(FLOOR((x - lo) / (hi - lo) * 256)
-                                 AS BIGINT)) AS bin
+          SELECT CASE WHEN hi = lo THEN 0
+                      ELSE LEAST(255, CAST(FLOOR((x - lo) / (hi - lo) * 256)
+                                           AS BIGINT)) END AS bin
           FROM src, b),
         hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
         cum AS (
@@ -7452,6 +7470,7 @@ _register(
         FROM picked
         """,
         doc="mergeable 256-bin quantile sketch with in-row exact-percentile error bound",
+        global_window_ok="cumulative sum over the 256-bin histogram (bounded by construction)",
     )
 )
 
@@ -7516,6 +7535,172 @@ _register(
         WHERE (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= 640000
         """,
         doc="grid-blocked spatial join: 3x3 neighbor cells + exact integer distance verify",
+    )
+)
+
+
+def _fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuzzy_join_names with a PLANTED hot block and the block_cap
+    guard live (operators/joins.fuzzy_join_blocked): every 5th
+    customer contributes a constant short name on each side, all of
+    which collapse into the empty-suffix blocking key — the classic
+    stop-key whose candidate product (~300×300 at sf0.01) would
+    dominate the join.  block_cap=1000 drops that block via broadcast
+    anti join, so the output is exactly the honest typo matches; the
+    oracle recomputes the cap arithmetic and the same survivors."""
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    c = load_table(spark, sf_dir, "customer")
+    dirty = c.filter(F.col("c_custkey") % 17 == 0).select(
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("x"),
+            F.substring("c_name", 13, 6),
+        ).alias("dirty_name")
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.lit("HOT").alias("dirty_name")
+        )
+    )
+    clean = c.select(F.col("c_name").alias("clean_name")).unionByName(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.lit("HOTX").alias("clean_name")
+        )
+    )
+    out = fuzzy_join_blocked(
+        dirty,
+        clean,
+        "dirty_name",
+        "clean_name",
+        block=lambda col: F.substring(col, 15, 4),
+        max_dist=1,
+        block_cap=1000,
+    )
+    return out.select(
+        F.col("l_val").alias("dirty_name"),
+        F.col("r_val").alias("clean_name"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+_register(
+    QuerySpec(
+        "fuzzy_join_capped_hot_block",
+        _fuzzy_join_capped,
+        oracle="""
+        WITH dirty AS (
+          SELECT substr(c_name, 1, 11) || 'x' || substr(c_name, 13, 6)
+                   AS dirty_name
+          FROM customer WHERE c_custkey % 17 = 0
+          UNION ALL
+          SELECT 'HOT' FROM customer WHERE c_custkey % 5 = 0),
+        clean AS (
+          SELECT c_name AS clean_name FROM customer
+          UNION ALL
+          SELECT 'HOTX' FROM customer WHERE c_custkey % 5 = 0),
+        lb AS (SELECT dirty_name, substr(dirty_name, 15, 4) AS bk FROM dirty),
+        rb AS (SELECT clean_name, substr(clean_name, 15, 4) AS bk FROM clean),
+        hot AS (
+          SELECT bk FROM
+            (SELECT bk, COUNT(*) AS ln FROM lb GROUP BY bk)
+            JOIN (SELECT bk, COUNT(*) AS rn FROM rb GROUP BY bk) USING (bk)
+          WHERE ln * rn > 1000),
+        cand AS (
+          SELECT dirty_name, clean_name
+          FROM lb JOIN rb USING (bk)
+          WHERE bk NOT IN (SELECT bk FROM hot))
+        SELECT dirty_name, clean_name,
+               CAST(levenshtein(dirty_name, clean_name) AS BIGINT) AS dist
+        FROM cand
+        WHERE levenshtein(dirty_name, clean_name) <= 1
+        """,
+        doc="fuzzy join under a planted hot block: block_cap anti-join guard, oracle-recomputed",
+    )
+)
+
+
+def _spatial_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spatial_join_proximity with a PLANTED hot cell and the cell_cap
+    guard live (operators/joins.spatial_bin_join): every 3rd supplier
+    and every 3rd customer pile onto one coordinate (urban-core skew),
+    making one grid cell's candidate product (~33×500 at sf0.01)
+    dwarf every other cell.  cell_cap=5000 drops that cell via
+    broadcast anti join; the isolated pairs elsewhere keep matching
+    and the oracle recomputes the per-cell counts, the cap, and the
+    surviving pairs exactly."""
+    from square_etl_spark.operators.joins import spatial_bin_join
+
+    R = 800
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit(52))
+        .otherwise((F.col("s_suppkey") * 7919) % 10000)
+        .alias("lx"),
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit(52))
+        .otherwise((F.col("s_suppkey") * 104729) % 10000)
+        .alias("ly"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(50))
+        .otherwise((F.col("c_custkey") * 7919) % 10000)
+        .alias("rx"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(50))
+        .otherwise((F.col("c_custkey") * 104729) % 10000)
+        .alias("ry"),
+    )
+    out = spatial_bin_join(s, c, radius=R, cell_cap=5000)
+    return out.select("s_suppkey", "c_custkey", "dist2")
+
+
+_register(
+    QuerySpec(
+        "spatial_join_capped_hot_cell",
+        _spatial_join_capped,
+        oracle="""
+        WITH s AS (
+          SELECT s_suppkey,
+                 CASE WHEN s_suppkey % 3 = 0 THEN 52
+                      ELSE (s_suppkey * 7919) % 10000 END AS lx,
+                 CASE WHEN s_suppkey % 3 = 0 THEN 52
+                      ELSE (s_suppkey * 104729) % 10000 END AS ly
+          FROM supplier),
+        c AS (
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN 50
+                      ELSE (c_custkey * 7919) % 10000 END AS rx,
+                 CASE WHEN c_custkey % 3 = 0 THEN 50
+                      ELSE (c_custkey * 104729) % 10000 END AS ry
+          FROM customer),
+        d AS (SELECT UNNEST([-1, 0, 1]) AS dx),
+        e AS (SELECT UNNEST([-1, 0, 1]) AS dy),
+        lc AS (
+          SELECT s_suppkey, lx, ly,
+                 CAST(FLOOR(lx / 800) AS BIGINT) + dx AS cx,
+                 CAST(FLOOR(ly / 800) AS BIGINT) + dy AS cy
+          FROM s, d, e),
+        rc AS (
+          SELECT c_custkey, rx, ry,
+                 CAST(FLOOR(rx / 800) AS BIGINT) AS cx,
+                 CAST(FLOOR(ry / 800) AS BIGINT) AS cy
+          FROM c),
+        hot AS (
+          SELECT cx, cy FROM
+            (SELECT cx, cy, COUNT(*) AS ln FROM lc GROUP BY cx, cy)
+            JOIN (SELECT cx, cy, COUNT(*) AS rn FROM rc GROUP BY cx, cy)
+            USING (cx, cy)
+          WHERE ln * rn > 5000),
+        lck AS (
+          SELECT * FROM lc
+          WHERE NOT EXISTS (SELECT 1 FROM hot
+                            WHERE hot.cx = lc.cx AND hot.cy = lc.cy))
+        SELECT s_suppkey, c_custkey,
+               CAST((lx - rx) * (lx - rx) + (ly - ry) * (ly - ry)
+                    AS BIGINT) AS dist2
+        FROM lck JOIN rc USING (cx, cy)
+        WHERE (lx - rx) * (lx - rx) + (ly - ry) * (ly - ry) <= 640000
+        """,
+        doc="spatial join under a planted hot cell: cell_cap anti-join guard, oracle-recomputed",
     )
 )
 
@@ -7939,140 +8124,104 @@ _register(
 # Check-priority ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness harness checks queries in `queries()` dict order
-# and caps at 50 entries per round, so with 100+ registered queries the
+# and caps at 50 entries per round, so with 150+ registered queries the
 # ordering decides which get a hard oracle signal.  Rotation policy: each
 # round front-loads (a) red rows needing re-check after a fix, then (b)
 # queries never yet checked, then (c) new registrations, then (d) the
 # cohort whose last green row is oldest, so every query's green evidence
-# stays <=2 rounds old.  Round 6 = text_fingerprint FIRST (the only red
-# driver row in five rounds — the oracle's HUGEINT output type, fixed
-# this round with a BIGINT cast; the engine side was verified correct)
-# + the five queries registered after the r05 head froze (KMV sketch +
-# the derived-partsupp TPC-H quartet q2/q11/q16/q20, all judge-selfcheck
-# green at sf0.01) + the two new registrations
-# (multimodal_decode_gif_frames, multimodal_probe_then_decode) + the
-# r01 rows-only HLL estimate + the thirteen r03-cohort queries at the
-# staleness ceiling + the flagship re-anchor (green row r04; it sat out
-# the r05 head) + 27 of the 30 r04-cohort queries = 50.
+# stays within the freshness window.  The window is ARITHMETIC-DERIVED,
+# not aspirational (r06 lesson: a fixed "≤2 rounds" promise became
+# impossible the moment the registry outgrew 2×50 and turned the
+# auditor into a wolf-crier): with N registered queries, a 50/round cap
+# and one slot reserved for the flagship anchor, a full refresh takes
+# ⌈(N−1)/49⌉ rounds, so the enforceable ceiling on any green row's age
+# is ⌈(N−1)/49⌉ + 1 rounds.  tools/rotation.py computes the window from
+# the LIVE registry size — registering queries widens it automatically,
+# and the tool's exit code means something again.
+#
+# Round 7 = the 26 registrations that landed after the r06 head froze
+# (behavior analytics, sketches, iterative compute, CDC, fuzzy/spatial
+# joins, expectation reports, authentic-partsupp q9, unpivot — all
+# judge-selfchecked green at sf0.01 in r06, zero driver rows) + the 23
+# oldest r04-cohort queries + the flagship anchor = 50, exactly the
+# head `python tools/rotation.py` printed at the end of r06.
 _CHECK_PRIORITY: list[str] = [
-    # -- the only red driver row ever recorded (r05): the oracle's
-    # -- HUGEINT output type rounded through the driver's pandas fetch;
-    # -- fixed with CAST(... AS BIGINT) this round — re-check FIRST
-    "text_fingerprint",
-    # -- never driver-checked (registered after the r05 head froze;
-    # -- all five judge-selfcheck green at sf0.01)
-    "approx_distinct_kmv",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_counts",
-    "q20_excess_stock_suppliers",
-    # -- new registrations this round, plus the rows-only→full-oracle
-    # -- upgrade whose output schema changed (scalar windows replace the
-    # -- JSON array): its old no_oracle row no longer describes it
-    "multimodal_decode_gif_frames",
-    "multimodal_probe_then_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "multimodal_decode",
-    "dedup_survivor_selection",
-    "q12_shipmode_priority",
-    "text_strip_markup",
-    "text_unigram_nll",
-    "reconcile_orders_detail",
-    # -- rows-only row from r01 (HLL estimate, weaker signal allowed
-    # -- past the window but due a refresh)
-    "approx_distinct_users",
-    # -- r03 cohort: green rows now three rounds old — policy ceiling
-    "p6_address_concat",
-    "p9_constant_enrichment",
-    "j3_lookup_join",
-    "a3_last_writer_wins",
-    "agg_rollup",
-    "setop_union_except",
-    "distinct_users_by_type",
-    "t2_sliding_2h_1h",
-    "embedding_norms",
-    "q5_local_supplier_volume",
-    "q4_priority_late_ship",
-    "q14_promo_share",
-    "q18_large_orders",
-    # -- flagship re-anchor (green row is r04; sat out the r05 head)
+    # -- the 26 never-driver-checked round-6 registrations (all
+    # -- judge-selfchecked green at sf0.01 in r06) — first driver rows
+    "cdc_apply_events",
+    "dedup_minhash_vs_ngram",
+    "corr_price_items",
+    "csv_ingest_orders",
+    "zorder_key_customers",
+    "skew_profile_event_users",
+    "funnel_conversion",
+    "retention_cohorts",
+    "streaks_user_activity",
+    "timeseries_gapfill",
+    "heavy_hitters_cms",
+    "bloom_prune_join",
+    "snapshot_diff_orders",
+    "kmeans_embeddings",
+    "pagerank_user_graph",
+    "inverted_index_terms",
+    "outlier_zscore_orders",
+    "fuzzy_join_names",
+    "quantile_sketch_orders",
+    "spatial_join_proximity",
+    "expectation_report_orders",
+    "transition_matrix_events",
+    "sequence_error_recovery",
+    "q9_profit_partsupp",
+    "basket_part_pairs",
+    "unpivot_order_measures",
+    # -- r04 cohort (the oldest green rows): scalar/JSON, multimodal,
+    # -- TPC-H shapes deferred from the r06 head
+    "f2_json_extract",
+    "multimodal_decode_bmp",
+    "q6_forecast_revenue",
+    "q13_custdist",
+    "q8_market_share",
+    # -- r04 cohort: projections / windows / subqueries / joins / aggs
+    "p5_literal_defaults",
+    "window_rank_lag",
+    "orders_above_cust_avg",
+    "join_semi_active",
+    "join_anti_dormant",
+    "agg_cube",
+    # -- r04 cohort: similarity / dedup / pipelines
+    "ann_topk_ivf",
+    "corpus_clean_pipeline",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    # -- r04 cohort: sampling / profiling / arrow / text
+    "sample_hash_documents",
+    "mix_weighted_sources",
+    "sample_stratified_lang",
+    "shard_assignment",
+    "decile_customer_acctbal",
+    "profile_orders_columns",
+    "arrow_group_median_dev",
+    "text_pii_redaction",
+    # -- flagship anchor (every round, last slot)
     "flagship_star_revenue",
-    # -- r04 cohort: scans / sinks / quality
-    "s1_windowed_scan",
-    "k1_merge_partitioned",
-    "e1_quarantine_rejects",
-    # -- r04 cohort: joins
-    "bucketed_join_revenue",
-    "asof_join_clicks",
-    "range_join_binned",
-    # -- r04 cohort: projections / windows / aggregations
-    "p4_cast_guard_default",
-    "p7_type_dispatch",
-    "window_running_total",
-    "sessionize_events",
-    "agg_grouping_sets",
-    "pivot_event_counts",
-    # -- r04 cohort: TPC-H
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_pushdown",
-    "q22_dormant_rich",
-    # -- r04 cohort: similarity / multimodal
-    "ann_topk_codes",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
-    # Three r04-cohort queries defer to the r07 head to make room for
-    # the red-row re-check and the two new registrations, each chosen
-    # because an in-head sibling covers its semantics this round:
-    # p5_literal_defaults (literal projection — p9_constant_enrichment
-    # and p4_cast_guard_default in head), q8_market_share (multi-join
-    # star + conditional share — q5_local_supplier_volume,
-    # q14_promo_share, q9_product_profit in head), window_rank_lag
-    # (window machinery — window_running_total, orders_above_cust_avg
-    # in head), and — swapped out for the four new/upgraded multimodal
-    # oracle queries — agg_cube (grouping analytics: agg_rollup,
-    # agg_grouping_sets, pivot_event_counts in head), join_anti_dormant
-    # (anti-join semantics: q22_dormant_rich's NOT EXISTS in head), and
-    # orders_above_cust_avg (correlated scalar subquery:
-    # q17_small_qty_revenue's correlated avg in head), and
-    # f2_json_extract (JSON-path extraction: f2_variant_extract's
-    # VARIANT raw-payload extraction in head), and q6_forecast_revenue
-    # (filtered single-table agg with range pushdown: q1_pricing_summary
-    # and q19_disjunctive_pushdown in head), and multimodal_decode_bmp
-    # (the decode rack has six sibling oracle queries in this head, and
-    # its r05-green dependent multimodal_features_by_lang rides the BMP
-    # path), q13_custdist (outer-join-then-count-distribution: the
-    # new reconcile_orders_detail FULL OUTER classification and
-    # distinct_users_by_type are in head), and join_semi_active
-    # (left-semi: q4_priority_late_ship's EXISTS fold and
-    # q20_excess_stock_suppliers' semi chain are in head).  They go
-    # first in the r07 cohort section, led by the six NEW
-    # registrations deferred rather than displacing further r04
-    # refreshes — each with its constituents or family covered in THIS
-    # head: dedup_minhash_vs_ngram (both constituent pipelines have
-    # their own rows in-head; the agreement join is plain full-outer
-    # arithmetic), skew_profile_event_users (profiling family:
-    # histogram + deciles in-head), cdc_apply_events (its fold is
-    # last_writer_wins, exercised in-head by a3/k1_merge_upsert),
-    # zorder_key_customers (pure bit arithmetic, pyarrow-layout-tested),
-    # csv_ingest_orders (quarantine posture: e1_quarantine_rejects in
-    # head), corr_price_items (decimal moment sums — the flagship's
-    # decimal_sum machinery, anchored in head).
+    # Still-deferred r04-cohort greens (dedup_decontaminate,
+    # pipeline_payments, pipeline_order_items, pack_training_sequences,
+    # text_repetition_stats) lead the r08 head; each has an in-head
+    # sibling exercising its machinery this round (broadcast semi-join
+    # via join_semi_active, the e2e pipeline family via
+    # corpus_clean_pipeline, the shard prefix-sum via shard_assignment,
+    # text windows via text_pii_redaction).
     # `python tools/rotation.py` audits this list against the
-    # CORRECTNESS history and prints the recommended next head.
+    # CORRECTNESS history, computes the arithmetic freshness window
+    # from the live registry size, and prints the recommended next
+    # head.
     #
-    # Registered AFTER this head was frozen (late r06) — all selfcheck
-    # green at sf0.01, first driver rows due in the r07 head:
-    # funnel_conversion, retention_cohorts, streaks_user_activity,
-    # timeseries_gapfill, heavy_hitters_cms, bloom_prune_join,
-    # snapshot_diff_orders, kmeans_embeddings, pagerank_user_graph,
-    # inverted_index_terms, outlier_zscore_orders, fuzzy_join_names,
-    # quantile_sketch_orders, spatial_join_proximity,
-    # expectation_report_orders, transition_matrix_events,
-    # sequence_error_recovery, q9_profit_partsupp, basket_part_pairs,
-    # unpivot_order_measures.
+    # Registered AFTER this head was frozen (round 7) — selfcheck
+    # green at sf0.01, first driver rows due in the r08 head:
+    # fuzzy_join_capped_hot_block, spatial_join_capped_hot_cell
+    # (the skew-guard variants the r06 verdict prescribed: planted
+    # hot block/cell + cap-and-drop anti join, full oracles).
 ]
 
 

@@ -132,3 +132,27 @@ def test_gapfill_sums_multiple_events_per_day(spark):
     df = _events(spark, [(1, 1, 1, "view", 1.5), (1, 1, 2, "view", 2.25)])
     out = gapfill_daily(df, "ts", "user_id", decimal_sum(F.col("value")))
     assert out.collect()[0]["v_filled"] == 3.75
+
+
+def test_gapfill_zero_fill_stays_null_before_first_touch(spark):
+    from square_etl_spark.operators.aggregations import decimal_sum
+
+    # same shape as the ffill test: user 1 first observed Jan 2, user 2
+    # anchors the calendar at Jan 1 — zero-fill fills user 1's Jan 3
+    # gap with 0.0 but must NOT fabricate a 0 for pre-first-touch Jan 1
+    df = _events(
+        spark,
+        [(1, 2, 1, "view", 10.0), (1, 4, 1, "view", 4.0),
+         (2, 1, 1, "view", 7.0)],
+    )
+    out = gapfill_daily(
+        df, "ts", "user_id", decimal_sum(F.col("value")), fill="zero"
+    )
+    u1 = {r["day"]: r["v_filled"] for r in out.collect() if r["user_id"] == 1}
+    assert u1["2024-01-01"] is None
+    assert u1["2024-01-02"] == 10.0
+    assert u1["2024-01-03"] == 0.0
+    assert u1["2024-01-04"] == 4.0
+    u2 = {r["day"]: r["v_filled"] for r in out.collect() if r["user_id"] == 2}
+    assert u2["2024-01-01"] == 7.0
+    assert u2["2024-01-02"] == 0.0  # after first touch → zero, not NULL

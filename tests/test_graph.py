@@ -44,3 +44,36 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = sorted(map(tuple, pagerank_fixed(e1).collect()))
     r2 = sorted(map(tuple, pagerank_fixed(e2).collect()))
     assert r1 == r2
+
+
+def test_dense_index_is_a_bijection_and_partition_invariant(spark):
+    from square_etl_spark.operators.graph import dense_index
+
+    keys = spark.range(0, 500).selectExpr("id * 3 as user_id")
+    idx = dense_index(keys, "user_id")
+    rows = idx.collect()
+    assert sorted(r["i"] for r in rows) == list(range(500))  # bijection
+    # deterministic under any input partitioning
+    again = dense_index(keys.repartition(13), "user_id").collect()
+    assert {(r["user_id"], r["i"]) for r in rows} == {
+        (r["user_id"], r["i"]) for r in again
+    }
+
+
+def test_dense_index_plan_has_no_single_partition_window(spark):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import count_global_windows
+
+    from square_etl_spark.operators.graph import dense_index
+
+    keys = spark.range(0, 100).selectExpr("id as user_id")
+    plan = (
+        dense_index(keys, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert count_global_windows(plan) == 0

@@ -123,6 +123,48 @@ def test_fuzzy_join_respects_max_dist(spark):
     ).count() == 1
 
 
+def test_fuzzy_join_block_cap_drops_hot_block_keeps_rest(spark):
+    """Planted hot block: 30 left copies share one blocking key with 30
+    right rows (900 candidates > cap) → the whole block is dropped; a
+    normal block elsewhere survives untouched."""
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.createDataFrame(
+        [("Customer#00x000123",)] + [("dup-block-AAAA",)] * 30,
+        "name string",
+    )
+    right = spark.createDataFrame(
+        [("Customer#000000123",)] + [("dup-block-AAAA",)] * 30,
+        "name string",
+    )
+    # chars 15-18: the typo never touches it; the short planted names
+    # all collapse into the empty-string block — the classic stop-key
+    blk = lambda c: F.substring(c, 15, 4)  # noqa: E731
+    uncapped = fuzzy_join_blocked(
+        left, right, "name", "name", block=blk, max_dist=1
+    )
+    assert uncapped.count() == 1 + 30 * 30
+    capped = fuzzy_join_blocked(
+        left, right, "name", "name", block=blk, max_dist=1, block_cap=100
+    )
+    got = {(r.l_val, r.r_val) for r in capped.collect()}
+    assert got == {("Customer#00x000123", "Customer#000000123")}
+
+
+def test_fuzzy_join_block_cap_plan_is_broadcast_anti(spark):
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.createDataFrame([("abcd1234",)], "name string")
+    capped = fuzzy_join_blocked(
+        left, left, "name", "name",
+        block=lambda c: F.substring(c, 5, 4), block_cap=10,
+    )
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti, BuildRight" in plan or (
+        "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    )
+
+
 def test_spatial_bin_join_matches_brute_force(spark):
     """Grid-blocked proximity join vs the all-pairs answer on a dense
     deterministic point set: exactly the same pairs (completeness —
@@ -156,3 +198,33 @@ def test_spatial_bin_join_boundary_pairs_cross_cells(spark):
     right = spark.createDataFrame([(2, 101, 0)], "rid long, rx long, ry long")
     out = spatial_bin_join(left, right, radius=100).collect()
     assert len(out) == 1 and out[0]["dist2"] == 4
+
+def test_spatial_bin_join_cell_cap_drops_hot_cell_keeps_rest(spark):
+    """Planted hot cell: 40 left and 40 right points pile onto one
+    coordinate (city-center skew; ≥1600 candidates in its cell) → the
+    hot cell is dropped; an isolated pair far away still matches."""
+    from square_etl_spark.operators.joins import spatial_bin_join
+
+    left = spark.createDataFrame(
+        [(i, 50, 50) for i in range(40)] + [(999, 5000, 5000)],
+        "lid long, lx long, ly long",
+    )
+    right = spark.createDataFrame(
+        [(i, 52, 52) for i in range(40)] + [(888, 5003, 5004)],
+        "rid long, rx long, ry long",
+    )
+    uncapped = spatial_bin_join(left, right, radius=100)
+    assert uncapped.count() == 40 * 40 + 1
+    capped = spatial_bin_join(left, right, radius=100, cell_cap=500)
+    got = {(r["lid"], r["rid"], r["dist2"]) for r in capped.collect()}
+    assert got == {(999, 888, 25)}
+
+
+def test_spatial_bin_join_cell_cap_plan_is_broadcast_anti(spark):
+    from square_etl_spark.operators.joins import spatial_bin_join
+
+    left = spark.createDataFrame([(1, 0, 0)], "lid long, lx long, ly long")
+    right = spark.createDataFrame([(2, 1, 1)], "rid long, rx long, ry long")
+    capped = spatial_bin_join(left, right, radius=10, cell_cap=5)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan

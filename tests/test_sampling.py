@@ -142,6 +142,50 @@ def test_ntile_assign_equal_count_bins(spark):
     assert out.filter(F.col("v") == 100).first().tile == 4
 
 
+def test_ntile_matches_sql_ntile_on_uneven_split(spark):
+    # N=10, n=4 → SQL NTILE sizes 3,3,2,2 (first N mod n buckets take
+    # the extra row) — the exact split the two-phase rank arithmetic
+    # must reproduce, not the naive floor(rank*n/N) 3,2,3,2 split
+    df = spark.range(1, 11).select(F.col("id").alias("v"), F.col("id").alias("k"))
+    out = ntile_assign(df, "v", "k", 4)
+    got = {r.tile: r.c for r in out.groupBy("tile").agg(F.count("*").alias("c")).collect()}
+    assert got == {1: 3, 2: 3, 3: 2, 4: 2}
+    sql = {
+        (r["v"]): r["t"]
+        for r in df.selectExpr(
+            "v", "ntile(4) over (order by v, k) as t"
+        ).collect()
+    }
+    mine = {r["v"]: r["tile"] for r in out.collect()}
+    assert mine == sql
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    df = spark.range(1, 4).select(F.col("id").alias("v"), F.col("id").alias("k"))
+    out = ntile_assign(df, "v", "k", 10)
+    assert {r["v"]: r["tile"] for r in out.collect()} == {1: 1, 2: 2, 3: 3}
+
+
+def test_ntile_invariant_to_input_partitioning(spark):
+    df1 = spark.range(1, 201).select(F.col("id").alias("v"), F.col("id").alias("k"))
+    df2 = df1.repartition(7)
+    r1 = sorted((r["v"], r["tile"]) for r in ntile_assign(df1, "v", "k", 6).collect())
+    r2 = sorted((r["v"], r["tile"]) for r in ntile_assign(df2, "v", "k", 6, partitions=5).collect())
+    assert r1 == r2
+
+
+def test_ntile_plan_has_no_single_partition_window(spark):
+    df = spark.range(1, 101).select(F.col("id").alias("v"), F.col("id").alias("k"))
+    plan = ntile_assign(df, "v", "k", 4)._jdf.queryExecution().executedPlan().toString()
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import count_global_windows
+
+    assert count_global_windows(plan) == 0
+
+
 def test_profile_counts_nulls_and_distincts(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (3, "a"), (None, "b")], ["x", "s"]

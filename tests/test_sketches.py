@@ -71,6 +71,22 @@ def test_bloom_rejects_most_non_members_at_sane_sizing(spark):
     assert n_pass <= 10
 
 
+def test_bloom_probe_tolerates_duplicated_probe_keys(spark):
+    # regression: a key appearing d times used to yield d·k probe rows,
+    # fail the n_hits == k filter, and silently drop a PRESENT key —
+    # a false negative the Bloom contract forbids.  The operator now
+    # dedups the probe side internally.
+    build = _keys(spark, list(range(0, 100, 2)))
+    positions = bloom_build(build, "k", k=3, m=512)
+    dup_probe = _keys(spark, [4, 4, 4, 7, 7, 8])  # 4,8 members; 7 not
+    passing = {r["k"] for r in bloom_probe_keys(
+        dup_probe, "k", positions, k=3, m=512
+    ).collect()}
+    assert {4, 8} <= passing  # duplicated members still pass, once
+    rows = bloom_probe_keys(dup_probe, "k", positions, k=3, m=512).count()
+    assert rows == len(passing)  # distinct output, no duplicate rows
+
+
 def test_bloom_positions_bounded_by_m(spark):
     build = _keys(spark, list(range(10_000)))
     positions = bloom_build(build, "k", k=3, m=256)

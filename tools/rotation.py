@@ -4,8 +4,14 @@ driver's CORRECTNESS_r*.json history.
 The driver caps correctness checks at 50 queries per round, so the
 head of ``queries()`` decides which registered queries get a hard
 oracle signal.  The rotation policy (queries.py) promises every
-query's green row stays ≤2 rounds old.  This tool makes the policy
-auditable and the next round's head mechanical:
+query's green row stays within an ARITHMETIC freshness window: with
+N registered queries, a 50/round cap and one slot reserved for the
+flagship anchor, a full refresh takes ⌈(N−1)/49⌉ rounds, so the
+enforceable ceiling is ⌈(N−1)/49⌉ + 1 rounds — computed here from
+the live registry, not hard-coded (the r06 fixed "≤2 rounds" promise
+became impossible at 154 queries and made every audit cry wolf).
+This tool makes the policy auditable and the next round's head
+mechanical:
 
     python tools/rotation.py            # audit + recommended next head
 
@@ -28,7 +34,19 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CAP = 50
-MAX_AGE_ROUNDS = 2
+
+
+def max_age_rounds(n_registered: int) -> int:
+    """Enforceable freshness ceiling for the live registry size.
+
+    One of the CAP slots is the flagship anchor (re-checked every
+    round), so rotation capacity is CAP−1 queries/round; a full pass
+    over the other N−1 queries takes ⌈(N−1)/(CAP−1)⌉ rounds, and a
+    query checked in round r is next reachable at worst that many
+    rounds later — +1 round of slack for red-row re-checks and new
+    registrations jumping the queue."""
+    full_pass = -(-(n_registered - 1) // (CAP - 1))  # ceil division
+    return full_pass + 1
 
 
 def load_history() -> dict[str, int]:
@@ -55,6 +73,7 @@ def main() -> int:
     latest = load_history()
     current_round = max(latest.values(), default=0)
 
+    window = max_age_rounds(len(names))
     unknown = [n for n in _CHECK_PRIORITY if n not in set(names)]
     never = [n for n in names if n not in latest]
     # assume the upcoming driver run checks the current head
@@ -62,22 +81,23 @@ def main() -> int:
     stale = sorted(
         (n for n, r in latest.items()
          if n in set(names) and n not in head_now
-         and current_round + 1 - r > MAX_AGE_ROUNDS),
+         and current_round + 1 - r > window),
         key=lambda n: latest[n],
     )
-    # the ≤2-round window is the policy for ORACLE-checked queries;
+    # the freshness window is the policy for ORACLE-checked queries;
     # rows-only rows are a weaker signal and age without violating it
     stale_oracle = [n for n in stale if has_oracle[n]]
     stale_rows_only = [n for n in stale if not has_oracle[n]]
 
     print(f"registered queries : {len(names)}")
     print(f"driver rounds seen : {current_round}")
+    print(f"freshness window   : {window} rounds (= ceil({len(names)-1}/{CAP-1}) + 1, from live registry)")
     print(f"head (first {CAP})   : checked next round")
     print(f"never checked      : {[n for n in never if n not in head_now] or 'none outside head'}")
     if unknown:
         print(f"UNKNOWN in priority: {unknown}")
     if stale_oracle:
-        print(f"POLICY VIOLATION — oracle-checked queries aging past {MAX_AGE_ROUNDS} rounds:")
+        print(f"POLICY VIOLATION — oracle-checked queries aging past the {window}-round window:")
         for n in stale_oracle:
             print(f"  {n}  (last green r{latest[n]:02d})")
     else:
