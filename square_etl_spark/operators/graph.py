@@ -152,3 +152,51 @@ def regular_user_graph(keys: DataFrame, key_col: str = "user_id") -> DataFrame:
             )
         ).alias("dst"),
     )
+
+
+def ancestor_closure(
+    parents: DataFrame,
+    doublings: int = 4,
+) -> DataFrame:
+    """Root + depth for every node of a forest given its parent
+    relation ``parents(node, parent)`` (roots self-loop:
+    ``parent == node``) — the hierarchy-flattening step behind
+    category trees, org charts, and BOM rollups.
+
+    POINTER DOUBLING, not parent-chasing: round i joins the current
+    (node → ancestor-at-distance-≤2^i, distance) relation with itself
+    on ``ancestor = node``, squaring the reach each round, so
+    ``doublings`` rounds resolve any depth ≤ 2^doublings in
+    ``doublings`` self-joins — O(log depth) rounds where the naive
+    chase (and a recursive CTE) needs O(depth).  Each round is one
+    equi-join + localCheckpoint (constant-size plans, the
+    pagerank_fixed/connected_components discipline).  Self-looped
+    roots are the fixpoint: they add distance 0, so resolved nodes
+    pass through later rounds unchanged and ``depth`` is the exact
+    root distance.
+
+    The default ``doublings=4`` resolves depth ≤ 2⁴ = 16 — past any
+    real catalog/org hierarchy; each +1 doubles the reach for one
+    extra join (10 rounds = depth 1024).  Returns
+    ``(node, root, depth)``.
+    """
+    j = parents.select(
+        F.col("node"),
+        F.col("parent").alias("anc"),
+        F.when(F.col("parent") == F.col("node"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("depth"),
+    ).localCheckpoint(eager=True)
+    for _ in range(doublings):
+        a, b = j.alias("a"), j.alias("b")
+        j = (
+            a.join(b, F.col("a.anc") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.anc").alias("anc"),
+                (F.col("a.depth") + F.col("b.depth")).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return j.select("node", F.col("anc").alias("root"), "depth")

@@ -352,3 +352,50 @@ def spatial_bin_join(
         .filter(F.col("dist2") <= radius * radius)
         .drop("cx", "cy")
     )
+
+
+def interval_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Point-in-time lookup against a versioned (SCD Type-2) dimension:
+    each fact row joins the dim version whose half-open validity window
+    ``[valid_from, valid_to)`` contains the fact's ``ts_col`` (open
+    ``valid_to IS NULL`` = current version).  The read-side complement
+    of ``sinks/merge.scd2_merge`` — what "the segment this customer was
+    in WHEN the order happened" compiles to.
+
+    Because scd2_merge guarantees non-overlapping windows per key, each
+    fact matches at most one version; with ``how='left'`` a fact dated
+    before its key's first version (or with no dim key at all) keeps
+    NULL attributes, it is never dropped.
+
+    Scale shape: an SCD2 dim is key-count × version-count rows — still
+    dimension-sized — so the default is a broadcast equi-join on the
+    keys with the window predicate as the join residual: the fact table
+    never shuffles (the same decision as broadcast_left_enrich; pass
+    ``broadcast_dim=False`` for a genuinely fact-sized history, where
+    the planner's shuffle join on the keys is correct).
+    """
+    from functools import reduce
+    from operator import and_
+
+    d = dim
+    for k in keys:
+        d = d.withColumnRenamed(k, f"__dk_{k}")
+    cond = reduce(
+        and_, [facts[k] == d[f"__dk_{k}"] for k in keys]
+    )
+    cond = (
+        cond
+        & (facts[ts_col] >= d[valid_from])
+        & (d[valid_to].isNull() | (facts[ts_col] < d[valid_to]))
+    )
+    right = F.broadcast(d) if broadcast_dim else d
+    return facts.join(right, cond, how).drop(*[f"__dk_{k}" for k in keys])

@@ -121,3 +121,67 @@ def nullify_when(col: Column | str, cond: Column) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.when(cond, F.lit(None)).otherwise(c)
+
+
+#: type widenings that cannot lose information — the only implicit
+#: casts schema conformance applies without `unsafe_cast`
+_SAFE_WIDENINGS: set[tuple[str, str]] = {
+    ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+    ("short", "integer"), ("short", "long"),
+    ("integer", "long"),
+    ("byte", "double"), ("short", "double"), ("integer", "double"),
+    ("float", "double"),
+    ("date", "timestamp"),
+}
+
+
+def conform_schema(
+    df: DataFrame,
+    target,
+    on_extra: str = "drop",
+    defaults: dict | None = None,
+    unsafe_cast: bool = False,
+) -> DataFrame:
+    """Schema evolution at the ingestion boundary: reshape a batch to
+    exactly ``target`` (a StructType) so generations of a source with
+    added/removed columns all land in one table.
+
+    - column MISSING from the batch → filled with ``defaults[name]``
+      (else typed NULL) — the new-column-added-upstream case;
+    - EXTRA column in the batch → dropped (``on_extra='drop'``) or a
+      hard error (``'error'``) — silent data loss is a choice, not an
+      accident;
+    - type mismatch → cast ONLY along lossless widenings (int→long,
+      float→double, date→timestamp, …); anything else (long→int,
+      string→int) raises unless ``unsafe_cast=True``, because a
+      truncating cast at the ingestion boundary is corruption with
+      extra steps.
+
+    Pure projection — a single Select over the batch, no shuffle; at
+    100 TB this is free (column pruning composes with it).  The merge
+    sinks compose downstream: conform first, then merge.
+    """
+    defaults = defaults or {}
+    have = {f.name: f for f in df.schema.fields}
+    want = {f.name for f in target.fields}
+    extra = [c for c in df.columns if c not in want]
+    if extra and on_extra == "error":
+        raise ValueError(f"batch has columns not in target schema: {extra}")
+    cols = []
+    for f in target.fields:
+        if f.name not in have:
+            cols.append(F.lit(defaults.get(f.name)).cast(f.dataType).alias(f.name))
+            continue
+        src_t = have[f.name].dataType
+        if src_t == f.dataType:
+            cols.append(F.col(f.name))
+            continue
+        pair = (src_t.typeName(), f.dataType.typeName())
+        if pair not in _SAFE_WIDENINGS and not unsafe_cast:
+            raise ValueError(
+                f"column {f.name}: {src_t.simpleString()} → "
+                f"{f.dataType.simpleString()} is not a lossless widening; "
+                f"pass unsafe_cast=True to force it"
+            )
+        cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -88,3 +88,57 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted average per key — the TWAP/last-observation-
+    carried-forward mean a point-in-time metric needs when samples are
+    irregular (a plain AVG over-weights bursts of readings).
+
+    Each observation holds its value until the key's NEXT observation
+    (LEAD over the key-partitioned time order), weighting it by that
+    interval's integer seconds; the key's last observation has no
+    following interval and drops out (standard half-open convention —
+    its value has no known duration).  Keys with a single observation
+    therefore yield no row.
+
+    Determinism: weights are exact BIGINT epoch-second differences,
+    values round to 2 decimals, and the weighted sum accumulates as
+    DECIMAL(38,6) so addition order cannot change the result — the
+    same decimal-sum discipline as the flagship revenue query.  One
+    Exchange on the key: the LEAD window and the grouped sum share the
+    same partitioning.
+
+    ``tiebreak_cols`` extends the time order to a TOTAL order —
+    without it, same-timestamp rows make the LEAD pairing (and so the
+    intervals) engine- and partitioning-dependent.
+
+    Returns ``key_cols + (twap, total_seconds, n_intervals)``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *(tiebreak_cols or []))
+    sec = F.unix_timestamp(F.col(ts_col))
+    dt = (F.lead(sec).over(w) - sec).alias("__dt")
+    v2 = F.round(F.col(value_col), 2)
+    weighted = df.select(
+        *key_cols, dt, v2.alias("__v")
+    ).filter(F.col("__dt").isNotNull())
+    wsum = F.sum(
+        (F.col("__v") * F.col("__dt")).cast("decimal(38,6)")
+    ).cast("double")
+    tsec = F.sum("__dt").cast("long")
+    return (
+        weighted.groupBy(*key_cols)
+        .agg(
+            F.round(
+                wsum / F.when(tsec > 0, tsec), 6
+            ).alias("twap"),
+            tsec.alias("total_seconds"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

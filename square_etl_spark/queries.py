@@ -1275,11 +1275,11 @@ _NGRAM_PAIRS_CTES_TPL = """
           GROUP BY 1, 2),
         pairs AS (
           SELECT id_a, id_b,
-                 ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+                 ROUND(n_inter / /*nz: union of nonempty shingle sets*/ (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
           FROM inter
           JOIN cnt ca ON ca.doc_id = id_a
           JOIN cnt cb ON cb.doc_id = id_b
-          WHERE ROUND(n_inter / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.1)
+          WHERE ROUND(n_inter / /*nz: union of nonempty shingle sets*/ (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.1)
 """
 
 
@@ -1504,7 +1504,7 @@ def _minhash_oracle() -> str:
         verified AS (
           SELECT id_a, id_b,
                  ROUND(len(list_intersect(sa.sh, sb.sh))
-                       / (len(sa.sh) + len(sb.sh)
+                       / /*nz: union of nonempty shingle sets*/ (len(sa.sh) + len(sb.sh)
                           - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
           FROM cand
           JOIN shl sa ON sa.doc_id = id_a
@@ -1780,8 +1780,8 @@ _register(
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
         scored AS (
           SELECT tf.doc_id, tf.term,
-                 ROUND((tf.tf / dl.doc_len)
-                       * ln(CAST(n.n_docs AS DOUBLE) / idf.df_t), 6) AS tfidf
+                 ROUND((tf.tf / /*nz: per-doc token count >= 1*/ dl.doc_len)
+                       * ln(CAST(n.n_docs AS DOUBLE) / /*nz: document frequency >= 1*/ idf.df_t), 6) AS tfidf
           FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN n)
         SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
         FROM (
@@ -1964,7 +1964,7 @@ _register(
         tot AS (SELECT SUM(c) AS t_total FROM freq),
         scored AS (
           SELECT doc_id,
-                 CAST(ROUND(-ln(c / t_total), 6) AS DECIMAL(18,6)) AS nll
+                 CAST(ROUND(-ln(c / /*nz: corpus token total >= 1 for any token row*/ t_total), 6) AS DECIMAL(18,6)) AS nll
           FROM t JOIN freq USING (w) CROSS JOIN tot)
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -2438,7 +2438,7 @@ _register(
                 j -> (strpos('0123456789ABCDEF', substr(hx, 2*j-1, 1)) - 1)
                      * 16
                      + (strpos('0123456789ABCDEF', substr(hx, 2*j, 1)) - 1)))
-              / (255.0 * (LEAST((i + 1) * step, n) - i * step)), 6)
+              / /*nz: chunk width >= 1 by construction*/ (255.0 * (LEAST((i + 1) * step, n) - i * step)), 6)
             END AS fv
           FROM p, generate_series(0, 15) g(i) WHERE i IN (0, 15))
         SELECT doc_id AS media_id,
@@ -3382,7 +3382,7 @@ _register(
           FROM r WHERE rk <= 64 GROUP BY event_type)
         SELECT event_type,
                CAST(CASE WHEN n < 64 THEN n
-                    ELSE ROUND(63.0 * 4294967296.0 / kth) END AS BIGINT)
+                    ELSE ROUND(63.0 * 4294967296.0 / NULLIF(kth, 0)) END AS BIGINT)
                  AS approx_users
         FROM k ORDER BY event_type
         """,
@@ -3658,7 +3658,7 @@ _register(
         _q14_promo_share,
         oracle=f"""
         SELECT ROUND(100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
-                     / {_dsum("l_extendedprice * (1 - l_discount)")}, 6)
+                     / /*nz: sum of positive revenue per populated group*/ {_dsum("l_extendedprice * (1 - l_discount)")}, 6)
                  AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -4105,7 +4105,7 @@ _PARTSUPP_CTE = """
                    AS ps_supplycost_cents
           FROM (
             SELECT p_partkey,
-                   (p_partkey + i * (S.s // 4 + p_partkey // S.s)) % S.s
+                   (p_partkey + i * (S.s // 4 + p_partkey // /*nz: supplier count >= 1*/ S.s)) % S.s
                      AS supp
             FROM part
             CROSS JOIN (SELECT COUNT(*) AS s FROM supplier) S
@@ -4521,7 +4521,7 @@ _register(
         oracle=f"""
         SELECT o_year,
                ROUND({_dsum("CASE WHEN supp_nation = 'NATION_2' THEN vol ELSE 0.0 END")}
-                     / {_dsum("vol")}, 6) AS mkt_share
+                     / /*nz: sum of positive revenue per populated group*/ {_dsum("vol")}, 6) AS mkt_share
         FROM (
           SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
                  l_extendedprice * (1 - l_discount) AS vol,
@@ -5302,7 +5302,7 @@ _NV_CTE = """
         nv AS (
           SELECT vec_id,
                  list_transform(CAST(embedding AS DOUBLE[]),
-                     x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                     x -> x / /*nz: nonzero embedding vectors*/ sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                     CAST(embedding AS DOUBLE[]))))
                    AS nv
           FROM embeddings)"""
@@ -5675,14 +5675,14 @@ _register(
         SELECT CAST(n AS BIGINT) AS n_orders,
                ROUND((n * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((n * CAST(sxx AS DOUBLE)
+                     / /*nz: positive variance of priced pairs*/ sqrt((n * CAST(sxx AS DOUBLE)
                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                             * (n * CAST(syy AS DOUBLE)
                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
                      6) AS pearson_r,
                ROUND((n * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (n * (n - 1.0)), 6) AS covariance
+                     / /*nz: pair count >= 2*/ (n * (n - 1.0)), 6) AS covariance
         FROM s
         """,
         doc="hash-stable Pearson r / covariance: decimal moment sums, closed-form finish",
@@ -5808,9 +5808,9 @@ _register(
           FROM freq)
         SELECT CAST(t_rows AS BIGINT) AS n_rows,
                CAST(t_keys AS BIGINT) AS n_keys,
-               ROUND(max_c / t_rows, 6) AS max_key_share,
-               ROUND(max_c * t_keys / t_rows, 6) AS skew_ratio,
-               ROUND(ln(t_rows) - s_clnc / t_rows, 6) AS entropy
+               ROUND(max_c / /*nz: COUNT(*) of populated event scan*/ t_rows, 6) AS max_key_share,
+               ROUND(max_c * t_keys / /*nz: COUNT(*) of populated event scan*/ t_rows, 6) AS skew_ratio,
+               ROUND(ln(t_rows) - s_clnc / /*nz: COUNT(*) of populated event scan*/ t_rows, 6) AS entropy
         FROM agg
         """,
         doc="shuffle-key skew pre-flight: hottest-key share + skew ratio + entropy, engine-exact",
@@ -5958,13 +5958,13 @@ _register(
         SELECT doc_id,
           CAST(len(lines) AS BIGINT) AS n_lines,
           CASE WHEN len(lines) > 0
-               THEN 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+               THEN 1.0 - len(list_distinct(lines)) / /*nz: CASE len > 0 branch*/ CAST(len(lines) AS DOUBLE)
                ELSE 0.0 END AS dup_line_frac,
           CASE WHEN len(w) > 0
-               THEN 1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE)
+               THEN 1.0 - len(list_distinct(w)) / /*nz: CASE len > 0 branch*/ CAST(len(w) AS DOUBLE)
                ELSE 0.0 END AS dup_word_frac,
           CASE WHEN len(g2) > 0
-               THEN 1.0 - len(list_distinct(g2)) / CAST(len(g2) AS DOUBLE)
+               THEN 1.0 - len(list_distinct(g2)) / /*nz: CASE len > 0 branch*/ CAST(len(g2) AS DOUBLE)
                ELSE 0.0 END AS dup_2gram_frac
         FROM g
         """,
@@ -6667,7 +6667,7 @@ _register(
                MAX(CASE WHEN week_offset = 0 THEN active_users END)
                  OVER (PARTITION BY cohort_week) AS cohort_size,
                ROUND(CAST(active_users AS DOUBLE)
-                     / MAX(CASE WHEN week_offset = 0 THEN active_users END)
+                     / /*nz: offset-0 cohort row always present*/ MAX(CASE WHEN week_offset = 0 THEN active_users END)
                          OVER (PARTITION BY cohort_week),
                      6) AS retention
         FROM cells
@@ -7124,27 +7124,27 @@ _register(
         nodes AS (
           SELECT src AS node FROM e UNION SELECT dst FROM e),
         p0 AS (
-          SELECT node, CAST({10**12} AS BIGINT) // nn AS pr
+          SELECT node, CAST({10**12} AS BIGINT) // /*nz: node count >= 1*/ nn AS pr
           FROM nodes, nr),
         s1 AS (
-          SELECT dst, SUM(pr // outdeg) AS sin
+          SELECT dst, SUM(pr // /*nz: grouped out-degree >= 1*/ outdeg) AS sin
           FROM e JOIN p0 ON src = node JOIN deg USING (src) GROUP BY dst),
         p1 AS (
-          SELECT node, CAST(15 AS BIGINT) * {10**12} // (100 * nn)
+          SELECT node, CAST(15 AS BIGINT) * {10**12} // /*nz: nn >= 1*/ (100 * nn)
                        + 85 * COALESCE(sin, 0) // 100 AS pr
           FROM nodes CROSS JOIN nr LEFT JOIN s1 ON node = dst),
         s2 AS (
-          SELECT dst, SUM(pr // outdeg) AS sin
+          SELECT dst, SUM(pr // /*nz: grouped out-degree >= 1*/ outdeg) AS sin
           FROM e JOIN p1 ON src = node JOIN deg USING (src) GROUP BY dst),
         p2 AS (
-          SELECT node, CAST(15 AS BIGINT) * {10**12} // (100 * nn)
+          SELECT node, CAST(15 AS BIGINT) * {10**12} // /*nz: nn >= 1*/ (100 * nn)
                        + 85 * COALESCE(sin, 0) // 100 AS pr
           FROM nodes CROSS JOIN nr LEFT JOIN s2 ON node = dst),
         s3 AS (
-          SELECT dst, SUM(pr // outdeg) AS sin
+          SELECT dst, SUM(pr // /*nz: grouped out-degree >= 1*/ outdeg) AS sin
           FROM e JOIN p2 ON src = node JOIN deg USING (src) GROUP BY dst),
         p3 AS (
-          SELECT node, CAST(15 AS BIGINT) * {10**12} // (100 * nn)
+          SELECT node, CAST(15 AS BIGINT) * {10**12} // /*nz: nn >= 1*/ (100 * nn)
                        + 85 * COALESCE(sin, 0) // 100 AS pr
           FROM nodes CROSS JOIN nr LEFT JOIN s3 ON node = dst)
         SELECT node, CAST(pr AS BIGINT) AS pr_scaled FROM p3 ORDER BY node
@@ -7277,8 +7277,8 @@ _register(
           FROM j),
         z AS (
           SELECT c_mktsegment, n,
-                 (x - sx / n)
-                   / sqrt((sxx - n * (sx / n) * (sx / n)) / (n - 1)) AS z
+                 (x - sx / /*nz: window count >= 1*/ n)
+                   / /*nz: positive variance on priced segments*/ sqrt((sxx - n * (sx / /*nz: window count >= 1*/ n) * (sx / /*nz: window count >= 1*/ n)) / /*nz: segment sizes >> 1*/ (n - 1)) AS z
           FROM s)
         SELECT c_mktsegment,
                COUNT(*) AS n_orders,
@@ -7445,7 +7445,7 @@ _register(
           FROM src),
         binned AS (
           SELECT CASE WHEN hi = lo THEN 0
-                      ELSE LEAST(255, CAST(FLOOR((x - lo) / (hi - lo) * 256)
+                      ELSE LEAST(255, CAST(FLOOR((x - lo) / /*nz: ELSE branch of the hi = lo guard*/ (hi - lo) * 256)
                                            AS BIGINT)) END AS bin
           FROM src, b),
         hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
@@ -7545,7 +7545,7 @@ def _fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer contributes a constant short name on each side, all of
     which collapse into the empty-suffix blocking key — the classic
     stop-key whose candidate product (~300×300 at sf0.01) would
-    dominate the join.  block_cap=1000 drops that block via broadcast
+    dominate the join.  block_cap=500 drops (at every fixture scale — the sf0.001 plant is 30×30) that block via broadcast
     anti join, so the output is exactly the honest typo matches; the
     oracle recomputes the cap arithmetic and the same survivors."""
     from square_etl_spark.operators.joins import fuzzy_join_blocked
@@ -7574,7 +7574,7 @@ def _fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "clean_name",
         block=lambda col: F.substring(col, 15, 4),
         max_dist=1,
-        block_cap=1000,
+        block_cap=500,
     )
     return out.select(
         F.col("l_val").alias("dirty_name"),
@@ -7604,7 +7604,7 @@ _register(
           SELECT bk FROM
             (SELECT bk, COUNT(*) AS ln FROM lb GROUP BY bk)
             JOIN (SELECT bk, COUNT(*) AS rn FROM rb GROUP BY bk) USING (bk)
-          WHERE ln * rn > 1000),
+          WHERE ln * rn > 500),
         cand AS (
           SELECT dirty_name, clean_name
           FROM lb JOIN rb USING (bk)
@@ -7627,7 +7627,11 @@ def _spatial_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     dwarf every other cell.  cell_cap=5000 drops that cell via
     broadcast anti join; the isolated pairs elsewhere keep matching
     and the oracle recomputes the per-cell counts, the cap, and the
-    surviving pairs exactly."""
+    surviving pairs exactly.  (The cap engages at sf0.01 and sf0.1;
+    at sf0.001 the plant is 4×50 < cap and the oracle mirrors that
+    too — one fixed cap cannot single out the planted cell at every
+    density, which is itself the documented sizing lesson: caps are
+    per-deployment knobs, not constants.)"""
     from square_etl_spark.operators.joins import spatial_bin_join
 
     R = 800
@@ -7705,6 +7709,313 @@ _register(
 )
 
 
+def _scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) read against the SCD Type-2 history that
+    scd2_customer_segment builds (operators/joins.interval_lookup):
+    sampled orders get deterministic lookup timestamps in three
+    cohorts — pre-history (Dec '23 → NULL segment, the left-join
+    contract), v1 window (Jan 15) and v2 window (Feb 15, where every
+    third customer shows MOVED).  The history is dimension-sized so it
+    broadcasts; the fact side never shuffles.  The oracle rebuilds the
+    history declaratively (LAG change points + LEAD close, as the
+    scd2 oracle does) and applies the same half-open window join."""
+    from square_etl_spark.operators.joins import interval_lookup
+    from square_etl_spark.sinks.merge import scd2_merge
+
+    c = load_table(spark, sf_dir, "customer")
+    b1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    b2 = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    hist = scd2_merge(None, b1, ["c_custkey"], "ts", ["segment"])
+    hist = scd2_merge(hist, b2, ["c_custkey"], "ts", ["segment"])
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    facts = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("2023-12-15 00:00:00"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("2024-01-15 00:00:00"))
+        .otherwise(F.lit("2024-02-15 00:00:00"))
+        .cast("timestamp")
+        .alias("at_ts"),
+    )
+    out = interval_lookup(
+        facts,
+        hist.select("c_custkey", "segment", "valid_from", "valid_to"),
+        ["c_custkey"],
+        "at_ts",
+    )
+    return out.select("o_orderkey", "c_custkey", "at_ts", "segment")
+
+
+_register(
+    QuerySpec(
+        "scd2_point_in_time",
+        _scd2_point_in_time,
+        oracle="""
+        WITH b AS (
+          SELECT c_custkey, c_mktsegment AS segment,
+                 TIMESTAMP '2024-01-01 00:00:00' AS ts
+          FROM customer
+          UNION ALL
+          SELECT c_custkey,
+                 CASE WHEN c_custkey % 3 = 0 THEN 'MOVED'
+                      ELSE c_mktsegment END,
+                 TIMESTAMP '2024-02-01 00:00:00'
+          FROM customer),
+        v AS (
+          SELECT c_custkey, segment, ts,
+                 LAG(segment) OVER (PARTITION BY c_custkey ORDER BY ts) AS prev
+          FROM b),
+        starts AS (
+          SELECT c_custkey, segment, ts FROM v
+          WHERE prev IS NULL OR segment <> prev),
+        hist AS (
+          SELECT c_custkey, segment, ts AS valid_from,
+                 LEAD(ts) OVER (PARTITION BY c_custkey ORDER BY ts) AS valid_to
+          FROM starts),
+        facts AS (
+          SELECT o_orderkey, o_custkey AS c_custkey,
+                 CASE WHEN o_orderkey % 3 = 0
+                        THEN TIMESTAMP '2023-12-15 00:00:00'
+                      WHEN o_orderkey % 3 = 1
+                        THEN TIMESTAMP '2024-01-15 00:00:00'
+                      ELSE TIMESTAMP '2024-02-15 00:00:00' END AS at_ts
+          FROM orders WHERE o_orderkey % 10 = 0)
+        SELECT o_orderkey, f.c_custkey, at_ts, h.segment
+        FROM facts f
+        LEFT JOIN hist h
+          ON h.c_custkey = f.c_custkey
+         AND f.at_ts >= h.valid_from
+         AND (h.valid_to IS NULL OR f.at_ts < h.valid_to)
+        """,
+        doc="SCD2 point-in-time lookup: broadcast half-open interval join against the versioned dim",
+    )
+)
+
+
+def _hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by pointer doubling
+    (operators/graph.ancestor_closure): parts form a deterministic
+    forest (parent = partkey div 7, partkeys < 7 are roots — depth ~4
+    at these scales), each part resolves its root and exact depth in
+    log-depth self-join rounds, then per-root BOM-style rollup: node
+    count, max depth, decimal-exact retail value.  The oracle walks
+    the same forest with a recursive CTE — the O(depth) formulation
+    the doubling operator beats at scale."""
+    from square_etl_spark.operators.graph import ancestor_closure
+
+    p = load_table(spark, sf_dir, "part")
+    parents = p.select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") < 7, F.col("p_partkey"))
+        .otherwise(F.expr("p_partkey div 7"))
+        .alias("parent"),
+    )
+    closure = ancestor_closure(parents, doublings=4)
+    val = p.select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_retailprice").alias("v"),
+    )
+    return (
+        closure.join(val, "node")
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("depth").alias("max_depth"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "hierarchy_rollup_parts",
+        _hierarchy_closure,
+        oracle="""
+        WITH RECURSIVE walk AS (
+          SELECT p_partkey AS node, p_partkey AS cur, 0 AS depth
+          FROM part
+          UNION ALL
+          SELECT node, cur // /*nz: walk rows have cur >= 7*/ 7,
+                 depth + 1
+          FROM walk WHERE cur >= 7),
+        closure AS (
+          SELECT node, cur AS root, depth FROM walk WHERE cur < 7)
+        SELECT root,
+               COUNT(*) AS n_nodes,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6)))
+                          AS DOUBLE), 2) AS total_value
+        FROM closure JOIN part ON node = p_partkey
+        GROUP BY root
+        """,
+        doc="forest closure by pointer doubling (log-depth) vs recursive-CTE oracle, BOM rollup",
+    )
+)
+
+
+def _twap_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per user
+    (operators/windows.time_weighted_avg): each observation holds
+    until the user's next event, weighted by exact integer seconds —
+    the TWAP metric a plain AVG misrepresents on irregular event
+    streams.  event_id tiebreak makes the interval pairing a total
+    order; decimal-sum accumulation makes the weighted mean
+    hash-identical on both engines."""
+    from square_etl_spark.operators.windows import time_weighted_avg
+
+    e = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(
+        e, "ts", ["user_id"], "value", tiebreak_cols=["event_id"]
+    )
+
+
+_register(
+    QuerySpec(
+        "twap_user_value",
+        _twap_users,
+        oracle="""
+        WITH w AS (
+          SELECT user_id, ROUND(value, 2) AS v,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                 LEAD(CAST(FLOOR(epoch(ts)) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        i AS (
+          SELECT user_id, v, nxt - sec AS dt FROM w WHERE nxt IS NOT NULL)
+        SELECT user_id,
+               ROUND(CAST(SUM(CAST(v * dt AS DECIMAL(38,6))) AS DOUBLE)
+                     / NULLIF(SUM(dt), 0), 6) AS twap,
+               CAST(SUM(dt) AS BIGINT) AS total_seconds,
+               COUNT(*) AS n_intervals
+        FROM i GROUP BY user_id
+        """,
+        doc="time-weighted average per key: LEAD interval weights, decimal-exact weighted mean",
+    )
+)
+
+
+def _exact_percentiles_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (p50/p90 interpolated) of customer
+    account balance per market segment — the exact sibling of the
+    mergeable histogram sketch (quantile_sketch_orders): F.percentile
+    sorts within the aggregation buffer, so cost is per-GROUP memory,
+    fine for dimension-cardinality groups; for billions-of-rows groups
+    the sketch is the documented scale path.  Both engines interpolate
+    lo + (hi − lo)·frac over the same 2-decimal doubles — identical
+    IEEE steps, hash-equal after 6-decimal rounding."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("c_acctbal", F.lit(0.9)), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "exact_percentiles_segment",
+        _exact_percentiles_segment,
+        oracle="""
+        SELECT c_mktsegment,
+               ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+               ROUND(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+               COUNT(*) AS n
+        FROM customer GROUP BY c_mktsegment
+        """,
+        doc="exact grouped interpolated percentiles (per-group sort agg; sketch is the scale path)",
+    )
+)
+
+
+def _schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the ingestion boundary
+    (operators/projections.conform_schema): two generations of an
+    order feed — gen1 predates the status column (filled as typed
+    NULL), gen2 carries a legacy column (dropped) and an INT total in
+    cents (losslessly widened to LONG) — both conform to one target
+    schema, union, and aggregate.  Pure projections, no extra
+    shuffle; the oracle restates the conformance as explicit casts
+    and NULL literals."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from square_etl_spark.operators.projections import conform_schema
+
+    target = StructType([
+        StructField("o_orderkey", LongType()),
+        StructField("total_cents", LongType()),
+        StructField("status", StringType()),
+    ])
+    o = load_table(spark, sf_dir, "orders")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("int").alias("total_cents"),
+        F.col("o_orderstatus").alias("status"),
+        F.lit("legacy").alias("deprecated_flag"),
+    )
+    unioned = conform_schema(gen1, target).unionByName(
+        conform_schema(gen2, target)
+    )
+    return (
+        unioned.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("total_cents").alias("sum_cents"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "schema_evolution_union",
+        _schema_evolution_union,
+        oracle="""
+        WITH gen1 AS (
+          SELECT o_orderkey,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+                 CAST(NULL AS VARCHAR) AS status
+          FROM orders WHERE o_orderkey % 2 = 0),
+        gen2 AS (
+          SELECT o_orderkey,
+                 CAST(CAST(ROUND(o_totalprice * 100) AS INTEGER) AS BIGINT),
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 2 = 1),
+        u AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+        SELECT status, COUNT(*) AS n,
+               CAST(SUM(total_cents) AS BIGINT) AS sum_cents
+        FROM u GROUP BY status
+        """,
+        doc="two-generation schema conformance (fill/drop/widen) then union + aggregate",
+    )
+)
+
+
 def _expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation-suite report (operators/quality.expectation_report)
     over a deterministically dirtied order relation: every 31st key
@@ -7778,7 +8089,7 @@ _register(
           UNION ALL SELECT 'date_in_range', n, v2 FROM wide
           UNION ALL SELECT 'key_nonnull', n, v3 FROM wide)
         SELECT rule, n AS n_rows, CAST(violations AS BIGINT) AS violations,
-               ROUND(CAST(violations AS DOUBLE) / n, 6) AS violation_rate
+               ROUND(CAST(violations AS DOUBLE) / /*nz: COUNT(*) of populated order scan*/ n, 6) AS violation_rate
         FROM rep
         """,
         doc="expectation-suite audit: k named rules, one scan, exact violation counts",
@@ -7827,7 +8138,7 @@ _register(
           GROUP BY 1, 2)
         SELECT from_type, to_type, n,
                ROUND(CAST(n AS DOUBLE)
-                     / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+                     / /*nz: partition sum of positive counts*/ SUM(n) OVER (PARTITION BY from_type), 6) AS p
         FROM cells
         """,
         doc="Markov transition matrix over user event sequences (LAG + 25-cell agg)",
@@ -7899,7 +8210,7 @@ _register(
         SELECT user_id, COUNT(*) AS n_errors,
                COUNT(recovery_s) AS n_recovered,
                ROUND(CAST(SUM(recovery_s) AS DOUBLE)
-                     / COUNT(recovery_s), 6) AS mean_recovery_s
+                     / /*nz: NULL numerator when count is 0 -> NULL, never NaN*/ COUNT(recovery_s), 6) AS mean_recovery_s
         FROM err GROUP BY user_id
         """,
         doc="time-bound sequence detection: RANGE-framed window, no self-join",
@@ -8062,10 +8373,10 @@ _register(
           GROUP BY 1, 2
           HAVING COUNT(*) >= 3)
         SELECT part_a, part_b, support,
-               ROUND(CAST(support AS DOUBLE) / sa.part_orders, 6)
+               ROUND(CAST(support AS DOUBLE) / /*nz: grouped order count >= 1*/ sa.part_orders, 6)
                  AS confidence_a,
                ROUND(support * CAST(n_orders AS DOUBLE)
-                     / (sa.part_orders * CAST(sb.part_orders AS BIGINT)), 6)
+                     / /*nz: grouped order counts >= 1*/ (sa.part_orders * CAST(sb.part_orders AS BIGINT)), 6)
                  AS lift
         FROM pairs
         JOIN supp sa ON sa.l_partkey = part_a
@@ -8221,7 +8532,15 @@ _CHECK_PRIORITY: list[str] = [
     # green at sf0.01, first driver rows due in the r08 head:
     # fuzzy_join_capped_hot_block, spatial_join_capped_hot_cell
     # (the skew-guard variants the r06 verdict prescribed: planted
-    # hot block/cell + cap-and-drop anti join, full oracles).
+    # hot block/cell + cap-and-drop anti join, full oracles);
+    # scd2_point_in_time (SCD2 read path: broadcast half-open interval
+    # join), hierarchy_rollup_parts (log-depth pointer-doubling forest
+    # closure vs recursive-CTE oracle), twap_user_value
+    # (time-weighted average, LEAD interval weights, decimal-exact),
+    # exact_percentiles_segment (exact grouped interpolated
+    # percentiles — the sketch's exact sibling),
+    # schema_evolution_union (conform_schema fill/drop/widen over two
+    # feed generations).  All tri-scale selfchecked (sf0.001/0.01/0.1).
 ]
 
 

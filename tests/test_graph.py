@@ -77,3 +77,36 @@ def test_dense_index_plan_has_no_single_partition_window(spark):
         .toString()
     )
     assert count_global_windows(plan) == 0
+
+
+def test_ancestor_closure_resolves_roots_and_exact_depths(spark):
+    from square_etl_spark.operators.graph import ancestor_closure
+
+    # two trees: 1 ← 2 ← 4 ← 8 (chain) and 3 ← 6 (roots self-loop)
+    parents = spark.createDataFrame(
+        [(1, 1), (2, 1), (4, 2), (8, 4), (3, 3), (6, 3)],
+        "node long, parent long",
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in ancestor_closure(parents, doublings=3).collect()
+    }
+    assert got == {
+        1: (1, 0), 2: (1, 1), 4: (1, 2), 8: (1, 3),
+        3: (3, 0), 6: (3, 1),
+    }
+
+
+def test_ancestor_closure_depth_within_doubling_budget(spark):
+    from square_etl_spark.operators.graph import ancestor_closure
+
+    # chain 0←1←2←…←10: depth 10 needs 2^doublings >= 10 → 4 rounds
+    parents = spark.createDataFrame(
+        [(0, 0)] + [(i, i - 1) for i in range(1, 11)],
+        "node long, parent long",
+    )
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in ancestor_closure(parents, doublings=4).collect()
+    }
+    assert got == {i: (0, i) for i in range(11)}

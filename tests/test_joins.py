@@ -228,3 +228,49 @@ def test_spatial_bin_join_cell_cap_plan_is_broadcast_anti(spark):
     capped = spatial_bin_join(left, right, radius=10, cell_cap=5)
     plan = capped._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_interval_lookup_half_open_windows_and_prehistory_null(spark):
+    import datetime as dt
+
+    from square_etl_spark.operators.joins import interval_lookup
+
+    T = dt.datetime
+    hist = spark.createDataFrame(
+        [(1, "A", T(2024, 1, 1), T(2024, 2, 1), False),
+         (1, "B", T(2024, 2, 1), None, True)],
+        "k long, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, T(2023, 12, 15)),   # pre-history → NULL
+         (11, 1, T(2024, 1, 15)),    # inside v1
+         (12, 1, T(2024, 2, 1)),     # exactly at the boundary → v2 (half-open)
+         (13, 1, T(2024, 3, 1)),     # open current window
+         (14, 2, T(2024, 1, 15))],   # unknown key → NULL, kept
+        "fid long, k long, at_ts timestamp",
+    )
+    out = {
+        r["fid"]: r["seg"]
+        for r in interval_lookup(facts, hist, ["k"], "at_ts").collect()
+    }
+    assert out == {10: None, 11: "A", 12: "B", 13: "B", 14: None}
+
+
+def test_interval_lookup_broadcasts_the_dim(spark):
+    import datetime as dt
+
+    from square_etl_spark.operators.joins import interval_lookup
+
+    T = dt.datetime
+    hist = spark.createDataFrame(
+        [(1, "A", T(2024, 1, 1), None, True)],
+        "k long, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, T(2024, 1, 2))], "fid long, k long, at_ts timestamp"
+    )
+    plan = (
+        interval_lookup(facts, hist, ["k"], "at_ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

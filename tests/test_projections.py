@@ -91,3 +91,82 @@ def test_observed_counts_piggyback_on_action(spark, sf_dir):
     total = df.count()
     assert obs.get["n_fetched"] == total
     assert obs.get["n_valid"] <= total
+
+
+def test_conform_schema_fills_missing_drops_extra_widens_types(spark):
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from square_etl_spark.operators.projections import conform_schema
+
+    target = StructType([
+        StructField("id", LongType()),
+        StructField("amount", DoubleType()),
+        StructField("currency", StringType()),
+    ])
+    # old-generation batch: int id (widen), no currency (fill),
+    # legacy column (drop)
+    batch = spark.createDataFrame(
+        [(1, 2.5, "x")], "id int, amount double, legacy string"
+    )
+    out = conform_schema(batch, target, defaults={"currency": "USD"})
+    # names + types conform; nullability is advisory in Spark (a lit
+    # default is non-nullable, which only strengthens the contract)
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in target.fields
+    ]
+    row = out.collect()[0]
+    assert (row.id, row.amount, row.currency) == (1, 2.5, "USD")
+
+
+def test_conform_schema_extra_column_can_be_an_error(spark):
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from square_etl_spark.operators.projections import conform_schema
+
+    target = StructType([StructField("id", LongType())])
+    batch = spark.createDataFrame([(1, "junk")], "id long, surprise string")
+    with pytest.raises(ValueError, match="surprise"):
+        conform_schema(batch, target, on_extra="error")
+
+
+def test_conform_schema_refuses_lossy_casts_unless_forced(spark):
+    import pytest
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from square_etl_spark.operators.projections import conform_schema
+
+    target = StructType([StructField("id", IntegerType())])
+    batch = spark.createDataFrame([(2**40,)], "id long")
+    with pytest.raises(ValueError, match="lossless"):
+        conform_schema(batch, target)
+    # forced: the caller owns the truncation
+    forced = conform_schema(batch, target, unsafe_cast=True)
+    assert [(f.name, f.dataType) for f in forced.schema.fields] == [
+        (f.name, f.dataType) for f in target.fields
+    ]
+
+
+def test_conform_schema_then_merge_upsert(spark):
+    """The evolution path end-to-end: an old-generation batch (missing
+    the new column) conforms, then merges into the current target."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    from square_etl_spark.operators.projections import conform_schema
+    from square_etl_spark.sinks.merge import merge_dataframes
+
+    target_schema = StructType([
+        StructField("k", LongType()),
+        StructField("v", DoubleType()),
+        StructField("tier", StringType()),
+    ])
+    target = spark.createDataFrame([(1, 1.0, "gold")], target_schema)
+    old_batch = spark.createDataFrame([(1, 9.0), (2, 5.0)], "k long, v double")
+    conformed = conform_schema(old_batch, target_schema)
+    merged = merge_dataframes(target, conformed, ["k"], ["v"])
+    got = {r.k: (r.v, r.tier) for r in merged.collect()}
+    assert got == {1: (9.0, None), 2: (5.0, None)}

@@ -143,3 +143,57 @@ def test_embedding_cosine_pairs_identical_vectors(spark):
     out = {(r.id_a, r.id_b): r.cosine_sim for r in
            embedding_cosine_pairs(df, threshold=0.9).collect()}
     assert out == {(1, 2): 1.0}
+
+
+def test_time_weighted_avg_hand_example(spark):
+    import datetime as dt
+
+    from square_etl_spark.operators.windows import time_weighted_avg
+
+    T = dt.datetime
+    # user 1: value 10 held 60 s, value 20 held 40 s → (600+800)/100 = 14
+    # user 2: single observation → no interval, no output row
+    df = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 0, 0), 1, 10.0),
+         (2, T(2024, 1, 1, 0, 1, 0), 1, 20.0),
+         (3, T(2024, 1, 1, 0, 1, 40), 1, 99.0),   # last obs: value unused
+         (4, T(2024, 1, 1, 0, 0, 0), 2, 55.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = time_weighted_avg(
+        df, "ts", ["user_id"], "value", tiebreak_cols=["event_id"]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1
+    assert r["twap"] == 14.0
+    assert r["total_seconds"] == 100
+    assert r["n_intervals"] == 2
+
+
+def test_time_weighted_avg_tiebreak_makes_ties_deterministic(spark):
+    import datetime as dt
+
+    from square_etl_spark.operators.windows import time_weighted_avg
+
+    T = dt.datetime
+    # two rows at the same instant: event_id order decides the pairing;
+    # the zero-length interval contributes weight 0 either way, so the
+    # result is exact regardless — but the pairing must not depend on
+    # partitioning
+    df = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 0, 0, 0), 1, 10.0),
+         (2, T(2024, 1, 1, 0, 0, 0), 1, 50.0),
+         (3, T(2024, 1, 1, 0, 0, 30), 1, 20.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    r1 = time_weighted_avg(
+        df, "ts", ["user_id"], "value", tiebreak_cols=["event_id"]
+    ).collect()
+    r2 = time_weighted_avg(
+        df.repartition(5), "ts", ["user_id"], "value",
+        tiebreak_cols=["event_id"],
+    ).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    # 10 held 0 s, 50 held 30 s → twap = 50
+    assert r1[0]["twap"] == 50.0 and r1[0]["total_seconds"] == 30

@@ -25,6 +25,7 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import duckdb  # noqa: E402
 
@@ -89,6 +90,16 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = set(a for a in args if "/" not in a)
+
+    # NaN-guard lint first (tools/oracle_lint.py): the comparison below
+    # cannot tell an oracle NaN from NULL after the pandas fetch, so an
+    # unguarded 0/0 in an oracle is a latent false-green — fail fast.
+    from oracle_lint import lint_registry
+
+    lint_bad = lint_registry()
+    for qname, fnds in lint_bad.items():
+        for f in fnds:
+            print(f"LINT  {qname}: {f}")
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
@@ -166,6 +177,7 @@ def main() -> int:
         else:
             print(f"PASS  {spec.name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
+    failures.extend(f"lint:{q}" for q in lint_bad)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
