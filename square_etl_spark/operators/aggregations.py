@@ -192,3 +192,72 @@ def incremental_cms(
     if target is None:
         return partial
     return cms_merge(target, partial)
+
+
+def incremental_kmv(
+    target: DataFrame | None,
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 64,
+    sketch_col: str = "kmv",
+) -> DataFrame:
+    """COUNT DISTINCT maintained incrementally with a KMV (k-minimum-
+    values) sketch — the ORACLE-CHECKABLE sibling of
+    :func:`incremental_hll`: the state per key is the k smallest
+    distinct md5-derived 32-bit hash values, a mergeable exact monoid
+    (bottom-k of a union = bottom-k of the unioned bottom-ks), all in
+    portable arithmetic a DuckDB oracle recomputes verbatim —
+    maintain ≡ one-shot holds EXACTLY, not just statistically.
+
+    State size is ≤ k longs per key (smaller than an HLL sketch at
+    k=64); estimate at read time via :func:`kmv_estimate`.  At 100 TB
+    the per-batch cost is one dedup + grouped bottom-k of 32-bit
+    hashes — the batch scan dominates, the state table is keys-sized.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    partial = (
+        batch.select(*keys, h.alias("__hv"))
+        .distinct()
+        .groupBy(*keys)
+        .agg(
+            F.slice(F.array_sort(F.collect_set("__hv")), 1, k).alias(
+                sketch_col
+            )
+        )
+    )
+    if target is None:
+        return partial
+    return (
+        target.unionByName(partial)
+        .groupBy(*keys)
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(sketch_col)))
+                ),
+                1,
+                k,
+            ).alias(sketch_col)
+        )
+    )
+
+
+def kmv_estimate(k: int = 64, sketch_col: str = "kmv") -> Column:
+    """Distinct-count estimate from a KMV sketch column: exact when
+    the sketch holds fewer than k hashes, else the classic bottom-k
+    estimator (k−1)·2³²⁄x₍ₖ₎ — identical arithmetic to the
+    approx_distinct_kmv oracle."""
+    size = F.size(F.col(sketch_col))
+    kth = F.element_at(F.col(sketch_col), k)
+    return (
+        F.when(size < k, size.cast("long"))
+        .otherwise(
+            F.round(
+                F.lit(float(k - 1)) * F.lit(4294967296.0)
+                / F.when(kth > 0, kth)
+            ).cast("long")
+        )
+    )

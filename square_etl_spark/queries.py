@@ -3390,6 +3390,64 @@ _register(
     )
 )
 
+
+def _incremental_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type maintained across three
+    incremental refreshes via the KMV bottom-k monoid
+    (operators/aggregations.incremental_kmv) — the FULL-ORACLE
+    upgrade of incremental_hll_users: bottom-k-of-union is an exact
+    mergeable fold in portable md5 arithmetic, so maintain ≡ one-shot
+    holds exactly and the oracle is the SAME SQL as the one-shot KMV
+    query (approx_distinct_kmv) over all events."""
+    from square_etl_spark.operators.aggregations import (
+        incremental_kmv,
+        kmv_estimate,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id"
+    )
+    state = None
+    for i in range(3):
+        batch = e.filter(F.col("event_id") % 3 == i).drop("event_id")
+        state = incremental_kmv(state, batch, ["event_type"], "user_id")
+    return state.select(
+        "event_type", kmv_estimate().alias("approx_users")
+    ).orderBy("event_type")
+
+
+_register(
+    QuerySpec(
+        "incremental_kmv_users",
+        _incremental_kmv_users,
+        oracle="""
+        WITH h AS (
+          SELECT DISTINCT event_type,
+            list_sum(list_transform(generate_series(1, 8),
+              p -> (CAST(strpos('0123456789abcdef',
+                      substr(md5(CAST(user_id AS VARCHAR)), p, 1))
+                    AS BIGINT) - 1)
+                   * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))
+              AS hv
+          FROM events),
+        r AS (
+          SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY hv) AS rk
+          FROM h),
+        k AS (
+          SELECT event_type, COUNT(*) AS n, MAX(hv) AS kth
+          FROM r WHERE rk <= 64 GROUP BY event_type)
+        SELECT event_type,
+               CAST(CASE WHEN n < 64 THEN n
+                    ELSE ROUND(63.0 * 4294967296.0 / NULLIF(kth, 0)) END AS BIGINT)
+                 AS approx_users
+        FROM k ORDER BY event_type
+        """,
+        doc="incremental distinct via KMV bottom-k monoid: maintain ≡ one-shot, FULL oracle",
+    )
+)
+
 def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's Spark SQL surface: the same star-join revenue
     rollup as the flagship, written as SQL over registered views —
@@ -8540,7 +8598,10 @@ _CHECK_PRIORITY: list[str] = [
     # exact_percentiles_segment (exact grouped interpolated
     # percentiles — the sketch's exact sibling),
     # schema_evolution_union (conform_schema fill/drop/widen over two
-    # feed generations).  All tri-scale selfchecked (sf0.001/0.01/0.1).
+    # feed generations); incremental_kmv_users (incremental distinct
+    # via the KMV bottom-k monoid — maintain ≡ one-shot exactly, the
+    # full-oracle upgrade of the rows-only HLL maintenance row).
+    # All tri-scale selfchecked (sf0.001/0.01/0.1).
 ]
 
 

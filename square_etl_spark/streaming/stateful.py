@@ -257,3 +257,140 @@ def funnel_stateful(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: TWAP accumulator emission: raw integer state, never Python floats —
+#: the final divide/round happens in Spark columns so the streaming
+#: path shares the batch twin's exact engine arithmetic.
+TWAP_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("num_cents", T.LongType()),
+        T.StructField("total_seconds", T.LongType()),
+        T.StructField("n_intervals", T.LongType()),
+    ]
+)
+
+#: per-key TWAP state: last observation + exact integer accumulators.
+TWAP_STATE = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_eid", T.LongType()),
+        T.StructField("last_cents", T.LongType()),
+        T.StructField("num_cents", T.LongType()),
+        T.StructField("den_s", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def twap_stateful(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming time-weighted average — the stateful twin of
+    ``operators.windows.time_weighted_avg``.  Per-key state is the
+    last observation plus three exact integer accumulators
+    (Σ value_cents·Δt, Σ Δt seconds, interval count) — O(1) per key
+    forever.  Each micro-batch sorts its events by (ts, id), extends
+    the interval fold from the carried last observation, and emits the
+    key's CURRENT accumulators (update-style: downstream keeps the
+    latest row per key).
+
+    Exactness contract: values quantize to cents with the same
+    HALF_UP-on-shortest-decimal rule as Spark's ``round(v, 2)`` (via
+    ``decimal.Decimal(str(v))``), interval seconds are floored epoch
+    seconds exactly like ``unix_timestamp``, and the final
+    divide-and-round happens in SPARK COLUMNS over the emitted
+    integers — so with in-order delivery the streaming result is
+    bit-identical to the batch operator (pinned in tests), not merely
+    close.  Same in-order/late-data posture as funnel_stateful: a
+    late event cannot retroactively re-pair past intervals; the batch
+    twin is the reconciliation path.
+    """
+    import pandas as pd  # local import: Arrow path only
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def cents(v: float) -> int:
+        return int(
+            Decimal(str(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+        )
+
+    def fold(
+        key: tuple,
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        if state.exists:
+            last_us, last_eid, last_cents, num, den, n = state.get
+        else:
+            last_us, last_eid, last_cents, num, den, n = (
+                None, None, None, 0, 0, 0,
+            )
+        rows = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            for t, eid, v in zip(ts, pdf[id_col], pdf[value_col]):
+                rows.append((int(t.value) // 1_000, int(eid), float(v)))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for t_us, eid, v in rows:
+            if last_us is not None:
+                dt = t_us // 1_000_000 - last_us // 1_000_000
+                num += last_cents * dt
+                den += dt
+                n += 1
+            last_us, last_eid, last_cents = t_us, eid, cents(v)
+        state.update((last_us, last_eid, last_cents, num, den, n))
+        if n > 0 and rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "num_cents": [num],
+                    "total_seconds": [den],
+                    "n_intervals": [n],
+                }
+            )
+
+    stream = events
+    if events.isStreaming:
+        stream = events.withWatermark(ts_col, watermark)
+    return (
+        stream.select(
+            F.col(key_col).alias("user_id"),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(value_col),
+        )
+        .filter(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=TWAP_SCHEMA,
+            stateStructType=TWAP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def twap_finalize(acc: DataFrame) -> DataFrame:
+    """Turn emitted TWAP accumulator rows into the batch twin's output
+    shape — the divide/round runs in Spark columns, so streaming and
+    batch share one arithmetic path."""
+    den = F.col("total_seconds")
+    return acc.select(
+        "user_id",
+        F.round(
+            F.col("num_cents") / 100.0 / F.when(den > 0, den), 6
+        ).alias("twap"),
+        "total_seconds",
+        "n_intervals",
+    )

@@ -130,3 +130,42 @@ def test_incremental_cms_maintain_equals_one_shot_exactly(spark):
     assert sorted(map(tuple, tgt.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_incremental_kmv_maintain_equals_one_shot_exactly(spark):
+    """KMV bottom-k is an exact mergeable monoid: three incremental
+    refreshes must produce the IDENTICAL sketch arrays (not just the
+    same estimate) as one aggregation of everything."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.aggregations import incremental_kmv
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 700).alias("u"),
+        F.col("id").alias("event_id"),
+    )
+    state = None
+    for i in range(3):
+        batch = df.filter(F.col("event_id") % 3 == i).drop("event_id")
+        state = incremental_kmv(state, batch, ["g"], "u", k=16)
+    one_shot = incremental_kmv(None, df.drop("event_id"), ["g"], "u", k=16)
+    a = {r["g"]: list(r["kmv"]) for r in state.collect()}
+    b = {r["g"]: list(r["kmv"]) for r in one_shot.collect()}
+    assert a == b
+
+
+def test_incremental_kmv_estimate_exact_below_k(spark):
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.aggregations import (
+        incremental_kmv,
+        kmv_estimate,
+    )
+
+    df = spark.range(40).select(
+        F.lit(1).alias("g"), (F.col("id") % 10).alias("u")
+    )
+    st = incremental_kmv(None, df, ["g"], "u", k=64)
+    est = st.select(kmv_estimate().alias("e")).collect()[0]["e"]
+    assert est == 10  # below k → exact distinct count

@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
 from square_etl_spark.io import load_table
 from square_etl_spark.operators.windows import sessionize
 from square_etl_spark.schemas import EVENTS
@@ -191,3 +194,61 @@ def test_stateful_funnel_does_not_rewind_on_late_stage_one(spark, tmp_path):
         (1, 1): dt.datetime(2024, 1, 5),  # NOT rewound to Jan 1
         (1, 2): dt.datetime(2024, 1, 6),
     }
+
+
+def test_stateful_twap_matches_batch_twin_bit_exact(spark, sf_dir, tmp_path):
+    """Three time-ordered micro-batches through twap_stateful, then the
+    shared Spark-column finalize, must reproduce the batch TWAP
+    BIT-IDENTICALLY (exact integer accumulators + one arithmetic
+    path) for every user whose intervals are complete in-stream."""
+    from square_etl_spark.operators.windows import time_weighted_avg
+    from square_etl_spark.streaming.stateful import (
+        twap_finalize,
+        twap_stateful,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 25")
+    src = os.path.join(tmp_path, "tsrc")
+    os.makedirs(src)
+    out_dir = os.path.join(tmp_path, "tout")
+    batches = [
+        ev.filter("ts < '2024-01-08'"),
+        ev.filter("ts >= '2024-01-08' and ts < '2024-01-16'"),
+        ev.filter("ts >= '2024-01-16'"),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EVENTS).parquet(src)
+        out = twap_stateful(stream)
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.withColumn(
+                    "batch_id", F.lit(bid)
+                ).write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp_path, "tckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    acc = spark.read.parquet(out_dir)
+    # update semantics: the LAST emitted accumulator row per user
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    latest = (
+        acc.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .drop("rk", "batch_id")
+    )
+    got = {
+        r["user_id"]: (r["twap"], r["total_seconds"], r["n_intervals"])
+        for r in twap_finalize(latest).collect()
+    }
+    want = {
+        r["user_id"]: (r["twap"], r["total_seconds"], r["n_intervals"])
+        for r in time_weighted_avg(
+            ev, "ts", ["user_id"], "value", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert got == want

@@ -1,0 +1,121 @@
+"""Scaling measurement for the round-7 operator families: the
+partitioned two-phase rank (dense_index / ntile_assign — the
+global-window replacements), pointer-doubling forest closure vs the
+naive O(depth) chase, the SCD2 interval lookup, and TWAP.
+
+Synthesizes keyed relations at 1-16x the sf0.1 row counts and times
+each operator end-to-end (count action; thunks so eager checkpoint
+work lands inside the timer).  The interesting questions:
+
+- does the two-phase rank stay flat-per-row as rows grow (it must —
+  the old global window was the single-partition cliff)?
+- does pointer doubling's round count stay log(depth) while the
+  chase grows linearly (measured on a deep planted chain)?
+- does the broadcast interval lookup stay scan-dominated as facts
+  grow with a fixed-size dimension?
+
+Usage: python tools/scaling_r07.py [sizes_csv]
+  (default "100000,1000000,4000000" rows)
+Prints one JSON line per measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from square_etl_spark import get_spark  # noqa: E402
+from square_etl_spark.operators.graph import (  # noqa: E402
+    ancestor_closure,
+    dense_index,
+)
+from square_etl_spark.operators.joins import interval_lookup  # noqa: E402
+from square_etl_spark.operators.sampling import ntile_assign  # noqa: E402
+from square_etl_spark.operators.windows import time_weighted_avg  # noqa: E402
+
+
+def timed(name: str, n: int, thunk):
+    t0 = time.perf_counter()
+    rows = thunk()
+    dt = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": name, "n": n, "sec": dt, "rows": rows}))
+
+
+def main() -> None:
+    sizes = [
+        int(s)
+        for s in (sys.argv[1] if len(sys.argv) > 1 else
+                  "100000,1000000,4000000").split(",")
+    ]
+    spark = get_spark("scaling-r07")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for n in sizes:
+        base = spark.range(n).select(
+            (F.col("id") * 37 % (10 * n)).alias("k"),
+            (F.col("id") % 1000).alias("v"),
+        )
+        timed("dense_index", n,
+              lambda: dense_index(base.select("k").distinct(), "k").count())
+        timed("ntile_assign(100)", n,
+              lambda: ntile_assign(base, "v", "k", 100).count())
+
+        # forest: planted chain of depth 64 under node 0 + wide bushes
+        parents = spark.range(n).select(
+            F.col("id").alias("node"),
+            F.when(F.col("id") == 0, F.lit(0))
+            .when(F.col("id") < 64, F.col("id") - 1)  # depth-64 chain
+            .otherwise(F.col("id") % 64)              # bushes onto the chain
+            .alias("parent"),
+        )
+        timed("ancestor_closure(d=7)", n,
+              lambda: ancestor_closure(parents, doublings=7).count())
+
+        # SCD2 lookup: fixed 10k-key x 3-version dim, n facts
+        dim = spark.range(10_000).select(
+            F.col("id").alias("k"),
+            F.explode(
+                F.array(F.lit(0), F.lit(100), F.lit(200))
+            ).alias("vf"),
+        ).select(
+            "k",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("vf") * 86400)
+            .alias("valid_from"),
+            F.when(F.col("vf") < 200,
+                   F.timestamp_seconds(
+                       F.lit(1700000000) + (F.col("vf") + 100) * 86400))
+            .alias("valid_to"),
+            F.concat(F.lit("seg"), F.col("vf")).alias("seg"),
+        )
+        facts = spark.range(n).select(
+            F.col("id").alias("fid"),
+            (F.col("id") % 10_000).alias("k"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + (F.col("id") % 290) * 86400
+            ).alias("at_ts"),
+        )
+        timed("interval_lookup(10k-dim)", n,
+              lambda: interval_lookup(facts, dim, ["k"], "at_ts").count())
+
+        ev = spark.range(n).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % (n // 66 or 1)).alias("user_id"),
+            F.timestamp_seconds(
+                F.lit(1700000000) + F.col("id") * 7 % 2592000
+            ).alias("ts"),
+            (F.col("id") % 997).cast("double").alias("value"),
+        )
+        timed("time_weighted_avg", n,
+              lambda: time_weighted_avg(
+                  ev, "ts", ["user_id"], "value",
+                  tiebreak_cols=["event_id"]).count())
+
+
+if __name__ == "__main__":
+    main()
