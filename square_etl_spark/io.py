@@ -406,3 +406,179 @@ def read_jdbc_partitioned(
         )
         .load()
     )
+
+
+def stats_manifest(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """File-level min/max statistics manifest — the data-skipping
+    index a table format (Delta/Iceberg) maintains, built here from
+    the parquet footers directly: one row per (file, column) with the
+    column's min, max, and null count aggregated over the file's row
+    groups.  Footer-only reads — no data pages are touched, so
+    building the manifest over a huge table costs file-count × a few
+    KB of metadata I/O, not a scan.
+
+    Pair with :func:`prune_files` to turn a predicate into the subset
+    of files that can possibly match, then read exactly those — the
+    same skipping a format's transaction log provides, available on a
+    plain parquet directory.  (Values are stringified like
+    ``sampling.profile`` so mixed column types stack in one relation;
+    ``prune_files`` compares in the column's own type.)
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    rows = []
+    files = sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        schema_names = {md.row_group(0).column(i).path_in_schema
+                        for i in range(md.num_columns)} if md.num_row_groups else set()
+        for c in cols:
+            if c not in schema_names:
+                continue
+            mins, maxs, nulls = [], [], 0
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    col = rg.column(i)
+                    if col.path_in_schema != c:
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        mins, maxs = None, None
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                    nulls += st.null_count or 0
+                if mins is None:
+                    break
+            if mins:
+                rows.append(
+                    (f, c, str(min(mins)), str(max(maxs)), nulls)
+                )
+            else:  # no stats for this column → never prunable
+                rows.append((f, c, None, None, None))
+    return spark.createDataFrame(
+        rows or [("", "", None, None, None)],
+        "file string, col string, min_str string, max_str string, "
+        "null_count long",
+    ).filter(F.col("file") != "")
+
+
+def prune_files(
+    manifest: DataFrame, col: str, lo, hi
+) -> list[str]:
+    """Files whose ``[min, max]`` range for ``col`` intersects
+    ``[lo, hi]`` — the read set for a range predicate.  Files with no
+    stats for the column are conservatively KEPT (skipping may drop
+    data only when the stats prove it).  Comparison casts both sides
+    to double for numeric ranges (the manifest stores strings so
+    mixed types stack); pass string bounds for lexicographic columns.
+
+    Returns a plain list for ``spark.read.parquet(*files)`` — the
+    manifest is file-count-sized driver metadata by construction.
+    """
+    numeric = isinstance(lo, (int, float))
+    mn = F.col("min_str").cast("double") if numeric else F.col("min_str")
+    mx = F.col("max_str").cast("double") if numeric else F.col("max_str")
+    keep = manifest.filter(F.col("col") == col).filter(
+        F.col("min_str").isNull()  # no stats → cannot prove skip
+        | ((mx >= F.lit(lo)) & (mn <= F.lit(hi)))
+    )
+    return [r["file"] for r in keep.select("file").collect()]
+
+
+# ---------------------------------------------------------------------------
+# Versioned table layer (time-travel-lite)
+# ---------------------------------------------------------------------------
+# A minimal multi-version table on plain parquet: each write lands in an
+# immutable `v=N` snapshot directory and a `_LATEST` pointer file flips
+# atomically (write-temp + os.replace) to publish it.  This is the
+# smallest useful slice of what a table format's transaction log buys —
+# atomic publish, readers never see partial writes, historical reads,
+# bounded retention — with none of the format dependency (the container
+# ships no Delta/Iceberg; the full formats remain the documented
+# upgrade at deployment).  Concurrent WRITERS are out of scope (single
+# pipeline owner per table, the reference's own operating model).
+
+_LATEST = "_LATEST"
+
+
+def versioned_write(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Publish ``df`` as the next immutable snapshot of ``path``;
+    returns the new version number.  The snapshot directory is fully
+    written BEFORE the pointer flips, and ``os.replace`` is atomic on
+    POSIX — a reader either sees the old pointer or the new one,
+    never a torn table."""
+    import re as _re
+
+    os.makedirs(path, exist_ok=True)
+    # next version clears BOTH the pointer and any orphan snapshot a
+    # crashed write left above it — otherwise the orphan's directory
+    # name collides with the retry and errorifexists rejects it
+    existing = [
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := _re.fullmatch(r"v=(\d+)", d))
+    ]
+    v = max([table_version(path), *existing], default=0) + 1
+    snap = os.path.join(path, f"v={v}")
+    df.write.mode("errorifexists").parquet(snap)
+    tmp = os.path.join(path, f".{_LATEST}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(v))
+    os.replace(tmp, os.path.join(path, _LATEST))
+    return v
+
+
+def table_version(path: str) -> int:
+    """Current published version (0 = nothing published yet).  Only
+    the pointer decides — a crashed write may leave an orphan
+    snapshot directory, which is invisible to readers and reclaimed
+    by :func:`versioned_vacuum`."""
+    ptr = os.path.join(path, _LATEST)
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a specific snapshot (default: the published latest).
+    Historical versions stay readable until vacuumed — the
+    "reproduce last week's training set" contract."""
+    v = table_version(path) if version is None else version
+    if v < 1:
+        raise ValueError(f"no published version at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def versioned_vacuum(path: str, keep: int = 2) -> list[int]:
+    """Drop snapshots older than the newest ``keep`` (never the
+    published one) plus any orphan snapshot ABOVE the pointer (a
+    crashed write that never published).  Returns removed versions."""
+    import re as _re
+    import shutil as _shutil
+
+    cur = table_version(path)
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(path)
+        if (m := _re.fullmatch(r"v=(\d+)", d))
+    )
+    removed = []
+    for v in versions:
+        stale = v <= cur - keep
+        orphan = v > cur
+        if stale or orphan:
+            _shutil.rmtree(os.path.join(path, f"v={v}"))
+            removed.append(v)
+    return removed

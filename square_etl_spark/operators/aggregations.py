@@ -215,18 +215,24 @@ def incremental_kmv(
     the per-batch cost is one dedup + grouped bottom-k of 32-bit
     hashes — the batch scan dominates, the state table is keys-sized.
     """
+    from pyspark.sql.window import Window
+
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
     ).cast("long")
+    # bottom-k BEFORE collecting: a bare collect_set would accumulate
+    # EVERY distinct hash of a hot key into one array before slicing —
+    # an executor-memory cliff on high-cardinality keys.  The window
+    # rank keeps per-key state ≤ k rows all the way through, and the
+    # rank + grouped collect share one Exchange on the keys.
+    wk = Window.partitionBy(*keys).orderBy(F.col("__hv").asc())
     partial = (
         batch.select(*keys, h.alias("__hv"))
         .distinct()
+        .withColumn("__rk", F.row_number().over(wk))
+        .filter(F.col("__rk") <= k)
         .groupBy(*keys)
-        .agg(
-            F.slice(F.array_sort(F.collect_set("__hv")), 1, k).alias(
-                sketch_col
-            )
-        )
+        .agg(F.array_sort(F.collect_list("__hv")).alias(sketch_col))
     )
     if target is None:
         return partial

@@ -103,7 +103,9 @@ def dense_index(keys: DataFrame, key_col: str) -> DataFrame:
     the resulting index equals a global rank over (md5(key), key) —
     deterministic and partitioning-invariant, never single-partition.
 
-    Returns ``(key_col, i)``."""
+    Keys must be non-NULL (md5(NULL) is NULL, so a NULL key would
+    silently drop at the offset join — filter upstream).  Returns
+    ``(key_col, i)``."""
     from pyspark.sql.window import Window
 
     tagged = keys.withColumn("__h", F.md5(F.col(key_col).cast("string")))
@@ -177,8 +179,12 @@ def ancestor_closure(
 
     The default ``doublings=4`` resolves depth ≤ 2⁴ = 16 — past any
     real catalog/org hierarchy; each +1 doubles the reach for one
-    extra join (10 rounds = depth 1024).  Returns
-    ``(node, root, depth)``.
+    extra join (10 rounds = depth 1024).  A node DEEPER than the
+    budget returns its 2^doublings-step ancestor, not the root —
+    callers with unbounded-depth inputs should verify resolution
+    (join ``root`` back to ``parents`` and assert the self-loop) or
+    raise ``doublings``; the fixed budget is what keeps the plan
+    static.  Returns ``(node, root, depth)``.
     """
     j = parents.select(
         F.col("node"),

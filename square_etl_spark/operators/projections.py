@@ -177,6 +177,22 @@ def conform_schema(
             cols.append(F.col(f.name))
             continue
         pair = (src_t.typeName(), f.dataType.typeName())
+        if pair == ("decimal", "decimal"):
+            # decimal widening is lossless iff both the integer digits
+            # (precision − scale) and the scale grow or stay equal
+            safe = (
+                f.dataType.precision - f.dataType.scale
+                >= src_t.precision - src_t.scale
+                and f.dataType.scale >= src_t.scale
+            )
+            if not safe and not unsafe_cast:
+                raise ValueError(
+                    f"column {f.name}: {src_t.simpleString()} → "
+                    f"{f.dataType.simpleString()} narrows precision or "
+                    f"scale; pass unsafe_cast=True to force it"
+                )
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            continue
         if pair not in _SAFE_WIDENINGS and not unsafe_cast:
             raise ValueError(
                 f"column {f.name}: {src_t.simpleString()} → "

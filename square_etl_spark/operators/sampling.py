@@ -126,6 +126,59 @@ def stratified_take(
     )
 
 
+def weighted_sample_ares(
+    df: DataFrame,
+    strata: Sequence[str] | str,
+    key: str,
+    weight: Column,
+    n_per_stratum: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (A-Res /
+    Efraimidis-Spirakis): each row draws its uniform u from the md5
+    hash-order machinery above and gets priority ln(u)/w — the
+    monotone log form of the classic u^(1/w) key — and the top
+    ``n_per_stratum`` priorities win per stratum.  P[selected] is
+    proportional-ish to weight (exactly the A-Res inclusion law), so
+    "sample docs ∝ quality score" is this operator with the score as
+    ``weight``.
+
+    Deterministic and engine-portable: u = (hv + 0.5)/2³², hv the
+    md5-prefix integer, so the oracle recomputes identical priorities
+    (ln differs by ≤1 ulp across libm implementations — orders of
+    magnitude below the ~1/n priority spacing, and the (priority,
+    key) tiebreak makes equal priorities impossible).  One window
+    shuffle on the strata key, same shape as :func:`stratified_take`;
+    weights must be > 0 (ln(u) < 0 flips division by a non-positive
+    weight into nonsense — guard upstream).
+
+    Returns the sampled rows plus ``priority`` (rounded to 9
+    decimals).
+    """
+    strata_cols = [strata] if isinstance(strata, str) else list(strata)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))),
+            1,
+            _HEX_DIGITS,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (hv + F.lit(0.5)) / F.lit(float(_HEX_SPACE))
+    pri = F.log(u) / weight
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__pri").desc(), F.col(key)
+    )
+    return (
+        df.withColumn("__pri", pri)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .withColumn("priority", F.round(F.col("__pri"), 9))
+        .drop("__pri", "__rk")
+    )
+
+
 def shard_assign(df: DataFrame, key: str, n_shards: int) -> DataFrame:
     """Stable shard id + within-shard position — training-file layout.
 

@@ -3448,6 +3448,126 @@ _register(
     )
 )
 
+
+def _weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.weighted_sample_ares): 40 documents per
+    language, inclusion ∝ document length — the "sample ∝ quality
+    score" recipe every curriculum/mixing pipeline needs, in portable
+    md5-uniform + ln(u)/w arithmetic the oracle recomputes row for
+    row."""
+    from square_etl_spark.operators.sampling import weighted_sample_ares
+
+    d = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_ares(
+        d,
+        "lang",
+        "doc_id",
+        F.greatest(F.length("text"), F.lit(1)).cast("double"),
+        40,
+    )
+    return out.select("lang", "doc_id", "priority")
+
+
+_register(
+    QuerySpec(
+        "weighted_sample_docs",
+        _weighted_sample_docs,
+        oracle="""
+        WITH h AS (
+          SELECT doc_id, lang,
+                 GREATEST(LENGTH(text), 1) AS w,
+                 list_sum(list_transform(generate_series(1, 8),
+                   p -> (CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), p, 1))
+                         AS BIGINT) - 1)
+                        * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))
+                   AS hv
+          FROM documents),
+        p AS (
+          SELECT doc_id, lang,
+                 ln((hv + 0.5) / 4294967296.0)
+                   / /*nz: GREATEST(…, 1) ≥ 1*/ CAST(w AS DOUBLE) AS pri
+          FROM h),
+        r AS (
+          SELECT doc_id, lang, pri,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY pri DESC, doc_id) AS rk
+          FROM p)
+        SELECT lang, doc_id, ROUND(pri, 9) AS priority
+        FROM r WHERE rk <= 40
+        """,
+        doc="A-Res weighted sampling per stratum: md5-uniform + ln(u)/w priorities, oracle row-for-row",
+    )
+)
+
+
+def _attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style touch attribution: every purchase attributes to
+    the user's FIRST and LAST qualifying touch (view/click) within the
+    preceding 7 days — one RANGE-framed window per bound, both sharing
+    the user partitioning (one Exchange), no self-join.  Purchases
+    with no touch in the window report NULLs (organic conversions).
+    Identical frame arithmetic on both engines: RANGE BETWEEN 604800
+    PRECEDING AND 1 PRECEDING over epoch seconds — strictly-before,
+    so a same-second touch does not attribute."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    touch_sec = F.when(
+        F.col("event_type").isin("view", "click"), sec
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-604800, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(touch_sec).over(w).alias("first_touch_sec"),
+        F.max(touch_sec).over(w).alias("last_touch_sec"),
+    )
+    return scored.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.timestamp_seconds("first_touch_sec").alias("first_touch_ts"),
+        F.timestamp_seconds("last_touch_sec").alias("last_touch_ts"),
+        (F.col("first_touch_sec").isNull()).alias("organic"),
+    )
+
+
+_register(
+    QuerySpec(
+        "attribution_first_last",
+        _attribution_first_last,
+        oracle="""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                 CASE WHEN event_type IN ('view', 'click')
+                      THEN CAST(FLOOR(epoch(ts)) AS BIGINT) END AS touch_sec
+          FROM events),
+        scored AS (
+          SELECT event_id, user_id, event_type,
+                 MIN(touch_sec) OVER (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+                   AS first_touch_sec,
+                 MAX(touch_sec) OVER (PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 604800 PRECEDING AND 1 PRECEDING)
+                   AS last_touch_sec
+          FROM e)
+        SELECT event_id, user_id,
+               make_timestamp(first_touch_sec * 1000000) AS first_touch_ts,
+               make_timestamp(last_touch_sec * 1000000) AS last_touch_ts,
+               first_touch_sec IS NULL AS organic
+        FROM scored WHERE event_type = 'purchase'
+        """,
+        doc="7-day lookback first/last-touch attribution: RANGE-framed windows, one Exchange",
+    )
+)
+
 def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's Spark SQL surface: the same star-join revenue
     rollup as the flagship, written as SQL over registered views —
@@ -8600,8 +8720,11 @@ _CHECK_PRIORITY: list[str] = [
     # schema_evolution_union (conform_schema fill/drop/widen over two
     # feed generations); incremental_kmv_users (incremental distinct
     # via the KMV bottom-k monoid — maintain ≡ one-shot exactly, the
-    # full-oracle upgrade of the rows-only HLL maintenance row).
-    # All tri-scale selfchecked (sf0.001/0.01/0.1).
+    # full-oracle upgrade of the rows-only HLL maintenance row);
+    # weighted_sample_docs (A-Res weighted sampling per stratum);
+    # attribution_first_last (7-day lookback first/last-touch
+    # attribution, RANGE-framed).  All tri-scale selfchecked
+    # (sf0.001/0.01/0.1).
 ]
 
 

@@ -158,3 +158,93 @@ def test_zorder_layout_tightens_rowgroup_stats_on_both_dims(spark, tmp_path):
     # the x-sorted layout leaves y unbounded at >50)
     assert mean_extent(pz, "y") <= 40
     assert mean_extent(pz, "x") <= 40
+
+
+def test_stats_manifest_and_prune_files_skip_correctly(spark, tmp_path):
+    """Footer-stats data skipping: files whose [min,max] range cannot
+    contain the predicate are dropped from the read set; reading only
+    the pruned set still returns exactly the right rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import prune_files, stats_manifest
+
+    path = os.path.join(tmp_path, "skiptab")
+    # three disjoint value ranges → three files with disjoint stats
+    for lo in (0, 1000, 2000):
+        spark.range(lo, lo + 100).select(
+            F.col("id").alias("v"), (F.col("id") % 7).alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    man = stats_manifest(spark, path, ["v"])
+    assert man.count() >= 3  # one stats row per file for v
+
+    keep = prune_files(man, "v", 1010, 1020)
+    assert len(keep) == 1  # only the middle file can match
+    got = spark.read.parquet(*keep).filter("v between 1010 and 1020")
+    assert got.count() == 11
+
+    # full-range predicate keeps every file
+    assert len(prune_files(man, "v", 0, 3000)) == man.select("file").distinct().count()
+    # out-of-range predicate proves every file skippable
+    assert prune_files(man, "v", 5000, 6000) == []
+
+
+def test_versioned_table_publish_read_timetravel_vacuum(spark, tmp_path):
+    import os
+
+    from square_etl_spark.io import (
+        read_version,
+        table_version,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    path = os.path.join(tmp_path, "vtab")
+    assert table_version(path) == 0
+    v1 = versioned_write(spark, spark.range(10), path)
+    v2 = versioned_write(spark, spark.range(20), path)
+    v3 = versioned_write(spark, spark.range(30), path)
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert read_version(spark, path).count() == 30          # latest
+    assert read_version(spark, path, 1).count() == 10       # time travel
+    removed = versioned_vacuum(path, keep=2)
+    assert removed == [1]
+    assert read_version(spark, path).count() == 30          # latest intact
+    assert read_version(spark, path, 2).count() == 20       # kept
+
+
+def test_versioned_table_crashed_write_is_invisible_and_vacuumed(spark, tmp_path):
+    import os
+
+    from square_etl_spark.io import (
+        read_version,
+        table_version,
+        versioned_vacuum,
+        versioned_write,
+    )
+
+    path = os.path.join(tmp_path, "vtab2")
+    versioned_write(spark, spark.range(5), path)
+    # simulate a crash AFTER the snapshot write but BEFORE the pointer
+    # flip: the orphan directory must not affect readers
+    spark.range(99).write.parquet(os.path.join(path, "v=2"))
+    assert table_version(path) == 1
+    assert read_version(spark, path).count() == 5
+    # and vacuum reclaims it
+    assert versioned_vacuum(path, keep=5) == [2]
+    assert table_version(path) == 1
+
+
+def test_versioned_write_retries_past_orphan_snapshot(spark, tmp_path):
+    import os
+
+    from square_etl_spark.io import read_version, versioned_write
+
+    path = os.path.join(tmp_path, "vtab3")
+    versioned_write(spark, spark.range(5), path)
+    spark.range(99).write.parquet(os.path.join(path, "v=2"))  # crash orphan
+    v = versioned_write(spark, spark.range(7), path)  # retry must not collide
+    assert v == 3
+    assert read_version(spark, path).count() == 7

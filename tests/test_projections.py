@@ -170,3 +170,22 @@ def test_conform_schema_then_merge_upsert(spark):
     merged = merge_dataframes(target, conformed, ["k"], ["v"])
     got = {r.k: (r.v, r.tier) for r in merged.collect()}
     assert got == {1: (9.0, None), 2: (5.0, None)}
+
+
+def test_conform_schema_decimal_widening_is_lossless(spark):
+    import pytest
+    from pyspark.sql.types import DecimalType, StructField, StructType
+
+    from square_etl_spark.operators.projections import conform_schema
+
+    wide = StructType([StructField("amt", DecimalType(38, 6))])
+    batch = spark.createDataFrame([("12345.67",)], "amt string").select(
+        F.col("amt").cast("decimal(10,2)")
+    )
+    out = conform_schema(batch, wide)
+    assert out.schema.fields[0].dataType == DecimalType(38, 6)
+    assert str(out.collect()[0][0]) == "12345.670000"
+    # narrowing still refuses
+    narrow = StructType([StructField("amt", DecimalType(8, 1))])
+    with pytest.raises(ValueError, match="narrows"):
+        conform_schema(batch.select(F.col("amt")), narrow)

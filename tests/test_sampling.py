@@ -234,3 +234,35 @@ def test_pack_sequences_rejects_bad_budget(spark):
     df = spark.createDataFrame([(1, 0, 5)], "doc_id long, chunk_idx long, n_tokens long")
     with _pytest.raises(ValueError):
         pack_sequences(df, budget=0)
+
+
+def test_weighted_sample_ares_exact_n_and_partition_invariant(spark):
+    from square_etl_spark.operators.sampling import weighted_sample_ares
+
+    df = spark.range(500).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    out = weighted_sample_ares(df, "g", "k", F.col("w"), 25)
+    per = {r["g"]: r["c"] for r in out.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert per == {"0": 25, "1": 25, "2": 25, "3": 25}
+    again = weighted_sample_ares(df.repartition(11), "g", "k", F.col("w"), 25)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_weighted_sample_ares_overwhelming_weight_always_wins(spark):
+    from square_etl_spark.operators.sampling import weighted_sample_ares
+
+    # one row with weight 1e12: priority ln(u)/1e12 ~ 0 beats every
+    # unit-weight priority (ln(u) ≤ ~-1e-5) — must always be selected
+    df = spark.range(1000).select(
+        F.lit("s").alias("g"),
+        F.col("id").alias("k"),
+        F.when(F.col("id") == 777, F.lit(1e12)).otherwise(F.lit(1.0)).alias("w"),
+    )
+    picked = {
+        r["k"]
+        for r in weighted_sample_ares(df, "g", "k", F.col("w"), 10).collect()
+    }
+    assert 777 in picked and len(picked) == 10
