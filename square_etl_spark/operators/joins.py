@@ -258,7 +258,10 @@ def fuzzy_join_blocked(
     anti join before the candidate join ever materializes them — a
     block that hot is a stop-pattern (an empty/constant key), not a
     plausible match cluster, and the recall loss is explicit and
-    testable.  Multi-key blocking (prefix + suffix + length) OR'd
+    testable.  The cap's counting pass re-derives lb/rb (a second
+    scan of each input); when the input scan dominates — rather than
+    the candidate join the cap exists to bound — persist the inputs
+    upstream (the multi-consumer rule from SCALING.md).  Multi-key blocking (prefix + suffix + length) OR'd
     over several passes trades cost for recall, each pass this same
     operator.
     """

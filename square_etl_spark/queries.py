@@ -7725,7 +7725,14 @@ def _fuzzy_join_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop-key whose candidate product (~300×300 at sf0.01) would
     dominate the join.  block_cap=500 drops (at every fixture scale — the sf0.001 plant is 30×30) that block via broadcast
     anti join, so the output is exactly the honest typo matches; the
-    oracle recomputes the cap arithmetic and the same survivors."""
+    oracle recomputes the cap arithmetic and the same survivors.
+
+    Plan note: Catalyst pushes the anti join below the planted UNION,
+    and the constant-name branch's blocking key folds to a literal —
+    that branch's anti join appears as a BroadcastNestedLoopJoin over
+    the hot-block list FILTERED to that one key (≤1 broadcast row),
+    which is bounded at any scale; the data-shaped branch keeps the
+    hash anti join."""
     from square_etl_spark.operators.joins import fuzzy_join_blocked
 
     c = load_table(spark, sf_dir, "customer")

@@ -504,3 +504,46 @@ def test_snapshot_diff_no_compare_cols_is_existence_only(spark):
     new = spark.createDataFrame([(2,), (3,)], "id long")
     ops = {r.id: r.op for r in snapshot_diff(old, new, ["id"], []).collect()}
     assert ops == {1: "D", 3: "I"}
+
+
+def test_cdc_feed_into_versioned_table_with_time_travel(spark, tmp_path):
+    """Lifecycle composition: each CDC refresh publishes a NEW immutable
+    snapshot of the target (versioned_write), so every historical state
+    of the merged table stays reproducible until vacuum — the
+    'reproduce last week's training table' contract over the plain
+    merge sinks."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import read_version, versioned_write
+    from square_etl_spark.sinks.merge import cdc_merge_dataframes
+
+    path = os.path.join(tmp_path, "cdc_versions")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k long, v string, seq long"
+    )
+    versioned_write(spark, base, path)
+
+    feed1 = spark.createDataFrame(
+        [(2, "b2", 2, "U"), (3, "c", 2, "I")],
+        "k long, v string, seq long, op string",
+    )
+    t1 = cdc_merge_dataframes(read_version(spark, path), feed1, ["k"], ["seq"])
+    versioned_write(spark, t1, path)
+
+    feed2 = spark.createDataFrame(
+        [(1, None, 3, "D")], "k long, v string, seq long, op string"
+    )
+    t2 = cdc_merge_dataframes(read_version(spark, path), feed2, ["k"], ["seq"])
+    versioned_write(spark, t2, path)
+
+    def snap(v):
+        return {
+            r["k"]: r["v"]
+            for r in read_version(spark, path, v).select("k", "v").collect()
+        }
+
+    assert snap(1) == {1: "a", 2: "b"}
+    assert snap(2) == {1: "a", 2: "b2", 3: "c"}
+    assert snap(3) == {2: "b2", 3: "c"}  # k=1 deleted in the latest
