@@ -585,3 +585,125 @@ def test_spatial_join_equals_brute_force_random(spark, pts, radius):
         if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= radius * radius
     }
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(1, 999)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(2, 7),
+)
+@SETTINGS
+def test_ntile_assign_equals_sql_ntile_on_random_inputs(spark, rows, n):
+    """The two-phase distributed rank + NTILE arithmetic must equal
+    SQL NTILE for every input size / tile count, including uneven
+    splits and N < n."""
+    from square_etl_spark.operators.sampling import ntile_assign
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    mine = {
+        r["k"]: r["tile"]
+        for r in ntile_assign(df, "v", "k", n, partitions=3).collect()
+    }
+    sql = {
+        r["k"]: r["t"]
+        for r in df.selectExpr(
+            "k", f"ntile({n}) over (order by v, k) as t"
+        ).collect()
+    }
+    assert mine == sql
+
+
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=1, max_size=50,
+                  unique=True)
+)
+@SETTINGS
+def test_dense_index_bijection_on_random_keys(spark, keys):
+    from square_etl_spark.operators.graph import dense_index
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    rows = dense_index(df, "user_id").collect()
+    assert sorted(r["i"] for r in rows) == list(range(len(keys)))
+    assert {r["user_id"] for r in rows} == set(keys)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),        # user
+            st.integers(0, 5000),     # epoch second
+            st.integers(0, 10**4),    # value in cents
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_twap_equals_python_fold(spark, events):
+    """time_weighted_avg == a pure-Python interval fold over the same
+    (ts, event_id)-ordered stream (values are exact 2-decimal cents,
+    so the comparison is exact)."""
+    from square_etl_spark.operators.windows import time_weighted_avg
+
+    rows = [
+        (i, dt.datetime(1970, 1, 1) + dt.timedelta(seconds=ts), u, c / 100.0)
+        for i, (u, ts, c) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["twap"], r["total_seconds"], r["n_intervals"])
+        for r in time_weighted_avg(
+            df, "ts", ["user_id"], "value", tiebreak_cols=["event_id"]
+        ).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for i, (u, ts, c) in enumerate(events):
+        by_user.setdefault(u, []).append((ts, i, c))
+    want = {}
+    for u, obs in by_user.items():
+        obs.sort()
+        num = den = n = 0
+        for (t0, _, c0), (t1, _, _) in zip(obs, obs[1:]):
+            num += c0 * (t1 - t0)
+            den += t1 - t0
+            n += 1
+        if n:
+            twap = round(num / 100.0 / den, 6) if den else None
+            want[u] = (twap, den, n)
+    assert got == want
+
+
+@given(
+    parent_of=st.lists(st.integers(0, 60), min_size=1, max_size=40),
+)
+@SETTINGS
+def test_ancestor_closure_equals_python_chase(spark, parent_of):
+    """Pointer doubling == naive parent-chasing on random forests.
+    parent(i) = parent_of[i] % i keeps every edge strictly downward
+    (so the input is always an acyclic forest rooted at 0)."""
+    from square_etl_spark.operators.graph import ancestor_closure
+
+    n = len(parent_of)
+    parents = [(0, 0)] + [
+        (i, parent_of[i] % i) for i in range(1, n)
+    ]
+    df = spark.createDataFrame(parents, "node long, parent long")
+    got = {
+        r["node"]: (r["root"], r["depth"])
+        for r in ancestor_closure(df, doublings=6).collect()
+    }
+    pmap = dict(parents)
+    want = {}
+    for node in pmap:
+        cur, d = node, 0
+        while pmap[cur] != cur:
+            cur, d = pmap[cur], d + 1
+        want[node] = (cur, d)
+    assert got == want
