@@ -14,6 +14,9 @@ returned exact Python ints and let the r05 ``text_fingerprint``
 HUGEINT oracle ship selfcheck-green but driver-red.
 
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
+       python tools/selfcheck.py [sf_dir] --head   # exactly the
+       driver's 50-query check head (the registry's first 50) — the
+       fast "what will the driver see this round" gate
 """
 
 from __future__ import annotations
@@ -89,7 +92,11 @@ def table_hash(rows: list[tuple], cols: list[str]) -> str:
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    only = set(a for a in args if "/" not in a)
+    only = set(a for a in args if "/" not in a and a != "--head")
+    if "--head" in args:
+        from square_etl_spark.queries import registry as _reg
+
+        only |= {spec.name for spec in _reg()[:50]}
 
     # NaN-guard lint first (tools/oracle_lint.py): the comparison below
     # cannot tell an oracle NaN from NULL after the pandas fetch, so an
