@@ -398,3 +398,69 @@ def unigram_logprob(
             ).alias("avg_nll"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Bigram language-model scoring — the conditional upgrade of
+    :func:`unigram_logprob`: score each document by the mean
+    −ln P(w | w_prev) under the corpus's own bigram distribution,
+    P(w | w_prev) = c(w_prev, w) / followers(w_prev) with
+    ``followers`` the exact count of positions where ``w_prev`` is
+    followed by anything (Σ_w c(w_prev, w) — properly normalized,
+    unlike dividing by the raw unigram count, which over-counts
+    document-final tokens).  A unigram model scores tokens in
+    isolation; the bigram model also penalizes UNLIKELY TRANSITIONS —
+    shuffled or concatenated-garbage text scores high even when every
+    individual token is common, the exact failure mode unigram
+    filtering misses.
+
+    Same two-pass 100 TB shape: adjacent pairs come from one
+    doc-partitioned LAG window over the exploded tokens (the window
+    and the final per-doc aggregation share the doc partitioning);
+    the bigram table — vocabulary-of-pairs-sized, ~linear in observed
+    text, not |V|² — broadcasts back onto the pairs.  Documents with
+    fewer than two tokens have no transitions and yield no row.
+
+    Cross-engine determinism: identical to the unigram operator —
+    per-pair nll rounds to 6 decimals into DECIMAL(18,6) sums.
+
+    Returns (id, n_bigrams, avg_nll).
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(_c(col))), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("pos", "w"),
+    )
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.withColumn("prev", F.lag("w").over(wd)).filter(
+        F.col("prev").isNotNull()
+    )
+    big = pairs.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+    # followers(prev) folds into the bigram relation with a
+    # prev-partitioned window — pair-vocabulary-sized data, one pass
+    big = big.withColumn(
+        "followers", F.sum("c2").over(Window.partitionBy("prev"))
+    )
+    nll = F.round(
+        -F.log(F.col("c2") / F.col("followers")), 6
+    ).cast("decimal(18,6)")
+    return (
+        pairs.join(F.broadcast(big), on=["prev", "w"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(nll).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )

@@ -3568,6 +3568,52 @@ _register(
     )
 )
 
+
+def _bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM document scoring (operators/text.bigram_logprob):
+    mean −ln P(w | w_prev) under the corpus's own normalized bigram
+    distribution — catches unlikely TRANSITIONS (shuffled/concatenated
+    garbage) that unigram scoring misses.  Broadcast bigram table,
+    decimal-exact per-doc mean, identical arithmetic on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.bigram_logprob(d, "doc_id", "text")
+
+
+_register(
+    QuerySpec(
+        "text_bigram_nll",
+        _bigram_nll,
+        oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             w -> w <> '') AS l
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(generate_series(2, len(l)),
+                   i -> struct_pack(prev := l[i - 1], w := l[i]))) AS pr
+          FROM t),
+        pairs AS (SELECT doc_id, pr.prev AS prev, pr.w AS w FROM p),
+        big AS (
+          SELECT prev, w, COUNT(*) AS c2,
+                 SUM(COUNT(*)) OVER (PARTITION BY prev) AS followers
+          FROM pairs GROUP BY prev, w),
+        scored AS (
+          SELECT doc_id,
+                 CAST(ROUND(-ln(c2 / /*nz: follower count >= 1*/ followers),
+                            6) AS DECIMAL(18,6)) AS nll
+          FROM pairs JOIN big USING (prev, w))
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+        FROM scored GROUP BY doc_id
+        """,
+        doc="bigram-LM NLL scoring: normalized transition probabilities, broadcast pair table",
+    )
+)
+
 def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's Spark SQL surface: the same star-join revenue
     rollup as the flagship, written as SQL over registered views —

@@ -547,6 +547,46 @@ def test_unigram_logprob_hand_computed(spark):
     assert got[2] == (2, 1.262865)
 
 
+def test_bigram_logprob_hand_computed(spark):
+    """Corpus 'a b a b' + 'b a': pairs (a,b)x2, (b,a)x2.
+    followers(a)=2 with only (a,b) -> P(b|a)=1, nll 0; same for (b,a).
+    Every transition is certain, so both docs score 0."""
+    from square_etl_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in bigram_logprob(df).collect()
+    }
+    assert got == {1: (3, 0.0), 2: (1, 0.0)}
+
+
+def test_bigram_logprob_penalizes_unlikely_transitions(spark):
+    """The discriminating property vs unigram scoring: a doc made of
+    COMMON tokens in a rare order must score higher than the docs
+    whose order the corpus follows — unigram NLL cannot see this."""
+    from square_etl_spark.operators.text import bigram_logprob, unigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((99, "mat the on sat cat the"))  # same tokens, rare order
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    big = {r.doc_id: r.avg_nll for r in bigram_logprob(df).collect()}
+    uni = {r.doc_id: r.avg_nll for r in unigram_logprob(df).collect()}
+    assert big[99] > big[0]           # bigram flags the shuffle
+    assert uni[99] == uni[0]          # unigram is blind to it
+
+
+def test_bigram_logprob_single_token_docs_yield_no_row(spark):
+    from square_etl_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, "two words")], "doc_id long, text string"
+    )
+    assert [r.doc_id for r in bigram_logprob(df).collect()] == [2]
+
+
 def test_survivor_selection_custom_id_column(spark):
     """Regression (r06 review): id_col other than 'doc_id' must work —
     connected_components' fixed output key is renamed to match."""

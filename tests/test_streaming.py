@@ -413,3 +413,46 @@ def test_stream_cms_maintain_equals_one_shot_cellwise(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(sketch).select("j", "b", "cnt").collect()
     )
     assert again == want
+
+
+def test_interval_lookup_works_as_stream_static_join(spark, tmp_path):
+    """Streaming point-in-time enrichment: a fact STREAM joins the
+    static SCD2 dimension through interval_lookup (stream-static
+    broadcast joins are fully supported) — each micro-batch row picks
+    the version whose validity window contains its timestamp."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.joins import interval_lookup
+
+    T = dt.datetime
+    dim = spark.createDataFrame(
+        [(1, "A", T(2024, 1, 1), T(2024, 2, 1), False),
+         (1, "B", T(2024, 2, 1), None, True)],
+        "k long, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    src = os.path.join(tmp_path, "facts")
+    spark.createDataFrame(
+        [(10, 1, T(2024, 1, 15)), (11, 1, T(2024, 2, 15)),
+         (12, 1, T(2023, 12, 1))],
+        "fid long, k long, at_ts timestamp",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "fid long, k long, at_ts timestamp"
+    ).parquet(src)
+    out = interval_lookup(stream, dim, ["k"], "at_ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pit_enrich")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["fid"]: r["seg"] for r in spark.sql("select * from pit_enrich").collect()
+    }
+    assert got == {10: "A", 11: "B", 12: None}

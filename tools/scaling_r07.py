@@ -119,3 +119,44 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def cap_guard_demo(spark, n: int = 1_000_000, hot: int = 20_000) -> None:
+    """Planted-hot-block wall-time evidence for the r07 cap guards:
+    `hot` left rows and `hot` right rows share one blocking key
+    (hot² candidate pairs — 400M at the default), the rest spread
+    thinly.  The capped run anti-joins the block away BEFORE the
+    candidate join; the uncapped run pays the full pair
+    materialization + levenshtein.  Run separately from main() so
+    the headline sweep stays comparable round-over-round:
+    python -c "import sys; sys.path.insert(0,'.'); \
+      from tools.scaling_r07 import cap_guard_demo; \
+      from square_etl_spark import get_spark; cap_guard_demo(get_spark('cap'))"
+    """
+    import time as _t
+
+    from square_etl_spark.operators.joins import fuzzy_join_blocked
+
+    left = spark.range(n).selectExpr(
+        f"CASE WHEN id < {hot} THEN 'HOTBLOCK' "
+        "ELSE concat('name-', id, '-', id % 9973) END AS name"
+    )
+    right = spark.range(n).selectExpr(
+        f"CASE WHEN id < {hot} THEN 'HOTBLOCK' "
+        "ELSE concat('namq-', id, '-', id % 9973) END AS name"
+    )
+    # block on the LAST dash segment (id mod 9973 → ~100 rows/side per
+    # block, product ~10⁴ ≪ cap — normal blocks all survive); the
+    # planted 'HOTBLOCK' names have no dash and form their own block
+    blk = lambda c: F.substring_index(c, "-", -1)  # noqa: E731
+    for label, cap in (("capped", 1_000_000), ("uncapped", None)):
+        t0 = _t.perf_counter()
+        out = fuzzy_join_blocked(
+            left, right, "name", "name", block=blk, max_dist=2,
+            block_cap=cap,
+        )
+        c = out.count()
+        print(json.dumps({
+            "op": f"fuzzy_join {label}", "n": n, "hot": hot,
+            "sec": round(_t.perf_counter() - t0, 2), "rows": c,
+        }))
