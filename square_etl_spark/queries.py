@@ -3614,6 +3614,125 @@ _register(
     )
 )
 
+
+def _embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster quality diagnostic: per-label centroid (exact
+    decimal mean per dimension), every vector's cosine to its label
+    centroid, and a per-label summary — count, mean cosine, worst
+    cosine, and the outlier vector achieving it (deterministic min
+    vec_id tiebreak).  The standard "which docs don't belong to their
+    cluster" sweep before training on labeled embeddings.
+
+    Scale shape: one explode to (vec, dim) rows, one grouped mean on
+    (label, dim) — label×dim-sized, broadcasts back — then per-vector
+    decimal-sum dot products and one per-label rollup; never
+    all-pairs, never a UDF.  Cross-engine exactness: every sum of
+    double products rounds to 12 decimals into DECIMAL(38,12)
+    accumulators (addition order cannot change the hash), and sqrt /
+    divide are correctly-rounded IEEE ops identical on both
+    engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "d", "x"
+        ),
+    )
+    d12 = lambda c: F.round(c, 12).cast("decimal(38,12)")  # noqa: E731
+    cent = dims.groupBy("label", "d").agg(
+        (F.sum(d12(F.col("x"))).cast("double") / F.count(F.lit(1))).alias(
+            "c"
+        )
+    )
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(d12(F.col("c") * F.col("c"))).cast("double")).alias(
+            "nc"
+        )
+    )
+    per_vec = (
+        dims.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(d12(F.col("x") * F.col("c"))).cast("double").alias("num"),
+            F.sqrt(
+                F.sum(d12(F.col("x") * F.col("x"))).cast("double")
+            ).alias("nv"),
+        )
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("num")
+                / F.when(
+                    F.col("nv") * F.col("nc") > 0,
+                    F.col("nv") * F.col("nc"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cos"),
+        F.min("cos").alias("min_cos"),
+        F.min_by(
+            "vec_id", F.struct(F.col("cos"), F.col("vec_id"))
+        ).alias("outlier_vec"),
+    )
+
+
+_register(
+    QuerySpec(
+        "embedding_centroid_outliers",
+        _embedding_centroid_outliers,
+        oracle="""
+        WITH dims AS (
+          SELECT vec_id, label, pr.d AS d, CAST(pr.x AS DOUBLE) AS x
+          FROM (
+            SELECT vec_id, label,
+                   UNNEST(list_transform(generate_series(1, len(embedding)),
+                     i -> struct_pack(d := i - 1, x := embedding[i]))) AS pr
+            FROM embeddings)),
+        cent AS (
+          SELECT label, d,
+                 CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*) AS c
+          FROM dims GROUP BY label, d),
+        cnorm AS (
+          SELECT label,
+                 sqrt(CAST(SUM(CAST(ROUND(c * c, 12) AS DECIMAL(38,12)))
+                           AS DOUBLE)) AS nc
+          FROM cent GROUP BY label),
+        per_vec AS (
+          SELECT vec_id, label,
+                 CAST(SUM(CAST(ROUND(x * c, 12) AS DECIMAL(38,12)))
+                      AS DOUBLE) AS num,
+                 sqrt(CAST(SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12)))
+                           AS DOUBLE)) AS nv
+          FROM dims JOIN cent USING (label, d)
+          GROUP BY vec_id, label),
+        scored AS (
+          SELECT vec_id, label,
+                 ROUND(num / NULLIF(nv * nc, 0), 6) AS cos
+          FROM per_vec JOIN cnorm USING (label))
+        SELECT label,
+               COUNT(*) AS n_vecs,
+               ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_cos,
+               MIN(cos) AS min_cos,
+               FIRST(vec_id ORDER BY cos, vec_id) AS outlier_vec
+        FROM scored GROUP BY label
+        """,
+        doc="per-label centroid + cosine-to-centroid outliers: decimal-exact, broadcast centroids",
+    )
+)
+
 def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's Spark SQL surface: the same star-join revenue
     rollup as the flagship, written as SQL over registered views —
