@@ -248,9 +248,19 @@ def ntile_assign(
        take ``N div n + 1`` rows, the rest ``N div n`` — the standard
        SQL NTILE split, as plain column math.
     """
+    # localCheckpoint PINS the range shuffle: the slice counts and the
+    # per-slice rank below are two separate jobs, and without the pin
+    # each job re-executes repartitionByRange with a fresh RDD id —
+    # whose RANGE-BOUNDARY SAMPLING is seeded per RDD, so at scales
+    # where the sample jitters the two jobs disagree on row→slice
+    # assignment and the offsets corrupt the global rank (caught by
+    # the full sf0.1 oracle sweep: tiles off by one region, max tile
+    # n+1; sf0.01 passed only because sampling there sees every row).
+    # One materialization, two cheap reads — the operator inherently
+    # needs two passes over the shuffled relation.
     parts = df.repartitionByRange(
         partitions, F.col(order_col), F.col(tiebreak)
-    )
+    ).localCheckpoint(eager=True)
     tagged = parts.withColumn("__pid", F.spark_partition_id())
     w = Window.partitionBy("__pid").orderBy(order_col, tiebreak)
     local = tagged.withColumn("__rk", F.row_number().over(w))

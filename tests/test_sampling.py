@@ -266,3 +266,28 @@ def test_weighted_sample_ares_overwhelming_weight_always_wins(spark):
         for r in weighted_sample_ares(df, "g", "k", F.col("w"), 10).collect()
     }
     assert 777 in picked and len(picked) == 10
+
+
+def test_ntile_matches_sql_ntile_at_sampling_jitter_scale(spark):
+    """Regression (r07 full-sf0.1 sweep): without pinning the range
+    shuffle, the counts job and the rank job re-sample partition
+    boundaries independently and disagree on row→slice assignment at
+    sizes where the boundary sample jitters — tiles drifted by whole
+    regions and the max tile exceeded n.  12k rows reproduces the
+    jitter regime; the checkpointed operator must match SQL NTILE
+    exactly, every run."""
+    df = spark.range(1, 12001).select(
+        (F.col("id") * 2654435761 % 100000).alias("v"),
+        F.col("id").alias("k"),
+    )
+    mine = {
+        r["k"]: r["tile"]
+        for r in ntile_assign(df, "v", "k", 10).collect()
+    }
+    sql = {
+        r["k"]: r["t"]
+        for r in df.selectExpr(
+            "k", "ntile(10) over (order by v, k) as t"
+        ).collect()
+    }
+    assert mine == sql
