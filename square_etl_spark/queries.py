@@ -8800,103 +8800,78 @@ _register(
 # the LIVE registry size — registering queries widens it automatically,
 # and the tool's exit code means something again.
 #
-# Round 7 = the 26 registrations that landed after the r06 head froze
-# (behavior analytics, sketches, iterative compute, CDC, fuzzy/spatial
-# joins, expectation reports, authentic-partsupp q9, unpivot — all
-# judge-selfchecked green at sf0.01 in r06, zero driver rows) + the 23
-# oldest r04-cohort queries + the flagship anchor = 50, exactly the
-# head `python tools/rotation.py` printed at the end of r06.
+# Round 8 = exactly the head `python tools/rotation.py` printed at the
+# end of r07: the 12 registrations that landed after the r07 head froze
+# (KMV incremental distinct, A-Res weighted sampling, attribution,
+# bigram-LM NLL, centroid outliers, capped fuzzy/spatial joins, SCD2
+# point-in-time, hierarchy rollup, TWAP, exact percentiles, schema
+# evolution — all judge-selfchecked green at sf0.01 in r07, zero driver
+# rows) + the r04-stale cohort + the oldest r05 cohort + the flagship
+# anchor = 50.
 _CHECK_PRIORITY: list[str] = [
-    # -- the 26 never-driver-checked round-6 registrations (all
-    # -- judge-selfchecked green at sf0.01 in r06) — first driver rows
-    "cdc_apply_events",
-    "dedup_minhash_vs_ngram",
-    "corr_price_items",
-    "csv_ingest_orders",
-    "zorder_key_customers",
-    "skew_profile_event_users",
-    "funnel_conversion",
-    "retention_cohorts",
-    "streaks_user_activity",
-    "timeseries_gapfill",
-    "heavy_hitters_cms",
-    "bloom_prune_join",
-    "snapshot_diff_orders",
-    "kmeans_embeddings",
-    "pagerank_user_graph",
-    "inverted_index_terms",
-    "outlier_zscore_orders",
-    "fuzzy_join_names",
-    "quantile_sketch_orders",
-    "spatial_join_proximity",
-    "expectation_report_orders",
-    "transition_matrix_events",
-    "sequence_error_recovery",
-    "q9_profit_partsupp",
-    "basket_part_pairs",
-    "unpivot_order_measures",
-    # -- r04 cohort (the oldest green rows): scalar/JSON, multimodal,
-    # -- TPC-H shapes deferred from the r06 head
-    "f2_json_extract",
-    "multimodal_decode_bmp",
-    "q6_forecast_revenue",
-    "q13_custdist",
-    "q8_market_share",
-    # -- r04 cohort: projections / windows / subqueries / joins / aggs
-    "p5_literal_defaults",
-    "window_rank_lag",
-    "orders_above_cust_avg",
-    "join_semi_active",
-    "join_anti_dormant",
-    "agg_cube",
-    # -- r04 cohort: similarity / dedup / pipelines
-    "ann_topk_ivf",
-    "corpus_clean_pipeline",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_bucketed",
-    # -- r04 cohort: sampling / profiling / arrow / text
-    "sample_hash_documents",
-    "mix_weighted_sources",
-    "sample_stratified_lang",
-    "shard_assignment",
-    "decile_customer_acctbal",
-    "profile_orders_columns",
-    "arrow_group_median_dev",
-    "text_pii_redaction",
+    # -- the 12 never-driver-checked round-7 registrations (all
+    # -- judge-selfchecked green at sf0.01 in r07) — first driver rows
+    "incremental_kmv_users",
+    "weighted_sample_docs",
+    "attribution_first_last",
+    "text_bigram_nll",
+    "embedding_centroid_outliers",
+    "fuzzy_join_capped_hot_block",
+    "spatial_join_capped_hot_cell",
+    "scd2_point_in_time",
+    "hierarchy_rollup_parts",
+    "twap_user_value",
+    "exact_percentiles_segment",
+    "schema_evolution_union",
+    # -- r04 cohort (oldest green rows; incremental_hll_users is the
+    # -- rows-only HLL estimate, weaker signal but due a refresh)
+    "text_repetition_stats",
+    "pack_training_sequences",
+    "dedup_decontaminate",
+    "q21_waiting_suppliers",
+    "pipeline_payments",
+    "pipeline_order_items",
+    "incremental_hll_users",
+    # -- r05 cohort: scans / projections / joins / aggs / merge / windows
+    "q1_pricing_summary",
+    "s3_typed_scan",
+    "p1_money_coalesce",
+    "p2_quantity_validity",
+    "p3_parent_fallback",
+    "f2_variant_extract",
+    "j1_catalog_build_probe",
+    "j2_first_wins",
+    "j4_explode_line_items",
+    "a1_distinct_keys",
+    "topk_revenue_customers",
+    "percentiles_by_type",
+    "k1_merge_upsert",
+    "t2_tumbling_hourly",
+    # -- r05 cohort: dedup / text / ANN / multimodal
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assignment",
+    "dedup_cluster_star",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_totals",
+    "text_tfidf_top_terms",
+    "text_chunk_windows",
+    "ann_topk_bruteforce",
+    "salted_join_revenue",
+    "ann_topk_quantized",
+    "ann_topk_lsh",
+    "multimodal_manifest",
     # -- flagship anchor (every round, last slot)
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
-    # Still-deferred r04-cohort greens (dedup_decontaminate,
-    # pipeline_payments, pipeline_order_items, pack_training_sequences,
-    # text_repetition_stats) lead the r08 head; each has an in-head
-    # sibling exercising its machinery this round (broadcast semi-join
-    # via join_semi_active, the e2e pipeline family via
-    # corpus_clean_pipeline, the shard prefix-sum via shard_assignment,
-    # text windows via text_pii_redaction).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history, computes the arithmetic freshness window
     # from the live registry size, and prints the recommended next
-    # head.
-    #
-    # Registered AFTER this head was frozen (round 7) — selfcheck
-    # green at sf0.01, first driver rows due in the r08 head:
-    # fuzzy_join_capped_hot_block, spatial_join_capped_hot_cell
-    # (the skew-guard variants the r06 verdict prescribed: planted
-    # hot block/cell + cap-and-drop anti join, full oracles);
-    # scd2_point_in_time (SCD2 read path: broadcast half-open interval
-    # join), hierarchy_rollup_parts (log-depth pointer-doubling forest
-    # closure vs recursive-CTE oracle), twap_user_value
-    # (time-weighted average, LEAD interval weights, decimal-exact),
-    # exact_percentiles_segment (exact grouped interpolated
-    # percentiles — the sketch's exact sibling),
-    # schema_evolution_union (conform_schema fill/drop/widen over two
-    # feed generations); incremental_kmv_users (incremental distinct
-    # via the KMV bottom-k monoid — maintain ≡ one-shot exactly, the
-    # full-oracle upgrade of the rows-only HLL maintenance row);
-    # weighted_sample_docs (A-Res weighted sampling per stratum);
-    # attribution_first_last (7-day lookback first/last-touch
-    # attribution, RANGE-framed).  All tri-scale selfchecked
-    # (sf0.001/0.01/0.1).
+    # head.  Queries registered AFTER this head froze (round 8) are
+    # selfchecked at sf0.01 and lead the r09 head.
 ]
 
 
