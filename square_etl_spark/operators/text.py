@@ -337,10 +337,45 @@ def strip_markup(col: Column | str = "text") -> Column:
     return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
+# Broadcast gate for corpus-derived LM model relations (r07 verdict).
+# A token VOCABULARY is sub-linear in corpus size (~10⁵–10⁶ rows for
+# web text), but the distinct-BIGRAM relation grows near-linearly with
+# observed text — at web scale it is 10⁹–10¹⁰ rows, far past Spark's
+# broadcast limit, so an unconditional F.broadcast() dies at exactly
+# the scale the operator is advertised for.  The gate below persists
+# the model relation (the aggregation must materialize for the probe
+# join anyway), counts it — a model-relation-sized job, NOT a second
+# corpus pass — and broadcasts only under the row threshold; above it
+# the probe joins via a plain shuffle equi-join on the key that is
+# already there.  That shuffle join IS the 100 TB shape.
+DEFAULT_MAX_BROADCAST_ROWS = 2_000_000
+
+
+def _gated_model_join(
+    probe: DataFrame,
+    model: DataFrame,
+    on,
+    max_broadcast_rows: int,
+) -> DataFrame:
+    """Join probe⋈model on `on`, broadcasting the model relation only
+    if its exact counted size is ≤ max_broadcast_rows (else shuffle
+    equi-join).  The model stays persisted for the probe join; Spark
+    evicts MEMORY_AND_DISK blocks LRU, so the cache is self-limiting
+    across repeated invocations."""
+    from pyspark import StorageLevel
+
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    small = model.count() <= max_broadcast_rows
+    # bcast-ok: size-gated — counted ≤ max_broadcast_rows on this branch
+    right = F.broadcast(model) if small else model
+    return probe.join(right, on=on)
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     col: str = "text",
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Unigram language-model scoring — the classic perplexity-style
     quality filter (CCNet/Gopher filter on LM perplexity; a unigram LM
@@ -350,14 +385,18 @@ def unigram_logprob(
     low (its tokens are frequent), rare-garbage scores high — cut both
     tails and keep the middle.
 
-    Two-pass shape that stays cheap at 100 TB: pass 1 builds the token
-    frequency table (one explode + groupBy — the vocabulary, NOT the
-    corpus, comes out the other side), which then BROADCASTS back onto
-    the exploded tokens (vocabularies are ~10⁵-10⁶ rows no matter how
-    big the corpus — this is why unigram scoring scales where full LM
-    inference needs GPUs); pass 2 is a per-doc aggregation.  The
-    corpus totals ride a 1-row broadcast, so no scalar ever hits the
-    driver.
+    Two-pass shape: pass 1 builds the token frequency table (one
+    explode + groupBy — the vocabulary, NOT the corpus, comes out the
+    other side); pass 2 joins it back onto the exploded tokens and
+    aggregates per document.  Natural-language vocabularies are
+    sub-linear in corpus size (~10⁵–10⁶ rows), so the model relation
+    NORMALLY broadcasts — but that is an empirical property of the
+    data, not a bound by construction (adversarial/no-space scripts
+    can blow the vocabulary up), so the broadcast is SIZE-GATED: the
+    vocab is counted and broadcast only under `max_broadcast_rows`,
+    else the probe join runs as a plain shuffle equi-join on ``w``.
+    The corpus total folds into the vocab relation, so no scalar ever
+    hits the driver.
 
     Cross-engine determinism: per-token −ln(c/T) is rounded to 6
     decimals and summed as DECIMAL(18,6) so addition order cannot
@@ -389,7 +428,7 @@ def unigram_logprob(
         "decimal(18,6)"
     )
     return (
-        toks.join(F.broadcast(freq), on="w")
+        _gated_model_join(toks, freq, "w", max_broadcast_rows)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -404,6 +443,7 @@ def bigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     col: str = "text",
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Bigram language-model scoring — the conditional upgrade of
     :func:`unigram_logprob`: score each document by the mean
@@ -418,12 +458,18 @@ def bigram_logprob(
     individual token is common, the exact failure mode unigram
     filtering misses.
 
-    Same two-pass 100 TB shape: adjacent pairs come from one
-    doc-partitioned LAG window over the exploded tokens (the window
-    and the final per-doc aggregation share the doc partitioning);
-    the bigram table — vocabulary-of-pairs-sized, ~linear in observed
-    text, not |V|² — broadcasts back onto the pairs.  Documents with
-    fewer than two tokens have no transitions and yield no row.
+    Same two-pass shape: adjacent pairs come from one doc-partitioned
+    LAG window over the exploded tokens (the window and the final
+    per-doc aggregation share the doc partitioning).  The distinct-
+    bigram table is NOT vocabulary-bounded — it grows near-LINEARLY
+    with observed text (10⁹–10¹⁰ rows at web scale, far past Spark's
+    broadcast limit), so unlike the unigram vocab it usually must NOT
+    broadcast at the scale this operator targets.  The probe join is
+    therefore size-gated: the bigram relation is counted and
+    broadcast only under `max_broadcast_rows`; above that it joins as
+    a plain shuffle equi-join on (prev, w) — the 100 TB shape.
+    Documents with fewer than two tokens have no transitions and
+    yield no row.
 
     Cross-engine determinism: identical to the unigram operator —
     per-pair nll rounds to 6 decimals into DECIMAL(18,6) sums.
@@ -455,7 +501,7 @@ def bigram_logprob(
         -F.log(F.col("c2") / F.col("followers")), 6
     ).cast("decimal(18,6)")
     return (
-        pairs.join(F.broadcast(big), on=["prev", "w"])
+        _gated_model_join(pairs, big, ["prev", "w"], max_broadcast_rows)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -587,6 +587,38 @@ def test_bigram_logprob_single_token_docs_yield_no_row(spark):
     assert [r.doc_id for r in bigram_logprob(df).collect()] == [2]
 
 
+def test_lm_broadcast_gate_flips_to_shuffle_join(spark):
+    """r07 verdict: the LM model relations (vocab / distinct bigrams)
+    are corpus-derived, NOT bounded by construction — the broadcast
+    must be size-gated.  Below the threshold the probe join is a BHJ;
+    with the threshold forced to 0 the SAME query carries no forced
+    hint and returns identical values.  autoBroadcastJoinThreshold is
+    disabled so the planner can't stats-convert on its own — then a
+    BHJ in the plan proves a HINT, its absence proves the gate closed
+    (at real scale AQE's runtime stats make the same call, which is
+    the point: the decision is size-driven, not forced)."""
+    from square_etl_spark.operators.text import bigram_logprob, unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b a c a"), (3, "c c b a")],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for op in (unigram_logprob, bigram_logprob):
+            small = op(df)  # model under the default gate → hint → BHJ
+            assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+            gated = op(df, max_broadcast_rows=0)  # forced past the gate
+            plan = gated._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, op.__name__
+            assert sorted(map(tuple, small.collect())) == sorted(
+                map(tuple, gated.collect())
+            ), op.__name__
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_survivor_selection_custom_id_column(spark):
     """Regression (r06 review): id_col other than 'doc_id' must work —
     connected_components' fixed output key is renamed to match."""
