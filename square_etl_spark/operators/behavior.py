@@ -197,6 +197,7 @@ def gapfill_daily(
         F.explode(F.sequence("d0", "d1")).alias("day")
     )
     keys = daily.select("k").distinct()
+    # bcast-ok: calendar grid = one row per day of the data's date span
     grid = keys.crossJoin(F.broadcast(calendar))
     joined = grid.join(daily, ["k", "day"], "left")
     if fill == "ffill":

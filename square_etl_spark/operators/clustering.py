@@ -75,6 +75,7 @@ def kmeans_fixed(
             "decimal(38,9)"
         )
         dist = (
+            # bcast-ok: k×d centroid table, bounded by cluster-count param
             long.join(F.broadcast(cent), "dim")
             .groupBy("vid", "c")
             .agg(F.sum(term).alias("d2"))

@@ -134,6 +134,7 @@ def ngram_jaccard_pairs(
         )
         # broadcast anti join: a cheap in-memory filter over the cached
         # postings, re-evaluated per consumer without a shuffle.
+        # bcast-ok: stoplist = shingles with df > df_cap, so ≤ |postings|/df_cap rows by cap arithmetic
         sh = sh.join(F.broadcast(stop), on="shingle", how="left_anti")
     sized = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -189,6 +190,8 @@ def embedding_cosine_pairs(
     normed = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("__nv"))
     a = normed.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"))
     b = normed.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"))
+    # bcast-ok: all-pairs BASELINE variant, documented small-input-only
+    # (the bucketed sign-LSH variant is the default / 100 TB path)
     pairs = a.join(F.broadcast(b), on=F.col("id_a") < F.col("id_b"))
     sim = (
         dot_unrolled(F.col("__va"), F.col("__vb"), dim)
@@ -729,6 +732,7 @@ def minhash_banded_pairs(
         .filter(F.col("n") > bucket_cap)
         .select("band", "bhash")
     )
+    # bcast-ok: hot-bucket list, ≤ |rows|/bucket_cap buckets by cap arithmetic
     buckets = buckets.join(F.broadcast(hot), on=["band", "bhash"], how="left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -881,6 +885,7 @@ def contamination_hits(
         .distinct()
     )
     return (
+        # bcast-ok: benchmark-suite shingle set (fixed eval suite ≪ corpus)
         corpus_sh.join(F.broadcast(bench_sh), "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))  # corpus shingles are distinct per doc
@@ -901,4 +906,6 @@ def decontaminate(
     most benchmark-sized."""
     hits = contamination_hits(df, benchmark_df, id_col, content_col, n)
     flagged = hits.filter(F.col("n_hits") >= min_hits).select(id_col)
+    # bcast-ok: contamination-hit id list (≥min_hits overlap with the
+    # fixed benchmark suite), ≪ corpus per the docstring contract
     return df.join(F.broadcast(flagged), id_col, "left_anti")

@@ -63,6 +63,7 @@ def pagerank_fixed(
     )
     base_pct = 100 - damping_pct
 
+    # bcast-ok: n1 is a 1-row node-count aggregate
     pr = nodes.crossJoin(F.broadcast(n1)).select(
         "node", F.expr(f"CAST({SCALE} AS BIGINT) div nn").alias("pr")
     )
@@ -74,6 +75,7 @@ def pagerank_fixed(
         )
         incoming = contrib.groupBy("dst").agg(F.sum("share").alias("sin"))
         pr = (
+            # bcast-ok: n1 is a 1-row node-count aggregate
             nodes.crossJoin(F.broadcast(n1))
             .join(incoming, nodes.node == incoming.dst, "left")
             .select(
@@ -126,6 +128,7 @@ def dense_index(keys: DataFrame, key_col: str) -> DataFrame:
         offsets or [("00", 0)], "__shard string, __off long"
     )
     return (
+        # bcast-ok: shard-offset map, ≤256 rows by shard-count bound
         local.join(F.broadcast(off_df), "__shard")
         .select(key_col, (F.col("__off") + F.col("__rk") - 1).alias("i"))
     )
@@ -144,6 +147,7 @@ def regular_user_graph(keys: DataFrame, key_col: str = "user_id") -> DataFrame:
     rank, not a global-order window."""
     idx = dense_index(keys, key_col).select("i")
     n1 = idx.agg(F.count(F.lit(1)).alias("nn"))
+    # bcast-ok: n1 is a 1-row node-count aggregate
     return idx.crossJoin(F.broadcast(n1)).select(
         F.col("i").alias("src"),
         F.explode(

@@ -32,6 +32,8 @@ def broadcast_left_enrich(
     than facts, so broadcasting avoids shuffling the fact table
     entirely — the single most important join decision at scale.
     """
+    # bcast-ok: caller contract — this helper IS the explicit
+    # broadcast-dim join; callers assert the dim is bounded
     return facts.join(F.broadcast(dim), on=on, how=how)
 
 
@@ -279,6 +281,7 @@ def fuzzy_join_blocked(
             .filter(F.col("__ln") * F.col("__rn") > block_cap)
             .select("bk")
         )
+        # bcast-ok: hot-block key list, ≤ |pairs|/block_cap keys by cap arithmetic
         lb = lb.join(F.broadcast(hot), "bk", "left_anti")
     cand = lb.join(rb, "bk")
     return (
@@ -345,6 +348,7 @@ def spatial_bin_join(
             .filter(F.col("__ln") * F.col("__rn") > cell_cap)
             .select("cx", "cy")
         )
+        # bcast-ok: hot-cell list, ≤ |pairs|/cell_cap cells by cap arithmetic
         lc = lc.join(F.broadcast(hot), ["cx", "cy"], "left_anti")
     cand = lc.join(rc, ["cx", "cy"])
     d2 = (F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx)) + (
@@ -400,5 +404,6 @@ def interval_lookup(
         & (facts[ts_col] >= d[valid_from])
         & (d[valid_to].isNull() | (facts[ts_col] < d[valid_to]))
     )
+    # bcast-ok: caller opt-in flag (broadcast_dim) — caller asserts bounded dim
     right = F.broadcast(d) if broadcast_dim else d
     return facts.join(right, cond, how).drop(*[f"__dk_{k}" for k in keys])

@@ -293,6 +293,7 @@ def ntile_assign(
             rem + F.expr(f"(__off + __rk - {head} + {bucket - 1}) div {bucket}")
         )
     return (
+        # bcast-ok: partition-offset map, one row per shuffle partition
         local.join(F.broadcast(off_df), "__pid")
         .withColumn("tile", tile.cast("int"))
         .drop("__pid", "__rk", "__off")
@@ -436,6 +437,7 @@ def pack_sequences(
     # floor(cum / budget)'s double division would lose low bits and
     # disagree with the exact long `cum % budget` offset.
     return (
+        # bcast-ok: shard-offset map, ≤256 rows by shard-count bound
         local.join(F.broadcast(off_df), "__shard")
         .withColumn("__cum", cum)
         .withColumn("seq_id", F.expr(f"__cum DIV {int(budget)}").cast("bigint"))

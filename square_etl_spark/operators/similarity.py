@@ -97,6 +97,7 @@ def cosine_topk(
     decimals BEFORE ranking, with id tiebreak, so the result set is
     reproducible across engines and accumulation orders.
     """
+    # bcast-ok: ANN query set (handful of probe vectors), ≪ corpus by contract
     pairs = vectors.crossJoin(F.broadcast(queries)).withColumn(
         "cosine_sim",
         F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6),
@@ -162,6 +163,7 @@ def cosine_topk_lsh(
     planes = random_hyperplanes(dim, bits, seed)
     v = vectors.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
     q = queries.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes))
+    # bcast-ok: bucketed ANN query set, ≪ corpus by contract
     pairs = v.join(F.broadcast(q), on="bucket").withColumn(
         "cosine_sim", F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)
     )
@@ -188,6 +190,7 @@ def ivf_assign(
     pass.  The cell id is then the partition/bucket key for probes —
     write the index partitioned by cell and a probe reads only
     n_probe cells."""
+    # bcast-ok: k×d IVF centroid table, bounded by n_cells param
     pairs = vectors.crossJoin(F.broadcast(centroids)).withColumn(
         "sim", F.round(cosine(F.col(vec_col), F.col(centroid_vec_col)), 6)
     )
@@ -423,6 +426,7 @@ def topk_from_codes(
         )
     qscaled = queries.select(query_id_col, qs.alias("__qs"))
     approx = (
+        # bcast-ok: scaled ANN query set, ≪ corpus by contract
         codes_df.crossJoin(F.broadcast(qscaled))
         .withColumn(
             "approx_sim",
@@ -439,6 +443,7 @@ def topk_from_codes(
     )
     exact = (
         cands.join(vectors, on=id_col)
+        # bcast-ok: ANN query set rejoin for exact rescoring, ≪ corpus
         .join(F.broadcast(queries), on=query_id_col)
         .withColumn(
             "cosine_sim",

@@ -101,6 +101,7 @@ def cms_estimate(
             )
         ).alias("cell"),
     ).select(key_col, F.col("cell.j").alias("j"), F.col("cell.b").alias("b"))
+    # bcast-ok: CMS sketch is exactly d×w cells, fixed by sketch params
     joined = probe.join(F.broadcast(sketch), ["j", "b"], "left").na.fill(
         {"cnt": 0}
     )
@@ -153,6 +154,7 @@ def bloom_probe_keys(
             F.array(*[_md5_mod(F.col(key_col), j, m) for j in range(k)])
         ).alias("pos"),
     )
+    # bcast-ok: distinct set-bit positions ≤ m, fixed by filter params
     hits = probe.join(F.broadcast(positions), "pos")
     return (
         hits.groupBy(key_col)

@@ -211,6 +211,8 @@ def order_items_pipeline(
         order_cols=["payment_id"],
     )
     qty = F.col("quantity_str").try_cast("double")
+    # bcast-ok: per-batch first-wins order→payment map, bounded by the
+    # ingest window (the reference processes windowed batches, S1/T2)
     staged = lines.join(F.broadcast(o2p), on="order_id", how="inner").withColumn(
         "quantity", qty
     )
@@ -283,6 +285,7 @@ def catalog_pipeline(
     maps are ONE broadcast left join (items per tenant are a small
     dim), and the name fallback ``parentName ?? variationName`` is P3's
     coalesce.  Variations without id are quarantined (:35-38)."""
+    # bcast-ok: catalog items per tenant = single-API-page dim (SURVEY §4)
     joined = variations.join(F.broadcast(items), on="item_id", how="left")
     good, rejects = quarantine_split(
         joined, [("missing_id", F.col("catalog_object_id").isNull())]

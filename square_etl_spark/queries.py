@@ -151,7 +151,9 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = li.join(o, li.l_orderkey == o.o_orderkey)
     enriched = (
         broadcast_left_enrich(facts, c, facts.o_custkey == c.c_custkey, how="inner")
+        # bcast-ok: nation = constant 25-row dim
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        # bcast-ok: region = constant 5-row dim
         .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     )
     return (
@@ -2592,6 +2594,7 @@ def _mm_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id"),
             (F.col("n_chars") % 256).cast("int").alias("gray"),
         )
+        # bcast-ok: lut = constant 256-row lookup table
         .join(F.broadcast(lut), on="gray")
         .select(
             "media_id",
@@ -2830,6 +2833,7 @@ def _mm_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("media_id"),
             (F.col("n_chars") % 256).cast("int").alias("sval"),
         )
+        # bcast-ok: lut = constant 256-row lookup table
         .join(F.broadcast(lut), on="sval")
         .select(
             "media_id",
@@ -3651,6 +3655,7 @@ def _embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_vec = (
+        # bcast-ok: cent = k×d centroid table, bounded by cluster count
         dims.join(F.broadcast(cent), ["label", "d"])
         .groupBy("vec_id", "label")
         .agg(
@@ -3659,6 +3664,7 @@ def _embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(d12(F.col("x") * F.col("x"))).cast("double")
             ).alias("nv"),
         )
+        # bcast-ok: cnorm = k-row centroid-norm table
         .join(F.broadcast(cnorm), "label")
         .select(
             "vec_id",
@@ -3797,7 +3803,7 @@ def _q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
+        c, o.o_custkey == c.c_custkey
     )
     return (
         joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -3848,13 +3854,15 @@ def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (c.c_nationkey == s.s_nationkey),
         )
+        # bcast-ok: nation = constant 25-row dim
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        # bcast-ok: region = constant 5-row dim
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
@@ -3939,7 +3947,8 @@ def _q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        # bcast-ok: nation = constant 25-row dim
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -3985,7 +3994,7 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"), "l_shipdate", "1997-01-01", "1997-04-01"
     )
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return joined.agg(
@@ -4026,7 +4035,7 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty"
         )
@@ -4110,6 +4119,7 @@ def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         load_table(spark, sf_dir, "supplier")
         .join(
+            # bcast-ok: nation filtered to 2 names, ≤25 rows
             F.broadcast(n.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
@@ -4118,6 +4128,7 @@ def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         load_table(spark, sf_dir, "customer")
         .join(
+            # bcast-ok: nation filtered to 2 names, ≤25 rows
             F.broadcast(n.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
@@ -4128,9 +4139,9 @@ def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = load_table(spark, sf_dir, "orders")
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -4226,8 +4237,9 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = rev.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
     return (
+        # bcast-ok: mx = 1-row max aggregate
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -4262,7 +4274,7 @@ def _q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     before dividing, so both engines evaluate the identical expression."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
-    joined = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     w = Window.partitionBy("l_partkey")
     avg_qty = (
         F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double")
@@ -4307,7 +4319,7 @@ def _q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
     )
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -4369,9 +4381,11 @@ def _q22_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thr")
     )
     return (
+        # bcast-ok: thr = 1-row mean-threshold aggregate
         c.join(F.broadcast(thr), F.col("c_acctbal") > F.col("thr"))
         .drop("thr")
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        # bcast-ok: nation = constant 25-row dim
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -4470,14 +4484,16 @@ def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     s = load_table(spark, sf_dir, "supplier").join(
+        # bcast-ok: nation⋈region constant dims
         F.broadcast(
+            # bcast-ok: region = constant 5-row dim
             n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
             .select("n_nationkey", "n_name")
         ),
         F.col("s_nationkey") == F.col("n_nationkey"),
     )
     j = ps.join(
-        F.broadcast(p.select("p_partkey", "p_type")),
+        p.select("p_partkey", "p_type"),
         ps.ps_partkey == F.col("p_partkey"),
     ).join(s, ps.ps_suppkey == F.col("s_suppkey"))
     w = Window.partitionBy("ps_partkey")
@@ -4544,11 +4560,12 @@ def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         ps.join(
-            F.broadcast(
-                s.join(
-                    F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
-                ).select("s_suppkey")
-            ),
+            # one-nation supplier slice is SF-linear — size-stat planner
+            # / AQE picks the strategy (no forced hint)
+            s.join(
+                # bcast-ok: nation filtered to one name, ≤25 rows
+                F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+            ).select("s_suppkey"),
             ps.ps_suppkey == F.col("s_suppkey"),
         )
         .withColumn(
@@ -4560,6 +4577,7 @@ def _q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = j.agg(F.sum("value_cents").alias("total_cents"))
     return (
+        # bcast-ok: total = 1-row grand-total aggregate
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
         .select(
@@ -4709,9 +4727,9 @@ def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        ps.join(F.broadcast(p), ps.ps_partkey == F.col("p_partkey"))
+        ps.join(p, ps.ps_partkey == F.col("p_partkey"))
         .join(
-            F.broadcast(bad),
+            bad,
             ps.ps_suppkey == F.col("s_suppkey"),
             "left_anti",
         )
@@ -4773,6 +4791,7 @@ def _q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_3"
     )
     s = load_table(spark, sf_dir, "supplier").join(
+        # bcast-ok: nation filtered to one name, ≤25 rows
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
@@ -4821,8 +4840,10 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (
         load_table(spark, sf_dir, "customer")
         .join(
+            # bcast-ok: nation⋈region constant dims
             F.broadcast(
                 n.join(
+                    # bcast-ok: region = constant 5-row dim
                     F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
                 ).select("n_nationkey")
             ),
@@ -4833,6 +4854,7 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (
         load_table(spark, sf_dir, "supplier")
         .join(
+            # bcast-ok: nation⋈region constant dims
             F.broadcast(
                 n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name"))
             ),
@@ -4848,8 +4870,8 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_vol = F.when(F.col("supp_nation") == "NATION_2", vol).otherwise(F.lit(0.0))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(decimal_sum(nation_vol) / decimal_sum(vol), 6).alias("mkt_share")
@@ -4901,9 +4923,10 @@ def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        # bcast-ok: nation = constant 25-row dim
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -5493,6 +5516,7 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
         F.col("cell"),
     )
+    # bcast-ok: ANN query set (probe vectors), ≪ corpus by contract
     pairs = assigned.join(F.broadcast(q), on="cell").withColumn(
         "cosine_sim", F.round(cosine(F.col("embedding"), F.col("query_vec")), 6)
     )
@@ -6435,7 +6459,7 @@ def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_order.filter((F.col("n_supps") > 1) & (F.col("n_late") == 1)),
             "l_orderkey",
         )
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(s.select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
@@ -7207,7 +7231,7 @@ def _bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     passing = bloom_probe_keys(probe_keys, "custkey", positions, k=3, m=4096)
     true_keys = probe_keys.join(
-        F.broadcast(build), probe_keys.custkey == build.c_custkey, "left_semi"
+        build, probe_keys.custkey == build.c_custkey, "left_semi"
     )
     a = build.agg(F.count(F.lit(1)).alias("build_keys"))
     b = positions.agg(F.count(F.lit(1)).alias("bits_set"))
@@ -7215,14 +7239,14 @@ def _bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = true_keys.agg(F.count(F.lit(1)).alias("true_keys"))
     e = (
         orders.join(
-            F.broadcast(passing),
+            passing,
             orders.o_custkey == passing.custkey,
             "left_semi",
         ).agg(F.count(F.lit(1)).alias("orders_after_prune"))
     )
     f = (
         orders.join(
-            F.broadcast(build),
+            build,
             orders.o_custkey == build.c_custkey,
             "left_semi",
         ).agg(F.count(F.lit(1)).alias("orders_true"))
@@ -7572,7 +7596,7 @@ def _outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     d6 = lambda col: F.round(col, 6).cast("decimal(28,6)")  # noqa: E731
     w = Window.partitionBy("c_mktsegment")
     x = F.col("o_totalprice")
@@ -7717,6 +7741,7 @@ def _quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate-input guard (selfcheck NaN policy): hi == lo (all
     # values equal, or a 1-row table) makes the bin expression 0/0 —
     # collapse to bin 0 so est == exact == lo instead of NaN bins
+    # bcast-ok: b = 1-row lo/hi bounds aggregate
     binned = o.crossJoin(F.broadcast(b)).select(
         F.when(F.col("hi") == F.col("lo"), F.lit(0))
         .otherwise(
@@ -7751,6 +7776,7 @@ def _quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact",
     )
     picked = (
+        # bcast-ok: cumulative histogram, one row per sketch bucket (bounded by bucket param)
         ps.join(F.broadcast(cum), F.col("cum") >= F.col("p") * F.col("n"))
         .groupBy("idx", "p", "lo", "hi", "exact")
         .agg(F.min("bin").alias("qbin"))
@@ -8596,9 +8622,10 @@ def _q9_profit_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_partkey") == F.col("ps_partkey"))
             & (F.col("l_suppkey") == F.col("ps_suppkey")),
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        # bcast-ok: nation = constant 25-row dim
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -8681,8 +8708,8 @@ def _basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part_b"), F.col("part_orders").alias("nb")
     )
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .select(
             "part_a",
             "part_b",

@@ -91,12 +91,20 @@ def lint_registry() -> dict[str, list[str]]:
 
 
 def main() -> int:
+    from square_etl_spark.queries import registry
+
+    scanned = sum(1 for spec in registry() if spec.oracle is not None)
     bad = lint_registry()
     for name, findings in bad.items():
         for f in findings:
             print(f"LINT  {name}: {f}")
     n = sum(len(v) for v in bad.values())
-    print(f"{n} oracle NaN-guard findings in {len(bad)} queries")
+    # r07 verdict: "0 findings in 0 queries" read as "scanned nothing" —
+    # always state the denominator so healthy output looks healthy
+    print(
+        f"{n} oracle NaN-guard findings in {scanned} oracles scanned"
+        f" ({len(bad)} queries with findings)"
+    )
     return 1 if bad else 0
 
 

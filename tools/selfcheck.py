@@ -108,6 +108,13 @@ def main() -> int:
         for f in fnds:
             print(f"LINT  {qname}: {f}")
 
+    # forced-broadcast justification lint (tools/broadcast_lint.py):
+    # every F.broadcast() in non-test source needs a bounded-input
+    # pragma — an unjustified hint is a latent OOM at scale.
+    import broadcast_lint
+
+    bcast_bad = broadcast_lint.main() != 0
+
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for name in [
@@ -185,6 +192,8 @@ def main() -> int:
             print(f"PASS  {spec.name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
     failures.extend(f"lint:{q}" for q in lint_bad)
+    if bcast_bad:
+        failures.append("lint:forced-broadcast")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
