@@ -561,12 +561,26 @@ def read_version(
     return spark.read.parquet(os.path.join(path, f"v={v}"))
 
 
-def versioned_vacuum(path: str, keep: int = 2) -> list[int]:
+def versioned_vacuum(
+    path: str, keep: int = 2, orphan_grace_seconds: float = 24 * 3600
+) -> list[int]:
     """Drop snapshots older than the newest ``keep`` (never the
     published one) plus any orphan snapshot ABOVE the pointer (a
-    crashed write that never published).  Returns removed versions."""
+    crashed write that never published).  Returns removed versions.
+
+    An above-pointer snapshot younger than ``orphan_grace_seconds``
+    is left alone (r07 advice): a writer sits between the snapshot
+    write and the pointer flip for seconds-to-minutes, and a vacuum
+    running in another process during that window would otherwise
+    delete the IN-FLIGHT snapshot and let the writer publish a
+    pointer to a missing directory.  A crashed write's orphan has a
+    frozen mtime, so it ages past the grace period and is reclaimed
+    by the next vacuum; pass ``orphan_grace_seconds=0`` only when the
+    caller IS the single pipeline owner and no write can be in
+    flight."""
     import re as _re
     import shutil as _shutil
+    import time as _time
 
     cur = table_version(path)
     versions = sorted(
@@ -574,10 +588,14 @@ def versioned_vacuum(path: str, keep: int = 2) -> list[int]:
         for d in os.listdir(path)
         if (m := _re.fullmatch(r"v=(\d+)", d))
     )
+    now = _time.time()
     removed = []
     for v in versions:
         stale = v <= cur - keep
-        orphan = v > cur
+        orphan = v > cur and (
+            now - os.path.getmtime(os.path.join(path, f"v={v}"))
+            > orphan_grace_seconds
+        )
         if stale or orphan:
             _shutil.rmtree(os.path.join(path, f"v={v}"))
             removed.append(v)

@@ -214,6 +214,13 @@ def incremental_kmv(
     k=64); estimate at read time via :func:`kmv_estimate`.  At 100 TB
     the per-batch cost is one dedup + grouped bottom-k of 32-bit
     hashes — the batch scan dominates, the state table is keys-sized.
+
+    NULL values are IGNORED (COUNT DISTINCT semantics): a NULL
+    value_col hashes to NULL, and Spark's ascending row_number ranks
+    NULLs FIRST while collect_list silently drops them — without the
+    explicit filter a key with NULL values would burn bottom-k slots
+    on hashes that never reach the sketch, breaking maintain ≡
+    one-shot and diverging from the NULLS-LAST oracle (r07 advice).
     """
     from pyspark.sql.window import Window
 
@@ -228,6 +235,7 @@ def incremental_kmv(
     wk = Window.partitionBy(*keys).orderBy(F.col("__hv").asc())
     partial = (
         batch.select(*keys, h.alias("__hv"))
+        .filter(F.col("__hv").isNotNull())
         .distinct()
         .withColumn("__rk", F.row_number().over(wk))
         .filter(F.col("__rk") <= k)

@@ -3343,7 +3343,14 @@ def _kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    dh = e.select("event_type", h.alias("hv")).distinct()
+    # NULL user_id → NULL hash: drop it (COUNT DISTINCT semantics) —
+    # Spark ranks NULLs FIRST ascending, DuckDB LAST, so an unfiltered
+    # NULL burns a bottom-k slot on one engine only (r07 advice)
+    dh = (
+        e.select("event_type", h.alias("hv"))
+        .filter(F.col("hv").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy("event_type").orderBy(F.col("hv").asc())
     kept = dh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= K)
     return (
@@ -3380,7 +3387,7 @@ _register(
           SELECT event_type, hv,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY hv) AS rk
-          FROM h),
+          FROM h WHERE hv IS NOT NULL),
         k AS (
           SELECT event_type, COUNT(*) AS n, MAX(hv) AS kth
           FROM r WHERE rk <= 64 GROUP BY event_type)
@@ -3438,7 +3445,7 @@ _register(
           SELECT event_type, hv,
                  ROW_NUMBER() OVER (PARTITION BY event_type
                                     ORDER BY hv) AS rk
-          FROM h),
+          FROM h WHERE hv IS NOT NULL),
         k AS (
           SELECT event_type, COUNT(*) AS n, MAX(hv) AS kth
           FROM r WHERE rk <= 64 GROUP BY event_type)
@@ -3679,17 +3686,28 @@ def _embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    return per_vec.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.round(
-            F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_cos"),
-        F.min("cos").alias("min_cos"),
-        F.min_by(
-            "vec_id", F.struct(F.col("cos"), F.col("vec_id"))
-        ).alias("outlier_vec"),
+    # NULL cos (zero-norm vector or centroid) is excluded BEFORE the
+    # rollup: Spark's min_by over struct(cos, vec_id) orders NULL
+    # fields first while the DuckDB oracle's FIRST(... ORDER BY cos)
+    # defaults NULLS LAST — a degenerate-input engine/oracle
+    # divergence unless both sides drop the row (r07 advice).  A
+    # zero-norm vector has no defined angle, so it has no place in a
+    # cosine diagnostic anyway.
+    return (
+        per_vec.filter(F.col("cos").isNotNull())
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_cos"),
+            F.min("cos").alias("min_cos"),
+            F.min_by(
+                "vec_id", F.struct(F.col("cos"), F.col("vec_id"))
+            ).alias("outlier_vec"),
+        )
     )
 
 
@@ -3733,7 +3751,7 @@ _register(
                      / COUNT(*), 6) AS avg_cos,
                MIN(cos) AS min_cos,
                FIRST(vec_id ORDER BY cos, vec_id) AS outlier_vec
-        FROM scored GROUP BY label
+        FROM scored WHERE cos IS NOT NULL GROUP BY label
         """,
         doc="per-label centroid + cosine-to-centroid outliers: decimal-exact, broadcast centroids",
     )

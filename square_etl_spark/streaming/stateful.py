@@ -343,6 +343,15 @@ def twap_stateful(
         rows.sort(key=lambda r: (r[0], r[1]))
         for t_us, eid, v in rows:
             if last_us is not None:
+                if t_us < last_us:
+                    # Out-of-order across micro-batches: the watermark
+                    # admits late events, but folding one here would add
+                    # a NEGATIVE dt into num/den and silently corrupt
+                    # the accumulators.  Mirror funnel_stateful's
+                    # monotonic guard: a late event cannot retroactively
+                    # re-pair past intervals — skip it; the batch twin
+                    # is the reconciliation path.
+                    continue
                 dt = t_us // 1_000_000 - last_us // 1_000_000
                 num += last_cents * dt
                 den += dt

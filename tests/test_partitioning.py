@@ -232,8 +232,12 @@ def test_versioned_table_crashed_write_is_invisible_and_vacuumed(spark, tmp_path
     spark.range(99).write.parquet(os.path.join(path, "v=2"))
     assert table_version(path) == 1
     assert read_version(spark, path).count() == 5
-    # and vacuum reclaims it
-    assert versioned_vacuum(path, keep=5) == [2]
+    # a FRESH above-pointer snapshot is indistinguishable from an
+    # in-flight write → the default grace period protects it
+    assert versioned_vacuum(path, keep=5) == []
+    assert read_version(spark, path, 2).count() == 99  # still on disk
+    # owner-context vacuum (no write can be in flight) reclaims it
+    assert versioned_vacuum(path, keep=5, orphan_grace_seconds=0) == [2]
     assert table_version(path) == 1
 
 

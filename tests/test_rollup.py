@@ -155,6 +155,35 @@ def test_incremental_kmv_maintain_equals_one_shot_exactly(spark):
     assert a == b
 
 
+def test_incremental_kmv_ignores_null_values(spark):
+    """r07 advice: NULL value rows hash to NULL __hv; Spark ranks
+    NULLs FIRST ascending while collect_list drops them — without the
+    explicit filter a key with NULLs keeps FEWER than k real hashes.
+    NULLs must be ignored entirely (COUNT DISTINCT semantics)."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.aggregations import (
+        incremental_kmv,
+        kmv_estimate,
+    )
+
+    rows = [("a", None), ("a", None), ("a", None)] + [
+        ("a", i) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "g string, u int")
+    st = incremental_kmv(None, df, ["g"], "u", k=4)
+    sk = st.collect()[0]["kmv"]
+    assert len(sk) == 4  # NULLs did not burn bottom-k slots
+    assert all(v is not None for v in sk)
+    # maintain ≡ one-shot still holds when one batch is all-NULL
+    state = incremental_kmv(None, df.filter(F.col("u").isNull()), ["g"], "u", k=4)
+    state = incremental_kmv(state, df.filter(F.col("u").isNotNull()), ["g"], "u", k=4)
+    merged = {r["g"]: list(r["kmv"]) for r in state.collect()}
+    assert merged == {"a": list(sk)}
+    est = st.select(kmv_estimate(k=4).alias("e")).collect()[0]["e"]
+    assert est >= 4  # estimator sees a full sketch of real hashes
+
+
 def test_incremental_kmv_estimate_exact_below_k(spark):
     from pyspark.sql import functions as F
 

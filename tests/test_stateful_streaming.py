@@ -196,6 +196,64 @@ def test_stateful_funnel_does_not_rewind_on_late_stage_one(spark, tmp_path):
     }
 
 
+def test_stateful_twap_skips_out_of_order_late_event(spark, tmp_path):
+    """r07 advice: a late event inside the watermark arrives with
+    t < last seen timestamp; folding it would add a NEGATIVE dt into
+    num/den and silently corrupt the accumulators (den can go
+    non-positive, nulling twap_finalize).  The monotonic guard must
+    SKIP it — same posture as the funnel's set-once contract."""
+    import datetime as dt
+
+    from square_etl_spark.streaming.stateful import (
+        twap_finalize,
+        twap_stateful,
+    )
+
+    src = os.path.join(tmp_path, "twsrc")
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    b0 = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 5), 1, "obs", 10.0, "{}"),
+         (1, dt.datetime(2024, 1, 6), 1, "obs", 20.0, "{}")],
+        schema,
+    )
+    b1 = spark.createDataFrame(  # earlier observation, delivered late
+        [(2, dt.datetime(2024, 1, 1), 1, "obs", 99.0, "{}")], schema
+    )
+    os.makedirs(src)
+    out_dir = os.path.join(tmp_path, "twout")
+    for i, b in enumerate([b0, b1]):
+        b.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            twap_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: bdf.withColumn(
+                    "batch_id", F.lit(bid)
+                ).write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp_path, "twckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    acc = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    latest = (
+        acc.withColumn("rk", F.row_number().over(w))
+        .filter("rk = 1")
+        .drop("rk", "batch_id")
+    )
+    rows = twap_finalize(latest).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # the Jan-1 late row contributed NOTHING: one Jan5→Jan6 interval
+    assert r["n_intervals"] == 1
+    assert r["total_seconds"] == 86400  # positive — no negative dt folded
+    assert r["twap"] == 10.0
+
+
 def test_stateful_twap_matches_batch_twin_bit_exact(spark, sf_dir, tmp_path):
     """Three time-ordered micro-batches through twap_stateful, then the
     shared Spark-column finalize, must reproduce the batch TWAP
