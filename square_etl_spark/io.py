@@ -408,8 +408,53 @@ def read_jdbc_partitioned(
     )
 
 
+_MANIFEST_SCHEMA = (
+    "file string, col string, min_str string, max_str string, "
+    "null_count long"
+)
+
+
+def _footer_stats(f: str, cols: list[str]) -> list[tuple]:
+    """Per-file footer extraction: one (file, col, min, max, nulls)
+    tuple per requested column present in the file's schema.  Pure
+    pyarrow metadata reads — no data pages."""
+    import pyarrow.parquet as _pq
+
+    md = _pq.ParquetFile(f).metadata
+    schema_names = {md.row_group(0).column(i).path_in_schema
+                    for i in range(md.num_columns)} if md.num_row_groups else set()
+    out = []
+    for c in cols:
+        if c not in schema_names:
+            continue
+        mins, maxs, nulls = [], [], 0
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if col.path_in_schema != c:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = None, None
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+                nulls += st.null_count or 0
+            if mins is None:
+                break
+        if mins:
+            out.append((f, c, str(min(mins)), str(max(maxs)), nulls))
+        else:  # no stats for this column → never prunable
+            out.append((f, c, None, None, None))
+    return out
+
+
 def stats_manifest(
-    spark: SparkSession, path: str, cols: list[str]
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    files_per_task: int = 512,
 ) -> DataFrame:
     """File-level min/max statistics manifest — the data-skipping
     index a table format (Delta/Iceberg) maintains, built here from
@@ -418,6 +463,13 @@ def stats_manifest(
     groups.  Footer-only reads — no data pages are touched, so
     building the manifest over a huge table costs file-count × a few
     KB of metadata I/O, not a scan.
+
+    The footer reads run EXECUTOR-SIDE (r07 verdict): the driver only
+    lists the files; the list fans out via ``mapInPandas`` in batches
+    of ``files_per_task``, so a 100 TB table's 10⁵–10⁶ footers read in
+    parallel across the cluster instead of serializing through one
+    driver loop.  Output relation is identical to the former
+    driver-loop build (equality-pinned in tests).
 
     Pair with :func:`prune_files` to turn a predicate into the subset
     of files that can possibly match, then read exactly those — the
@@ -429,45 +481,48 @@ def stats_manifest(
     import glob as _glob
     import os as _os
 
-    import pyarrow.parquet as _pq
-
-    rows = []
     files = sorted(
         _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
     )
-    for f in files:
-        md = _pq.ParquetFile(f).metadata
-        schema_names = {md.row_group(0).column(i).path_in_schema
-                        for i in range(md.num_columns)} if md.num_row_groups else set()
-        for c in cols:
-            if c not in schema_names:
-                continue
-            mins, maxs, nulls = [], [], 0
-            for g in range(md.num_row_groups):
-                rg = md.row_group(g)
-                for i in range(rg.num_columns):
-                    col = rg.column(i)
-                    if col.path_in_schema != c:
-                        continue
-                    st = col.statistics
-                    if st is None or not st.has_min_max:
-                        mins, maxs = None, None
-                        break
-                    mins.append(st.min)
-                    maxs.append(st.max)
-                    nulls += st.null_count or 0
-                if mins is None:
-                    break
-            if mins:
-                rows.append(
-                    (f, c, str(min(mins)), str(max(maxs)), nulls)
-                )
-            else:  # no stats for this column → never prunable
-                rows.append((f, c, None, None, None))
+    if not files:
+        return spark.createDataFrame([], _MANIFEST_SCHEMA)
+    want = list(cols)
+
+    def extract(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                rows.extend(_footer_stats(f, want))
+            yield _pd.DataFrame(
+                rows,
+                columns=["file", "col", "min_str", "max_str", "null_count"],
+            )
+
+    n_tasks = max(1, -(-len(files) // files_per_task))
+    paths = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(n_tasks)
+    return paths.mapInPandas(extract, _MANIFEST_SCHEMA)
+
+
+def _stats_manifest_driver(
+    spark: SparkSession, path: str, cols: list[str]
+) -> DataFrame:
+    """Driver-loop manifest build (the pre-r08 implementation), kept
+    as the equality oracle for the distributed build — fine for small
+    file counts, a driver bottleneck at 10⁵-file tables."""
+    import glob as _glob
+    import os as _os
+
+    rows: list[tuple] = []
+    for f in sorted(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        rows.extend(_footer_stats(f, cols))
     return spark.createDataFrame(
-        rows or [("", "", None, None, None)],
-        "file string, col string, min_str string, max_str string, "
-        "null_count long",
+        rows or [("", "", None, None, None)], _MANIFEST_SCHEMA
     ).filter(F.col("file") != "")
 
 

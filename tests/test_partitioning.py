@@ -191,6 +191,39 @@ def test_stats_manifest_and_prune_files_skip_correctly(spark, tmp_path):
     assert prune_files(man, "v", 5000, 6000) == []
 
 
+def test_stats_manifest_distributed_equals_driver_loop(spark, tmp_path):
+    """r07 verdict: the manifest build fans footer reads out to
+    executors (mapInPandas over the file list) — the relation must be
+    ROW-IDENTICAL to the former sequential driver loop, including
+    multi-column requests, absent columns, and no-stats NULL rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import _stats_manifest_driver, stats_manifest
+
+    path = os.path.join(tmp_path, "eqtab")
+    for lo in (0, 500, 1000, 1500, 2000):
+        spark.range(lo, lo + 100).select(
+            F.col("id").alias("v"),
+            (F.col("id") % 7).alias("k"),
+            F.col("id").cast("string").alias("s"),
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    cols = ["v", "k", "s", "not_a_column"]
+    # tiny files_per_task → genuinely multiple executor tasks
+    dist = stats_manifest(spark, path, cols, files_per_task=2)
+    drv = _stats_manifest_driver(spark, path, cols)
+    key = ["file", "col"]
+    assert sorted(map(tuple, dist.collect())) == sorted(
+        map(tuple, drv.collect())
+    )
+    assert dist.select(*key).distinct().count() == drv.count()
+    # empty directory → empty relation, same schema
+    empty = stats_manifest(spark, os.path.join(tmp_path, "nofiles"), ["v"])
+    assert empty.count() == 0 and empty.columns == dist.columns
+
+
 def test_versioned_table_publish_read_timetravel_vacuum(spark, tmp_path):
     import os
 
