@@ -3455,6 +3455,7 @@ _register(
                  AS approx_users
         FROM k ORDER BY event_type
         """,
+        bench=True,
         doc="incremental distinct via KMV bottom-k monoid: maintain ≡ one-shot, FULL oracle",
     )
 )
@@ -8194,6 +8195,7 @@ _register(
          AND f.at_ts >= h.valid_from
          AND (h.valid_to IS NULL OR f.at_ts < h.valid_to)
         """,
+        bench=True,
         doc="SCD2 point-in-time lookup: broadcast half-open interval join against the versioned dim",
     )
 )
@@ -8257,6 +8259,7 @@ _register(
         FROM closure JOIN part ON node = p_partkey
         GROUP BY root
         """,
+        bench=True,
         doc="forest closure by pointer doubling (log-depth) vs recursive-CTE oracle, BOM rollup",
     )
 )
@@ -8298,6 +8301,7 @@ _register(
                COUNT(*) AS n_intervals
         FROM i GROUP BY user_id
         """,
+        bench=True,
         doc="time-weighted average per key: LEAD interval weights, decimal-exact weighted mean",
     )
 )

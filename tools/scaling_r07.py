@@ -17,55 +17,71 @@ work lands inside the timer).  The interesting questions:
 Usage: python tools/scaling_r07.py [sizes_csv]
   (default "100000,1000000,4000000" rows)
 Prints one JSON line per measurement.
+
+Per-point PROCESS isolation (r07 verdict item 5): the r07 in-sequence
+sweep showed JVM-state bleed between points even with GC between them
+(TWAP at 4M rows: 27.2 s in-sequence vs 1.1-1.3 s standalone —
+checkpoint blocks and codegen caches from earlier points distort later
+ones).  The driver loop therefore re-execs THIS script with
+``--point <n> <op>`` for every (size, op) pair: each measurement gets
+a fresh interpreter + JVM, so in-sequence numbers ≈ standalone numbers
+by construction.  ``--point`` mode is also the single-measurement CLI.
 """
 
 from __future__ import annotations
 
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from square_etl_spark import get_spark  # noqa: E402
-from square_etl_spark.operators.graph import (  # noqa: E402
-    ancestor_closure,
-    dense_index,
-)
-from square_etl_spark.operators.joins import interval_lookup  # noqa: E402
-from square_etl_spark.operators.sampling import ntile_assign  # noqa: E402
-from square_etl_spark.operators.windows import time_weighted_avg  # noqa: E402
+OPS = [
+    "dense_index",
+    "ntile_assign(100)",
+    "ancestor_closure(d=7)",
+    "interval_lookup(10k-dim)",
+    "time_weighted_avg",
+]
 
 
 def timed(name: str, n: int, thunk):
     t0 = time.perf_counter()
     rows = thunk()
     dt = round(time.perf_counter() - t0, 2)
-    print(json.dumps({"op": name, "n": n, "sec": dt, "rows": rows}))
+    print(json.dumps({"op": name, "n": n, "sec": dt, "rows": rows}),
+          flush=True)
 
 
-def main() -> None:
-    sizes = [
-        int(s)
-        for s in (sys.argv[1] if len(sys.argv) > 1 else
-                  "100000,1000000,4000000").split(",")
-    ]
-    spark = get_spark("scaling-r07")
+def run_point(n: int, op: str) -> None:
+    """One measurement in THIS process (invoked in a fresh subprocess
+    per point by the driver loop)."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark import get_spark
+    from square_etl_spark.operators.graph import (
+        ancestor_closure,
+        dense_index,
+    )
+    from square_etl_spark.operators.joins import interval_lookup
+    from square_etl_spark.operators.sampling import ntile_assign
+    from square_etl_spark.operators.windows import time_weighted_avg
+
+    spark = get_spark("scaling-point")
     spark.sparkContext.setLogLevel("ERROR")
 
-    for n in sizes:
-        base = spark.range(n).select(
-            (F.col("id") * 37 % (10 * n)).alias("k"),
-            (F.col("id") % 1000).alias("v"),
-        )
-        timed("dense_index", n,
+    base = spark.range(n).select(
+        (F.col("id") * 37 % (10 * n)).alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    if op == "dense_index":
+        timed(op, n,
               lambda: dense_index(base.select("k").distinct(), "k").count())
-        timed("ntile_assign(100)", n,
-              lambda: ntile_assign(base, "v", "k", 100).count())
-
+    elif op == "ntile_assign(100)":
+        timed(op, n, lambda: ntile_assign(base, "v", "k", 100).count())
+    elif op == "ancestor_closure(d=7)":
         # forest: planted chain of depth 64 under node 0 + wide bushes
         parents = spark.range(n).select(
             F.col("id").alias("node"),
@@ -74,9 +90,8 @@ def main() -> None:
             .otherwise(F.col("id") % 64)              # bushes onto the chain
             .alias("parent"),
         )
-        timed("ancestor_closure(d=7)", n,
-              lambda: ancestor_closure(parents, doublings=7).count())
-
+        timed(op, n, lambda: ancestor_closure(parents, doublings=7).count())
+    elif op == "interval_lookup(10k-dim)":
         # SCD2 lookup: fixed 10k-key x 3-version dim, n facts
         dim = spark.range(10_000).select(
             F.col("id").alias("k"),
@@ -100,9 +115,9 @@ def main() -> None:
                 F.lit(1700000000) + (F.col("id") % 290) * 86400
             ).alias("at_ts"),
         )
-        timed("interval_lookup(10k-dim)", n,
+        timed(op, n,
               lambda: interval_lookup(facts, dim, ["k"], "at_ts").count())
-
+    elif op == "time_weighted_avg":
         ev = spark.range(n).select(
             F.col("id").alias("event_id"),
             (F.col("id") % (n // 66 or 1)).alias("user_id"),
@@ -111,10 +126,38 @@ def main() -> None:
             ).alias("ts"),
             (F.col("id") % 997).cast("double").alias("value"),
         )
-        timed("time_weighted_avg", n,
+        timed(op, n,
               lambda: time_weighted_avg(
                   ev, "ts", ["user_id"], "value",
                   tiebreak_cols=["event_id"]).count())
+    else:
+        raise SystemExit(f"unknown op: {op}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--point":
+        run_point(int(sys.argv[2]), sys.argv[3])
+        return
+    sizes = [
+        int(s)
+        for s in (sys.argv[1] if len(sys.argv) > 1 else
+                  "100000,1000000,4000000").split(",")
+    ]
+    me = str(Path(__file__).resolve())
+    for n in sizes:
+        for op in OPS:
+            # fresh interpreter + JVM per point — no state bleed
+            r = subprocess.run(
+                [sys.executable, me, "--point", str(n), op],
+                capture_output=True, text=True,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                print(json.dumps(
+                    {"op": op, "n": n,
+                     "error": (r.stderr or "")[-400:]}), flush=True)
 
 
 if __name__ == "__main__":
