@@ -275,3 +275,38 @@ def kmv_estimate(k: int = 64, sketch_col: str = "kmv") -> Column:
             ).cast("long")
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorization: clip each value to its GROUP's exact interpolated
+    [lo, hi] percentile bounds — the standard outlier-robust
+    normalization before aggregate statistics or feature scaling
+    (unlike trimming, row count is preserved; the tails are pulled to
+    the fence, not dropped).
+
+    Plan: one per-group percentile aggregation (per-group sort buffer —
+    fine for dimension-cardinality groups, same contract as
+    ``F.percentile``; for billions-of-rows-per-group the quantile
+    sketch is the documented scale path) produces a one-row-per-group
+    bounds relation that joins back onto the rows.  Returns the input
+    plus ``__wlo``/``__whi`` bounds and the clipped ``out_col``.
+    """
+    out_col = out_col or f"{value_col}_winsorized"
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(lo)).alias("__wlo"),
+        F.percentile(value_col, F.lit(hi)).alias("__whi"),
+    )
+    # bcast-ok: bounds = one row per group; winsorize targets
+    # dimension-cardinality groups by contract (sketch path otherwise)
+    j = df.join(F.broadcast(bounds), on=list(group_cols))
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")
+    )
+    return j.withColumn(out_col, clipped)

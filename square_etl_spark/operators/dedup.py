@@ -909,3 +909,168 @@ def decontaminate(
     # bcast-ok: contamination-hit id list (≥min_hits overlap with the
     # fixed benchmark suite), ≪ corpus per the docstring contract
     return df.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def incremental_exact_dedup(
+    state: DataFrame | None,
+    batch: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup against an EXISTING digest state — the
+    continuous-crawl posture: every ingest batch is deduplicated
+    against everything ever kept, without rescanning the old corpus
+    (its text never moves again; only the 64-byte digest state does).
+
+    Returns ``(kept, new_state)``: ``kept`` = the batch rows that win
+    first-per-digest WITHIN the batch (min id) and whose digest is
+    absent from ``state``; ``new_state`` = ``state`` ∪ kept digests —
+    a (digest, owner-id) relation, keys-sized, mergeable, and exactly
+    the monoid fold :func:`exact_dedup` computes in one shot (folding
+    batches in ingest order ≡ one-shot dedup with batch-then-id
+    precedence; pinned by the ``dedup_incremental_exact`` oracle).
+
+    Scale shape: one groupBy on the digest per batch + one
+    digest-keyed anti join against the state — both shuffle 64-byte
+    keys, never documents.  State grows with DISTINCT content only.
+    """
+    firsts = (
+        batch.groupBy(content_digest(content_col).alias("content_sha256"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    if state is not None:
+        firsts = firsts.join(
+            state.select("content_sha256"), "content_sha256", "left_anti"
+        )
+    new_state = (
+        firsts if state is None
+        else state.unionByName(firsts)
+    )
+    return firsts, new_state
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Materializable banded-MinHash LSH index of a corpus slice — the
+    write-side half of incremental near-dup: ``(shingle_store,
+    bucket_index)``.  ``shingle_store`` is (id, sh: array<long>) —
+    the portable hashed shingle sets needed for exact verification;
+    ``bucket_index`` is (id, band, bhash) — one row per (doc, band),
+    the equi-join key space probes hit.  Both are written once at
+    ingest (partition/bucket by ``bhash`` at deployment) and never
+    require re-reading the old corpus text.
+
+    Same portable arithmetic as :func:`minhash_banded_pairs` (md5
+    shingles, affine permutations, 31-fold band hashes), so a DuckDB
+    oracle recomputes every value.
+    """
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    mh_a, mh_b = _minhash_constants(num_hashes)
+    a_lit = F.array(*[F.lit(a).cast("long") for a in mh_a])
+    b_lit = F.array(*[F.lit(b).cast("long") for b in mh_b])
+    lo32 = F.lit(0xFFFFFFFF)
+
+    sh = df.select(
+        F.col(id_col), portable_word_shingles(content_col, 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    minhashes = F.transform(
+        seeds,
+        lambda i: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: (
+                    F.element_at(a_lit, i + 1) * s.bitwiseAND(lo32)
+                    + F.element_at(b_lit, i + 1)
+                ) % F.lit(MINHASH_P),
+            )
+        ),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    band_hashes = F.transform(
+        band_idx,
+        lambda b: F.aggregate(
+            F.slice(minhashes, b * r + 1, r),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(31) + x).bitwiseAND(
+                F.lit(_PORTABLE_MASK)
+            ),
+        ),
+    )
+    buckets = sh.select(
+        id_col, F.posexplode(band_hashes).alias("band", "bhash")
+    )
+    return sh, buckets
+
+
+def minhash_probe(
+    index_shingles: DataFrame,
+    index_buckets: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    bucket_cap: int = 200,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against an EXISTING
+    :func:`minhash_index` — the incremental-ingest read path: the old
+    corpus is touched only through its keys-sized index relations,
+    never its text.  Emits (new_id, old_id, jaccard ≥ threshold),
+    exact-verified on the stored shingle sets.
+
+    Scale shape: the batch's bucket rows equi-join the index on
+    (band, bhash) — with the index bucketed by bhash at write time
+    this is a co-located join; hot index buckets above ``bucket_cap``
+    are dropped first (broadcast anti join, same cap arithmetic as
+    :func:`minhash_banded_pairs`).
+    """
+    new_sh, new_buckets = minhash_index(
+        batch, id_col, content_col, num_hashes, bands
+    )
+    hot = (
+        index_buckets.groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > bucket_cap)
+        .select("band", "bhash")
+    )
+    # bcast-ok: hot-bucket list, ≤ |index rows|/bucket_cap by cap arithmetic
+    cool = index_buckets.join(
+        F.broadcast(hot), on=["band", "bhash"], how="left_anti"
+    )
+    cands = (
+        new_buckets.select(
+            F.col(id_col).alias("new_id"), "band", "bhash"
+        )
+        .join(
+            cool.select(F.col(id_col).alias("old_id"), "band", "bhash"),
+            on=["band", "bhash"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sa = new_sh.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_a"))
+    sb = index_shingles.select(
+        F.col(id_col).alias("old_id"), F.col("sh").alias("sh_b")
+    )
+    return (
+        cands.join(sa, on="new_id")
+        .join(sb, on="old_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )

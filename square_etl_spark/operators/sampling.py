@@ -106,6 +106,45 @@ def weighted_mix(
     return df.filter(hash_bucket(key, salt) < thresh)
 
 
+def split_assign(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint named splits (train/val/test) from one
+    hash variate — every row gets EXACTLY one label, rows never move
+    between splits when the corpus is re-partitioned or re-ingested,
+    and a document's assignment is reproducible months later from its
+    key alone (the property leakage audits need: a test doc can never
+    drift into train on a rebuild).
+
+    ``fractions`` maps split name → fraction, summing to ≤ 1.0 (any
+    remainder is dropped — the "hold back unallocated data" posture;
+    pass fractions summing to 1.0 to keep everything).  Assignment is
+    by cumulative thresholds over the same md5 variate as
+    :func:`hash_sample`, so splits nest consistently with samples
+    drawn with the same salt.  Scan + CASE only — no shuffle.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    hb = hash_bucket(key, salt)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        cond = hb < F.lit(rate_threshold(min(cum, 1.0)))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    assigned = df.withColumn(
+        split_col, expr.otherwise(F.lit(None).cast("string"))
+    )
+    return assigned.filter(F.col(split_col).isNotNull())
+
+
 def stratified_take(
     df: DataFrame, strata: Sequence[str] | str, key: str, n_per_stratum: int
 ) -> DataFrame:

@@ -510,3 +510,59 @@ def bigram_logprob(
             ).alias("avg_nll"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    classic cheap gibberish/compression-quality signal (low entropy =
+    repeated filler like "aaaa…" or boilerplate; high entropy =
+    base64/binary junk; natural text sits in a stable mid band, so
+    corpus curation cuts both tails).
+
+    Shape: one explode to (doc, char) rows — positions generated with
+    ``sequence`` + ``substring`` so Spark and the SQL oracle walk the
+    IDENTICAL code-point sequence (regex split differs between
+    engines on empty matches) — then two grouped aggregations that
+    share the doc partitioning.  O(total chars) rows through one
+    shuffle, embarrassingly parallel; empty documents have no
+    distribution and yield no row.
+
+    Cross-engine determinism: per-char-class term −p·ln p rounds to 9
+    decimals into DECIMAL(28,9) sums (addition order cannot change
+    the hash); the final bits conversion divides by ln 2 in double
+    and rounds to 6.
+
+    Returns (id, n_chars, entropy_bits).
+    """
+    from pyspark.sql.window import Window
+
+    chars = (
+        df.filter(F.length(_c(col)) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(_c(col))),
+                    lambda i: F.substring(_c(col), i, F.lit(1)),
+                )
+            ).alias("ch"),
+        )
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    with_n = counts.withColumn(
+        "n", F.sum("c").over(Window.partitionBy(id_col))
+    )
+    p = F.col("c") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    import math
+
+    return with_n.groupBy(id_col).agg(
+        F.max("n").cast("long").alias("n_chars"),
+        F.round(
+            F.sum(term).cast("double") / F.lit(math.log(2.0)), 6
+        ).alias("entropy_bits"),
+    )

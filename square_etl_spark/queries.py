@@ -2634,6 +2634,96 @@ _register(
 )
 
 
+def _uniform_gray_png(v: int, size: int = 128) -> bytes:
+    """Deterministic 4×4 8-bit grayscale PNG of uniform gray ``v``,
+    zero-padded after IEND to a fixed ``size`` bytes (the parser stops
+    at IEND; the constant length keeps ``n_bytes`` oracle-predictable,
+    same trick as :func:`_uniform_gray_jpeg`).  The pixel payload
+    rides a REAL stdlib-zlib DEFLATE stream (filter-0 scanlines), so
+    the decode exercises chunk walking, zlib inflation, and scanline
+    unfiltering — for uniform gray every reconstructed pixel is
+    exactly ``v``."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([v]) * 4 for _ in range(4))
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    assert len(blob) <= size, len(blob)
+    return blob + b"\x00" * (size - len(blob))
+
+
+def _mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG decode path, oracle-hash-checked end-to-end: a 256-row
+    LUT of uniform-gray zlib-compressed PNGs (driver-built, broadcast)
+    joins to documents on ``n_chars % 256``, the blobs run through the
+    Arrow-batched decode stage (REAL PNG codec: chunk walk → zlib
+    inflate → scanline unfilter → luminance grid), and DuckDB predicts
+    the first grid cell arithmetically — decode is bit-exact for
+    uniform gray.  Completes the oracle-checked codec family
+    (BMP/TIFF/JPEG/GIF/WAV/FLAC) with the DEFLATE container."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    lut = spark.createDataFrame(
+        [(v, bytearray(_uniform_gray_png(v))) for v in range(256)],
+        "gray int, content binary",
+    )
+    media = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("n_chars") % 256).cast("int").alias("gray"),
+        )
+        # bcast-ok: lut = constant 256-row lookup table
+        .join(F.broadcast(lut), on="gray")
+        .select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("png").alias("format"),
+                F.lit(4).alias("width"),
+                F.lit(4).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit(None).cast("string").alias("uri"),
+            ).alias("meta"),
+        )
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_gray"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_png",
+        _mm_decode_png,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(128 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 255.0, 6) AS f_gray
+        FROM documents
+        """,
+        doc="REAL PNG codec decode, oracle-checked: zlib inflate + unfilter end-to-end",
+    )
+)
+
+
 def _tiff_4x4_parts() -> tuple[bytes, bytes]:
     """Constant (prefix, suffix) of a 4×4 grayscale PackBits TIFF whose
     single variable byte — the uniform gray value — sits between them:
@@ -8826,6 +8916,295 @@ _register(
         SELECT o_orderkey, 'cust_key', cust_key FROM wide
         """,
         doc="wide-to-long unpivot/melt (inverse of pivot), map-side 1-to-k expansion",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 registrations: deterministic split assignment, char-entropy
+# quality, incremental dedup (exact digest-state fold + minhash index
+# probe) — the continuous-ingest posture of a training-data pipeline.
+# ---------------------------------------------------------------------------
+
+
+def _split_tvt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment
+    (operators/sampling.split_assign): disjoint 80/10/10 splits from
+    cumulative md5 thresholds — every doc gets exactly one label,
+    stable under re-partitioning and re-ingest (a test doc can never
+    drift into train on a rebuild), scan + CASE only."""
+    from square_etl_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    return split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="tvt1"
+    ).select("doc_id", "lang", "split")
+
+
+_register(
+    QuerySpec(
+        "split_train_val_test",
+        _split_tvt,
+        oracle=f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_bucket_sql("doc_id", "tvt1")}
+                         < '{rate_threshold(0.8)}' THEN 'train'
+                    WHEN {_bucket_sql("doc_id", "tvt1")}
+                         < '{rate_threshold(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        """,
+        doc="deterministic disjoint train/val/test splits, cumulative md5 thresholds",
+    )
+)
+
+
+def _char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per doc
+    (operators/text.char_entropy): the cheap gibberish/compression
+    signal — repeated filler scores low, base64 junk scores high.
+    One sequence+substring explode (identical code-point walk on both
+    engines) + two aggregations sharing the doc partitioning;
+    decimal-summed −p·ln p terms."""
+    from square_etl_spark.operators.text import char_entropy
+
+    d = load_table(spark, sf_dir, "documents")
+    return char_entropy(d, "doc_id", "text")
+
+
+_register(
+    QuerySpec(
+        "text_char_entropy",
+        _char_entropy,
+        oracle="""
+        WITH ch AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+          FROM documents, generate_series(1, length(text)) g(i)
+          WHERE length(text) > 0),
+        c AS (
+          SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
+        t AS (
+          SELECT doc_id, c, SUM(c) OVER (PARTITION BY doc_id) AS n
+          FROM c)
+        SELECT doc_id,
+               CAST(MAX(n) AS BIGINT) AS n_chars,
+               ROUND(CAST(SUM(CAST(ROUND(
+                         -(c / CAST(n AS DOUBLE))
+                         * ln(c / CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE) / ln(2), 6)
+                 AS entropy_bits
+        FROM t GROUP BY doc_id
+        """,
+        doc="per-doc char-distribution Shannon entropy, decimal-exact term sums",
+    )
+)
+
+
+def _incr_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as an incremental digest-state fold
+    (operators/dedup.incremental_exact_dedup): three ingest batches
+    (doc_id mod 3) deduplicated each against everything kept before —
+    the continuous-crawl posture, old corpus touched only through its
+    64-byte digest state.  The folded kept-set must equal the
+    one-shot window oracle with batch-then-id precedence EXACTLY."""
+    from square_etl_spark.operators.dedup import incremental_exact_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = None
+    kept_parts = []
+    for i in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == i)
+        kept, state = incremental_exact_dedup(state, batch)
+        kept_parts.append(
+            kept.withColumn("batch_no", F.lit(i).cast("int"))
+        )
+    out = kept_parts[0]
+    for part in kept_parts[1:]:
+        out = out.unionByName(part)
+    return out.select("content_sha256", "doc_id", "batch_no")
+
+
+_register(
+    QuerySpec(
+        "dedup_incremental_exact",
+        _incr_exact_dedup,
+        oracle="""
+        WITH r AS (
+          SELECT doc_id,
+                 CAST(doc_id % 3 AS INTEGER) AS batch_no,
+                 sha256(text) AS content_sha256,
+                 ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                    ORDER BY doc_id % 3, doc_id) AS rk
+          FROM documents)
+        SELECT content_sha256, doc_id, batch_no FROM r WHERE rk = 1
+        """,
+        doc="incremental exact dedup: digest-state fold ≡ one-shot window, batch precedence",
+    )
+)
+
+
+def _incr_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new ingest batch (doc_id mod 3 = 0)
+    probed against the banded-MinHash LSH index of the already-
+    ingested corpus (operators/dedup.minhash_index / minhash_probe) —
+    the old corpus is touched only through its keys-sized index
+    relations, never its text.  Same portable md5/affine arithmetic
+    as dedup_minhash_lsh, so the oracle recomputes every stage for
+    BOTH sides of the probe join."""
+    from square_etl_spark.operators.dedup import minhash_index, minhash_probe
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    sh, idx = minhash_index(old, "doc_id", "text", num_hashes=16, bands=8)
+    return minhash_probe(
+        sh, idx, new, "doc_id", "text",
+        num_hashes=16, bands=8, threshold=0.5, bucket_cap=200,
+    )
+
+
+def _minhash_probe_oracle() -> str:
+    """DuckDB twin of the incremental probe: the same shingle/
+    permutation/band pipeline as ``_minhash_oracle`` computed over
+    ALL documents, split into old (mod 3 ≠ 0) and new (mod 3 = 0)
+    sides, hot-capped on the OLD index side, then new×old bucket
+    join + exact Jaccard verify."""
+    from square_etl_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
+    a = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in MINHASH_A) + "]"
+    b = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in MINHASH_B) + "]"
+    mask = (1 << 57) - 1
+    hex32 = (
+        "list_sum(list_transform(generate_series(1, 8),"
+        " p -> (CAST(strpos('0123456789abcdef',"
+        " substr(md5(x), p, 1)) AS BIGINT) - 1)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))"
+    )
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        tw AS (
+          SELECT doc_id,
+                 list_transform(w, x -> {hex32}) AS hw
+          FROM t WHERE len(w) >= 3),
+        shl AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(hw) - 2),
+                   i -> ((((hw[CAST(i AS INTEGER)] * 31
+                            + hw[CAST(i + 1 AS INTEGER)]) & {mask}) * 31
+                          + hw[CAST(i + 2 AS INTEGER)]) & {mask}))) AS sh
+          FROM tw),
+        mh AS (
+          SELECT doc_id, sh,
+                 list_transform(generate_series(0, 15),
+                   i -> list_min(list_transform(sh,
+                     s -> ({a}[CAST(i + 1 AS INTEGER)] * (s & 4294967295)
+                           + {b}[CAST(i + 1 AS INTEGER)])
+                          % {MINHASH_P}))) AS mins
+          FROM shl),
+        buckets AS (
+          SELECT doc_id, b,
+                 (mins[CAST(2 * b + 1 AS INTEGER)] * 31
+                  + mins[CAST(2 * b + 2 AS INTEGER)]) & {mask} AS bhash
+          FROM mh, generate_series(0, 7) g(b)),
+        old_b AS (SELECT * FROM buckets WHERE doc_id % 3 <> 0),
+        new_b AS (SELECT * FROM buckets WHERE doc_id % 3 = 0),
+        cool AS (
+          SELECT ob.doc_id, ob.b, ob.bhash
+          FROM old_b ob
+          ANTI JOIN (SELECT b, bhash FROM old_b
+                     GROUP BY b, bhash HAVING COUNT(*) > 200) hot
+          ON ob.b = hot.b AND ob.bhash = hot.bhash),
+        cand AS (
+          SELECT DISTINCT nb.doc_id AS new_id, co.doc_id AS old_id
+          FROM new_b nb JOIN cool co
+            ON nb.b = co.b AND nb.bhash = co.bhash),
+        verified AS (
+          SELECT new_id, old_id,
+                 ROUND(len(list_intersect(sa.sh, sb.sh))
+                       / /*nz: union of nonempty shingle sets*/ (len(sa.sh) + len(sb.sh)
+                          - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+          FROM cand
+          JOIN shl sa ON sa.doc_id = new_id
+          JOIN shl sb ON sb.doc_id = old_id)
+        SELECT new_id, old_id, jaccard FROM verified WHERE jaccard >= 0.5
+        """
+
+
+_register(
+    QuerySpec(
+        "dedup_incremental_minhash",
+        _incr_minhash_probe,
+        oracle=_minhash_probe_oracle(),
+        doc="incremental near-dup: new batch probes existing LSH index, oracle-recomputed both sides",
+    )
+)
+
+
+def _winsorized_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics (operators/aggregations.winsorize):
+    per market segment, clip account balances to the exact
+    interpolated [p5, p95] group fences and report bounds, clip
+    counts, and the order-independent decimal sum of the clipped
+    values — the outlier-robust normalization pass feature pipelines
+    run before scaling.  One per-group percentile agg + one broadcast
+    bounds join + one grouped rollup."""
+    from square_etl_spark.operators.aggregations import winsorize
+
+    c = load_table(spark, sf_dir, "customer")
+    w = winsorize(c, "c_acctbal", ["c_mktsegment"], 0.05, 0.95)
+    cv = F.round(F.col("c_acctbal_winsorized"), 6)
+    return w.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("__wlo"), 6).alias("lo_bound"),
+        F.round(F.min("__whi"), 6).alias("hi_bound"),
+        F.sum(
+            F.when(F.col("c_acctbal") < F.col("__wlo"), 1).otherwise(0)
+        ).cast("long").alias("n_low"),
+        F.sum(
+            F.when(F.col("c_acctbal") > F.col("__whi"), 1).otherwise(0)
+        ).cast("long").alias("n_high"),
+        F.round(
+            F.sum(cv.cast("decimal(38,6)")).cast("double"), 4
+        ).alias("sum_winsorized"),
+    )
+
+
+_register(
+    QuerySpec(
+        "winsorize_acctbal_segment",
+        _winsorized_acctbal,
+        oracle="""
+        WITH b AS (
+          SELECT c_mktsegment,
+                 quantile_cont(c_acctbal, 0.05) AS wlo,
+                 quantile_cont(c_acctbal, 0.95) AS whi
+          FROM customer GROUP BY c_mktsegment),
+        j AS (
+          SELECT c.c_mktsegment, c.c_acctbal, b.wlo, b.whi,
+                 LEAST(GREATEST(c.c_acctbal, b.wlo), b.whi) AS cv
+          FROM customer c JOIN b USING (c_mktsegment))
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               ROUND(MIN(wlo), 6) AS lo_bound,
+               ROUND(MIN(whi), 6) AS hi_bound,
+               CAST(SUM(CASE WHEN c_acctbal < wlo THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN c_acctbal > whi THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
+               ROUND(CAST(SUM(CAST(ROUND(cv, 6) AS DECIMAL(38,6)))
+                          AS DOUBLE), 4) AS sum_winsorized
+        FROM j GROUP BY c_mktsegment
+        """,
+        doc="per-group winsorization at exact [p5,p95] fences: bounds, clip counts, decimal sum",
     )
 )
 

@@ -633,3 +633,78 @@ def test_survivor_selection_custom_id_column(spark):
         for r in survivor_selection(df, pairs, id_col="media_id").collect()
     }
     assert out == {10: False, 11: True, 12: True}
+
+
+def test_char_entropy_hand_computed(spark):
+    """'aabb' → H = 1 bit exactly; 'aaaa' → 0 bits; empty → no row."""
+    from square_etl_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "aaaa"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_bits)
+        for r in char_entropy(df).collect()
+    }
+    assert got == {1: (4, 1.0), 2: (4, 0.0)}
+
+
+def test_char_entropy_uniform_alphabet(spark):
+    """k equally-frequent chars → log2(k) bits (within rounding)."""
+    from square_etl_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh")], "doc_id long, text string"
+    )
+    r = char_entropy(df).collect()[0]
+    assert r.n_chars == 8
+    assert abs(r.entropy_bits - 3.0) < 1e-6
+
+
+def test_incremental_exact_dedup_fold_equals_one_shot(spark):
+    """Folding batches through the digest state must keep exactly the
+    batch-then-id winners: a duplicate in a LATER batch never wins,
+    in-batch duplicates resolve to min id."""
+    from square_etl_spark.operators.dedup import incremental_exact_dedup
+
+    rows = [
+        (1, "alpha"), (2, "beta"), (3, "alpha"),   # batch-internal dup
+        (11, "beta"),                               # dup of earlier batch
+        (12, "gamma"), (22, "gamma"), (23, "delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state, kept_ids = None, []
+    for lo, hi in [(1, 10), (11, 20), (21, 30)]:
+        batch = df.filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        kept, state = incremental_exact_dedup(state, batch)
+        kept_ids.extend(r["doc_id"] for r in kept.collect())
+    assert sorted(kept_ids) == [1, 2, 12, 23]
+    # state holds one digest per distinct content, owned by the winner
+    st = {r["doc_id"] for r in state.collect()}
+    assert st == {1, 2, 12, 23}
+
+
+def test_minhash_probe_finds_new_old_pairs_only(spark):
+    """The probe reports NEW×OLD near-dups only: a new doc duplicating
+    an old one is caught; two new duplicates of each other are not
+    (in-batch dedup is a separate pass by design)."""
+    from square_etl_spark.operators.dedup import minhash_index, minhash_probe
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words about spark engines at scale here"
+    rows = [
+        (1, base), (2, other),                  # old corpus
+        (3, base), (6, base),                   # new batch: 3 dups 1; 6 dups 3 (both new)
+        (9, "unrelated fresh content with many novel tokens in play"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.filter(F.col("doc_id") <= 2)
+    new = df.filter(F.col("doc_id") >= 3)
+    sh, idx = minhash_index(old)
+    pairs = {
+        (r["new_id"], r["old_id"])
+        for r in minhash_probe(sh, idx, new, threshold=0.8).collect()
+    }
+    assert (3, 1) in pairs and (6, 1) in pairs
+    assert all(old_id <= 2 and new_id >= 3 for new_id, old_id in pairs)

@@ -198,3 +198,25 @@ def test_incremental_kmv_estimate_exact_below_k(spark):
     st = incremental_kmv(None, df, ["g"], "u", k=64)
     est = st.select(kmv_estimate().alias("e")).collect()[0]["e"]
     assert est == 10  # below k → exact distinct count
+
+
+def test_winsorize_clips_to_group_fences(spark):
+    """Hand-checkable: group 'a' = 1..100 → p5/p95 fences clip the
+    tails; every row survives; in-range values pass through unchanged."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.aggregations import winsorize
+
+    df = spark.range(1, 101).select(
+        F.lit("a").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    out = winsorize(df, "v", ["g"], 0.05, 0.95)
+    rows = out.collect()
+    assert len(rows) == 100  # winsorize never drops rows
+    lo = rows[0]["__wlo"]
+    hi = rows[0]["__whi"]
+    # quantile_cont over 1..100: p5 = 1 + 0.05*99 = 5.95; p95 = 95.05
+    assert abs(lo - 5.95) < 1e-9 and abs(hi - 95.05) < 1e-9
+    clipped = {r["v"]: r["v_winsorized"] for r in rows}
+    assert clipped[1.0] == lo and clipped[100.0] == hi
+    assert clipped[50.0] == 50.0

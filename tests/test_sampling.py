@@ -291,3 +291,41 @@ def test_ntile_matches_sql_ntile_at_sampling_jitter_scale(spark):
         ).collect()
     }
     assert mine == sql
+
+
+def test_split_assign_disjoint_exhaustive_and_stable(spark, sf_dir):
+    """80/10/10 split: every row gets exactly ONE label, assignment is
+    invariant under re-partitioning, and fractions roughly hold."""
+    from square_etl_spark.operators.sampling import split_assign
+
+    d = _docs(spark, sf_dir)
+    total = d.count()
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s = split_assign(d, "doc_id", fr, salt="t")
+    counts = {r["split"]: r["n"] for r in
+              s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == total  # fractions sum to 1 → exhaustive
+    assert 0.7 < counts["train"] / total < 0.9
+    a = {r["doc_id"]: r["split"] for r in s.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            d.repartition(13), "doc_id", fr, salt="t"
+        ).collect()
+    }
+    assert a == b  # partition-invariant
+
+
+def test_split_assign_remainder_dropped_and_bad_fractions_raise(spark):
+    from square_etl_spark.operators.sampling import split_assign
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    kept = split_assign(df, "k", {"a": 0.3, "b": 0.2}, salt="x")
+    n = kept.count()
+    assert 350 < n < 650  # ~50% allocated, remainder held back
+    assert kept.filter(~F.col("split").isin("a", "b")).count() == 0
+    try:
+        split_assign(df, "k", {"a": 0.7, "b": 0.5})
+        raise AssertionError("fractions > 1 must raise")
+    except ValueError:
+        pass

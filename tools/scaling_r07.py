@@ -47,7 +47,16 @@ OPS = [
 ]
 
 
-def timed(name: str, n: int, thunk):
+def timed(name: str, n: int, thunk, spark=None):
+    """Steady-state measurement in a fresh process: one untimed warmup
+    run pays JVM/codegen first-job costs (the same reasoning as
+    bench.py's warmup — a resident engine delivers steady-state
+    throughput), then an untimed GC, then the timed run.  Without the
+    warmup, per-point process isolation trades JVM-state bleed for
+    3-7 s of cold-start INSIDE the timer (measured r08)."""
+    thunk()  # warmup: codegen + broadcast machinery, outside the timer
+    if spark is not None:
+        spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     rows = thunk()
     dt = round(time.perf_counter() - t0, 2)
@@ -78,9 +87,10 @@ def run_point(n: int, op: str) -> None:
     )
     if op == "dense_index":
         timed(op, n,
-              lambda: dense_index(base.select("k").distinct(), "k").count())
+              lambda: dense_index(base.select("k").distinct(), "k").count(),
+              spark)
     elif op == "ntile_assign(100)":
-        timed(op, n, lambda: ntile_assign(base, "v", "k", 100).count())
+        timed(op, n, lambda: ntile_assign(base, "v", "k", 100).count(), spark)
     elif op == "ancestor_closure(d=7)":
         # forest: planted chain of depth 64 under node 0 + wide bushes
         parents = spark.range(n).select(
@@ -90,7 +100,8 @@ def run_point(n: int, op: str) -> None:
             .otherwise(F.col("id") % 64)              # bushes onto the chain
             .alias("parent"),
         )
-        timed(op, n, lambda: ancestor_closure(parents, doublings=7).count())
+        timed(op, n, lambda: ancestor_closure(parents, doublings=7).count(),
+              spark)
     elif op == "interval_lookup(10k-dim)":
         # SCD2 lookup: fixed 10k-key x 3-version dim, n facts
         dim = spark.range(10_000).select(
@@ -116,7 +127,8 @@ def run_point(n: int, op: str) -> None:
             ).alias("at_ts"),
         )
         timed(op, n,
-              lambda: interval_lookup(facts, dim, ["k"], "at_ts").count())
+              lambda: interval_lookup(facts, dim, ["k"], "at_ts").count(),
+              spark)
     elif op == "time_weighted_avg":
         ev = spark.range(n).select(
             F.col("id").alias("event_id"),
@@ -129,7 +141,8 @@ def run_point(n: int, op: str) -> None:
         timed(op, n,
               lambda: time_weighted_avg(
                   ev, "ts", ["user_id"], "value",
-                  tiebreak_cols=["event_id"]).count())
+                  tiebreak_cols=["event_id"]).count(),
+              spark)
     else:
         raise SystemExit(f"unknown op: {op}")
 
