@@ -8978,9 +8978,10 @@ _register(
         _char_entropy,
         oracle="""
         WITH ch AS (
-          SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
-          FROM documents, generate_series(1, length(text)) g(i)
-          WHERE length(text) > 0),
+          SELECT doc_id,
+                 UNNEST(list_transform(generate_series(1, length(text)),
+                        i -> substr(text, CAST(i AS INTEGER), 1))) AS ch
+          FROM documents WHERE length(text) > 0),
         c AS (
           SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch),
         t AS (
@@ -8989,9 +8990,10 @@ _register(
         SELECT doc_id,
                CAST(MAX(n) AS BIGINT) AS n_chars,
                ROUND(CAST(SUM(CAST(ROUND(
-                         -(c / CAST(n AS DOUBLE))
-                         * ln(c / CAST(n AS DOUBLE)), 9)
-                       AS DECIMAL(28,9))) AS DOUBLE) / ln(2), 6)
+                         -(c / /*nz: n = per-doc sum of counts >= 1*/ CAST(n AS DOUBLE))
+                         * ln(c / /*nz: n = per-doc sum of counts >= 1*/ CAST(n AS DOUBLE)), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE)
+                     / /*nz: ln(2) is a positive constant*/ ln(2), 6)
                  AS entropy_bits
         FROM t GROUP BY doc_id
         """,
