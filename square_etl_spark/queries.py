@@ -9300,8 +9300,17 @@ _CHECK_PRIORITY: list[str] = [
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history, computes the arithmetic freshness window
     # from the live registry size, and prints the recommended next
-    # head.  Queries registered AFTER this head froze (round 8) are
-    # selfchecked at sf0.01 and lead the r09 head.
+    # head.
+    #
+    # Registered AFTER this head was frozen (round 8) — tri-scale
+    # selfchecked (sf0.001/0.01/0.1), first driver rows due in the
+    # r09 head: split_train_val_test (disjoint cumulative-md5 split
+    # assignment), text_char_entropy (per-doc Shannon entropy,
+    # decimal-exact), dedup_incremental_exact (digest-state fold ≡
+    # one-shot), dedup_incremental_minhash (new-batch probe of a
+    # materializable LSH index, both sides oracle-recomputed),
+    # multimodal_decode_png (real stdlib-zlib codec path),
+    # winsorize_acctbal_segment (exact [p5,p95] group fences).
 ]
 
 
