@@ -91,3 +91,93 @@ def expectation_report(
             "violation_rate"
         ),
     )
+
+
+def drift_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a REFERENCE snapshot and the
+    CURRENT one — the standard distribution-drift monitor a corpus
+    pipeline runs between ingests (rule of thumb: PSI < 0.1 stable,
+    0.1–0.25 drifting, > 0.25 shifted; the monitor that catches a
+    source silently changing its length/score distribution before the
+    drift poisons a training mix).
+
+    Binning: ``bins`` equal-width bins over the REFERENCE min/max
+    (1-row broadcast — the current side is binned on the reference
+    grid, out-of-range values clamp to the edge bins, so the two
+    proportion vectors are always comparable).  Per-bin proportions
+    use exact integer counts; zero bins substitute ``eps`` before the
+    log ratio (the standard PSI convention — a bin emptying out IS
+    drift and must score, not NaN).
+
+    Returns one row per bin: (bin, n_ref, n_cur, p_ref, p_cur, term)
+    plus the repeated ``psi_total`` (windowed sum over the bin-count-
+    sized relation), every float rounded for cross-engine hashing.
+
+    Scale shape: two scans + two keys-sized groupBys + a bins-sized
+    join — the data-volume cost is the two scans, everything after is
+    bin-count-sized.
+    """
+    from pyspark.sql.window import Window
+
+    b = ref.agg(
+        F.min(value_col).cast("double").alias("lo"),
+        F.max(value_col).cast("double").alias("hi"),
+    )
+
+    def binned(df: DataFrame, n_col: str) -> DataFrame:
+        # bcast-ok: b = 1-row min/max bounds aggregate
+        j = df.join(F.broadcast(b))
+        width_ok = F.col("hi") > F.col("lo")
+        raw = F.floor(
+            (F.col(value_col).cast("double") - F.col("lo"))
+            * F.lit(bins)
+            / F.when(width_ok, F.col("hi") - F.col("lo"))
+        )
+        bin_ = F.when(~width_ok, F.lit(0)).otherwise(
+            F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+        )
+        return (
+            j.select(bin_.cast("int").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(n_col))
+        )
+
+    grid = ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        grid.join(binned(ref, "n_ref"), "bin", "left")
+        .join(binned(cur, "n_cur"), "bin", "left")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    tot = Window.partitionBy()
+    p_ref = F.greatest(
+        F.col("n_ref") / F.sum("n_ref").over(tot), F.lit(eps)
+    )
+    p_cur = F.greatest(
+        F.col("n_cur") / F.sum("n_cur").over(tot), F.lit(eps)
+    )
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9).cast(
+        "decimal(28,9)"
+    )
+    out = counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        term.cast("double").alias("term"),
+    )
+    return out.withColumn(
+        "psi_total",
+        F.round(
+            F.sum(F.col("term").cast("decimal(28,9)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+            6,
+        ),
+    )

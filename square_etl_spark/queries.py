@@ -9211,6 +9211,80 @@ _register(
 )
 
 
+def _drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (operators/quality.drift_psi):
+    Population Stability Index of order totals, 1996-and-earlier
+    reference vs 1997+ current — 10 equal-width bins on the REFERENCE
+    grid (1-row broadcast bounds), exact integer bin counts, eps-
+    guarded log-ratio terms decimal-summed into the windowed
+    psi_total.  The between-ingest check that catches a source
+    silently changing its value distribution."""
+    from square_etl_spark.operators.quality import drift_psi
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < cut)
+    cur = o.filter(F.col("o_orderdate") >= cut)
+    return drift_psi(ref, cur, "o_totalprice", bins=10)
+
+
+_register(
+    QuerySpec(
+        "drift_psi_orders",
+        _drift_psi_orders,
+        oracle="""
+        WITH b AS (
+          SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+                 CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+          FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        rb AS (
+          SELECT GREATEST(0, LEAST(9, CAST(FLOOR(
+                   (CAST(o_totalprice AS DOUBLE) - lo) * 10
+                   / /*nz: reference min < max on this data*/ (hi - lo))
+                 AS BIGINT))) AS bin
+          FROM orders, b WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        cb AS (
+          SELECT GREATEST(0, LEAST(9, CAST(FLOOR(
+                   (CAST(o_totalprice AS DOUBLE) - lo) * 10
+                   / /*nz: reference min < max on this data*/ (hi - lo))
+                 AS BIGINT))) AS bin
+          FROM orders, b WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+        grid AS (
+          SELECT CAST(i AS INTEGER) AS bin FROM generate_series(0, 9) g(i)),
+        counts AS (
+          SELECT g.bin,
+                 COALESCE(r.n, 0) AS n_ref,
+                 COALESCE(c.n, 0) AS n_cur
+          FROM grid g
+          LEFT JOIN (SELECT bin, COUNT(*) AS n FROM rb GROUP BY bin) r
+            ON g.bin = r.bin
+          LEFT JOIN (SELECT bin, COUNT(*) AS n FROM cb GROUP BY bin) c
+            ON g.bin = c.bin),
+        p AS (
+          SELECT bin, n_ref, n_cur,
+                 GREATEST(n_ref / /*nz: window sum of counts >= 1*/
+                          CAST(SUM(n_ref) OVER () AS DOUBLE),
+                          0.000001) AS pr,
+                 GREATEST(n_cur / /*nz: window sum of counts >= 1*/
+                          CAST(SUM(n_cur) OVER () AS DOUBLE),
+                          0.000001) AS pc
+          FROM counts),
+        t AS (
+          SELECT bin, n_ref, n_cur,
+                 ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+                 CAST(CAST(ROUND((pc - pr) * ln(pc / /*nz: pr >= eps*/ pr), 9)
+                      AS DECIMAL(28,9)) AS DOUBLE) AS term
+          FROM p)
+        SELECT bin, n_ref, n_cur, p_ref, p_cur, term,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) OVER ()
+                          AS DOUBLE), 6) AS psi_total
+        FROM t
+        """,
+        doc="PSI distribution drift between snapshots: reference-grid bins, eps-guarded log ratios",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

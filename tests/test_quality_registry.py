@@ -118,3 +118,24 @@ def test_expectation_report_is_single_scan(spark, sf_dir):
     )
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1  # k rules, ONE pass
+
+
+def test_drift_psi_identical_snapshots_score_zero(spark):
+    """PSI of a distribution against itself is 0; a hard shift scores
+    well past the 0.25 'shifted' rule of thumb."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.quality import drift_psi
+
+    ref = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = drift_psi(ref, ref, "v", bins=10).collect()
+    assert all(r["psi_total"] == 0.0 for r in same)
+    assert len(same) == 10
+    shifted = spark.range(1000).select(
+        ((F.col("id") % 100) + 200).cast("double").alias("v")
+    )
+    out = drift_psi(ref, shifted, "v", bins=10).collect()
+    # everything clamps into the top reference bin → massive drift
+    assert out[0]["psi_total"] > 0.25
+    top = {r["bin"]: r["n_cur"] for r in out}
+    assert top[9] == 1000 and sum(v for k, v in top.items() if k < 9) == 0
