@@ -310,3 +310,44 @@ def winsorize(
         F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")
     )
     return j.withColumn(out_col, clipped)
+
+
+def robust_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    out_col: str = "rz",
+) -> DataFrame:
+    """Robust z-score (median/MAD) per group — the outlier detector
+    that does not let outliers poison its own baseline: mean/std
+    z-scores (the classic sibling, `outlier_zscore_orders`) break down
+    when a few extreme values inflate the std; the median and the
+    Median Absolute Deviation have a 50% breakdown point.
+    rz = (v − median) / (1.4826·MAD), the normal-consistency constant
+    making rz comparable to a σ z-score.
+
+    Two per-group percentile aggregations (median, then the median of
+    absolute deviations after the first joins back) — per-group sort
+    buffers, dimension-cardinality group contract like
+    :func:`winsorize`; the two broadcast joins are group-count-sized.
+    Zero-MAD groups (>50% of values identical) yield NULL rz — the
+    statistic is undefined there, and flagging everything or nothing
+    are both wrong answers.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    )
+    # bcast-ok: med = one row per group (dimension-cardinality contract)
+    j = df.join(F.broadcast(med), on=list(group_cols))
+    dev = F.abs(F.col(value_col) - F.col("__med"))
+    mad = (
+        j.select(*group_cols, dev.alias("__dev"))
+        .groupBy(*group_cols)
+        .agg(F.percentile("__dev", F.lit(0.5)).alias("__mad"))
+    )
+    # bcast-ok: mad = one row per group (dimension-cardinality contract)
+    out = j.join(F.broadcast(mad), on=list(group_cols))
+    rz = (F.col(value_col) - F.col("__med")) / F.when(
+        F.col("__mad") > 0, F.lit(1.4826) * F.col("__mad")
+    )
+    return out.withColumn(out_col, rz)

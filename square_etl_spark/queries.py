@@ -9285,6 +9285,61 @@ _register(
 )
 
 
+def _robust_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier sweep
+    (operators/aggregations.robust_zscore): per order priority, count
+    order totals with |rz| > 3.5 — the 50%-breakdown-point sibling of
+    the mean/std `outlier_zscore_orders` (whose baseline the outliers
+    themselves inflate).  Two grouped percentile aggs + two
+    group-count-sized broadcast joins; summary output rounds to 6."""
+    from square_etl_spark.operators.aggregations import robust_zscore
+
+    o = load_table(spark, sf_dir, "orders")
+    r = robust_zscore(o, "o_totalprice", ["o_orderpriority"])
+    return r.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("__med"), 6).alias("med"),
+        F.round(F.min("__mad"), 6).alias("mad"),
+        F.sum(
+            F.when(F.abs(F.col("rz")) > 3.5, 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+_register(
+    QuerySpec(
+        "robust_outliers_orders",
+        _robust_outliers_orders,
+        oracle="""
+        WITH med AS (
+          SELECT o_orderpriority,
+                 quantile_cont(o_totalprice, 0.5) AS m
+          FROM orders GROUP BY o_orderpriority),
+        mad AS (
+          SELECT o.o_orderpriority,
+                 quantile_cont(ABS(o.o_totalprice - med.m), 0.5) AS d
+          FROM orders o JOIN med USING (o_orderpriority)
+          GROUP BY o.o_orderpriority),
+        j AS (
+          SELECT o.o_orderpriority, o.o_totalprice, med.m, mad.d,
+                 (o.o_totalprice - med.m)
+                 / NULLIF(1.4826 * mad.d, 0) AS rz
+          FROM orders o
+          JOIN med ON o.o_orderpriority = med.o_orderpriority
+          JOIN mad ON o.o_orderpriority = mad.o_orderpriority)
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               ROUND(MIN(m), 6) AS med,
+               ROUND(MIN(d), 6) AS mad,
+               CAST(SUM(CASE WHEN ABS(rz) > 3.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM j GROUP BY o_orderpriority
+        """,
+        doc="robust median/MAD outlier counts per group (50% breakdown point vs mean/std)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

@@ -220,3 +220,21 @@ def test_winsorize_clips_to_group_fences(spark):
     clipped = {r["v"]: r["v_winsorized"] for r in rows}
     assert clipped[1.0] == lo and clipped[100.0] == hi
     assert clipped[50.0] == 50.0
+
+
+def test_robust_zscore_immune_to_outlier_poisoning(spark):
+    """The property that justifies the operator: one extreme value
+    must NOT inflate the baseline — the outlier flags itself, the
+    inliers stay unflagged, and a zero-MAD group yields NULL rz."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.aggregations import robust_zscore
+
+    rows = [("a", float(v)) for v in range(1, 100)] + [("a", 1e9)]
+    rows += [("b", 5.0)] * 10  # constant group → MAD 0 → undefined
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_zscore(df, "v", ["g"]).collect()
+    a = [(r["v"], r["rz"]) for r in out if r["g"] == "a"]
+    flagged = {v for v, rz in a if rz is not None and abs(rz) > 3.5}
+    assert flagged == {1e9}
+    assert all(rz is None for v, rz in [(r["v"], r["rz"]) for r in out if r["g"] == "b"])
