@@ -707,3 +707,68 @@ def test_ancestor_closure_equals_python_chase(spark, parent_of):
             cur, d = pmap[cur], d + 1
         want[node] = (cur, d)
     assert got == want
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    nsplit=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_incremental_exact_dedup_equals_python_fold(spark, texts, nsplit):
+    """Property: folding ANY batch split through the digest state keeps
+    exactly the (first batch, then min id) winner per distinct text —
+    compared against a pure-Python dict fold."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.dedup import incremental_exact_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state, kept = None, []
+    for b in range(nsplit):
+        batch = df.filter(F.col("doc_id") % nsplit == b)
+        k, state = incremental_exact_dedup(state, batch)
+        kept.extend(r["doc_id"] for r in k.collect())
+
+    want: dict[str, int] = {}
+    for b in range(nsplit):
+        for i, t in rows:
+            if i % nsplit == b and t not in want:
+                want[t] = i
+    assert sorted(kept) == sorted(want.values())
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**6),
+                  min_size=1, max_size=40, unique=True),
+    fr=st.sampled_from([
+        {"a": 0.5, "b": 0.5},
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        {"x": 0.25, "y": 0.25},
+    ]),
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_assign_partition_property(spark, keys, fr):
+    """Property: labels are a FUNCTION of (key, salt) alone — each key
+    gets at most one label, full-coverage fraction sets cover every
+    key, and the same key never changes split across dataframes."""
+    from square_etl_spark.operators.sampling import split_assign
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = split_assign(df, "k", fr, salt="p")
+    got = {r["k"]: r["split"] for r in out.collect()}
+    assert len(got) == out.count()  # one label per key
+    if abs(sum(fr.values()) - 1.0) < 1e-9:
+        assert set(got) == set(keys)  # exhaustive when fractions sum to 1
+    # stability: a shuffled superset assigns identical labels
+    sup = spark.createDataFrame(
+        [(k,) for k in keys + [10**7 + k for k in keys]], "k long"
+    ).repartition(7)
+    got2 = {r["k"]: r["split"] for r in split_assign(sup, "k", fr, salt="p").collect()}
+    assert all(got2.get(k) == v for k, v in got.items())
