@@ -9340,6 +9340,81 @@ _register(
 )
 
 
+def _join_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key overlap profile — the pre-join diagnostic a pipeline
+    runs before trusting a new feed: distinct-key counts on each side
+    of orders⋈customer, the overlap, and containment ratios (orphan
+    fact keys = referential break; low dim containment = dead dim
+    rows).  One distinct per side + one full outer join on the
+    deduped key sets — key-cardinality-sized, never fact-sized."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .withColumn("l", F.lit(1))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+        .withColumn("r", F.lit(1))
+    )
+    j = o.join(c, "k", "full")
+    return j.agg(
+        F.count("l").alias("n_fact_keys"),
+        F.count("r").alias("n_dim_keys"),
+        F.count(F.when(F.col("l").isNotNull() & F.col("r").isNotNull(), 1))
+        .alias("n_common"),
+        F.count(F.when(F.col("r").isNull(), 1)).alias("n_orphan_fact"),
+        F.count(F.when(F.col("l").isNull(), 1)).alias("n_unused_dim"),
+        F.round(
+            F.count(
+                F.when(F.col("l").isNotNull() & F.col("r").isNotNull(), 1)
+            )
+            / F.count("l"),
+            6,
+        ).alias("fact_containment"),
+        F.round(
+            F.count(
+                F.when(F.col("l").isNotNull() & F.col("r").isNotNull(), 1)
+            )
+            / F.count("r"),
+            6,
+        ).alias("dim_containment"),
+    )
+
+
+_register(
+    QuerySpec(
+        "join_key_overlap_profile",
+        _join_key_overlap,
+        oracle="""
+        WITH lk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        rk AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        j AS (
+          SELECT lk.k AS l, rk.k AS r
+          FROM lk FULL OUTER JOIN rk ON lk.k = rk.k)
+        SELECT COUNT(l) AS n_fact_keys,
+               COUNT(r) AS n_dim_keys,
+               COUNT(CASE WHEN l IS NOT NULL AND r IS NOT NULL
+                          THEN 1 END) AS n_common,
+               COUNT(CASE WHEN r IS NULL THEN 1 END) AS n_orphan_fact,
+               COUNT(CASE WHEN l IS NULL THEN 1 END) AS n_unused_dim,
+               ROUND(COUNT(CASE WHEN l IS NOT NULL AND r IS NOT NULL
+                                THEN 1 END)
+                     / /*nz: fact side has >= 1 distinct key*/
+                       CAST(COUNT(l) AS DOUBLE), 6) AS fact_containment,
+               ROUND(COUNT(CASE WHEN l IS NOT NULL AND r IS NOT NULL
+                                THEN 1 END)
+                     / /*nz: dim side has >= 1 distinct key*/
+                       CAST(COUNT(r) AS DOUBLE), 6) AS dim_containment
+        FROM j
+        """,
+        doc="pre-join referential profile: distinct keys, overlap, containment, orphans",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

@@ -1,0 +1,143 @@
+"""Round-8 scaling evidence: the INCREMENTAL-dedup win.
+
+The claim the incremental operators make (COVERAGE §2.10 r08 rows):
+deduplicating a new ingest batch against an existing corpus via the
+materializable LSH index / digest state costs ~O(batch), while the
+naive alternative re-pairs the WHOLE corpus at ~O(corpus) every
+ingest.  This sweep measures both on the same synthetic corpus at
+growing sizes (new batch fixed at 10% of corpus) so the gap is a
+recorded number, not rhetoric.
+
+Methodology matches tools/scaling_r07.py after its r08 rework: each
+(size, op) point runs in a FRESH subprocess (no JVM-state bleed) with
+one untimed warmup run (steady-state, not cold-start).
+
+Usage: python tools/scaling_r08.py [sizes_csv]   # corpus doc counts
+       python tools/scaling_r08.py --point <n> <op>
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OPS = [
+    "full_minhash_pairs",       # re-pair the whole corpus (the naive path)
+    "index_probe_10pct",        # probe a 10% batch against the 90% index
+    "full_exact_dedup",
+    "incremental_exact_10pct",
+]
+
+
+def timed(name: str, n: int, thunk, spark):
+    thunk()  # warmup (see scaling_r07.timed)
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    rows = thunk()
+    dt = round(time.perf_counter() - t0, 2)
+    print(json.dumps({"op": name, "n": n, "sec": dt, "rows": rows}),
+          flush=True)
+
+
+def _corpus(spark, n: int):
+    """Deterministic synthetic corpus: 30-word docs over a 500-word
+    vocabulary, with every 17th doc an exact copy of its neighbor and
+    every 13th a one-word edit — planted dup structure at every n."""
+    from pyspark.sql import functions as F
+
+    base = F.when(F.col("id") % 17 == 1, F.col("id") - 1).otherwise(
+        F.col("id")
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("w"),
+            ((base * 31 + i * 7 + F.when(
+                (F.col("id") % 13 == 1) & (i == F.lit(3)), F.lit(1)
+            ).otherwise(F.lit(0))) % 500).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", words).alias("text"),
+    )
+
+
+def run_point(n: int, op: str) -> None:
+    from pyspark.sql import functions as F
+
+    from square_etl_spark import get_spark
+    from square_etl_spark.operators.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+        minhash_banded_pairs,
+        minhash_index,
+        minhash_probe,
+    )
+
+    spark = get_spark("scaling-r08")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = _corpus(spark, n).persist()
+    docs.count()  # materialize the corpus outside every timer
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+
+    if op == "full_minhash_pairs":
+        timed(op, n,
+              lambda: minhash_banded_pairs(docs, threshold=0.5).count(),
+              spark)
+    elif op == "index_probe_10pct":
+        # index build is the WRITE-side cost paid once at ingest; the
+        # recurring per-batch cost is the probe — persist the index
+        # (≈ reading the materialized index tables) outside the timer
+        sh, idx = minhash_index(old)
+        sh, idx = sh.persist(), idx.persist()
+        sh.count(), idx.count()
+        timed(op, n,
+              lambda: minhash_probe(sh, idx, new, threshold=0.5).count(),
+              spark)
+    elif op == "full_exact_dedup":
+        timed(op, n, lambda: exact_dedup(docs).count(), spark)
+    elif op == "incremental_exact_10pct":
+        state, _ = incremental_exact_dedup(None, old)
+        state = state.persist()
+        state.count()
+        timed(op, n,
+              lambda: incremental_exact_dedup(state, new)[0].count(),
+              spark)
+    else:
+        raise SystemExit(f"unknown op: {op}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--point":
+        run_point(int(sys.argv[2]), sys.argv[3])
+        return
+    sizes = [
+        int(s)
+        for s in (sys.argv[1] if len(sys.argv) > 1 else
+                  "20000,80000,320000").split(",")
+    ]
+    me = str(Path(__file__).resolve())
+    for n in sizes:
+        for op in OPS:
+            r = subprocess.run(
+                [sys.executable, me, "--point", str(n), op],
+                capture_output=True, text=True,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                print(json.dumps(
+                    {"op": op, "n": n,
+                     "error": (r.stderr or "")[-400:]}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
