@@ -134,7 +134,10 @@ def split_assign(
     expr = None
     cum = 0.0
     for name, frac in fractions.items():
-        cum += frac
+        # round the running sum so float accumulation error (0.8+0.1 =
+        # 0.9000000000000001) cannot move a threshold off the value an
+        # oracle computes from the literal cumulative fraction
+        cum = round(cum + frac, 12)
         cond = hb < F.lit(rate_threshold(min(cum, 1.0)))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
