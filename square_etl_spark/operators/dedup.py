@@ -1074,3 +1074,72 @@ def minhash_probe(
         .filter(F.col("jaccard") >= threshold)
         .select("new_id", "old_id", "jaccard")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    span_words: int = 10,
+) -> DataFrame:
+    """Sub-document span dedup, C4-style: split every document into
+    non-overlapping ``span_words``-word spans, keep only the FIRST
+    corpus-wide occurrence of each distinct span (by doc id, then span
+    position), and reassemble each document from its surviving spans —
+    the pretraining-corpus pass that strips boilerplate paragraphs
+    repeated across thousands of pages without dropping whole
+    documents (doc-level dedup misses this; C4 did it at the
+    three-sentence level).  A document whose every span is seen
+    earlier disappears entirely — exact-dup docs degenerate to
+    doc-level dedup.
+
+    Shape: one split + span explode (map-side), one window rank
+    partitioned by the span text (one shuffle carrying span text —
+    at extreme scale partition by a span digest instead and rejoin,
+    trading a second shuffle for narrow rows), one grouped
+    reassembly sharing the doc key.  Returns
+    (id, n_spans_kept, cleaned_text).
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(content_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = (
+        df.select(F.col(id_col), words.alias("__w"), n_spans.alias("__ns"))
+        .filter(F.col("__ns") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__ns")),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("__w"),
+                            (i - 1) * span_words + 1,
+                            span_words,
+                        ),
+                    ),
+                )
+            ).alias("idx", "span"),
+        )
+    )
+    w = Window.partitionBy("span").orderBy(id_col, "idx")
+    kept = spans.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("idx", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )

@@ -9415,6 +9415,60 @@ _register(
 )
 
 
+def _span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document C4-style span dedup (operators/dedup.span_dedup):
+    10-word spans, first corpus-wide occurrence wins (doc id then
+    position), documents reassembled from surviving spans — the
+    boilerplate-paragraph stripper doc-level dedup cannot express.
+    Span explode + one span-keyed window rank + one doc-keyed
+    reassembly."""
+    from square_etl_spark.operators.dedup import span_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, "doc_id", "text", span_words=10)
+
+
+_register(
+    QuerySpec(
+        "dedup_spans_c4",
+        _span_dedup_docs,
+        oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS wl
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(1, CAST(CEIL(len(wl) / 10.0) AS BIGINT)),
+                   i -> struct_pack(
+                     idx := i - 1,
+                     span := array_to_string(
+                       wl[CAST((i - 1) * 10 + 1 AS INTEGER)
+                          : CAST((i - 1) * 10 + 10 AS INTEGER)], ' '))))
+                   AS pr
+          FROM w WHERE len(wl) > 0),
+        r AS (
+          SELECT doc_id,
+                 CAST(pr.idx AS INTEGER) AS idx,
+                 pr.span AS span,
+                 ROW_NUMBER() OVER (PARTITION BY pr.span
+                                    ORDER BY doc_id, pr.idx) AS rk
+          FROM s)
+        SELECT doc_id,
+               COUNT(*) AS n_spans_kept,
+               array_to_string(
+                 list_transform(
+                   list_sort(list(struct_pack(idx := idx, span := span))),
+                   x -> x.span), ' ') AS cleaned_text
+        FROM r WHERE rk = 1 GROUP BY doc_id
+        """,
+        doc="C4-style sub-document span dedup: first corpus occurrence wins, docs reassembled",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

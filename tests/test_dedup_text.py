@@ -708,3 +708,25 @@ def test_minhash_probe_finds_new_old_pairs_only(spark):
     }
     assert (3, 1) in pairs and (6, 1) in pairs
     assert all(old_id <= 2 and new_id >= 3 for new_id, old_id in pairs)
+
+
+def test_span_dedup_strips_repeated_boilerplate(spark):
+    """A boilerplate span repeated across docs survives only in its
+    first host; unique content is untouched; an exact-dup doc
+    disappears entirely."""
+    from square_etl_spark.operators.dedup import span_dedup
+
+    boiler = "one two three four five"
+    rows = [
+        (1, boiler + " alpha beta gamma delta eps"),
+        (2, boiler + " zeta eta theta iota kappa"),   # repeats span 0 of doc 1
+        (3, boiler + " alpha beta gamma delta eps"),  # exact dup of doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans_kept"], r["cleaned_text"])
+        for r in span_dedup(df, span_words=5).collect()
+    }
+    assert got[1] == (2, boiler + " alpha beta gamma delta eps")
+    assert got[2] == (1, "zeta eta theta iota kappa")  # boilerplate stripped
+    assert 3 not in got  # every span seen earlier → doc gone
