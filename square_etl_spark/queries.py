@@ -9568,7 +9568,11 @@ _CHECK_PRIORITY: list[str] = [
     # one-shot), dedup_incremental_minhash (new-batch probe of a
     # materializable LSH index, both sides oracle-recomputed),
     # multimodal_decode_png (real stdlib-zlib codec path),
-    # winsorize_acctbal_segment (exact [p5,p95] group fences).
+    # winsorize_acctbal_segment (exact [p5,p95] group fences),
+    # drift_psi_orders (PSI distribution-drift monitor),
+    # robust_outliers_orders (median/MAD, 50% breakdown point),
+    # join_key_overlap_profile (pre-join referential diagnostic),
+    # dedup_spans_c4 (sub-document span dedup + reassembly).
 ]
 
 

@@ -45,9 +45,16 @@ def timed(name: str, n: int, thunk, spark):
 
 
 def _corpus(spark, n: int):
-    """Deterministic synthetic corpus: 30-word docs over a 500-word
-    vocabulary, with every 17th doc an exact copy of its neighbor and
-    every 13th a one-word edit — planted dup structure at every n."""
+    """Deterministic synthetic corpus: 30-word docs whose words are
+    md5-derived from (base id, position) — a ~65 k token space, so
+    distinct ids give distinct documents w.h.p. (a first draft used a
+    500-word modular vocabulary; at n ≫ 500 the word sequences
+    repeated every 500 ids and the 'corpus' collapsed to 500 dup
+    groups of ~n/500 copies — a quadratic pair explosion that made
+    the full-re-pair side look artificially terrible).  Planted
+    structure: every 17th doc is an exact copy of its neighbor, every
+    13th a one-word edit of itself — dup groups of size 2, the
+    realistic regime."""
     from pyspark.sql import functions as F
 
     base = F.when(F.col("id") % 17 == 1, F.col("id") - 1).otherwise(
@@ -55,11 +62,14 @@ def _corpus(spark, n: int):
     )
     words = F.transform(
         F.sequence(F.lit(0), F.lit(29)),
-        lambda i: F.concat(
-            F.lit("w"),
-            ((base * 31 + i * 7 + F.when(
-                (F.col("id") % 13 == 1) & (i == F.lit(3)), F.lit(1)
-            ).otherwise(F.lit(0))) % 500).cast("string"),
+        lambda i: F.when(
+            (F.col("id") % 13 == 1) & (i == F.lit(3)), F.lit("edit")
+        ).otherwise(
+            F.substring(
+                F.md5(F.concat(base.cast("string"), F.lit("_"), i.cast("string"))),
+                1,
+                4,
+            )
         ),
     )
     return spark.range(n).select(
