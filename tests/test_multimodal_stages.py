@@ -3388,3 +3388,25 @@ def test_csv_ingest_quarantine_splits_malformed_fields(spark):
                   4: ("delta", 0.0, "4,delta,0.0")}
     bad = sorted(r.line for r in rejects.collect())
     assert bad == ["2,beta,oops", "3,gamma,7.25,extra"]
+
+
+def test_png_decoder_bit_exact_all_grays():
+    """The r08 PNG LUT contract, pinned without Spark: for every gray
+    v, the constructed zlib PNG decodes to a 4×4 grid of exactly v
+    (chunk walk → inflate → unfilter → pixels)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from square_etl_spark.operators.multimodal import _parse_png
+    from square_etl_spark.queries import _uniform_gray_png
+
+    for v in (0, 1, 127, 128, 254, 255):
+        blob = _uniform_gray_png(v)
+        assert len(blob) == 128
+        px = _parse_png(blob[: blob.index(b"IEND") + 8])  # parser also
+        # accepts the padded blob — both paths must agree
+        px2 = _parse_png(blob)
+        assert (px == px2).all()
+        assert px.shape == (4, 4, 3)
+        assert (px == v).all()

@@ -772,3 +772,42 @@ def test_split_assign_partition_property(spark, keys, fr):
     ).repartition(7)
     got2 = {r["k"]: r["split"] for r in split_assign(sup, "k", fr, salt="p").collect()}
     assert all(got2.get(k) == v for k, v in got.items())
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=9).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_dedup_equals_python_fold(spark, docs):
+    """Property: span_dedup(span_words=2) ≡ a pure-Python first-wins
+    fold over (doc id, span position) — including reassembly order
+    and full-duplicate docs vanishing."""
+    from square_etl_spark.operators.dedup import span_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans_kept"], r["cleaned_text"])
+        for r in span_dedup(df, span_words=2).collect()
+    }
+
+    seen: set[str] = set()
+    want: dict[int, tuple[int, str]] = {}
+    for i, t in rows:
+        words = [w for w in t.split() if w]
+        spans = [" ".join(words[j:j + 2]) for j in range(0, len(words), 2)]
+        kept = []
+        for s in spans:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        if kept:
+            want[i] = (len(kept), " ".join(kept))
+    assert got == want
