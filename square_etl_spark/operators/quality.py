@@ -123,37 +123,62 @@ def drift_psi(
     join — the data-volume cost is the two scans, everything after is
     bin-count-sized.
     """
-    from pyspark.sql.window import Window
+    counts = (
+        psi_bin_counts(ref, value_col, ref, bins, "n_ref")
+        .join(
+            psi_bin_counts(cur, value_col, ref, bins, "n_cur"),
+            "bin",
+            "full",
+        )
+        .na.fill({"n_ref": 0, "n_cur": 0})
+    )
+    return psi_from_counts(counts, eps)
 
+
+def psi_bin_counts(
+    df: DataFrame,
+    value_col: str,
+    ref: DataFrame,
+    bins: int = 10,
+    n_col: str = "n",
+) -> DataFrame:
+    """Per-bin counts of ``df`` on the REFERENCE grid — the mergeable
+    half of PSI (bin counts are a sum monoid, so streaming
+    maintenance folds micro-batch counts with `incremental_rollup`
+    and batch ≡ streaming holds exactly).  Every grid bin appears
+    (zero-filled), so count relations from different runs align."""
     b = ref.agg(
         F.min(value_col).cast("double").alias("lo"),
         F.max(value_col).cast("double").alias("hi"),
     )
-
-    def binned(df: DataFrame, n_col: str) -> DataFrame:
-        # bcast-ok: b = 1-row min/max bounds aggregate
-        j = df.join(F.broadcast(b))
-        width_ok = F.col("hi") > F.col("lo")
-        raw = F.floor(
-            (F.col(value_col).cast("double") - F.col("lo"))
-            * F.lit(bins)
-            / F.when(width_ok, F.col("hi") - F.col("lo"))
-        )
-        bin_ = F.when(~width_ok, F.lit(0)).otherwise(
-            F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
-        )
-        return (
-            j.select(bin_.cast("int").alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(n_col))
-        )
-
-    grid = ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
-    counts = (
-        grid.join(binned(ref, "n_ref"), "bin", "left")
-        .join(binned(cur, "n_cur"), "bin", "left")
-        .na.fill({"n_ref": 0, "n_cur": 0})
+    # bcast-ok: b = 1-row min/max bounds aggregate
+    j = df.join(F.broadcast(b))
+    width_ok = F.col("hi") > F.col("lo")
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.col("lo"))
+        * F.lit(bins)
+        / F.when(width_ok, F.col("hi") - F.col("lo"))
     )
+    bin_ = F.when(~width_ok, F.lit(0)).otherwise(
+        F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw))
+    )
+    got = (
+        j.select(bin_.cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(n_col))
+    )
+    grid = df.sparkSession.range(bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    return grid.join(got, "bin", "left").na.fill({n_col: 0})
+
+
+def psi_from_counts(counts: DataFrame, eps: float = 1e-6) -> DataFrame:
+    """PSI arithmetic over an aligned (bin, n_ref, n_cur) relation —
+    shared verbatim by the batch operator and the streaming
+    maintenance read path, so the two cannot diverge."""
+    from pyspark.sql.window import Window
+
     tot = Window.partitionBy()
     p_ref = F.greatest(
         F.col("n_ref") / F.sum("n_ref").over(tot), F.lit(eps)

@@ -9281,6 +9281,10 @@ _register(
         FROM t
         """,
         doc="PSI distribution drift between snapshots: reference-grid bins, eps-guarded log ratios",
+        global_window_ok=(
+            "proportion/psi_total windows run over the bin-grid "
+            "relation — exactly `bins` (10) rows by construction"
+        ),
     )
 )
 

@@ -322,3 +322,64 @@ def stream_cms_availablenow(
         ),
         schema=schema,
     )
+
+
+def stream_psi_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    counts_path: str,
+    ref: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    schema=None,
+) -> None:
+    """Streaming PSI drift maintenance — the monitoring twin of
+    :func:`operators.quality.drift_psi`: each micro-batch is binned on
+    the FIXED reference grid and its counts fold into a stored
+    bins-sized count table (bin counts are a sum monoid, so streaming
+    maintenance ≡ one-shot batch binning exactly; exactly-once via
+    the shared transactional scaffolding).  State is ``bins`` rows
+    forever; read the current PSI any time with
+    :func:`stream_psi_read` — between-ingest drift monitoring that
+    never rescans the stream's history."""
+    from square_etl_spark.operators.quality import psi_bin_counts
+
+    def fold(target: DataFrame | None, batch: DataFrame) -> DataFrame:
+        part = psi_bin_counts(batch, value_col, ref, bins, "n_cur")
+        if target is None:
+            return part
+        return (
+            target.unionByName(part)
+            .groupBy("bin")
+            .agg(F.sum("n_cur").alias("n_cur"))
+        )
+
+    _fold_stream_availablenow(
+        spark, source_dir, checkpoint_dir, counts_path, fold, schema=schema
+    )
+
+
+def stream_psi_read(
+    spark: SparkSession,
+    counts_path: str,
+    ref: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Current PSI of the maintained stream counts vs the reference —
+    the read path of :func:`stream_psi_availablenow`, sharing
+    ``psi_from_counts`` verbatim with the batch operator so the two
+    cannot diverge arithmetically."""
+    from square_etl_spark.operators.quality import (
+        psi_bin_counts,
+        psi_from_counts,
+    )
+
+    cur = spark.read.parquet(counts_path).select("bin", "n_cur")
+    refc = psi_bin_counts(ref, value_col, ref, bins, "n_ref")
+    counts = refc.join(cur, "bin", "full").na.fill(
+        {"n_ref": 0, "n_cur": 0}
+    )
+    return psi_from_counts(counts, eps)

@@ -456,3 +456,51 @@ def test_interval_lookup_works_as_stream_static_join(spark, tmp_path):
         r["fid"]: r["seg"] for r in spark.sql("select * from pit_enrich").collect()
     }
     assert got == {10: "A", 11: "B", 12: None}
+
+
+def test_stream_psi_maintain_equals_batch_exactly(spark, sf_dir, tmp_path):
+    """Streaming PSI maintenance: three micro-batches of current data
+    fold bin counts into bins-sized state; the read path must equal
+    the one-shot batch drift_psi over the SAME data row-for-row
+    (shared reference grid + shared psi arithmetic), and a replayed
+    drain must not double-count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.quality import drift_psi
+    from square_etl_spark.streaming.incremental import (
+        stream_psi_availablenow,
+        stream_psi_read,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+    ref = o.filter(F.col("o_orderdate") < cut).select("o_totalprice")
+    cur = o.filter(F.col("o_orderdate") >= cut).select("o_totalprice")
+
+    src = os.path.join(tmp_path, "psisrc")
+    ckpt = os.path.join(tmp_path, "psickpt")
+    state = os.path.join(tmp_path, "psistate")
+    for i in range(3):
+        cur.filter(F.crc32(F.col("o_totalprice").cast("string")) % 3 == i) \
+            .coalesce(1).write.mode("append").parquet(src)
+        stream_psi_availablenow(
+            spark, src, ckpt, state, ref, "o_totalprice",
+            schema="o_totalprice double",
+        )
+
+    got = stream_psi_read(spark, state, ref, "o_totalprice")
+    want = drift_psi(ref, cur, "o_totalprice")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # drain again with no new files: counts unchanged (exactly-once)
+    stream_psi_availablenow(
+        spark, src, ckpt, state, ref, "o_totalprice",
+        schema="o_totalprice double",
+    )
+    again = stream_psi_read(spark, state, ref, "o_totalprice")
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, got.collect())
+    )
