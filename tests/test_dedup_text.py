@@ -730,3 +730,33 @@ def test_span_dedup_strips_repeated_boilerplate(spark):
     assert got[1] == (2, boiler + " alpha beta gamma delta eps")
     assert got[2] == (1, "zeta eta theta iota kappa")  # boilerplate stripped
     assert 3 not in got  # every span seen earlier → doc gone
+
+
+def test_minhash_index_roundtrips_through_parquet(spark, tmp_path):
+    """Deployment story of the incremental index: the shingle store
+    and bucket index are WRITTEN at ingest and probed from storage —
+    a probe against the parquet round-trip must equal the in-memory
+    probe exactly."""
+    import os
+
+    from square_etl_spark.operators.dedup import minhash_index, minhash_probe
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, "totally different text with its own words here")]
+    old = spark.createDataFrame(rows, "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(3, base)], "doc_id long, text string"
+    )
+    sh, idx = minhash_index(old)
+    shp = os.path.join(tmp_path, "sh")
+    idxp = os.path.join(tmp_path, "idx")
+    sh.write.parquet(shp)
+    idx.write.parquet(idxp)
+    stored = minhash_probe(
+        spark.read.parquet(shp), spark.read.parquet(idxp), new,
+        threshold=0.8,
+    )
+    live = minhash_probe(sh, idx, new, threshold=0.8)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, live.collect())
+    ) == [(3, 1, 1.0)]
