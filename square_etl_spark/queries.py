@@ -9473,6 +9473,132 @@ _register(
 )
 
 
+def _split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit — the composition the r08 split +
+    decontamination machinery exists for: assign the corpus to
+    train/val/test (deterministic md5 splits), then count word-3-gram
+    overlap of every TEST doc against the TRAIN shingle set
+    (operators/dedup.contamination_hits — broadcast semi-join shape).
+    One summary row: overlap-doc count, total/max shared shingles,
+    docs past the ≥5-hit leak threshold.  The audit every eval split
+    needs before a benchmark number is believed."""
+    from square_etl_spark.operators.dedup import contamination_hits
+    from square_etl_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    s = split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="tvt1"
+    )
+    train = s.filter(F.col("split") == "train")
+    test = s.filter(F.col("split") == "test")
+    hits = contamination_hits(test, train)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_overlap_docs"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("total_hits"),
+        F.coalesce(F.max("n_hits"), F.lit(0)).cast("long").alias("max_hits"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_hits") >= 5, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_leaked"),
+    )
+
+
+_register(
+    QuerySpec(
+        "split_leakage_audit",
+        _split_leakage_audit,
+        oracle=f"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 CASE WHEN {_bucket_sql("doc_id", "tvt1")}
+                           < '{rate_threshold(0.8)}' THEN 'train'
+                      WHEN {_bucket_sql("doc_id", "tvt1")}
+                           < '{rate_threshold(0.9)}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents),
+        tsh AS (
+          SELECT DISTINCT w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+          FROM (SELECT w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+                      FROM s WHERE split = 'train')
+                WHERE len(w) >= 3)),
+        csh AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+          FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\\s+') AS w
+                      FROM s WHERE split = 'test')
+                WHERE len(w) >= 3)),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_hits
+          FROM csh JOIN tsh USING (sh) GROUP BY doc_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap_docs,
+               CAST(COALESCE(SUM(n_hits), 0) AS BIGINT) AS total_hits,
+               CAST(COALESCE(MAX(n_hits), 0) AS BIGINT) AS max_hits,
+               CAST(COALESCE(SUM(CASE WHEN n_hits >= 5 THEN 1 ELSE 0 END),
+                             0) AS BIGINT) AS n_leaked
+        FROM hits
+        """,
+        doc="train/test leakage audit: split assignment + shingle-overlap decontamination",
+    )
+)
+
+
+def _decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score: per event type, the
+    exponentially-decayed sum of event values with a 7-day half-life
+    anchored at a fixed as-of instant — the recency-weighted metric
+    behind freshness-aware source weighting (yesterday's signal counts
+    ~2× last week's).  One scan + one grouped aggregation; per-event
+    weights round to 9 decimals into DECIMAL(38,9) sums so
+    accumulation order cannot change the hash; exp/ln are the same
+    IEEE doubles on both engines (the LM scorers already pin this)."""
+    e = load_table(spark, sf_dir, "events")
+    asof = F.lit("2024-03-01 00:00:00").cast("timestamp")
+    # exact integer MICROSECOND age on both engines (unix_timestamp
+    # floors to seconds while DuckDB epoch() keeps fractions — µs is
+    # the common exact currency, same trick as the TWAP operator)
+    age_us = F.unix_micros(asof) - F.unix_micros(F.col("ts"))
+    # half-life 7 days: weight = exp(-ln(2) * age / 604800e6 µs)
+    w = F.exp(-F.lit(0.6931471805599453) * age_us / F.lit(604800000000.0))
+    term = F.round(F.col("value") * w, 9).cast("decimal(38,9)")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(term).cast("double"), 4).alias("decayed_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"),
+                4,
+            ).alias("raw_value"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "decayed_engagement_events",
+        _decayed_engagement,
+        oracle="""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(ROUND(
+                   value * exp(-0.6931471805599453
+                               * (epoch_us(TIMESTAMP '2024-03-01 00:00:00')
+                                  - epoch_us(ts))
+                               / 604800000000.0), 9) AS DECIMAL(38,9)))
+                 AS DOUBLE), 4) AS decayed_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4)
+                 AS raw_value
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type
+        """,
+        doc="exponential time-decay aggregation (7-day half-life, fixed as-of anchor)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -9576,7 +9702,9 @@ _CHECK_PRIORITY: list[str] = [
     # drift_psi_orders (PSI distribution-drift monitor),
     # robust_outliers_orders (median/MAD, 50% breakdown point),
     # join_key_overlap_profile (pre-join referential diagnostic),
-    # dedup_spans_c4 (sub-document span dedup + reassembly).
+    # dedup_spans_c4 (sub-document span dedup + reassembly),
+    # split_leakage_audit (split ∘ decontamination composition),
+    # decayed_engagement_events (exponential time-decay aggregation).
 ]
 
 
