@@ -1143,3 +1143,83 @@ def span_dedup(
             ).alias("cleaned_text"),
         )
     )
+
+
+def ngram_jaccard_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (the PPJoin family's
+    candidate generator) — LOSSLESS for Jaccard ≥ ``threshold``, so
+    unlike the df-capped postings join or banded MinHash there is no
+    recall story to argue: the output is BY CONSTRUCTION identical to
+    the exhaustive join (and the DuckDB oracle is exactly that
+    exhaustive join — the pruning must be invisible).
+
+    The principle: J(A,B) ≥ t ⇒ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|).
+    Order every document's shingles by a GLOBAL canonical order
+    (ascending document frequency, rarest first) and index only each
+    doc's first ``|X| − ⌈t·|X|⌉ + 1`` shingles: a qualifying pair
+    must collide inside these prefixes (if all shared shingles sat
+    outside A's prefix, the intersection would fit in A's suffix of
+    size ⌈t·|A|⌉ − 1 < t·|A| — contradiction).  Frequency order is
+    what makes this cheap at scale: HOT shingles sort LAST, so they
+    almost never enter a prefix — the skew guard falls out of the
+    math instead of needing a df_cap, and the candidate join touches
+    ~(1−t)·postings rows.
+
+    Stages: postings + df counts (one groupBy), per-doc frequency
+    rank (one window sharing the doc partitioning), prefix self-join
+    on the shingle (id_a < id_b, distinct), exact verify on the full
+    shingle arrays.  Emitted jaccard values are exact.
+    """
+    sh_arr = df.select(
+        F.col(id_col), hashed_word_shingles(content_col, n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    post = sh_arr.select(id_col, F.explode("sh").alias("shingle"))
+    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        post.join(dfreq, "shingle")
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("df", "shingle")
+            ),
+        )
+        .withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    ).select(id_col, "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sh_arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

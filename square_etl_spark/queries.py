@@ -9599,6 +9599,59 @@ _register(
 )
 
 
+def _prefix_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtering set-similarity join
+    (operators/dedup.ngram_jaccard_prefix, PPJoin-style): LOSSLESS
+    candidate pruning for Jaccard ≥ 0.5 — the oracle is the
+    EXHAUSTIVE pair join over the full shingle space, so any pair the
+    prefix filter drops incorrectly is a hash mismatch.  Frequency
+    order puts hot shingles last, so they never enter a prefix: the
+    skew guard the df-capped variant needs a knob for falls out of
+    the math here."""
+    from square_etl_spark.operators.dedup import ngram_jaccard_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_prefix(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+_register(
+    QuerySpec(
+        "dedup_jaccard_prefix",
+        _prefix_jaccard_docs,
+        oracle=r"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+          FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM (SELECT doc_id,
+                             list_filter(
+                               regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS w
+                      FROM documents)
+                WHERE len(w) >= 3)),
+        sized AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               ROUND(inter / /*nz: union of nonempty shingle sets*/
+                     CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6)
+                 AS jaccard
+        FROM inter
+        JOIN sized na ON na.doc_id = id_a
+        JOIN sized nb ON nb.doc_id = id_b
+        WHERE ROUND(inter / /*nz: union of nonempty shingle sets*/
+                    CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6)
+              >= 0.5
+        """,
+        doc="lossless prefix-filtering similarity join: oracle = the exhaustive pair join",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

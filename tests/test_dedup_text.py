@@ -760,3 +760,28 @@ def test_minhash_index_roundtrips_through_parquet(spark, tmp_path):
     assert sorted(map(tuple, stored.collect())) == sorted(
         map(tuple, live.collect())
     ) == [(3, 1, 1.0)]
+
+
+def test_prefix_jaccard_lossless_vs_exhaustive(spark, sf_dir):
+    """The prefix filter's whole contract: for jaccard ≥ t its output
+    EQUALS the exhaustive (uncapped) postings join — no recall
+    argument, set equality — while touching fewer postings rows."""
+    from square_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = 0.5
+    pruned = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_prefix(d, threshold=t).collect()
+    }
+    exhaustive = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            d, threshold=t, df_cap=None
+        ).collect()
+    }
+    assert pruned == exhaustive
+    assert len(pruned) > 0  # fixtures contain planted near-dups
