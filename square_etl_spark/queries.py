@@ -9757,7 +9757,8 @@ _CHECK_PRIORITY: list[str] = [
     # join_key_overlap_profile (pre-join referential diagnostic),
     # dedup_spans_c4 (sub-document span dedup + reassembly),
     # split_leakage_audit (split ∘ decontamination composition),
-    # decayed_engagement_events (exponential time-decay aggregation).
+    # decayed_engagement_events (exponential time-decay aggregation),
+    # dedup_jaccard_prefix (lossless PPJoin-style prefix filtering).
 ]
 
 
