@@ -31,6 +31,8 @@ OPS = [
     "index_probe_10pct",        # probe a 10% batch against the 90% index
     "full_exact_dedup",
     "incremental_exact_10pct",
+    "exhaustive_postings_join",  # uncapped pair join (the naive exact path)
+    "prefix_filter_join",        # lossless PPJoin-style pruning, same output
 ]
 
 
@@ -119,6 +121,19 @@ def run_point(n: int, op: str) -> None:
         state.count()
         timed(op, n,
               lambda: incremental_exact_dedup(state, new)[0].count(),
+              spark)
+    elif op == "exhaustive_postings_join":
+        from square_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+        timed(op, n,
+              lambda: ngram_jaccard_pairs(
+                  docs, threshold=0.5, df_cap=None).count(),
+              spark)
+    elif op == "prefix_filter_join":
+        from square_etl_spark.operators.dedup import ngram_jaccard_prefix
+
+        timed(op, n,
+              lambda: ngram_jaccard_prefix(docs, threshold=0.5).count(),
               spark)
     else:
         raise SystemExit(f"unknown op: {op}")
