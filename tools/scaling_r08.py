@@ -166,3 +166,54 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def prefix_guard_demo(spark, n: int = 40_000, boiler_every: int = 20) -> None:
+    """Hot-shingle wall-time evidence for the prefix filter: every
+    ``boiler_every``-th doc carries the SAME 6-word boilerplate
+    sentence (n/20 = 2000 docs → the boilerplate shingles' posting
+    lists are 2000 long → the exhaustive postings join materializes
+    ~2M candidate pairs from boilerplate alone), while the prefix
+    filter sorts those max-df shingles LAST — they never enter a
+    prefix, so the planted block costs it nothing and the OUTPUT is
+    still exactly the exhaustive join's (losslessness is only about
+    pairs ≥ t).  The r07 cap-guard demo needed a cap knob and changed
+    the output; here the guard falls out of the math and the output
+    is identical.  Run separately from main() so the headline sweep
+    stays comparable:
+    python -c "import sys; sys.path.insert(0,'.'); \
+      from tools.scaling_r08 import prefix_guard_demo; \
+      from square_etl_spark import get_spark; prefix_guard_demo(get_spark('pf'))"
+    """
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix,
+    )
+
+    docs = _corpus(spark, n)
+    boiler = "please subscribe to our newsletter for updates today"
+    docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % boiler_every == 7,
+            F.concat(F.lit(boiler + " "), F.col("text")),
+        ).otherwise(F.col("text")).alias("text"),
+    ).persist()
+    docs.count()
+
+    for name, thunk in [
+        ("prefix_filter", lambda: ngram_jaccard_prefix(
+            docs, threshold=0.5).count()),
+        ("exhaustive_postings", lambda: ngram_jaccard_pairs(
+            docs, threshold=0.5, df_cap=None).count()),
+    ]:
+        thunk()  # warmup
+        spark.sparkContext._jvm.System.gc()
+        t0 = _t.perf_counter()
+        rows = thunk()
+        print(json.dumps({"op": name, "n": n, "sec": round(
+            _t.perf_counter() - t0, 2), "rows": rows}), flush=True)
