@@ -199,7 +199,7 @@ def prefix_guard_demo(spark, n: int = 40_000, boiler_every: int = 20) -> None:
     docs = docs.select(
         "doc_id",
         F.when(
-            F.col("doc_id") % boiler_every == 7,
+            F.col("doc_id") % boiler_every == boiler_every - 1,
             F.concat(F.lit(boiler + " "), F.col("text")),
         ).otherwise(F.col("text")).alias("text"),
     ).persist()
