@@ -9652,6 +9652,145 @@ _register(
 )
 
 
+def _oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-256 token vocabulary (frequency-ranked, deterministic
+    count-then-token tie-break) — the tokenizer-fit proxy: docs full
+    of tokens a fixed vocabulary cannot cover tokenize into rare-piece
+    soup and train badly.  One token explode + one vocab-sized rank +
+    a broadcast semi-join back onto the tokens; per-doc aggregation
+    shares the explode's doc key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("rk") <= 256)
+        .select("w")
+    )
+    # bcast-ok: top-256 vocabulary, bounded by the rank cutoff
+    tagged = toks.join(
+        F.broadcast(vocab).withColumn("__in", F.lit(1)), "w", "left"
+    )
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+_register(
+    QuerySpec(
+        "text_oov_rate",
+        _oov_rate_docs,
+        oracle=r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(
+                   regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS w
+          FROM documents),
+        vocab AS (
+          SELECT w FROM (
+            SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+            FROM toks GROUP BY w)
+          WHERE rk <= 256)
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                     / /*nz: every doc here has >= 1 token*/
+                       CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        GROUP BY doc_id
+        """,
+        doc="per-doc OOV rate vs the corpus top-256 vocabulary (tokenizer-fit proxy)",
+        global_window_ok=(
+            "vocabulary rank window runs over the distinct-token "
+            "relation (vocab-sized, sub-linear in corpus)"
+        ),
+    )
+)
+
+
+def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every source pair,
+    how many distinct document CONTENTS appear in both — the
+    diagnostic that catches two 'independent' feeds scraping the same
+    upstream (weighting both then double-counts the shared mass).
+    Digest-keyed: one distinct on (digest, source), one self-equi-join
+    on the 64-byte digest — contents never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.sha2(F.col("text"), 256).alias("dig"), "source")
+        .groupBy("dig", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = counts.select("dig", F.col("source").alias("source_a"))
+    b = counts.select("dig", F.col("source").alias("source_b"))
+    cross = (
+        a.join(b, "dig")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+    )
+    # diagonal: contents duplicated WITHIN one source (n ≥ 2 copies)
+    diag = (
+        counts.filter(F.col("n") >= 2)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+        .select(
+            F.col("source").alias("source_a"),
+            F.col("source").alias("source_b"),
+            "n_shared_contents",
+        )
+    )
+    return cross.unionByName(diag)
+
+
+_register(
+    QuerySpec(
+        "source_overlap_matrix",
+        _source_overlap_matrix,
+        oracle="""
+        WITH counts AS (
+          SELECT sha256(text) AS dig, source, COUNT(*) AS n
+          FROM documents GROUP BY sha256(text), source)
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared_contents
+        FROM counts a JOIN counts b
+          ON a.dig = b.dig AND a.source < b.source
+        GROUP BY a.source, b.source
+        UNION ALL
+        SELECT source, source, COUNT(*)
+        FROM counts WHERE n >= 2 GROUP BY source
+        """,
+        doc="cross-source duplicate-overlap matrix (digest-keyed, contents never shuffle)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------

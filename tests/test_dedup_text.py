@@ -785,3 +785,37 @@ def test_prefix_jaccard_lossless_vs_exhaustive(spark, sf_dir):
     }
     assert pruned == exhaustive
     assert len(pruned) > 0  # fixtures contain planted near-dups
+
+
+def test_source_overlap_matrix_cross_and_diagonal(spark, sf_dir):
+    """Planted three-source corpus: content shared across src A/B
+    lands in the cross cell, content duplicated twice WITHIN src C
+    lands on the diagonal, unique contents appear nowhere.  (The
+    parquet fixtures plant duplicate contents only at sf0.1 — the
+    registered query's sf0.01 oracle row is legitimately empty, so
+    the semantics are pinned here on planted data.)"""
+    from square_etl_spark.queries import _source_overlap_matrix
+
+    rows = [
+        (1, "shared one", "A"), (2, "shared one", "B"),
+        (3, "c dup", "C"), (4, "c dup", "C"),
+        (5, "only a", "A"), (6, "only b", "B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    import square_etl_spark.io as io_mod
+    orig = io_mod.load_table
+    try:
+        io_mod.load_table = lambda s, d, t: df  # noqa: ARG005
+        import square_etl_spark.queries as q
+        q_orig = q.load_table
+        q.load_table = io_mod.load_table
+        try:
+            got = {
+                (r.source_a, r.source_b): r.n_shared_contents
+                for r in _source_overlap_matrix(spark, "unused").collect()
+            }
+        finally:
+            q.load_table = q_orig
+    finally:
+        io_mod.load_table = orig
+    assert got == {("A", "B"): 1, ("C", "C"): 1}
