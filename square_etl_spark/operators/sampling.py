@@ -486,3 +486,77 @@ def pack_sequences(
         .withColumn("seq_offset", (F.col("__cum") % budget).cast("bigint"))
         .drop("__h", "__shard", "__cum_incl", "__off", "__cum")
     )
+
+
+def budget_cap(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    budget: int,
+) -> DataFrame:
+    """Cap each group at a fixed weight budget, deterministically.
+
+    The corpus-mixing primitive "take at most N tokens from each
+    source": rows are consumed in the same engine-portable md5-of-key
+    order as ``pack_sequences``, and a row survives iff the EXCLUSIVE
+    per-group prefix weight before it is still under ``budget`` — so
+    every group keeps the minimal deterministic subset that reaches
+    the budget (the straddling row that crosses it is kept; trims are
+    the trainer's concern).  Re-running on a re-partitioned copy, or
+    incrementally on the same keys, selects the same rows.
+
+    Same two-phase distributed prefix sum as ``pack_sequences``, but
+    per group: cumsum inside (group, 256-way md5-prefix shard)
+    partitions in parallel, then per-(group, shard) totals — a
+    bounded |groups| x 256-row driver table — fold into exclusive
+    shard offsets and broadcast back.  ``group_col`` must be a
+    mixture dimension (source catalog, language set: 10^1-10^3
+    values), NOT a corpus-linear key; the offset table is
+    groups x 256 rows, so a high-cardinality group column belongs in
+    ``hash_sample``-style rate capping instead (that variant is
+    shuffle-free but only approximates the budget).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    tagged = df.withColumn("__h", F.md5(key)).withColumn(
+        "__shard", F.substring("__h", 1, 2)
+    )
+    w = (
+        Window.partitionBy(group_col, "__shard")
+        .orderBy("__h", *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn(
+        "__cum_incl", F.sum(F.col(weight_col).cast("long")).over(w)
+    )
+    # bounded driver metadata: |groups| x <=256 rows (mixture dims)
+    totals = (
+        tagged.groupBy(group_col, "__shard")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__tot"))
+        .orderBy(group_col, "__shard")
+        .collect()
+    )
+    offsets, running, cur = [], 0, object()
+    for r in totals:
+        if r[group_col] != cur:
+            cur, running = r[group_col], 0
+        offsets.append((r[group_col], r["__shard"], running))
+        running += r["__tot"]
+    gtype = df.schema[group_col].dataType.simpleString()
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(None, "00", 0)],
+        f"{group_col} {gtype}, __shard string, __off long",
+    )
+    cum_before = (
+        F.col("__off") + F.col("__cum_incl") - F.col(weight_col).cast("long")
+    )
+    return (
+        # bcast-ok: per-(group, shard) offset map, |groups| x <=256
+        # rows; group_col is a mixture dimension by contract (doc
+        # above), never a corpus-linear key
+        local.join(F.broadcast(off_df), [group_col, "__shard"])
+        .filter(cum_before < budget)
+        .drop("__h", "__shard", "__cum_incl", "__off")
+    )

@@ -9791,6 +9791,112 @@ _register(
 )
 
 
+def _rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the windowed
+    COUNT DISTINCT that a plain window frame cannot express (distinct
+    is not a frame aggregate).  Spark-first shape: collapse events to
+    distinct (day, user) ONCE, then each contributes to its 7
+    following target days via one explode — the distinct-then-fanout
+    order makes the fanout per-USER-DAY, not per-event, so a hot user
+    with 10⁶ events still fans out exactly 7 rows.  One final
+    distinct-count per target day; days beyond the last observed day
+    are trimmed."""
+    e = load_table(spark, sf_dir, "events")
+    du = (
+        e.select(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    fan = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+        "user_id",
+    )
+    # bcast-ok: mx = 1-row max-day aggregate
+    mx = du.agg(F.max("day").alias("mxd"))
+    return (
+        fan.join(F.broadcast(mx))
+        .filter(F.col("tday") <= F.col("mxd"))
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
+def _mix_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-budget corpus cap — "take at most 5 000
+    chars from each source" — via sampling.budget_cap's per-group
+    two-phase prefix sum (md5-of-doc_id consumption order, no
+    single-partition window).  Summarized per source so the check
+    row count stays bounded; the kept doc set itself is what the
+    operator returns."""
+    from square_etl_spark.operators.sampling import budget_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = budget_cap(
+        d, group_col="source", weight_col="n_chars",
+        key_cols=["doc_id"], budget=5000,
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+_register(
+    QuerySpec(
+        "mix_budget_cap_sources",
+        _mix_budget_cap,
+        oracle="""
+        WITH ord AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents)
+        SELECT source,
+               COUNT(*) AS kept_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+        FROM ord
+        WHERE cum_before < 5000
+        GROUP BY source
+        """,
+        doc="per-source token/char budget cap: grouped two-phase prefix sum",
+    )
+)
+
+
+_register(
+    QuerySpec(
+        "rolling_active_users",
+        _rolling_active_users,
+        oracle="""
+        WITH du AS (
+          SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 user_id
+          FROM events),
+        fan AS (
+          SELECT day + CAST(i AS INTEGER) AS tday, user_id
+          FROM du, generate_series(0, 6) g(i))
+        SELECT tday,
+               COUNT(DISTINCT user_id) AS active_users_7d
+        FROM fan
+        WHERE tday <= (SELECT MAX(day) FROM du)
+        GROUP BY tday
+        """,
+        doc="rolling 7-day distinct active users: distinct-then-fanout, hot-user-safe",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -9897,7 +10003,11 @@ _CHECK_PRIORITY: list[str] = [
     # dedup_spans_c4 (sub-document span dedup + reassembly),
     # split_leakage_audit (split ∘ decontamination composition),
     # decayed_engagement_events (exponential time-decay aggregation),
-    # dedup_jaccard_prefix (lossless PPJoin-style prefix filtering).
+    # dedup_jaccard_prefix (lossless PPJoin-style prefix filtering),
+    # text_oov_rate (top-256-vocab OOV tokenizer-fit proxy),
+    # source_overlap_matrix (cross-source duplicate-content matrix),
+    # rolling_active_users (7-day distinct-active fanout),
+    # mix_budget_cap_sources (per-source budget-capped mixing).
 ]
 
 

@@ -329,3 +329,47 @@ def test_split_assign_remainder_dropped_and_bad_fractions_raise(spark):
         raise AssertionError("fractions > 1 must raise")
     except ValueError:
         pass
+
+
+def test_budget_cap_minimal_prefix_and_straddle(spark):
+    from square_etl_spark.operators.sampling import budget_cap
+
+    # two groups, uniform weight 10; budget 25 keeps exactly the rows
+    # with exclusive prefix {0, 10, 20} per group — the cum=20 row
+    # straddles the budget and is kept
+    rows = [(g, i, 10) for g in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    out = budget_cap(df, "src", "w", ["src", "doc_id"], budget=25).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.src, []).append(r.doc_id)
+    assert set(by_g) == {"a", "b"}
+    for g, ids in by_g.items():
+        assert len(ids) == 3  # prefix 0,10,20 < 25; 30 is out
+
+
+def test_budget_cap_partition_invariant_and_deterministic(spark):
+    from square_etl_spark.operators.sampling import budget_cap
+
+    rows = [(f"s{i % 4}", i, 3 + i % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    pick = lambda d: {(r.src, r.doc_id) for r in
+                      budget_cap(d, "src", "w", ["doc_id"], budget=120).collect()}
+    a, b = pick(df), pick(df.repartition(13))
+    assert a == b and len(a) > 0
+    # per-group budget honored: kept weight minus the straddling row's
+    # weight is strictly under budget
+    kept = budget_cap(df, "src", "w", ["doc_id"], budget=120)
+    for r in kept.groupBy("src").agg(
+        F.sum("w").alias("tot"), F.max("w").alias("mx")
+    ).collect():
+        assert r.tot - r.mx < 120
+
+
+def test_budget_cap_rejects_bad_budget(spark):
+    import pytest as _pytest
+    from square_etl_spark.operators.sampling import budget_cap
+
+    df = spark.createDataFrame([("a", 1, 5)], "src string, doc_id long, w long")
+    with _pytest.raises(ValueError):
+        budget_cap(df, "src", "w", ["doc_id"], budget=0)
