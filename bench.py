@@ -78,6 +78,31 @@ def main() -> None:
     # scalar that was indistinguishable from a real regression until
     # re-measured in isolation).
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+    # calibration anchor: a FIXED engine-independent workload (generated
+    # data, no repo code, no files) timed the same way as the queries.
+    # Its cost is pure box+JVM speed, so consecutive BENCH_r{N} records
+    # can separate machine drift from engine regression: if calib_s and
+    # the query totals move by the same ratio, the box changed, not the
+    # code (r07→r08 lesson: a uniform 1.22× drift across 20 untouched
+    # queries was indistinguishable from regression without an anchor).
+    # Shape: 20M-row range → modular key → hash-agg → count. Exercises
+    # codegen + shuffle + agg, the same machinery the real queries use.
+    def _calibration_run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 997 AS k")
+            .groupBy("k")
+            .count()
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    _calibration_run()  # warmup (codegen compile for the calib plan)
+    calib_raw = [_calibration_run() for _ in range(runs_per_query)]
+    calib_s = round(statistics.median(calib_raw), 3)
+
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
@@ -111,7 +136,7 @@ def main() -> None:
     detail_path.write_text(
         json.dumps(
             {"raw_runs": raw_runs, "rows": rows, "sf": sf,
-             "runs_per_query": runs_per_query},
+             "runs_per_query": runs_per_query, "calib_raw": calib_raw},
             indent=1,
         )
         + "\n"
@@ -129,6 +154,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_s": calib_s,
             }
         )
     )

@@ -861,6 +861,7 @@ def contamination_hits(
     id_col: str = "doc_id",
     content_col: str = "text",
     n: int = 3,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Per-document count of distinct word n-grams shared with a
     benchmark/eval set — the signal behind train/test decontamination.
@@ -868,10 +869,17 @@ def contamination_hits(
     Emits (id_col, n_hits) for documents with ≥1 shared shingle.
     Plan shape: shingle both sides to 64-bit hashes
     (:func:`hashed_word_shingles`), collapse the benchmark side to a
-    DISTINCT shingle set, and probe it with a **broadcast semi-ish
-    inner join** — eval sets are tiny (thousands of docs) next to a
-    100 TB corpus, so the corpus-side postings are never shuffled; the
-    whole pass is scan → explode → broadcast-join → partial-agg.
+    DISTINCT shingle set, and probe it.  With
+    ``broadcast_benchmark=True`` (default) the probe is a **forced
+    broadcast join** — correct ONLY when the benchmark is a fixed eval
+    suite (thousands of docs) ≪ the corpus, so corpus-side postings
+    are never shuffled: scan → explode → broadcast-join → partial-agg.
+    When the "benchmark" side is itself corpus-sized (e.g. a leakage
+    audit probing TEST docs against the 80% TRAIN split), pass
+    ``broadcast_benchmark=False``: the probe runs as a plain shuffle
+    equi-join on the shingle hash — the only shape that survives a
+    corpus-linear right side at 100 TB (a forced broadcast of it is a
+    guaranteed driver/executor OOM).
     A 64-bit shingle collision could count one phantom hit
     (≈1e-11 per shingle pair) — irrelevant for a thresholded filter.
     """
@@ -884,9 +892,12 @@ def contamination_hits(
         )
         .distinct()
     )
+    if broadcast_benchmark:
+        # bcast-ok: benchmark-suite shingle set (fixed eval suite ≪ corpus;
+        # callers with corpus-sized right sides pass broadcast_benchmark=False)
+        bench_sh = F.broadcast(bench_sh)
     return (
-        # bcast-ok: benchmark-suite shingle set (fixed eval suite ≪ corpus)
-        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        corpus_sh.join(bench_sh, "sh")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))  # corpus shingles are distinct per doc
     )
@@ -922,17 +933,27 @@ def incremental_exact_dedup(
     against everything ever kept, without rescanning the old corpus
     (its text never moves again; only the 64-byte digest state does).
 
-    Returns ``(kept, new_state)``: ``kept`` = the batch rows that win
-    first-per-digest WITHIN the batch (min id) and whose digest is
-    absent from ``state``; ``new_state`` = ``state`` ∪ kept digests —
-    a (digest, owner-id) relation, keys-sized, mergeable, and exactly
-    the monoid fold :func:`exact_dedup` computes in one shot (folding
-    batches in ingest order ≡ one-shot dedup with batch-then-id
-    precedence; pinned by the ``dedup_incremental_exact`` oracle).
+    Returns ``(kept, new_state)``: ``kept`` = a KEYS-SIZED
+    ``(content_sha256, id_col)`` relation — one row per digest that
+    wins first-per-digest WITHIN the batch (min id) and is absent
+    from ``state``; callers wanting the winners' full rows join
+    ``kept`` back to the batch on ``id_col`` (the text and other
+    columns are deliberately not carried through the digest shuffle).
+    ``new_state`` = ``state`` ∪ ``kept`` — the same keys-sized
+    relation shape, mergeable, and exactly the monoid fold
+    :func:`exact_dedup` computes in one shot (folding batches in
+    ingest order ≡ one-shot dedup with batch-then-id precedence;
+    pinned by the ``dedup_incremental_exact`` oracle).
 
     Scale shape: one groupBy on the digest per batch + one
     digest-keyed anti join against the state — both shuffle 64-byte
     keys, never documents.  State grows with DISTINCT content only.
+    NOTE for long-running ingest loops: ``new_state`` is a lazy union
+    over every fold so far — its lineage grows per batch.  Write the
+    state to storage (or ``localCheckpoint``) each batch and read it
+    back as the next fold's ``state`` to truncate lineage; that
+    write-per-batch IS the deployment shape (the state is the
+    durable dedup ledger, not a transient plan).
     """
     firsts = (
         batch.groupBy(content_digest(content_col).alias("content_sha256"))
@@ -1019,6 +1040,7 @@ def minhash_probe(
     bands: int = 8,
     threshold: float = 0.8,
     bucket_cap: int = 200,
+    new_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an EXISTING
     :func:`minhash_index` — the incremental-ingest read path: the old
@@ -1028,10 +1050,19 @@ def minhash_probe(
 
     Scale shape: the batch's bucket rows equi-join the index on
     (band, bhash) — with the index bucketed by bhash at write time
-    this is a co-located join; hot index buckets above ``bucket_cap``
-    are dropped first (broadcast anti join, same cap arithmetic as
-    :func:`minhash_banded_pairs`).
+    this is a co-located join; hot buckets above ``bucket_cap`` are
+    dropped on the INDEX side AND buckets above ``new_bucket_cap``
+    (default: same as ``bucket_cap``) on the BATCH side (two
+    broadcast anti joins, same cap arithmetic as
+    :func:`minhash_banded_pairs`).  The batch-side cap matters when
+    the ingest itself is skewed — e.g. thousands of near-identical
+    boilerplate docs in one crawl batch land in one (band, bhash)
+    bucket, and without the cap each joins up to ``bucket_cap`` index
+    rows (r08 ADVICE item); in-batch dedup before probing also
+    removes the skew, but the operator no longer relies on it.
     """
+    if new_bucket_cap is None:
+        new_bucket_cap = bucket_cap
     new_sh, new_buckets = minhash_index(
         batch, id_col, content_col, num_hashes, bands
     )
@@ -1045,8 +1076,18 @@ def minhash_probe(
     cool = index_buckets.join(
         F.broadcast(hot), on=["band", "bhash"], how="left_anti"
     )
+    new_hot = (
+        new_buckets.groupBy("band", "bhash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > new_bucket_cap)
+        .select("band", "bhash")
+    )
+    # bcast-ok: batch-side hot-bucket list, ≤ |batch rows|/new_bucket_cap
+    new_cool = new_buckets.join(
+        F.broadcast(new_hot), on=["band", "bhash"], how="left_anti"
+    )
     cands = (
-        new_buckets.select(
+        new_cool.select(
             F.col(id_col).alias("new_id"), "band", "bhash"
         )
         .join(
@@ -1176,18 +1217,20 @@ def ngram_jaccard_prefix(
     on the shingle (id_a < id_b, distinct), exact verify on the full
     shingle arrays.  Emitted jaccard values are exact.
     """
-    from pyspark.storagelevel import StorageLevel
-
     # the shingle arrays feed the prefix build AND both verify sides;
     # the prefix relation feeds both sides of the candidate self-join —
-    # persist both or the whole shingle pipeline recomputes 2-4×
-    # (measured 9× slower unpersisted on a skew-free 80k corpus)
+    # materialize both or the whole shingle pipeline recomputes 2-4×
+    # (measured 9× slower unmaterialized on a skew-free 80k corpus).
+    # localCheckpoint(eager=True), not persist(): checkpoint blocks are
+    # released by the ContextCleaner when the result DataFrame is
+    # dropped, where persist() pins a session-lifetime CacheManager
+    # entry per invocation (r08 ADVICE leak).
     sh_arr = (
         df.select(
             F.col(id_col), hashed_word_shingles(content_col, n).alias("sh")
         )
         .filter(F.size("sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     post = sh_arr.select(id_col, F.explode("sh").alias("shingle"))
     dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -1209,7 +1252,7 @@ def ngram_jaccard_prefix(
             <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
         )
         .select(id_col, "shingle")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (

@@ -547,16 +547,24 @@ def budget_cap(
     gtype = df.schema[group_col].dataType.simpleString()
     off_df = df.sparkSession.createDataFrame(
         offsets or [(None, "00", 0)],
-        f"{group_col} {gtype}, __shard string, __off long",
+        f"__g {gtype}, __s string, __off long",
     )
     cum_before = (
         F.col("__off") + F.col("__cum_incl") - F.col(weight_col).cast("long")
     )
+    # eqNullSafe on the group: a NULL group is a real group (groupBy
+    # keeps it, the offset table has its row) — a plain equi-join
+    # silently DROPPED its rows instead of budget-capping them (r08
+    # ADVICE item).
     return (
-        # bcast-ok: per-(group, shard) offset map, |groups| x <=256
-        # rows; group_col is a mixture dimension by contract (doc
-        # above), never a corpus-linear key
-        local.join(F.broadcast(off_df), [group_col, "__shard"])
+        local.join(
+            # bcast-ok: per-(group, shard) offset map, |groups| x <=256
+            # rows; group_col is a mixture dimension by contract (doc
+            # above), never a corpus-linear key
+            F.broadcast(off_df),
+            F.col(group_col).eqNullSafe(F.col("__g"))
+            & (F.col("__shard") == F.col("__s")),
+        )
         .filter(cum_before < budget)
-        .drop("__h", "__shard", "__cum_incl", "__off")
+        .drop("__h", "__shard", "__cum_incl", "__off", "__g", "__s")
     )

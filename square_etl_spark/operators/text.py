@@ -359,12 +359,17 @@ def _gated_model_join(
 ) -> DataFrame:
     """Join probe⋈model on `on`, broadcasting the model relation only
     if its exact counted size is ≤ max_broadcast_rows (else shuffle
-    equi-join).  The model stays persisted for the probe join; Spark
-    evicts MEMORY_AND_DISK blocks LRU, so the cache is self-limiting
-    across repeated invocations."""
-    from pyspark import StorageLevel
-
-    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    equi-join).  The model is materialized ONCE via
+    ``localCheckpoint(eager=True)`` — not ``persist()`` — so the gate
+    count and the probe join share one computation WITHOUT registering
+    a session-lifetime entry in the CacheManager: checkpoint blocks
+    are tied to the RDD and released by the ContextCleaner as soon as
+    the returned DataFrame is unreferenced (r08 ADVICE: repeated
+    unigram/bigram scoring calls were leaking one cached relation
+    each).  The materializing job at construction time is inherent to
+    size-gating — the row count must exist before the plan is chosen
+    — and is model-relation-sized, never a second corpus pass."""
+    model = model.localCheckpoint(eager=True)
     small = model.count() <= max_broadcast_rows
     # bcast-ok: size-gated — counted ≤ max_broadcast_rows on this branch
     right = F.broadcast(model) if small else model

@@ -819,3 +819,77 @@ def test_source_overlap_matrix_cross_and_diagonal(spark, sf_dir):
     finally:
         io_mod.load_table = orig
     assert got == {("A", "B"): 1, ("C", "C"): 1}
+
+def test_minhash_probe_caps_hot_batch_bucket(spark):
+    """r08 ADVICE: bucket_cap guarded only the INDEX side — a skewed
+    ingest batch (many near-identical boilerplate docs in one
+    (band, bhash) bucket) could still blow up the candidate join.
+    Batch-side buckets above new_bucket_cap are now dropped too."""
+    from square_etl_spark.operators.dedup import minhash_index, minhash_probe
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    old = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, base) for i in range(100, 130)], "doc_id long, text string"
+    )
+    sh, idx = minhash_index(old)
+    # default caps (200) keep the bucket: every new dup pairs with old 1
+    assert minhash_probe(sh, idx, new, threshold=0.8).count() == 30
+    # cap forced below the batch bucket size (30 identical docs share
+    # every band bucket): the hot batch bucket is dropped, candidates
+    # stay bounded instead of exploding
+    assert (
+        minhash_probe(sh, idx, new, threshold=0.8, new_bucket_cap=10).count()
+        == 0
+    )
+
+
+def test_contamination_hits_shuffle_variant_matches_broadcast(spark):
+    """r08 ADVICE (medium): corpus-sized 'benchmark' sides must not be
+    force-broadcast.  broadcast_benchmark=False returns identical hits
+    via a plain shuffle equi-join — and with the planner's auto
+    conversion disabled, its plan carries no forced BroadcastHashJoin."""
+    from square_etl_spark.operators.dedup import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (3, "totally novel words without any overlap here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(91, "beta gamma delta epsilon"), (92, "two three four five")],
+        "doc_id long, text string",
+    )
+    bc = contamination_hits(corpus, bench)
+    sj = contamination_hits(corpus, bench, broadcast_benchmark=False)
+    assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sj.collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            contamination_hits(corpus, bench, broadcast_benchmark=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_lm_scoring_leaves_no_cache_entries(spark):
+    """r08 ADVICE: the size-gate persisted the model relation and never
+    unpersisted — every unigram/bigram scoring call leaked one
+    CacheManager entry for the session lifetime.  The localCheckpoint
+    gate registers nothing in the CacheManager (its blocks are RDD-
+    scoped, released by the ContextCleaner with the result)."""
+    from square_etl_spark.operators.text import bigram_logprob, unigram_logprob
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c d e f")], "doc_id long, text string"
+    )
+    unigram_logprob(df).count()
+    bigram_logprob(df).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -373,3 +373,23 @@ def test_budget_cap_rejects_bad_budget(spark):
     df = spark.createDataFrame([("a", 1, 5)], "src string, doc_id long, w long")
     with _pytest.raises(ValueError):
         budget_cap(df, "src", "w", ["doc_id"], budget=0)
+
+def test_budget_cap_null_group_is_capped_not_dropped(spark):
+    """r08 ADVICE: the offset table kept the NULL group (groupBy keeps
+    it) but the plain equi-join back never matched NULL keys, so
+    NULL-group rows silently vanished.  The eqNullSafe join caps the
+    NULL group like any other group."""
+    from square_etl_spark.operators.sampling import budget_cap
+
+    rows = [(None, i, 10) for i in range(10)] + [
+        ("a", i + 100, 10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    out = budget_cap(df, "src", "w", ["doc_id"], budget=25).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.src, []).append(r.doc_id)
+    # NULL group present AND budget-capped: exclusive prefix 0,10,20 < 25
+    assert set(by_g) == {None, "a"}
+    assert len(by_g[None]) == 3
+    assert len(by_g["a"]) == 3
