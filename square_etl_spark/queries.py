@@ -1258,6 +1258,47 @@ def _ngram_pairs_ctes(src: str = "documents") -> str:
     return _NGRAM_PAIRS_CTES_TPL.replace("__SRC__", src)
 
 
+def _prefix_pairs_ctes(src: str = "documents", threshold: float = 0.5) -> str:
+    """Oracle CTEs for the LOSSLESS prefix-filter join
+    (dedup.ngram_jaccard_prefix): the EXHAUSTIVE word-3-gram pair join
+    at ``threshold`` — no df cap, no banding — ending in
+    ``pairs(id_a, id_b)``.  Pruning on the Spark side must be
+    invisible, so the oracle is simply the full join."""
+    return (
+        _PREFIX_PAIRS_CTES_TPL
+        .replace("__SRC__", src)
+        .replace("__T__", repr(threshold))
+    )
+
+
+_PREFIX_PAIRS_CTES_TPL = r"""
+        psh AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS s
+          FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM (SELECT doc_id,
+                             list_filter(
+                               regexp_split_to_array(trim(text), '\s+'),
+                               x -> x <> '') AS w
+                      FROM __SRC__)
+                WHERE len(w) >= 3)),
+        psized AS (
+          SELECT doc_id, COUNT(*) AS n_sh FROM psh GROUP BY doc_id),
+        pinter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM psh a JOIN psh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM pinter
+          JOIN psized na ON na.doc_id = id_a
+          JOIN psized nb ON nb.doc_id = id_b
+          WHERE ROUND(inter / /*nz: union of nonempty shingle sets*/
+                      CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6)
+                >= __T__)
+"""
+
+
 _NGRAM_PAIRS_CTES_TPL = """
         t AS (
           SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
@@ -1299,7 +1340,9 @@ _register(
         SELECT id_a, id_b, jaccard FROM pairs
         """,
         bench=True,
-        doc="exact shingle-Jaccard; stop-shingle DF cap bounds the pair blowup",
+        doc="exact shingle-Jaccard at LOW threshold; stop-shingle DF cap bounds "
+        "the pair blowup (the t<~0.3 regime where prefix filtering cannot "
+        "prune; ngram_jaccard_prefix is the default near-dup path at t>=0.5)",
     )
 )
 
@@ -1377,14 +1420,24 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ties to smallest doc_id); singletons keep themselves.  The output
     is the full audit relation (every doc with its cluster, score, and
     keep flag) — the dedup DECISION a 100 TB pipeline persists, not
-    just the surviving rows."""
-    from square_etl_spark.operators.dedup import survivor_selection
+    just the surviving rows.
+
+    Pair generation is the LOSSLESS prefix-filter join
+    (ngram_jaccard_prefix, promoted to the default near-dup path in
+    r09): output ≡ the exhaustive Jaccard-0.5 join by construction,
+    skew-guarded by frequency order instead of a df_cap knob — so the
+    dedup decision is exact, not recall-approximate.  The capped
+    postings join remains the LOW-threshold tool (dedup_ngram_jaccard
+    at t=0.1, where a prefix is ~90% of each doc and prefix pruning
+    buys nothing)."""
+    from square_etl_spark.operators.dedup import (
+        ngram_jaccard_prefix,
+        survivor_selection,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select("doc_id", tx.quality_score("text").alias("q"))
-    pairs = ngram_jaccard_pairs(
-        d, "doc_id", "text", n=3, threshold=0.1, df_cap=100
-    )
+    pairs = ngram_jaccard_prefix(d, "doc_id", "text", n=3, threshold=0.5)
     return survivor_selection(scored, pairs, "doc_id", "q")
 
 
@@ -1408,7 +1461,7 @@ _register(
                     (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.2, 1.0)),
             6) AS q
           FROM documents),
-        {_ngram_pairs_ctes().strip().rstrip()},
+        {_prefix_pairs_ctes().strip().rstrip()},
         edges AS (
           SELECT id_a AS a, id_b AS b FROM pairs
           UNION
@@ -5681,7 +5734,13 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse near-dup clusters to their canonical doc, and report the
     surviving corpus per language.  Every stage is an operator from
     this library; the whole thing is ONE lazy plan plus the bounded
-    connected-components iteration."""
+    connected-components iteration.
+
+    Near-dup pairs come from the LOSSLESS prefix-filter join
+    (ngram_jaccard_prefix at Jaccard ≥ 0.5, the default near-dup path
+    since r09): the collapse decision equals the exhaustive join's by
+    construction — no df_cap recall knob in the flagship pipeline."""
+    from square_etl_spark.operators.dedup import ngram_jaccard_prefix
     from square_etl_spark.operators.text import quality_score, token_count
 
     d = load_table(spark, sf_dir, "documents")
@@ -5694,8 +5753,8 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    pairs = ngram_jaccard_pairs(
-        exact_survivors, "doc_id", "text", n=3, threshold=0.1, df_cap=100
+    pairs = ngram_jaccard_prefix(
+        exact_survivors, "doc_id", "text", n=3, threshold=0.5
     )
     clusters = connected_components(pairs)
     non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
@@ -5734,7 +5793,7 @@ _register(
             SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
                                          ORDER BY doc_id) AS rn
             FROM kept) WHERE rn = 1),
-        {_ngram_pairs_ctes("exact_survivors").strip().rstrip()},
+        {_prefix_pairs_ctes("exact_survivors").strip().rstrip()},
         edges AS (
           SELECT id_a AS a, id_b AS b FROM pairs
           UNION
@@ -9667,9 +9726,12 @@ def _oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-256 token vocabulary (frequency-ranked, deterministic
     count-then-token tie-break) — the tokenizer-fit proxy: docs full
     of tokens a fixed vocabulary cannot cover tokenize into rare-piece
-    soup and train badly.  One token explode + one vocab-sized rank +
-    a broadcast semi-join back onto the tokens; per-doc aggregation
-    shares the explode's doc key."""
+    soup and train badly.  One token explode + one vocab-sized top-256
+    (orderBy().limit() → TakeOrderedAndProject DIRECTLY — not a global
+    window rank that is only scale-safe because Catalyst's
+    limit-pushdown rewrites it; r08 verdict hardening) + a broadcast
+    semi-join back onto the tokens; per-doc aggregation shares the
+    explode's doc key."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -9683,13 +9745,8 @@ def _oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("c").desc(), F.col("w"))
-            ),
-        )
-        .filter(F.col("rk") <= 256)
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(256)
         .select("w")
     )
     # bcast-ok: top-256 vocabulary, bounded by the rank cutoff

@@ -234,3 +234,15 @@ def test_q12_derived_predicates_stay_below_the_join(spark, sf_dir):
     )
     filter_pos = plan.find("MAIL")
     assert filter_pos > join_pos  # deeper in the printed tree
+
+
+def test_oov_vocab_rank_is_take_ordered_not_global_window(spark, sf_dir):
+    """r08 verdict hardening: the top-256 vocabulary was ranked with a
+    global (partitionBy-less) window that was only scale-safe because
+    Catalyst's limit-pushdown rewrote it to TakeOrderedAndProject.
+    The query now states orderBy().limit() directly — assert the plan
+    carries TakeOrderedAndProject and NO window at all, so the safety
+    no longer depends on an optimizer rule firing."""
+    plan = _plan(queries()["text_oov_rate"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
