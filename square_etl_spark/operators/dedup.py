@@ -1141,11 +1141,26 @@ def span_dedup(
     reassembly sharing the doc key.  Returns
     (id, n_spans_kept, cleaned_text).
     """
+    spans = _doc_spans(df, id_col, content_col, span_words)
+    w = Window.partitionBy("span").orderBy(id_col, "idx")
+    kept = spans.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    return _reassemble_spans(kept, id_col)
+
+
+def _doc_spans(
+    df: DataFrame, id_col: str, content_col: str, span_words: int
+) -> DataFrame:
+    """Split documents into non-overlapping ``span_words``-word spans:
+    (id, idx, span) with idx 0-based — the shared explode of
+    :func:`span_dedup` and :func:`incremental_span_dedup` (the two
+    must span-ify identically or fold ≡ one-shot breaks)."""
     words = F.filter(
         F.split(F.trim(F.col(content_col)), r"\s+"), lambda w: w != F.lit("")
     )
     n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
-    spans = (
+    return (
         df.select(F.col(id_col), words.alias("__w"), n_spans.alias("__ns"))
         .filter(F.col("__ns") > 0)
         .select(
@@ -1165,12 +1180,13 @@ def span_dedup(
             ).alias("idx", "span"),
         )
     )
-    w = Window.partitionBy("span").orderBy(id_col, "idx")
-    kept = spans.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") == 1
-    )
+
+
+def _reassemble_spans(kept_spans: DataFrame, id_col: str) -> DataFrame:
+    """(id, idx, span) survivors → (id, n_spans_kept, cleaned_text),
+    spans rejoined in position order."""
     return (
-        kept.groupBy(id_col)
+        kept_spans.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_spans_kept"),
             F.concat_ws(
@@ -1184,6 +1200,58 @@ def span_dedup(
             ).alias("cleaned_text"),
         )
     )
+
+
+def incremental_span_dedup(
+    state: DataFrame | None,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    span_words: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Sub-document span dedup against an EXISTING span-digest state —
+    the continuous-crawl twin of :func:`span_dedup`, mirroring
+    :func:`incremental_exact_dedup`'s digest-state pattern: a new
+    ingest batch honors first-occurrence-wins against every span ever
+    kept WITHOUT rescanning the old corpus (only the 32-byte span
+    digests move again).
+
+    Returns ``(kept, new_state)``.  ``kept`` = the batch's documents
+    reassembled from their surviving spans — a span occurrence
+    survives iff it is the batch-FIRST occurrence of its span (by
+    ``(id, idx)``) AND its digest is absent from ``state``; a batch
+    doc whose every span is seen before disappears, exactly like the
+    one-shot.  ``new_state`` = ``state`` ∪ the batch's winning span
+    digests as ``(span_sha256, id_col, idx)`` — keys-sized, owner-
+    attributed, mergeable.  Folding batches in ingest order ≡ one-shot
+    :func:`span_dedup` with batch-then-(doc, position) precedence
+    (pinned by the ``dedup_incremental_spans`` oracle).
+
+    Scale shape: one span explode + one span-keyed window rank per
+    batch + one digest-keyed anti join against the state — the anti
+    join shuffles 32-byte digests, never span text.  State grows with
+    DISTINCT spans only.  As with ``incremental_exact_dedup``, write
+    ``new_state`` per batch and read it back as the next fold's
+    ``state`` to truncate the union lineage in long ingest loops.
+    """
+    spans = _doc_spans(batch, id_col, content_col, span_words)
+    w = Window.partitionBy("span").orderBy(id_col, "idx")
+    firsts = (
+        spans.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumn("span_sha256", F.sha2(F.col("span"), 256))
+    )
+    if state is not None:
+        firsts = firsts.join(
+            state.select("span_sha256"), "span_sha256", "left_anti"
+        )
+    kept = _reassemble_spans(firsts, id_col)
+    new_keys = firsts.select("span_sha256", id_col, "idx")
+    new_state = (
+        new_keys if state is None else state.unionByName(new_keys)
+    )
+    return kept, new_state
 
 
 def ngram_jaccard_prefix(

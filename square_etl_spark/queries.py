@@ -9538,6 +9538,73 @@ _register(
 )
 
 
+def _incr_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup as an incremental span-digest fold
+    (operators/dedup.incremental_span_dedup): three ingest batches
+    (doc_id mod 3), each honoring first-occurrence-wins against every
+    span kept by earlier batches — old corpus touched only through
+    its 32-byte span digests, mirroring dedup_incremental_exact's
+    state pattern at SUB-document granularity.  The folded output
+    must equal the one-shot span window with batch-then-(doc, pos)
+    precedence EXACTLY."""
+    from square_etl_spark.operators.dedup import incremental_span_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = None
+    parts = []
+    for i in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == i)
+        kept, state = incremental_span_dedup(state, batch, span_words=10)
+        parts.append(kept.withColumn("batch_no", F.lit(i).cast("int")))
+    out = parts[0]
+    for part in parts[1:]:
+        out = out.unionByName(part)
+    return out.select("doc_id", "batch_no", "n_spans_kept", "cleaned_text")
+
+
+_register(
+    QuerySpec(
+        "dedup_incremental_spans",
+        _incr_span_dedup,
+        oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS wl
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(1, CAST(CEIL(len(wl) / 10.0) AS BIGINT)),
+                   i -> struct_pack(
+                     idx := i - 1,
+                     span := array_to_string(
+                       wl[CAST((i - 1) * 10 + 1 AS INTEGER)
+                          : CAST((i - 1) * 10 + 10 AS INTEGER)], ' '))))
+                   AS pr
+          FROM w WHERE len(wl) > 0),
+        r AS (
+          SELECT doc_id,
+                 CAST(doc_id % 3 AS INTEGER) AS batch_no,
+                 CAST(pr.idx AS INTEGER) AS idx,
+                 pr.span AS span,
+                 ROW_NUMBER() OVER (PARTITION BY pr.span
+                                    ORDER BY doc_id % 3, doc_id, pr.idx)
+                   AS rk
+          FROM s)
+        SELECT doc_id, batch_no,
+               COUNT(*) AS n_spans_kept,
+               array_to_string(
+                 list_transform(
+                   list_sort(list(struct_pack(idx := idx, span := span))),
+                   x -> x.span), ' ') AS cleaned_text
+        FROM r WHERE rk = 1 GROUP BY doc_id, batch_no
+        """,
+        doc="incremental span dedup: span-digest fold ≡ one-shot window, batch precedence",
+    )
+)
+
+
 def _split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test leakage audit — the composition the r08 split +
     decontamination machinery exists for: assign the corpus to

@@ -324,6 +324,42 @@ def stream_cms_availablenow(
     )
 
 
+def stream_kmv_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sketch_path: str,
+    keys: list[str],
+    value_col: str,
+    k: int = 64,
+    schema=None,
+) -> None:
+    """Streaming KMV (k-minimum-values) distinct-count maintenance:
+    each micro-batch's bottom-k hash sketch folds into the stored
+    per-key sketch (:func:`operators.aggregations.incremental_kmv`) —
+    the EXACT mergeable monoid this engine chose over HLL (bottom-k of
+    a union = bottom-k of the unioned bottom-ks, portable md5
+    arithmetic), so the maintained sketch equals the one-shot sketch
+    of all data ELEMENT-FOR-ELEMENT, not just statistically (pinned in
+    test_streaming).  State is ≤ k longs per key forever; per-drain
+    cost is one batch dedup + grouped bottom-k.  Exactly-once
+    transactional scaffolding (batch-id marker + atomic swap) shared
+    with the rollup/CMS/PSI sinks via :func:`_fold_stream_availablenow`.
+    Read estimates with :func:`operators.aggregations.kmv_estimate`."""
+    from square_etl_spark.operators.aggregations import incremental_kmv
+
+    _fold_stream_availablenow(
+        spark,
+        source_dir,
+        checkpoint_dir,
+        sketch_path,
+        lambda target, batch: incremental_kmv(
+            target, batch, keys, value_col, k=k
+        ),
+        schema=schema,
+    )
+
+
 def stream_psi_availablenow(
     spark: SparkSession,
     source_dir: str,

@@ -893,3 +893,39 @@ def test_lm_scoring_leaves_no_cache_entries(spark):
     unigram_logprob(df).count()
     bigram_logprob(df).count()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_incremental_span_dedup_fold_batch_precedence(spark):
+    """Fold ≡ one-shot with BATCH-then-(doc, pos) precedence: a span
+    kept by an earlier batch beats a lower doc_id arriving later (the
+    one-shot over the concatenation in batch order), boilerplate is
+    stripped across batches, and a batch doc whose every span is seen
+    before disappears.  State stays keys-sized."""
+    from square_etl_spark.operators.dedup import incremental_span_dedup
+
+    boiler = "one two three four five"
+    rows = [
+        (1, boiler + " alpha beta gamma delta eps"),      # batch 1
+        (2, boiler + " zeta eta theta iota kappa"),       # batch 0
+        (4, "unique content here entirely novel words"),  # batch 0
+        (3, boiler + " alpha beta gamma delta eps"),      # batch 1, dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state, out = None, {}
+    for b in range(2):
+        kept, state = incremental_span_dedup(
+            state, df.filter(F.col("doc_id") % 2 == b), span_words=5
+        )
+        for r in kept.collect():
+            out[r["doc_id"]] = (r["n_spans_kept"], r["cleaned_text"])
+    # batch 0 owns the boilerplate span although doc 1 has a lower id —
+    # batch precedence, NOT global doc order
+    assert out[2] == (2, boiler + " zeta eta theta iota kappa")
+    assert out[4] == (2, "unique content here entirely novel words")
+    # doc 1 (batch 1): boilerplate already owned by batch 0 → stripped
+    assert out[1] == (1, "alpha beta gamma delta eps")
+    # doc 3: every span seen earlier → doc gone entirely
+    assert 3 not in out
+    # state is keys-sized: one row per DISTINCT span ever kept
+    assert state.count() == 5
+    assert state.columns == ["span_sha256", "doc_id", "idx"]

@@ -504,3 +504,70 @@ def test_stream_psi_maintain_equals_batch_exactly(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, again.collect())) == sorted(
         map(tuple, got.collect())
     )
+
+
+def test_stream_kmv_maintain_equals_one_shot_exactly(spark, sf_dir, tmp_path):
+    """Stream the events in two availableNow passes through the KMV
+    maintainer; the stored per-key sketch must equal the one-shot
+    sketch of ALL events ELEMENT-FOR-ELEMENT (exact mergeable monoid:
+    bottom-k of a union = bottom-k of the unioned bottom-ks), the
+    read-time estimates must match, and a replayed drain must not
+    corrupt the state (batch-id guard)."""
+    import os
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.aggregations import (
+        incremental_kmv,
+        kmv_estimate,
+    )
+    from square_etl_spark.schemas import EVENTS
+    from square_etl_spark.streaming.incremental import stream_kmv_availablenow
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 60")
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    sketch = os.path.join(tmp_path, "sketch")
+
+    ev.filter("event_id % 2 = 0").write.mode("overwrite").parquet(src)
+    stream_kmv_availablenow(
+        spark, src, ckpt, sketch, ["event_type"], "user_id", schema=EVENTS
+    )
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+    stream_kmv_availablenow(
+        spark, src, ckpt, sketch, ["event_type"], "user_id", schema=EVENTS
+    )
+
+    got = {
+        r["event_type"]: list(r["kmv"])
+        for r in spark.read.parquet(sketch).collect()
+    }
+    want = {
+        r["event_type"]: list(r["kmv"])
+        for r in incremental_kmv(None, ev, ["event_type"], "user_id").collect()
+    }
+    assert got == want  # element-for-element, every key
+
+    # estimates agree with the one-shot read path too
+    est = {
+        r["event_type"]: r["est"]
+        for r in spark.read.parquet(sketch)
+        .select("event_type", kmv_estimate().alias("est"))
+        .collect()
+    }
+    want_est = {
+        k: (len(v) if len(v) < 64 else round(63 * 4294967296.0 / v[63]))
+        for k, v in want.items()
+    }
+    assert est == want_est
+
+    # replay the whole source without the checkpoint: batch ids restart
+    # at 0 <= applied marker, so the fold is skipped, state unchanged
+    stream_kmv_availablenow(
+        spark, src, os.path.join(tmp_path, "ckpt2"), sketch,
+        ["event_type"], "user_id", schema=EVENTS,
+    )
+    again = {
+        r["event_type"]: list(r["kmv"])
+        for r in spark.read.parquet(sketch).collect()
+    }
+    assert again == want
