@@ -1030,6 +1030,56 @@ def minhash_index(
     return sh, buckets
 
 
+def write_minhash_index_bucketed(
+    shingle_store: DataFrame,
+    bucket_index: DataFrame,
+    base_path: str,
+    name: str,
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """Persist a :func:`minhash_index` pair as BUCKETED tables — the
+    write-once/probe-many deployment of incremental near-dup at corpus
+    scale.  The bucket index is bucketed+sorted by ``(band, bhash)``,
+    the probe join's full key set, so every probe's candidate join
+    reads the index with ZERO Exchange: only the new batch (tiny)
+    shuffles, the stored corpus index never moves again (pinned in
+    test_bucketing).  The shingle store is bucketed by ``id_col`` for
+    the same reason on the exact-verify join.
+
+    Why both join keys and not just ``bhash``: Spark co-partitions a
+    join only when a side's partitioning covers ALL the join's cluster
+    keys (``spark.sql.requireAllClusterKeysForCoPartition`` defaults
+    true) — a bhash-only bucketing still reshuffles the index side
+    (measured: 2 exchanges vs 1).  ``(band, bhash)`` buckets are also
+    strictly finer, so per-bucket skew is no worse.
+
+    Returns the two DataFrames read back from the bucketed tables —
+    pass them straight to :func:`minhash_probe`.
+    """
+    import os
+
+    spark = bucket_index.sparkSession
+    bt, st = f"{name}_buckets", f"{name}_shingles"
+    (
+        bucket_index.write.format("parquet")
+        .bucketBy(num_buckets, "band", "bhash")
+        .sortBy("band", "bhash")
+        .option("path", os.path.join(base_path, bt))
+        .mode("overwrite")
+        .saveAsTable(bt)
+    )
+    (
+        shingle_store.write.format("parquet")
+        .bucketBy(num_buckets, id_col)
+        .sortBy(id_col)
+        .option("path", os.path.join(base_path, st))
+        .mode("overwrite")
+        .saveAsTable(st)
+    )
+    return spark.table(st), spark.table(bt)
+
+
 def minhash_probe(
     index_shingles: DataFrame,
     index_buckets: DataFrame,
@@ -1200,6 +1250,39 @@ def _reassemble_spans(kept_spans: DataFrame, id_col: str) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+def strip_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    span_words: int = 10,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Frequency-based boilerplate removal: drop EVERY occurrence of a
+    span that appears in more than ``max_docs`` distinct documents —
+    including the first (C4's actual policy for repeated spans was
+    removal, not keep-one; :func:`span_dedup` is the keep-first
+    variant, this is the kill-all variant — cookie banners and footer
+    boilerplate carry no training signal even once).  Within-doc
+    repetition alone does not trip the threshold: frequency is counted
+    in DISTINCT documents.
+
+    Shape: one span explode, one span-keyed distinct-doc count (the
+    span relation, corpus-wide but span-vocabulary-sized), one anti
+    join of occurrences against the over-threshold spans, one grouped
+    reassembly.  Returns (id, n_spans_kept, cleaned_text); a document
+    made entirely of boilerplate disappears.
+    """
+    spans = _doc_spans(df, id_col, content_col, span_words)
+    hot = (
+        spans.groupBy("span")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("span")
+    )
+    kept = spans.join(hot, "span", "left_anti")
+    return _reassemble_spans(kept, id_col)
 
 
 def incremental_span_dedup(

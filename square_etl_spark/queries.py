@@ -10031,6 +10031,195 @@ _register(
 )
 
 
+def _strip_repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate removal
+    (operators/dedup.strip_repeated_spans): spans appearing in MORE
+    THAN ONE distinct document are removed from EVERY document
+    including the first — the kill-all complement of dedup_spans_c4's
+    keep-first policy (C4 removed repeated spans outright; cookie
+    banners carry no training signal even once).  One span explode +
+    one span-keyed distinct-doc count + one anti join + grouped
+    reassembly."""
+    from square_etl_spark.operators.dedup import strip_repeated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return strip_repeated_spans(d, span_words=10, max_docs=1)
+
+
+_register(
+    QuerySpec(
+        "dedup_strip_repeated_spans",
+        _strip_repeated_spans_docs,
+        oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x <> '') AS wl
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(
+                   generate_series(1, CAST(CEIL(len(wl) / 10.0) AS BIGINT)),
+                   i -> struct_pack(
+                     idx := i - 1,
+                     span := array_to_string(
+                       wl[CAST((i - 1) * 10 + 1 AS INTEGER)
+                          : CAST((i - 1) * 10 + 10 AS INTEGER)], ' '))))
+                   AS pr
+          FROM w WHERE len(wl) > 0),
+        occ AS (
+          SELECT doc_id, CAST(pr.idx AS INTEGER) AS idx, pr.span AS span
+          FROM s),
+        hot AS (
+          SELECT span FROM occ
+          GROUP BY span HAVING COUNT(DISTINCT doc_id) > 1),
+        kept AS (
+          SELECT o.doc_id, o.idx, o.span FROM occ o
+          ANTI JOIN hot h ON o.span = h.span)
+        SELECT doc_id,
+               COUNT(*) AS n_spans_kept,
+               array_to_string(
+                 list_transform(
+                   list_sort(list(struct_pack(idx := idx, span := span))),
+                   x -> x.span), ' ') AS cleaned_text
+        FROM kept GROUP BY doc_id
+        """,
+        doc="kill-all boilerplate spans (df > 1 distinct docs) — the C4 removal policy",
+    )
+)
+
+
+def _novelty_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY contribution: the fraction of each doc's
+    distinct word 3-grams whose FIRST corpus occurrence (min doc_id)
+    is this document — the marginal-diversity signal data-mixing
+    uses to rank sources (a doc that only restates earlier shingles
+    adds nothing even if it is no near-dup of any single doc).  One
+    shingle explode + one shingle-keyed min + one join back sharing
+    the shingle key; the first-occurrence relation is
+    shingle-vocabulary-sized, never corpus-sized."""
+    from square_etl_spark.operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("__first"))
+    novel = F.sum(
+        F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)), 6).alias("novelty_rate"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "text_novelty_contribution",
+        _novelty_contribution,
+        oracle=r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS sh
+          FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM t WHERE len(w) >= 3)),
+        f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+                               END) AS DOUBLE)
+                     / /*nz: group exists only with >=1 shingle row*/
+                       COUNT(*), 6) AS novelty_rate
+        FROM sh JOIN f USING (sh) GROUP BY doc_id
+        """,
+        doc="per-doc first-occurrence shingle novelty: marginal corpus-diversity signal",
+    )
+)
+
+
+def _corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus DATASHEET: the summary card a training-data
+    release ships with — doc/language counts, exact distinct-content
+    count and dup rate, total whitespace tokens, decimal-exact mean
+    quality score, and length extrema.  Every statistic is a
+    mergeable monoid or an exact distinct over 64-byte digests (one
+    agg pass; no global sorts, no percentile buffers — the global
+    exact-percentile anti-pattern is deliberately absent; use the
+    histogram sketch for distribution shape)."""
+    from square_etl_spark.operators.text import quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    nd = F.countDistinct(F.sha2(F.col("text"), 256))
+    return d.agg(
+        n.alias("n_docs"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        nd.cast("long").alias("n_distinct_contents"),
+        F.round(F.lit(1.0) - nd / n, 6).alias("exact_dup_rate"),
+        F.sum(token_count("text")).cast("long").alias("total_tokens"),
+        F.round(
+            F.sum(quality_score("text").cast("decimal(38,6)")).cast("double")
+            / n,
+            6,
+        ).alias("avg_quality"),
+        F.min(F.length("text")).cast("long").alias("min_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+
+
+_register(
+    QuerySpec(
+        "corpus_datasheet",
+        _corpus_datasheet,
+        oracle="""
+        WITH q AS (
+          SELECT doc_id, text, lang,
+            ROUND(
+              0.5 * LEAST(ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.8, 1.0)
+            + 0.3 * LEAST(ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> list_contains(['the','and','of','to','is','in','that','it'], w))) /
+                    (CASE WHEN trim(text) = '' THEN 1.0
+                          WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                          THEN CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                          ELSE 1.0 END), 6) / 0.4, 1.0)
+            + 0.2 * (1.0 - LEAST(ROUND(len(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.2, 1.0)),
+            6) AS qs
+          FROM documents)
+        SELECT COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT sha256(text)) AS BIGINT)
+                 AS n_distinct_contents,
+               ROUND(1.0 - COUNT(DISTINCT sha256(text))
+                     / /*nz: COUNT(*) >= 1 whenever the row exists*/
+                       CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate,
+               CAST(SUM(CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END)
+                    AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(CAST(qs AS DECIMAL(38,6))) AS DOUBLE)
+                     / /*nz: COUNT(*) >= 1 whenever the row exists*/
+                       COUNT(*), 6) AS avg_quality,
+               CAST(MIN(len(text)) AS BIGINT) AS min_chars,
+               CAST(MAX(len(text)) AS BIGINT) AS max_chars
+        FROM q
+        """,
+        doc="one-row corpus datasheet: monoid stats only (no global sorts/percentiles)",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Check-priority ordering
 # ---------------------------------------------------------------------------
@@ -10121,9 +10310,17 @@ _CHECK_PRIORITY: list[str] = [
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history, computes the arithmetic freshness window
     # from the live registry size, and prints the recommended next
-    # head.  Queries registered AFTER this head freezes (round 9) are
-    # documented at their registration site and become the front of
-    # the r10 head.
+    # head.
+    #
+    # Registered AFTER this head was frozen (round 9) — tri-scale
+    # selfchecked, first driver rows due in the r10 head:
+    # dedup_incremental_spans (C4 span dedup as a span-digest state
+    # fold ≡ one-shot with batch precedence),
+    # dedup_strip_repeated_spans (kill-all boilerplate spans with
+    # df > 1 distinct docs — the C4 removal policy),
+    # text_novelty_contribution (per-doc first-occurrence shingle
+    # novelty — marginal corpus-diversity signal),
+    # corpus_datasheet (one-row release card: monoid stats only).
 ]
 
 

@@ -59,3 +59,51 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_minhash_index_probe_zero_exchange_on_index(spark, sf_dir, tmp_path):
+    """The incremental near-dup deployment story (r08 verdict item):
+    the LSH bucket index written bucketed by (band, bhash) joins probe
+    batches with ZERO Exchange on the index side — only the new batch
+    shuffles; the stored corpus index never moves again.  Results must
+    equal the unbucketed probe exactly."""
+    from square_etl_spark.operators.dedup import (
+        minhash_index,
+        minhash_probe,
+        write_minhash_index_bucketed,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 3 != 0)
+    new = d.filter(F.col("doc_id") % 3 == 0)
+    sh, idx = minhash_index(old)
+    # plain-parquet deployment of the same index, for the differential
+    sh.write.mode("overwrite").parquet(str(tmp_path / "sh_p"))
+    idx.write.mode("overwrite").parquet(str(tmp_path / "idx_p"))
+    sh_p = spark.read.parquet(str(tmp_path / "sh_p"))
+    idx_p = spark.read.parquet(str(tmp_path / "idx_p"))
+    sh_b, idx_b = write_minhash_index_bucketed(
+        sh, idx, str(tmp_path), "mh_test", num_buckets=16
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_b = minhash_probe(sh_b, idx_b, new, threshold=0.5)
+        out_p = minhash_probe(sh_p, idx_p, new, threshold=0.5)
+        plan_b, plan_p = _plan(out_b), _plan(out_p)
+        assert "Bucketed: true" in plan_b
+        # bucketing removes EXACTLY the three index-side shuffles: the
+        # candidate join's index side, the index hot-list aggregation,
+        # and the exact-verify join's shingle-store side.  The batch's
+        # own shuffles (it is new data — it must move once) remain.
+        n_b = plan_b.count("Exchange hashpartitioning")
+        n_p = plan_p.count("Exchange hashpartitioning")
+        assert n_b == n_p - 3, f"bucketed {n_b} vs plain {n_p}\n{plan_b}"
+        got = sorted(map(tuple, out_b.collect()))
+        want = sorted(map(tuple, out_p.collect()))
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS mh_test_buckets")
+        spark.sql("DROP TABLE IF EXISTS mh_test_shingles")
+    assert got == want and len(got) > 0

