@@ -1061,8 +1061,15 @@ def write_minhash_index_bucketed(
 
     spark = bucket_index.sparkSession
     bt, st = f"{name}_buckets", f"{name}_shingles"
+    # repartition on the bucket key BEFORE the bucketed write: Spark's
+    # v1 bucketed writer emits one file per (writing task, bucket), so
+    # an unaligned upstream yields tasks x buckets small files (32x32 =
+    # 1024 measured) and the probe-side scan chokes on open overhead.
+    # repartition uses the same murmur3 pmod as the bucket id, so each
+    # task holds exactly one bucket -> one file per bucket.
     (
-        bucket_index.write.format("parquet")
+        bucket_index.repartition(num_buckets, "band", "bhash")
+        .write.format("parquet")
         .bucketBy(num_buckets, "band", "bhash")
         .sortBy("band", "bhash")
         .option("path", os.path.join(base_path, bt))
@@ -1070,7 +1077,8 @@ def write_minhash_index_bucketed(
         .saveAsTable(bt)
     )
     (
-        shingle_store.write.format("parquet")
+        shingle_store.repartition(num_buckets, id_col)
+        .write.format("parquet")
         .bucketBy(num_buckets, id_col)
         .sortBy(id_col)
         .option("path", os.path.join(base_path, st))
