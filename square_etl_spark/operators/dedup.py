@@ -1260,6 +1260,61 @@ def _reassemble_spans(kept_spans: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def incremental_components(
+    labels: DataFrame | None,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "min_label",
+) -> DataFrame:
+    """Connected components maintained INCREMENTALLY — the cluster
+    step of continuous-crawl dedup: fold a new batch's near-dup pairs
+    into the EXISTING (doc_id, cluster_id) labeling without re-running
+    CC over every pair ever emitted.  Completes the incremental family
+    (exact digests, MinHash index probe, span digests → this).
+
+    The existing labels ARE the old graph's equivalence relation, so
+    CC over (label edges ∪ new pairs) equals CC over (all old pairs ∪
+    new pairs) exactly — fold ≡ one-shot, pinned by the
+    ``dedup_incremental_components`` oracle.  And because the label
+    graph is a forest of 1-deep stars (every node points at its
+    component minimum), the iteration converges in O(log new-diameter)
+    rounds regardless of how deep the ORIGINAL components were: the
+    state compresses history both in edge count (nodes, not pairs) and
+    in diameter.  New edges may merge old clusters, link new docs in,
+    or introduce new clusters; a new doc with a smaller id than an old
+    cluster minimum correctly takes over as the canonical id.
+
+    Returns the new labels (doc_id, cluster_id) over old ∪ new nodes —
+    keys-sized state; write it per batch (like the other incremental
+    states) to truncate lineage.
+    """
+    if labels is None:
+        return connected_components(new_pairs, id_a, id_b,
+                                    algorithm=algorithm)
+    label_edges = labels.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(
+        F.col("doc_id").alias(id_a), F.col("cluster_id").alias(id_b)
+    )
+    # self-labeled singletons (doc == cluster) carry no connectivity,
+    # but must survive the fold as nodes: keep them via a 1-node
+    # "edge" to themselves is NOT how connected_components models
+    # nodes (pairs only) — re-attach them after the merge instead.
+    merged = connected_components(
+        label_edges.unionByName(
+            new_pairs.select(F.col(id_a), F.col(id_b))
+        ),
+        id_a,
+        id_b,
+        algorithm=algorithm,
+    )
+    singletons = labels.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).join(merged.select("doc_id"), "doc_id", "left_anti")
+    return merged.unionByName(singletons)
+
+
 def strip_repeated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -10031,6 +10031,56 @@ _register(
 )
 
 
+def _incr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as an incremental label fold
+    (operators/dedup.incremental_components): the near-dup pair set
+    of dedup_cluster_assignment arrives in three batches (split by
+    (id_a + id_b) mod 3 — batches freely interleave and merge
+    clusters across folds), each folded into the previous labeling
+    instead of re-running CC over every pair ever seen.  The folded
+    labels must equal the one-shot recursive-CTE components EXACTLY —
+    equivalence-relation union is associative, so the split is
+    immaterial; the state is node-sized and 1-deep, so each fold
+    converges in O(log batch-diameter) rounds however deep history
+    was."""
+    from square_etl_spark.operators.dedup import incremental_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.1, df_cap=100
+    ).localCheckpoint(eager=True)
+    labels = None
+    for i in range(3):
+        batch = pairs.filter(
+            (F.col("id_a") + F.col("id_b")) % 3 == i
+        )
+        labels = incremental_components(labels, batch)
+    return labels
+
+
+_register(
+    QuerySpec(
+        "dedup_incremental_components",
+        _incr_components,
+        oracle=f"""
+        WITH RECURSIVE {_ngram_pairs_ctes()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        doc="incremental connected components: label fold ≡ one-shot CC, batches merge clusters",
+    )
+)
+
+
 def _strip_repeated_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-based boilerplate removal
     (operators/dedup.strip_repeated_spans): spans appearing in MORE
@@ -10320,7 +10370,9 @@ _CHECK_PRIORITY: list[str] = [
     # df > 1 distinct docs — the C4 removal policy),
     # text_novelty_contribution (per-doc first-occurrence shingle
     # novelty — marginal corpus-diversity signal),
-    # corpus_datasheet (one-row release card: monoid stats only).
+    # corpus_datasheet (one-row release card: monoid stats only),
+    # dedup_incremental_components (CC as an incremental label fold
+    # ≡ one-shot; node-sized 1-deep state).
 ]
 
 

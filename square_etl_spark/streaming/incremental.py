@@ -360,6 +360,122 @@ def stream_kmv_availablenow(
     )
 
 
+def stream_minhash_ingest_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    index_root: str,
+    pairs_root: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+    schema=None,
+) -> None:
+    """CONTINUOUS-CRAWL near-dup ingest, end to end in one streaming
+    sink: every micro-batch (a) probes the stored LSH index for
+    near-dups of the batch against EVERYTHING ingested before
+    (:func:`operators.dedup.minhash_probe` — the corpus is touched
+    only through its keys-sized index relations) and appends the
+    discovered ``(new_id, old_id, jaccard)`` pairs, then (b) extends
+    the stored index with the batch's own shingle/bucket rows
+    (:func:`operators.dedup.minhash_index`).  The streamed fold's
+    pair set equals the batch-mode incremental fold exactly (pinned
+    in test_streaming).
+
+    Exactly-once WITHOUT the swap scaffolding: the stored index must
+    only ever GROW, so rewriting it per batch (the fold sinks' swap
+    protocol) would be a corpus-proportional write per ingest.
+    Instead each batch commits append-only PARTITION DIRECTORIES —
+    ``<root>/batch=<id>/`` staged as a sibling temp dir and published
+    by one atomic same-filesystem rename; a re-delivered batch finds
+    its directories already present and skips just the missing pieces
+    (pairs, bucket rows, shingle rows commit independently, each
+    idempotent), so any crash point replays to the same state.  The
+    probe reads only directories of EARLIER batches by construction:
+    the current batch's rows are committed after its probe ran, and
+    on replay the probe is skipped entirely — a batch never pairs
+    with itself (in-batch dedup is :func:`stream_dedup_exact` /
+    the batch operators' concern).
+
+    At deployment scale the bucket partition dirs are further
+    bucketed by ``(band, bhash)`` via
+    :func:`operators.dedup.write_minhash_index_bucketed`'s layout —
+    here the streaming concern (exactly-once append, replay safety,
+    probe-before-extend ordering) is the thing under test.
+    """
+    import os
+    import shutil
+
+    from square_etl_spark.operators.dedup import minhash_index, minhash_probe
+    from square_etl_spark.sinks.merge import _staging_dir
+
+    sh_root = os.path.join(index_root, "shingles")
+    bk_root = os.path.join(index_root, "buckets")
+
+    def _publish(df: DataFrame, root: str, batch_id: int) -> None:
+        final = os.path.join(root, f"batch={batch_id}")
+        if os.path.exists(final):
+            return  # replayed piece: already committed
+        os.makedirs(root, exist_ok=True)
+        tmp = _staging_dir(final)
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def _sweep_stale(root: str) -> None:
+        import glob
+
+        for stale in glob.glob(os.path.join(root, "*.tmp-*")):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for root in (sh_root, bk_root, pairs_root):
+            _sweep_stale(root)
+        pairs_dir = os.path.join(pairs_root, f"batch={batch_id}")
+        sh_dir = os.path.join(sh_root, f"batch={batch_id}")
+        bk_dir = os.path.join(bk_root, f"batch={batch_id}")
+        if all(os.path.exists(d) for d in (pairs_dir, sh_dir, bk_dir)):
+            return  # fully committed batch replayed
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sh_new, bk_new = minhash_index(
+            batch_df, id_col, content_col, num_hashes, bands
+        )
+        if not os.path.exists(pairs_dir):
+            have_index = os.path.exists(sh_root) and any(
+                e.startswith("batch=") for e in os.listdir(sh_root)
+            )
+            if have_index:
+                sh_old = spark.read.parquet(sh_root).drop("batch")
+                bk_old = spark.read.parquet(bk_root).drop("batch")
+                pairs = minhash_probe(
+                    sh_old, bk_old, batch_df, id_col, content_col,
+                    num_hashes, bands, threshold,
+                )
+            else:
+                idt = batch_df.schema[id_col].dataType.simpleString()
+                pairs = spark.createDataFrame(
+                    [], f"new_id {idt}, old_id {idt}, jaccard double"
+                )
+            _publish(pairs, pairs_root, batch_id)
+        # extend the index ONLY after the batch's pairs committed: the
+        # probe must never see the probing batch's own rows
+        _publish(bk_new, bk_root, batch_id)
+        _publish(sh_new, sh_root, batch_id)
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_psi_availablenow(
     spark: SparkSession,
     source_dir: str,

@@ -1005,3 +1005,36 @@ def test_novelty_contribution_hand_computed(spark):
         .collect()
     }
     assert out == {1: (2, 2), 2: (2, 0), 3: (1, 1)}
+
+
+def test_incremental_components_fold_merges_and_relabels(spark):
+    """Fold ≡ one-shot: batch 2's bridge edge merges two clusters built
+    in batch 1, the canonical id drops to the merged minimum, a NEW
+    doc with the smallest id takes over as cluster id, and an
+    externally-supplied singleton label survives folds untouched."""
+    from square_etl_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    p = lambda rows: spark.createDataFrame(rows, "id_a long, id_b long")
+    b1 = p([(10, 11), (20, 21)])          # two clusters: {10,11}, {20,21}
+    b2 = p([(11, 20)])                    # bridge: merge into {10,11,20,21}
+    b3 = p([(1, 21)])                     # new doc 1 joins -> min becomes 1
+    labels = None
+    for b in (b1, b2, b3):
+        labels = incremental_components(labels, b)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {1: 1, 10: 1, 11: 1, 20: 1, 21: 1}
+    # one-shot over the union agrees
+    oneshot = connected_components(p([(10, 11), (20, 21), (11, 20), (1, 21)]))
+    assert {r["doc_id"]: r["cluster_id"] for r in oneshot.collect()} == got
+    # external singleton labels pass through unless a new edge claims them
+    seeded = spark.createDataFrame(
+        [(99, 99), (10, 10), (11, 10)], "doc_id long, cluster_id long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in incremental_components(seeded, p([(11, 12)])).collect()
+    }
+    assert out == {99: 99, 10: 10, 11: 10, 12: 10}

@@ -571,3 +571,73 @@ def test_stream_kmv_maintain_equals_one_shot_exactly(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(sketch).collect()
     }
     assert again == want
+
+
+def test_stream_minhash_ingest_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The continuous-crawl near-dup ingest: streamed micro-batches
+    probing + extending the stored LSH index must discover EXACTLY the
+    pairs of the batch-mode incremental fold (each batch vs the union
+    of all earlier batches), the index must accumulate every batch's
+    rows, and a replayed drain must change nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import minhash_index, minhash_probe
+    from square_etl_spark.streaming.incremental import (
+        stream_minhash_ingest_availablenow,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 300")
+    )
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    index_root = os.path.join(tmp_path, "index")
+    pairs_root = os.path.join(tmp_path, "pairs")
+
+    # two source files -> two availableNow drains (batch order = file
+    # arrival order, which we control)
+    b0 = docs.filter("doc_id % 2 = 0")
+    b1 = docs.filter("doc_id % 2 = 1")
+    b0.write.mode("overwrite").parquet(src)
+    stream_minhash_ingest_availablenow(
+        spark, src, ckpt, index_root, pairs_root, threshold=0.5,
+        schema="doc_id long, text string",
+    )
+    b1.write.mode("append").parquet(src)
+    stream_minhash_ingest_availablenow(
+        spark, src, ckpt, index_root, pairs_root, threshold=0.5,
+        schema="doc_id long, text string",
+    )
+
+    got = sorted(
+        map(tuple, spark.read.parquet(pairs_root)
+            .select("new_id", "old_id", "jaccard").collect())
+    )
+    # batch-mode fold: batch 1 probed against batch 0's index only
+    sh0, bk0 = minhash_index(b0)
+    want = sorted(
+        map(tuple, minhash_probe(sh0, bk0, b1, threshold=0.5).collect())
+    )
+    assert got == want and len(got) > 0
+    # the index accumulated BOTH batches' rows
+    n_idx = spark.read.parquet(os.path.join(index_root, "shingles")).count()
+    assert n_idx == minhash_index(docs)[0].count()
+    # replay the whole source without the checkpoint: every batch finds
+    # its directories already committed -> no new pairs, no index growth
+    stream_minhash_ingest_availablenow(
+        spark, src, os.path.join(tmp_path, "ckpt2"), index_root, pairs_root,
+        threshold=0.5, schema="doc_id long, text string",
+    )
+    again = sorted(
+        map(tuple, spark.read.parquet(pairs_root)
+            .select("new_id", "old_id", "jaccard").collect())
+    )
+    assert again == got
+    assert spark.read.parquet(
+        os.path.join(index_root, "shingles")
+    ).count() == n_idx
