@@ -811,3 +811,79 @@ def test_span_dedup_equals_python_fold(spark, docs):
         if kept:
             want[i] = (len(kept), " ".join(kept))
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0, max_size=30,
+    ).map(lambda es: [(a, b) for a, b in es if a != b]),
+    cuts=st.lists(st.integers(0, 2), min_size=30, max_size=30),
+)
+@SETTINGS
+def test_incremental_components_split_invariant(spark, edges, cuts):
+    """Equivalence-relation union is associative AND commutative, so
+    the incremental label fold must equal one-shot CC for ANY
+    assignment of edges to batches — hypothesis picks the split."""
+    from square_etl_spark.operators.dedup import (
+        connected_components,
+        incremental_components,
+    )
+
+    if not edges:
+        return
+    batches = [[], [], []]
+    for e, c in zip(edges, cuts):
+        batches[c].append(e)
+
+    def df(rows):
+        return spark.createDataFrame(rows, "id_a long, id_b long")
+
+    labels = None
+    for b in batches:
+        if b:
+            labels = incremental_components(labels, df(b))
+    got = {(r.doc_id, r.cluster_id) for r in labels.collect()}
+    want = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(df(edges)).collect()
+    }
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+@SETTINGS
+def test_strip_repeated_spans_equals_python(spark, docs):
+    """Kill-all span removal vs a direct python fold: spans (3-word
+    blocks) present in >1 DISTINCT docs vanish everywhere; the rest
+    reassemble in position order."""
+    from square_etl_spark.operators.dedup import strip_repeated_spans
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans_kept, r.cleaned_text)
+        for r in strip_repeated_spans(df, span_words=3).collect()
+    }
+
+    def spans(t):
+        ws = t.split()
+        return [" ".join(ws[i : i + 3]) for i in range(0, len(ws), 3)]
+
+    owners: dict[str, set] = {}
+    for i, t in rows:
+        for s in spans(t):
+            owners.setdefault(s, set()).add(i)
+    want = {}
+    for i, t in rows:
+        kept = [s for s in spans(t) if len(owners[s]) <= 1]
+        if kept:
+            want[i] = (len(kept), " ".join(kept))
+    assert got == want
