@@ -838,9 +838,25 @@ def survivor_selection(
     # pair column names it was given — rename its key to id_col so a
     # caller's media_id/entity_id id actually joins (r06 review: the
     # parameter previously only worked for the default "doc_id")
-    clusters = connected_components(pairs).withColumnRenamed(
-        "doc_id", id_col
+    return survivor_from_labels(
+        df, connected_components(pairs), id_col, quality_col
     )
+
+
+def survivor_from_labels(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "q",
+) -> DataFrame:
+    """Survivor pick from a PRECOMPUTED (doc_id, cluster_id) labeling —
+    the read side of incremental clustering: labels maintained by
+    :func:`incremental_components` folds drive EXACTLY the decision
+    one-shot :func:`survivor_selection` makes (pinned by the
+    ``dedup_incremental_survivors`` oracle, which is the one-shot's).
+    Same contract: docs absent from ``labels`` are their own singleton
+    cluster and always kept; returns (id, cluster_id, quality, keep)."""
+    clusters = labels.withColumnRenamed("doc_id", id_col)
     labeled = df.join(clusters, on=id_col, how="left").withColumn(
         "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
     )

@@ -1441,11 +1441,12 @@ def _survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivor_selection(scored, pairs, "doc_id", "q")
 
 
-_register(
-    QuerySpec(
-        "dedup_survivor_selection",
-        _survivors,
-        oracle=f"""
+def _survivor_oracle() -> str:
+    """One-shot survivor-selection oracle over the LOSSLESS prefix-join
+    pair set — shared verbatim by `dedup_survivor_selection` and its
+    incremental twin (`dedup_incremental_survivors`): the fold must
+    reproduce the one-shot decision exactly."""
+    return f"""
         WITH RECURSIVE scored AS (
           SELECT doc_id,
             ROUND(
@@ -1480,8 +1481,53 @@ _register(
                (ROW_NUMBER() OVER (PARTITION BY cluster_id
                                    ORDER BY q DESC, doc_id) = 1) AS keep
         FROM labeled
-        """,
+        """
+
+
+_register(
+    QuerySpec(
+        "dedup_survivor_selection",
+        _survivors,
+        oracle=_survivor_oracle(),
         doc="near-dup clusters → keep max-quality member per cluster (deterministic tie-break)",
+    )
+)
+
+
+def _incr_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL dedup decision end to end: lossless prefix-join
+    pairs arrive in three batches, each folded into the cluster-label
+    state (operators/dedup.incremental_components), and the final
+    labels drive the survivor pick
+    (operators/dedup.survivor_from_labels) — producing EXACTLY the
+    audit relation the one-shot dedup_survivor_selection produces
+    (shared oracle).  This is the continuous-crawl composition: pair
+    discovery (minhash_probe / prefix join), cluster maintenance, and
+    the keep/drop decision, all batch-proportional."""
+    from square_etl_spark.operators.dedup import (
+        incremental_components,
+        ngram_jaccard_prefix,
+        survivor_from_labels,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", tx.quality_score("text").alias("q"))
+    pairs = ngram_jaccard_prefix(
+        d, "doc_id", "text", n=3, threshold=0.5
+    ).localCheckpoint(eager=True)
+    labels = None
+    for i in range(3):
+        batch = pairs.filter((F.col("id_a") + F.col("id_b")) % 3 == i)
+        labels = incremental_components(labels, batch)
+    return survivor_from_labels(scored, labels)
+
+
+_register(
+    QuerySpec(
+        "dedup_incremental_survivors",
+        _incr_survivors,
+        oracle=_survivor_oracle(),
+        doc="incremental cluster-label fold drives the one-shot survivor decision exactly",
     )
 )
 
@@ -10372,7 +10418,9 @@ _CHECK_PRIORITY: list[str] = [
     # novelty — marginal corpus-diversity signal),
     # corpus_datasheet (one-row release card: monoid stats only),
     # dedup_incremental_components (CC as an incremental label fold
-    # ≡ one-shot; node-sized 1-deep state).
+    # ≡ one-shot; node-sized 1-deep state),
+    # dedup_incremental_survivors (the folded labels drive the
+    # one-shot survivor decision exactly — shared oracle).
 ]
 
 
