@@ -148,6 +148,63 @@ def split_assign(
     return assigned.filter(F.col(split_col).isNotNull())
 
 
+def split_assign_stratified(
+    df: DataFrame,
+    key: str,
+    fractions_by_stratum: dict[str, dict[str, float]],
+    stratum_col: str,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint splits with PER-STRATUM fractions — the
+    "hold out 50% of code but 2% of web" recipe: each stratum gets its
+    own cumulative thresholds over the same md5 variate as
+    :func:`split_assign`, so assignment stays reproducible from the
+    key alone, rows never migrate on re-partition/re-ingest, and
+    same-salt samples/splits nest across operators.  A stratum absent
+    from the map is dropped (the :func:`weighted_mix` posture: the mix
+    spec IS the allow-list); within a stratum, unallocated remainder
+    (fractions summing < 1) is held back.  Shape: one scan + nested
+    CASE — no shuffle, no per-stratum passes, 100 TB-indifferent.
+    """
+    hb = hash_bucket(key, salt)
+    expr = None
+    for stratum, fractions in fractions_by_stratum.items():
+        total = sum(fractions.values())
+        if total > 1.0 + 1e-9:
+            raise ValueError(
+                f"stratum {stratum!r} fractions sum to {total} > 1"
+            )
+        cum = 0.0
+        inner = None
+        for name, frac in fractions.items():
+            # same float-drift guard as split_assign: thresholds come
+            # from the ROUNDED cumulative fraction the oracle also uses
+            cum = round(cum + frac, 12)
+            cond = hb < F.lit(rate_threshold(min(cum, 1.0)))
+            inner = (
+                F.when(cond, F.lit(name))
+                if inner is None
+                else inner.when(cond, F.lit(name))
+            )
+        inner = (
+            inner.otherwise(F.lit(None).cast("string"))
+            if inner is not None
+            else F.lit(None).cast("string")
+        )
+        cond_s = F.col(stratum_col) == F.lit(stratum)
+        expr = (
+            F.when(cond_s, inner) if expr is None else expr.when(cond_s, inner)
+        )
+    assigned = df.withColumn(
+        split_col,
+        expr.otherwise(F.lit(None).cast("string"))
+        if expr is not None
+        else F.lit(None).cast("string"),
+    )
+    return assigned.filter(F.col(split_col).isNotNull())
+
+
 def stratified_take(
     df: DataFrame, strata: Sequence[str] | str, key: str, n_per_stratum: int
 ) -> DataFrame:

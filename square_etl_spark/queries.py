@@ -10077,6 +10077,69 @@ _register(
 )
 
 
+def _stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-STRATUM split fractions
+    (operators/sampling.split_assign_stratified): the "hold out 50% of
+    code but 10% of web" recipe — here per language: en gets a full
+    80/10/10, zh an aggressive 50/50 train/test, de all-train, es
+    60/20 with 20% held back unallocated, and fr is absent from the
+    spec → dropped (the mix spec is the allow-list).  One scan +
+    nested CASE over the shared md5 variate; no shuffle."""
+    from square_etl_spark.operators.sampling import split_assign_stratified
+
+    d = load_table(spark, sf_dir, "documents")
+    out = split_assign_stratified(
+        d,
+        "doc_id",
+        {
+            "en": {"train": 0.8, "val": 0.1, "test": 0.1},
+            "zh": {"train": 0.5, "test": 0.5},
+            "de": {"train": 1.0},
+            "es": {"train": 0.6, "val": 0.2},
+        },
+        stratum_col="lang",
+        salt="strat1",
+    )
+    return out.select("doc_id", "lang", "split")
+
+
+_register(
+    QuerySpec(
+        "split_stratified_by_lang",
+        _stratified_split_docs,
+        oracle=f"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 {_bucket_sql("doc_id", "strat1")} AS hb
+          FROM documents),
+        s AS (
+          SELECT doc_id, lang,
+            CASE
+              WHEN lang = 'en' THEN
+                CASE WHEN hb < '{rate_threshold(0.8)}' THEN 'train'
+                     WHEN hb < '{rate_threshold(0.9)}' THEN 'val'
+                     WHEN hb < '{rate_threshold(1.0)}' THEN 'test'
+                     ELSE NULL END
+              WHEN lang = 'zh' THEN
+                CASE WHEN hb < '{rate_threshold(0.5)}' THEN 'train'
+                     WHEN hb < '{rate_threshold(1.0)}' THEN 'test'
+                     ELSE NULL END
+              WHEN lang = 'de' THEN
+                CASE WHEN hb < '{rate_threshold(1.0)}' THEN 'train'
+                     ELSE NULL END
+              WHEN lang = 'es' THEN
+                CASE WHEN hb < '{rate_threshold(0.6)}' THEN 'train'
+                     WHEN hb < '{rate_threshold(0.8)}' THEN 'val'
+                     ELSE NULL END
+              ELSE NULL END AS split
+          FROM b)
+        SELECT doc_id, lang, split FROM s WHERE split IS NOT NULL
+        """,
+        doc="per-stratum split fractions: nested-CASE thresholds, shared md5 variate, no shuffle",
+    )
+)
+
+
 def _incr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components as an incremental label fold
     (operators/dedup.incremental_components): the near-dup pair set
@@ -10420,7 +10483,9 @@ _CHECK_PRIORITY: list[str] = [
     # dedup_incremental_components (CC as an incremental label fold
     # ≡ one-shot; node-sized 1-deep state),
     # dedup_incremental_survivors (the folded labels drive the
-    # one-shot survivor decision exactly — shared oracle).
+    # one-shot survivor decision exactly — shared oracle),
+    # split_stratified_by_lang (per-stratum split fractions, nested
+    # CASE over the shared md5 variate).
 ]
 
 

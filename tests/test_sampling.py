@@ -393,3 +393,46 @@ def test_budget_cap_null_group_is_capped_not_dropped(spark):
     assert set(by_g) == {None, "a"}
     assert len(by_g[None]) == 3
     assert len(by_g["a"]) == 3
+
+def test_split_assign_stratified_semantics(spark):
+    """Per-stratum fractions: each stratum follows its own spec (one
+    label per surviving row), unlisted strata drop, unallocated
+    remainder holds back, same-salt assignments agree with the global
+    split_assign for a stratum given identical fractions, and a >1
+    stratum spec raises."""
+    import pytest as _pytest
+
+    from square_etl_spark.operators.sampling import (
+        split_assign,
+        split_assign_stratified,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = split_assign_stratified(
+        df,
+        "doc_id",
+        {"a": {"train": 0.5, "test": 0.5}, "b": {"train": 0.3}},
+        stratum_col="lang",
+        salt="s1",
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append((r.doc_id, r.split))
+    assert "c" not in by_lang                       # unlisted stratum dropped
+    assert len(by_lang["a"]) == 100                 # 0.5+0.5 keeps all of a
+    assert 0 < len(by_lang["b"]) < 100              # 0.3 holds back the rest
+    assert {s for _, s in by_lang["b"]} == {"train"}
+    # same salt + same fractions == the unstratified assignment
+    want = {
+        (r.doc_id, r.split)
+        for r in split_assign(
+            df.filter("lang = 'a'"), "doc_id",
+            {"train": 0.5, "test": 0.5}, salt="s1",
+        ).select("doc_id", "split").collect()
+    }
+    assert set(by_lang["a"]) == want
+    with _pytest.raises(ValueError):
+        split_assign_stratified(
+            df, "doc_id", {"a": {"x": 0.9, "y": 0.2}}, stratum_col="lang"
+        )
