@@ -111,19 +111,20 @@ def ngram_jaccard_pairs(
       4. count shared shingles per pair = |A∩B|;
       5. jaccard = inter / (|A| + |B| − inter); filter by threshold.
     """
-    from pyspark.storagelevel import StorageLevel
-
     # the postings relation feeds every downstream consumer (stop-list
     # frequency count, per-doc sizes, both sides of the pair join):
     # materialize it once instead of re-shingling per consumer — at
     # warehouse scale this is "write the postings index, then join
-    # against it".
+    # against it".  localCheckpoint(eager=True), not persist(): the
+    # blocks are ContextCleaner-scoped to the result DataFrame instead
+    # of pinning a session-lifetime CacheManager entry per invocation
+    # (the r08-advice leak pattern, fixed repo-wide in r09).
     sh = (
         df.select(
             F.col(id_col), hashed_word_shingles(content_col, n).alias("shingles")
         )
         .select(id_col, F.explode("shingles").alias("shingle"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     if df_cap is not None:
         stop = (
@@ -687,9 +688,11 @@ def minhash_banded_pairs(
     assert bands * r == num_hashes, "bands must divide num_hashes"
     mh_a, mh_b = _minhash_constants(num_hashes)
 
+    # localCheckpoint, not persist: ContextCleaner-scoped blocks, no
+    # session-lifetime CacheManager pin (r08-advice leak pattern)
     sh = df.select(
         F.col(id_col), portable_word_shingles(content_col, 3).alias("sh")
-    ).filter(F.size("sh") > 0).persist()
+    ).filter(F.size("sh") > 0).localCheckpoint(eager=True)
 
     # portable permutation family over the 32 low bits of each shingle
     # hash (r05: replaced seeded xxhash64 so the DuckDB oracle can
