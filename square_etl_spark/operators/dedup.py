@@ -111,21 +111,23 @@ def ngram_jaccard_pairs(
       4. count shared shingles per pair = |A∩B|;
       5. jaccard = inter / (|A| + |B| − inter); filter by threshold.
     """
-    # the postings relation feeds every downstream consumer (stop-list
+    # the shingle relation feeds every downstream consumer (stop-list
     # frequency count, per-doc sizes, both sides of the pair join):
     # materialize it once instead of re-shingling per consumer — at
     # warehouse scale this is "write the postings index, then join
-    # against it".  localCheckpoint(eager=True), not persist(): the
-    # blocks are ContextCleaner-scoped to the result DataFrame instead
-    # of pinning a session-lifetime CacheManager entry per invocation
-    # (the r08-advice leak pattern, fixed repo-wide in r09).
-    sh = (
-        df.select(
-            F.col(id_col), hashed_word_shingles(content_col, n).alias("shingles")
-        )
-        .select(id_col, F.explode("shingles").alias("shingle"))
-        .localCheckpoint(eager=True)
-    )
+    # against it".  Two deliberate choices: localCheckpoint(eager),
+    # not persist() — blocks are ContextCleaner-scoped to the result
+    # instead of pinning a session-lifetime CacheManager entry per
+    # invocation (the r08-advice leak pattern, fixed repo-wide in
+    # r09); and the checkpoint holds the COMPACT pre-explode arrays
+    # (one row per doc), with each consumer re-running the trivial
+    # explode — checkpointing the exploded postings was measured 40%
+    # slower on the benched query (30× the row count through the
+    # block store to save a map-only explode).
+    sh_arr = df.select(
+        F.col(id_col), hashed_word_shingles(content_col, n).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sh = sh_arr.select(id_col, F.explode("shingles").alias("shingle"))
     if df_cap is not None:
         stop = (
             sh.groupBy("shingle")

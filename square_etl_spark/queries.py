@@ -9829,6 +9829,7 @@ _register(
                     CAST(na.n_sh + nb.n_sh - inter AS DOUBLE), 6)
               >= 0.5
         """,
+        bench=True,  # r09: promoted to the DEFAULT near-dup path — earns a recorded number
         doc="lossless prefix-filtering similarity join: oracle = the exhaustive pair join",
     )
 )
