@@ -571,3 +571,82 @@ def char_entropy(
             F.sum(term).cast("double") / F.lit(math.log(2.0)), 6
         ).alias("entropy_bits"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed query-term set
+    — the keyword side of retrieval-based corpus curation ("pull the
+    docs about X", quality-by-query filtering, seed expansion).
+    Lucene-variant IDF (ln(1 + (N − df + 0.5)/(df + 0.5))) with the
+    standard tf saturation/length normalization:
+
+        score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|D|/avgdl))
+
+    Cross-engine determinism: per-term contributions are rounded to 9
+    decimals and summed as DECIMAL(28,9) — addition order cannot move
+    the hash — then the total rounds to 6 (the LM-NLL pattern);
+    ``avgdl`` is an exact integer sum divided in double.
+
+    Scale shape: the token explode is FILTERED TO THE QUERY TERMS
+    immediately (a bounded IN-list — the postings that survive are
+    query-sized, not corpus-sized); document lengths fold from the
+    same scan; N/avgdl is a 1-row broadcast; per-term df is a
+    ≤|terms|-row broadcast.  No corpus-sized state beyond the one
+    scan.  Emits (id, n_terms_hit, bm25) for docs hitting ≥1 term.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    lterms = [t.lower() for t in terms]
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(_c(content_col))), r"\s+"),
+            lambda w: w != F.lit(""),
+        ).alias("__ws"),
+    )
+    dl = base.select(id_col, F.size("__ws").alias("__dl"))
+    toks = base.select(
+        id_col, F.explode("__ws").alias("__w")
+    ).filter(F.col("__w").isin(lterms))
+    tf = toks.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
+    # 1-row corpus stats; exact integer sum, double division
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__sumdl"),
+    )
+    dfreq = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
+    # bcast-ok: 1-row corpus stats aggregate
+    scored = tf.join(dl, id_col).crossJoin(F.broadcast(stats)).join(
+        # bcast-ok: per-term document frequencies, <= |terms| rows
+        F.broadcast(dfreq), "__w"
+    )
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tfc = F.col("__tf").cast("double")
+    contrib = F.round(
+        idf
+        * tfc
+        * F.lit(k1 + 1.0)
+        / (tfc + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / avgdl)),
+        9,
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(
+                F.sum(contrib.cast("decimal(28,9)")).cast("double"), 6
+            ).alias("bm25"),
+        )
+    )

@@ -10078,6 +10078,68 @@ _register(
 )
 
 
+def _bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/text.bm25_scores): top-20
+    docs for a fixed 4-term query, Lucene-variant IDF + tf
+    saturation/length normalization — the keyword side of
+    retrieval-based corpus curation.  Postings are filtered to the
+    query terms at the scan (bounded IN-list), corpus stats are a
+    1-row broadcast, per-term df a ≤4-row broadcast; decimal-summed
+    rounded contributions make the score order-independent, and the
+    top-k orders by (rounded score, doc_id) so the cutoff is
+    deterministic cross-engine."""
+    from square_etl_spark.operators.text import bm25_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    s = bm25_scores(d, ["vector", "join", "spark", "merge"])
+    return s.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+
+
+_register(
+    QuerySpec(
+        "text_bm25_topk",
+        _bm25_topk_docs,
+        oracle=r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             w -> w <> '') AS ws
+          FROM documents),
+        dl AS (SELECT doc_id, len(ws) AS dl FROM base),
+        stats AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM dl),
+        tf AS (
+          SELECT doc_id, w, COUNT(*) AS tf
+          FROM (SELECT doc_id, UNNEST(ws) AS w FROM base)
+          WHERE w IN ('vector', 'join', 'spark', 'merge')
+          GROUP BY doc_id, w),
+        dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+        contrib AS (
+          SELECT tf.doc_id,
+                 ROUND(ln(1 + (s.n - f.df + 0.5)
+                          / /*nz: df + 0.5 > 0 always*/ (f.df + 0.5))
+                       * tf.tf * 2.2
+                       / /*nz: tf >= 1 and the k1 term is positive*/
+                         (tf.tf + 1.2 * (0.25 + 0.75 * d.dl
+                          / /*nz: avgdl > 0 when any doc has tokens*/
+                            (CAST(s.sumdl AS DOUBLE)
+                             / /*nz: n = COUNT(*) >= 1 (tf row exists)*/
+                               s.n))), 9) AS c
+          FROM tf
+          JOIN dl d USING (doc_id)
+          CROSS JOIN stats s
+          JOIN dfreq f ON tf.w = f.w)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+               ROUND(CAST(SUM(CAST(c AS DECIMAL(28,9))) AS DOUBLE), 6)
+                 AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+        """,
+        doc="BM25 top-k keyword retrieval: bounded-postings scan, decimal-exact scores",
+    )
+)
+
+
 def _stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PER-STRATUM split fractions
     (operators/sampling.split_assign_stratified): the "hold out 50% of

@@ -1038,3 +1038,80 @@ def test_incremental_components_fold_merges_and_relabels(spark):
         for r in incremental_components(seeded, p([(11, 12)])).collect()
     }
     assert out == {99: 99, 10: 10, 11: 10, 12: 10}
+
+
+def test_bm25_scores_match_python_mirror(spark):
+    """BM25 scores equal a pure-python mirror of the Lucene-variant
+    formula (same 9-decimal contribution rounding, 6-decimal total);
+    docs hitting zero query terms emit no row."""
+    import math
+
+    from square_etl_spark.operators.text import bm25_scores
+
+    corpus = {
+        1: "spark join spark",
+        2: "merge conflict handling",
+        3: "nothing relevant here",
+        4: "spark",
+    }
+    terms = ["spark", "join", "merge"]
+    df = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_terms_hit, r.bm25)
+        for r in bm25_scores(df, terms).collect()
+    }
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    dfreq = {t: sum(t in w for w in toks.values()) for t in terms}
+    exp = {}
+    for d, ws in toks.items():
+        hits = [t for t in terms if t in ws]
+        if not hits:
+            continue
+        score = 0.0
+        for t in hits:
+            tf = ws.count(t)
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += round(
+                idf * tf * 2.2
+                / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)),
+                9,
+            )
+        exp[d] = (len(hits), round(score, 6))
+    assert got == exp
+    assert 3 not in got  # zero-hit doc emits no row
+
+
+def test_bm25_scores_rare_term_outranks_common(spark):
+    """A term appearing in one doc carries a higher IDF than a term
+    in every doc — the rare-term doc outscores equal-tf common-term
+    docs of the same length."""
+    from square_etl_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha gamma"),
+            (3, "alpha delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_scores(df, ["alpha", "beta"]).collect()
+    }
+    assert got[1] > got[2] == got[3]
+
+
+def test_bm25_scores_empty_terms_raise(spark):
+    import pytest as _pytest
+
+    from square_etl_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bm25_scores(df, [])
