@@ -282,6 +282,85 @@ def embedding_cosine_pairs_bucketed(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.35,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means clusters over the embedding space ARE
+    the candidate blocks — pairwise cosine is computed only WITHIN a
+    cluster, and a vector is pruned when a smaller-id cluster-mate
+    sits above the similarity threshold (first-wins, the same
+    deterministic survivor policy as the text-side dedup family).
+
+    Distinct from the sign-LSH path (:func:`embedding_cosine_pairs_
+    bucketed`): LSH buckets are similarity-preserving HASHES with
+    tunable recall, while k-means blocks are DATA-ADAPTIVE — dense
+    semantic regions land in one cluster, so the block boundaries
+    follow the corpus's own structure (the published SemDeDup
+    design).  Pruning is within-block only, so recall against the
+    exhaustive pair set is bounded by cluster granularity — the
+    documented trade the paper makes.
+
+    Exactness: clustering is the fixed-iteration exact Lloyd of
+    clustering.kmeans_fixed (decimal-summed distances, total-order
+    argmin), cosine is the rounded dot of unit-normalized vectors —
+    every step cross-engine reproducible, so the WHOLE composition
+    (two Lloyd iterations → blocking → prune) is oracle-checkable.
+
+    Scale shape: assignment is a broadcast(k×d) join + one grouped
+    shuffle per iteration; the pair stage is an EQUI-join on the
+    cluster label (never a global cross product).  At 100 TB raise
+    ``k`` with corpus size (k ≈ N / target-block-size, the paper
+    runs k in the tens of thousands) so per-cluster membership stays
+    bounded — per-block cost is O(Σ |cluster|²·d), the same
+    candidates→verify discipline as every other near-dup operator
+    here.  Returns one row per vector: (id, cluster, kept).
+    """
+    from square_etl_spark.operators.clustering import kmeans_fixed
+    from square_etl_spark.operators.similarity import (
+        dot,
+        dot_unrolled,
+        normalize,
+    )
+
+    assign, _ = kmeans_fixed(emb, id_col, vec_col, k=k, iters=iters)
+    normed = emb.select(
+        F.col(id_col).alias("vid"), normalize(F.col(vec_col)).alias("__nv")
+    )
+    tagged = normed.join(assign.select("vid", "c"), "vid")
+    a = tagged.select(
+        F.col("vid").alias("id_a"), F.col("__nv").alias("__va"), "c"
+    )
+    b = tagged.select(
+        F.col("vid").alias("id_b"), F.col("__nv").alias("__vb"), "c"
+    )
+    sim = (
+        dot_unrolled(F.col("__va"), F.col("__vb"), dim)
+        if dim is not None
+        else dot(F.col("__va"), F.col("__vb"))
+    )
+    pruned = (
+        a.join(b, "c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__s", F.round(sim, 6))
+        .filter(F.col("__s") >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return tagged.join(pruned, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.col("c").cast("long").alias("cluster"),
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

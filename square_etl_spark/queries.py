@@ -7609,7 +7609,12 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(assign, cent)
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> str:
+    """WITH-body of the exact 2-iteration Lloyd recomputation (k=4,
+    seed = vectors 0..3) — the oracle twin of
+    clustering.kmeans_fixed(k=4, iters=2).  `a2` is the final
+    assignment, `c2` the final centroids; shared by the kmeans
+    summary oracle and the semantic-dedup composition."""
     dist = """
           SELECT lf.vid, {c}.c,
                  SUM(CAST(ROUND((lf.val - {c}.cval) * (lf.val - {c}.cval), 9)
@@ -7628,7 +7633,7 @@ def _kmeans_oracle() -> str:
           FROM lf JOIN {a} USING (vid)
           GROUP BY 1, 2"""
     return f"""
-        WITH lf AS (
+        lf AS (
           SELECT vec_id AS vid,
                  generate_subscripts(embedding, 1) - 1 AS dim,
                  CAST(UNNEST(embedding) AS DOUBLE) AS val
@@ -7639,7 +7644,12 @@ def _kmeans_oracle() -> str:
         c1 AS ({update.format(a='a1')}),
         d2i AS ({dist.format(c='c1')}),
         a2 AS ({argmin.format(d='d2i')}),
-        c2 AS ({update.format(a='a2')}),
+        c2 AS ({update.format(a='a2')})"""
+
+
+def _kmeans_oracle() -> str:
+    return f"""
+        WITH {_kmeans_ctes()},
         m AS (
           SELECT c, COUNT(*) AS n_members,
                  ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS inertia
@@ -7662,6 +7672,46 @@ _register(
         _kmeans_embeddings,
         oracle=_kmeans_oracle(),
         doc="2 exact Lloyd iterations, both recomputed by the oracle (decimal distances)",
+    )
+)
+
+
+def _semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.semantic_dedup):
+    the k=4, iters=2 exact Lloyd clustering blocks the pair space,
+    within-cluster cosine ≥ 0.35 prunes the larger id (first-wins).
+    The oracle recomputes the ENTIRE composition — both Lloyd
+    iterations, the data-adaptive blocking, and the prune — so a
+    green row certifies cluster-as-block semantics end to end, not
+    just the final verdict column."""
+    from square_etl_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", k=4, iters=2, threshold=0.35, dim=64
+    )
+
+
+_register(
+    QuerySpec(
+        "dedup_semantic",
+        _semantic_dedup_q,
+        oracle=f"""
+        WITH {_kmeans_ctes()},
+        {_NV_CTE.strip()},
+        t AS (
+          SELECT nv.vec_id AS vid, nv.nv, a2.c
+          FROM nv JOIN a2 ON nv.vec_id = a2.vid),
+        dup AS (
+          SELECT DISTINCT b.vid
+          FROM t a JOIN t b ON a.c = b.c AND a.vid < b.vid
+          WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35)
+        SELECT t.vid AS vec_id, CAST(t.c AS BIGINT) AS cluster,
+               (dup.vid IS NULL) AS kept
+        FROM t LEFT JOIN dup ON t.vid = dup.vid
+        """,
+        doc="SemDeDup: k-means blocks + within-cluster cosine prune, "
+        "full composition recomputed by the oracle",
     )
 )
 
@@ -10548,7 +10598,11 @@ _CHECK_PRIORITY: list[str] = [
     # dedup_incremental_survivors (the folded labels drive the
     # one-shot survivor decision exactly — shared oracle),
     # split_stratified_by_lang (per-stratum split fractions, nested
-    # CASE over the shared md5 variate).
+    # CASE over the shared md5 variate),
+    # text_bm25_topk (BM25 keyword retrieval: bounded-postings scan,
+    # decimal-exact scores),
+    # dedup_semantic (SemDeDup: k-means blocks + within-cluster
+    # cosine prune, full composition recomputed by the oracle).
 ]
 
 

@@ -151,3 +151,56 @@ def test_arrow_assignment_never_emits_dead_clusters(spark):
     assert {r["c"] for r in fast} <= surviving
     exact = {r["vid"]: r["c"] for r in assign.collect()}
     assert {r["vid"]: r["c"] for r in fast} == exact
+
+
+def test_semantic_dedup_prunes_within_cluster_first_wins(spark):
+    """Planted two-cluster corpus: each cluster holds a near-copy of
+    its seed (cosine ≈ 1 → pruned, larger id loses) plus one member
+    below the threshold (kept).  Cluster labels group the copies with
+    their seeds — the blocking is data-adaptive, not hash-based."""
+    from square_etl_spark.operators.dedup import semantic_dedup
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],     # 0: seed A
+        [0.0, 1.0, 0.0, 0.0],     # 1: seed B
+        [0.99, 0.01, 0.0, 0.0],   # 2: near-copy of 0 → pruned
+        [0.0, 0.98, 0.02, 0.0],   # 3: near-copy of 1 → pruned
+        [0.6, 0.0, 0.8, 0.0],     # 4: same cluster as A, cos 0.6 → kept
+    ]
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", k=2, iters=2, threshold=0.9, dim=4
+        ).collect()
+    }
+    assert {i: kept for i, (_, kept) in out.items()} == {
+        0: True, 1: True, 2: False, 3: False, 4: True
+    }
+    assert out[2][0] == out[0][0]  # copy clusters with its seed
+    assert out[3][0] == out[1][0]
+    assert out[0][0] != out[1][0]  # the two seeds separate
+
+
+def test_semantic_dedup_pair_stage_is_cluster_equi_join(spark):
+    """The pair generator must be an equi-join on the cluster label —
+    never a BroadcastNestedLoopJoin over all pairs (the SemDeDup
+    blocking contract)."""
+    from square_etl_spark.operators.dedup import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        semantic_dedup(
+            emb, "vec_id", "embedding", k=2, iters=1, threshold=0.9, dim=2
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -129,7 +129,7 @@ def test_pair_dedup_queries_never_go_quadratic(spark, sf_dir):
     # "work" at test scale and melt at 100 TB.
     qs = queries()
     for name in ["dedup_ngram_jaccard", "dedup_simhash", "dedup_minhash_lsh",
-                 "dedup_embedding_cosine_bucketed"]:
+                 "dedup_embedding_cosine_bucketed", "dedup_semantic"]:
         plan = _plan(qs[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
