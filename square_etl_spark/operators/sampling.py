@@ -550,7 +550,8 @@ def budget_cap(
     group_col: str,
     weight_col: str,
     key_cols: Sequence[str],
-    budget: int,
+    budget: int | None = None,
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Cap each group at a fixed weight budget, deterministically.
 
@@ -573,8 +574,18 @@ def budget_cap(
     groups x 256 rows, so a high-cardinality group column belongs in
     ``hash_sample``-style rate capping instead (that variant is
     shuffle-free but only approximates the budget).
+
+    Pass EITHER ``budget`` (one cap shared by every group) or
+    ``budgets`` — a per-group relation ``(group_col, budget)``
+    bounded by the same mixture-dims contract (it broadcasts).
+    Groups absent from ``budgets``, or with budget ≤ 0, keep
+    nothing; groups whose total weight is under their budget keep
+    everything.  :func:`temperature_mix` derives ``budgets`` from
+    the corpus itself.
     """
-    if budget <= 0:
+    if (budget is None) == (budgets is None):
+        raise ValueError("pass exactly one of budget / budgets")
+    if budget is not None and budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
     tagged = df.withColumn("__h", F.md5(key)).withColumn(
@@ -613,15 +624,101 @@ def budget_cap(
     # keeps it, the offset table has its row) — a plain equi-join
     # silently DROPPED its rows instead of budget-capping them (r08
     # ADVICE item).
-    return (
-        local.join(
-            # bcast-ok: per-(group, shard) offset map, |groups| x <=256
-            # rows; group_col is a mixture dimension by contract (doc
-            # above), never a corpus-linear key
-            F.broadcast(off_df),
-            F.col(group_col).eqNullSafe(F.col("__g"))
-            & (F.col("__shard") == F.col("__s")),
+    capped = local.join(
+        # bcast-ok: per-(group, shard) offset map, |groups| x <=256
+        # rows; group_col is a mixture dimension by contract (doc
+        # above), never a corpus-linear key
+        F.broadcast(off_df),
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col("__shard") == F.col("__s")),
+    )
+    if budgets is None:
+        capped = capped.filter(cum_before < budget)
+    else:
+        bdf = budgets.select(
+            F.col(group_col).alias("__bg"),
+            F.col("budget").cast("long").alias("__budget"),
         )
-        .filter(cum_before < budget)
-        .drop("__h", "__shard", "__cum_incl", "__off", "__g", "__s")
+        capped = (
+            capped.join(
+                # bcast-ok: per-group budget map, |groups| rows by the
+                # same mixture-dims contract as the offset table
+                F.broadcast(bdf),
+                F.col(group_col).eqNullSafe(F.col("__bg")),
+            )
+            .filter(cum_before < F.col("__budget"))
+            .drop("__bg", "__budget")
+        )
+    return capped.drop(
+        "__h", "__shard", "__cum_incl", "__off", "__g", "__s"
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    total_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (the GPT-3/PaLM recipe): each
+    mixture group's share of ``total_budget`` is proportional to its
+    corpus size raised to ``alpha`` — α = 1 keeps natural
+    proportions, α → 0 flattens toward uniform, 0 < α < 1 up-weights
+    small sources without drowning out large ones.
+
+        budget_g = ⌊ total · n_g^α / Σ_h n_h^α ⌋
+
+    then the rows are consumed with :func:`budget_cap`'s exclusive
+    md5-order prefix rule against the derived per-group budget, so
+    the selection inherits its determinism (re-partition / re-ingest
+    invariant, straddling row kept).
+
+    Cross-engine arithmetic: sizes are exact long sums; n^α rounds to
+    9 decimals and sums as DECIMAL(38,9); shares divide in double and
+    round to 9; budgets floor the 6-rounded product — every step an
+    identical IEEE op on any engine.  Parity note: α = 0.5 (sqrt) and
+    α = 1 are exactly-rounded IEEE ops everywhere; arbitrary
+    exponents ride each engine's pow and may differ in the last ulp —
+    stick to {0.25, 0.5, 1} when an oracle must agree bit-for-bit.
+
+    Scale shape: one grouped aggregate for sizes (|groups| rows, the
+    mixture-dims contract), a 1-row total crossJoin-broadcast, then
+    budget_cap's two-phase prefix sum — no corpus-sized state beyond
+    the scan.  Floor'd shares can under-fill the total by < |groups|
+    rows' weight; groups flooring to 0 keep nothing (document or
+    bump ``total_budget``).
+    """
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    sizes = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__n")
+    )
+    pw = sizes.withColumn(
+        "__pw",
+        F.round(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 9)
+        .cast("decimal(38,9)"),
+    )
+    tot = pw.agg(F.sum("__pw").alias("__sp"))
+    # bcast-ok: 1-row mixture-total aggregate
+    budgets = (
+        pw.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__share",
+            F.round(
+                F.col("__pw").cast("double")
+                / F.col("__sp").cast("double"),
+                9,
+            ),
+        )
+        .select(
+            group_col,
+            F.floor(
+                F.round(F.col("__share") * F.lit(int(total_budget)), 6)
+            ).alias("budget"),
+        )
+    )
+    return budget_cap(
+        df, group_col, weight_col, key_cols, budgets=budgets
     )

@@ -10105,6 +10105,64 @@ _register(
 )
 
 
+def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing
+    (operators/sampling.temperature_mix): per-lang char budgets
+    ∝ size^0.5 of a 60k-char total (α = 0.5 → sqrt, exactly-rounded
+    IEEE on every engine) — small languages up-weighted relative to
+    their natural share, then consumed in the deterministic md5
+    prefix order of budget_cap.  The oracle recomputes sizes, the
+    decimal-summed power weights, the floor'd budgets, AND the
+    per-row exclusive-prefix take — the full mixture recipe."""
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_mix(
+        d, "lang", "n_chars", ["doc_id"], total_budget=60000, alpha=0.5
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+_register(
+    QuerySpec(
+        "mix_temperature_langs",
+        _mix_temperature,
+        oracle="""
+        WITH sz AS (
+          SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+        pw AS (
+          SELECT lang,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(38,9)) AS p
+          FROM sz),
+        tot AS (SELECT SUM(p) AS sp FROM pw),
+        bud AS (
+          SELECT lang,
+                 CAST(floor(ROUND(
+                   ROUND(CAST(p AS DOUBLE)
+                         / /*nz: sum of positive group weights*/
+                           CAST(sp AS DOUBLE), 9) * 60000, 6))
+                   AS BIGINT) AS b
+          FROM pw CROSS JOIN tot),
+        ord AS (
+          SELECT doc_id, lang, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents)
+        SELECT o.doc_id, o.lang, CAST(o.n_chars AS BIGINT) AS n_chars
+        FROM ord o JOIN bud USING (lang)
+        WHERE cum_before < b
+        """,
+        doc="temperature-scaled mixture (size^0.5 shares): derived per-group "
+        "budgets + deterministic md5-order consumption, full recipe in the oracle",
+    )
+)
+
+
 _register(
     QuerySpec(
         "rolling_active_users",
@@ -10602,7 +10660,9 @@ _CHECK_PRIORITY: list[str] = [
     # text_bm25_topk (BM25 keyword retrieval: bounded-postings scan,
     # decimal-exact scores),
     # dedup_semantic (SemDeDup: k-means blocks + within-cluster
-    # cosine prune, full composition recomputed by the oracle).
+    # cosine prune, full composition recomputed by the oracle),
+    # mix_temperature_langs (temperature-scaled mixture, size^0.5
+    # shares → derived per-group budgets, full recipe in the oracle).
 ]
 
 

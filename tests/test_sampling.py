@@ -436,3 +436,76 @@ def test_split_assign_stratified_semantics(spark):
         split_assign_stratified(
             df, "doc_id", {"a": {"x": 0.9, "y": 0.2}}, stratum_col="lang"
         )
+
+
+def test_budget_cap_per_group_budgets_relation(spark):
+    """budgets-relation mode: each group honors ITS budget; groups
+    absent from the relation (or with budget 0) keep nothing; exactly
+    one of budget/budgets must be passed."""
+    import pytest as _pytest
+    from square_etl_spark.operators.sampling import budget_cap
+
+    rows = [(g, i, 10) for g in ("a", "b", "c") for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    budgets = spark.createDataFrame(
+        [("a", 25), ("b", 45), ("d", 99)], "src string, budget long"
+    )
+    out = budget_cap(df, "src", "w", ["src", "doc_id"], budgets=budgets)
+    by_g = {}
+    for r in out.collect():
+        by_g.setdefault(r.src, []).append(r.doc_id)
+    assert set(by_g) == {"a", "b"}        # c absent from budgets → dropped
+    assert len(by_g["a"]) == 3            # prefix 0,10,20 < 25
+    assert len(by_g["b"]) == 5            # prefix 0..40 < 45
+    with _pytest.raises(ValueError):
+        budget_cap(df, "src", "w", ["doc_id"])
+    with _pytest.raises(ValueError):
+        budget_cap(df, "src", "w", ["doc_id"], budget=5, budgets=budgets)
+
+
+def test_temperature_mix_flattens_toward_small_groups(spark):
+    """α = 0.5 gives the small group a larger share than its natural
+    proportion: with sizes 900/100 (chars), natural shares are
+    90%/10% but sqrt shares are 75%/25%.  Budgets floor exactly and
+    the md5-order take honors them per group."""
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    rows = [("big", i, 9) for i in range(100)] + [
+        ("small", 1000 + i, 1) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    kept = temperature_mix(
+        df, "src", "w", ["doc_id"], total_budget=100, alpha=0.5
+    )
+    tot = {
+        r.src: r.tot
+        for r in kept.groupBy("src").agg(F.sum("w").alias("tot")).collect()
+    }
+    # budgets: sqrt(900)=30, sqrt(100)=10 → shares .75/.25 → 75/25
+    # big consumes 9-weight rows: prefix 0,9,...,72 < 75 → 9 rows = 81
+    assert tot["big"] == 81
+    # small consumes 1-weight rows: 25 rows = 25 exactly
+    assert tot["small"] == 25
+    # α=1 degenerates to natural proportions: 90/10
+    nat = {
+        r.src: r.tot
+        for r in temperature_mix(
+            df, "src", "w", ["doc_id"], total_budget=100, alpha=1.0
+        ).groupBy("src").agg(F.sum("w").alias("tot")).collect()
+    }
+    assert nat["big"] == 90 and nat["small"] == 10
+
+
+def test_temperature_mix_partition_invariant(spark):
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(f"s{i % 3}", i, 2 + i % 7) for i in range(150)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    pick = lambda d: {
+        (r.src, r.doc_id)
+        for r in temperature_mix(
+            d, "src", "w", ["doc_id"], total_budget=150, alpha=0.5
+        ).collect()
+    }
+    a, b = pick(df), pick(df.repartition(11))
+    assert a == b and len(a) > 0
