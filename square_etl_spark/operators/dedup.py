@@ -698,8 +698,10 @@ def _minhash_constants(k: int) -> tuple[list[int], list[int]]:
     return a[:k], b[:k]
 
 
-def portable_word_shingles(col: str, n: int = 3) -> F.Column:
-    """Distinct word n-grams as 57-bit ENGINE-PORTABLE hashes
+def portable_word_shingles(
+    col: str, n: int = 3, distinct: bool = True
+) -> F.Column:
+    """Word n-grams as 57-bit ENGINE-PORTABLE hashes
     (``array<long>``): per-word hash = first 32 md5 bits, adjacent
     word hashes chained with the masked 31-polynomial — the same md5
     recipe as :func:`square_etl_spark.operators.text.fingerprint64`,
@@ -707,7 +709,10 @@ def portable_word_shingles(col: str, n: int = 3) -> F.Column:
     DuckDB oracle recomputes it).  Same zip_with-over-slices shape as
     :func:`hashed_word_shingles` (n array slices per document, not one
     per shingle); that sibling keeps xxhash64 for the queries whose
-    oracles compare on shingle STRINGS and never need the values."""
+    oracles compare on shingle STRINGS and never need the values.
+    ``distinct=True`` (the dedup default) collapses repeats;
+    ``distinct=False`` keeps multiplicities in document order — the
+    feature-COUNT view distribution estimators (DSIR) need."""
     words = F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda w: w != F.lit(""))
     hw = F.transform(
         words,
@@ -722,7 +727,7 @@ def portable_word_shingles(col: str, n: int = 3) -> F.Column:
             F.slice(hw, i + 1, k),
             lambda a, b: (a * F.lit(31) + b).bitwiseAND(mask),
         )
-    return F.array_distinct(acc)
+    return F.array_distinct(acc) if distinct else acc
 
 
 def minhash_banded_pairs(

@@ -722,3 +722,94 @@ def temperature_mix(
     return budget_cap(
         df, group_col, weight_col, key_cols, budgets=budgets
     )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, arXiv:2302.03169): score every raw-corpus document by how
+    much more likely its hashed n-gram features are under the TARGET
+    domain's feature distribution than under the raw corpus's own —
+
+        log w(x) = Σ_{f ∈ feats(x)} [ ln p̂_target(b(f)) − ln p̂_raw(b(f)) ]
+
+    with features = word n-grams (multiplicity kept — these are
+    COUNT estimators) hashed into ``buckets`` buckets and both
+    distributions Laplace-smoothed: p̂(b) = (c_b + s) / (N + s·B).
+    Rank by ``dsir_logw`` (or feed it as the weight of
+    :func:`weighted_sample_ares`) to select raw data that looks like
+    the target domain — the distribution-matching complement to
+    keyword retrieval (text.bm25_scores) and semantic blocking
+    (dedup.semantic_dedup).
+
+    Cross-engine exactness: features use the md5-portable 57-bit
+    shingle chain (dedup.portable_word_shingles, distinct=False), the
+    per-feature log-ratio rounds to 9 decimals and sums as
+    DECIMAL(28,9) — order-free — and the total rounds to 6.
+
+    Scale shape: both count tables are ≤ ``buckets`` rows (a
+    parameter, not data) → broadcast joins; totals are 1-row
+    aggregates; the only corpus-sized stages are the feature explode
+    (the scan) and one groupBy on ``id_col``.  Documents shorter than
+    ``n`` words have no features and emit no row.  Returns
+    (id, n_feats, dsir_logw).
+    """
+    from square_etl_spark.operators.dedup import portable_word_shingles
+
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    sh = portable_word_shingles(text_col, n, distinct=False)
+    bucket = lambda c: F.pmod(c, F.lit(buckets))
+
+    tfe = target.select(F.explode(sh).alias("__f")).select(
+        bucket(F.col("__f")).alias("__b")
+    )
+    tcnt = tfe.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    ttot = tcnt.agg(F.sum("__ct").alias("__nt"))
+
+    rfe = raw.select(F.col(id_col), F.explode(sh).alias("__f")).select(
+        id_col, bucket(F.col("__f")).alias("__b")
+    )
+    rcnt = rfe.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    rtot = rcnt.agg(F.sum("__cr").alias("__nr"))
+
+    s = float(smoothing)
+    sb = F.lit(s * buckets)
+    term = F.round(
+        F.log(
+            (F.coalesce(F.col("__ct"), F.lit(0)).cast("double") + F.lit(s))
+            / (F.col("__nt").cast("double") + sb)
+        )
+        - F.log(
+            (F.col("__cr").cast("double") + F.lit(s))
+            / (F.col("__nr").cast("double") + sb)
+        ),
+        9,
+    )
+    return (
+        rfe
+        # bcast-ok: hashed-feature count table, <= `buckets` rows (a
+        # parameter, not data); scored docs may miss target buckets ->
+        # left join + smoothing
+        .join(F.broadcast(tcnt), "__b", "left")
+        # bcast-ok: raw-corpus count table, <= `buckets` rows (param)
+        .join(F.broadcast(rcnt), "__b")
+        # bcast-ok: 1-row target-total aggregate
+        .crossJoin(F.broadcast(ttot))
+        # bcast-ok: 1-row raw-total aggregate
+        .crossJoin(F.broadcast(rtot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.round(
+                F.sum(term.cast("decimal(28,9)")).cast("double"), 6
+            ).alias("dsir_logw"),
+        )
+    )

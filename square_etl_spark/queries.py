@@ -10163,6 +10163,82 @@ _register(
 )
 
 
+def _dsir_target_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/sampling.dsir_logweights):
+    score every document by hashed-bigram log-likelihood ratio
+    against the German subcorpus as the target domain — the
+    distribution-matching data-selection recipe (arXiv:2302.03169).
+    4096 buckets, Laplace smoothing 1.0; the oracle recomputes the
+    md5-portable bigram hashing, both smoothed distributions, and
+    the decimal-summed per-doc ratio end to end."""
+    from square_etl_spark.operators.sampling import dsir_logweights
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(
+        d, d.filter(F.col("lang") == "de"), "doc_id", "text",
+        n=2, buckets=4096, smoothing=1.0,
+    )
+
+
+def _dsir_oracle() -> str:
+    mask = (1 << 57) - 1
+    hex32 = (
+        "list_sum(list_transform(generate_series(1, 8),"
+        " p -> (CAST(strpos('0123456789abcdef',"
+        " substr(md5(x), p, 1)) AS BIGINT) - 1)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))"
+    )
+    return rf"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        tw AS (
+          SELECT doc_id, lang, list_transform(w, x -> {hex32}) AS hw
+          FROM t WHERE len(w) >= 2),
+        feats AS (
+          SELECT doc_id, lang,
+                 UNNEST(list_transform(generate_series(1, len(hw) - 1),
+                   i -> ((hw[CAST(i AS INTEGER)] * 31
+                          + hw[CAST(i + 1 AS INTEGER)]) & {mask}) % 4096))
+                   AS b
+          FROM tw),
+        tcnt AS (SELECT b, COUNT(*) AS ct FROM feats
+                 WHERE lang = 'de' GROUP BY b),
+        tt AS (SELECT SUM(ct) AS nt FROM tcnt),
+        rcnt AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
+        rt AS (SELECT SUM(cr) AS nr FROM rcnt),
+        terms AS (
+          SELECT f.doc_id,
+                 ROUND(ln((COALESCE(tc.ct, 0) + 1.0)
+                          / /*nz: Laplace-smoothed denominator*/
+                            (CAST(tt.nt AS DOUBLE) + 4096.0))
+                     - ln((rc.cr + 1.0)
+                          / /*nz: Laplace-smoothed denominator*/
+                            (CAST(rt.nr AS DOUBLE) + 4096.0)), 9) AS term
+          FROM feats f
+          LEFT JOIN tcnt tc ON f.b = tc.b
+          JOIN rcnt rc ON f.b = rc.b
+          CROSS JOIN tt CROSS JOIN rt)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(CAST(SUM(CAST(term AS DECIMAL(28,9))) AS DOUBLE), 6)
+                 AS dsir_logw
+        FROM terms GROUP BY doc_id
+        """
+
+
+_register(
+    QuerySpec(
+        "dsir_weights_target_de",
+        _dsir_target_lang,
+        oracle=_dsir_oracle(),
+        doc="DSIR importance weights vs a target subcorpus: hashed-bigram "
+        "smoothed log-likelihood ratios, both distributions oracle-recomputed",
+    )
+)
+
+
 _register(
     QuerySpec(
         "rolling_active_users",
@@ -10662,7 +10738,9 @@ _CHECK_PRIORITY: list[str] = [
     # dedup_semantic (SemDeDup: k-means blocks + within-cluster
     # cosine prune, full composition recomputed by the oracle),
     # mix_temperature_langs (temperature-scaled mixture, size^0.5
-    # shares → derived per-group budgets, full recipe in the oracle).
+    # shares → derived per-group budgets, full recipe in the oracle),
+    # dsir_weights_target_de (DSIR hashed-bigram importance weights
+    # vs a target subcorpus, both distributions oracle-recomputed).
 ]
 
 

@@ -509,3 +509,51 @@ def test_temperature_mix_partition_invariant(spark):
     }
     a, b = pick(df), pick(df.repartition(11))
     assert a == b and len(a) > 0
+
+
+def test_dsir_logweights_rank_target_like_docs_first(spark):
+    """Planted domains: raw corpus mixes 'code-like' and 'prose-like'
+    bigram vocabularies; with the code docs as the target, every raw
+    code doc outscores every prose doc, and docs shorter than n words
+    emit no row."""
+    from square_etl_spark.operators.sampling import dsir_logweights
+
+    code = [
+        "def foo return bar", "def baz return qux",
+        "class foo def bar", "return def class foo",
+    ]
+    prose = [
+        "the cat sat quietly", "the dog ran home",
+        "a cat and a dog", "the quiet home cat",
+    ]
+    raw = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(code + prose)] + [(99, "word")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(code)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_logweights(
+            raw, target, "doc_id", "text", n=2, buckets=512
+        ).collect()
+    }
+    assert 99 not in out  # single word < n=2 → no features → no row
+    code_scores = [out[i] for i in range(4)]
+    prose_scores = [out[i] for i in range(4, 8)]
+    assert min(code_scores) > max(prose_scores)
+
+
+def test_dsir_logweights_partition_invariant(spark):
+    from square_etl_spark.operators.sampling import dsir_logweights
+
+    rows = [(i, f"tok{i % 13} tok{(i + 1) % 7} tok{i % 5}") for i in range(120)]
+    raw = spark.createDataFrame(rows, "doc_id long, text string")
+    target = raw.filter("doc_id % 4 = 0")
+    pick = lambda d, t: {
+        (r.doc_id, r.n_feats, r.dsir_logw)
+        for r in dsir_logweights(d, t, "doc_id", "text", n=2).collect()
+    }
+    assert pick(raw, target) == pick(raw.repartition(7), target.repartition(3))
