@@ -732,6 +732,7 @@ def dsir_logweights(
     n: int = 2,
     buckets: int = 4096,
     smoothing: float = 1.0,
+    raw_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style importance weights for data selection (Xie et al.
     2023, arXiv:2302.03169): score every raw-corpus document by how
@@ -760,6 +761,15 @@ def dsir_logweights(
     (the scan) and one groupBy on ``id_col``.  Documents shorter than
     ``n`` words have no features and emit no row.  Returns
     (id, n_feats, dsir_logw).
+
+    ``raw_counts`` swaps the raw-corpus distribution for a
+    PRECOMPUTED ``(bucket, count)`` relation — the mergeable state of
+    :func:`dsir_feature_counts` / :func:`dsir_fold_counts`.  That is
+    the continuous-ingest posture: the raw distribution accumulates
+    batch by batch (count-sum monoid, so fold ≡ one-shot exactly) and
+    scoring never rescans old text — only the ≤ ``buckets``-row state
+    moves.  Features absent from the state score with the smoothed
+    zero count.
     """
     from square_etl_spark.operators.dedup import portable_word_shingles
 
@@ -777,7 +787,12 @@ def dsir_logweights(
     rfe = raw.select(F.col(id_col), F.explode(sh).alias("__f")).select(
         id_col, bucket(F.col("__f")).alias("__b")
     )
-    rcnt = rfe.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    if raw_counts is None:
+        rcnt = rfe.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    else:
+        rcnt = raw_counts.select(
+            F.col("bucket").alias("__b"), F.col("count").alias("__cr")
+        )
     rtot = rcnt.agg(F.sum("__cr").alias("__nr"))
 
     s = float(smoothing)
@@ -788,7 +803,7 @@ def dsir_logweights(
             / (F.col("__nt").cast("double") + sb)
         )
         - F.log(
-            (F.col("__cr").cast("double") + F.lit(s))
+            (F.coalesce(F.col("__cr"), F.lit(0)).cast("double") + F.lit(s))
             / (F.col("__nr").cast("double") + sb)
         ),
         9,
@@ -799,8 +814,9 @@ def dsir_logweights(
         # parameter, not data); scored docs may miss target buckets ->
         # left join + smoothing
         .join(F.broadcast(tcnt), "__b", "left")
-        # bcast-ok: raw-corpus count table, <= `buckets` rows (param)
-        .join(F.broadcast(rcnt), "__b")
+        # bcast-ok: raw-corpus count table, <= `buckets` rows (param);
+        # left: a stale raw_counts state may miss a scored doc's bucket
+        .join(F.broadcast(rcnt), "__b", "left")
         # bcast-ok: 1-row target-total aggregate
         .crossJoin(F.broadcast(ttot))
         # bcast-ok: 1-row raw-total aggregate
@@ -812,4 +828,41 @@ def dsir_logweights(
                 F.sum(term.cast("decimal(28,9)")).cast("double"), 6
             ).alias("dsir_logw"),
         )
+    )
+
+
+def dsir_feature_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+) -> DataFrame:
+    """One ingest batch's hashed-feature bucket counts — the
+    mergeable DSIR raw-distribution state, schema ``(bucket, count)``.
+    Bounded at ≤ ``buckets`` rows however large the batch, so the
+    state is a parquet-writable artifact that never grows with the
+    corpus (the digest-state / minhash-index pattern applied to a
+    distribution estimator)."""
+    from square_etl_spark.operators.dedup import portable_word_shingles
+
+    sh = portable_word_shingles(text_col, n, distinct=False)
+    return (
+        df.select(F.explode(sh).alias("__f"))
+        .select(F.pmod(F.col("__f"), F.lit(buckets)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def dsir_fold_counts(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a new batch's counts into the accumulated state: count-sum
+    monoid, so fold ≡ one-shot EXACTLY at any batch split (pinned in
+    tests).  Both sides and the result are ≤ buckets rows; in a
+    long-running ingest loop, write (or localCheckpoint) the result
+    per batch to truncate lineage — same guidance as
+    dedup.incremental_exact_dedup."""
+    return (
+        state.unionByName(batch)
+        .groupBy("bucket")
+        .agg(F.sum("count").cast("long").alias("count"))
     )

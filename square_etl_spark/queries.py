@@ -10239,6 +10239,44 @@ _register(
 )
 
 
+def _dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DSIR (operators/sampling.dsir_feature_counts /
+    dsir_fold_counts): the raw-corpus feature distribution is
+    accumulated as a ≤4096-row (bucket, count) state folded over
+    three ingest batches (doc_id % 3) — count-sum monoid, so the
+    folded state IS the one-shot distribution and this query shares
+    the one-shot oracle verbatim (the continuous-ingest posture:
+    scoring never rescans old text, only the bounded state moves).
+    A green row pins fold ≡ one-shot end to end on real data."""
+    from square_etl_spark.operators.sampling import (
+        dsir_feature_counts,
+        dsir_fold_counts,
+        dsir_logweights,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    state = None
+    for i in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == i)
+        counts = dsir_feature_counts(batch, "text", n=2, buckets=4096)
+        state = counts if state is None else dsir_fold_counts(state, counts)
+    return dsir_logweights(
+        d, d.filter(F.col("lang") == "de"), "doc_id", "text",
+        n=2, buckets=4096, smoothing=1.0, raw_counts=state,
+    )
+
+
+_register(
+    QuerySpec(
+        "dsir_incremental_counts",
+        _dsir_incremental,
+        oracle=_dsir_oracle(),
+        doc="incremental DSIR: batch-folded (bucket,count) state scores "
+        "identically to the one-shot distribution (shared oracle)",
+    )
+)
+
+
 _register(
     QuerySpec(
         "rolling_active_users",
@@ -10740,7 +10778,9 @@ _CHECK_PRIORITY: list[str] = [
     # mix_temperature_langs (temperature-scaled mixture, size^0.5
     # shares → derived per-group budgets, full recipe in the oracle),
     # dsir_weights_target_de (DSIR hashed-bigram importance weights
-    # vs a target subcorpus, both distributions oracle-recomputed).
+    # vs a target subcorpus, both distributions oracle-recomputed),
+    # dsir_incremental_counts (batch-folded (bucket,count) state
+    # scores identically to one-shot — shared oracle).
 ]
 
 

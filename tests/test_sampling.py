@@ -557,3 +557,43 @@ def test_dsir_logweights_partition_invariant(spark):
         for r in dsir_logweights(d, t, "doc_id", "text", n=2).collect()
     }
     assert pick(raw, target) == pick(raw.repartition(7), target.repartition(3))
+
+
+def test_dsir_fold_counts_equals_one_shot_any_split(spark):
+    """Count-sum monoid: folding per-batch feature counts at an
+    arbitrary split equals the one-shot counts row-for-row, the state
+    stays bounded at <= buckets rows, and scoring with the folded
+    state reproduces the one-shot weights exactly."""
+    from square_etl_spark.operators.sampling import (
+        dsir_feature_counts,
+        dsir_fold_counts,
+        dsir_logweights,
+    )
+
+    rows = [(i, f"w{i % 9} w{(i + 2) % 6} w{i % 4} w{(i + 1) % 9}")
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    one_shot = dsir_feature_counts(df, "text", n=2, buckets=64)
+
+    state = None
+    for i in range(4):  # uneven 4-way split
+        batch = df.filter((F.col("doc_id") % 4) == i)
+        c = dsir_feature_counts(batch, "text", n=2, buckets=64)
+        state = c if state is None else dsir_fold_counts(state, c)
+
+    a = {(r.bucket, r["count"]) for r in one_shot.collect()}
+    b = {(r.bucket, r["count"]) for r in state.collect()}
+    assert a == b and 0 < len(b) <= 64
+
+    target = df.filter("doc_id % 5 = 0")
+    want = {
+        (r.doc_id, r.n_feats, r.dsir_logw)
+        for r in dsir_logweights(df, target, n=2, buckets=64).collect()
+    }
+    got = {
+        (r.doc_id, r.n_feats, r.dsir_logw)
+        for r in dsir_logweights(
+            df, target, n=2, buckets=64, raw_counts=state
+        ).collect()
+    }
+    assert got == want
