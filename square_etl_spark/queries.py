@@ -2095,11 +2095,10 @@ def _ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-_register(
-    QuerySpec(
-        "ann_topk_bruteforce",
-        _ann_brute,
-        oracle="""
+def _ann_brute_oracle() -> str:
+    """Exact top-5 recomputation — also the ground truth the
+    ann_recall_audit composition embeds as a derived table."""
+    return """
         WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
           FROM embeddings WHERE vec_id < 5),
@@ -2114,7 +2113,14 @@ _register(
                                        ORDER BY cosine_sim DESC, vec_id) AS rank
           FROM sims)
         WHERE rank <= 5
-        """,
+        """
+
+
+_register(
+    QuerySpec(
+        "ann_topk_bruteforce",
+        _ann_brute,
+        oracle=_ann_brute_oracle(),
         bench=True,
         doc="brute-force cosine top-k, broadcast query set",
     )
@@ -5738,11 +5744,10 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    QuerySpec(
-        "ann_topk_ivf",
-        _ann_ivf,
-        oracle="""
+def _ann_ivf_oracle() -> str:
+    """Full IVF recomputation (centroid assign + in-cell rank) — also
+    a derived table of the ann_recall_audit composition."""
+    return """
         WITH cent AS (
           SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
           FROM embeddings WHERE vec_id < 8),
@@ -5769,10 +5774,102 @@ _register(
                     ORDER BY cosine_sim DESC, vec_id) AS rank
           FROM sims)
         WHERE rank <= 5
-        """,
+        """
+
+
+_register(
+    QuerySpec(
+        "ann_topk_ivf",
+        _ann_ivf,
+        oracle=_ann_ivf_oracle(),
         doc="IVF cell-probe ANN: broadcast centroid assign + in-cell rank",
     )
 )
+
+
+def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the two approximate ANN paths against the exact
+    brute-force top-5, per query — the eval a pipeline runs BEFORE
+    committing to an index config (the `dedup_minhash_vs_ngram`
+    agreement-audit pattern applied to similarity search).  Every
+    side is deterministic, so recall is an exact, reproducible number
+    here: the oracle recomputes all three pipelines as derived tables
+    and intersects them just like the Spark side."""
+    brute = _ann_brute(spark, sf_dir).select("query_id", "vec_id")
+    lsh = _ann_lsh(spark, sf_dir).select("query_id", "vec_id")
+    ivf = _ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    k = brute.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    lh = (
+        brute.join(lsh, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("lsh_hits"))
+    )
+    ih = (
+        brute.join(ivf, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("ivf_hits"))
+    )
+    return (
+        k.join(lh, "query_id", "left")
+        .join(ih, "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce(F.col("lsh_hits"), F.lit(0)).cast("long").alias("lsh_hits"),
+            F.coalesce(F.col("ivf_hits"), F.lit(0)).cast("long").alias("ivf_hits"),
+            F.round(
+                F.coalesce(F.col("lsh_hits"), F.lit(0)).cast("double")
+                / F.col("k"),
+                6,
+            ).alias("recall_lsh"),
+            F.round(
+                F.coalesce(F.col("ivf_hits"), F.lit(0)).cast("double")
+                / F.col("k"),
+                6,
+            ).alias("recall_ivf"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "ann_recall_audit",
+        _ann_recall_audit,
+        oracle=f"""
+        WITH brute AS (
+          SELECT query_id, vec_id FROM ({_ann_brute_oracle()}) b),
+        lsh AS (
+          SELECT query_id, vec_id FROM ({_ann_lsh_oracle()}) l),
+        ivf AS (
+          SELECT query_id, vec_id FROM ({_ann_ivf_oracle()}) i),
+        k AS (SELECT query_id, COUNT(*) AS k FROM brute GROUP BY query_id),
+        lh AS (
+          SELECT b.query_id, COUNT(*) AS lsh_hits
+          FROM brute b JOIN lsh USING (query_id, vec_id)
+          GROUP BY b.query_id),
+        ih AS (
+          SELECT b.query_id, COUNT(*) AS ivf_hits
+          FROM brute b JOIN ivf USING (query_id, vec_id)
+          GROUP BY b.query_id)
+        SELECT k.query_id, CAST(k.k AS BIGINT) AS k,
+               CAST(COALESCE(lh.lsh_hits, 0) AS BIGINT) AS lsh_hits,
+               CAST(COALESCE(ih.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+               ROUND(COALESCE(lh.lsh_hits, 0)
+                     / /*nz: k = |exact top-5| >= 1*/ CAST(k.k AS DOUBLE), 6)
+                 AS recall_lsh,
+               ROUND(COALESCE(ih.ivf_hits, 0)
+                     / /*nz: k = |exact top-5| >= 1*/ CAST(k.k AS DOUBLE), 6)
+                 AS recall_ivf
+        FROM k LEFT JOIN lh ON k.query_id = lh.query_id
+        LEFT JOIN ih ON k.query_id = ih.query_id
+        """,
+        doc="ANN recall@5 audit: LSH + IVF vs exact brute force, all three "
+        "pipelines oracle-recomputed and intersected",
+    )
+)
+
 
 def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data pipeline, end to end: quality-filter
@@ -10780,7 +10877,9 @@ _CHECK_PRIORITY: list[str] = [
     # dsir_weights_target_de (DSIR hashed-bigram importance weights
     # vs a target subcorpus, both distributions oracle-recomputed),
     # dsir_incremental_counts (batch-folded (bucket,count) state
-    # scores identically to one-shot — shared oracle).
+    # scores identically to one-shot — shared oracle),
+    # ann_recall_audit (recall@5 of LSH + IVF vs exact brute force,
+    # all three pipelines oracle-recomputed and intersected).
 ]
 
 
