@@ -535,3 +535,40 @@ def stream_psi_read(
         {"n_ref": 0, "n_cur": 0}
     )
     return psi_from_counts(counts, eps)
+
+
+def stream_dsir_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    counts_path: str,
+    text_col: str = "text",
+    n: int = 2,
+    buckets: int = 4096,
+    schema=None,
+) -> None:
+    """Streaming DSIR raw-distribution maintenance: each micro-batch's
+    hashed-feature bucket counts fold into the stored state
+    (:func:`operators.sampling.dsir_feature_counts` /
+    :func:`dsir_fold_counts` — count-sum monoid), so importance
+    weights for data selection stay computable over an unbounded
+    ingest at O(batch) refresh cost with a state bounded at
+    ≤ ``buckets`` rows forever.  The maintained state equals the
+    one-shot feature counts of all data ROW-FOR-ROW (pinned in
+    test_streaming), hence :func:`sampling.dsir_logweights
+    (raw_counts=state)` scores identically to a full recompute.
+    Exactly-once transactional scaffolding (batch-id marker + atomic
+    swap) shared with the rollup/CMS/KMV/PSI sinks via
+    :func:`_fold_stream_availablenow`."""
+    from square_etl_spark.operators.sampling import (
+        dsir_feature_counts,
+        dsir_fold_counts,
+    )
+
+    def fold(target: DataFrame | None, batch: DataFrame) -> DataFrame:
+        counts = dsir_feature_counts(batch, text_col, n=n, buckets=buckets)
+        return counts if target is None else dsir_fold_counts(target, counts)
+
+    _fold_stream_availablenow(
+        spark, source_dir, checkpoint_dir, counts_path, fold, schema=schema
+    )

@@ -641,3 +641,75 @@ def test_stream_minhash_ingest_equals_batch_fold(spark, sf_dir, tmp_path):
     assert spark.read.parquet(
         os.path.join(index_root, "shingles")
     ).count() == n_idx
+
+
+def test_stream_dsir_maintain_equals_one_shot_exactly(spark, sf_dir, tmp_path):
+    """Stream the documents in two availableNow passes through the
+    DSIR state maintainer; the stored (bucket, count) state must equal
+    the one-shot feature counts of ALL documents row-for-row
+    (count-sum monoid), scoring with it must equal a full recompute,
+    and a replayed drain must not double-count (batch-id guard)."""
+    import os
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.sampling import (
+        dsir_feature_counts,
+        dsir_logweights,
+    )
+    from square_etl_spark.schemas import DOCUMENTS
+    from square_etl_spark.streaming.incremental import (
+        stream_dsir_availablenow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    state = os.path.join(tmp_path, "counts")
+
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(src)
+    stream_dsir_availablenow(
+        spark, src, ckpt, state, "text", n=2, buckets=256, schema=DOCUMENTS
+    )
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    stream_dsir_availablenow(
+        spark, src, ckpt, state, "text", n=2, buckets=256, schema=DOCUMENTS
+    )
+
+    got = {
+        (r["bucket"], r["count"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        (r["bucket"], r["count"])
+        for r in dsir_feature_counts(docs, "text", n=2, buckets=256).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # scoring with the maintained state == full recompute
+    target = docs.filter("lang = 'de'")
+    w_state = {
+        (r.doc_id, r.n_feats, r.dsir_logw)
+        for r in dsir_logweights(
+            docs, target, n=2, buckets=256,
+            raw_counts=spark.read.parquet(state),
+        ).collect()
+    }
+    w_full = {
+        (r.doc_id, r.n_feats, r.dsir_logw)
+        for r in dsir_logweights(docs, target, n=2, buckets=256).collect()
+    }
+    assert w_state == w_full
+
+    # replayed drain (fresh checkpoint, same source) must be skipped by
+    # the batch-id guard only for batches <= applied id; a FULL re-run
+    # from a new checkpoint re-delivers batch 0 which the marker
+    # rejects, leaving the state unchanged
+    ckpt2 = os.path.join(tmp_path, "ckpt2")
+    stream_dsir_availablenow(
+        spark, src, ckpt2, state, "text", n=2, buckets=256, schema=DOCUMENTS
+    )
+    again = {
+        (r["bucket"], r["count"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == want
