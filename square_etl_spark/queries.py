@@ -10374,6 +10374,92 @@ _register(
 )
 
 
+def _curation_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-9 selection operators composed into the pipeline a
+    target-domain corpus build actually runs: DSIR-score every doc
+    against the German subcorpus, keep the top-300 most target-like
+    (deterministic (score desc, id) cutoff — TakeOrdered, no global
+    window), then temperature-mix the SELECTION by language
+    (α = 0.5 char budgets of a 30k total) so no language dominates
+    the curated set.  Per-lang footprint out; the oracle recomputes
+    DSIR → top-k → derived budgets → md5-order consumption end to
+    end."""
+    from square_etl_spark.operators.sampling import (
+        dsir_logweights,
+        temperature_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = dsir_logweights(d, d.filter(F.col("lang") == "de"))
+    sel = (
+        scored.join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+        .orderBy(F.col("dsir_logw").desc(), F.col("doc_id"))
+        .limit(300)
+    )
+    mixed = temperature_mix(
+        sel, "lang", "n_chars", ["doc_id"], total_budget=30000, alpha=0.5
+    )
+    return mixed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.round(
+            F.sum(F.col("dsir_logw").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_logw"),
+    )
+
+
+_register(
+    QuerySpec(
+        "pipeline_curation_mix",
+        _curation_mix,
+        oracle=f"""
+        WITH scored AS (SELECT * FROM ({_dsir_oracle()}) s),
+        sel AS (
+          SELECT s.doc_id, d.lang, d.n_chars, s.dsir_logw
+          FROM scored s JOIN documents d USING (doc_id)
+          ORDER BY s.dsir_logw DESC, s.doc_id LIMIT 300),
+        sz AS (
+          SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
+          FROM sel GROUP BY lang),
+        pw AS (
+          SELECT lang,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(38,9)) AS p
+          FROM sz),
+        tot AS (SELECT SUM(p) AS sp FROM pw),
+        bud AS (
+          SELECT lang,
+                 CAST(floor(ROUND(
+                   ROUND(CAST(p AS DOUBLE)
+                         / /*nz: sum of positive group weights*/
+                           CAST(sp AS DOUBLE), 9) * 30000, 6))
+                   AS BIGINT) AS b
+          FROM pw CROSS JOIN tot),
+        ordx AS (
+          SELECT doc_id, lang, n_chars, dsir_logw,
+                 SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM sel)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+               ROUND(CAST(SUM(CAST(dsir_logw AS DECIMAL(18,6))) AS DOUBLE)
+                     / /*nz: grouped row count >= 1*/ COUNT(*), 6)
+                 AS mean_logw
+        FROM ordx o JOIN bud USING (lang)
+        WHERE cum_before < b
+        GROUP BY lang
+        """,
+        doc="curation pipeline: DSIR top-k selection -> temperature-scaled "
+        "language mix, full composition oracle-recomputed",
+    )
+)
+
+
 _register(
     QuerySpec(
         "rolling_active_users",
@@ -10879,7 +10965,9 @@ _CHECK_PRIORITY: list[str] = [
     # dsir_incremental_counts (batch-folded (bucket,count) state
     # scores identically to one-shot — shared oracle),
     # ann_recall_audit (recall@5 of LSH + IVF vs exact brute force,
-    # all three pipelines oracle-recomputed and intersected).
+    # all three pipelines oracle-recomputed and intersected),
+    # pipeline_curation_mix (DSIR top-k selection → temperature mix,
+    # full composition oracle-recomputed).
 ]
 
 
