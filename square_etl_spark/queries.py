@@ -2077,6 +2077,76 @@ _register(
     )
 )
 
+
+def _perplexity_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATED perplexity filter (the Gopher/CCNet recipe made
+    data-driven): instead of a hand-picked NLL cutoff, fence each
+    language at its OWN p90 unigram-NLL (exact interpolated
+    percentile — per-language distributions differ, so one global
+    threshold over-filters the rarest language) and report the
+    per-language keep decision.  Fence table is language-sized →
+    broadcast; the NLL scoring underneath is the two-pass
+    vocab-broadcast shape of text_unigram_nll."""
+    nll = tx.unigram_logprob(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = nll.join(d, "doc_id")
+    fence = j.groupBy("lang").agg(
+        F.round(F.percentile("avg_nll", F.lit(0.9)), 6).alias("p90_nll")
+    )
+    # bcast-ok: per-language fence table, bounded by language dims
+    out = j.join(F.broadcast(fence), "lang")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("avg_nll") <= F.col("p90_nll"), 1).otherwise(0)
+        ).cast("long").alias("n_kept"),
+        F.min("p90_nll").alias("p90_nll"),
+    )
+
+
+_register(
+    QuerySpec(
+        "quality_perplexity_fence",
+        _perplexity_fence,
+        oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+        tot AS (SELECT SUM(c) AS t_total FROM freq),
+        scored AS (
+          SELECT doc_id,
+                 CAST(ROUND(-ln(c / /*nz: corpus token total >= 1 for any token row*/ t_total), 6) AS DECIMAL(18,6)) AS nll
+          FROM t JOIN freq USING (w) CROSS JOIN tot),
+        nlld AS (
+          SELECT doc_id,
+                 ROUND(CAST(SUM(nll) AS DOUBLE)
+                       / /*nz: grouped token count >= 1*/ COUNT(*), 6)
+                   AS avg_nll
+          FROM scored GROUP BY doc_id),
+        j AS (
+          SELECT n.doc_id, n.avg_nll, d.lang
+          FROM nlld n JOIN documents d USING (doc_id)),
+        fence AS (
+          SELECT lang, ROUND(quantile_cont(avg_nll, 0.9), 6) AS p90_nll
+          FROM j GROUP BY lang)
+        SELECT j.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN j.avg_nll <= f.p90_nll
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               MIN(f.p90_nll) AS p90_nll
+        FROM j JOIN fence f USING (lang)
+        GROUP BY j.lang
+        """,
+        doc="calibrated perplexity filter: per-language exact p90 NLL fence, "
+        "keep decision oracle-recomputed",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Extension: embedding similarity search
 # ---------------------------------------------------------------------------
@@ -10967,7 +11037,9 @@ _CHECK_PRIORITY: list[str] = [
     # ann_recall_audit (recall@5 of LSH + IVF vs exact brute force,
     # all three pipelines oracle-recomputed and intersected),
     # pipeline_curation_mix (DSIR top-k selection → temperature mix,
-    # full composition oracle-recomputed).
+    # full composition oracle-recomputed),
+    # quality_perplexity_fence (per-language exact p90 NLL fence,
+    # keep decision oracle-recomputed).
 ]
 
 
