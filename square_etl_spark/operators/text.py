@@ -650,3 +650,121 @@ def bm25_scores(
             ).alias("bm25"),
         )
     )
+
+
+#: the eight Gopher "must contain >= 2" English stopwords (Rae et al.
+#: 2021, appendix A1.1) — embedded in the oracle too, must not drift
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule-based quality filter (Rae et al. 2021,
+    arXiv:2112.11446 A1.1) as one scan of per-document flags: word
+    count bounds, mean word length 3–10, symbol-to-word ratio ('#'
+    and '...'), bullet-line and ellipsis-line ratios, fraction of
+    words with an alphabetic character, and the ≥2-stopword test.
+    Emits every metric plus per-rule booleans and ``pass_all`` so a
+    pipeline can both filter AND report which rule rejected what —
+    the published heuristic complement to the corpus-relative filters
+    (quality_score, unigram NLL fence).
+
+    Exactness: every ratio is an exact integer count divided in
+    double and rounded to 6 before comparison; word lengths sum via
+    an integer fold; stopword hits are eight array_contains terms —
+    no regex beyond the alpha test, identical on both engines.
+    Shape: one scan, no shuffle, no UDF (HOF transforms only);
+    zero-word documents fail the word-count rule and carry NULL
+    ratios rather than dividing by zero.
+    """
+    text = F.trim(_c(content_col))
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    lines = F.split(text, "\n")
+    n_words = F.size(ws)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("•"),
+        )
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("..."))
+    )
+    n_alpha_words = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    )
+    wl = F.transform(ws, lambda w: F.lower(w))
+    stop_hits = sum(
+        F.when(F.array_contains(wl, s), 1).otherwise(0)
+        for s in GOPHER_STOPWORDS
+    ).cast("long")
+
+    nz = n_words > 0
+    r6 = lambda c: F.round(c, 6)
+    mean_word_len = F.when(
+        nz, r6(sum_len.cast("double") / n_words)
+    )
+    symbol_ratio = F.when(
+        nz, r6((n_hash.cast("double") + n_ellipsis) / n_words)
+    )
+    bullet_ratio = r6(n_bullet_lines.cast("double") / n_lines)
+    ellipsis_ratio = r6(n_ellipsis_lines.cast("double") / n_lines)
+    alpha_ratio = F.when(
+        nz, r6(n_alpha_words.cast("double") / n_words)
+    )
+    flag = lambda c: F.coalesce(c, F.lit(False))
+    p_words = (n_words >= min_words) & (n_words <= max_words)
+    p_mwl = flag(
+        (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+    )
+    p_symbol = flag(symbol_ratio <= max_symbol_ratio)
+    p_bullet = bullet_ratio <= max_bullet_ratio
+    p_ellipsis = ellipsis_ratio <= max_ellipsis_ratio
+    p_alpha = flag(alpha_ratio >= min_alpha_word_ratio)
+    p_stop = stop_hits >= min_stopword_hits
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        p_words.alias("pass_word_count"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_symbol.alias("pass_symbol_ratio"),
+        p_bullet.alias("pass_bullet_ratio"),
+        p_ellipsis.alias("pass_ellipsis_ratio"),
+        p_alpha.alias("pass_alpha_words"),
+        p_stop.alias("pass_stopwords"),
+        (
+            p_words & p_mwl & p_symbol & p_bullet
+            & p_ellipsis & p_alpha & p_stop
+        ).alias("pass_all"),
+    )

@@ -2147,6 +2147,115 @@ _register(
     )
 )
 
+
+def _gopher_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule-based filter (operators/text.gopher_rules,
+    arXiv:2112.11446 A1.1) over the documents table: per-doc metrics
+    + per-rule flags + pass_all, every ratio an exact count divided
+    in double and rounded before comparison.  One scan, no shuffle,
+    no UDF.  min_stopword_hits is 1 here (operator default = the
+    paper's 2): the synthetic fixture vocabulary carries only 'the'
+    from the Gopher stopword list, so the paper threshold fails every
+    doc uniformly — 1 makes the corpus split 382/118 at sf0.01 and
+    the flag actually discriminative under the oracle."""
+    from square_etl_spark.operators.text import gopher_rules
+
+    return gopher_rules(
+        load_table(spark, sf_dir, "documents"), min_stopword_hits=1
+    )
+
+
+def _gopher_oracle() -> str:
+    from square_etl_spark.operators.text import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(wl, '{s}') THEN 1 ELSE 0 END)"
+        for s in GOPHER_STOPWORDS
+    )
+    return rf"""
+        WITH base AS (
+          SELECT doc_id, trim(text) AS t,
+                 list_filter(string_split_regex(trim(text), '\s+'),
+                             w -> w <> '') AS ws,
+                 string_split(trim(text), chr(10)) AS lines
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(ws) AS n_words, len(lines) AS n_lines,
+                 list_sum(list_transform(ws, w -> CAST(len(w) AS BIGINT)))
+                   AS sum_len,
+                 (len(t) - len(replace(t, '#', ''))) AS n_hash,
+                 (len(t) - len(replace(t, '...', ''))) / 3.0 AS n_ell,
+                 len(list_filter(lines, l ->
+                   starts_with(l, '- ') OR starts_with(l, '* ')
+                   OR starts_with(l, '•'))) AS n_bul,
+                 len(list_filter(lines, l -> ends_with(l, '...')))
+                   AS n_ell_l,
+                 len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+                   AS n_alpha,
+                 ({stop_sum}) AS stop_hits
+          FROM (SELECT doc_id, t, ws, lines,
+                       list_transform(ws, w -> lower(w)) AS wl
+                FROM base)),
+        r AS (
+          SELECT doc_id,
+                 CAST(n_words AS BIGINT) AS n_words,
+                 CASE WHEN n_words > 0 THEN
+                   ROUND(CAST(sum_len AS DOUBLE)
+                         / /*nz: guarded by CASE n_words > 0*/ n_words, 6)
+                 END AS mean_word_len,
+                 CASE WHEN n_words > 0 THEN
+                   ROUND((CAST(n_hash AS DOUBLE) + n_ell)
+                         / /*nz: guarded by CASE n_words > 0*/ n_words, 6)
+                 END AS symbol_ratio,
+                 ROUND(CAST(n_bul AS DOUBLE)
+                       / /*nz: split() yields >= 1 line*/ n_lines, 6)
+                   AS bullet_ratio,
+                 ROUND(CAST(n_ell_l AS DOUBLE)
+                       / /*nz: split() yields >= 1 line*/ n_lines, 6)
+                   AS ellipsis_ratio,
+                 CASE WHEN n_words > 0 THEN
+                   ROUND(CAST(n_alpha AS DOUBLE)
+                         / /*nz: guarded by CASE n_words > 0*/ n_words, 6)
+                 END AS alpha_word_ratio,
+                 CAST(stop_hits AS BIGINT) AS stopword_hits
+          FROM m),
+        f AS (
+          SELECT *,
+                 (n_words >= 10 AND n_words <= 100000) AS pass_word_count,
+                 COALESCE(mean_word_len >= 3.0
+                          AND mean_word_len <= 10.0, FALSE)
+                   AS pass_mean_word_len,
+                 COALESCE(symbol_ratio <= 0.1, FALSE) AS pass_symbol_ratio,
+                 (bullet_ratio <= 0.9) AS pass_bullet_ratio,
+                 (ellipsis_ratio <= 0.3) AS pass_ellipsis_ratio,
+                 COALESCE(alpha_word_ratio >= 0.8, FALSE)
+                   AS pass_alpha_words,
+                 (stopword_hits >= 1) AS pass_stopwords
+          FROM r)
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               bullet_ratio, ellipsis_ratio, alpha_word_ratio,
+               stopword_hits, pass_word_count, pass_mean_word_len,
+               pass_symbol_ratio, pass_bullet_ratio,
+               pass_ellipsis_ratio, pass_alpha_words, pass_stopwords,
+               (pass_word_count AND pass_mean_word_len
+                AND pass_symbol_ratio AND pass_bullet_ratio
+                AND pass_ellipsis_ratio AND pass_alpha_words
+                AND pass_stopwords) AS pass_all
+        FROM f
+        """
+
+
+_register(
+    QuerySpec(
+        "quality_gopher_rules",
+        _gopher_rules_q,
+        oracle=_gopher_oracle(),
+        doc="Gopher rule-based filter: per-doc metrics + per-rule flags, "
+        "every count and ratio oracle-recomputed",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Extension: embedding similarity search
 # ---------------------------------------------------------------------------
@@ -11039,7 +11148,9 @@ _CHECK_PRIORITY: list[str] = [
     # pipeline_curation_mix (DSIR top-k selection → temperature mix,
     # full composition oracle-recomputed),
     # quality_perplexity_fence (per-language exact p90 NLL fence,
-    # keep decision oracle-recomputed).
+    # keep decision oracle-recomputed),
+    # quality_gopher_rules (Gopher rule-based filter, per-doc metrics
+    # + per-rule flags, every count and ratio oracle-recomputed).
 ]
 
 

@@ -1115,3 +1115,42 @@ def test_bm25_scores_empty_terms_raise(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bm25_scores(df, [])
+
+
+def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
+    """One planted violation per Gopher rule; a clean English doc
+    passes all seven; empty text fails word-count with NULL ratios."""
+    from square_etl_spark.operators.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and we have "
+        "plenty of words here to clear the minimum count for sure"
+    )
+    docs = [
+        (1, good),                                     # passes all
+        (2, "too few words"),                          # word count
+        (3, " ".join(["ab"] * 20)),                    # mean word len < 3
+        (4, good + " " + "#" * 1 + " ## ## ## ## #"),  # symbol ratio
+        (5, "\n".join(["- " + good] * 10)),            # bullet lines
+        (6, "\n".join([good + "..."] * 10)),           # ellipsis lines
+        (7, good + " " + " ".join(["123"] * 30)),      # alpha words
+        (8, " ".join(["word"] * 20)),                  # no stopwords
+        (9, ""),                                       # empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in gopher_rules(df).collect()}
+
+    assert out[1]["pass_all"] is True
+    assert out[2]["pass_word_count"] is False
+    assert out[3]["pass_mean_word_len"] is False
+    assert out[4]["pass_symbol_ratio"] is False
+    assert out[5]["pass_bullet_ratio"] is False and out[5]["bullet_ratio"] == 1.0
+    assert out[6]["pass_ellipsis_ratio"] is False
+    assert out[7]["pass_alpha_words"] is False
+    assert out[8]["pass_stopwords"] is False and out[8]["stopword_hits"] == 0
+    assert out[9]["pass_word_count"] is False
+    assert out[9]["mean_word_len"] is None  # no div-by-zero, NULL ratio
+    for d in range(2, 10):
+        assert out[d]["pass_all"] is False
+    # the clean doc's stopword hits: the/that/and/have/of/to >= 2
+    assert out[1]["stopword_hits"] >= 2
