@@ -1833,6 +1833,53 @@ _register(
 )
 
 
+def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX against the labeled lang column —
+    the classifier eval a pipeline runs before trusting lang-ID for
+    routing/mixing decisions: per (true, predicted) doc counts and
+    the within-true-language fraction.  Total relation is
+    language-sized → broadcast; the oracle recomputes the full
+    marker-lexicon classifier as a derived table and aggregates the
+    same confusion cells."""
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select("lang", tx.lang_id("text").alias("pred_lang"))
+    conf = p.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = p.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # bcast-ok: per-language totals, bounded by language dims
+    return conf.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_lang").cast("double"), 6).alias(
+            "frac"
+        ),
+    )
+
+
+_register(
+    QuerySpec(
+        "langid_confusion_audit",
+        _langid_confusion,
+        oracle=f"""
+        WITH p AS (SELECT * FROM ({_lang_oracle()}) x),
+        conf AS (
+          SELECT lang, pred_lang, COUNT(*) AS n_docs
+          FROM p GROUP BY lang, pred_lang),
+        tot AS (SELECT lang, COUNT(*) AS n_lang FROM p GROUP BY lang)
+        SELECT c.lang, c.pred_lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+               ROUND(c.n_docs
+                     / /*nz: every confusion cell's language has >= 1 doc*/
+                       CAST(t.n_lang AS DOUBLE), 6) AS frac
+        FROM conf c JOIN tot t USING (lang)
+        """,
+        doc="lang-ID confusion matrix vs labels: classifier recomputed as a "
+        "derived table, per-language fractions",
+    )
+)
+
+
 def _token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
@@ -11150,7 +11197,9 @@ _CHECK_PRIORITY: list[str] = [
     # quality_perplexity_fence (per-language exact p90 NLL fence,
     # keep decision oracle-recomputed),
     # quality_gopher_rules (Gopher rule-based filter, per-doc metrics
-    # + per-rule flags, every count and ratio oracle-recomputed).
+    # + per-rule flags, every count and ratio oracle-recomputed),
+    # langid_confusion_audit (lang-ID confusion matrix vs labels,
+    # classifier recomputed as a derived table).
 ]
 
 
