@@ -2300,6 +2300,7 @@ _register(
         oracle=_gopher_oracle(),
         doc="Gopher rule-based filter: per-doc metrics + per-rule flags, "
         "every count and ratio oracle-recomputed",
+        bench=True,
     )
 )
 
@@ -8035,6 +8036,7 @@ _register(
         """,
         doc="SemDeDup: k-means blocks + within-cluster cosine prune, "
         "full composition recomputed by the oracle",
+        bench=True,
     )
 )
 
@@ -10558,6 +10560,7 @@ _register(
         oracle=_dsir_oracle(),
         doc="DSIR importance weights vs a target subcorpus: hashed-bigram "
         "smoothed log-likelihood ratios, both distributions oracle-recomputed",
+        bench=True,
     )
 )
 
