@@ -661,6 +661,7 @@ def temperature_mix(
     key_cols: Sequence[str],
     total_budget: int,
     alpha: float = 0.5,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled corpus mixing (the GPT-3/PaLM recipe): each
     mixture group's share of ``total_budget`` is proportional to its
@@ -689,12 +690,25 @@ def temperature_mix(
     the scan.  Floor'd shares can under-fill the total by < |groups|
     rows' weight; groups flooring to 0 keep nothing (document or
     bump ``total_budget``).
+
+    ``sizes`` swaps the per-group size aggregate for a PRECOMPUTED
+    ``(group_col, weight)`` relation — the mergeable state of
+    :func:`group_weight_sizes` / :func:`fold_group_sizes` (sum
+    monoid, so fold ≡ one-shot exactly).  A continuous-ingest mix
+    then derives its budgets from the accumulated sizes without
+    re-aggregating history; the consumption stage still scans the
+    rows being selected (inherent — selection emits rows).
     """
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
-    sizes = df.groupBy(group_col).agg(
-        F.sum(F.col(weight_col).cast("long")).alias("__n")
-    )
+    if sizes is None:
+        sizes = df.groupBy(group_col).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__n")
+        )
+    else:
+        sizes = sizes.select(
+            group_col, F.col("weight").cast("long").alias("__n")
+        )
     pw = sizes.withColumn(
         "__pw",
         F.round(F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 9)
@@ -865,4 +879,29 @@ def dsir_fold_counts(state: DataFrame, batch: DataFrame) -> DataFrame:
         state.unionByName(batch)
         .groupBy("bucket")
         .agg(F.sum("count").cast("long").alias("count"))
+    )
+
+
+def group_weight_sizes(
+    df: DataFrame, group_col: str, weight_col: str
+) -> DataFrame:
+    """One ingest batch's per-group weight totals — the mergeable
+    mixture-size state, schema ``(group_col, weight)``.  Bounded by
+    the mixture-dims contract (|groups| rows) however large the
+    batch; feed the folded state to
+    :func:`temperature_mix(sizes=…)`."""
+    return df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("weight")
+    )
+
+
+def fold_group_sizes(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a batch's group sizes into the accumulated state: sum
+    monoid, fold ≡ one-shot at any split (pinned in tests) — the
+    mixture twin of dsir_fold_counts."""
+    group_col = [c for c in state.columns if c != "weight"][0]
+    return (
+        state.unionByName(batch)
+        .groupBy(group_col)
+        .agg(F.sum("weight").cast("long").alias("weight"))
     )

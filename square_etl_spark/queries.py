@@ -10448,11 +10448,9 @@ def _mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "n_chars")
 
 
-_register(
-    QuerySpec(
-        "mix_temperature_langs",
-        _mix_temperature,
-        oracle="""
+#: shared by the one-shot and incremental temperature-mix queries —
+#: the folded size state IS the one-shot size aggregate (sum monoid)
+_MIX_TEMPERATURE_ORACLE = """
         WITH sz AS (
           SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
           FROM documents GROUP BY lang),
@@ -10481,9 +10479,54 @@ _register(
         SELECT o.doc_id, o.lang, CAST(o.n_chars AS BIGINT) AS n_chars
         FROM ord o JOIN bud USING (lang)
         WHERE cum_before < b
-        """,
+        """
+
+_register(
+    QuerySpec(
+        "mix_temperature_langs",
+        _mix_temperature,
+        oracle=_MIX_TEMPERATURE_ORACLE,
         doc="temperature-scaled mixture (size^0.5 shares): derived per-group "
         "budgets + deterministic md5-order consumption, full recipe in the oracle",
+    )
+)
+
+
+def _mix_temperature_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL temperature mix
+    (operators/sampling.group_weight_sizes / fold_group_sizes): the
+    per-language char totals that drive the budget derivation are
+    accumulated as a language-sized state folded over three ingest
+    batches (doc_id % 3) — sum monoid, so the folded sizes ARE the
+    one-shot aggregate and this query shares the one-shot oracle
+    verbatim.  A continuous-ingest mix re-derives its budgets from
+    the bounded state without re-aggregating history."""
+    from square_etl_spark.operators.sampling import (
+        fold_group_sizes,
+        group_weight_sizes,
+        temperature_mix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    state = None
+    for i in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == i)
+        sz = group_weight_sizes(batch, "lang", "n_chars")
+        state = sz if state is None else fold_group_sizes(state, sz)
+    kept = temperature_mix(
+        d, "lang", "n_chars", ["doc_id"], total_budget=60000, alpha=0.5,
+        sizes=state,
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+_register(
+    QuerySpec(
+        "mix_temperature_incremental",
+        _mix_temperature_incremental,
+        oracle=_MIX_TEMPERATURE_ORACLE,
+        doc="incremental temperature mix: batch-folded language sizes derive "
+        "identical budgets to the one-shot aggregate (shared oracle)",
     )
 )
 
@@ -11202,7 +11245,9 @@ _CHECK_PRIORITY: list[str] = [
     # quality_gopher_rules (Gopher rule-based filter, per-doc metrics
     # + per-rule flags, every count and ratio oracle-recomputed),
     # langid_confusion_audit (lang-ID confusion matrix vs labels,
-    # classifier recomputed as a derived table).
+    # classifier recomputed as a derived table),
+    # mix_temperature_incremental (batch-folded language sizes derive
+    # identical budgets to one-shot — shared oracle).
 ]
 
 

@@ -597,3 +597,32 @@ def test_dsir_fold_counts_equals_one_shot_any_split(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_fold_group_sizes_equals_one_shot_and_drives_same_budgets(spark):
+    """Sum monoid: folded per-batch group sizes equal the one-shot
+    aggregate at an arbitrary split, and temperature_mix(sizes=state)
+    selects exactly the rows of the self-computed path."""
+    from square_etl_spark.operators.sampling import (
+        fold_group_sizes,
+        group_weight_sizes,
+        temperature_mix,
+    )
+
+    rows = [(f"s{i % 3}", i, 2 + i % 7) for i in range(150)]
+    df = spark.createDataFrame(rows, "src string, doc_id long, w long")
+    one_shot = group_weight_sizes(df, "src", "w")
+    state = None
+    for i in range(4):
+        b = group_weight_sizes(df.filter((F.col("doc_id") % 4) == i), "src", "w")
+        state = b if state is None else fold_group_sizes(state, b)
+    assert {(r.src, r.weight) for r in state.collect()} == {
+        (r.src, r.weight) for r in one_shot.collect()
+    }
+    pick = lambda **kw: {
+        (r.src, r.doc_id)
+        for r in temperature_mix(
+            df, "src", "w", ["doc_id"], total_budget=150, alpha=0.5, **kw
+        ).collect()
+    }
+    assert pick(sizes=state) == pick() != set()
