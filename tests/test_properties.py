@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -887,3 +889,80 @@ def test_strip_repeated_spans_equals_python(spark, docs):
         if kept:
             want[i] = (len(kept), " ".join(kept))
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8).map(
+            lambda ws: " ".join("w" + c for c in ws)
+        ),
+        min_size=1,
+        max_size=16,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_dsir_fold_equals_one_shot_random_splits(spark, docs, n_batches):
+    """Property: folding DSIR feature counts over ANY batch split of
+    any corpus equals the one-shot counts row-for-row (count-sum
+    monoid), including empty batches and feature-less docs."""
+    from square_etl_spark.operators.sampling import (
+        dsir_feature_counts,
+        dsir_fold_counts,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    one = {
+        (r.bucket, r["count"])
+        for r in dsir_feature_counts(df, "text", n=2, buckets=32).collect()
+    }
+    state = None
+    for i in range(n_batches):
+        c = dsir_feature_counts(
+            df.filter((F.col("doc_id") % n_batches) == i),
+            "text", n=2, buckets=32,
+        )
+        state = c if state is None else dsir_fold_counts(state, c)
+    assert {(r.bucket, r["count"]) for r in state.collect()} == one
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(1, 9)), min_size=1, max_size=24
+    ),
+    budget=st.integers(min_value=1, max_value=40),
+)
+@SETTINGS
+def test_budget_cap_budgets_mode_invariants(spark, rows, budget):
+    """Property (budgets-relation mode): every group's kept weight
+    minus its straddling row stays under ITS budget, groups absent
+    from the budgets relation keep nothing, and the selection is the
+    same as single-budget mode when all budgets agree."""
+    from square_etl_spark.operators.sampling import budget_cap
+
+    df = spark.createDataFrame(
+        [(g, i, w) for i, (g, w) in enumerate(rows)],
+        "src string, doc_id long, w long",
+    )
+    present = sorted({g for g, _ in rows})[:-1] or [rows[0][0]]
+    budgets = spark.createDataFrame(
+        [(g, budget) for g in present], "src string, budget long"
+    )
+    out = budget_cap(df, "src", "w", ["doc_id"], budgets=budgets).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r.src, []).append(r.w)
+    assert set(by_g) <= set(present)
+    for g, ws in by_g.items():
+        assert sum(ws) - max(ws) < budget
+    # all-equal budgets == single-budget mode on the covered groups
+    single = {
+        (r.src, r.doc_id)
+        for r in budget_cap(
+            df.filter(F.col("src").isin(present)),
+            "src", "w", ["doc_id"], budget=budget,
+        ).collect()
+    }
+    assert {(r.src, r.doc_id) for r in out} == single
