@@ -290,6 +290,7 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.35,
     dim: int | None = None,
+    fit_sample_mod: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means clusters over the embedding space ARE
@@ -321,15 +322,64 @@ def semantic_dedup(
     bounded — per-block cost is O(Σ |cluster|²·d), the same
     candidates→verify discipline as every other near-dup operator
     here.  Returns one row per vector: (id, cluster, kept).
+
+    The exact long-form assignment join is itself O(N·d·k) rows, so
+    k ∝ N makes the ASSIGNMENT quadratic (measured:
+    tools/scaling_r09c.py) — at large k pass ``fit_sample_mod=m`` to
+    fit the centroids on the deterministic 1/m subset
+    (xxhash64(id) % m == 0, re-densified ids for the vid<k seed rule)
+    and assign EVERY vector with the Arrow numpy fast path
+    (clustering.kmeans_assign_arrow, broadcast k×d matrix, per-row
+    work) — the SemDeDup paper's own fit-on-sample posture.  The
+    exact path stays the oracle-checked default; arrow≡exact
+    assignment agreement is pinned in test_clustering.
     """
-    from square_etl_spark.operators.clustering import kmeans_fixed
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_arrow,
+        kmeans_fixed,
+    )
     from square_etl_spark.operators.similarity import (
         dot,
         dot_unrolled,
         normalize,
     )
 
-    assign, _ = kmeans_fixed(emb, id_col, vec_col, k=k, iters=iters)
+    if fit_sample_mod is None:
+        assign, _ = kmeans_fixed(emb, id_col, vec_col, k=k, iters=iters)
+    else:
+        fit = emb.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
+        )
+        # re-densify ids so kmeans_fixed's "vid < k" seed rule sees the
+        # sample's first k vectors; gw-ok: the window ranks only the
+        # bounded fit sample (1/m of the corpus by contract), not the
+        # corpus itself
+        refit = fit.select(
+            (
+                F.row_number().over(Window.orderBy(F.col(id_col))) - 1
+            ).alias("__fid"),
+            F.col(vec_col).alias("__fv"),
+        ).repartition(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            F.col("__fid"),
+        )
+        # ^ the global window collapses the sample to ONE partition;
+        # without the repartition the fit's whole map side (explode +
+        # decimal partial aggs) runs single-threaded (measured 4.5x on
+        # the k=80 fit in tools/scaling_r09c.py).  The partition COUNT
+        # is explicit because AQE coalesces a column-only repartition
+        # of a small sample right back to one partition (measured).
+        _, cent = kmeans_fixed(refit, "__fid", "__fv", k=k, iters=iters)
+        # localCheckpoint: the pair stage self-joins on the assignment,
+        # so an unchecked mapInPandas lineage would re-run the Python
+        # workers once per branch (measured 3.9x at 40k vectors in
+        # tools/scaling_r09c.py) — same discipline as the exact path,
+        # whose assignment kmeans_fixed checkpoints internally
+        assign = (
+            kmeans_assign_arrow(emb, cent, id_col, vec_col)
+            .select("vid", "c")
+            .localCheckpoint(eager=True)
+        )
     normed = emb.select(
         F.col(id_col).alias("vid"), normalize(F.col(vec_col)).alias("__nv")
     )

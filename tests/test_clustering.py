@@ -204,3 +204,39 @@ def test_semantic_dedup_pair_stage_is_cluster_equi_join(spark):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_sampled_fit_arrow_matches_exact(spark):
+    """fit_sample_mod: centroids fitted on the deterministic subset +
+    Arrow assignment must reproduce the exact path's keep/drop
+    decisions on a well-separated corpus (two tight blobs with
+    near-duplicate members) — the scale path loses no semantics when
+    the sample still sees every mode."""
+    from square_etl_spark.operators.dedup import semantic_dedup
+
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))          # blob A
+    for i in range(20, 40):
+        rows.append((i, [0.0, 0.001 * i, 1.0, 0.0]))          # blob B
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    exact = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", k=2, iters=2,
+            threshold=0.95, dim=4,
+        ).collect()
+    }
+    sampled = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", k=2, iters=2,
+            threshold=0.95, dim=4, fit_sample_mod=3,
+        ).collect()
+    }
+    assert sampled == exact
+    # within each tight blob exactly one survivor (the smallest id)
+    assert sum(sampled.values()) == 2
+    assert sampled[0] is True

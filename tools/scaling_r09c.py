@@ -1,0 +1,117 @@
+"""Round-9 scaling evidence (c): SemDeDup blocking — k must scale
+with the corpus, and when it does the pair stage stays linear.
+
+`dedup.semantic_dedup`'s docstring carries the paper's guidance
+("raise k with corpus size, k ≈ N / target-block-size"); this sweep
+measures it.  Fixed k = 4 gives blocks of ~N/4, so the within-block
+pair space grows as N²/8 — quadratic in disguise.  Scaling
+k = N/500 pins the expected block population at ~500, bounding the
+pair space at ~N·500/2 — linear growth, the published SemDeDup
+regime (the paper runs k in the tens of thousands for exactly this
+reason).  The k-means assignment itself costs N·d·k join rows, so k
+can't grow unboundedly either — target-block-size is the real knob.
+
+Vectors are md5-deterministic 16-d synthetics (no planted cluster
+structure needed — the sweep measures COST, and uniform data is the
+worst case for blocking: every cluster is maximally even).
+Methodology matches tools/scaling_r08/r09/r09b.py: each (size, op)
+point runs in a FRESH subprocess with one untimed warmup.
+
+Findings (full table + the two operator fixes this sweep forced —
+checkpointed Arrow assignment, explicit-count sample repartition)
+are written up in SCALING.md 'Round-9 SemDeDup blocking sweep'.
+
+Usage: python tools/scaling_r09c.py                # full sweep
+       python tools/scaling_r09c.py --point <n> <op>
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+OPS = ["semdedup_fixed_k4", "semdedup_scaled_k", "semdedup_scaled_k_arrow"]
+SIZES = [5_000, 10_000, 20_000, 40_000]
+TARGET_BLOCK = 500
+DIM = 16
+
+
+def timed(name: str, n: int, thunk, spark):
+    thunk()  # warmup
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    rows = thunk()
+    print(json.dumps({
+        "op": name, "n": n, "sec": round(time.perf_counter() - t0, 3),
+        "rows": rows,
+    }), flush=True)
+
+
+def _vectors(spark, n: int):
+    """Deterministic synthetic embeddings: dim values md5-derived from
+    (id, dim index), uniform in [0, 1)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda i: (
+                F.pmod(
+                    F.xxhash64(F.col("id"), i), F.lit(997)
+                ).cast("double")
+                / F.lit(997.0)
+            ),
+        ).alias("embedding"),
+    )
+
+
+def run_point(n: int, op: str) -> None:
+    from square_etl_spark import get_spark
+    from square_etl_spark.operators.dedup import semantic_dedup
+
+    spark = get_spark("scaling-r09c")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = _vectors(spark, n).localCheckpoint(eager=True)
+    k = 4 if op == "semdedup_fixed_k4" else max(4, n // TARGET_BLOCK)
+    # arrow variant: fit centroids on the 1/8 deterministic sample,
+    # assign everything with the numpy fast path — the posture the
+    # exact-assignment measurement motivates (see module docstring)
+    mod = 8 if op == "semdedup_scaled_k_arrow" else None
+    timed(
+        op, n,
+        lambda: semantic_dedup(
+            emb, "vec_id", "embedding", k=k, iters=1,
+            threshold=0.95, dim=DIM, fit_sample_mod=mod,
+        ).count(),
+        spark,
+    )
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--point":
+        run_point(int(sys.argv[2]), sys.argv[3])
+        return
+    me = str(Path(__file__).resolve())
+    for n in SIZES:
+        for op in OPS:
+            r = subprocess.run(
+                [sys.executable, me, "--point", str(n), op],
+                capture_output=True, text=True,
+            )
+            for line in r.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            if r.returncode != 0:
+                print(json.dumps(
+                    {"op": op, "n": n, "error": (r.stderr or "")[-400:]}),
+                    flush=True)
+
+
+if __name__ == "__main__":
+    main()
