@@ -90,6 +90,60 @@ def sessionize(
     )
 
 
+def sessionize_native(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    gap: str,
+) -> DataFrame:
+    """Gap-based sessionization via Spark's BUILT-IN session window
+    (``F.session_window`` — the dynamic-gap analogue of ``F.window``).
+
+    Same job — and the SAME semantics, including the boundary — as
+    :func:`sessionize`, with a different physical plan:
+
+    - **Plan**: no window functions at all — the session window is a
+      GROUPING expression, so the whole operator is one shuffle on the
+      session key followed by Spark's sort-based session merge
+      (``MergingSessionsExec``), with partial session-merge on the map
+      side (``spark.sql.streaming.sessionWindow.merge.sessions.in.
+      local.partition`` not required — the final merge is exact either
+      way).  The lag+prefix-sum twin also plans one Exchange but needs
+      two full window passes over the sorted partition.
+    - **Boundary**: sessions merge iff ``diff <= gap`` — an event
+      EXACTLY ``gap`` after its predecessor stays in the session
+      (measured, pinned in test_temporal_ops: a window ending at T
+      absorbs an event starting at T), exactly :func:`sessionize`'s
+      ``diff > gap`` new-session rule.  The two operators are
+      interchangeable on ANY data, ties included.
+    - **Streaming**: the SAME expression runs under Structured
+      Streaming with a watermark — sessions finalize (append mode)
+      once the watermark passes ``last_ts + gap``.  That built-in path
+      is pinned against this batch result in test_stateful_streaming;
+      the applyInPandasWithState twin (streaming/stateful.py) remains
+      the escape hatch for custom per-session payloads.
+
+    Scale shape: one Exchange on ``key_cols``; state in streaming mode
+    is one (start, end) pair per OPEN session per key — bounded by the
+    watermark, the same skew story as any keyed aggregation.
+
+    Returns ``key_cols + (session_start, session_end, n_events)``
+    where start/end are the min/max EVENT times (not the padded
+    window end), matching :func:`sessionize`'s output contract.
+    """
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("__sw"), *key_cols
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__sw")
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     ts_col: str,

@@ -85,7 +85,12 @@ from square_etl_spark.operators.similarity import (
     cosine_topk_lsh,
     l2_norm,
 )
-from square_etl_spark.operators.windows import sessionize, sliding, tumbling
+from square_etl_spark.operators.windows import (
+    sessionize,
+    sessionize_native,
+    sliding,
+    tumbling,
+)
 from square_etl_spark.sinks.merge import merge_dataframes
 
 
@@ -5871,6 +5876,46 @@ _register(
     )
 )
 
+
+def _sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return sessionize_native(e, "ts", ["user_id"], "1800 seconds")
+
+
+_register(
+    QuerySpec(
+        "sessionize_native_events",
+        _sessions_native,
+        # session_window's boundary is INCLUSIVE (merge iff diff <=
+        # gap — a window ending at T absorbs an event starting at T;
+        # measured + pinned in test_temporal_ops), identical to
+        # sessionize_events — so the island SQL uses the same > test.
+        oracle="""
+        WITH o AS (
+          SELECT user_id, ts,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events),
+        m AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev IS NULL
+                           OR epoch(ts) - epoch(prev) > 1800
+                      THEN 1 ELSE 0 END AS ns
+          FROM o),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m)
+        SELECT user_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, session_id
+        """,
+        doc="built-in session_window: session merge as a grouping expr, "
+        "one Exchange, zero window functions; streaming-ready",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Cube + pivot
 # ---------------------------------------------------------------------------
@@ -11138,14 +11183,24 @@ _register(
 # the LIVE registry size — registering queries widens it automatically,
 # and the tool's exit code means something again.
 #
-# Round 9 = exactly the head `python tools/rotation.py` printed at the
-# end of r08: the 17 registrations that landed after the r08 head froze
-# (split assignment, char entropy, incremental exact/MinHash-index
-# dedup, PNG codec, winsorization, PSI drift, robust MAD outliers,
-# join-key overlap, C4 span dedup, leakage audit, time decay, lossless
-# prefix-filter join, OOV rate, overlap matrix, budget mix, rolling
-# actives — all tri-scale selfchecked green, zero driver rows) + the
-# r05-stale cohort + the oldest r06 cohort + the flagship anchor = 50.
+# Round 9 = exactly the head `python tools/rotation.py` prints against
+# the LIVE registry (refreshed late-r09 when the round's own 18
+# registrations outgrew the early-r09 freeze): all 35 never-driver-
+# checked registrations — the 17 from r08 (split assignment, char
+# entropy, incremental exact/MinHash-index dedup, PNG codec,
+# winsorization, PSI drift, robust MAD outliers, join-key overlap, C4
+# span dedup, leakage audit, time decay, lossless prefix-filter join,
+# OOV rate, overlap matrix, budget mix, rolling actives) plus the 18
+# registered THIS round (incremental spans/components/survivors,
+# boilerplate-span strip, novelty, datasheet, stratified split, BM25,
+# SemDeDup, temperature mix + incremental twin, DSIR weights +
+# incremental twin, ANN recall audit, curation-mix pipeline,
+# perplexity fence, Gopher rules, lang-ID confusion) — then the
+# r05-stale cohort + the flagship anchor = 50.  All 35 are tri-scale
+# selfchecked green; this ordering converts that into driver rows in
+# CORRECTNESS_r09 instead of deferring 18 of them to r10.  rotation.py
+# confirms no oracle-checked query ages past the arithmetic window
+# under this head (the r06 cohort rotates in next round).
 _CHECK_PRIORITY: list[str] = [
     # -- the 17 never-driver-checked round-8 registrations (all
     # -- judge-verified green at sf0.01 in the r08 verdict) — first
@@ -11167,8 +11222,28 @@ _CHECK_PRIORITY: list[str] = [
     "source_overlap_matrix",
     "mix_budget_cap_sources",
     "rolling_active_users",
+    # -- the 18 round-9 registrations (tri-scale selfchecked green,
+    # -- zero driver rows) — first driver rows
+    "dedup_incremental_survivors",
+    "langid_confusion_audit",
+    "quality_perplexity_fence",
+    "quality_gopher_rules",
+    "ann_recall_audit",
+    "dedup_semantic",
+    "dedup_incremental_spans",
+    "mix_temperature_langs",
+    "mix_temperature_incremental",
+    "dsir_weights_target_de",
+    "dsir_incremental_counts",
+    "pipeline_curation_mix",
+    "text_bm25_topk",
+    "split_stratified_by_lang",
+    "dedup_incremental_components",
+    "dedup_strip_repeated_spans",
+    "text_novelty_contribution",
+    "corpus_datasheet",
     # -- r05 cohort (oldest green rows): multimodal codecs + SQL/TPC-H
-    # -- + histogram/arrow + incremental rollup + SCD2 + pipelines
+    # -- + histogram/arrow + incremental rollup + SCD2
     "multimodal_decode_jpeg",
     "multimodal_decode_tiff",
     "multimodal_decode_wav",
@@ -11183,26 +11258,6 @@ _CHECK_PRIORITY: list[str] = [
     "arrow_token_count",
     "incremental_rollup_revenue",
     "scd2_customer_segment",
-    "pipeline_catalog",
-    "pipeline_inventory",
-    "pipeline_categories",
-    "pipeline_locations",
-    # -- r06 cohort: scans / projections / joins / aggs / set ops /
-    # -- merge / quarantine / windows / dedup / text
-    "s1_windowed_scan",
-    "p6_address_concat",
-    "p9_constant_enrichment",
-    "j3_lookup_join",
-    "a3_last_writer_wins",
-    "agg_rollup",
-    "setop_union_except",
-    "reconcile_orders_detail",
-    "distinct_users_by_type",
-    "k1_merge_partitioned",
-    "e1_quarantine_rejects",
-    "t2_sliding_2h_1h",
-    "dedup_survivor_selection",
-    "text_fingerprint",
     # -- flagship anchor (every round, last slot)
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
@@ -11210,44 +11265,6 @@ _CHECK_PRIORITY: list[str] = [
     # CORRECTNESS history, computes the arithmetic freshness window
     # from the live registry size, and prints the recommended next
     # head.
-    #
-    # Registered AFTER this head was frozen (round 9) — tri-scale
-    # selfchecked, first driver rows due in the r10 head:
-    # dedup_incremental_spans (C4 span dedup as a span-digest state
-    # fold ≡ one-shot with batch precedence),
-    # dedup_strip_repeated_spans (kill-all boilerplate spans with
-    # df > 1 distinct docs — the C4 removal policy),
-    # text_novelty_contribution (per-doc first-occurrence shingle
-    # novelty — marginal corpus-diversity signal),
-    # corpus_datasheet (one-row release card: monoid stats only),
-    # dedup_incremental_components (CC as an incremental label fold
-    # ≡ one-shot; node-sized 1-deep state),
-    # dedup_incremental_survivors (the folded labels drive the
-    # one-shot survivor decision exactly — shared oracle),
-    # split_stratified_by_lang (per-stratum split fractions, nested
-    # CASE over the shared md5 variate),
-    # text_bm25_topk (BM25 keyword retrieval: bounded-postings scan,
-    # decimal-exact scores),
-    # dedup_semantic (SemDeDup: k-means blocks + within-cluster
-    # cosine prune, full composition recomputed by the oracle),
-    # mix_temperature_langs (temperature-scaled mixture, size^0.5
-    # shares → derived per-group budgets, full recipe in the oracle),
-    # dsir_weights_target_de (DSIR hashed-bigram importance weights
-    # vs a target subcorpus, both distributions oracle-recomputed),
-    # dsir_incremental_counts (batch-folded (bucket,count) state
-    # scores identically to one-shot — shared oracle),
-    # ann_recall_audit (recall@5 of LSH + IVF vs exact brute force,
-    # all three pipelines oracle-recomputed and intersected),
-    # pipeline_curation_mix (DSIR top-k selection → temperature mix,
-    # full composition oracle-recomputed),
-    # quality_perplexity_fence (per-language exact p90 NLL fence,
-    # keep decision oracle-recomputed),
-    # quality_gopher_rules (Gopher rule-based filter, per-doc metrics
-    # + per-rule flags, every count and ratio oracle-recomputed),
-    # langid_confusion_audit (lang-ID confusion matrix vs labels,
-    # classifier recomputed as a derived table),
-    # mix_temperature_incremental (batch-folded language sizes derive
-    # identical budgets to one-shot — shared oracle).
 ]
 
 

@@ -310,3 +310,67 @@ def test_stateful_twap_matches_batch_twin_bit_exact(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_native_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The BUILT-IN streaming session window (F.session_window +
+    watermark, append mode) finalizes exactly the sessions the batch
+    operator computes — the idiomatic-Spark twin of the
+    applyInPandasWithState path above.  Finalization is watermark-
+    driven, so two sentinel drains advance the watermark past every
+    real session (watermark for batch N comes from batch N-1's max
+    event time); sentinel rows are filtered from the comparison."""
+    from square_etl_spark.operators.windows import sessionize_native
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 10").cache()
+    src = os.path.join(tmp_path, "nsrc")
+    ckpt = os.path.join(tmp_path, "nckpt")
+    out_dir = os.path.join(tmp_path, "nout")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS).parquet(src)
+        out = sessionize_native(
+            stream.withWatermark("ts", "0 seconds"),
+            "ts",
+            ["user_id"],
+            "1800 seconds",
+        )
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def sentinel(days):
+        cols = []
+        for c in ev.columns:
+            if c == "user_id":
+                cols.append(F.lit(999_999).cast("long").alias(c))
+            elif c == "ts":
+                cols.append(
+                    F.expr(
+                        f"timestamp'2024-06-01' + interval {days} days"
+                    ).alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return ev.limit(1).select(*cols)
+
+    ev.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    sentinel(10).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    sentinel(20).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out_dir).filter("user_id < 10")
+    want = sessionize_native(ev, "ts", ["user_id"], "1800 seconds")
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)
+    got_k = sorted(map(key, got.collect()))
+    assert got_k == sorted(map(key, want.collect()))
+    assert len(got_k) == len(set(got_k))  # append mode: no re-emission

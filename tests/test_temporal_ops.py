@@ -128,6 +128,54 @@ def test_sessionize_boundary_gap_stays_in_session(spark):
     assert len(out) == 1 and out[0].n_events == 2  # gap == 1800 is NOT > 1800
 
 
+def test_sessionize_native_matches_handrolled(spark, sf_dir):
+    # the built-in session window and the lag+prefix-sum twin agree
+    # session-for-session — same gap, same data, same boundary rule
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.windows import sessionize_native
+
+    ev = load_table(spark, sf_dir, "events").filter("user_id < 20")
+    hand = sessionize(ev, "ts", ["user_id"], gap_s=1800.0)
+    native = sessionize_native(ev, "ts", ["user_id"], "1800 seconds")
+    key = lambda r: (r.user_id, r.session_start, r.session_end, r.n_events)
+    assert sorted(map(key, hand.collect())) == sorted(
+        map(key, native.collect())
+    )
+
+
+def test_sessionize_native_exact_gap_stays_in_session(spark):
+    # boundary pin: session_window's merge is INCLUSIVE (a window
+    # ending at T absorbs an event starting at T), so an event EXACTLY
+    # gap after its predecessor stays — identical to the hand-rolled
+    # twin's diff > gap rule (test_sessionize_boundary_gap_stays_in_
+    # session above).  The oracle SQL relies on this.
+    from square_etl_spark.operators.windows import sessionize_native
+
+    rows = [(1, _ts("2024-01-01 10:00:00")), (1, _ts("2024-01-01 10:30:00"))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = sessionize_native(df, "ts", ["user_id"], "1800 seconds").collect()
+    assert len(out) == 1 and out[0].n_events == 2
+
+
+def test_sessionize_native_plan_one_exchange_no_window_exec(spark):
+    # the whole point of the built-in: session merge is a GROUPING
+    # expression — one Exchange, MergingSessions, zero window passes
+    from square_etl_spark.operators.windows import sessionize_native
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"))], "user_id long, ts timestamp"
+    )
+    plan = (
+        sessionize_native(df, "ts", ["user_id"], "1800 seconds")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "MergingSessions" in plan
+    assert "Window" not in plan.replace("session_window", "")
+
+
 def test_embedding_cosine_pairs_identical_vectors(spark):
     from square_etl_spark.operators.dedup import embedding_cosine_pairs
 
