@@ -738,6 +738,85 @@ def temperature_mix(
     )
 
 
+def doremi_mix(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    total_budget: int,
+    excess: DataFrame,
+    eta: float = 1.0,
+    eps: float = 0.1,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429), one multiplicative-weights step: domains whose
+    documents score WORSE than the corpus baseline (positive excess
+    loss — the signal that the domain is under-learned) get their
+    mixture share raised exponentially, then smoothed toward uniform
+    so no domain starves:
+
+        w_d  = exp(η · excess_d)            (MW step from uniform)
+        λ_d  = (1−ε) · w_d / Σ_h w_h  +  ε / k
+        budget_d = ⌊ total · λ_d ⌋
+
+    The full published method iterates this update while TRAINING a
+    proxy model between steps; the engine's job is the data side — one
+    exact, reproducible reweight-and-select step given per-domain
+    excess scores from ANY reference signal (here the corpus unigram
+    LM; swap in real proxy-model losses at production scale).
+    Consumption is :func:`budget_cap`'s deterministic md5-prefix take,
+    so the selection is re-partition / re-ingest invariant.
+
+    ``excess`` is a ``(group_col, excess)`` relation, excess ≥ 0 and
+    pre-rounded (6 decimals) by the caller — domain-sized, the same
+    mixture-dims contract as ``temperature_mix``'s sizes.
+
+    Cross-engine arithmetic: exp(η·excess) rounds to 9 decimals into
+    DECIMAL(38,9) sums; λ divides in double and rounds to 9; budgets
+    floor the 6-rounded product.  CAVEAT: unlike sqrt, ``exp`` is not
+    guaranteed correctly-rounded on every libm — a value landing
+    within ~1 ulp of a 0.5e-9 rounding boundary could differ between
+    engines.  That risk is data-fixed (deterministic per dataset, not
+    flaky) and verified empirically by the tri-scale oracle check;
+    keep η small (≤ 2) so the exp stays in a low-ulp range.
+
+    Scale shape: the weight/budget derivation touches only
+    domain-sized relations (k rows); the corpus is scanned once by
+    budget_cap's two-phase prefix sum.  Zero driver-side collects.
+    """
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    w = excess.select(
+        group_col,
+        F.round(F.exp(F.lit(float(eta)) * F.col("excess")), 9)
+        .cast("decimal(38,9)")
+        .alias("__w"),
+    )
+    tot = w.agg(
+        F.sum("__w").alias("__sw"), F.count(F.lit(1)).alias("__k")
+    )
+    # bcast-ok: 1-row domain-weight total aggregate
+    budgets = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "__lam",
+            F.round(
+                F.lit(1.0 - float(eps))
+                * (F.col("__w").cast("double") / F.col("__sw").cast("double"))
+                + F.lit(float(eps)) / F.col("__k").cast("double"),
+                9,
+            ),
+        )
+        .select(
+            group_col,
+            F.floor(
+                F.round(F.col("__lam") * F.lit(int(total_budget)), 6)
+            ).alias("budget"),
+        )
+    )
+    return budget_cap(df, group_col, weight_col, key_cols, budgets=budgets)
+
+
 def dsir_logweights(
     raw: DataFrame,
     target: DataFrame,

@@ -10576,6 +10576,128 @@ _register(
 )
 
 
+def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting (operators/sampling.doremi_mix,
+    arXiv:2305.10429): per-source mean unigram-LM NLL minus the corpus
+    doc-mean is the excess-loss signal; one exponential
+    multiplicative-weights step (η = 1) smoothed 10% toward uniform
+    derives the per-source character budgets, consumed in budget_cap's
+    deterministic md5-prefix order.  The oracle recomputes the WHOLE
+    recipe — tokenization, LM frequencies, per-doc decimal-summed NLL,
+    domain/corpus means, exp weights, smoothed shares, floor'd
+    budgets, and the per-row exclusive-prefix take."""
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    nll = tx.unigram_logprob(d, "doc_id", "text")
+    j = nll.join(d.select("doc_id", "source"), "doc_id")
+    dec = F.col("avg_nll").cast("decimal(18,6)")
+    dm = j.groupBy("source").agg(
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("m_d")
+    )
+    cm = j.agg(
+        F.round(
+            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("m")
+    )
+    # bcast-ok: 1-row corpus-mean aggregate
+    excess = dm.crossJoin(F.broadcast(cm)).select(
+        "source",
+        F.greatest(
+            F.lit(0.0), F.round(F.col("m_d") - F.col("m"), 6)
+        ).alias("excess"),
+    )
+    kept = doremi_mix(
+        d, "source", "n_chars", ["doc_id"],
+        total_budget=60000, excess=excess, eta=1.0, eps=0.1,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
+
+
+_register(
+    QuerySpec(
+        "mix_doremi_sources",
+        _mix_doremi,
+        # exp() carries the documented last-ulp caveat
+        # (sampling.doremi_mix docstring); the 9-decimal rounding after
+        # a small-argument exp makes divergence astronomically
+        # unlikely and data-fixed, verified tri-scale
+        oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+        tot AS (SELECT SUM(c) AS t_total FROM freq),
+        scored AS (
+          SELECT doc_id,
+                 CAST(ROUND(-ln(c / /*nz: corpus token total >= 1 for any token row*/ t_total), 6) AS DECIMAL(18,6)) AS nll
+          FROM t JOIN freq USING (w) CROSS JOIN tot),
+        perdoc AS (
+          SELECT doc_id,
+                 CAST(ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6)
+                      AS DECIMAL(18,6)) AS avg_nll
+          FROM scored GROUP BY doc_id),
+        j AS (
+          SELECT d.source, p.avg_nll
+          FROM perdoc p JOIN documents d USING (doc_id)),
+        dm AS (
+          SELECT source,
+                 ROUND(CAST(SUM(avg_nll) AS DOUBLE) / COUNT(*), 6) AS m_d
+          FROM j GROUP BY source),
+        cm AS (
+          SELECT ROUND(CAST(SUM(avg_nll) AS DOUBLE) / COUNT(*), 6) AS m
+          FROM j),
+        ex AS (
+          SELECT source,
+                 GREATEST(0.0, ROUND(m_d - m, 6)) AS excess
+          FROM dm CROSS JOIN cm),
+        w AS (
+          SELECT source,
+                 CAST(ROUND(exp(1.0 * excess), 9) AS DECIMAL(38,9)) AS wt
+          FROM ex),
+        wtot AS (SELECT SUM(wt) AS sw, COUNT(*) AS k FROM w),
+        bud AS (
+          SELECT source,
+                 CAST(floor(ROUND(
+                   ROUND(0.9 * (CAST(wt AS DOUBLE)
+                                / /*nz: sum of exp weights >= 1 per domain*/
+                                  CAST(sw AS DOUBLE))
+                         + 0.1 / /*nz: k counts domains; >= 1 because w is non-empty whenever bud joins a row*/ k, 9) * 60000, 6)) AS BIGINT) AS b
+          FROM w CROSS JOIN wtot),
+        ord AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents)
+        SELECT o.source,
+               COUNT(*) AS kept_docs,
+               CAST(SUM(o.n_chars) AS BIGINT) AS kept_chars,
+               CAST(MIN(o.doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(o.doc_id) AS BIGINT) AS max_doc_id
+        FROM ord o JOIN bud USING (source)
+        WHERE cum_before < b
+        GROUP BY o.source
+        """,
+        doc="DoReMi-lite domain reweighting: excess unigram-NLL drives one "
+        "exp multiplicative-weights step, uniform-smoothed, budget-cap take",
+        global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
+    )
+)
+
+
 def _dsir_target_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/sampling.dsir_logweights):
     score every document by hashed-bigram log-likelihood ratio

@@ -626,3 +626,63 @@ def test_fold_group_sizes_equals_one_shot_and_drives_same_budgets(spark):
         ).collect()
     }
     assert pick(sizes=state) == pick() != set()
+
+
+def test_doremi_mix_zero_excess_splits_uniformly(spark):
+    # all-zero excess → every exp weight is 1 → λ = 1/k exactly for
+    # any ε (the smoothing is a fixed point at uniform) → equal budgets
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    rows = [(i, ["a", "b", "c"][i % 3], 10) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    excess = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0), ("c", 0.0)], "src string, excess double"
+    )
+    kept = doremi_mix(df, "src", "w", ["doc_id"], 90, excess, eta=1.0, eps=0.1)
+    got = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.sum("w").alias("n")).collect()
+    }
+    # budget 30 per group; rows weigh 10 → exactly 3 rows/group kept
+    assert got == {"a": 30, "b": 30, "c": 30}
+
+
+def test_doremi_mix_higher_excess_wins_budget(spark):
+    # one MW step: the domain with the larger excess loss gets the
+    # strictly larger budget, but ε-smoothing keeps the other alive
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    rows = [(i, "hard" if i % 2 else "easy", 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    excess = spark.createDataFrame(
+        [("hard", 2.0), ("easy", 0.0)], "src string, excess double"
+    )
+    kept = doremi_mix(df, "src", "w", ["doc_id"], 100, excess, eta=1.0, eps=0.1)
+    got = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # w_hard = e^2 ≈ 7.389, w_easy = 1; λ_hard = .9*.8808+.05 ≈ .8427
+    assert got["hard"] > got["easy"] > 0
+    assert got["hard"] + got["easy"] <= 101  # floor'd budgets + straddle
+    assert abs(got["hard"] - 84) <= 1  # the MW arithmetic, not just ">"
+
+
+def test_doremi_mix_partition_invariant(spark):
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    rows = [(i, "ab"[i % 2], 1 + i % 5) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    excess = spark.createDataFrame(
+        [("a", 0.7), ("b", 0.1)], "src string, excess double"
+    )
+
+    def pick(d):
+        return {
+            r.doc_id
+            for r in doremi_mix(
+                d, "src", "w", ["doc_id"], 200, excess, eta=1.0, eps=0.1
+            ).collect()
+        }
+
+    assert pick(df) == pick(df.repartition(17, "w")) != set()
