@@ -516,6 +516,62 @@ def run_pipeline(
     )
 
 
+def attrition_funnel(docs: DataFrame) -> DataFrame:
+    """Per-stage attrition funnel of the corpus-clean pipeline: label
+    each document with the FIRST stage that drops it — ``quality``
+    (score < 0.3), ``exact_dup`` (not the min-id doc of its sha256
+    digest among quality-kept docs), ``near_dup`` (a non-canonical
+    member of a lossless prefix-join Jaccard >= 0.5 cluster among
+    exact survivors), else ``kept`` — and aggregate docs + chars per
+    stage.  The release-card observability every production data
+    pipeline ships: how much each filter costs, reconciling exactly
+    with corpus_clean_pipeline's survivor set.
+
+    ONE corpus scan: the stage flags come from the same relations the
+    pipeline itself computes — the exact-dup rank is digest-keyed
+    (keys-sized shuffle), the near-dup set is cluster-sized — joined
+    back onto the scored scan, not four pipeline re-runs at
+    increasing truncations.  ``docs`` needs (doc_id, text, n_chars).
+    """
+    from pyspark.sql.window import Window
+
+    from square_etl_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_prefix,
+    )
+    from square_etl_spark.operators.text import quality_score
+
+    scored = docs.withColumn("q", quality_score("text"))
+    kept = scored.filter(F.col("q") >= 0.3)
+    digest_w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
+        F.col("doc_id").asc()
+    )
+    ranked = kept.withColumn("__rn", F.row_number().over(digest_w))
+    exact_survivors = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    pairs = ngram_jaccard_prefix(
+        exact_survivors, "doc_id", "text", n=3, threshold=0.5
+    )
+    clusters = connected_components(pairs)
+    non_canonical = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id", F.lit(True).alias("__nd"))
+    labeled = (
+        scored.join(ranked.select("doc_id", "__rn"), "doc_id", "left")
+        .join(non_canonical, "doc_id", "left")
+        .withColumn(
+            "stage",
+            F.when(F.col("q") < 0.3, F.lit("quality"))
+            .when(F.col("__rn") > 1, F.lit("exact_dup"))
+            .when(F.col("__nd"), F.lit("near_dup"))
+            .otherwise(F.lit("kept")),
+        )
+    )
+    return labeled.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 #: pipeline name → (source adapter, pipeline fn) for tests/discovery.
 PIPELINES = {
     "pos_payments": (payments_source, payments_pipeline),

@@ -6234,6 +6234,82 @@ _register(
     )
 )
 
+
+def _attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition funnel of the corpus-clean pipeline
+    (pipelines.attrition_funnel): label each document with the FIRST
+    stage that dropped it (quality → exact_dup → near_dup, else kept)
+    and aggregate docs + chars per stage, in ONE corpus scan — stage
+    flags come from the same window / pair relations the pipeline
+    itself computes, joined back onto the scored scan, not four
+    pipeline re-runs at increasing truncations.  Shares
+    corpus_clean_pipeline's semantics exactly, so the funnel's 'kept'
+    row reconciles with that query's totals.  All four stage labels
+    are pinned on constructed docs in test_pipelines (real sf data
+    only exercises near_dup/kept)."""
+    from square_etl_spark.pipelines import attrition_funnel
+
+    return attrition_funnel(load_table(spark, sf_dir, "documents"))
+
+
+_register(
+    QuerySpec(
+        "pipeline_attrition_report",
+        _attrition_report,
+        oracle=f"""
+        WITH RECURSIVE scored AS (
+          SELECT *,
+            ROUND(
+              0.5 * LEAST(ROUND(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.8, 1.0)
+            + 0.3 * LEAST(ROUND(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> list_contains(['the','and','of','to','is','in','that','it'], w))) /
+                    (CASE WHEN trim(text) = '' THEN 1.0
+                          WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                          THEN CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+                          ELSE 1.0 END), 6) / 0.4, 1.0)
+            + 0.2 * (1.0 - LEAST(ROUND(len(regexp_replace(text, '[^\\.,;:!\\?]', '', 'g')) /
+                    (CASE WHEN len(text) > 0 THEN CAST(len(text) AS DOUBLE) ELSE 1.0 END), 6) / 0.2, 1.0)),
+            6) AS q
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, rn FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                              ORDER BY doc_id) AS rn
+            FROM scored WHERE q >= 0.3)),
+        exact_survivors AS (
+          SELECT s.* FROM scored s JOIN ranked r USING (doc_id)
+          WHERE s.q >= 0.3 AND r.rn = 1),
+        {_prefix_pairs_ctes("exact_survivors").strip().rstrip()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges UNION SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        clusters AS (
+          SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+        lab AS (
+          SELECT s.doc_id, s.n_chars,
+                 CASE WHEN s.q < 0.3 THEN 'quality'
+                      WHEN r.rn > 1 THEN 'exact_dup'
+                      WHEN c.doc_id IS NOT NULL THEN 'near_dup'
+                      ELSE 'kept' END AS stage
+          FROM scored s
+          LEFT JOIN ranked r ON r.doc_id = s.doc_id
+          LEFT JOIN (SELECT doc_id FROM clusters
+                     WHERE doc_id <> cluster_id) c ON c.doc_id = s.doc_id)
+        SELECT stage, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM lab GROUP BY stage
+        """,
+        doc="attrition funnel: first-drop stage per doc (quality → exact_dup "
+        "→ near_dup → kept) in one corpus scan; reconciles with corpus_clean_pipeline",
+    )
+)
+
 # ---------------------------------------------------------------------------
 # Extension: embedding-cosine near-dup (dedup family)
 # ---------------------------------------------------------------------------

@@ -10,6 +10,7 @@ import os
 from pyspark.sql import functions as F
 
 from square_etl_spark import pipelines as P
+from square_etl_spark.io import load_table
 from square_etl_spark.schemas import WAREHOUSE_TABLES
 
 
@@ -241,3 +242,48 @@ def test_pipeline_inventory_partitioned_by_location(spark, sf_dir, tmp_path):
         spark, "pos_inventory", rows.filter(F.col("location_id") == one), target
     )
     assert others() == before
+
+
+def test_attrition_funnel_all_four_stages(spark):
+    """Constructed docs exercise every stage label and the first-drop
+    precedence (a quality-reject that is ALSO a dup counts as
+    quality): real sf data only hits near_dup/kept."""
+    from square_etl_spark.pipelines import attrition_funnel
+
+    good = (
+        "the cat and the dog walked to the market and it was sunny. "
+        "that is the kind of day the town enjoys in spring."
+    )
+    near = good + " extra tail words here."
+    junk = "0123456789 !!!! ???? ,,,, ;;;; 0123456789 !!!! ????"
+    rows = [
+        (1, good, len(good)),        # kept (canonical of its cluster)
+        (2, good + " x", 0),         # near-dup of 1 -> near_dup... but
+        # careful: doc 2's text shares almost all 3-grams with doc 1
+        (3, good, len(good)),        # exact dup of 1 -> exact_dup
+        (4, junk, len(junk)),        # quality reject
+        (5, junk, len(junk)),        # quality reject AND dup of 4 ->
+        #                              precedence says quality
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {r.stage: r.n_docs for r in attrition_funnel(df).collect()}
+    assert got == {"kept": 1, "near_dup": 1, "exact_dup": 1, "quality": 2}
+
+
+def test_attrition_funnel_reconciles_with_clean_pipeline(spark, sf_dir):
+    """The funnel's kept row equals corpus_clean_pipeline's survivor
+    totals — same stages, same thresholds, one scan vs the pipeline."""
+    from square_etl_spark.pipelines import attrition_funnel
+    from square_etl_spark.queries import registry
+
+    d = load_table(spark, sf_dir, "documents")
+    funnel = {
+        r.stage: (r.n_docs, r.total_chars)
+        for r in attrition_funnel(d).collect()
+    }
+    clean = next(
+        s for s in registry() if s.name == "corpus_clean_pipeline"
+    ).fn(spark, sf_dir)
+    kept_docs = sum(r.n_docs for r in clean.collect())
+    assert funnel["kept"][0] == kept_docs
+    assert sum(n for n, _ in funnel.values()) == d.count()
