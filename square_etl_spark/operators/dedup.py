@@ -333,6 +333,12 @@ def semantic_dedup(
     work) — the SemDeDup paper's own fit-on-sample posture.  The
     exact path stays the oracle-checked default; arrow≡exact
     assignment agreement is pinned in test_clustering.
+
+    At production dims, scale ``fit_sample_mod`` to pin the fit
+    sample SIZE (≈ n/5000), not the fraction: a fixed-fraction sample
+    with k ∝ N makes the FIT itself quadratic ((N/m)·d·k rows), which
+    at 256-d dominates the whole path — measured in
+    tools/scaling_r09c.py (113.8 s vs 50.9 s at 160 k vectors).
     """
     from square_etl_spark.operators.clustering import (
         kmeans_assign_arrow,

@@ -662,6 +662,7 @@ def temperature_mix(
     total_budget: int,
     alpha: float = 0.5,
     sizes: DataFrame | None = None,
+    max_epochs: float | None = None,
 ) -> DataFrame:
     """Temperature-scaled corpus mixing (the GPT-3/PaLM recipe): each
     mixture group's share of ``total_budget`` is proportional to its
@@ -698,6 +699,21 @@ def temperature_mix(
     then derives its budgets from the accumulated sizes without
     re-aggregating history; the consumption stage still scans the
     rows being selected (inherent — selection emits rows).
+
+    ``max_epochs`` adds the data-constrained cap (Muennighoff et al.
+    2023, arXiv:2305.16264: repeating data beyond ~4 epochs stops
+    helping): each group's budget clips at
+    ``⌊round(max_epochs · n_g, 6)⌋`` so a small group whose
+    temperature share exceeds what it can supply at the allowed
+    repetition is capped at that supply instead of silently promising
+    weight that isn't there.  With ``max_epochs = 1`` a capped group
+    keeps EVERYTHING it has and no more — the no-repetition corpus
+    build.  The clipped total under-fills ``total_budget`` by the
+    sum of the deficits; redistribution across rounds is the
+    trainer's water-filling loop (re-run with the residual budget
+    over the uncapped groups), kept out of this one-step primitive
+    so the arithmetic stays a pure per-group expression.  ``None``
+    (default) preserves the uncapped arithmetic bit-for-bit.
     """
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
@@ -728,11 +744,28 @@ def temperature_mix(
         )
         .select(
             group_col,
+            F.col("__n"),
             F.floor(
                 F.round(F.col("__share") * F.lit(int(total_budget)), 6)
             ).alias("budget"),
         )
     )
+    if max_epochs is not None:
+        budgets = budgets.select(
+            group_col,
+            F.least(
+                F.col("budget"),
+                F.floor(
+                    F.round(
+                        F.col("__n").cast("double")
+                        * F.lit(float(max_epochs)),
+                        6,
+                    )
+                ),
+            ).alias("budget"),
+        )
+    else:
+        budgets = budgets.select(group_col, "budget")
     return budget_cap(
         df, group_col, weight_col, key_cols, budgets=budgets
     )

@@ -112,6 +112,53 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    vectors: DataFrame,
+    queries: DataFrame,
+    skip: int = 5,
+    k: int = 5,
+    min_sim: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    retrieval recipe): per query, skip the ``skip`` MOST-similar
+    vectors (assumed positives / near-duplicates of the anchor) and
+    return the next ``k`` — similar enough to be informative
+    negatives, dissimilar enough to be actual negatives.  ``min_sim``
+    fences off the trivially-unrelated tail: a rank that falls below
+    it is dropped rather than padded (fewer than ``k`` negatives is a
+    real outcome the trainer must see, not paper over).
+
+    Same plan shape as :func:`cosine_topk`: broadcast query set, one
+    scan of the vector table, and a rank ≤ skip+k filter that Spark's
+    WindowGroupLimit pushes into per-partition partial top-(skip+k)
+    heaps — O(Q·(skip+k)) rows reach the final shuffle, never Q·N.
+    Similarity rounds to 6 decimals before ranking with id tiebreak,
+    so the mined set is engine- and partitioning-reproducible — the
+    property that makes a regenerated training set diff-able.
+    """
+    # bcast-ok: ANN query set (handful of probe vectors), ≪ corpus by contract
+    pairs = vectors.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine_sim",
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= skip + k)
+        .filter(
+            (F.col("rank") > skip)
+            & (F.col("cosine_sim") >= F.lit(float(min_sim)))
+        )
+        .select(query_id_col, id_col, "cosine_sim", "rank")
+    )
+
+
 def normalize(vec_col: Column) -> Column:
     """Unit-normalize (double) — do it once at ingest so every probe is
     a plain dot product."""

@@ -2359,6 +2359,49 @@ _register(
 )
 
 
+def _ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining
+    (operators/similarity.hard_negatives): per query skip the top-5
+    assumed positives and take ranks 6-10 above a 0.05 cosine fence —
+    the DPR/SimCSE negative-set build, deterministic so a regenerated
+    training set is diff-able.  Rank filter is WindowGroupLimit-pushed
+    (partial per-partition top-10 heaps, never Q·N to the shuffle)."""
+    from square_etl_spark.operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(
+        e, _queries_df(spark, sf_dir), skip=5, k=5, min_sim=0.05
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "ann_hard_negatives",
+        _ann_hard_negatives,
+        oracle="""
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+        sims AS (
+          SELECT q.query_id, e.vec_id,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cosine_sim
+          FROM embeddings e CROSS JOIN q),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine_sim DESC, vec_id) AS rank
+          FROM sims)
+        SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+        FROM ranked
+        WHERE rank > 5 AND rank <= 10 AND cosine_sim >= 0.05
+        """,
+        doc="hard-negative mining: ranks 6-10 per query above a cosine fence, "
+        "WindowGroupLimit-pushed partial top-k",
+    )
+)
+
+
 def _bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located fact⋈fact join end-to-end: both sides are
     written bucketed+sorted on the join key, so the sort-merge join
@@ -10652,6 +10695,86 @@ _register(
 )
 
 
+def _mix_epoch_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixing (arXiv:2305.16264 via
+    sampling.temperature_mix(max_epochs=1)): temperature shares of a
+    120k-char budget, but each language's budget clips at its OWN
+    corpus size — a small language whose sqrt share over-promises
+    keeps everything it has and no more (no repetition), instead of
+    the selection silently pretending the weight exists.  Per-language
+    report joins the natural supply against what the capped take kept,
+    so capped languages show kept_chars == natural_chars."""
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_mix(
+        d, "lang", "n_chars", ["doc_id"],
+        total_budget=120000, alpha=0.5, max_epochs=1.0,
+    )
+    natural = d.groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("natural_chars")
+    )
+    summary = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    return natural.join(summary, "lang", "left").select(
+        "lang",
+        "natural_chars",
+        F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+        F.coalesce(F.col("kept_chars"), F.lit(0)).cast("bigint").alias("kept_chars"),
+    )
+
+
+_register(
+    QuerySpec(
+        "mix_epoch_capped_langs",
+        _mix_epoch_capped,
+        oracle="""
+        WITH sz AS (
+          SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+        pw AS (
+          SELECT lang, n,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(38,9)) AS p
+          FROM sz),
+        tot AS (SELECT SUM(p) AS sp FROM pw),
+        bud AS (
+          SELECT lang,
+                 LEAST(
+                   CAST(floor(ROUND(
+                     ROUND(CAST(p AS DOUBLE)
+                           / /*nz: sum of positive group weights*/
+                             CAST(sp AS DOUBLE), 9) * 120000, 6))
+                     AS BIGINT),
+                   CAST(floor(ROUND(CAST(n AS DOUBLE) * 1.0, 6))
+                     AS BIGINT)) AS b
+          FROM pw CROSS JOIN tot),
+        ord AS (
+          SELECT doc_id, lang, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents),
+        kept AS (
+          SELECT o.lang, COUNT(*) AS kd, SUM(o.n_chars) AS kc
+          FROM ord o JOIN bud USING (lang)
+          WHERE cum_before < b GROUP BY o.lang)
+        SELECT s.lang,
+               s.n AS natural_chars,
+               CAST(COALESCE(k.kd, 0) AS BIGINT) AS kept_docs,
+               CAST(COALESCE(k.kc, 0) AS BIGINT) AS kept_chars
+        FROM sz s LEFT JOIN kept k USING (lang)
+        """,
+        doc="data-constrained temperature mix: per-language budget clipped at "
+        "its own supply (max_epochs=1), capped langs keep exactly everything",
+    )
+)
+
+
 def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DoReMi-lite domain reweighting (operators/sampling.doremi_mix,
     arXiv:2305.10429): per-source mean unigram-LM NLL minus the corpus
@@ -11463,6 +11586,14 @@ _CHECK_PRIORITY: list[str] = [
     # CORRECTNESS history, computes the arithmetic freshness window
     # from the live registry size, and prints the recommended next
     # head.
+    #
+    # Registered AFTER this head was refreshed (late r09) — selfchecked
+    # green, first driver rows due in the r10 head:
+    # sessionize_native_events (built-in session_window, one Exchange),
+    # mix_doremi_sources (DoReMi-lite excess-NLL MW reweighting),
+    # pipeline_attrition_report (first-drop-stage funnel, one scan),
+    # mix_epoch_capped_langs (data-constrained supply-capped budgets),
+    # ann_hard_negatives (contrastive negative mining, ranks 6-10).
 ]
 
 

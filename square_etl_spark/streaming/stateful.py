@@ -4,10 +4,12 @@
 The reference has no stateful operators (SURVEY.md §2.8) — this is the
 engine's demonstration of the sanctioned escape hatch for semantics
 Structured Streaming's built-ins can't express: arbitrary per-key
-state with explicit timeout control.  (Simple session windows COULD
-use ``F.session_window``; carrying custom per-session payloads —
+state with explicit timeout control.  (Simple session windows use the
+BUILT-IN ``F.session_window`` — ``operators/windows.sessionize_native``,
+whose streaming append-mode finalization is pinned ≡ batch in
+test_stateful_streaming; carrying custom per-session payloads —
 counts, value sums, first/last event ids — through an
-Arrow-batched Python hook is what this operator adds, and the same
+Arrow-batched Python hook is what THIS operator adds, and the same
 skeleton extends to CDC folding, per-entity ML feature state, etc.)
 
 Semantics (matching the batch twin ``operators.windows.sessionize``):

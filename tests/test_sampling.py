@@ -686,3 +686,39 @@ def test_doremi_mix_partition_invariant(spark):
         }
 
     assert pick(df) == pick(df.repartition(17, "w")) != set()
+
+
+def test_temperature_mix_max_epochs_caps_at_supply(spark):
+    # data-constrained cap: the small group's sqrt share over-promises
+    # (454 of 5000) but max_epochs=1 clips its budget at its own 100
+    # chars -> it keeps EVERYTHING and no more; the big group is
+    # uncapped and takes its derived budget; default (None) keeps the
+    # old arithmetic (small group capped only by running out of rows)
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "small", 10) for i in range(10)] + [
+        (100 + i, "big", 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+
+    def take(**kw):
+        out = temperature_mix(
+            df, "src", "w", ["doc_id"], total_budget=5000, alpha=0.5, **kw
+        )
+        return {
+            r.src: (r.n, r.tw)
+            for r in out.groupBy("src")
+            .agg(F.count("*").alias("n"), F.sum("w").alias("tw"))
+            .collect()
+        }
+
+    capped = take(max_epochs=1.0)
+    assert capped["small"] == (10, 100)  # all of it, exactly once
+    # big: budget floor(0.909090909*5000)=4545 -> 46 rows straddle to 4600
+    assert capped["big"][1] <= 4545 + 100
+    # uncapped arithmetic unchanged: small's 454-char budget also keeps
+    # all 10 rows (supply 100 < 454), big identical
+    assert take() == capped
+    # a BINDING contrast: max_epochs=0.5 halves small's supply cap
+    half = take(max_epochs=0.5)
+    assert half["small"][1] <= 50 + 10 and half["small"][0] < 10

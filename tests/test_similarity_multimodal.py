@@ -246,3 +246,63 @@ def test_quantize_plan_compiles_bounded_at_d1024(spark):
     # and the result is actually computable
     row = codes_df.orderBy("vec_id").first()
     assert len(row.codes) == d and row.qnorm > 0
+
+
+def test_hard_negatives_skip_band_and_fence(spark):
+    # unit vectors (cos t, sin t) against query (1, 0): cosine == cos t
+    # exactly, so ranks are fully controlled
+    import math
+
+    from square_etl_spark.operators.similarity import hard_negatives
+
+    sims = [1.0, 0.9, 0.8, 0.7, 0.4, 0.2]
+    rows = [
+        (i, [c, math.sqrt(1.0 - c * c)]) for i, c in enumerate(sims)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    got = hard_negatives(vecs, q, skip=2, k=2, min_sim=0.5).collect()
+    assert [(r.vec_id, r.rank) for r in sorted(got, key=lambda r: r.rank)] == [
+        (2, 3), (3, 4)
+    ]
+    # the fence DROPS rather than pads: raising it above rank 4's sim
+    # leaves a single negative
+    fenced = hard_negatives(vecs, q, skip=2, k=2, min_sim=0.75).collect()
+    assert [(r.vec_id, r.rank) for r in fenced] == [(2, 3)]
+
+
+def test_hard_negatives_disjoint_from_positives(spark, sf_dir):
+    from square_etl_spark.operators.similarity import cosine_topk, hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pos = {
+        (r.query_id, r.vec_id) for r in cosine_topk(e, q, k=5).collect()
+    }
+    neg = {
+        (r.query_id, r.vec_id)
+        for r in hard_negatives(e, q, skip=5, k=5, min_sim=0.0).collect()
+    }
+    assert pos and neg and pos.isdisjoint(neg)
+
+
+def test_hard_negatives_plan_window_group_limit(spark, sf_dir):
+    # the rank <= skip+k filter must reach the window as a partial
+    # group limit — O(Q*(skip+k)) rows to the shuffle, never Q*N
+    from square_etl_spark.operators.similarity import hard_negatives
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = (
+        hard_negatives(e, q, skip=5, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

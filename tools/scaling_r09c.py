@@ -21,8 +21,18 @@ Findings (full table + the two operator fixes this sweep forced —
 checkpointed Arrow assignment, explicit-count sample repartition)
 are written up in SCALING.md 'Round-9 SemDeDup blocking sweep'.
 
+The 256-d addendum (SCALING.md) reruns the sweep at production
+embedding width — `SEMDEDUP_DIM=256`, timed points as a QUIET
+triplicate (the 10^9-row codegen join spreads 15-40 s under GC; take
+medians), plus the `pairs_*` probes (exact candidate-pair counts —
+the deterministic half of the evidence) and the
+`semdedup_fixedfit_arrow` regime (fit sample SIZE pinned at ~5000 so
+the Lloyd fit stays linear; the fixed-FRACTION fit is quadratic at
+k ~ N and dominates at 256-d).
+
 Usage: python tools/scaling_r09c.py                # full sweep
        python tools/scaling_r09c.py --point <n> <op>
+       # op also: pairs_fixed_k4 | pairs_scaled_k | semdedup_fixedfit_arrow
 """
 
 from __future__ import annotations
@@ -36,9 +46,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 OPS = ["semdedup_fixed_k4", "semdedup_scaled_k", "semdedup_scaled_k_arrow"]
+#: override via SEMDEDUP_DIM to measure production embedding widths
+#: (the 16-d sweep showed fixed k=4 never losing — per-pair cost at
+#: 16-d is too cheap for the N^2 term to bite in this range; 256-d
+#: multiplies the per-pair arithmetic 16x, the production regime)
+import os as _os
+DIM_ENV = int(_os.environ.get("SEMDEDUP_DIM", "0"))
 SIZES = [5_000, 10_000, 20_000, 40_000]
 TARGET_BLOCK = 500
-DIM = 16
+DIM = DIM_ENV or 16
 
 
 def timed(name: str, n: int, thunk, spark):
@@ -71,7 +87,60 @@ def _vectors(spark, n: int):
     )
 
 
+def run_pairs_probe(n: int, op: str) -> None:
+    """Report the candidate-pair space Sigma b*(b-1)/2 and the largest
+    block for a given deployment — UNtimed diagnostics that make the
+    timing table interpretable (fixed-k4 cost on uniform high-d data is
+    seed/N-dependent because 1-iter Lloyd balance varies; the pair count
+    is the variable that actually drives the cost).  Mirrors the
+    operator's fit/assign lines (dedup.semantic_dedup) without the pair
+    join, so the probe is cheap even where the timed op is not."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from square_etl_spark import get_spark
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_arrow,
+        kmeans_fixed,
+    )
+
+    spark = get_spark("scaling-r09c")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = _vectors(spark, n).localCheckpoint(eager=True)
+    if op == "pairs_fixed_k4":
+        assign, _ = kmeans_fixed(emb, "vec_id", "embedding", k=4, iters=1)
+    else:  # pairs_scaled_k: sampled fit + arrow assign, as deployed
+        k = max(4, n // TARGET_BLOCK)
+        fit = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(8)) == 0)
+        refit = fit.select(
+            (F.row_number().over(Window.orderBy(F.col("vec_id"))) - 1)
+            .alias("__fid"),
+            F.col("embedding").alias("__fv"),
+        ).repartition(
+            spark.sparkContext.defaultParallelism, F.col("__fid")
+        )
+        _, cent = kmeans_fixed(refit, "__fid", "__fv", k=k, iters=1)
+        assign = kmeans_assign_arrow(emb, cent, "vec_id", "embedding")
+    stats = (
+        assign.groupBy("c").count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("pairs"),
+            F.max("count").alias("max_block"),
+            F.count("*").alias("nonempty_blocks"),
+        )
+        .collect()[0]
+    )
+    print(json.dumps({
+        "op": op, "n": n, "pairs": int(stats["pairs"]),
+        "max_block": int(stats["max_block"]),
+        "nonempty_blocks": int(stats["nonempty_blocks"]),
+    }), flush=True)
+
+
 def run_point(n: int, op: str) -> None:
+    if op.startswith("pairs_"):
+        run_pairs_probe(n, op)
+        return
     from square_etl_spark import get_spark
     from square_etl_spark.operators.dedup import semantic_dedup
 
@@ -81,8 +150,17 @@ def run_point(n: int, op: str) -> None:
     k = 4 if op == "semdedup_fixed_k4" else max(4, n // TARGET_BLOCK)
     # arrow variant: fit centroids on the 1/8 deterministic sample,
     # assign everything with the numpy fast path — the posture the
-    # exact-assignment measurement motivates (see module docstring)
-    mod = 8 if op == "semdedup_scaled_k_arrow" else None
+    # exact-assignment measurement motivates (see module docstring).
+    # fixedfit variant: the sample SIZE is pinned (~5000 vectors, mod
+    # scales with n) so the exact-Lloyd fit stays O(5000*d*k) — the
+    # production posture for high dims, where a fixed-FRACTION sample
+    # makes the fit itself quadratic (sample*d*k with k prop. to N;
+    # measured: the 256-d fit dominates the whole scaled path)
+    mod = None
+    if op == "semdedup_scaled_k_arrow":
+        mod = 8
+    elif op == "semdedup_fixedfit_arrow":
+        mod = max(8, n // 5_000)
     timed(
         op, n,
         lambda: semantic_dedup(
