@@ -376,11 +376,46 @@ def _gated_model_join(
     return probe.join(right, on=on)
 
 
+def unigram_counts(df: DataFrame, col: str = "text") -> DataFrame:
+    """The unigram LM's sufficient statistic: exact ``(w, c)`` token
+    counts — a sum monoid, so batch counts FOLD into a maintained
+    model state (:func:`fold_unigram_counts`) and the folded state is
+    element-for-element the one-shot corpus count.  Unlike DSIR's
+    hashed-bucket state (bounded by construction) the vocabulary grows
+    with observed text — sub-linearly on natural language (the reason
+    unigram scoring scales at all); the scoring join downstream stays
+    size-gated either way (:func:`_gated_model_join`)."""
+    return (
+        df.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(_c(col))), r"\s+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def fold_unigram_counts(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Merge two ``(w, c)`` count relations (sum monoid — fold order
+    irrelevant, fold ≡ one-shot exactly).  Persist the folded state
+    per batch in long-running ingest loops to truncate lineage."""
+    return (
+        state.unionByName(batch)
+        .groupBy("w")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     col: str = "text",
     max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+    model_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Unigram language-model scoring — the classic perplexity-style
     quality filter (CCNet/Gopher filter on LM perplexity; a unigram LM
@@ -408,6 +443,13 @@ def unigram_logprob(
     change the hash; the final mean divides in double and rounds.
 
     Returns (id, n_tokens, avg_nll) — higher avg_nll = rarer tokens.
+
+    ``model_counts``: precomputed ``(w, c)`` model state
+    (:func:`unigram_counts` / :func:`fold_unigram_counts`).  The model
+    must COVER the scored text's vocabulary (true whenever the state
+    was folded over everything being scored — the incremental-twin
+    contract); unseen tokens drop out of the probe join, so scoring
+    out-of-model text needs caller-side smoothing instead.
     """
     from pyspark.sql.window import Window
 
@@ -423,11 +465,19 @@ def unigram_logprob(
     # corpus total folds INTO the vocab relation with one global
     # window (single-partition, but over vocab-sized data — fine),
     # so the expensive token explode+groupBy runs ONCE instead of a
-    # second time just to learn T.
-    freq = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("t_total", F.sum("c").over(Window.partitionBy()))
+    # second time just to learn T.  ``model_counts`` swaps the
+    # count pass for a PRECOMPUTED (w, c) state
+    # (unigram_counts/fold_unigram_counts — sum monoid, fold ≡
+    # one-shot): scoring a continuous ingest never re-tokenizes the
+    # old corpus, only the vocab-sized state moves — the DSIR
+    # raw_counts pattern applied to the LM filter.
+    base = (
+        model_counts.select("w", F.col("c").cast("long").alias("c"))
+        if model_counts is not None
+        else toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+    freq = base.withColumn(
+        "t_total", F.sum("c").over(Window.partitionBy())
     )
     nll = F.round(-F.log(F.col("c") / F.col("t_total")), 6).cast(
         "decimal(18,6)"

@@ -10775,20 +10775,12 @@ _register(
 )
 
 
-def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DoReMi-lite domain reweighting (operators/sampling.doremi_mix,
-    arXiv:2305.10429): per-source mean unigram-LM NLL minus the corpus
-    doc-mean is the excess-loss signal; one exponential
-    multiplicative-weights step (η = 1) smoothed 10% toward uniform
-    derives the per-source character budgets, consumed in budget_cap's
-    deterministic md5-prefix order.  The oracle recomputes the WHOLE
-    recipe — tokenization, LM frequencies, per-doc decimal-summed NLL,
-    domain/corpus means, exp weights, smoothed shares, floor'd
-    budgets, and the per-row exclusive-prefix take."""
+def _doremi_from_nll(d: DataFrame, nll: DataFrame) -> DataFrame:
+    """Shared tail of the one-shot and incremental DoReMi queries:
+    per-source excess NLL → one MW step → budget-capped take →
+    per-source summary."""
     from square_etl_spark.operators.sampling import doremi_mix
 
-    d = load_table(spark, sf_dir, "documents")
-    nll = tx.unigram_logprob(d, "doc_id", "text")
     j = nll.join(d.select("doc_id", "source"), "doc_id")
     dec = F.col("avg_nll").cast("decimal(18,6)")
     dm = j.groupBy("source").agg(
@@ -10820,15 +10812,48 @@ def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_register(
-    QuerySpec(
-        "mix_doremi_sources",
-        _mix_doremi,
-        # exp() carries the documented last-ulp caveat
-        # (sampling.doremi_mix docstring); the 9-decimal rounding after
-        # a small-argument exp makes divergence astronomically
-        # unlikely and data-fixed, verified tri-scale
-        oracle=r"""
+def _mix_doremi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-lite domain reweighting (operators/sampling.doremi_mix,
+    arXiv:2305.10429): per-source mean unigram-LM NLL minus the corpus
+    doc-mean is the excess-loss signal; one exponential
+    multiplicative-weights step (η = 1) smoothed 10% toward uniform
+    derives the per-source character budgets, consumed in budget_cap's
+    deterministic md5-prefix order.  The oracle recomputes the WHOLE
+    recipe — tokenization, LM frequencies, per-doc decimal-summed NLL,
+    domain/corpus means, exp weights, smoothed shares, floor'd
+    budgets, and the per-row exclusive-prefix take."""
+    d = load_table(spark, sf_dir, "documents")
+    return _doremi_from_nll(d, tx.unigram_logprob(d, "doc_id", "text"))
+
+
+def _mix_doremi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL DoReMi (operators/text.unigram_counts /
+    fold_unigram_counts): the unigram LM that scores the excess loss
+    is maintained as a (w, c) count state folded over three ingest
+    batches (doc_id % 3) — count-sum monoid, so the folded model IS
+    the one-shot corpus LM element-for-element and this query shares
+    the one-shot oracle verbatim.  A continuous-ingest reweighting
+    re-derives its domain budgets without re-tokenizing history; only
+    the vocab-sized state moves — the DSIR raw_counts pattern applied
+    to the LM-based selection signal."""
+    d = load_table(spark, sf_dir, "documents")
+    state = None
+    for i in range(3):
+        batch_counts = tx.unigram_counts(
+            d.filter(F.col("doc_id") % 3 == i), "text"
+        )
+        state = (
+            batch_counts
+            if state is None
+            else tx.fold_unigram_counts(state, batch_counts)
+        )
+    nll = tx.unigram_logprob(d, "doc_id", "text", model_counts=state)
+    return _doremi_from_nll(d, nll)
+
+
+#: shared by the one-shot and incremental DoReMi queries — the folded
+#: unigram-count state IS the one-shot LM (sum monoid), so budgets match
+_MIX_DOREMI_ORACLE = r"""
         WITH t AS (
           SELECT doc_id,
                  UNNEST(list_filter(
@@ -10889,9 +10914,32 @@ _register(
         FROM ord o JOIN bud USING (source)
         WHERE cum_before < b
         GROUP BY o.source
-        """,
+        """
+
+
+_register(
+    QuerySpec(
+        "mix_doremi_sources",
+        _mix_doremi,
+        # exp() carries the documented last-ulp caveat
+        # (sampling.doremi_mix docstring); the 9-decimal rounding after
+        # a small-argument exp makes divergence astronomically
+        # unlikely and data-fixed, verified tri-scale
+        oracle=_MIX_DOREMI_ORACLE,
         doc="DoReMi-lite domain reweighting: excess unigram-NLL drives one "
         "exp multiplicative-weights step, uniform-smoothed, budget-cap take",
+        global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
+    )
+)
+
+
+_register(
+    QuerySpec(
+        "mix_doremi_incremental",
+        _mix_doremi_incremental,
+        oracle=_MIX_DOREMI_ORACLE,
+        doc="incremental DoReMi: batch-folded unigram-count LM state scores "
+        "identically to the one-shot corpus model (shared oracle)",
         global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
     )
 )

@@ -1154,3 +1154,34 @@ def test_gopher_rules_each_rule_fires_on_its_planted_doc(spark):
         assert out[d]["pass_all"] is False
     # the clean doc's stopword hits: the/that/and/have/of/to >= 2
     assert out[1]["stopword_hits"] >= 2
+
+
+def test_unigram_counts_fold_equals_one_shot_and_scores_identically(
+    spark, sf_dir
+):
+    """The (w, c) LM state is a sum monoid: folding batch counts in
+    any split equals the one-shot corpus count element-for-element,
+    and scoring through model_counts reproduces the self-computed
+    path bit-for-bit — the incremental-DoReMi contract."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.text import (
+        fold_unigram_counts,
+        unigram_counts,
+        unigram_logprob,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    one_shot = unigram_counts(d, "text")
+    state = None
+    for i in range(4):
+        b = unigram_counts(d.filter(F.col("doc_id") % 4 == i), "text")
+        state = b if state is None else fold_unigram_counts(state, b)
+    assert sorted(map(tuple, state.collect())) == sorted(
+        map(tuple, one_shot.collect())
+    )
+
+    via_model = unigram_logprob(d, "doc_id", "text", model_counts=state)
+    self_computed = unigram_logprob(d, "doc_id", "text")
+    assert sorted(map(tuple, via_model.collect())) == sorted(
+        map(tuple, self_computed.collect())
+    )
