@@ -802,7 +802,10 @@ def doremi_mix(
 
     ``excess`` is a ``(group_col, excess)`` relation, excess ≥ 0 and
     pre-rounded (6 decimals) by the caller — domain-sized, the same
-    mixture-dims contract as ``temperature_mix``'s sizes.
+    mixture-dims contract as ``temperature_mix``'s sizes.  A NULL
+    excess counts as 0 (no evidence → the domain keeps its
+    uniform-smoothed share) rather than NULL-poisoning the group's
+    budget and silently dropping it.
 
     Cross-engine arithmetic: exp(η·excess) rounds to 9 decimals into
     DECIMAL(38,9) sums; λ divides in double and rounds to 9; budgets
@@ -819,9 +822,19 @@ def doremi_mix(
     """
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
+    # NULL excess = no evidence for the domain: weight 1 (exp(0)), so
+    # the group still receives its uniform-smoothed share — a NULL
+    # must not poison the MW arithmetic and silently drop the whole
+    # group from the selection (the budget-join would never match a
+    # NULL budget; same failure class as budget_cap's NULL-group fix)
     w = excess.select(
         group_col,
-        F.round(F.exp(F.lit(float(eta)) * F.col("excess")), 9)
+        F.round(
+            F.exp(
+                F.lit(float(eta)) * F.coalesce(F.col("excess"), F.lit(0.0))
+            ),
+            9,
+        )
         .cast("decimal(38,9)")
         .alias("__w"),
     )

@@ -10926,6 +10926,7 @@ _register(
         # a small-argument exp makes divergence astronomically
         # unlikely and data-fixed, verified tri-scale
         oracle=_MIX_DOREMI_ORACLE,
+        bench=True,
         doc="DoReMi-lite domain reweighting: excess unigram-NLL drives one "
         "exp multiplicative-weights step, uniform-smoothed, budget-cap take",
         global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",

@@ -722,3 +722,31 @@ def test_temperature_mix_max_epochs_caps_at_supply(spark):
     # a BINDING contrast: max_epochs=0.5 halves small's supply cap
     half = take(max_epochs=0.5)
     assert half["small"][1] <= 50 + 10 and half["small"][0] < 10
+
+
+def test_doremi_mix_null_excess_keeps_uniform_share(spark):
+    # NULL excess must not NULL-poison the budget and vanish the
+    # group: it behaves as excess 0 (weight 1, uniform-smoothed share)
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    rows = [(i, "ab"[i % 2], 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    with_null = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "src string, excess double"
+    )
+    as_zero = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0)], "src string, excess double"
+    )
+
+    def pick(ex):
+        return {
+            r.doc_id
+            for r in doremi_mix(
+                df, "src", "w", ["doc_id"], 100, ex, eta=1.0, eps=0.1
+            ).collect()
+        }
+
+    got = pick(with_null)
+    assert got == pick(as_zero)
+    # group b is still selected from, not silently dropped
+    assert any(i % 2 == 1 for i in got)
