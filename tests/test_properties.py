@@ -966,3 +966,100 @@ def test_budget_cap_budgets_mode_invariants(spark, rows, budget):
         ).collect()
     }
     assert {(r.src, r.doc_id) for r in out} == single
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(1, 9)), min_size=1, max_size=24
+    ),
+    excesses=st.lists(
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        min_size=3,
+        max_size=3,
+    ),
+    total=st.integers(min_value=1, max_value=60),
+)
+@SETTINGS
+def test_doremi_mix_budget_invariants(spark, rows, excesses, total):
+    """Property: (a) each group's kept weight minus its straddling row
+    stays under the MW-derived budget implied by its excess; (b) the
+    budgets themselves never exceed the total (floor'd shares of a
+    convex combination sum <= total); (c) selection is deterministic
+    under repartition."""
+    import math
+
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    df = spark.createDataFrame(
+        [(g, i, w) for i, (g, w) in enumerate(rows)],
+        "src string, doc_id long, w long",
+    )
+    groups = ["a", "b", "c"]
+    ex = spark.createDataFrame(
+        list(zip(groups, [round(e, 6) for e in excesses])),
+        "src string, excess double",
+    )
+    out = doremi_mix(
+        df, "src", "w", ["doc_id"], total, ex, eta=1.0, eps=0.1
+    ).collect()
+    # recompute the budgets the operator derives (same rounding path)
+    w = [round(math.exp(1.0 * round(e, 6)), 9) for e in excesses]
+    sw = sum(w)
+    lam = [round(0.9 * (wi / sw) + 0.1 / 3, 9) for wi in w]
+    bud = {g: math.floor(round(l * total, 6)) for g, l in zip(groups, lam)}
+    assert sum(bud.values()) <= total
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r.src, []).append(r.w)
+    for g, ws in by_g.items():
+        assert sum(ws) - max(ws) < bud[g]
+    again = {
+        (r.src, r.doc_id)
+        for r in doremi_mix(
+            df.repartition(13, "w"), "src", "w", ["doc_id"],
+            total, ex, eta=1.0, eps=0.1,
+        ).collect()
+    }
+    assert {(r.src, r.doc_id) for r in out} == again
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(1, 9)), min_size=1, max_size=24
+    ),
+    total=st.integers(min_value=1, max_value=80),
+    max_epochs=st.sampled_from([0.5, 1.0, 2.0]),
+)
+@SETTINGS
+def test_temperature_mix_epoch_cap_invariants(spark, rows, total, max_epochs):
+    """Property: with the data-constrained cap, every group's kept
+    weight minus its straddling row stays under BOTH the temperature
+    budget and floor(max_epochs * supply); max_epochs=1 keeps at most
+    (and given a large enough total, exactly) the group's own rows."""
+    import math
+
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(g, i, w) for i, (g, w) in enumerate(rows)],
+        "src string, doc_id long, w long",
+    )
+    supply: dict = {}
+    for g, w in rows:
+        supply[g] = supply.get(g, 0) + w
+    out = temperature_mix(
+        df, "src", "w", ["doc_id"], total_budget=total, alpha=0.5,
+        max_epochs=max_epochs,
+    ).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r.src, []).append(r.w)
+    for g, ws in by_g.items():
+        cap = math.floor(round(supply[g] * max_epochs, 6))
+        assert sum(ws) - max(ws) < cap
+        assert sum(ws) <= supply[g]  # can never keep more than exists
+    if max_epochs == 1.0 and total >= sum(supply.values()):
+        # budget covers everything and the cap equals supply: the
+        # whole corpus is kept exactly once
+        kept = sum(sum(ws) for ws in by_g.values())
+        assert kept == sum(supply.values())
