@@ -572,3 +572,39 @@ def stream_dsir_availablenow(
     _fold_stream_availablenow(
         spark, source_dir, checkpoint_dir, counts_path, fold, schema=schema
     )
+
+
+def stream_lm_counts_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    counts_path: str,
+    text_col: str = "text",
+    schema=None,
+) -> None:
+    """Streaming unigram-LM maintenance: each micro-batch's exact
+    ``(w, c)`` token counts fold into the stored model state
+    (:func:`operators.text.unigram_counts` /
+    :func:`fold_unigram_counts` — count-sum monoid), so the
+    perplexity-style quality filter and the DoReMi excess-loss signal
+    stay computable over an unbounded ingest at O(batch) refresh cost
+    — the DSIR sink's pattern with a vocab-sized (sub-linear, not
+    bounded-by-construction) state.  The maintained state equals the
+    one-shot corpus counts ELEMENT-FOR-ELEMENT (pinned in
+    test_streaming), hence ``unigram_logprob(model_counts=state)``
+    scores identically to a full recompute.  Exactly-once
+    transactional scaffolding (batch-id marker + atomic swap) shared
+    with the rollup/CMS/KMV/PSI/DSIR sinks via
+    :func:`_fold_stream_availablenow`."""
+    from square_etl_spark.operators.text import (
+        fold_unigram_counts,
+        unigram_counts,
+    )
+
+    def fold(target: DataFrame | None, batch: DataFrame) -> DataFrame:
+        counts = unigram_counts(batch, text_col)
+        return counts if target is None else fold_unigram_counts(target, counts)
+
+    _fold_stream_availablenow(
+        spark, source_dir, checkpoint_dir, counts_path, fold, schema=schema
+    )

@@ -713,3 +713,54 @@ def test_stream_dsir_maintain_equals_one_shot_exactly(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == want
+
+
+def test_stream_lm_counts_maintain_equals_one_shot_exactly(
+    spark, sf_dir, tmp_path
+):
+    """Stream the documents in two availableNow passes through the
+    unigram-LM state maintainer; the stored (w, c) model must equal
+    the one-shot corpus counts element-for-element, scoring through
+    model_counts must equal the self-computed path, and a replayed
+    drain must not double-count (batch-id guard)."""
+    import os
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.text import unigram_counts, unigram_logprob
+    from square_etl_spark.schemas import DOCUMENTS
+    from square_etl_spark.streaming.incremental import (
+        stream_lm_counts_availablenow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    state = os.path.join(tmp_path, "lm")
+
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(src)
+    stream_lm_counts_availablenow(spark, src, ckpt, state, "text",
+                                  schema=DOCUMENTS)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    stream_lm_counts_availablenow(spark, src, ckpt, state, "text",
+                                  schema=DOCUMENTS)
+
+    stored = spark.read.parquet(state)
+    got = {(r["w"], r["c"]) for r in stored.collect()}
+    want = {(r["w"], r["c"]) for r in unigram_counts(docs, "text").collect()}
+    assert got == want and len(got) > 0
+
+    via_state = sorted(
+        map(tuple, unigram_logprob(
+            docs, "doc_id", "text", model_counts=stored
+        ).collect())
+    )
+    self_computed = sorted(
+        map(tuple, unigram_logprob(docs, "doc_id", "text").collect())
+    )
+    assert via_state == self_computed
+
+    # replay: re-draining the same source must be a no-op
+    stream_lm_counts_availablenow(spark, src, ckpt, state, "text",
+                                  schema=DOCUMENTS)
+    again = {(r["w"], r["c"]) for r in spark.read.parquet(state).collect()}
+    assert again == want
