@@ -285,3 +285,31 @@ def test_versioned_write_retries_past_orphan_snapshot(spark, tmp_path):
     v = versioned_write(spark, spark.range(7), path)  # retry must not collide
     assert v == 3
     assert read_version(spark, path).count() == 7
+
+
+def test_dynamic_partition_pruning_fires_on_dim_filtered_join(
+    spark, sf_dir, tmp_path
+):
+    """DPP — the Catalyst feature that makes star joins scale on
+    partitioned facts: with the fact partitioned on the join key and a
+    selective dim filter, the fact scan's PartitionFilters carry a
+    runtime dynamicpruning subquery, so only the dim-selected
+    partitions are read (no manual predicate plumbing).  Pinned here
+    because the 100 TB posture depends on it: a fact partitioned by
+    the mixture/tenant/date key must never full-scan for a filtered
+    dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fact_path = os.path.join(tmp_path, "fact_by_flag")
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", 0), ("N", 1), ("R", 0)], "flag string, grp int"
+    )
+    j = fact.join(
+        dim.filter("grp = 0"), fact.l_returnflag == dim.flag
+    ).agg(F.count("*").alias("n"))
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower()
+    # and the pruned result is exactly the filter-based answer
+    want = li.filter(F.col("l_returnflag").isin(["A", "R"])).count()
+    assert j.collect()[0].n == want
