@@ -11612,8 +11612,20 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_strip_repeated_spans",
     "text_novelty_contribution",
     "corpus_datasheet",
+    # -- the 6 late-r09 registrations (tri-scale selfchecked green,
+    # -- zero driver rows): native session windows, DoReMi one-shot +
+    # -- incremental, attrition funnel, epoch-capped mix, hard
+    # -- negatives — rotation.py's head-staleness lint (added with
+    # -- them) fails if a never-checked query sits outside the head
+    "ann_hard_negatives",
+    "sessionize_native_events",
+    "pipeline_attrition_report",
+    "mix_epoch_capped_langs",
+    "mix_doremi_sources",
+    "mix_doremi_incremental",
     # -- r05 cohort (oldest green rows): multimodal codecs + SQL/TPC-H
-    # -- + histogram/arrow + incremental rollup + SCD2
+    # -- (the rest of the r05 cohort rotates in r10, inside the
+    # -- 6-round window)
     "multimodal_decode_jpeg",
     "multimodal_decode_tiff",
     "multimodal_decode_wav",
@@ -11622,27 +11634,14 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_features_by_lang",
     "sql_api_revenue",
     "q3_shipping_priority",
-    "q10_returned_revenue",
-    "a2_stage_counts",
-    "histogram_doc_length",
-    "arrow_token_count",
-    "incremental_rollup_revenue",
-    "scd2_customer_segment",
     # -- flagship anchor (every round, last slot)
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history, computes the arithmetic freshness window
-    # from the live registry size, and prints the recommended next
-    # head.
-    #
-    # Registered AFTER this head was refreshed (late r09) — selfchecked
-    # green, first driver rows due in the r10 head:
-    # sessionize_native_events (built-in session_window, one Exchange),
-    # mix_doremi_sources (DoReMi-lite excess-NLL MW reweighting),
-    # pipeline_attrition_report (first-drop-stage funnel, one scan),
-    # mix_epoch_capped_langs (data-constrained supply-capped budgets),
-    # ann_hard_negatives (contrastive negative mining, ranks 6-10).
+    # from the live registry size, prints the recommended next head,
+    # and exits nonzero if a never-checked query is left outside the
+    # head while already-green queries hold slots.
 ]
 
 

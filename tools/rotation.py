@@ -107,6 +107,25 @@ def main() -> int:
         for n in stale_rows_only:
             print(f"  {n}  (last row r{latest[n]:02d})")
 
+    # a never-checked query left OUT of the head while head slots are
+    # occupied by already-green queries = a whole round of contract
+    # evidence silently deferred (the late-r09 stale-head failure mode:
+    # the head froze early-round and later registrations never made it
+    # in).  Fail loudly — refreshing the head is one list edit.
+    never_outside = [n for n in never if n not in head_now]
+    displaced = [
+        n for n in head_now
+        if n in latest and n != "flagship_star_revenue"
+    ]
+    head_stale = bool(never_outside) and bool(displaced)
+    if head_stale:
+        print(
+            "POLICY VIOLATION — never-checked queries outside the head "
+            f"while {len(displaced)} already-green queries hold slots: "
+            f"{never_outside}\n  fix: refresh _CHECK_PRIORITY to the "
+            "recommended head below"
+        )
+
     # recommended next head: never-checked → oldest cohort → … → anchor
     cohorts: dict[int, list[str]] = {}
     for n in names:
@@ -121,7 +140,7 @@ def main() -> int:
     for n in rec:
         tag = "" if has_oracle[n] else "  [rows-only]"
         print(f"  {n}  (last r{latest.get(n, 0):02d}){tag}")
-    return 1 if unknown or stale_oracle else 0
+    return 1 if unknown or stale_oracle or head_stale else 0
 
 
 if __name__ == "__main__":
