@@ -282,6 +282,64 @@ def embedding_cosine_pairs_bucketed(
     )
 
 
+def semantic_block_assign(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    fit_sample_mod: int | None = None,
+) -> DataFrame:
+    """:func:`semantic_dedup`'s fit+assign stage, exposed so
+    diagnostics (tools/scaling_r09c.py's pair-space probes) measure
+    the EXACT deployed blocking rather than a parallel copy that can
+    drift.  Returns the ``(vid, c)`` cluster assignment: exact Lloyd
+    on everything when ``fit_sample_mod`` is None, else fit on the
+    deterministic 1/m id-hash sample and assign via the Arrow numpy
+    path (see semantic_dedup's docstring for when to scale the mod)."""
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_arrow,
+        kmeans_fixed,
+    )
+
+    if fit_sample_mod is None:
+        assign, _ = kmeans_fixed(emb, id_col, vec_col, k=k, iters=iters)
+        return assign
+    fit = emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
+    )
+    # re-densify ids so kmeans_fixed's "vid < k" seed rule sees the
+    # sample's first k vectors; gw-ok: the window ranks only the
+    # bounded fit sample (1/m of the corpus by contract), not the
+    # corpus itself
+    refit = fit.select(
+        (
+            F.row_number().over(Window.orderBy(F.col(id_col))) - 1
+        ).alias("__fid"),
+        F.col(vec_col).alias("__fv"),
+    ).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        F.col("__fid"),
+    )
+    # ^ the global window collapses the sample to ONE partition;
+    # without the repartition the fit's whole map side (explode +
+    # decimal partial aggs) runs single-threaded (measured 4.5x on
+    # the k=80 fit in tools/scaling_r09c.py).  The partition COUNT
+    # is explicit because AQE coalesces a column-only repartition
+    # of a small sample right back to one partition (measured).
+    _, cent = kmeans_fixed(refit, "__fid", "__fv", k=k, iters=iters)
+    # localCheckpoint: the pair stage self-joins on the assignment,
+    # so an unchecked mapInPandas lineage would re-run the Python
+    # workers once per branch (measured 3.9x at 40k vectors in
+    # tools/scaling_r09c.py) — same discipline as the exact path,
+    # whose assignment kmeans_fixed checkpoints internally
+    return (
+        kmeans_assign_arrow(emb, cent, id_col, vec_col)
+        .select("vid", "c")
+        .localCheckpoint(eager=True)
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -340,52 +398,16 @@ def semantic_dedup(
     at 256-d dominates the whole path — measured in
     tools/scaling_r09c.py (113.8 s vs 50.9 s at 160 k vectors).
     """
-    from square_etl_spark.operators.clustering import (
-        kmeans_assign_arrow,
-        kmeans_fixed,
-    )
     from square_etl_spark.operators.similarity import (
         dot,
         dot_unrolled,
         normalize,
     )
 
-    if fit_sample_mod is None:
-        assign, _ = kmeans_fixed(emb, id_col, vec_col, k=k, iters=iters)
-    else:
-        fit = emb.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
-        )
-        # re-densify ids so kmeans_fixed's "vid < k" seed rule sees the
-        # sample's first k vectors; gw-ok: the window ranks only the
-        # bounded fit sample (1/m of the corpus by contract), not the
-        # corpus itself
-        refit = fit.select(
-            (
-                F.row_number().over(Window.orderBy(F.col(id_col))) - 1
-            ).alias("__fid"),
-            F.col(vec_col).alias("__fv"),
-        ).repartition(
-            emb.sparkSession.sparkContext.defaultParallelism,
-            F.col("__fid"),
-        )
-        # ^ the global window collapses the sample to ONE partition;
-        # without the repartition the fit's whole map side (explode +
-        # decimal partial aggs) runs single-threaded (measured 4.5x on
-        # the k=80 fit in tools/scaling_r09c.py).  The partition COUNT
-        # is explicit because AQE coalesces a column-only repartition
-        # of a small sample right back to one partition (measured).
-        _, cent = kmeans_fixed(refit, "__fid", "__fv", k=k, iters=iters)
-        # localCheckpoint: the pair stage self-joins on the assignment,
-        # so an unchecked mapInPandas lineage would re-run the Python
-        # workers once per branch (measured 3.9x at 40k vectors in
-        # tools/scaling_r09c.py) — same discipline as the exact path,
-        # whose assignment kmeans_fixed checkpoints internally
-        assign = (
-            kmeans_assign_arrow(emb, cent, id_col, vec_col)
-            .select("vid", "c")
-            .localCheckpoint(eager=True)
-        )
+    assign = semantic_block_assign(
+        emb, id_col, vec_col, k=k, iters=iters,
+        fit_sample_mod=fit_sample_mod,
+    )
     normed = emb.select(
         F.col(id_col).alias("vid"), normalize(F.col(vec_col)).alias("__nv")
     )

@@ -802,10 +802,17 @@ def doremi_mix(
 
     ``excess`` is a ``(group_col, excess)`` relation, excess ≥ 0 and
     pre-rounded (6 decimals) by the caller — domain-sized, the same
-    mixture-dims contract as ``temperature_mix``'s sizes.  A NULL
-    excess counts as 0 (no evidence → the domain keeps its
-    uniform-smoothed share) rather than NULL-poisoning the group's
-    budget and silently dropping it.
+    mixture-dims contract as ``temperature_mix``'s sizes.  The
+    domain universe is taken from ``df`` ITSELF: a group present in
+    the corpus but missing from ``excess`` (e.g. every doc scored as
+    empty) behaves exactly like a NULL excess — weight exp(0) = 1,
+    the uniform-smoothed share — rather than silently vanishing from
+    the selection (and extra ``excess`` rows for groups absent from
+    the corpus are ignored rather than diluting ε/k).  η·excess is
+    asserted ≤ 66 inside the plan (E2 fail-fast): past that the
+    exp weight would overflow DECIMAL(38,9) to NULL under the
+    non-ANSI decimal cast and zero-budget exactly the domain the
+    method says should get the most.
 
     Cross-engine arithmetic: exp(η·excess) rounds to 9 decimals into
     DECIMAL(38,9) sums; λ divides in double and rounds to 9; budgets
@@ -822,21 +829,27 @@ def doremi_mix(
     """
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
-    # NULL excess = no evidence for the domain: weight 1 (exp(0)), so
-    # the group still receives its uniform-smoothed share — a NULL
-    # must not poison the MW arithmetic and silently drop the whole
-    # group from the selection (the budget-join would never match a
-    # NULL budget; same failure class as budget_cap's NULL-group fix)
-    w = excess.select(
+    from square_etl_spark.operators.quality import assert_invariant
+
+    # domain universe from the CORPUS (one mixture-dims grouped agg,
+    # same cost shape as temperature_mix's sizes pass), with excess
+    # left-joined on: a missing row and a NULL excess both mean "no
+    # evidence" = weight exp(0) = 1 — neither may poison the MW
+    # arithmetic and silently drop the group from the selection (the
+    # budget-join would never match a NULL/absent budget; same
+    # failure class as budget_cap's NULL-group fix)
+    universe = df.select(group_col).distinct()
+    ex = F.coalesce(F.col("excess"), F.lit(0.0))
+    arg = F.lit(float(eta)) * ex
+    w = universe.join(excess, group_col, "left")
+    # E2 fail-fast: past exp(66) the DECIMAL(38,9) cast would NULL out
+    # (non-ANSI overflow) and zero-budget the hottest domain silently
+    w = assert_invariant(
+        w, arg <= F.lit(66.0),
+        "doremi_mix: eta*excess > 66 would overflow the decimal weight",
+    ).select(
         group_col,
-        F.round(
-            F.exp(
-                F.lit(float(eta)) * F.coalesce(F.col("excess"), F.lit(0.0))
-            ),
-            9,
-        )
-        .cast("decimal(38,9)")
-        .alias("__w"),
+        F.round(F.exp(arg), 9).cast("decimal(38,9)").alias("__w"),
     )
     tot = w.agg(
         F.sum("__w").alias("__sw"), F.count(F.lit(1)).alias("__k")

@@ -516,23 +516,25 @@ def run_pipeline(
     )
 
 
-def attrition_funnel(docs: DataFrame) -> DataFrame:
-    """Per-stage attrition funnel of the corpus-clean pipeline: label
-    each document with the FIRST stage that drops it — ``quality``
-    (score < 0.3), ``exact_dup`` (not the min-id doc of its sha256
-    digest among quality-kept docs), ``near_dup`` (a non-canonical
-    member of a lossless prefix-join Jaccard >= 0.5 cluster among
-    exact survivors), else ``kept`` — and aggregate docs + chars per
-    stage.  The release-card observability every production data
-    pipeline ships: how much each filter costs, reconciling exactly
-    with corpus_clean_pipeline's survivor set.
+#: the corpus-clean pipeline's stage parameters — shared by
+#: corpus_clean_pipeline and attrition_funnel so the funnel's 'kept'
+#: row cannot drift out of reconciliation with the pipeline (their
+#: oracles hard-code the same values; change them together)
+CLEAN_QUALITY_MIN = 0.3
+CLEAN_NGRAM_N = 3
+CLEAN_JACCARD_THRESHOLD = 0.5
 
-    ONE corpus scan: the stage flags come from the same relations the
-    pipeline itself computes — the exact-dup rank is digest-keyed
-    (keys-sized shuffle), the near-dup set is cluster-sized — joined
-    back onto the scored scan, not four pipeline re-runs at
-    increasing truncations.  ``docs`` needs (doc_id, text, n_chars).
-    """
+
+def clean_stage_relations(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The corpus-clean pipeline's stage relations, built once and
+    shared by :func:`attrition_funnel` and the corpus_clean_pipeline
+    query: ``(scored, ranked, exact_survivors, non_canonical)`` where
+    ``scored`` adds the quality column ``q``, ``ranked`` ranks
+    quality-kept docs within their sha256 digest (min doc_id first),
+    ``exact_survivors`` keeps rank 1, and ``non_canonical`` flags the
+    losing members of lossless prefix-join near-dup clusters."""
     from pyspark.sql.window import Window
 
     from square_etl_spark.operators.dedup import (
@@ -542,25 +544,51 @@ def attrition_funnel(docs: DataFrame) -> DataFrame:
     from square_etl_spark.operators.text import quality_score
 
     scored = docs.withColumn("q", quality_score("text"))
-    kept = scored.filter(F.col("q") >= 0.3)
+    kept = scored.filter(F.col("q") >= CLEAN_QUALITY_MIN)
     digest_w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
         F.col("doc_id").asc()
     )
     ranked = kept.withColumn("__rn", F.row_number().over(digest_w))
     exact_survivors = ranked.filter(F.col("__rn") == 1).drop("__rn")
     pairs = ngram_jaccard_prefix(
-        exact_survivors, "doc_id", "text", n=3, threshold=0.5
+        exact_survivors, "doc_id", "text",
+        n=CLEAN_NGRAM_N, threshold=CLEAN_JACCARD_THRESHOLD,
     )
     clusters = connected_components(pairs)
     non_canonical = clusters.filter(
         F.col("doc_id") != F.col("cluster_id")
     ).select("doc_id", F.lit(True).alias("__nd"))
+    return scored, ranked, exact_survivors, non_canonical
+
+
+def attrition_funnel(docs: DataFrame) -> DataFrame:
+    """Per-stage attrition funnel of the corpus-clean pipeline: label
+    each document with the FIRST stage that drops it — ``quality``
+    (score < CLEAN_QUALITY_MIN), ``exact_dup`` (not the min-id doc of
+    its sha256 digest among quality-kept docs), ``near_dup`` (a
+    non-canonical member of a lossless prefix-join near-dup cluster
+    among exact survivors), else ``kept`` — and aggregate docs +
+    chars per stage.  The release-card observability every production
+    data pipeline ships: how much each filter costs, reconciling
+    exactly with corpus_clean_pipeline's survivor set.
+
+    ONE corpus scan: the stage flags come from the same relations the
+    pipeline itself computes — the exact-dup rank is digest-keyed
+    (keys-sized shuffle), the near-dup set is cluster-sized — joined
+    back onto the scored scan, not four pipeline re-runs at
+    increasing truncations.  ``docs`` needs (doc_id, text, n_chars).
+    Stage relations and thresholds come from
+    :func:`clean_stage_relations`, the SAME code the
+    corpus_clean_pipeline query builds on — reconciliation by
+    construction, not parallel maintenance of two literal copies.
+    """
+    scored, ranked, _, non_canonical = clean_stage_relations(docs)
     labeled = (
         scored.join(ranked.select("doc_id", "__rn"), "doc_id", "left")
         .join(non_canonical, "doc_id", "left")
         .withColumn(
             "stage",
-            F.when(F.col("q") < 0.3, F.lit("quality"))
+            F.when(F.col("q") < CLEAN_QUALITY_MIN, F.lit("quality"))
             .when(F.col("__rn") > 1, F.lit("exact_dup"))
             .when(F.col("__nd"), F.lit("near_dup"))
             .otherwise(F.lit("kept")),

@@ -6197,28 +6197,17 @@ def _corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Near-dup pairs come from the LOSSLESS prefix-filter join
     (ngram_jaccard_prefix at Jaccard ≥ 0.5, the default near-dup path
     since r09): the collapse decision equals the exhaustive join's by
-    construction — no df_cap recall knob in the flagship pipeline."""
-    from square_etl_spark.operators.dedup import ngram_jaccard_prefix
-    from square_etl_spark.operators.text import quality_score, token_count
+    construction — no df_cap recall knob in the flagship pipeline.
+    Stage relations come from pipelines.clean_stage_relations, SHARED
+    with the attrition funnel so the two reconcile by construction."""
+    from square_etl_spark.operators.text import token_count
+    from square_etl_spark.pipelines import clean_stage_relations
 
     d = load_table(spark, sf_dir, "documents")
-    kept = d.filter(quality_score("text") >= 0.3)
-    digest_w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
-        F.col("doc_id").asc()
+    _, _, exact_survivors, non_canonical = clean_stage_relations(d)
+    clean = exact_survivors.join(
+        non_canonical.select("doc_id"), on="doc_id", how="left_anti"
     )
-    exact_survivors = (
-        kept.withColumn("__rn", F.row_number().over(digest_w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    pairs = ngram_jaccard_prefix(
-        exact_survivors, "doc_id", "text", n=3, threshold=0.5
-    )
-    clusters = connected_components(pairs)
-    non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
-    clean = exact_survivors.join(non_canonical, on="doc_id", how="left_anti")
     return clean.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count("text")).cast("long").alias("total_tokens"),
@@ -10885,10 +10874,16 @@ _MIX_DOREMI_ORACLE = r"""
           SELECT source,
                  GREATEST(0.0, ROUND(m_d - m, 6)) AS excess
           FROM dm CROSS JOIN cm),
+        uni AS (SELECT DISTINCT source FROM documents),
         w AS (
-          SELECT source,
-                 CAST(ROUND(exp(1.0 * excess), 9) AS DECIMAL(38,9)) AS wt
-          FROM ex),
+          -- domain universe from the corpus itself: a source whose
+          -- docs all scored empty has no ex row and gets weight
+          -- exp(0) = 1 (the operator's no-evidence rule), never a
+          -- silent drop
+          SELECT u.source,
+                 CAST(ROUND(exp(1.0 * COALESCE(e.excess, 0.0)), 9)
+                      AS DECIMAL(38,9)) AS wt
+          FROM uni u LEFT JOIN ex e ON e.source = u.source),
         wtot AS (SELECT SUM(wt) AS sw, COUNT(*) AS k FROM w),
         bud AS (
           SELECT source,

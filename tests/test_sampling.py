@@ -750,3 +750,11 @@ def test_doremi_mix_null_excess_keeps_uniform_share(spark):
     assert got == pick(as_zero)
     # group b is still selected from, not silently dropped
     assert any(i % 2 == 1 for i in got)
+    # a group MISSING from the excess relation entirely behaves the
+    # same as excess 0 (domain universe comes from the corpus, not
+    # the evidence relation), and an extra excess row for a group
+    # with no corpus rows is ignored rather than diluting eps/k
+    missing_b = spark.createDataFrame(
+        [("a", 1.0), ("ghost", 9.0)], "src string, excess double"
+    )
+    assert pick(missing_b) == got

@@ -92,35 +92,26 @@ def run_pairs_probe(n: int, op: str) -> None:
     block for a given deployment — UNtimed diagnostics that make the
     timing table interpretable (fixed-k4 cost on uniform high-d data is
     seed/N-dependent because 1-iter Lloyd balance varies; the pair count
-    is the variable that actually drives the cost).  Mirrors the
-    operator's fit/assign lines (dedup.semantic_dedup) without the pair
-    join, so the probe is cheap even where the timed op is not."""
-    from pyspark.sql import Window
+    is the variable that actually drives the cost).  Calls the
+    operator's OWN fit/assign stage (dedup.semantic_block_assign), so
+    the probe measures the deployed blocking and cannot drift from it."""
     from pyspark.sql import functions as F
 
     from square_etl_spark import get_spark
-    from square_etl_spark.operators.clustering import (
-        kmeans_assign_arrow,
-        kmeans_fixed,
-    )
+    from square_etl_spark.operators.dedup import semantic_block_assign
 
     spark = get_spark("scaling-r09c")
     spark.sparkContext.setLogLevel("ERROR")
     emb = _vectors(spark, n).localCheckpoint(eager=True)
     if op == "pairs_fixed_k4":
-        assign, _ = kmeans_fixed(emb, "vec_id", "embedding", k=4, iters=1)
-    else:  # pairs_scaled_k: sampled fit + arrow assign, as deployed
-        k = max(4, n // TARGET_BLOCK)
-        fit = emb.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(8)) == 0)
-        refit = fit.select(
-            (F.row_number().over(Window.orderBy(F.col("vec_id"))) - 1)
-            .alias("__fid"),
-            F.col("embedding").alias("__fv"),
-        ).repartition(
-            spark.sparkContext.defaultParallelism, F.col("__fid")
+        assign = semantic_block_assign(
+            emb, "vec_id", "embedding", k=4, iters=1
         )
-        _, cent = kmeans_fixed(refit, "__fid", "__fv", k=k, iters=1)
-        assign = kmeans_assign_arrow(emb, cent, "vec_id", "embedding")
+    else:  # pairs_scaled_k: sampled fit + arrow assign, as deployed
+        assign = semantic_block_assign(
+            emb, "vec_id", "embedding",
+            k=max(4, n // TARGET_BLOCK), iters=1, fit_sample_mod=8,
+        )
     stats = (
         assign.groupBy("c").count()
         .agg(
