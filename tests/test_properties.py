@@ -1002,11 +1002,16 @@ def test_doremi_mix_budget_invariants(spark, rows, excesses, total):
     out = doremi_mix(
         df, "src", "w", ["doc_id"], total, ex, eta=1.0, eps=0.1
     ).collect()
-    # recompute the budgets the operator derives (same rounding path)
-    w = [round(math.exp(1.0 * round(e, 6)), 9) for e in excesses]
+    # recompute the budgets the operator derives (same rounding path).
+    # The domain universe is the CORPUS's groups — hypothesis may put
+    # only a subset of {a,b,c} into rows, and k counts that subset
+    exmap = dict(zip(groups, [round(e, 6) for e in excesses]))
+    present = sorted({g for g, _ in rows})
+    k = len(present)
+    w = [round(math.exp(1.0 * exmap[g]), 9) for g in present]
     sw = sum(w)
-    lam = [round(0.9 * (wi / sw) + 0.1 / 3, 9) for wi in w]
-    bud = {g: math.floor(round(l * total, 6)) for g, l in zip(groups, lam)}
+    lam = [round(0.9 * (wi / sw) + 0.1 / k, 9) for wi in w]
+    bud = {g: math.floor(round(l * total, 6)) for g, l in zip(present, lam)}
     assert sum(bud.values()) <= total
     by_g: dict = {}
     for r in out:
