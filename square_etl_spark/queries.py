@@ -8194,6 +8194,73 @@ _register(
 )
 
 
+def _sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (the D4/DataComp-style
+    curation move): k-means clusters over the embedding space are the
+    DIVERSITY strata, and each cluster's share of a 300-vector budget
+    is ∝ size^0.5 — dense/redundant regions are downsampled hard
+    while small/rare clusters survive, the opposite failure mode of
+    uniform sampling (which mirrors the corpus's redundancy).  Pure
+    composition of two already-oracled primitives: the exact-Lloyd
+    assignment (kmeans_embeddings / dedup_semantic's blocks) feeds
+    temperature_mix over the CLUSTER LABEL with per-row weight 1, so
+    consumption inherits budget_cap's deterministic md5-prefix order.
+    The oracle recomputes both Lloyd iterations AND the full mixture
+    recipe."""
+    from square_etl_spark.operators.clustering import kmeans_fixed
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans_fixed(e, "vec_id", "embedding", k=4, iters=2)
+    tagged = assign.select(
+        F.col("vid").alias("vec_id"),
+        F.col("c").cast("long").alias("cluster"),
+    ).withColumn("w", F.lit(1).cast("long"))
+    kept = temperature_mix(
+        tagged, "cluster", "w", ["vec_id"], total_budget=300, alpha=0.5
+    )
+    return kept.select("vec_id", "cluster")
+
+
+_register(
+    QuerySpec(
+        "sample_cluster_balanced",
+        _sample_cluster_balanced,
+        oracle=f"""
+        WITH {_kmeans_ctes()},
+        sz AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY c),
+        pw AS (
+          SELECT c,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(38,9)) AS p
+          FROM sz),
+        tot AS (SELECT SUM(p) AS sp FROM pw),
+        bud AS (
+          SELECT c,
+                 CAST(floor(ROUND(
+                   ROUND(CAST(p AS DOUBLE)
+                         / /*nz: sum of positive cluster weights*/
+                           CAST(sp AS DOUBLE), 9) * 300, 6))
+                   AS BIGINT) AS b
+          FROM pw CROSS JOIN tot),
+        ord AS (
+          SELECT vid, c,
+                 SUM(1) OVER (
+                   PARTITION BY c
+                   ORDER BY md5(CAST(vid AS VARCHAR)), vid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - 1 AS cum_before
+          FROM a2)
+        SELECT o.vid AS vec_id, CAST(o.c AS BIGINT) AS cluster
+        FROM ord o JOIN bud USING (c)
+        WHERE cum_before < b
+        """,
+        doc="cluster-balanced diversity sampling: per-cluster budgets "
+        "prop. to size^0.5 over exact-Lloyd strata, md5-prefix take",
+    )
+)
+
+
 def _pagerank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank, 3 power iterations
     (operators/graph.pagerank_fixed) over a deterministic 3-regular
@@ -11618,7 +11685,8 @@ _CHECK_PRIORITY: list[str] = [
     "mix_epoch_capped_langs",
     "mix_doremi_sources",
     "mix_doremi_incremental",
-    # -- r05 cohort (oldest green rows): multimodal codecs + SQL/TPC-H
+    "sample_cluster_balanced",
+    # -- r05 cohort (oldest green rows): multimodal codecs + SQL
     # -- (the rest of the r05 cohort rotates in r10, inside the
     # -- 6-round window)
     "multimodal_decode_jpeg",
@@ -11628,7 +11696,6 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_probe_dimensions",
     "multimodal_features_by_lang",
     "sql_api_revenue",
-    "q3_shipping_priority",
     # -- flagship anchor (every round, last slot)
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
