@@ -124,6 +124,16 @@ def ngram_jaccard_pairs(
     # explode — checkpointing the exploded postings was measured 40%
     # slower on the benched query (30× the row count through the
     # block store to save a map-only explode).
+    #
+    # Cluster caveat (applies to every localCheckpoint in this
+    # module): checkpoint blocks drop lineage, so losing an executor
+    # (dynamic allocation scale-down, spot preemption) fails the job
+    # instead of recomputing, and the eager flag runs Spark jobs at
+    # PLAN-CONSTRUCTION time even if the caller never executes the
+    # result.  On a preemption-prone cluster prefer reliable
+    # checkpointing (sc.setCheckpointDir + .checkpoint()) or a
+    # persist→unpersist context manager; local/on-demand executors
+    # keep the cheap RDD-block path used here.
     sh_arr = df.select(
         F.col(id_col), hashed_word_shingles(content_col, n).alias("shingles")
     ).localCheckpoint(eager=True)

@@ -127,6 +127,9 @@ def split_assign(
     :func:`hash_sample`, so splits nest consistently with samples
     drawn with the same salt.  Scan + CASE only — no shuffle.
     """
+    for name, frac in fractions.items():
+        if frac < 0:
+            raise ValueError(f"split {name!r} fraction {frac} < 0")
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
@@ -170,6 +173,11 @@ def split_assign_stratified(
     hb = hash_bucket(key, salt)
     expr = None
     for stratum, fractions in fractions_by_stratum.items():
+        for name, frac in fractions.items():
+            if frac < 0:
+                raise ValueError(
+                    f"stratum {stratum!r} split {name!r} fraction {frac} < 0"
+                )
         total = sum(fractions.values())
         if total > 1.0 + 1e-9:
             raise ValueError(
@@ -946,6 +954,18 @@ def dsir_logweights(
             F.col("bucket").alias("__b"), F.col("count").alias("__cr")
         )
     rtot = rcnt.agg(F.sum("__cr").alias("__nr"))
+
+    # fail fast in-plan on an empty/mis-filtered target: SUM over zero
+    # rows is NULL, which would otherwise propagate NULL dsir_logw to
+    # every scored doc (same E2 posture as doremi_mix's overflow guard)
+    from square_etl_spark.operators.quality import assert_invariant
+
+    ttot = assert_invariant(
+        ttot,
+        F.col("__nt").isNotNull() & (F.col("__nt") > 0),
+        "dsir_logweights: target yielded no n-gram features "
+        "(empty or mis-filtered target DataFrame)",
+    )
 
     s = float(smoothing)
     sb = F.lit(s * buckets)

@@ -1522,7 +1522,12 @@ def _incr_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     labels = None
     for i in range(3):
-        batch = pairs.filter((F.col("id_a") + F.col("id_b")) % 3 == i)
+        # pmod, not %: Spark's % keeps the dividend's sign, so a
+        # negative-id pair would land in NO batch and silently drop
+        # from the fold
+        batch = pairs.filter(
+            F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == i
+        )
         labels = incremental_components(labels, batch)
     return survivor_from_labels(scored, labels)
 
@@ -11377,8 +11382,9 @@ def _incr_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     labels = None
     for i in range(3):
+        # pmod, not %: sign-keeping % would drop negative-id pairs
         batch = pairs.filter(
-            (F.col("id_a") + F.col("id_b")) % 3 == i
+            F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == i
         )
         labels = incremental_components(labels, batch)
     return labels

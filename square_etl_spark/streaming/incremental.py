@@ -404,6 +404,16 @@ def stream_minhash_ingest_availablenow(
     :func:`operators.dedup.write_minhash_index_bucketed`'s layout —
     here the streaming concern (exactly-once append, replay safety,
     probe-before-extend ordering) is the thing under test.
+
+    PRECONDITIONS of the commit protocol (hard requirements, not
+    style): the index roots must live on a SINGLE POSIX filesystem
+    (os.rename atomicity + os.listdir consistency are what make
+    publish atomic and replay detection reliable — object stores'
+    rename-as-copy and list-after-write lag both break it; use a
+    table format's transactional commit there), and this sink must be
+    the ONLY writer to those roots: the stale-staging sweep removes
+    every ``*.tmp-*`` under them at each batch, so a concurrent
+    writer's in-flight staging would be deleted mid-commit.
     """
     import os
     import shutil
