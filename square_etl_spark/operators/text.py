@@ -818,3 +818,190 @@ def gopher_rules(
             & p_ellipsis & p_alpha & p_stop
         ).alias("pass_all"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-faithful token counting: BPE merge application as DataFrame ops
+# ---------------------------------------------------------------------------
+
+#: Fixed, deterministic BPE merge list (rank = 1-based list position,
+#: lower rank = higher merge priority — the standard merges.txt
+#: contract).  The list is VALID in the BPE sense: every multi-char
+#: component is the result of an earlier merge, which is what makes
+#: one-occurrence-at-a-time application (the DuckDB oracle's recursive
+#: CTE) provably equal to the all-occurrences-per-rank pass used on
+#: the Spark side — any pair containing a freshly merged token must
+#: sit LATER in the list than the merge that created it, so the
+#: minimum-rank pair cannot change mid-pass.  Swap in a real trained
+#: merges.txt (GPT-2 style) unchanged: ranks are list order.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("i", "n"), ("a", "n"), ("r", "e"), ("o", "n"),
+    ("e", "r"), ("th", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("a", "r"), ("o", "u"), ("a", "l"),
+    ("in", "g"), ("i", "t"), ("o", "f"), ("e", "d"), ("i", "s"),
+    ("t", "o"), ("an", "d"), ("l", "e"), ("r", "o"), ("i", "c"),
+    ("a", "s"), ("m", "e"), ("c", "h"), ("e", "l"), ("u", "r"),
+    ("l", "l"), ("s", "e"), ("w", "h"), ("th", "at"), ("t", "er"),
+    ("o", "m"), ("u", "s"), ("c", "on"), ("p", "er"), ("f", "or"),
+    ("w", "as"), ("i", "on"), ("l", "y"), ("i", "th"), ("w", "ith"),
+    ("v", "er"), ("a", "m"), ("e", "x"), ("u", "n"), ("q", "u"),
+]
+
+#: Shared pre-tokenizer: case-folded letter runs, digit runs, single
+#: other symbols.  BPE merges never cross pre-token boundaries (the
+#: GPT-2 discipline), so merge application is per-DISTINCT-pre-token —
+#: the fact the whole scale story below hangs on.
+BPE_PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_pretokens(col: Column | str = "text") -> Column:
+    """Case-folded pre-token array (see :data:`BPE_PRETOKEN_RE`)."""
+    return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_merges_df(spark) -> DataFrame:
+    """The merges relation ``(rank, lhs, rhs)`` — the artifact a real
+    deployment would read from a trained tokenizer's merges.txt."""
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(BPE_MERGES)]
+    return spark.createDataFrame(rows, "rank int, lhs string, rhs string")
+
+
+def _bpe_merge_array_sql() -> str:
+    """The merges list as an inline SQL array literal of 'lhs rhs'
+    keys (rank = array position; components are [a-z] only, so no
+    quoting concerns).  Inlined rather than joined: the list is a
+    tokenizer artifact of bounded size (50 here, 50k for GPT-2), i.e.
+    a parameter, not data — a plan literal keeps every round a pure
+    whole-stage-codegen projection with no join at all."""
+    keys = ", ".join(f"'{a} {b}'" for a, b in BPE_MERGES)
+    return f"array({keys})"
+
+
+def bpe_apply_vocab(
+    vocab: DataFrame, word_col: str = "word", max_rounds: int = 64
+) -> DataFrame:
+    """Apply the fixed BPE merge list to every DISTINCT pre-token —
+    iterate-to-fixpoint as pure DataFrame projections (the
+    connected_components discipline applied to tokenization).
+
+    Per round, per word, entirely inside one codegen'd projection
+    (zero joins, zero shuffles, zero Python):
+
+      1. adjacent pair keys  ``transform(sequence(...))``;
+      2. each pair's merge rank  ``array_position`` into the inline
+         merges literal (0 = not a merge);
+      3. the minimum present rank — the pair BPE merges next;
+      4. merge ALL its occurrences left-to-right via ``aggregate``
+         (the fold keeps overlap semantics exact: in ``aaa`` with
+         merge ``a a``, the freshly built ``aa`` cannot re-merge with
+         the next ``a`` because the fold compares the ALREADY-merged
+         accumulator tail).
+
+    The driver loop stops when no word changed (a vocab-sized count
+    per round); rounds are bounded by the deepest merge chain, ~5-10
+    for natural text.  Raises if ``max_rounds`` is hit with work
+    remaining rather than silently returning a half-tokenized vocab.
+
+    100 TB shape: this runs on the DISTINCT-pre-token relation — the
+    corpus's VOCABULARY, which grows ~Heaps-law sublinearly (tens of
+    millions of rows for web-scale corpora, vs trillions of corpus
+    tokens) — so the iterate-to-fixpoint cost is decoupled from corpus
+    size entirely.  The corpus-sized stages live in
+    :func:`bpe_token_counts`: one explode and one join against this
+    result.  Per-round localCheckpoint keeps the plan linear in
+    rounds (same caveat as dedup.py: checkpoint blocks drop lineage).
+    """
+    arr = _bpe_merge_array_sql()
+    out = vocab.select(
+        F.col(word_col).alias("word"),
+        F.expr("filter(split(lower(word), ''), x -> x <> '')").alias("sym"),
+    )
+    ranks_sql = (
+        "CASE WHEN size(sym) < 2 THEN cast(array() as array<bigint>) "
+        "ELSE transform(sequence(1, size(sym) - 1), "
+        f"i -> array_position({arr}, concat(element_at(sym, i), ' ', "
+        "element_at(sym, i + 1)))) END"
+    )
+    for _ in range(max_rounds):
+        step = (
+            out.withColumn("__ranks", F.expr(ranks_sql))
+            .withColumn(
+                "__best", F.expr("array_min(filter(__ranks, r -> r > 0))")
+            )
+            .withColumn(
+                "__pos", F.expr("cast(array_position(__ranks, __best) as int)")
+            )
+            .withColumn("__a", F.expr("element_at(sym, __pos)"))
+            .withColumn("__b", F.expr("element_at(sym, __pos + 1)"))
+        )
+        nxt = step.select(
+            "word",
+            F.expr(
+                "CASE WHEN __best IS NULL THEN sym ELSE "
+                "aggregate(sym, cast(array() as array<string>), (acc, x) -> "
+                "if(size(acc) > 0 and element_at(acc, -1) = __a and x = __b, "
+                "concat(slice(acc, 1, size(acc) - 1), array(concat(__a, __b))), "
+                "concat(acc, array(x)))) END"
+            ).alias("sym"),
+            F.col("__best").isNotNull().alias("__changed"),
+        ).localCheckpoint(eager=True)
+        n_changed = nxt.filter(F.col("__changed")).count()
+        out = nxt.drop("__changed")
+        if n_changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"bpe_apply_vocab: merge fixpoint not reached in {max_rounds} "
+            "rounds — raise max_rounds (words longer than the bound?)"
+        )
+    return out.select(
+        "word",
+        F.col("sym").alias("tokens"),
+        F.size("sym").cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """Tokenizer-faithful per-document token counts ``(id,
+    n_pretokens, bpe_tokens)`` — the drop-in replacement for
+    whitespace ``token_count`` everywhere a budget is actually a
+    TRAINING-TOKEN budget (pack_sequences, temperature_mix,
+    doremi_mix, budget_cap): whitespace undercounts code/CJK-like
+    text 2-5x, which skews exactly the mixes the data-selection suite
+    exists to get right.
+
+    Corpus-sized work is one explode + one per-doc groupBy + one join
+    against the vocabulary counts from :func:`bpe_apply_vocab`; the
+    iterate-to-fixpoint never touches corpus-sized data.  The
+    (word → n_tokens) join is a plain equi-join: at test scale AQE
+    broadcasts it, at web scale the vocabulary is tens of millions of
+    rows and shuffles — both correct, neither quadratic.  Documents
+    with no pre-tokens (empty/whitespace text) keep a row with zero
+    counts.
+    """
+    toks = df.select(F.col(id_col), F.explode(bpe_pretokens(text_col)).alias("__w"))
+    per_word = toks.groupBy(id_col, "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    vocab = per_word.select(F.col("__w").alias("word")).distinct()
+    counted = bpe_apply_vocab(vocab, max_rounds=max_rounds).select(
+        F.col("word").alias("__w"), "n_tokens"
+    )
+    agg = (
+        per_word.join(counted, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("long").alias("n_pretokens"),
+            F.sum(F.col("__n") * F.col("n_tokens")).cast("long").alias("bpe_tokens"),
+        )
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_pretokens", F.lit(0)).cast("long").alias("n_pretokens"),
+        F.coalesce("bpe_tokens", F.lit(0)).cast("long").alias("bpe_tokens"),
+    )

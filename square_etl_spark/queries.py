@@ -11627,6 +11627,131 @@ _register(
 # checked registrations — the 17 from r08 (split assignment, char
 # entropy, incremental exact/MinHash-index dedup, PNG codec,
 # winsorization, PSI drift, robust MAD outliers, join-key overlap, C4
+#: The fixed BPE merges list as a DuckDB list literal — rank = list
+#: position, same relation the Spark side inlines (text.BPE_MERGES),
+#: so both engines fold the IDENTICAL merges table.
+_BPE_LIST_SQL = "[" + ", ".join(f"'{a} {b}'" for a, b in tx.BPE_MERGES) + "]"
+
+#: Shared DuckDB CTE chain: pre-tokenize → distinct vocab → recursive
+#: one-merge-at-a-time BPE fold to fixpoint → per-doc token sums.
+#: The recursive step merges the FIRST occurrence of the minimum-rank
+#: pair; the Spark side merges ALL occurrences of that rank per round
+#: (text.bpe_apply_vocab) — provably the same fixpoint for a valid
+#: merges list (see text.BPE_MERGES), pinned by the oracle comparison
+#: itself and by test_dedup_text's reference-fold check.
+_BPE_COUNTS_CTE = f"""
+        pre AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ws
+          FROM documents),
+        toks AS (SELECT doc_id, unnest(ws) AS w FROM pre),
+        wc AS (SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w),
+        vocab AS (SELECT DISTINCT w FROM wc),
+        bpe AS (
+          SELECT w, string_split(w, '') AS sym FROM vocab
+          UNION ALL
+          SELECT w, list_concat(
+                   list_concat(list_slice(sym, 1, pos - 1),
+                               [sym[pos] || sym[pos + 1]]),
+                   list_slice(sym, pos + 2, len(sym))) AS sym
+          FROM (
+            SELECT w, sym, list_position(ranks, best) AS pos
+            FROM (
+              SELECT w, sym, ranks,
+                     list_aggregate(list_filter(ranks, r -> r > 0),
+                                    'min') AS best
+              FROM (
+                SELECT w, sym,
+                       list_transform(range(1, len(sym)),
+                           i -> list_position({_BPE_LIST_SQL},
+                                    sym[i] || ' ' || sym[i + 1])) AS ranks
+                FROM bpe) t1) t2
+            WHERE best IS NOT NULL) t3),
+        fixed AS (
+          SELECT w, CAST(len(sym) AS BIGINT) AS n_tok
+          FROM bpe
+          WHERE list_aggregate(list_filter(
+                  list_transform(range(1, len(sym)),
+                      i -> list_position({_BPE_LIST_SQL},
+                               sym[i] || ' ' || sym[i + 1])),
+                  r -> r > 0), 'min') IS NULL),
+        bpe_agg AS (
+          SELECT wc.doc_id,
+                 CAST(SUM(wc.n) AS BIGINT) AS n_pretokens,
+                 CAST(SUM(wc.n * f.n_tok) AS BIGINT) AS bpe_tokens
+          FROM wc JOIN fixed f ON wc.w = f.w
+          GROUP BY wc.doc_id),
+        bpe_counts AS (
+          SELECT d.doc_id,
+                 COALESCE(a.n_pretokens, 0) AS n_pretokens,
+                 COALESCE(a.bpe_tokens, 0) AS bpe_tokens
+          FROM documents d LEFT JOIN bpe_agg a ON d.doc_id = a.doc_id)"""
+
+
+def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-faithful token counts over the corpus: BPE merge
+    application as iterate-to-fixpoint DataFrame projections on the
+    DISTINCT-pre-token vocabulary (text.bpe_apply_vocab), then one
+    corpus-sized explode + join + sum (text.bpe_token_counts).  The
+    whole budget/mix suite's whitespace-token gap, closed — counts
+    here are what a merges.txt tokenizer would emit."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.bpe_token_counts(d)
+
+
+_register(
+    QuerySpec(
+        "text_bpe_tokens",
+        _bpe_tokens,
+        oracle=f"""
+        WITH RECURSIVE {_BPE_COUNTS_CTE}
+        SELECT doc_id, n_pretokens, bpe_tokens FROM bpe_counts
+        """,
+        doc="BPE merge fold to fixpoint on the vocab relation; DuckDB recomputes via recursive CTE over the same merges list",
+        bench=True,
+    )
+)
+
+
+def _pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_training_sequences with TOKENIZER-FAITHFUL budgets: pack
+    whole documents into 512-BPE-token training sequences via the
+    same two-phase distributed prefix sum — the `bpe_tokens` column
+    dropping into a budget operator exactly where whitespace
+    `n_tokens` used to go."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = tx.bpe_token_counts(d).select(
+        "doc_id", F.col("bpe_tokens").alias("n_tokens")
+    )
+    return pack_sequences(
+        counts, token_col="n_tokens", key_cols=("doc_id",), budget=512
+    ).select("doc_id", "n_tokens", "seq_id", "seq_offset")
+
+
+_register(
+    QuerySpec(
+        "pack_training_sequences_bpe",
+        _pack_bpe,
+        oracle=f"""
+        WITH RECURSIVE {_BPE_COUNTS_CTE},
+        ord AS (
+          SELECT doc_id, bpe_tokens AS n_tokens,
+                 SUM(bpe_tokens) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bpe_tokens AS cum
+          FROM bpe_counts)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum // 512 AS BIGINT) AS seq_id,
+               CAST(cum % 512 AS BIGINT) AS seq_offset
+        FROM ord
+        """,
+        doc="sequence packing on BPE token budgets (two-phase prefix sum, hash order)",
+    )
+)
+
+
 # span dedup, leakage audit, time decay, lossless prefix-filter join,
 # OOV rate, overlap matrix, budget mix, rolling actives) plus the 18
 # registered THIS round (incremental spans/components/survivors,

@@ -1185,3 +1185,86 @@ def test_unigram_counts_fold_equals_one_shot_and_scores_identically(
     assert sorted(map(tuple, via_model.collect())) == sorted(
         map(tuple, self_computed.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer-faithful token counts
+# ---------------------------------------------------------------------------
+
+
+def _ref_bpe(word: str) -> list[str]:
+    """Reference fold: one-merge-at-a-time, leftmost occurrence of the
+    minimum-rank pair — the textbook BPE apply the DuckDB oracle's
+    recursive CTE implements."""
+    from square_etl_spark.operators.text import BPE_MERGES
+
+    ranks = {f"{a} {b}": i + 1 for i, (a, b) in enumerate(BPE_MERGES)}
+    sym = list(word)
+    while True:
+        pr = [ranks.get(f"{sym[i]} {sym[i + 1]}", 0) for i in range(len(sym) - 1)]
+        present = [r for r in pr if r > 0]
+        if not present:
+            return sym
+        pos = pr.index(min(present))
+        sym = sym[:pos] + [sym[pos] + sym[pos + 1]] + sym[pos + 2 :]
+
+
+def test_bpe_merges_list_is_valid():
+    """Every multi-char merge component must be the result of an
+    EARLIER merge — the property that makes all-occurrences-per-round
+    (Spark) and one-at-a-time (oracle) reach the same fixpoint."""
+    from square_etl_spark.operators.text import BPE_MERGES
+
+    formed: set[str] = set()
+    for a, b in BPE_MERGES:
+        for comp in (a, b):
+            assert len(comp) == 1 or comp in formed, (
+                f"merge ({a!r},{b!r}): component {comp!r} not formed earlier"
+            )
+        formed.add(a + b)
+    # ranks must be unique pairs (no duplicate merges)
+    assert len({(a, b) for a, b in BPE_MERGES}) == len(BPE_MERGES)
+
+
+def test_bpe_apply_vocab_equals_reference_fold(spark):
+    """Adversarial vocabulary: overlap runs (ll), nested merges
+    (th→the→that), multi-round words, digits/punct, 1-char words."""
+    from square_etl_spark.operators.text import bpe_apply_vocab
+
+    words = [
+        "the", "that", "with", "thather", "and", "standing",
+        "lllll", "llll", "lll", "ll", "l",
+        "queen", "understanding", "q", "7", "!", "x1",
+        "forever", "wasp", "ionic", "examine",
+    ]
+    v = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe_apply_vocab(v).collect()}
+    for w in words:
+        exp = _ref_bpe(w)
+        assert got[w] == (exp, len(exp)), (w, got[w], exp)
+
+
+def test_bpe_token_counts_sums_and_empty_docs(spark):
+    from square_etl_spark.operators.text import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "The queen was standing."), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_pretokens"], r["bpe_tokens"])
+           for r in bpe_token_counts(docs).collect()}
+    # 'the'(1) 'queen'(3: qu e en) 'was'(1) 'standing'(3: st and ing) '.'(1)
+    assert got[1] == (5, 9)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
+    assert got[4] == (0, 0)
+
+
+def test_bpe_apply_vocab_raises_past_max_rounds(spark):
+    from square_etl_spark.operators.text import bpe_apply_vocab
+    import pytest as _pytest
+
+    v = spark.createDataFrame([("understanding",)], "word string")
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        bpe_apply_vocab(v, max_rounds=1)
