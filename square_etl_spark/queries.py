@@ -9770,12 +9770,18 @@ def _incr_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_probe_oracle() -> str:
+def _minhash_probe_oracle(
+    old_pred: str = "doc_id % 3 <> 0",
+    new_pred: str = "doc_id % 3 = 0",
+    threshold: float = 0.5,
+    final_select: str | None = None,
+) -> str:
     """DuckDB twin of the incremental probe: the same shingle/
     permutation/band pipeline as ``_minhash_oracle`` computed over
-    ALL documents, split into old (mod 3 ≠ 0) and new (mod 3 = 0)
-    sides, hot-capped on the OLD index side, then new×old bucket
-    join + exact Jaccard verify."""
+    ALL documents, split into OLD/index and NEW/probe sides by the
+    given predicates, hot-capped on BOTH sides, then new×old bucket
+    join + exact Jaccard verify.  ``final_select`` swaps the pair
+    output for an aggregate (the fuzzy-decontamination use)."""
     from square_etl_spark.operators.dedup import (
         MINHASH_A,
         MINHASH_B,
@@ -9822,8 +9828,8 @@ def _minhash_probe_oracle() -> str:
                  (mins[CAST(2 * b + 1 AS INTEGER)] * 31
                   + mins[CAST(2 * b + 2 AS INTEGER)]) & {mask} AS bhash
           FROM mh, generate_series(0, 7) g(b)),
-        old_b AS (SELECT * FROM buckets WHERE doc_id % 3 <> 0),
-        new_b AS (SELECT * FROM buckets WHERE doc_id % 3 = 0),
+        old_b AS (SELECT * FROM buckets WHERE {old_pred}),
+        new_b AS (SELECT * FROM buckets WHERE {new_pred}),
         cool AS (
           SELECT ob.doc_id, ob.b, ob.bhash
           FROM old_b ob
@@ -9847,8 +9853,11 @@ def _minhash_probe_oracle() -> str:
                           - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
           FROM cand
           JOIN shl sa ON sa.doc_id = new_id
-          JOIN shl sb ON sb.doc_id = old_id)
-        SELECT new_id, old_id, jaccard FROM verified WHERE jaccard >= 0.5
+          JOIN shl sb ON sb.doc_id = old_id),
+        thresholded AS (
+          SELECT new_id, old_id, jaccard FROM verified
+          WHERE jaccard >= {threshold})
+        {final_select or "SELECT new_id, old_id, jaccard FROM thresholded"}
         """
 
 
@@ -9858,6 +9867,53 @@ _register(
         _incr_minhash_probe,
         oracle=_minhash_probe_oracle(),
         doc="incremental near-dup: new batch probes existing LSH index, oracle-recomputed both sides",
+    )
+)
+
+
+def _decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup (paraphrase-level) decontamination: LSH-index the
+    benchmark split (every 97th doc — the dedup_decontaminate eval
+    suite), probe the rest of the corpus against it, and report each
+    contaminated corpus doc with its match count and strongest match
+    (operators/dedup.fuzzy_contamination_pairs; kill semantics =
+    decontaminate_fuzzy's anti join on these ids).  Never quadratic:
+    the corpus side is one linear scan + a bucket join against the
+    benchmark-sized index, hot-capped on both sides."""
+    from square_etl_spark.operators.dedup import fuzzy_contamination_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return (
+        fuzzy_contamination_pairs(
+            corpus, bench, "doc_id", "text",
+            num_hashes=16, bands=8, threshold=0.5, bucket_cap=200,
+        )
+        .groupBy(F.col("corpus_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "dedup_decontaminate_fuzzy",
+        _decontaminate_fuzzy,
+        oracle=_minhash_probe_oracle(
+            old_pred="doc_id % 97 = 0",
+            new_pred="doc_id % 97 <> 0",
+            threshold=0.5,
+            final_select=(
+                "SELECT new_id AS doc_id, "
+                "CAST(COUNT(*) AS BIGINT) AS n_bench_matches, "
+                "MAX(jaccard) AS max_jaccard "
+                "FROM thresholded GROUP BY new_id"
+            ),
+        ),
+        doc="fuzzy decontamination: corpus probed against benchmark LSH index, oracle-recomputed end to end",
     )
 )
 

@@ -1268,3 +1268,44 @@ def test_bpe_apply_vocab_raises_past_max_rounds(spark):
     v = spark.createDataFrame([("understanding",)], "word string")
     with _pytest.raises(RuntimeError, match="fixpoint"):
         bpe_apply_vocab(v, max_rounds=1)
+
+
+def test_fuzzy_decontamination_catches_paraphrase_exact_ngrams_miss(spark):
+    """A benchmark doc lightly edited every ~10 words: every 13-gram
+    is broken (exact decontamination misses it) but 3-gram shingle
+    jaccard stays high (fuzzy catches it).  Kill semantics drop
+    exactly the paraphrase."""
+    from square_etl_spark.operators.dedup import (
+        contamination_hits,
+        decontaminate_fuzzy,
+        fuzzy_contamination_pairs,
+    )
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    ).split()
+    para = list(base)
+    for pos in (5, 15, 25):  # break every 13-gram, keep most 3-grams
+        para[pos] = para[pos] + "x"
+    bench = spark.createDataFrame([(100, " ".join(base))], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(para)),
+            (2, "totally unrelated words about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    # exact 13-gram decontamination misses the paraphrase
+    exact = contamination_hits(corpus, bench, "doc_id", "text", n=13).collect()
+    assert exact == []
+    # fuzzy catches it, with a high verified jaccard
+    pairs = fuzzy_contamination_pairs(
+        corpus, bench, threshold=0.4
+    ).collect()
+    assert [(p["corpus_id"], p["bench_id"]) for p in pairs] == [(1, 100)]
+    assert pairs[0]["jaccard"] >= 0.4
+    # and the kill path drops exactly the paraphrase
+    kept = decontaminate_fuzzy(corpus, bench, threshold=0.4)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
