@@ -505,3 +505,218 @@ def topk_from_codes(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rank")
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization encode: split ``dim`` into ``m`` subspaces
+    of ``dim/m`` dims, learn a ``ksub``-centroid codebook per subspace
+    with the exact Lloyd steps of :func:`clustering.kmeans_fixed`
+    (decimal distances, deterministic seeds = the first ``ksub``
+    vectors' subvectors), and encode every vector as its per-subspace
+    nearest-centroid ids.
+
+    Returns ``(codes, codebooks)``: ``codes(id, s, c)`` — m rows per
+    vector, the 100 TB artifact (m bytes/vector beats int8's
+    dim bytes: at m=8 over d=768 floats that is a 384× scan
+    shrink) — and ``codebooks(s, c, dim, cval)`` with GLOBAL dim
+    indices, the m·ksub·(dim/m)-value sidecar.
+
+    Everything is decimal-rounded the way kmeans_fixed is, so a
+    DuckDB oracle recomputes codebooks and codes bit-for-bit.
+    """
+    from square_etl_spark.operators.clustering import kmeans_fixed
+
+    ds = dim // m
+    if m * ds != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    codes = None
+    codebooks = None
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * ds + 1, ds).alias(vec_col),
+        )
+        assign, cent = kmeans_fixed(
+            sub, id_col, vec_col, k=ksub, iters=iters
+        )
+        cpart = assign.select(
+            F.col("vid").alias(id_col), F.lit(s).alias("s"), "c"
+        )
+        bpart = cent.select(
+            F.lit(s).alias("s"),
+            "c",
+            (F.col("dim") + F.lit(s * ds)).alias("dim"),
+            "cval",
+        )
+        codes = cpart if codes is None else codes.unionByName(cpart)
+        codebooks = bpart if codebooks is None else codebooks.unionByName(bpart)
+    return codes, codebooks
+
+
+def cosine_topk_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ ANN — the top of the ladder (brute → sign-LSH → IVF →
+    int8 → codes → this): coarse k-means cells bound WHICH vectors a
+    query touches (n_probe/n_cells of the corpus), product-quantized
+    codes bound WHAT is read per touched vector (m small ints + one
+    norm), and asymmetric distance computation scores candidates
+    against the query through a per-query code-table LOOKUP JOIN —
+    the raw vectors are read only for the final exact rescore of
+    ``k·rescore_factor`` candidates (a key-sized join).
+
+    ADC here is exact-portable: the per-dim products round to 9
+    decimals and sum as DECIMAL(38,9) (order-free), the codebooks and
+    cell assignments inherit kmeans_fixed's decimal arithmetic, so a
+    DuckDB oracle recomputes the ENTIRE composition — coarse Lloyd,
+    per-subspace Lloyd codebooks, code assignment, probe-cell choice,
+    ADC scores, candidate cut, exact rescore — value-for-value.
+    ``adc_sim`` (the PQ approximation of cosine, reconstructed-norm
+    normalized) is kept in the output precisely so the oracle check
+    certifies the PQ path, not just the rescored ranks.
+
+    Scale shape: every relation beyond the two corpus-linear scans
+    (long-form for training, codes for probing) is parameter- or
+    query-bounded: codebooks m·ksub·(dim/m) values, ADC tables
+    Q·m·ksub rows (broadcast), candidates Q·(corpus·n_probe/n_cells)
+    rows cut to Q·k·rescore_factor before any raw-vector read.  At
+    deployment, write codes+norms partitioned by cell and this probe
+    reads only the probed partitions; training amortizes like
+    SemDeDup's fit (fit once, k×d + m·ksub·ds artifacts).
+    Returns (query_id, vec_id, adc_sim, cosine_sim, rank ≤ k).
+    """
+    from square_etl_spark.operators.clustering import _long_form, kmeans_fixed
+
+    ds = dim // m
+    if m * ds != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+
+    # --- coarse IVF: cells + per-query probe list ---
+    cells, coarse_cent = kmeans_fixed(
+        vectors, id_col, vec_col, k=n_cells, iters=iters
+    )
+    qlf = _long_form(queries, query_id_col, query_vec_col)
+    diff = F.col("val") - F.col("cval")
+    qcell_d = (
+        # bcast-ok: n_cells×dim coarse centroid table, parameter-bounded
+        qlf.join(F.broadcast(coarse_cent), "dim")
+        .groupBy("vid", "c")
+        .agg(
+            F.sum(
+                F.round(diff * diff, 9).cast("decimal(38,9)")
+            ).alias("d2")
+        )
+    )
+    wq = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("c").asc())
+    probe = (
+        qcell_d.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select(F.col("vid").alias(query_id_col), "c")
+    )
+
+    # --- PQ: codes, codebooks, reconstructed norms ---
+    codes, codebooks = pq_encode(
+        vectors, dim, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cn2 = codebooks.groupBy("s", "c").agg(
+        F.sum(
+            F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)")
+        ).alias("cn2")
+    )
+    rnorm = (
+        # bcast-ok: m·ksub codebook-norm table, parameter-bounded
+        codes.join(F.broadcast(cn2), ["s", "c"])
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum("cn2").cast("double")).alias("rnorm"))
+    )
+    qnorm = qlf.groupBy("vid").agg(
+        F.sqrt(
+            F.sum(
+                F.round(F.col("val") * F.col("val"), 9).cast("decimal(38,9)")
+            ).cast("double")
+        ).alias("qnorm")
+    ).select(F.col("vid").alias(query_id_col), "qnorm")
+
+    # --- ADC tables: Q·m·ksub distance-table entries ---
+    dt = (
+        # bcast-ok: m·ksub·ds codebook values, parameter-bounded
+        qlf.join(F.broadcast(codebooks), "dim")
+        .groupBy(F.col("vid").alias(query_id_col), "s", "c")
+        .agg(
+            F.sum(
+                F.round(F.col("val") * F.col("cval"), 9).cast("decimal(38,9)")
+            ).alias("t")
+        )
+    )
+
+    # --- candidates: vectors in the probed cells, ADC-scored ---
+    cand = probe.join(
+        cells.select(F.col("vid").alias(id_col), "c"), "c"
+    ).select(query_id_col, id_col)
+    adc = (
+        cand.join(codes, id_col)
+        # bcast-ok: Q·m·ksub ADC lookup table, query/parameter-bounded
+        .join(F.broadcast(dt), [query_id_col, "s", "c"])
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("t").alias("__num"))
+        # bcast-ok: Q-row query-norm table, query-set-bounded
+        .join(F.broadcast(qnorm), query_id_col)
+        .join(rnorm, id_col)
+        .withColumn(
+            "adc_sim",
+            F.round(
+                F.col("__num").cast("double")
+                / (F.col("qnorm") * F.col("rnorm")),
+                6,
+            ),
+        )
+    )
+    cw = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_sim").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        adc.withColumn("__cr", F.row_number().over(cw))
+        .filter(F.col("__cr") <= k * rescore_factor)
+        .select(query_id_col, id_col, "adc_sim")
+    )
+
+    # --- exact rescore of the key-sized candidate set ---
+    exact = (
+        cands.join(vectors, id_col)
+        # bcast-ok: ANN query set rejoin for exact rescoring, ≪ corpus
+        .join(F.broadcast(queries), query_id_col)
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_sim", "cosine_sim", "rank")
+    )

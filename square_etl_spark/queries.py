@@ -6107,6 +6107,214 @@ _register(
 )
 
 
+def _kmeans_ctes() -> str:
+    """WITH-body of the exact 2-iteration Lloyd recomputation (k=4,
+    seed = vectors 0..3) — the oracle twin of
+    clustering.kmeans_fixed(k=4, iters=2).  `a2` is the final
+    assignment, `c2` the final centroids; shared by the kmeans
+    summary oracle and the semantic-dedup composition."""
+    dist = """
+          SELECT lf.vid, {c}.c,
+                 SUM(CAST(ROUND((lf.val - {c}.cval) * (lf.val - {c}.cval), 9)
+                          AS DECIMAL(38,9))) AS d2
+          FROM lf JOIN {c} USING (dim)
+          GROUP BY 1, 2"""
+    argmin = """
+          SELECT vid, c, d2 FROM (
+            SELECT vid, c, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c) AS rk
+            FROM {d}) WHERE rk = 1"""
+    update = """
+          SELECT {a}.c, lf.dim,
+                 ROUND(CAST(SUM(CAST(ROUND(lf.val, 9) AS DECIMAL(38,9)))
+                            AS DOUBLE) / COUNT(*), 9) AS cval
+          FROM lf JOIN {a} USING (vid)
+          GROUP BY 1, 2"""
+    return f"""
+        lf AS (
+          SELECT vec_id AS vid,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(UNNEST(embedding) AS DOUBLE) AS val
+          FROM embeddings),
+        c0 AS (SELECT vid AS c, dim, val AS cval FROM lf WHERE vid < 4),
+        d1 AS ({dist.format(c='c0')}),
+        a1 AS ({argmin.format(d='d1')}),
+        c1 AS ({update.format(a='a1')}),
+        d2i AS ({dist.format(c='c1')}),
+        a2 AS ({argmin.format(d='d2i')}),
+        c2 AS ({update.format(a='a2')})"""
+
+
+
+def _lloyd_ctes(pfx: str, src: str, k: int) -> str:
+    """Parameterized 2-iteration exact-Lloyd CTE chain over a
+    long-form relation ``src``(vid, dim, val), seeds = vid < k —
+    the generator form of ``_kmeans_ctes`` so compositions that need
+    SEVERAL clusterings (IVF-PQ: one coarse + one per PQ subspace)
+    can stamp out decimal-exact chains.  Emits CTEs ``{pfx}c0`` …
+    ``{pfx}c2`` / ``{pfx}a2`` (final centroids / assignment)."""
+
+    def dist(cent: str) -> str:
+        return f"""
+          SELECT l.vid, {cent}.c,
+                 SUM(CAST(ROUND((l.val - {cent}.cval) * (l.val - {cent}.cval), 9)
+                          AS DECIMAL(38,9))) AS d2
+          FROM {src} l JOIN {cent} ON l.dim = {cent}.dim
+          GROUP BY 1, 2"""
+
+    def argmin(d: str) -> str:
+        return f"""
+          SELECT vid, c, d2 FROM (
+            SELECT vid, c, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c) AS rk
+            FROM {d}) WHERE rk = 1"""
+
+    def update(a: str) -> str:
+        return f"""
+          SELECT a.c, l.dim,
+                 ROUND(CAST(SUM(CAST(ROUND(l.val, 9) AS DECIMAL(38,9)))
+                            AS DOUBLE) / COUNT(*), 9) AS cval
+          FROM {src} l JOIN {a} a USING (vid)
+          GROUP BY 1, 2"""
+
+    return f"""
+        {pfx}c0 AS (
+          SELECT vid AS c, dim, val AS cval FROM {src} WHERE vid < {k}),
+        {pfx}d1 AS ({dist(pfx + "c0")}),
+        {pfx}a1 AS ({argmin(pfx + "d1")}),
+        {pfx}c1 AS ({update(pfx + "a1")}),
+        {pfx}d2 AS ({dist(pfx + "c1")}),
+        {pfx}a2 AS ({argmin(pfx + "d2")}),
+        {pfx}c2 AS ({update(pfx + "a2")})"""
+
+
+def _ann_ivfpq_oracle(
+    m: int = 4, ds: int = 16, ksub: int = 4, n_probe: int = 2,
+    k: int = 5, rescore_factor: int = 4,
+) -> str:
+    """Full IVF-PQ recomputation: coarse Lloyd (shared _kmeans_ctes →
+    a2/c2), one Lloyd chain per PQ subspace, code assignment, probe
+    cells, decimal-exact ADC, candidate cut, exact rescore — the
+    whole composition, so a green row certifies the PQ path itself
+    (adc_sim is in the output), not just the rescored ranks."""
+    sub_chains = ",\n".join(
+        f"""slf{s} AS (
+          SELECT vid, dim, val FROM lf
+          WHERE dim >= {s * ds} AND dim < {(s + 1) * ds}),
+        {_lloyd_ctes(f'p{s}_', f'slf{s}', ksub)}"""
+        for s in range(m)
+    )
+    codes_union = " UNION ALL ".join(
+        f"SELECT vid, {s} AS s, c FROM p{s}_a2" for s in range(m)
+    )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, c, dim, cval FROM p{s}_c2" for s in range(m)
+    )
+    return f"""
+        WITH {_kmeans_ctes()},
+        qlf AS (SELECT vid AS query_id, dim, val FROM lf WHERE vid < {k}),
+        qprobe_d AS (
+          SELECT qlf.query_id, c2.c,
+                 SUM(CAST(ROUND((qlf.val - c2.cval) * (qlf.val - c2.cval), 9)
+                          AS DECIMAL(38,9))) AS d2
+          FROM qlf JOIN c2 ON qlf.dim = c2.dim
+          GROUP BY 1, 2),
+        probe AS (
+          SELECT query_id, c FROM (
+            SELECT query_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, c) AS rn
+            FROM qprobe_d) WHERE rn <= {n_probe}),
+        {sub_chains},
+        codes AS ({codes_union}),
+        cb AS ({cb_union}),
+        cn2 AS (
+          SELECT s, c,
+                 SUM(CAST(ROUND(cval * cval, 9) AS DECIMAL(38,9))) AS cn2
+          FROM cb GROUP BY s, c),
+        rnorm AS (
+          SELECT codes.vid, SQRT(CAST(SUM(cn2.cn2) AS DOUBLE)) AS rnorm
+          FROM codes JOIN cn2 USING (s, c) GROUP BY codes.vid),
+        qn AS (
+          SELECT query_id,
+                 SQRT(CAST(SUM(CAST(ROUND(val * val, 9) AS DECIMAL(38,9)))
+                           AS DOUBLE)) AS qnorm
+          FROM qlf GROUP BY query_id),
+        dt AS (
+          SELECT qlf.query_id, cb.s, cb.c,
+                 SUM(CAST(ROUND(qlf.val * cb.cval, 9) AS DECIMAL(38,9))) AS t
+          FROM qlf JOIN cb ON qlf.dim = cb.dim
+          GROUP BY 1, 2, 3),
+        candp AS (
+          SELECT probe.query_id, a2.vid
+          FROM probe JOIN a2 ON probe.c = a2.c),
+        adcn AS (
+          SELECT cd.query_id, cd.vid, SUM(dt.t) AS num
+          FROM candp cd
+          JOIN codes ON codes.vid = cd.vid
+          JOIN dt ON dt.query_id = cd.query_id
+                 AND dt.s = codes.s AND dt.c = codes.c
+          GROUP BY 1, 2),
+        adc AS (
+          SELECT a.query_id, a.vid,
+                 ROUND(CAST(a.num AS DOUBLE)
+                       / /*nz: query and reconstructed norms > 0 on
+                            nonzero embeddings*/ (qn.qnorm * rnorm.rnorm),
+                       6) AS adc_sim
+          FROM adcn a
+          JOIN qn USING (query_id)
+          JOIN rnorm ON rnorm.vid = a.vid),
+        candk AS (
+          SELECT query_id, vid, adc_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_sim DESC, vid) AS cr
+            FROM adc) WHERE cr <= {k * rescore_factor}),
+        qv AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+          FROM embeddings WHERE vec_id < {k}),
+        ex AS (
+          SELECT ck.query_id, ck.vid AS vec_id, ck.adc_sim,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              qv.qvec), 6) AS cosine_sim
+          FROM candk ck
+          JOIN embeddings e ON e.vec_id = ck.vid
+          JOIN qv ON qv.query_id = ck.query_id)
+        SELECT query_id, vec_id, adc_sim, cosine_sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine_sim DESC, vec_id) AS rank FROM ex)
+        WHERE rank <= {k}
+        """
+
+
+def _ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (operators/similarity.cosine_topk_ivfpq): coarse
+    k-means cells bound which vectors a query touches, per-subspace
+    PQ codebooks + decimal-exact ADC bound what is read per vector,
+    exact rescore on the key-sized candidate set.  The oracle
+    recomputes the entire composition — nine Lloyd chains' worth of
+    CTEs, codes, probe, ADC, rescore — adc_sim included, so the PQ
+    path itself is certified."""
+    from square_etl_spark.operators.similarity import cosine_topk_ivfpq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk_ivfpq(
+        e, _queries_df(spark, sf_dir), k=5, dim=64,
+        n_cells=4, n_probe=2, m=4, ksub=4, iters=2, rescore_factor=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "ann_topk_ivfpq",
+        _ann_ivfpq,
+        oracle=_ann_ivfpq_oracle(),
+        doc="IVF-PQ ANN: coarse cells + per-subspace PQ codebooks + decimal-exact ADC + exact rescore, full composition oracle-recomputed",
+    )
+)
+
+
 def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the two approximate ANN paths against the exact
     brute-force top-5, per query — the eval a pipeline runs BEFORE
@@ -6118,6 +6326,7 @@ def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = _ann_brute(spark, sf_dir).select("query_id", "vec_id")
     lsh = _ann_lsh(spark, sf_dir).select("query_id", "vec_id")
     ivf = _ann_ivf(spark, sf_dir).select("query_id", "vec_id")
+    ivfpq = _ann_ivfpq(spark, sf_dir).select("query_id", "vec_id")
     k = brute.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )
@@ -6131,14 +6340,21 @@ def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("ivf_hits"))
     )
+    ph = (
+        brute.join(ivfpq, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("ivfpq_hits"))
+    )
     return (
         k.join(lh, "query_id", "left")
         .join(ih, "query_id", "left")
+        .join(ph, "query_id", "left")
         .select(
             "query_id",
             "k",
             F.coalesce(F.col("lsh_hits"), F.lit(0)).cast("long").alias("lsh_hits"),
             F.coalesce(F.col("ivf_hits"), F.lit(0)).cast("long").alias("ivf_hits"),
+            F.coalesce(F.col("ivfpq_hits"), F.lit(0)).cast("long").alias("ivfpq_hits"),
             F.round(
                 F.coalesce(F.col("lsh_hits"), F.lit(0)).cast("double")
                 / F.col("k"),
@@ -6149,6 +6365,11 @@ def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("k"),
                 6,
             ).alias("recall_ivf"),
+            F.round(
+                F.coalesce(F.col("ivfpq_hits"), F.lit(0)).cast("double")
+                / F.col("k"),
+                6,
+            ).alias("recall_ivfpq"),
         )
     )
 
@@ -6164,6 +6385,8 @@ _register(
           SELECT query_id, vec_id FROM ({_ann_lsh_oracle()}) l),
         ivf AS (
           SELECT query_id, vec_id FROM ({_ann_ivf_oracle()}) i),
+        ivfpq AS (
+          SELECT query_id, vec_id FROM ({_ann_ivfpq_oracle()}) p),
         k AS (SELECT query_id, COUNT(*) AS k FROM brute GROUP BY query_id),
         lh AS (
           SELECT b.query_id, COUNT(*) AS lsh_hits
@@ -6172,18 +6395,27 @@ _register(
         ih AS (
           SELECT b.query_id, COUNT(*) AS ivf_hits
           FROM brute b JOIN ivf USING (query_id, vec_id)
+          GROUP BY b.query_id),
+        ph AS (
+          SELECT b.query_id, COUNT(*) AS ivfpq_hits
+          FROM brute b JOIN ivfpq USING (query_id, vec_id)
           GROUP BY b.query_id)
         SELECT k.query_id, CAST(k.k AS BIGINT) AS k,
                CAST(COALESCE(lh.lsh_hits, 0) AS BIGINT) AS lsh_hits,
                CAST(COALESCE(ih.ivf_hits, 0) AS BIGINT) AS ivf_hits,
+               CAST(COALESCE(ph.ivfpq_hits, 0) AS BIGINT) AS ivfpq_hits,
                ROUND(COALESCE(lh.lsh_hits, 0)
                      / /*nz: k = |exact top-5| >= 1*/ CAST(k.k AS DOUBLE), 6)
                  AS recall_lsh,
                ROUND(COALESCE(ih.ivf_hits, 0)
                      / /*nz: k = |exact top-5| >= 1*/ CAST(k.k AS DOUBLE), 6)
-                 AS recall_ivf
+                 AS recall_ivf,
+               ROUND(COALESCE(ph.ivfpq_hits, 0)
+                     / /*nz: k = |exact top-5| >= 1*/ CAST(k.k AS DOUBLE), 6)
+                 AS recall_ivfpq
         FROM k LEFT JOIN lh ON k.query_id = lh.query_id
         LEFT JOIN ih ON k.query_id = ih.query_id
+        LEFT JOIN ph ON k.query_id = ph.query_id
         """,
         doc="ANN recall@5 audit: LSH + IVF vs exact brute force, all three "
         "pipelines oracle-recomputed and intersected",
@@ -8089,44 +8321,6 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     assign, cent = kmeans_fixed(e, "vec_id", "embedding", k=4, iters=2)
     return kmeans_summary(assign, cent)
-
-
-def _kmeans_ctes() -> str:
-    """WITH-body of the exact 2-iteration Lloyd recomputation (k=4,
-    seed = vectors 0..3) — the oracle twin of
-    clustering.kmeans_fixed(k=4, iters=2).  `a2` is the final
-    assignment, `c2` the final centroids; shared by the kmeans
-    summary oracle and the semantic-dedup composition."""
-    dist = """
-          SELECT lf.vid, {c}.c,
-                 SUM(CAST(ROUND((lf.val - {c}.cval) * (lf.val - {c}.cval), 9)
-                          AS DECIMAL(38,9))) AS d2
-          FROM lf JOIN {c} USING (dim)
-          GROUP BY 1, 2"""
-    argmin = """
-          SELECT vid, c, d2 FROM (
-            SELECT vid, c, d2,
-                   ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c) AS rk
-            FROM {d}) WHERE rk = 1"""
-    update = """
-          SELECT {a}.c, lf.dim,
-                 ROUND(CAST(SUM(CAST(ROUND(lf.val, 9) AS DECIMAL(38,9)))
-                            AS DOUBLE) / COUNT(*), 9) AS cval
-          FROM lf JOIN {a} USING (vid)
-          GROUP BY 1, 2"""
-    return f"""
-        lf AS (
-          SELECT vec_id AS vid,
-                 generate_subscripts(embedding, 1) - 1 AS dim,
-                 CAST(UNNEST(embedding) AS DOUBLE) AS val
-          FROM embeddings),
-        c0 AS (SELECT vid AS c, dim, val AS cval FROM lf WHERE vid < 4),
-        d1 AS ({dist.format(c='c0')}),
-        a1 AS ({argmin.format(d='d1')}),
-        c1 AS ({update.format(a='a1')}),
-        d2i AS ({dist.format(c='c1')}),
-        a2 AS ({argmin.format(d='d2i')}),
-        c2 AS ({update.format(a='a2')})"""
 
 
 def _kmeans_oracle() -> str:

@@ -306,3 +306,66 @@ def test_hard_negatives_plan_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_pq_encode_layout_and_determinism(spark, sf_dir):
+    from square_etl_spark.operators.similarity import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    codes, cb = pq_encode(e, dim=64, m=4, ksub=4, iters=2)
+    rows = codes.collect()
+    n_vec = e.count()
+    # m rows per vector, codes in [0, ksub)
+    assert len(rows) == n_vec * 4
+    assert all(0 <= r["c"] < 4 for r in rows)
+    per_vec = {}
+    for r in rows:
+        per_vec.setdefault(r["vec_id"], set()).add(r["s"])
+    assert all(v == {0, 1, 2, 3} for v in per_vec.values())
+    # codebooks: m*ksub*(dim/m) values, GLOBAL dim indices per subspace
+    cbr = cb.collect()
+    assert len(cbr) == 4 * 4 * 16
+    for r in cbr:
+        assert r["s"] * 16 <= r["dim"] < (r["s"] + 1) * 16
+    # deterministic: a second run produces identical codes
+    codes2, _ = pq_encode(e, dim=64, m=4, ksub=4, iters=2)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, codes2.collect()))
+
+
+def test_ivfpq_topk_shape_and_rescore_correctness(spark, sf_dir):
+    """The rescored cosine values must be the EXACT cosines of the
+    returned pairs (PQ only selects candidates; it must never change
+    reported similarity), ranks dense 1..k per query."""
+    from square_etl_spark.operators.similarity import cosine, cosine_topk_ivfpq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk_ivfpq(e, q, k=5, dim=64).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        sims = [r["cosine_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+    # exact-rescore check against independently computed cosines
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r["vec_id"], r["cosine_sim"]) for r in out],
+        "query_id long, vec_id long, reported double",
+    )
+    ev = e.select(F.col("vec_id"), F.col("embedding"))
+    qv = q
+    chk = (
+        pairs.join(ev, "vec_id").join(qv, "query_id")
+        .withColumn("exact", F.round(cosine(F.col("embedding"), F.col("query_vec")), 6))
+        .filter(F.col("exact") != F.col("reported"))
+    )
+    assert chk.count() == 0
+    # self is always retrievable: the query's own cell is its nearest,
+    # PQ scores it top, rescore ranks it #1
+    for qid, rs in by_q.items():
+        top = [r for r in rs if r["rank"] == 1][0]
+        assert top["vec_id"] == qid and top["cosine_sim"] == 1.0
