@@ -2327,7 +2327,8 @@ def _probe_blob(data: bytes) -> dict:
     Raises ValueError for unrecognized or truncated headers (same
     quarantine contract as the decoders)."""
     out = {"detected_format": None, "width": None, "height": None,
-           "sample_rate": None}
+           "sample_rate": None, "bitrate_kbps": None, "duration_ms": None,
+           "n_tracks": None}
     if data[:2] in (b"P4", b"P5", b"P6"):
         import re as _re
 
@@ -2571,12 +2572,14 @@ def _probe_blob(data: bytes) -> dict:
                 pos = body + size + (size & 1)
         raise ValueError("AVI has no strf header")
     elif len(data) >= 12 and data[4:8] == b"ftyp":
-        # ISO BMFF (MP4/MOV/M4A): box walk moov→trak→tkhd for track
-        # geometry (16.16 fixed point).  Decode itself stays stubbed
-        # (needs ffmpeg-class codecs) — but manifests over MP4 corpora
-        # need exactly this header-only pass.
+        # ISO BMFF (MP4/MOV/M4A): full header walk — moov→mvhd for
+        # movie duration (timescale units → ms), trak count, and the
+        # FIRST video trak's tkhd geometry (16.16 fixed point).
+        # Decode itself stays stubbed (needs ffmpeg-class codecs) —
+        # but manifests over MP4 corpora need exactly this
+        # header-only pass.
         stack = [(0, len(data))]
-        depth = 0
+        n_tracks = 0
         while stack:
             pos, end = stack.pop()
             while pos + 8 <= end:
@@ -2597,23 +2600,39 @@ def _probe_blob(data: bytes) -> dict:
                 if pos + size > end:
                     raise ValueError("truncated MP4 box")
                 if btype in (b"moov", b"trak"):
+                    if btype == b"trak":
+                        n_tracks += 1
                     if len(stack) >= 64:
                         raise ValueError("MP4 box nesting too deep")
                     stack.append((pos + size, end))
                     pos, end = body, pos + size
                     continue
-                if btype == b"tkhd" and size >= body - pos + 4:
+                if btype == b"mvhd" and body + 1 <= pos + size:
+                    v = data[body]
+                    if v == 1 and body + 32 <= pos + size:
+                        ts = int.from_bytes(data[body + 20 : body + 24], "big")
+                        dur = int.from_bytes(data[body + 24 : body + 32], "big")
+                    elif v == 0 and body + 20 <= pos + size:
+                        ts = int.from_bytes(data[body + 12 : body + 16], "big")
+                        dur = int.from_bytes(data[body + 16 : body + 20], "big")
+                    else:
+                        ts = dur = 0
+                    if ts:
+                        out["duration_ms"] = dur * 1000 // ts
+                if (
+                    btype == b"tkhd"
+                    and size >= body - pos + 4
+                    and out["width"] is None  # first video track wins
+                ):
                     v = data[body]
                     geo = body + (88 if v == 1 else 76)
                     if geo + 8 <= pos + size:
                         tw = int.from_bytes(data[geo : geo + 4], "big") >> 16
                         th = int.from_bytes(data[geo + 4 : geo + 8], "big") >> 16
                         if tw and th:  # audio tracks carry 0x0 geometry
-                            out.update(detected_format="mp4", width=tw,
-                                       height=th)
-                            return out
+                            out.update(width=tw, height=th)
                 pos += size
-        out.update(detected_format="mp4")  # audio-only / no video track
+        out.update(detected_format="mp4", n_tracks=n_tracks)
     elif (
         data[:3] == b"ID3"
         or (len(data) >= 4 and data[0] == 0xFF and data[1] & 0xE0 == 0xE0)
@@ -2640,6 +2659,36 @@ def _probe_blob(data: bytes) -> dict:
         sr = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
               0: (11025, 12000, 8000)}[version][sr_idx]
         out.update(detected_format="mp3", sample_rate=sr)
+        # bitrate from the (version, layer) table; CBR duration
+        # estimate over the post-tag byte count.  Free-format
+        # (index 0) has no declared bitrate → both stay NULL.
+        br_idx = h2 >> 4
+        if br_idx:
+            if version == 3:  # MPEG1
+                table = {
+                    3: (32, 64, 96, 128, 160, 192, 224, 256,
+                        288, 320, 352, 384, 416, 448),  # layer I
+                    2: (32, 48, 56, 64, 80, 96, 112, 128,
+                        160, 192, 224, 256, 320, 384),  # layer II
+                    1: (32, 40, 48, 56, 64, 80, 96, 112,
+                        128, 160, 192, 224, 256, 320),  # layer III
+                }[layer]
+            else:  # MPEG2 / MPEG2.5
+                table = {
+                    3: (32, 48, 56, 64, 80, 96, 112, 128,
+                        144, 160, 176, 192, 224, 256),  # layer I
+                    2: (8, 16, 24, 32, 40, 48, 56, 64,
+                        80, 96, 112, 128, 144, 160),  # layer II
+                    1: (8, 16, 24, 32, 40, 48, 56, 64,
+                        80, 96, 112, 128, 144, 160),  # layer III
+                }[layer]
+            br = table[br_idx - 1]
+            out.update(
+                bitrate_kbps=br,
+                # kbps = bits per millisecond, so this is exact
+                # integer ms for the CBR assumption
+                duration_ms=(len(data) - pos) * 8 // br,
+            )
     else:
         raise ValueError("unrecognized media container")
     return out
@@ -2680,6 +2729,55 @@ def probe_media(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(probe, schema=PROBED_SCHEMA)
+
+
+PROBED_AV_SCHEMA = (
+    "media_id long, detected_format string, sample_rate int, "
+    "bitrate_kbps int, duration_ms long, n_tracks int, "
+    "n_bytes long, ok boolean"
+)
+
+
+def probe_av_manifest(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
+    """Audio/video manifest probe — :func:`probe_media`'s sibling for
+    the A/V columns ``_probe_blob`` extracts beyond geometry: MP3
+    bitrate + CBR duration estimate from the frame header, MP4 movie
+    duration (mvhd timescale→ms) + trak count.  This is the
+    header-only pass that builds a duration/bitrate manifest over an
+    MP4/MP3 corpus WHOSE PAYLOAD DECODE STAYS STUBBED (no codec libs
+    in this container): the manifest is real, the sample decode is
+    not — exactly the split a 100 TB video-corpus curation pipeline
+    needs first (total hours, per-shard duration budgets, bitrate
+    histograms) before any GPU-decode compute is scheduled.
+    Same Arrow-batched ``mapInPandas`` / per-row-quarantine contract
+    as :func:`probe_media`."""
+    import pandas as pd
+
+    def probe(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "detected_format": [], "sample_rate": [],
+                "bitrate_kbps": [], "duration_ms": [], "n_tracks": [],
+                "n_bytes": [], "ok": [],
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"], strict=True):
+                raw = bytes(blob or b"")
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(raw))
+                try:
+                    info = _probe_blob(raw)
+                    out["ok"].append(True)
+                except ValueError:
+                    info = {"detected_format": None, "sample_rate": None,
+                            "bitrate_kbps": None, "duration_ms": None,
+                            "n_tracks": None}
+                    out["ok"].append(False)
+                for k in ("detected_format", "sample_rate", "bitrate_kbps",
+                          "duration_ms", "n_tracks"):
+                    out[k].append(info.get(k))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(probe, schema=PROBED_AV_SCHEMA)
 
 
 RESIZED_SCHEMA = (

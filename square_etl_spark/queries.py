@@ -3402,6 +3402,136 @@ _register(
 )
 
 
+def _mm_probe_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 manifest probe, oracle-hash-checked: per document CONSTRUCT
+    a variable MPEG-audio blob in pure Column expressions (hex string
+    → unhex; every byte derivable in SQL): an optional ID3v2 tag
+    (presence and pad length vary), an MPEG1 Layer-III frame header
+    whose bitrate/sample-rate indexes vary, and a variable zero
+    payload.  probe_av_manifest parses the tag, frame sync, bitrate
+    table and CBR duration estimate — DuckDB predicts every column
+    arithmetically.  This is the manifest pass a 100 TB audio corpus
+    runs while the payload DECODE stays stubbed (no codec libs):
+    total hours and bitrate histograms before any decode compute."""
+    from square_etl_spark.operators.multimodal import probe_av_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    tag = (F.col("n_chars") % 50).cast("int")
+    br_idx = (1 + F.col("n_chars") % 14).cast("int")
+    sr_idx = (F.col("n_chars") % 3).cast("int")
+    payload = (60 + F.col("n_chars") % 100).cast("int")
+    id3_hex = F.concat(
+        F.lit("494433030000000000"),  # "ID3", v2.3.0, flags 0, size hi-bytes
+        F.lpad(F.hex(tag), 2, "0"),
+        F.repeat(F.lit("00"), tag),
+    )
+    frame_hex = F.concat(
+        F.lit("FFFB"),  # MPEG1 Layer III, no CRC
+        F.lpad(F.hex(br_idx * 16 + sr_idx * 4), 2, "0"),
+        F.lit("00"),
+        F.repeat(F.lit("00"), payload),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(
+                F.when(F.col("n_chars") % 2 == 0, id3_hex).otherwise(F.lit("")),
+                frame_hex,
+            )
+        ).alias("content"),
+    )
+    return probe_av_manifest(media)
+
+
+_BR_V1L3 = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+
+_register(
+    QuerySpec(
+        "multimodal_probe_mp3",
+        _mm_probe_mp3,
+        oracle=f"""
+        SELECT doc_id AS media_id,
+               'mp3' AS detected_format,
+               CAST(([44100,48000,32000])[CAST(1 + n_chars % 3 AS INTEGER)]
+                    AS INTEGER) AS sample_rate,
+               CAST(({_BR_V1L3})[CAST(1 + n_chars % 14 AS INTEGER)]
+                    AS INTEGER) AS bitrate_kbps,
+               CAST(((4 + 60 + n_chars % 100) * 8)
+                    // /*nz: V1L3 bitrates are all positive*/
+                    ({_BR_V1L3})[CAST(1 + n_chars % 14 AS INTEGER)]
+                    AS BIGINT) AS duration_ms,
+               CAST(NULL AS INTEGER) AS n_tracks,
+               CAST(CASE WHEN n_chars % 2 = 0 THEN 10 + n_chars % 50
+                         ELSE 0 END
+                    + 4 + 60 + n_chars % 100 AS BIGINT) AS n_bytes,
+               true AS ok
+        FROM documents
+        """,
+        doc="MP3 manifest probe: ID3 skip + frame-header bitrate/rate + CBR duration, all predicted arithmetically",
+    )
+)
+
+
+def _mm_probe_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 manifest probe, oracle-hash-checked: per document CONSTRUCT
+    a variable ISO-BMFF box tree in pure Column expressions (ftyp +
+    moov containing an mvhd with varying timescale/duration and a
+    varying number of trak boxes), probe the movie duration
+    (timescale units → ms) and track count via the header-only box
+    walk — the video-corpus manifest pass (total hours, shard
+    duration budgets) that runs while frame DECODE stays stubbed."""
+    from square_etl_spark.operators.multimodal import probe_av_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_trak = (1 + F.col("n_chars") % 3).cast("int")
+    ts = (600 + 400 * (F.col("n_chars") % 2)).cast("int")
+    dur = (F.col("n_chars") % 5000).cast("int")
+    mvhd_hex = F.concat(
+        F.lit("0000001C6D766864"),  # size 28, 'mvhd'
+        F.lit("00" * 12),  # version/flags, ctime, mtime
+        F.lpad(F.hex(ts), 8, "0"),
+        F.lpad(F.hex(dur), 8, "0"),
+    )
+    moov_hex = F.concat(
+        F.lpad(F.hex(8 + 28 + 8 * n_trak), 8, "0"),
+        F.lit("6D6F6F76"),  # 'moov'
+        mvhd_hex,
+        F.repeat(F.lit("000000087472616B"), n_trak),  # empty 'trak' boxes
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(
+                F.lit("000000106674797069736F6D00000000"),  # ftyp isom
+                moov_hex,
+            )
+        ).alias("content"),
+    )
+    return probe_av_manifest(media)
+
+
+_register(
+    QuerySpec(
+        "multimodal_probe_mp4",
+        _mm_probe_mp4,
+        oracle="""
+        SELECT doc_id AS media_id,
+               'mp4' AS detected_format,
+               CAST(NULL AS INTEGER) AS sample_rate,
+               CAST(NULL AS INTEGER) AS bitrate_kbps,
+               CAST((n_chars % 5000) * 1000
+                    // /*nz: timescale is 600 or 1000*/
+                    (600 + 400 * (n_chars % 2)) AS BIGINT) AS duration_ms,
+               CAST(1 + n_chars % 3 AS INTEGER) AS n_tracks,
+               CAST(16 + 8 + 28 + 8 * (1 + n_chars % 3) AS BIGINT) AS n_bytes,
+               true AS ok
+        FROM documents
+        """,
+        doc="MP4 manifest probe: mvhd duration + trak count from the box walk, predicted arithmetically",
+    )
+)
+
+
 def _gif_2frame_parts() -> tuple[bytes, bytes]:
     """Constant (prefix, suffix) of a 2-frame 2×2 animated GIF89a whose
     single variable run — the 6-byte global color table, two gray

@@ -3410,3 +3410,69 @@ def test_png_decoder_bit_exact_all_grays():
         assert (px == px2).all()
         assert px.shape == (4, 4, 3)
         assert (px == v).all()
+
+
+def _mp4_boxes(mvhd: bytes, traks: list[bytes]) -> bytes:
+    import struct
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    body = mvhd + b"".join(traks)
+    return ftyp + struct.pack(">I", 8 + len(body)) + b"moov" + body
+
+
+def test_probe_blob_mp3_bitrate_duration_and_free_format():
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    # MPEG1 L3, bitrate idx 9 = 128 kbps, 44100, 20-byte ID3 pad
+    id3 = b"ID3" + bytes([3, 0, 0, 0, 0, 0, 20]) + b"\x00" * 20
+    blob = id3 + bytes([0xFF, 0xFB, (9 << 4), 0x00]) + b"\x00" * 100
+    r = _probe_blob(blob)
+    assert (r["detected_format"], r["sample_rate"], r["bitrate_kbps"]) == (
+        "mp3", 44100, 128)
+    assert r["duration_ms"] == (104 * 8) // 128
+    # MPEG2 layer II uses the low-rate table
+    h1 = 0xE0 | (2 << 3) | (2 << 1) | 1
+    r2 = _probe_blob(bytes([0xFF, h1, (3 << 4) | (1 << 2), 0]) + b"\x00" * 60)
+    assert (r2["sample_rate"], r2["bitrate_kbps"]) == (24000, 24)
+    # free format (idx 0): declared bitrate/duration stay NULL
+    r3 = _probe_blob(bytes([0xFF, 0xFB, 0x00, 0x00]) + b"\x00" * 50)
+    assert r3["bitrate_kbps"] is None and r3["duration_ms"] is None
+
+
+def test_probe_blob_mp4_mvhd_versions_tracks_and_geometry():
+    import struct
+
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    trak = struct.pack(">I", 8) + b"trak"
+    mvhd0 = (struct.pack(">I", 28) + b"mvhd" + b"\x00" * 12
+             + struct.pack(">II", 1000, 4321))
+    r = _probe_blob(_mp4_boxes(mvhd0, [trak, trak]))
+    assert (r["duration_ms"], r["n_tracks"], r["width"]) == (4321, 2, None)
+    # version-1 mvhd: 64-bit duration at the v1 offsets
+    mvhd1 = (struct.pack(">I", 40) + b"mvhd" + b"\x01" + b"\x00" * 19
+             + struct.pack(">I", 600) + struct.pack(">Q", 1234))
+    r1 = _probe_blob(_mp4_boxes(mvhd1, [trak]))
+    assert (r1["duration_ms"], r1["n_tracks"]) == (1234 * 1000 // 600, 1)
+    # first video trak's geometry still reported alongside the counts
+    tkhd = (struct.pack(">I", 92) + b"tkhd" + b"\x00" * 76
+            + struct.pack(">II", 640 << 16, 480 << 16))
+    trak_v = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    r2 = _probe_blob(_mp4_boxes(mvhd0, [trak_v, trak]))
+    assert (r2["width"], r2["height"], r2["n_tracks"], r2["duration_ms"]) == (
+        640, 480, 2, 4321)
+
+
+def test_probe_av_manifest_quarantines_junk(spark):
+    from square_etl_spark.operators.multimodal import probe_av_manifest
+
+    media = spark.createDataFrame(
+        [(1, bytes([0xFF, 0xFB, (9 << 4), 0x00]) + b"\x00" * 96),
+         (2, b"NOT-A-MEDIA-CONTAINER"), (3, None)],
+        "media_id long, content binary",
+    )
+    rows = {r["media_id"]: r for r in probe_av_manifest(media).collect()}
+    assert rows[1]["ok"] and rows[1]["detected_format"] == "mp3"
+    assert rows[1]["duration_ms"] == (100 * 8) // 128
+    assert not rows[2]["ok"] and rows[2]["detected_format"] is None
+    assert not rows[3]["ok"] and rows[3]["n_bytes"] == 0
