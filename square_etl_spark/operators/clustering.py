@@ -130,6 +130,43 @@ def kmeans_summary(assign: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_assign_exact(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One exact assignment pass against a FIXED centroid relation
+    ``(c, dim, cval)`` — the read side of the fit-once/assign-many
+    split: :func:`kmeans_fixed` (or a sampled fit) runs once, its
+    centroids are published as a k×d artifact (io.versioned_write),
+    and every later batch assigns against the stored table with this
+    single broadcast-join + decimal-argmin pass — no iteration, no
+    re-fit, cost linear in the batch.
+
+    Identical arithmetic to kmeans_fixed's in-loop assignment
+    (9-decimal squared-distance terms, DECIMAL(38,9) sums, total-order
+    argmin), so assigning against the centroids of a
+    ``kmeans_fixed(iters=n-1)`` fit reproduces
+    ``kmeans_fixed(iters=n)``'s assignment exactly — the property the
+    incremental SemDeDup oracle pins.  Returns (vid, c, d2)."""
+    long = _long_form(emb, id_col, vec_col)
+    diff = F.col("val") - F.col("cval")
+    term = F.round(diff * diff, 9).cast("decimal(38,9)")
+    dist = (
+        # bcast-ok: k×d stored centroid table, bounded by cluster-count param
+        long.join(F.broadcast(centroids), "dim")
+        .groupBy("vid", "c")
+        .agg(F.sum(term).alias("d2"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("c").asc())
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vid", "c", "d2")
+    )
+
+
 def kmeans_assign_arrow(
     emb: DataFrame,
     centroids: DataFrame,

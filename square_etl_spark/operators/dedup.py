@@ -350,6 +350,139 @@ def semantic_block_assign(
     )
 
 
+def semantic_fit_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    update_rounds: int = 1,
+    fit_sample_mod: int | None = None,
+) -> DataFrame:
+    """SemDeDup's FIT stage alone — run it once, publish the k×d
+    ``(c, dim, cval)`` relation with :func:`io.versioned_write`, and
+    let every ingest batch assign against the stored artifact via
+    :func:`clustering.kmeans_assign_exact` (or the Arrow path).  This
+    is the amortization the r09c sweep prescribed: the Lloyd fit is
+    the one super-linear stage left in the semantic-dedup path, and
+    in production it is paid ONCE per model/corpus epoch, not per
+    batch — per-batch cost collapses to one broadcast-join assignment
+    pass (measured flat, tools/scaling_r10.py).
+
+    ``update_rounds`` = number of Lloyd UPDATE steps (fit with n-1
+    updates + one stored-centroid assignment ≡ ``kmeans_fixed(
+    iters=n)`` end-to-end — the equality the shared oracle pins).
+    ``fit_sample_mod`` fits on the deterministic 1/m id-hash sample
+    (re-densified ids, parallelized — semantic_block_assign's
+    sampled-fit posture)."""
+    from square_etl_spark.operators.clustering import kmeans_fixed
+
+    if fit_sample_mod is None:
+        _, cent = kmeans_fixed(
+            emb, id_col, vec_col, k=k, iters=update_rounds
+        )
+        return cent
+    fit = emb.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(fit_sample_mod)) == 0
+    )
+    # gw-ok: the window ranks only the bounded fit sample (1/m of the
+    # corpus by contract); see semantic_block_assign for the
+    # repartition rationale
+    refit = fit.select(
+        (
+            F.row_number().over(Window.orderBy(F.col(id_col))) - 1
+        ).alias("__fid"),
+        F.col(vec_col).alias("__fv"),
+    ).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism,
+        F.col("__fid"),
+    )
+    _, cent = kmeans_fixed(refit, "__fid", "__fv", k=k, iters=update_rounds)
+    return cent
+
+
+def incremental_semantic_dedup(
+    state: DataFrame | None,
+    batch: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup against an EXISTING corpus — the continuous-ingest
+    posture for semantic dedup: assign the batch to the STORED
+    centroid blocks (:func:`clustering.kmeans_assign_exact`; no
+    re-fit, no old-corpus rescan), prune a batch vector when any
+    same-cluster SMALLER-ID vector (already-ingested or earlier in
+    this batch) sits above the cosine threshold, and extend the
+    state.
+
+    Returns ``(labeled, new_state)``: ``labeled`` = (id, cluster,
+    kept) for THIS batch — unioning every batch's ``labeled`` equals
+    the one-shot :func:`semantic_dedup` of everything, pinned by the
+    shared oracle of ``dedup_semantic_incremental`` — and
+    ``new_state`` = (vid, c, __nv), the assignment + unit-normalized
+    vectors of everything ingested (localCheckpoint/persist it per
+    batch; lineage grows per fold otherwise, the
+    incremental_exact_dedup note).
+
+    CONTRACT: ingest batches in ascending-id order (state ids <
+    batch ids).  The prune rule is pure id precedence, so id-ordered
+    ingest makes fold ≡ one-shot exactly; out-of-order ingest would
+    need retroactive pruning of state members (a different operator).
+    State carries the normalized vectors because SemDeDup's one-shot
+    rule prunes against ALL smaller-id cluster-mates, kept or pruned
+    — a kept-only state would under-prune (a,b,c chains where b is
+    pruned by a but c is only near b).
+
+    Per-batch cost: one assignment pass over the batch + one
+    cluster-equi-join of the batch against state∪batch — the
+    candidates→verify shape; old vectors are touched as stored
+    state rows only, never recomputed."""
+    from square_etl_spark.operators.clustering import kmeans_assign_exact
+    from square_etl_spark.operators.similarity import (
+        dot,
+        dot_unrolled,
+        normalize,
+    )
+
+    assign = kmeans_assign_exact(batch, centroids, id_col, vec_col)
+    tagged = (
+        batch.select(
+            F.col(id_col).alias("vid"), normalize(F.col(vec_col)).alias("__nv")
+        )
+        .join(assign.select("vid", "c"), "vid")
+        .select("vid", "c", "__nv")
+    )
+    others = tagged if state is None else state.unionByName(tagged)
+    sim = (
+        dot_unrolled(F.col("__va"), F.col("__vb"), dim)
+        if dim is not None
+        else dot(F.col("__va"), F.col("__vb"))
+    )
+    pruned = (
+        others.select(F.col("vid").alias("id_a"), F.col("__nv").alias("__va"), "c")
+        .join(
+            tagged.select(
+                F.col("vid").alias("id_b"), F.col("__nv").alias("__vb"), "c"
+            ),
+            "c",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__s", F.round(sim, 6))
+        .filter(F.col("__s") >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    labeled = tagged.join(pruned, "vid", "left").select(
+        F.col("vid").alias(id_col),
+        F.col("c").cast("long").alias("cluster"),
+        (~F.coalesce(F.col("__dup"), F.lit(False))).alias("kept"),
+    )
+    return labeled, others
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -359,6 +492,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     dim: int | None = None,
     fit_sample_mod: int | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means clusters over the embedding space ARE
@@ -414,10 +548,19 @@ def semantic_dedup(
         normalize,
     )
 
-    assign = semantic_block_assign(
-        emb, id_col, vec_col, k=k, iters=iters,
-        fit_sample_mod=fit_sample_mod,
-    )
+    if centroids is not None:
+        # fit-once/assign-many: blocks come from the STORED centroid
+        # artifact (semantic_fit_centroids + io.versioned_write), so
+        # this call pays only one assignment pass — k/iters/
+        # fit_sample_mod are fit-stage knobs and are ignored here
+        from square_etl_spark.operators.clustering import kmeans_assign_exact
+
+        assign = kmeans_assign_exact(emb, centroids, id_col, vec_col)
+    else:
+        assign = semantic_block_assign(
+            emb, id_col, vec_col, k=k, iters=iters,
+            fit_sample_mod=fit_sample_mod,
+        )
     normed = emb.select(
         F.col(id_col).alias("vid"), normalize(F.col(vec_col)).alias("__nv")
     )

@@ -8523,6 +8523,87 @@ _register(
 )
 
 
+def _semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amortized SemDeDup — fit ONCE, assign MANY, prune
+    incrementally: the Lloyd fit (dedup.semantic_fit_centroids, 1
+    update round) is PUBLISHED as a versioned k×d artifact
+    (io.versioned_write → read_version; versioned_vacuum bounds the
+    snapshot history), then three ascending-id ingest batches each
+    pay only one stored-centroid assignment pass + one
+    cluster-equi-join prune against the accumulated state
+    (dedup.incremental_semantic_dedup).  The unioned batch labels
+    equal the one-shot dedup_semantic EXACTLY (stored-assign ≡
+    kmeans_fixed(iters=2)'s assignment because fit ran iters-1
+    update rounds) — so this query SHARES dedup_semantic's
+    full-composition oracle: same Lloyd CTEs, same blocking, same
+    prune, recomputed end-to-end by DuckDB."""
+    import hashlib
+    import os
+    import tempfile
+
+    from square_etl_spark.io import (
+        read_version,
+        versioned_vacuum,
+        versioned_write,
+    )
+    from square_etl_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_fit_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = semantic_fit_centroids(
+        e, "vec_id", "embedding", k=4, update_rounds=1
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mtime = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:12]
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_semdedup_cent_{tag}"
+    )
+    versioned_write(spark, cent, path)
+    versioned_vacuum(path, keep=2, orphan_grace_seconds=0)
+    stored = read_version(spark, path)
+
+    n = e.count()
+    cuts = [0, n // 3, 2 * n // 3, n + 1]
+    state, out = None, None
+    for i in range(3):
+        batch = e.filter(
+            (F.col("vec_id") >= cuts[i]) & (F.col("vec_id") < cuts[i + 1])
+        )
+        labeled, state = incremental_semantic_dedup(
+            state, batch, stored, "vec_id", "embedding",
+            threshold=0.35, dim=64,
+        )
+        state = state.localCheckpoint(eager=True)
+        out = labeled if out is None else out.unionByName(labeled)
+    return out
+
+
+_register(
+    QuerySpec(
+        "dedup_semantic_incremental",
+        _semantic_incremental,
+        oracle=f"""
+        WITH {_kmeans_ctes()},
+        {_NV_CTE.strip()},
+        t AS (
+          SELECT nv.vec_id AS vid, nv.nv, a2.c
+          FROM nv JOIN a2 ON nv.vec_id = a2.vid),
+        dup AS (
+          SELECT DISTINCT b.vid
+          FROM t a JOIN t b ON a.c = b.c AND a.vid < b.vid
+          WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35)
+        SELECT t.vid AS vec_id, CAST(t.c AS BIGINT) AS cluster,
+               (dup.vid IS NULL) AS kept
+        FROM t LEFT JOIN dup ON t.vid = dup.vid
+        """,
+        doc="amortized SemDeDup: versioned centroid artifact + per-batch stored-assign prune fold ≡ one-shot (shared oracle)",
+    )
+)
+
+
 def _sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sampling (the D4/DataComp-style
     curation move): k-means clusters over the embedding space are the

@@ -3,6 +3,8 @@ Lloyd monotonicity, determinism, and the broadcast-assignment plan."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from square_etl_spark.operators.clustering import kmeans_fixed, kmeans_summary
 
 
@@ -240,3 +242,59 @@ def test_semantic_dedup_sampled_fit_arrow_matches_exact(spark):
     # within each tight blob exactly one survivor (the smallest id)
     assert sum(sampled.values()) == 2
     assert sampled[0] is True
+
+
+def test_stored_centroid_assign_reproduces_fixed_iters(spark, sf_dir):
+    """kmeans_fixed(iters=n-1) centroids + one kmeans_assign_exact
+    pass must equal kmeans_fixed(iters=n)'s assignment — the
+    fit-once/assign-many contract."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_exact,
+        kmeans_fixed,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    full, _ = kmeans_fixed(e, "vec_id", "embedding", k=4, iters=2)
+    _, c1 = kmeans_fixed(e, "vec_id", "embedding", k=4, iters=1)
+    stored = kmeans_assign_exact(e, c1, "vec_id", "embedding")
+    a = {(r["vid"], r["c"]) for r in full.collect()}
+    b = {(r["vid"], r["c"]) for r in stored.collect()}
+    assert a == b
+
+
+def test_incremental_semantic_dedup_fold_equals_one_shot(spark, sf_dir):
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        semantic_dedup,
+        semantic_fit_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    cent = semantic_fit_centroids(e, "vec_id", "embedding", k=4, update_rounds=1)
+    one_shot = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            e, "vec_id", "embedding", k=4, iters=2, threshold=0.35, dim=64
+        ).collect()
+    }
+    # fold three ascending-id batches against the stored centroids
+    state, got = None, set()
+    for lo, hi in ((0, 50), (50, 100), (100, 150)):
+        batch = e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        labeled, state = incremental_semantic_dedup(
+            state, batch, cent, "vec_id", "embedding", threshold=0.35, dim=64
+        )
+        state = state.localCheckpoint(eager=True)
+        got |= {(r["vec_id"], r["cluster"], r["kept"]) for r in labeled.collect()}
+    assert got == one_shot
+    # semantic_dedup(centroids=...) one-shot over the stored artifact
+    # agrees too (the fit-once read path of the SAME computation)
+    stored_shot = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semantic_dedup(
+            e, "vec_id", "embedding", threshold=0.35, dim=64, centroids=cent
+        ).collect()
+    }
+    assert stored_shot == one_shot
