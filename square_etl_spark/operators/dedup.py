@@ -1899,3 +1899,192 @@ def ngram_jaccard_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _portable_window_hashes(content_col: str, window_tokens: int) -> F.Column:
+    """Sliding ``window_tokens``-token window hashes at EVERY token
+    position (stride 1) — the exact-substring dedup key space.  Same
+    engine-portable arithmetic as :func:`portable_word_shingles`
+    (32-bit md5 word hashes chained by the masked 31-polynomial), but
+    built as one ``transform``-over-positions with an ``aggregate``
+    fold per window instead of n-fold ``zip_with`` — at n=50 the
+    zip_with form would nest a 50-deep expression tree; this keeps
+    the tree tiny at O(tokens·window) runtime.  (At true corpus
+    scale, a rolling polynomial hash makes this O(tokens); the masked
+    2^57 arithmetic here is not invertible in ANSI long math, so the
+    windowed fold is the portable form this engine ships.)"""
+    words = F.filter(
+        F.split(F.trim(F.col(content_col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    hw = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    k = F.size(words) - F.lit(window_tokens - 1)
+    mask = F.lit(_PORTABLE_MASK)
+    # k < 1 ⇒ no window: guard explicitly — sequence(1, 0) DESCENDS
+    # ([1, 0]) and the i=0 probe would hit element_at's 1-based floor
+    return F.when(
+        k < 1, F.expr("cast(array() as array<bigint>)")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.aggregate(
+                F.slice(hw, i + 1, window_tokens - 1),
+                F.element_at(hw, i),
+                lambda acc, x: (acc * F.lit(31) + x).bitwiseAND(mask),
+            ),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    window_tokens: int = 50,
+) -> DataFrame:
+    """EXACT-SUBSTRING dedup at fixed granularity (Lee et al. 2022,
+    arXiv:2107.06499 §"exact substring" — suffix-array dedup
+    re-expressed for Spark): any ``window_tokens``-token run that
+    appears VERBATIM anywhere earlier in the corpus is removed, at
+    EVERY token position (sliding windows, stride 1) — the pass that
+    catches boilerplate repeated mid-sentence, which fixed
+    non-overlapping spans (:func:`span_dedup`) straddle and miss.
+
+    Semantics: a window occurrence is a duplicate unless it is the
+    corpus-FIRST occurrence of its hash (by id, then position); a
+    TOKEN is removed iff some duplicate window covers it.  First
+    occurrences keep their text, so exactly one copy of every
+    duplicated substring survives — the paper's policy.  Documents
+    shorter than ``window_tokens`` have no windows and pass through.
+    Returns (id, n_words, n_kept, cleaned_text) for every input doc
+    (all-killed docs keep a row with empty text).
+
+    Scale shape: one window-hash scan (8-byte keys), one
+    window-keyed rank (the one shuffle carrying corpus-linear rows —
+    long keys, not text), then kill-explode bounded by
+    |duplicate windows|·window — proportional to the duplicated
+    volume, not the corpus.  The 57-bit hash makes the check
+    probabilistic-exact (collision ≈1e-11 merges two substrings);
+    the DuckDB oracle recomputes the identical hashes, so the
+    registry check is exact."""
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(content_col)), r"\s+"),
+            lambda w: w != F.lit(""),
+        ).alias("__w"),
+        _portable_window_hashes(content_col, window_tokens).alias("__wh"),
+    ).localCheckpoint(eager=True)
+    wins = base.select(
+        id_col, F.posexplode("__wh").alias("pos", "whash")
+    )
+    rk = Window.partitionBy("whash").orderBy(id_col, "pos")
+    dups = (
+        wins.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") > 1)
+        .select(id_col, "pos")
+    )
+    kills = dups.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window_tokens - 1))
+        ).alias("t"),
+    ).distinct()
+    toks = base.select(id_col, F.posexplode("__w").alias("t", "word"))
+    kept = toks.join(kills, [id_col, "t"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select(id_col, F.size("__w").cast("long").alias("n_words"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+def incremental_substring_dedup(
+    state: DataFrame | None,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    window_tokens: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`substring_dedup` against an EXISTING window-hash state —
+    the continuous-crawl twin, mirroring
+    :func:`incremental_span_dedup`'s digest-state pattern: a batch
+    window is a duplicate iff its hash is already in ``state`` or an
+    earlier (id, pos) occurrence exists WITHIN the batch; tokens
+    covered by duplicate windows are removed; the old corpus is never
+    rescanned (only 8-byte window hashes move).
+
+    Returns ``(cleaned, new_state)``: ``cleaned`` = the batch's docs
+    in substring_dedup's output shape; ``new_state`` = ``state`` ∪
+    the batch's first-occurrence keys ``(whash, id, pos)`` —
+    keys-sized, owner-attributed, mergeable.  Folding id-ordered
+    batches ≡ one-shot :func:`substring_dedup` exactly (shared
+    oracle of ``dedup_incremental_substring``); arbitrary-order
+    ingest gives batch-then-(id, pos) precedence, the
+    incremental_exact_dedup convention."""
+    base = batch.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(content_col)), r"\s+"),
+            lambda w: w != F.lit(""),
+        ).alias("__w"),
+        _portable_window_hashes(content_col, window_tokens).alias("__wh"),
+    ).localCheckpoint(eager=True)
+    wins = base.select(id_col, F.posexplode("__wh").alias("pos", "whash"))
+    rk = Window.partitionBy("whash").orderBy(id_col, "pos")
+    ranked = wins.withColumn("__rk", F.row_number().over(rk))
+    firsts = ranked.filter(F.col("__rk") == 1).drop("__rk")
+    if state is not None:
+        seen = state.select("whash").distinct()
+        firsts = firsts.join(seen, "whash", "left_anti")
+    dups = wins.join(
+        firsts.select(id_col, "pos"), [id_col, "pos"], "left_anti"
+    )
+    kills = dups.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window_tokens - 1))
+        ).alias("t"),
+    ).distinct()
+    toks = base.select(id_col, F.posexplode("__w").alias("t", "word"))
+    kept = toks.join(kills, [id_col, "t"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    cleaned = (
+        base.select(id_col, F.size("__w").cast("long").alias("n_words"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+    new_keys = firsts.select("whash", id_col, "pos")
+    new_state = new_keys if state is None else state.unionByName(new_keys)
+    return cleaned, new_state

@@ -561,6 +561,26 @@ def clean_stage_relations(
     return scored, ranked, exact_survivors, non_canonical
 
 
+def corpus_clean_with_substring(
+    docs: DataFrame, substring_window: int = 50
+) -> DataFrame:
+    """corpus_clean with the OPTIONAL exact-substring stage folded in
+    (Lee et al. 2022 §exact-substring): the quality→exact-dup→
+    near-dup survivor set from :func:`clean_stage_relations`, then
+    :func:`operators.dedup.substring_dedup` strips every
+    ``substring_window``-token run already seen verbatim earlier in
+    the surviving corpus — the sub-document pass the doc-level stages
+    cannot express.  Returns substring_dedup's per-doc shape
+    (doc_id, n_words, n_kept, cleaned_text) over the survivors."""
+    from square_etl_spark.operators.dedup import substring_dedup
+
+    _, _, exact_survivors, non_canonical = clean_stage_relations(docs)
+    clean = exact_survivors.join(
+        non_canonical.select("doc_id"), on="doc_id", how="left_anti"
+    )
+    return substring_dedup(clean, "doc_id", "text", substring_window)
+
+
 def attrition_funnel(docs: DataFrame) -> DataFrame:
     """Per-stage attrition funnel of the corpus-clean pipeline: label
     each document with the FIRST stage that drops it — ``quality``

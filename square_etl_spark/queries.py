@@ -12088,6 +12088,127 @@ _register(
 # checked registrations — the 17 from r08 (split assignment, char
 # entropy, incremental exact/MinHash-index dedup, PNG codec,
 # winsorization, PSI drift, robust MAD outliers, join-key overlap, C4
+def _substring_oracle(w: int) -> str:
+    """DuckDB twin of exact-substring dedup: identical md5 word
+    hashes, the same masked 31-polynomial window fold (list_reduce ≡
+    the Spark aggregate), first-occurrence rank, kill-explode,
+    reassembly."""
+    from square_etl_spark.operators.dedup import _PORTABLE_MASK
+
+    hex32 = (
+        "list_sum(list_transform(generate_series(1, 8),"
+        " p -> (CAST(strpos('0123456789abcdef',"
+        " substr(md5(x), p, 1)) AS BIGINT) - 1)"
+        " * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))"
+    )
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> '') AS w
+          FROM documents),
+        tw AS (
+          SELECT doc_id, w,
+                 list_transform(w, x -> {hex32}) AS hw
+          FROM t),
+        wi AS (
+          SELECT doc_id, hw,
+                 UNNEST(range(1, len(hw) - {w - 1} + 1)) AS pos
+          FROM tw WHERE len(hw) >= {w}),
+        wins AS (
+          SELECT doc_id, pos,
+                 list_reduce(list_slice(hw, CAST(pos AS INTEGER),
+                                        CAST(pos AS INTEGER) + {w - 1}),
+                             (x, y) -> (x * 31 + y) & {_PORTABLE_MASK})
+                   AS wh
+          FROM wi),
+        ranked AS (
+          SELECT doc_id, pos,
+                 ROW_NUMBER() OVER (PARTITION BY wh
+                                    ORDER BY doc_id, pos) AS rk
+          FROM wins),
+        kills AS (
+          SELECT DISTINCT doc_id, tt FROM (
+            SELECT doc_id, UNNEST(range(pos, pos + {w})) AS tt
+            FROM ranked WHERE rk > 1)),
+        toks AS (
+          SELECT doc_id, UNNEST(w) AS word,
+                 generate_subscripts(w, 1) AS tt
+          FROM t),
+        kept AS (
+          SELECT toks.doc_id, toks.word, toks.tt
+          FROM toks ANTI JOIN kills
+            ON toks.doc_id = kills.doc_id AND toks.tt = kills.tt),
+        re AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(word, ' ' ORDER BY tt) AS cleaned_text
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+               CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(re.cleaned_text, '') AS cleaned_text
+        FROM t LEFT JOIN re ON t.doc_id = re.doc_id
+        """
+
+
+def _substring_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at fixed granularity
+    (operators/dedup.substring_dedup): every 20-token run already
+    seen verbatim earlier in the corpus is stripped at EVERY token
+    position — the Lee-et-al. exact-substring pass that sliding
+    windows catch and fixed non-overlapping spans (dedup_span_c4)
+    straddle.  Window=20 here so the fixture actually exercises
+    kills (the operator default is the paper's 50)."""
+    from square_etl_spark.operators.dedup import substring_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return substring_dedup(d, "doc_id", "text", window_tokens=20)
+
+
+_register(
+    QuerySpec(
+        "dedup_substring_exact",
+        _substring_dedup_q,
+        oracle=_substring_oracle(20),
+        doc="exact-substring dedup: sliding 20-token windows, first-occurrence survives, covered tokens stripped; full hash-chain recomputed by the oracle",
+    )
+)
+
+
+def _incr_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-substring dedup: three ascending-id ingest
+    batches fold through the (whash, id, pos) first-occurrence state
+    (operators/dedup.incremental_substring_dedup) — old corpus
+    touched as 8-byte hashes only — and the unioned batch outputs
+    equal the one-shot dedup_substring_exact EXACTLY (shared
+    oracle)."""
+    from square_etl_spark.operators.dedup import incremental_substring_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    cuts = [0, n // 3, 2 * n // 3, n + 1]
+    state, out = None, None
+    for i in range(3):
+        batch = d.filter(
+            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        )
+        cleaned, state = incremental_substring_dedup(
+            state, batch, "doc_id", "text", window_tokens=20
+        )
+        state = state.localCheckpoint(eager=True)
+        out = cleaned if out is None else out.unionByName(cleaned)
+    return out
+
+
+_register(
+    QuerySpec(
+        "dedup_incremental_substring",
+        _incr_substring_q,
+        oracle=_substring_oracle(20),
+        doc="incremental exact-substring dedup: id-ordered batch fold over the window-hash state ≡ one-shot (shared oracle)",
+    )
+)
+
+
 #: The fixed BPE merges list as a DuckDB list literal — rank = list
 #: position, same relation the Spark side inlines (text.BPE_MERGES),
 #: so both engines fold the IDENTICAL merges table.

@@ -1309,3 +1309,101 @@ def test_fuzzy_decontamination_catches_paraphrase_exact_ngrams_miss(spark):
     # and the kill path drops exactly the paraphrase
     kept = decontaminate_fuzzy(corpus, bench, threshold=0.4)
     assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_substring_dedup_strips_repeated_run_keeps_first(spark):
+    """A 6-token run planted verbatim in two docs: with window=6 the
+    second occurrence's covered tokens vanish, the first survives,
+    unique text is untouched, and a short doc passes through."""
+    from square_etl_spark.operators.dedup import substring_dedup
+
+    run = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {run} beta"),
+            (2, f"gamma delta {run} epsilon"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in substring_dedup(
+        docs, window_tokens=6).collect()}
+    assert got[1]["cleaned_text"] == f"alpha {run} beta"
+    assert got[2]["cleaned_text"] == "gamma delta epsilon"
+    assert (got[2]["n_words"], got[2]["n_kept"]) == (9, 3)
+    assert got[3]["cleaned_text"] == "tiny doc" and got[3]["n_kept"] == 2
+
+
+def test_substring_dedup_overlapping_windows_kill_whole_region(spark):
+    """An 8-token duplicate region under window=6 produces three
+    overlapping duplicate windows whose union covers all 8 tokens."""
+    from square_etl_spark.operators.dedup import substring_dedup
+
+    region = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [(1, region), (2, f"x {region} y")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in substring_dedup(
+        docs, window_tokens=6).collect()}
+    assert got[1]["cleaned_text"] == region
+    assert got[2]["cleaned_text"] == "x y"
+
+
+def test_substring_dedup_all_killed_doc_keeps_empty_row(spark):
+    from square_etl_spark.operators.dedup import substring_dedup
+
+    t = "a1 a2 a3 a4 a5 a6"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in substring_dedup(
+        docs, window_tokens=6).collect()}
+    assert got[1]["n_kept"] == 6
+    assert got[2]["n_kept"] == 0 and got[2]["cleaned_text"] == ""
+
+
+def test_incremental_substring_fold_equals_one_shot(spark, sf_dir):
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import (
+        incremental_substring_dedup,
+        substring_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    one = {
+        (r["doc_id"], r["n_words"], r["n_kept"], r["cleaned_text"])
+        for r in substring_dedup(d, window_tokens=10).collect()
+    }
+    state, got = None, set()
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        batch = d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        cleaned, state = incremental_substring_dedup(
+            state, batch, window_tokens=10
+        )
+        state = state.localCheckpoint(eager=True)
+        got |= {
+            (r["doc_id"], r["n_words"], r["n_kept"], r["cleaned_text"])
+            for r in cleaned.collect()
+        }
+    assert got == one
+
+
+def test_corpus_clean_with_substring_composes(spark, sf_dir):
+    """The optional pipeline stage equals substring_dedup applied to
+    the clean survivor set."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import substring_dedup
+    from square_etl_spark.pipelines import (
+        clean_stage_relations,
+        corpus_clean_with_substring,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    got = {tuple(r) for r in corpus_clean_with_substring(
+        d, substring_window=10).collect()}
+    _, _, ex, nc = clean_stage_relations(d)
+    clean = ex.join(nc.select("doc_id"), "doc_id", "left_anti")
+    exp = {tuple(r) for r in substring_dedup(
+        clean, window_tokens=10).collect()}
+    assert got == exp and len(got) > 0
