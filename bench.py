@@ -129,6 +129,51 @@ def main() -> None:
         raw_runs[name] = raw
         rows[name] = n
 
+    # drift classification (r09 verdict item): compare each query's
+    # ratio-to-previous-round against the calibration anchor's ratio,
+    # so the record SELF-REPORTS whether a moved number is the box or
+    # the engine.  Classes (single-char to keep the stdout line inside
+    # the driver's bounded tail capture; full words in BENCH_DETAIL):
+    #   "n" noise      — within the ±30% run-to-run band of parity
+    #   "b" box        — moved, but by the calib (machine) ratio
+    #   "r" regression — slower beyond both bands (engine-chargeable)
+    #   "i" improved   — faster beyond both bands
+    #   "+" new        — no previous record for this query
+    _NOISE = 0.30
+    drift: dict[str, str] = {}
+    calib_ratio = None
+    prev = None
+    here = Path(__file__).resolve().parent
+    for p in sorted(here.glob("BENCH_r*.json"), reverse=True):
+        try:
+            cand = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps the captured line under "parsed"
+        if isinstance(cand, dict) and isinstance(cand.get("parsed"), dict):
+            cand = cand["parsed"]
+        if isinstance(cand, dict) and cand.get("queries") and cand.get("calib_s"):
+            prev = cand
+            break
+    if prev is not None:
+        calib_ratio = round(calib_s / prev["calib_s"], 3)
+        for name, t in timings.items():
+            pt = prev["queries"].get(name)
+            if pt is None:
+                drift[name] = "+"
+            elif pt <= 0:
+                drift[name] = "n"
+            else:
+                r = t / pt
+                if abs(r - 1) <= _NOISE:
+                    drift[name] = "n"
+                elif abs(r - calib_ratio) <= _NOISE * calib_ratio:
+                    drift[name] = "b"
+                elif r > 1:
+                    drift[name] = "r"
+                else:
+                    drift[name] = "i"
+
     # raw runs + row counts → side file (committed like SCALING.md).
     # r06 lesson: putting them on the stdout line grew it past the
     # driver's bounded tail capture at 20 benched queries → parsed:null.
@@ -136,7 +181,11 @@ def main() -> None:
     detail_path.write_text(
         json.dumps(
             {"raw_runs": raw_runs, "rows": rows, "sf": sf,
-             "runs_per_query": runs_per_query, "calib_raw": calib_raw},
+             "runs_per_query": runs_per_query, "calib_raw": calib_raw,
+             "drift": drift, "calib_ratio": calib_ratio,
+             "drift_legend": {"n": "noise", "b": "box",
+                              "r": "regression", "i": "improved",
+                              "+": "new"}},
             indent=1,
         )
         + "\n"
@@ -155,6 +204,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calib_s": calib_s,
+                "calib_ratio": calib_ratio,
+                "drift": drift,
             }
         )
     )

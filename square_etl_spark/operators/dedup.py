@@ -408,6 +408,7 @@ def incremental_semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     dim: int | None = None,
+    arrow_assign: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """SemDeDup against an EXISTING corpus — the continuous-ingest
     posture for semantic dedup: assign the batch to the STORED
@@ -438,15 +439,26 @@ def incremental_semantic_dedup(
     Per-batch cost: one assignment pass over the batch + one
     cluster-equi-join of the batch against state∪batch — the
     candidates→verify shape; old vectors are touched as stored
-    state rows only, never recomputed."""
-    from square_etl_spark.operators.clustering import kmeans_assign_exact
+    state rows only, never recomputed.  ``arrow_assign=True`` swaps
+    the decimal-exact assignment for the numpy fast path
+    (clustering.kmeans_assign_arrow) — at scaled k (∝ corpus) the
+    exact long-form join is batch·d·k rows and dominates; the Arrow
+    path keeps per-batch cost flat (tools/scaling_r10.py measures
+    it).  The exact path stays the oracle-checked default."""
+    from square_etl_spark.operators.clustering import (
+        kmeans_assign_arrow,
+        kmeans_assign_exact,
+    )
     from square_etl_spark.operators.similarity import (
         dot,
         dot_unrolled,
         normalize,
     )
 
-    assign = kmeans_assign_exact(batch, centroids, id_col, vec_col)
+    if arrow_assign:
+        assign = kmeans_assign_arrow(batch, centroids, id_col, vec_col)
+    else:
+        assign = kmeans_assign_exact(batch, centroids, id_col, vec_col)
     tagged = (
         batch.select(
             F.col(id_col).alias("vid"), normalize(F.col(vec_col)).alias("__nv")

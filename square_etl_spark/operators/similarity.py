@@ -561,61 +561,86 @@ def pq_encode(
     return codes, codebooks
 
 
-def cosine_topk_ivfpq(
+def ivfpq_index(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     dim: int = 64,
     n_cells: int = 4,
-    n_probe: int = 2,
     m: int = 4,
     ksub: int = 4,
     iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ index BUILD — the write-once side: coarse Lloyd cells,
+    per-subspace PQ codebooks + codes, and per-vector reconstructed
+    norms.  Returns ``(cells, coarse_cent, codes, codebooks, rnorm)``
+    — at deployment, write ``codes``+``rnorm`` partitioned by cell
+    and the two centroid relations as k×d / m·ksub·(dim/m) sidecars;
+    every probe then reads only the probed cell partitions
+    (:func:`topk_from_pq`)."""
+    from square_etl_spark.operators.clustering import kmeans_fixed
+
+    ds = dim // m
+    if m * ds != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    cells, coarse_cent = kmeans_fixed(
+        vectors, id_col, vec_col, k=n_cells, iters=iters
+    )
+    codes, codebooks = pq_encode(
+        vectors, dim, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    cn2 = codebooks.groupBy("s", "c").agg(
+        F.sum(
+            F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)")
+        ).alias("cn2")
+    )
+    rnorm = (
+        # bcast-ok: m·ksub codebook-norm table, parameter-bounded
+        codes.join(F.broadcast(cn2), ["s", "c"])
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum("cn2").cast("double")).alias("rnorm"))
+    )
+    return cells, coarse_cent, codes, codebooks, rnorm
+
+
+def topk_from_pq(
+    cells: DataFrame,
+    coarse_cent: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    rnorm: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
     rescore_factor: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """IVF-PQ ANN — the top of the ladder (brute → sign-LSH → IVF →
-    int8 → codes → this): coarse k-means cells bound WHICH vectors a
-    query touches (n_probe/n_cells of the corpus), product-quantized
-    codes bound WHAT is read per touched vector (m small ints + one
-    norm), and asymmetric distance computation scores candidates
-    against the query through a per-query code-table LOOKUP JOIN —
-    the raw vectors are read only for the final exact rescore of
-    ``k·rescore_factor`` candidates (a key-sized join).
+    """IVF-PQ PROBE over a PRE-BUILT :func:`ivfpq_index` — the
+    read-many side a deployment actually pays per query batch: pick
+    ``n_probe`` cells per query (decimal-exact distance to the k
+    coarse centroids), ADC-score only those cells\' members through
+    the Q·m·ksub lookup-table join, cut to ``k·rescore_factor``, and
+    exactly rescore against the raw vectors (key-sized join).  The
+    corpus-linear relations touched are the stored ``codes`` and the
+    probed slice of ``cells`` — never the raw vector table except for
+    the final key-sized rescore.  Returns
+    (query_id, vec_id, adc_sim, cosine_sim, rank ≤ k).
 
-    ADC here is exact-portable: the per-dim products round to 9
-    decimals and sum as DECIMAL(38,9) (order-free), the codebooks and
-    cell assignments inherit kmeans_fixed's decimal arithmetic, so a
-    DuckDB oracle recomputes the ENTIRE composition — coarse Lloyd,
-    per-subspace Lloyd codebooks, code assignment, probe-cell choice,
-    ADC scores, candidate cut, exact rescore — value-for-value.
-    ``adc_sim`` (the PQ approximation of cosine, reconstructed-norm
-    normalized) is kept in the output precisely so the oracle check
-    certifies the PQ path, not just the rescored ranks.
+    DEPLOYMENT REQUIREMENT (measured, tools/scaling_r10.py): the
+    probe win over the int8 full scan only materializes when
+    ``codes``+``rnorm`` are STORED PARTITIONED BY CELL, so the
+    candidate join reads only the probed partitions — unpartitioned,
+    the full m-rows-per-vector codes relation moves through the join
+    shuffle and the flat codes-scan rung is faster below ~10⁵
+    vectors (the r09 bucketed-minhash lesson: partition the stored
+    index by the probe key)."""
+    from square_etl_spark.operators.clustering import _long_form
 
-    Scale shape: every relation beyond the two corpus-linear scans
-    (long-form for training, codes for probing) is parameter- or
-    query-bounded: codebooks m·ksub·(dim/m) values, ADC tables
-    Q·m·ksub rows (broadcast), candidates Q·(corpus·n_probe/n_cells)
-    rows cut to Q·k·rescore_factor before any raw-vector read.  At
-    deployment, write codes+norms partitioned by cell and this probe
-    reads only the probed partitions; training amortizes like
-    SemDeDup's fit (fit once, k×d + m·ksub·ds artifacts).
-    Returns (query_id, vec_id, adc_sim, cosine_sim, rank ≤ k).
-    """
-    from square_etl_spark.operators.clustering import _long_form, kmeans_fixed
-
-    ds = dim // m
-    if m * ds != dim:
-        raise ValueError(f"m={m} must divide dim={dim}")
-
-    # --- coarse IVF: cells + per-query probe list ---
-    cells, coarse_cent = kmeans_fixed(
-        vectors, id_col, vec_col, k=n_cells, iters=iters
-    )
     qlf = _long_form(queries, query_id_col, query_vec_col)
     diff = F.col("val") - F.col("cval")
     qcell_d = (
@@ -633,23 +658,6 @@ def cosine_topk_ivfpq(
         qcell_d.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= n_probe)
         .select(F.col("vid").alias(query_id_col), "c")
-    )
-
-    # --- PQ: codes, codebooks, reconstructed norms ---
-    codes, codebooks = pq_encode(
-        vectors, dim, m=m, ksub=ksub, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    )
-    cn2 = codebooks.groupBy("s", "c").agg(
-        F.sum(
-            F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)")
-        ).alias("cn2")
-    )
-    rnorm = (
-        # bcast-ok: m·ksub codebook-norm table, parameter-bounded
-        codes.join(F.broadcast(cn2), ["s", "c"])
-        .groupBy(id_col)
-        .agg(F.sqrt(F.sum("cn2").cast("double")).alias("rnorm"))
     )
     qnorm = qlf.groupBy("vid").agg(
         F.sqrt(
@@ -719,4 +727,57 @@ def cosine_topk_ivfpq(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_sim", "cosine_sim", "rank")
+    )
+
+
+def cosine_topk_ivfpq(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    m: int = 4,
+    ksub: int = 4,
+    iters: int = 2,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ ANN — the top of the ladder (brute → sign-LSH → IVF →
+    int8 → codes → this): coarse k-means cells bound WHICH vectors a
+    query touches (n_probe/n_cells of the corpus), product-quantized
+    codes bound WHAT is read per touched vector (m small ints + one
+    norm), and asymmetric distance computation scores candidates
+    against the query through a per-query code-table LOOKUP JOIN —
+    the raw vectors are read only for the final exact rescore of
+    ``k·rescore_factor`` candidates (a key-sized join).
+
+    ADC here is exact-portable: the per-dim products round to 9
+    decimals and sum as DECIMAL(38,9) (order-free), the codebooks and
+    cell assignments inherit kmeans_fixed\'s decimal arithmetic, so a
+    DuckDB oracle recomputes the ENTIRE composition — coarse Lloyd,
+    per-subspace Lloyd codebooks, code assignment, probe-cell choice,
+    ADC scores, candidate cut, exact rescore — value-for-value.
+    ``adc_sim`` (the PQ approximation of cosine, reconstructed-norm
+    normalized) is kept in the output precisely so the oracle check
+    certifies the PQ path, not just the rescored ranks.
+
+    Convenience one-shot: :func:`ivfpq_index` build +
+    :func:`topk_from_pq` probe in one call.  The scan win
+    materializes when the index is built ONCE and re-probed —
+    tools/scaling_r10.py times the probe-only path against the
+    int8/codes rungs.
+    """
+    index = ivfpq_index(
+        vectors, dim=dim, n_cells=n_cells, m=m, ksub=ksub, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return topk_from_pq(
+        *index, vectors, queries,
+        k=k, n_probe=n_probe, rescore_factor=rescore_factor,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
     )

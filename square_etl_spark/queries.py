@@ -12334,89 +12334,70 @@ _register(
 )
 
 
-# span dedup, leakage audit, time decay, lossless prefix-filter join,
-# OOV rate, overlap matrix, budget mix, rolling actives) plus the 18
-# registered THIS round (incremental spans/components/survivors,
-# boilerplate-span strip, novelty, datasheet, stratified split, BM25,
-# SemDeDup, temperature mix + incremental twin, DSIR weights +
-# incremental twin, ANN recall audit, curation-mix pipeline,
-# perplexity fence, Gopher rules, lang-ID confusion) — then the
-# r05-stale cohort + the flagship anchor = 50.  All 35 are tri-scale
-# selfchecked green; this ordering converts that into driver rows in
-# CORRECTNESS_r09 instead of deferring 18 of them to r10.  rotation.py
-# confirms no oracle-checked query ages past the arithmetic window
-# under this head (the r06 cohort rotates in next round).
+# Round-10 head (tools/rotation.py recommended): the 9 queries
+# registered THIS round (MP3/MP4 probes, IVF-PQ, amortized SemDeDup,
+# fuzzy decontamination, exact-substring dedup + incremental twin,
+# BPE token counts + BPE packing twin) get first driver rows, then
+# the r05-stale cohort (11 queries with 5 rounds of code churn since
+# their last contract check — the r09 verdict's item 2) and the
+# oldest r06 cohort, flagship anchor last = 50.  All 9 new entries
+# are tri-scale selfchecked green; rotation.py confirms no
+# oracle-checked query ages past the arithmetic freshness window
+# under this head.
 _CHECK_PRIORITY: list[str] = [
-    # -- the 17 never-driver-checked round-8 registrations (all
-    # -- judge-verified green at sf0.01 in the r08 verdict) — first
-    # -- driver rows
-    "multimodal_decode_png",
-    "split_train_val_test",
-    "text_char_entropy",
-    "dedup_incremental_exact",
-    "dedup_incremental_minhash",
-    "winsorize_acctbal_segment",
-    "drift_psi_orders",
-    "robust_outliers_orders",
-    "join_key_overlap_profile",
-    "dedup_spans_c4",
-    "split_leakage_audit",
-    "decayed_engagement_events",
-    "dedup_jaccard_prefix",
-    "text_oov_rate",
-    "source_overlap_matrix",
-    "mix_budget_cap_sources",
-    "rolling_active_users",
-    # -- the 18 round-9 registrations (tri-scale selfchecked green,
-    # -- zero driver rows) — first driver rows
-    "dedup_incremental_survivors",
-    "langid_confusion_audit",
-    "quality_perplexity_fence",
-    "quality_gopher_rules",
-    "ann_recall_audit",
-    "dedup_semantic",
-    "dedup_incremental_spans",
-    "mix_temperature_langs",
-    "mix_temperature_incremental",
-    "dsir_weights_target_de",
-    "dsir_incremental_counts",
-    "pipeline_curation_mix",
-    "text_bm25_topk",
-    "split_stratified_by_lang",
-    "dedup_incremental_components",
-    "dedup_strip_repeated_spans",
-    "text_novelty_contribution",
-    "corpus_datasheet",
-    # -- the 6 late-r09 registrations (tri-scale selfchecked green,
-    # -- zero driver rows): native session windows, DoReMi one-shot +
-    # -- incremental, attrition funnel, epoch-capped mix, hard
-    # -- negatives — rotation.py's head-staleness lint (added with
-    # -- them) fails if a never-checked query sits outside the head
-    "ann_hard_negatives",
-    "sessionize_native_events",
-    "pipeline_attrition_report",
-    "mix_epoch_capped_langs",
-    "mix_doremi_sources",
-    "mix_doremi_incremental",
-    "sample_cluster_balanced",
-    # -- r05 cohort (oldest green rows): multimodal codecs + SQL
-    # -- (the rest of the r05 cohort rotates in r10, inside the
-    # -- 6-round window)
-    "multimodal_decode_jpeg",
-    "multimodal_decode_tiff",
-    "multimodal_decode_wav",
-    "multimodal_decode_flac",
-    "multimodal_probe_dimensions",
-    "multimodal_features_by_lang",
-    "sql_api_revenue",
-    # -- flagship anchor (every round, last slot)
+    "multimodal_probe_mp3",
+    "multimodal_probe_mp4",
+    "ann_topk_ivfpq",
+    "dedup_semantic_incremental",
+    "dedup_decontaminate_fuzzy",
+    "dedup_substring_exact",
+    "dedup_incremental_substring",
+    "text_bpe_tokens",
+    "pack_training_sequences_bpe",
+    "q3_shipping_priority",
+    "q10_returned_revenue",
+    "a2_stage_counts",
+    "histogram_doc_length",
+    "arrow_token_count",
+    "incremental_rollup_revenue",
+    "scd2_customer_segment",
+    "pipeline_catalog",
+    "pipeline_inventory",
+    "pipeline_categories",
+    "pipeline_locations",
+    "s1_windowed_scan",
+    "p6_address_concat",
+    "p9_constant_enrichment",
+    "j3_lookup_join",
+    "a3_last_writer_wins",
+    "agg_rollup",
+    "setop_union_except",
+    "reconcile_orders_detail",
+    "distinct_users_by_type",
+    "k1_merge_partitioned",
+    "e1_quarantine_rejects",
+    "t2_sliding_2h_1h",
+    "dedup_survivor_selection",
+    "text_fingerprint",
+    "text_strip_markup",
+    "text_unigram_nll",
+    "bucketed_join_revenue",
+    "ann_topk_codes",
+    "embedding_norms",
+    "multimodal_decode",
+    "multimodal_decode_gif_frames",
+    "multimodal_probe_then_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "approx_distinct_users",
+    "approx_distinct_kmv",
+    "q5_local_supplier_volume",
+    "q4_priority_late_ship",
+    "q14_promo_share",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the
-    # CORRECTNESS history, computes the arithmetic freshness window
-    # from the live registry size, prints the recommended next head,
-    # and exits nonzero if a never-checked query is left outside the
-    # head while already-green queries hold slots.
+    # CORRECTNESS history and prints the recommended next head.
 ]
 
 
