@@ -11178,6 +11178,9 @@ _register(
 )
 
 
+
+
+
 def _mix_temperature_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL temperature mix
     (operators/sampling.group_weight_sizes / fold_group_sizes): the
@@ -12333,6 +12336,70 @@ _register(
     )
 )
 
+def _mix_temperature_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mix on TOKENIZER-FAITHFUL budgets: the same
+    GPT-3/PaLM recipe as mix_temperature_langs but with per-language
+    sizes and consumption measured in BPE TOKENS
+    (text.bpe_token_counts) instead of characters — the r09 verdict's
+    north-star point made concrete: every budget-bearing operator
+    takes the bpe_tokens column wherever a char/whitespace weight
+    went, and the mixture it produces is the one a trainer's token
+    accountant would certify.  The oracle recomputes the BPE fold AND
+    the full mixture recipe end to end."""
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = tx.bpe_token_counts(d).select("doc_id", "bpe_tokens")
+    docs = d.select("doc_id", "lang").join(counts, "doc_id")
+    kept = temperature_mix(
+        docs, "lang", "bpe_tokens", ["doc_id"],
+        total_budget=30000, alpha=0.5,
+    )
+    return kept.select("doc_id", "lang", "bpe_tokens")
+
+
+_register(
+    QuerySpec(
+        "mix_temperature_bpe",
+        _mix_temperature_bpe,
+        oracle=f"""
+        WITH RECURSIVE {_BPE_COUNTS_CTE},
+        dl AS (
+          SELECT d.doc_id, d.lang, bc.bpe_tokens
+          FROM documents d JOIN bpe_counts bc ON d.doc_id = bc.doc_id),
+        sz AS (
+          SELECT lang, CAST(SUM(bpe_tokens) AS BIGINT) AS n
+          FROM dl GROUP BY lang),
+        pw AS (
+          SELECT lang,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(38,9)) AS p
+          FROM sz),
+        tot AS (SELECT SUM(p) AS sp FROM pw),
+        bud AS (
+          SELECT lang,
+                 CAST(floor(ROUND(
+                   ROUND(CAST(p AS DOUBLE)
+                         / /*nz: sum of positive group weights*/
+                           CAST(sp AS DOUBLE), 9) * 30000, 6))
+                   AS BIGINT) AS b
+          FROM pw CROSS JOIN tot),
+        ordx AS (
+          SELECT doc_id, lang, bpe_tokens,
+                 SUM(bpe_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bpe_tokens AS cum_before
+          FROM dl)
+        SELECT o.doc_id, o.lang, CAST(o.bpe_tokens AS BIGINT) AS bpe_tokens
+        FROM ordx o JOIN bud USING (lang)
+        WHERE cum_before < b
+        """,
+        doc="temperature mix consuming BPE-token budgets: the BPE fold + the full mixture recipe recomputed end to end",
+    )
+)
+
 
 # Round-10 head (tools/rotation.py recommended): the 9 queries
 # registered THIS round (MP3/MP4 probes, IVF-PQ, amortized SemDeDup,
@@ -12354,6 +12421,7 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_incremental_substring",
     "text_bpe_tokens",
     "pack_training_sequences_bpe",
+    "mix_temperature_bpe",
     "q3_shipping_priority",
     "q10_returned_revenue",
     "a2_stage_counts",
@@ -12393,7 +12461,6 @@ _CHECK_PRIORITY: list[str] = [
     "approx_distinct_kmv",
     "q5_local_supplier_volume",
     "q4_priority_late_ship",
-    "q14_promo_share",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

@@ -1441,7 +1441,8 @@ def test_au_aiff_probe_and_fuzz():
     aiff = _encode_aiff(bytes(range(100)), 8, 44100, 1)
     assert _probe_blob(au) == {
         "detected_format": "au", "width": None, "height": None,
-        "sample_rate": 22050,
+        "sample_rate": 22050, "bitrate_kbps": None, "duration_ms": None,
+        "n_tracks": None,
     }
     assert _probe_blob(aiff)["detected_format"] == "aiff"
     assert _probe_blob(aiff)["sample_rate"] == 44100
