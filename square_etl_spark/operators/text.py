@@ -866,19 +866,28 @@ def bpe_merges_df(spark) -> DataFrame:
     return spark.createDataFrame(rows, "rank int, lhs string, rhs string")
 
 
-def _bpe_merge_array_sql() -> str:
+def _bpe_merge_array_sql(
+    merges: "Sequence[tuple[str, str]] | None" = None,
+) -> str:
     """The merges list as an inline SQL array literal of 'lhs rhs'
-    keys (rank = array position; components are [a-z] only, so no
-    quoting concerns).  Inlined rather than joined: the list is a
-    tokenizer artifact of bounded size (50 here, 50k for GPT-2), i.e.
-    a parameter, not data — a plan literal keeps every round a pure
-    whole-stage-codegen projection with no join at all."""
-    keys = ", ".join(f"'{a} {b}'" for a, b in BPE_MERGES)
+    keys (rank = array position).  Inlined rather than joined: the
+    list is a tokenizer artifact of bounded size (50 here, 50k for
+    GPT-2), i.e. a parameter, not data — a plan literal keeps every
+    round a pure whole-stage-codegen projection with no join at all.
+    Components are quote-escaped (a learned merge over punctuation
+    pre-tokens can contain a quote character)."""
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")
+    keys = ", ".join(
+        f"'{esc(a)} {esc(b)}'" for a, b in (merges or BPE_MERGES)
+    )
     return f"array({keys})"
 
 
 def bpe_apply_vocab(
-    vocab: DataFrame, word_col: str = "word", max_rounds: int = 64
+    vocab: DataFrame,
+    word_col: str = "word",
+    max_rounds: int = 64,
+    merges: "Sequence[tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """Apply the fixed BPE merge list to every DISTINCT pre-token —
     iterate-to-fixpoint as pure DataFrame projections (the
@@ -911,7 +920,7 @@ def bpe_apply_vocab(
     result.  Per-round localCheckpoint keeps the plan linear in
     rounds (same caveat as dedup.py: checkpoint blocks drop lineage).
     """
-    arr = _bpe_merge_array_sql()
+    arr = _bpe_merge_array_sql(merges)
     out = vocab.select(
         F.col(word_col).alias("word"),
         F.expr("filter(split(lower(word), ''), x -> x <> '')").alias("sym"),
@@ -966,6 +975,7 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_rounds: int = 64,
+    merges: "Sequence[tuple[str, str]] | None" = None,
 ) -> DataFrame:
     """Tokenizer-faithful per-document token counts ``(id,
     n_pretokens, bpe_tokens)`` — the drop-in replacement for
@@ -989,7 +999,7 @@ def bpe_token_counts(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
     vocab = per_word.select(F.col("__w").alias("word")).distinct()
-    counted = bpe_apply_vocab(vocab, max_rounds=max_rounds).select(
+    counted = bpe_apply_vocab(vocab, max_rounds=max_rounds, merges=merges).select(
         F.col("word").alias("__w"), "n_tokens"
     )
     agg = (
@@ -1005,3 +1015,85 @@ def bpe_token_counts(
         F.coalesce("n_pretokens", F.lit(0)).cast("long").alias("n_pretokens"),
         F.coalesce("bpe_tokens", F.lit(0)).cast("long").alias("bpe_tokens"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 20,
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """LEARN a BPE merges list from the corpus (Sennrich et al. 2016,
+    arXiv:1508.07909) — the training half of the tokenizer story,
+    in-engine: iteratively count adjacent symbol pairs over the
+    DISTINCT-pre-token vocabulary (weighted by word frequency,
+    overlap-naive like the reference implementation), merge the most
+    frequent pair everywhere, repeat ``num_merges`` times or until no
+    pair reaches ``min_count``.  Ties break by the pair's
+    ``'lhs rhs'`` string ascending — deterministic and
+    engine-portable (the DuckDB oracle reproduces the exact
+    sequence).
+
+    Scale shape: the iteration runs on the VOCABULARY relation
+    (word, count, symbols) — Heaps-law sublinear in the corpus; the
+    corpus is touched once for the pre-token count.  Per round: one
+    explode + one pair aggregation (map-side combined) + a
+    SINGLE-ROW argmax collect (bounded, the kmeans-centroid budget)
+    + one pure-projection merge apply.  Returns the learned merges
+    as a list — feed it straight to
+    :func:`bpe_apply_vocab`/:func:`bpe_token_counts` via their
+    ``merges=`` parameter, or persist :func:`bpe_merges_df`-style as
+    the tokenizer artifact.
+    """
+    toks = df.select(F.explode(bpe_pretokens(text_col)).alias("w"))
+    state = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "w",
+            "n",
+            F.expr("filter(split(w, ''), x -> x <> '')").alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs_sql = (
+        "CASE WHEN size(sym) < 2 THEN cast(array() as array<string>) "
+        "ELSE transform(sequence(1, size(sym) - 1), "
+        "i -> concat(element_at(sym, i), ' ', element_at(sym, i + 1))) END"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        best = (
+            state.select(F.col("n"), F.explode(F.expr(pairs_sql)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()  # bounded: exactly one row per round
+        )
+        if not best:
+            break
+        a, b = best[0]["pair"].split(" ")
+        merges.append((a, b))
+        # bind the pair through lit-columns, not SQL literals — a
+        # punctuation pre-token can be a quote character
+        state = (
+            state.withColumn("__a", F.lit(a))
+            .withColumn("__b", F.lit(b))
+            .select(
+                "w",
+                "n",
+                F.expr(
+                    "aggregate(sym, cast(array() as array<string>), "
+                    "(acc, x) -> "
+                    "if(size(acc) > 0 and element_at(acc, -1) = __a "
+                    "and x = __b, "
+                    "concat(slice(acc, 1, size(acc) - 1), "
+                    "array(concat(__a, __b))), "
+                    "concat(acc, array(x))))"
+                ).alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return merges

@@ -4500,7 +4500,7 @@ def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     QuerySpec(
         "q5_local_supplier_volume",
-        _q5_local_supplier,
+            _q5_local_supplier,
         oracle=f"""
         SELECT n_name,
                {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -12212,6 +12212,127 @@ _register(
 )
 
 
+def _bpe_train_oracle(num_merges: int) -> str:
+    """DuckDB twin of in-engine BPE TRAINING (text.bpe_train): a
+    single-row recursive state (step, rank, current-pair, learned
+    merges, per-word symbol lists) alternates between APPLY steps
+    (merge the current pair's first occurrence in every word that
+    still has one — exhausting all occurrences per word equals the
+    Spark side's all-at-once fold before the next count) and COUNT
+    steps (weighted overlap-naive pair counts via struct-list
+    lambdas, argmax by count desc / pair asc through a printf sort
+    key).  Counting happens only at states where the previous pair is
+    fully applied, so both engines count identical corpora and learn
+    the IDENTICAL merge sequence."""
+
+    def pairl(s: str) -> str:
+        return (
+            f"list_transform(range(1, len({s}.sym)), "
+            f"i -> {s}.sym[CAST(i AS INTEGER)] || ' ' "
+            f"|| {s}.sym[CAST(i AS INTEGER)+1])"
+        )
+
+    return rf"""
+        WITH RECURSIVE
+        toks AS (
+          SELECT unnest(regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS w
+          FROM documents),
+        wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+               FROM toks GROUP BY w),
+        init AS (
+          SELECT list(struct_pack(sym := string_split(w, ''), n := n)
+                      ORDER BY w) AS words
+          FROM wc),
+        tr AS (
+          SELECT 0 AS step, 0 AS r, CAST(NULL AS VARCHAR) AS cur,
+                 CAST([] AS VARCHAR[]) AS merges, words
+          FROM init
+          UNION ALL
+          SELECT step + 1,
+                 CASE WHEN has_occ THEN r ELSE r + 1 END,
+                 CASE WHEN has_occ THEN cur ELSE best END,
+                 CASE WHEN has_occ THEN merges
+                      ELSE list_append(merges, best) END,
+                 CASE WHEN has_occ THEN
+                   list_transform(words, s ->
+                     CASE WHEN list_position({pairl('s')}, cur) > 0 THEN
+                       struct_pack(sym := list_concat(list_concat(
+                         list_slice(s.sym, 1,
+                           list_position({pairl('s')}, cur) - 1),
+                         [s.sym[list_position({pairl('s')}, cur)] ||
+                          s.sym[list_position({pairl('s')}, cur) + 1]]),
+                         list_slice(s.sym,
+                           list_position({pairl('s')}, cur) + 2,
+                           len(s.sym))), n := s.n)
+                     ELSE s END)
+                 ELSE words END
+          FROM (
+            SELECT step, r, cur, merges, words,
+                   COALESCE(list_max(list_transform(words, s ->
+                     CASE WHEN cur IS NOT NULL
+                          AND list_position({pairl('s')}, cur) > 0
+                          THEN true ELSE false END)), false) AS has_occ,
+                   CASE WHEN len(cs) > 0 THEN
+                        (list_min(list_transform(cs, s ->
+                           printf('%010d',
+                                  CAST(9999999999 - s.c AS BIGINT))
+                           || s.p)))[11:]
+                        ELSE NULL END AS best
+            FROM (
+              SELECT t2.*, list_filter(list_transform(
+                       list_distinct(list_transform(pairs, x -> x.p)),
+                       p -> struct_pack(p := p, c := CAST(list_sum(
+                              list_transform(
+                                list_filter(pairs, x -> x.p = p),
+                                x -> x.n)) AS BIGINT))),
+                       s -> s.c >= 2) AS cs
+              FROM (
+                SELECT tr.*, flatten(list_transform(words, s ->
+                         list_transform(range(1, len(s.sym)),
+                           i -> struct_pack(
+                                  p := s.sym[CAST(i AS INTEGER)] || ' '
+                                       || s.sym[CAST(i AS INTEGER)+1],
+                                  n := s.n)))) AS pairs
+                FROM tr) t2) t3
+            ) t
+          WHERE has_occ OR (r < {num_merges} AND best IS NOT NULL)
+        ),
+        final AS (SELECT merges FROM tr ORDER BY step DESC LIMIT 1)
+        SELECT CAST(i AS BIGINT) AS rank,
+               string_split(merges[CAST(i AS INTEGER)], ' ')[1] AS lhs,
+               string_split(merges[CAST(i AS INTEGER)], ' ')[2] AS rhs
+        FROM final, UNNEST(range(1, len(merges) + 1)) u(i)
+        """
+
+
+def _bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE TRAINING (text.bpe_train, Sennrich et al. 2016):
+    learn 12 merges from the corpus — weighted overlap-naive pair
+    counts over the DISTINCT-pre-token vocabulary, argmax with the
+    deterministic (count desc, pair asc) tie-break, all-occurrence
+    merge apply, repeat.  The oracle replays the ENTIRE training loop
+    as a recursive CTE and must produce the identical ranked merges
+    relation — the train half of the tokenizer story joining the
+    apply half (text_bpe_tokens)."""
+    from square_etl_spark.operators.text import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=12, min_count=2)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank bigint, lhs string, rhs string")
+
+
+_register(
+    QuerySpec(
+        "text_bpe_train",
+        _bpe_train_q,
+        oracle=_bpe_train_oracle(12),
+        doc="BPE training in-engine: 12 learned merges, the whole loop replayed by a recursive-CTE oracle",
+    )
+)
+
+
 #: The fixed BPE merges list as a DuckDB list literal — rank = list
 #: position, same relation the Spark side inlines (text.BPE_MERGES),
 #: so both engines fold the IDENTICAL merges table.
@@ -12422,6 +12543,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_bpe_tokens",
     "pack_training_sequences_bpe",
     "mix_temperature_bpe",
+    "text_bpe_train",
     "q3_shipping_priority",
     "q10_returned_revenue",
     "a2_stage_counts",
@@ -12459,7 +12581,6 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_resize",
     "approx_distinct_users",
     "approx_distinct_kmv",
-    "q5_local_supplier_volume",
     "q4_priority_late_ship",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.

@@ -1407,3 +1407,45 @@ def test_corpus_clean_with_substring_composes(spark, sf_dir):
     exp = {tuple(r) for r in substring_dedup(
         clean, window_tokens=10).collect()}
     assert got == exp and len(got) > 0
+
+
+def test_bpe_train_matches_reference_and_feeds_apply(spark):
+    """bpe_train must reproduce the Sennrich reference sequence
+    (weighted overlap-naive counts, count desc / pair asc tie-break,
+    all-occurrence apply) on the textbook low/lower/newest corpus,
+    and the learned list must be valid + drive bpe_apply_vocab."""
+    from square_etl_spark.operators.text import bpe_apply_vocab, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest newest widest"),
+            (2, "low lowest newest"),
+        ],
+        "doc_id long, text string",
+    )
+    m = bpe_train(docs, num_merges=8)
+    assert m == [
+        ("w", "e"), ("l", "o"), ("s", "t"), ("we", "st"),
+        ("e", "west"), ("n", "ewest"), ("lo", "w"), ("lo", "we"),
+    ]
+    # learned list is valid BPE order (each multi-char component
+    # formed earlier) — the property the apply oracle equivalence
+    # depends on
+    formed: set[str] = set()
+    for a, b in m:
+        for comp in (a, b):
+            assert len(comp) == 1 or comp in formed
+        formed.add(a + b)
+    v = spark.createDataFrame([("lowest",), ("newest",)], "word string")
+    got = {r["word"]: list(r["tokens"])
+           for r in bpe_apply_vocab(v, merges=m).collect()}
+    assert got == {"lowest": ["lo", "west"], "newest": ["newest"]}
+
+
+def test_bpe_train_min_count_stops_early(spark):
+    from square_etl_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab cd ef")], "doc_id long, text string"
+    )  # every pair occurs once — below min_count=2
+    assert bpe_train(docs, num_merges=5) == []
