@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _c(col: Column | str) -> Column:
@@ -1097,3 +1098,73 @@ def bpe_train(
             .localCheckpoint(eager=True)
         )
     return merges
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rounds: int = 64,
+    merges: "Sequence[tuple[str, str]] | None" = None,
+) -> DataFrame:
+    """Encode every document to TOKEN IDS — the artifact a trainer
+    actually consumes, closing the tokenizer loop (train → apply →
+    ids → budgets).  The id space is deterministic and derivable by
+    any engine from the same inputs: observed single characters
+    sorted ascending take ids 1..B, merge RESULTS take B+rank (two
+    merges can legitimately produce the same string — e.g. (a,bc)
+    and (ab,c) — so a string maps to the id of its LOWEST-rank
+    producer).  Returns ``(id, pos, token, token_id)`` with ``pos``
+    the 1-based position in the document's token stream.
+
+    Scale shape: BPE apply runs on the DISTINCT-pre-token vocabulary
+    (:func:`bpe_apply_vocab`); corpus-sized stages are the pre-token
+    posexplode, the vocab join, the token posexplode, and one
+    per-document window for the global position (doc-sized
+    partitions — a document's token stream must be totally ordered,
+    there is no narrower correct partitioning).  The char-id table is
+    alphabet-sized; its rank runs under a single-partition window
+    over ≤ |alphabet| rows (bounded by construction).
+    """
+    mlist = list(merges or BPE_MERGES)
+    pre = df.select(
+        F.col(id_col), F.posexplode(bpe_pretokens(text_col)).alias("widx", "word")
+    )
+    vocab = pre.select("word").distinct()
+    applied = bpe_apply_vocab(vocab, max_rounds=max_rounds, merges=mlist)
+    toks = pre.join(applied.select("word", "tokens"), "word").select(
+        id_col, "widx", F.posexplode("tokens").alias("tidx", "token")
+    )
+    # char ids: observed single chars sorted asc → 1..B.  gw-ok: the
+    # window ranks the distinct-character relation, ≤ |alphabet| rows
+    # by construction
+    chars = (
+        vocab.select(F.explode(F.expr("filter(split(lower(word), ''), x -> x <> '')")).alias("ch"))
+        .distinct()
+        .withColumn("cid", F.row_number().over(Window.orderBy(F.col("ch").asc())).cast("long"))
+    )
+    n_chars = chars.agg(F.count(F.lit(1)).alias("__b"))
+    spark = df.sparkSession
+    mrows = [(i + 1, a + b) for i, (a, b) in enumerate(mlist)]
+    mdf = spark.createDataFrame(mrows, "rank long, mtoken string")
+    # a string maps to its lowest-rank producer
+    mdf = mdf.groupBy("mtoken").agg(F.min("rank").alias("rank"))
+    # bcast-ok: 1-row alphabet-size aggregate
+    mids = mdf.crossJoin(F.broadcast(n_chars)).select(
+        F.col("mtoken"), (F.col("__b") + F.col("rank")).cast("long").alias("mid")
+    )
+    w = Window.partitionBy(id_col).orderBy("widx", "tidx")
+    out = (
+        toks
+        # bcast-ok: alphabet-sized char-id table, bounded by construction
+        .join(F.broadcast(chars), toks["token"] == chars["ch"], "left")
+        # bcast-ok: merges-sized id table, a tokenizer parameter
+        .join(F.broadcast(mids), toks["token"] == mids["mtoken"], "left")
+        .select(
+            F.col(id_col),
+            F.row_number().over(w).cast("long").alias("pos"),
+            "token",
+            F.coalesce(F.col("cid"), F.col("mid")).alias("token_id"),
+        )
+    )
+    return out

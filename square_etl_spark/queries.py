@@ -12374,14 +12374,16 @@ _BPE_COUNTS_CTE = f"""
                                     sym[i] || ' ' || sym[i + 1])) AS ranks
                 FROM bpe) t1) t2
             WHERE best IS NOT NULL) t3),
-        fixed AS (
-          SELECT w, CAST(len(sym) AS BIGINT) AS n_tok
+        fixed_sym AS (
+          SELECT w, sym
           FROM bpe
           WHERE list_aggregate(list_filter(
                   list_transform(range(1, len(sym)),
                       i -> list_position({_BPE_LIST_SQL},
                                sym[i] || ' ' || sym[i + 1])),
                   r -> r > 0), 'min') IS NULL),
+        fixed AS (
+          SELECT w, CAST(len(sym) AS BIGINT) AS n_tok FROM fixed_sym),
         bpe_agg AS (
           SELECT wc.doc_id,
                  CAST(SUM(wc.n) AS BIGINT) AS n_pretokens,
@@ -12416,6 +12418,65 @@ _register(
         """,
         doc="BPE merge fold to fixpoint on the vocab relation; DuckDB recomputes via recursive CTE over the same merges list",
         bench=True,
+    )
+)
+
+
+def _bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus to TOKEN IDS (text.bpe_encode_ids): the
+    tokenizer loop closed end to end — pre-tokenize, fold the fixed
+    merges to fixpoint on the vocabulary, flatten to each document's
+    ordered token stream, and map every token into the deterministic
+    id space (observed chars sorted = 1..B, merge results = B+rank,
+    lowest-rank producer wins on string collisions).  DuckDB
+    recomputes the whole thing: the recursive fold, the char table,
+    the id arithmetic, and the per-document stream order."""
+    from square_etl_spark.operators.text import bpe_encode_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_encode_ids(d)
+
+
+_register(
+    QuerySpec(
+        "text_bpe_encode_ids",
+        _bpe_encode_q,
+        oracle=f"""
+        WITH RECURSIVE {_BPE_COUNTS_CTE},
+        ptoks AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                 unnest(ws) AS w
+          FROM pre),
+        dtoks AS (
+          SELECT p.doc_id, p.widx,
+                 generate_subscripts(f.sym, 1) AS tidx,
+                 unnest(f.sym) AS token
+          FROM ptoks p JOIN fixed_sym f ON p.w = f.w),
+        chars AS (
+          SELECT ch, CAST(ROW_NUMBER() OVER (ORDER BY ch) AS BIGINT) AS cid
+          FROM (SELECT DISTINCT unnest(string_split(w, '')) AS ch
+                FROM vocab)),
+        nb AS (SELECT COUNT(*) AS b FROM chars),
+        mranks AS (
+          SELECT replace(({_BPE_LIST_SQL})[CAST(i AS INTEGER)], ' ', '')
+                   AS mtoken,
+                 MIN(i) AS rank
+          FROM (SELECT UNNEST(range(1, {len(tx.BPE_MERGES) + 1})) AS i)
+          GROUP BY 1),
+        mids AS (
+          SELECT mtoken, CAST(nb.b + rank AS BIGINT) AS mid
+          FROM mranks CROSS JOIN nb)
+        SELECT d.doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                    ORDER BY d.widx, d.tidx) AS BIGINT) AS pos,
+               d.token,
+               COALESCE(c.cid, m.mid) AS token_id
+        FROM dtoks d
+        LEFT JOIN chars c ON d.token = c.ch
+        LEFT JOIN mids m ON d.token = m.mtoken
+        """,
+        doc="corpus encoded to BPE token ids: fold + char/merge id space + per-doc stream order, all recomputed",
+        global_window_ok="alphabet-sized char-id rank: the global window orders the distinct-character relation, bounded by the observed alphabet (~40 rows here, ≤ a few hundred for any text corpus)",
     )
 )
 
@@ -12544,6 +12605,7 @@ _CHECK_PRIORITY: list[str] = [
     "pack_training_sequences_bpe",
     "mix_temperature_bpe",
     "text_bpe_train",
+    "text_bpe_encode_ids",
     "q3_shipping_priority",
     "q10_returned_revenue",
     "a2_stage_counts",
@@ -12581,7 +12643,6 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_resize",
     "approx_distinct_users",
     "approx_distinct_kmv",
-    "q4_priority_late_ship",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

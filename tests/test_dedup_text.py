@@ -1449,3 +1449,45 @@ def test_bpe_train_min_count_stops_early(spark):
         [(1, "ab cd ef")], "doc_id long, text string"
     )  # every pair occurs once — below min_count=2
     assert bpe_train(docs, num_merges=5) == []
+
+
+def test_bpe_encode_ids_roundtrip_and_id_space(spark):
+    from square_etl_spark.operators.text import (
+        BPE_MERGES,
+        bpe_encode_ids,
+        bpe_pretokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "The queen was standing, doing that!"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = bpe_encode_ids(docs).orderBy("doc_id", "pos").collect()
+    assert all(r["doc_id"] == 1 for r in rows)  # empty doc → no tokens
+    # round-trip: concatenating tokens in stream order rebuilds the
+    # pre-token stream exactly
+    stream = "".join(r["token"] for r in rows)
+    pre = docs.filter(F.col("doc_id") == 1).select(
+        F.concat_ws("", bpe_pretokens("text")).alias("s")
+    ).collect()[0]["s"]
+    assert stream == pre
+    # positions dense 1..n
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+    # id classes: single chars get ids 1..B, merge results B+rank
+    chars = sorted({c for r in rows for c in r["token"]})
+    n_alpha_ids = len({r["token_id"] for r in rows if len(r["token"]) == 1})
+    for r in rows:
+        if len(r["token"]) == 1:
+            assert 1 <= r["token_id"] <= len(chars)
+        else:
+            assert r["token_id"] > len(chars) - 0  # above the char block
+            # and consistent with the lowest-rank producer
+            producers = [
+                i + 1 for i, (a, b) in enumerate(BPE_MERGES)
+                if a + b == r["token"]
+            ]
+            assert r["token_id"] - len(chars) == min(producers)
+    # same string → same id everywhere
+    by_tok = {}
+    for r in rows:
+        assert by_tok.setdefault(r["token"], r["token_id"]) == r["token_id"]
