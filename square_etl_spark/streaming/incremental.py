@@ -618,3 +618,102 @@ def stream_lm_counts_availablenow(
     _fold_stream_availablenow(
         spark, source_dir, checkpoint_dir, counts_path, fold, schema=schema
     )
+
+
+def stream_substring_dedup_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    state_root: str,
+    cleaned_root: str,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    window_tokens: int = 50,
+    schema=None,
+) -> None:
+    """CONTINUOUS-CRAWL exact-substring dedup in one streaming sink —
+    the streaming twin of :func:`operators.dedup.
+    incremental_substring_dedup`, with the same append-only
+    exactly-once protocol as :func:`stream_minhash_ingest_
+    availablenow`: every micro-batch (a) strips from its documents
+    every ``window_tokens``-token run already present in the stored
+    first-occurrence window-hash state (or earlier in the batch) and
+    appends the cleaned docs, then (b) extends the state with the
+    batch's own first-occurrence keys ``(whash, id, pos)``.  The
+    streamed fold's cleaned output equals the batch-mode incremental
+    fold exactly (pinned in test_streaming).
+
+    Exactly-once via append-only PARTITION DIRECTORIES (`batch=<id>`
+    staged + atomically renamed; a re-delivered batch finds its
+    directories present and skips the missing pieces independently;
+    the cleaned output commits BEFORE the state extension so a
+    replayed batch never sees its own windows).  Same preconditions
+    as the minhash ingest sink: single writer, same-POSIX-filesystem
+    roots (the stale-staging sweep rm-rf's ``*.tmp-*`` under them).
+    """
+    import glob
+    import os
+    import shutil
+
+    from square_etl_spark.operators.dedup import incremental_substring_dedup
+    from square_etl_spark.sinks.merge import _staging_dir
+
+    def _publish(df: DataFrame, root: str, batch_id: int) -> None:
+        final = os.path.join(root, f"batch={batch_id}")
+        if os.path.exists(final):
+            return  # replayed piece: already committed
+        os.makedirs(root, exist_ok=True)
+        tmp = _staging_dir(final)
+        df.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, final)
+
+    def _sweep_stale(root: str) -> None:
+        for stale in glob.glob(os.path.join(root, "*.tmp-*")):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for root in (state_root, cleaned_root):
+            _sweep_stale(root)
+        cleaned_dir = os.path.join(cleaned_root, f"batch={batch_id}")
+        state_dir = os.path.join(state_root, f"batch={batch_id}")
+        if os.path.exists(cleaned_dir) and os.path.exists(state_dir):
+            return  # fully committed batch replayed
+        batch_df = batch_df.localCheckpoint(eager=True)
+        have_state = os.path.exists(state_root) and any(
+            e.startswith("batch=") for e in os.listdir(state_root)
+        )
+        state = (
+            spark.read.parquet(state_root).drop("batch")
+            if have_state
+            else None
+        )
+        cleaned, new_state = incremental_substring_dedup(
+            state, batch_df, id_col, content_col, window_tokens
+        )
+        # the batch's NEW first-occurrence keys are the state delta:
+        # new_state = state ∪ delta, so anti-join out the old keys
+        delta = (
+            new_state
+            if state is None
+            else new_state.join(
+                state.select("whash"), "whash", "left_anti"
+            )
+        )
+        delta = delta.localCheckpoint(eager=True)
+        cleaned = cleaned.localCheckpoint(eager=True)
+        # cleaned commits BEFORE the state extension: on replay the
+        # probe must never see the probing batch's own windows
+        _publish(cleaned, cleaned_root, batch_id)
+        _publish(delta, state_root, batch_id)
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
