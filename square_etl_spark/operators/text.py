@@ -1057,6 +1057,14 @@ def bpe_train(
         )
         .localCheckpoint(eager=True)
     )
+    return _bpe_train_loop(state, num_merges, min_count)
+
+
+def _bpe_train_loop(
+    state: DataFrame, num_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """The shared training iteration over a (w, n, sym) state — see
+    :func:`bpe_train` for semantics and scale shape."""
     pairs_sql = (
         "CASE WHEN size(sym) < 2 THEN cast(array() as array<string>) "
         "ELSE transform(sequence(1, size(sym) - 1), "
@@ -1168,3 +1176,47 @@ def bpe_encode_ids(
         )
     )
     return out
+
+
+def bpe_pretoken_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One ingest batch's pre-token counts ``(w, n)`` — the mergeable
+    BPE-training state (count-sum monoid, the dsir_feature_counts
+    pattern applied to the tokenizer): accumulate batches with
+    :func:`fold_bpe_pretoken_counts`, then train from the state with
+    :func:`bpe_train_from_counts` — re-training after new data never
+    rescans old text, only the vocabulary-sized count relation."""
+    return (
+        df.select(F.explode(bpe_pretokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def fold_bpe_pretoken_counts(
+    state: DataFrame | None, batch_counts: DataFrame
+) -> DataFrame:
+    """Fold a batch's pre-token counts into the state — exact sum
+    monoid, so fold ≡ one-shot counts row-for-row."""
+    if state is None:
+        return batch_counts
+    return (
+        state.unionByName(batch_counts)
+        .groupBy("w")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+
+
+def bpe_train_from_counts(
+    wc: DataFrame, num_merges: int = 20, min_count: int = 2
+) -> list[tuple[str, str]]:
+    """:func:`bpe_train` starting from a ``(w, n)`` pre-token count
+    relation (one-shot or folded — identical either way, the monoid
+    guarantee).  This is the retraining entry point for continuous
+    ingest: corpus text is read once per batch at count time; the
+    training loop touches only the vocabulary-sized state."""
+    state = wc.select(
+        "w",
+        F.col("n").cast("long").alias("n"),
+        F.expr("filter(split(w, ''), x -> x <> '')").alias("sym"),
+    ).localCheckpoint(eager=True)
+    return _bpe_train_loop(state, num_merges, min_count)

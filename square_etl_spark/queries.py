@@ -12333,6 +12333,43 @@ _register(
 )
 
 
+def _bpe_train_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL BPE training: the pre-token counts that seed the
+    training loop are accumulated as a vocabulary-sized (w, n) state
+    folded over three ingest batches (text.bpe_pretoken_counts /
+    fold_bpe_pretoken_counts — exact count-sum monoid), and
+    text.bpe_train_from_counts trains from the state.  Folded counts
+    ARE the one-shot counts row-for-row, so the learned merges equal
+    text_bpe_train's exactly and this query SHARES its recursive-CTE
+    oracle — retraining after new data never rescans old text."""
+    from square_etl_spark.operators.text import (
+        bpe_pretoken_counts,
+        bpe_train_from_counts,
+        fold_bpe_pretoken_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    state = None
+    for i in range(3):
+        batch = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        state = fold_bpe_pretoken_counts(
+            state, bpe_pretoken_counts(batch)
+        ).localCheckpoint(eager=True)
+    merges = bpe_train_from_counts(state, num_merges=12, min_count=2)
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank bigint, lhs string, rhs string")
+
+
+_register(
+    QuerySpec(
+        "text_bpe_train_incremental",
+        _bpe_train_incr_q,
+        oracle=_bpe_train_oracle(12),
+        doc="incremental BPE training: folded pre-token count state drives the identical learned merges (shared oracle)",
+    )
+)
+
+
 #: The fixed BPE merges list as a DuckDB list literal — rank = list
 #: position, same relation the Spark side inlines (text.BPE_MERGES),
 #: so both engines fold the IDENTICAL merges table.
@@ -12606,6 +12643,7 @@ _CHECK_PRIORITY: list[str] = [
     "mix_temperature_bpe",
     "text_bpe_train",
     "text_bpe_encode_ids",
+    "text_bpe_train_incremental",
     "q3_shipping_priority",
     "q10_returned_revenue",
     "a2_stage_counts",
@@ -12642,7 +12680,6 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_frame_sample",
     "multimodal_resize",
     "approx_distinct_users",
-    "approx_distinct_kmv",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

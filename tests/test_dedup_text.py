@@ -1491,3 +1491,32 @@ def test_bpe_encode_ids_roundtrip_and_id_space(spark):
     by_tok = {}
     for r in rows:
         assert by_tok.setdefault(r["token"], r["token_id"]) == r["token_id"]
+
+
+def test_bpe_pretoken_counts_fold_equals_one_shot_and_trains_same(spark):
+    from square_etl_spark.operators.text import (
+        bpe_pretoken_counts,
+        bpe_train,
+        bpe_train_from_counts,
+        fold_bpe_pretoken_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest"),
+            (2, "newest newest widest low"),
+            (3, "lowest newest"),
+        ],
+        "doc_id long, text string",
+    )
+    one_shot_counts = {
+        (r["w"], r["n"]) for r in bpe_pretoken_counts(docs).collect()
+    }
+    state = None
+    for i in range(3):
+        b = docs.filter(F.col("doc_id") == i + 1)
+        state = fold_bpe_pretoken_counts(state, bpe_pretoken_counts(b))
+    assert {(r["w"], r["n"]) for r in state.collect()} == one_shot_counts
+    assert bpe_train_from_counts(state, num_merges=8) == bpe_train(
+        docs, num_merges=8
+    )
