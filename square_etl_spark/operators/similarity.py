@@ -781,3 +781,102 @@ def cosine_topk_ivfpq(
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     )
+
+
+def write_ivfpq_index(
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame],
+    base_path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an :func:`ivfpq_index` CELL-PARTITIONED — the storage
+    layout the probe win requires (measured, tools/scaling_r10.py:
+    unpartitioned, the full m-rows-per-vector codes relation moves
+    through the candidate join's shuffle and the flat int8 scan wins;
+    partitioned by cell, a probe READS only the probed cells'
+    directories).  Layout: ``codes/`` = one relation
+    (id, s, c, rnorm) partitioned by ``cell``; ``coarse/`` and
+    ``codebooks/`` = the two parameter-sized centroid sidecars."""
+    import os
+
+    cells, coarse_cent, codes, codebooks, rnorm = index
+    stored = (
+        codes.join(
+            cells.select(F.col("vid").alias(id_col), F.col("c").alias("cell")),
+            id_col,
+        )
+        .join(rnorm, id_col)
+    )
+    (
+        stored.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(base_path, "codes"))
+    )
+    coarse_cent.write.mode("overwrite").parquet(
+        os.path.join(base_path, "coarse")
+    )
+    codebooks.write.mode("overwrite").parquet(
+        os.path.join(base_path, "codebooks")
+    )
+
+
+def topk_from_pq_stored(
+    spark,
+    base_path: str,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ probe over a CELL-PARTITIONED stored index
+    (:func:`write_ivfpq_index`) — the deployment read path: compute
+    the query batch's probe cells against the coarse-centroid sidecar,
+    collect the bounded probed-cell set (≤ Q·n_probe ids), and read
+    the codes table WITH the cell filter so partition pruning skips
+    every unprobed directory (PartitionFilters in the scan — pinned in
+    test_similarity_multimodal).  Everything downstream is
+    :func:`topk_from_pq` on the pruned relations, so results are
+    IDENTICAL to the in-memory composition (test-pinned)."""
+    import os
+
+    from square_etl_spark.operators.clustering import _long_form
+
+    coarse_cent = spark.read.parquet(os.path.join(base_path, "coarse"))
+    codebooks = spark.read.parquet(os.path.join(base_path, "codebooks"))
+    qlf = _long_form(queries, query_id_col, query_vec_col)
+    diff = F.col("val") - F.col("cval")
+    qcell_d = (
+        # bcast-ok: n_cells×dim coarse centroid sidecar, parameter-bounded
+        qlf.join(F.broadcast(coarse_cent), "dim")
+        .groupBy("vid", "c")
+        .agg(
+            F.sum(F.round(diff * diff, 9).cast("decimal(38,9)")).alias("d2")
+        )
+    )
+    wq = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("c").asc())
+    probe = (
+        qcell_d.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select(F.col("vid").alias(query_id_col), "c")
+    )
+    # bounded collect: ≤ Q·n_probe cell ids — the partition-pruning key
+    probed_cells = [r["c"] for r in probe.select("c").distinct().collect()]
+    stored = spark.read.parquet(os.path.join(base_path, "codes")).filter(
+        F.col("cell").isin(probed_cells)
+    )
+    cells = stored.select(
+        F.col(id_col).alias("vid"), F.col("cell").alias("c")
+    ).distinct()
+    codes = stored.select(id_col, "s", "c")
+    rnorm = stored.select(id_col, "rnorm").distinct()
+    return topk_from_pq(
+        cells, coarse_cent, codes, codebooks, rnorm, vectors, queries,
+        k=k, n_probe=n_probe, rescore_factor=rescore_factor,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    )

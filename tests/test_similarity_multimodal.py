@@ -369,3 +369,37 @@ def test_ivfpq_topk_shape_and_rescore_correctness(spark, sf_dir):
     for qid, rs in by_q.items():
         top = [r for r in rs if r["rank"] == 1][0]
         assert top["vec_id"] == qid and top["cosine_sim"] == 1.0
+
+
+def test_ivfpq_stored_probe_matches_inmemory_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    from square_etl_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        ivfpq_index,
+        topk_from_pq_stored,
+        write_ivfpq_index,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    idx = ivfpq_index(e, dim=64, n_cells=4, m=4, ksub=4, iters=2)
+    base = str(tmp_path / "pqidx")
+    write_ivfpq_index(idx, base)
+    got = sorted(map(tuple, topk_from_pq_stored(
+        spark, base, e, q, k=5, n_probe=2).collect()))
+    want = sorted(map(tuple, cosine_topk_ivfpq(
+        e, q, k=5, dim=64, n_cells=4, n_probe=2).collect()))
+    assert got == want and len(got) == 15
+    # the stored-codes scan must be partition-pruned on cell
+    import os
+    plan = (
+        spark.read.parquet(os.path.join(base, "codes"))
+        .filter(F.col("cell").isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan

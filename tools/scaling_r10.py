@@ -44,7 +44,8 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 SIZES = [20_000, 40_000, 80_000]
-OPS = ["ann_int8_probe", "ann_ivfpq_probe", "semdedup_batch_ingest"]
+OPS = ["ann_int8_probe", "ann_ivfpq_probe", "ann_ivfpq_probe_stored",
+       "semdedup_batch_ingest"]
 DIM = 64
 N_QUERIES = 5
 BATCH = 5_000
@@ -138,6 +139,41 @@ def run_point(n: int, op: str) -> None:
         timed(op, n, lambda: topk_from_pq(
             cells, coarse, codes, codebooks, rnorm, emb, q,
             k=5, n_probe=2).count(), spark)
+    elif op == "ann_ivfpq_probe_stored":
+        # the deployment layout the r10 finding prescribes: codes
+        # stored PARTITIONED BY CELL (write untimed), probe reads only
+        # the probed cells' directories (partition pruning)
+        import tempfile
+
+        from square_etl_spark.operators.clustering import (
+            kmeans_assign_arrow,
+        )
+        from square_etl_spark.operators.dedup import semantic_fit_centroids
+        from square_etl_spark.operators.similarity import (
+            ivfpq_index,
+            topk_from_pq_stored,
+            write_ivfpq_index,
+        )
+
+        emb = _vectors(spark, n).localCheckpoint(eager=True)
+        q = _queries_of(spark, emb)
+        n_cells = max(4, n // TARGET_CELL)
+        coarse = semantic_fit_centroids(
+            emb, "vec_id", "embedding", k=n_cells,
+            update_rounds=1, fit_sample_mod=8,
+        ).localCheckpoint(eager=True)
+        cells = kmeans_assign_arrow(
+            emb, coarse, "vec_id", "embedding"
+        ).select("vid", "c").localCheckpoint(eager=True)
+        _, _, codes, codebooks, rnorm = ivfpq_index(
+            emb, dim=DIM, n_cells=4, m=4, ksub=4, iters=1
+        )
+        base = tempfile.mkdtemp(prefix="scaling_r10_pqidx_")
+        write_ivfpq_index(
+            (cells, coarse, codes, codebooks, rnorm), base
+        )  # untimed: the write-once side
+        timed(op, n, lambda: topk_from_pq_stored(
+            spark, base, emb, q, k=5, n_probe=2).count(), spark)
     elif op == "semdedup_batch_ingest":
         from square_etl_spark.operators.dedup import (
             incremental_semantic_dedup,
