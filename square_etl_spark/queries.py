@@ -12375,19 +12375,24 @@ _register(
 #: so both engines fold the IDENTICAL merges table.
 _BPE_LIST_SQL = "[" + ", ".join(f"'{a} {b}'" for a, b in tx.BPE_MERGES) + "]"
 
-#: Shared DuckDB CTE chain: pre-tokenize → distinct vocab → recursive
-#: one-merge-at-a-time BPE fold to fixpoint → per-doc token sums.
-#: The recursive step merges the FIRST occurrence of the minimum-rank
-#: pair; the Spark side merges ALL occurrences of that rank per round
-#: (text.bpe_apply_vocab) — provably the same fixpoint for a valid
-#: merges list (see text.BPE_MERGES), pinned by the oracle comparison
-#: itself and by test_dedup_text's reference-fold check.
-_BPE_COUNTS_CTE = f"""
+def _bpe_counts_cte(src: str = "documents") -> str:
+    """Shared DuckDB CTE chain over the ``src`` relation (needs
+    doc_id + text): pre-tokenize → distinct vocab → recursive
+    one-merge-at-a-time BPE fold to fixpoint → per-doc token sums.
+    The recursive step merges the FIRST occurrence of the
+    minimum-rank pair; the Spark side merges ALL occurrences of that
+    rank per round (text.bpe_apply_vocab) — provably the same
+    fixpoint for a valid merges list (see text.BPE_MERGES), pinned by
+    the oracle comparison itself and by test_dedup_text's
+    reference-fold check.  Parameterized on ``src`` so pipeline
+    compositions can run the fold over a FILTERED corpus (e.g. the
+    dedup survivors)."""
+    return f"""
         pre AS (
           SELECT doc_id,
                  regexp_extract_all(lower(text),
                      '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ws
-          FROM documents),
+          FROM {src}),
         toks AS (SELECT doc_id, unnest(ws) AS w FROM pre),
         wc AS (SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w),
         vocab AS (SELECT DISTINCT w FROM wc),
@@ -12431,7 +12436,10 @@ _BPE_COUNTS_CTE = f"""
           SELECT d.doc_id,
                  COALESCE(a.n_pretokens, 0) AS n_pretokens,
                  COALESCE(a.bpe_tokens, 0) AS bpe_tokens
-          FROM documents d LEFT JOIN bpe_agg a ON d.doc_id = a.doc_id)"""
+          FROM {src} d LEFT JOIN bpe_agg a ON d.doc_id = a.doc_id)"""
+
+
+_BPE_COUNTS_CTE = _bpe_counts_cte()
 
 
 def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12620,6 +12628,107 @@ _register(
 )
 
 
+def _pipeline_tokenize_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TRAINING-DATA BUILD, end to end in one oracled query: raw
+    corpus → exact dedup (min-id survivor per sha256 digest) →
+    tokenizer-faithful BPE token counts on the survivors →
+    temperature-scaled per-language mixture over a 20k-BPE-token
+    budget → packed 512-token training sequences via the two-phase
+    distributed prefix sum.  Every stage is an operator from this
+    library composed the way a user runs them; DuckDB recomputes the
+    WHOLE composition — dedup precedence, the recursive merge fold
+    over the survivor vocabulary, the mixture recipe, and the packing
+    prefix sums."""
+    from square_etl_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    digest_w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy(
+        F.col("doc_id").asc()
+    )
+    survivors = (
+        d.withColumn("__rn", F.row_number().over(digest_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    counts = tx.bpe_token_counts(survivors).select("doc_id", "bpe_tokens")
+    docs = survivors.select("doc_id", "lang").join(counts, "doc_id")
+    kept = temperature_mix(
+        docs, "lang", "bpe_tokens", ["doc_id"],
+        total_budget=20000, alpha=0.5,
+    )
+    packed = pack_sequences(
+        kept.select(
+            "doc_id", "lang", F.col("bpe_tokens").alias("n_tokens")
+        ),
+        token_col="n_tokens",
+        key_cols=("doc_id",),
+        budget=512,
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "seq_id", "seq_offset")
+
+
+_register(
+    QuerySpec(
+        "pipeline_tokenize_pack",
+        _pipeline_tokenize_pack,
+        oracle=f"""
+        WITH RECURSIVE
+        surv AS (
+          SELECT doc_id, text, lang FROM (
+            SELECT doc_id, text, lang,
+                   ROW_NUMBER() OVER (PARTITION BY text
+                                      ORDER BY doc_id) AS rn
+            FROM documents) WHERE rn = 1),
+        {_bpe_counts_cte("surv")},
+        dl AS (
+          SELECT s.doc_id, s.lang, bc.bpe_tokens
+          FROM surv s JOIN bpe_counts bc ON s.doc_id = bc.doc_id),
+        sz AS (
+          SELECT lang, CAST(SUM(bpe_tokens) AS BIGINT) AS n
+          FROM dl GROUP BY lang),
+        pw AS (
+          SELECT lang,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
+                      AS DECIMAL(38,9)) AS p
+          FROM sz),
+        tot AS (SELECT SUM(p) AS sp FROM pw),
+        bud AS (
+          SELECT lang,
+                 CAST(floor(ROUND(
+                   ROUND(CAST(p AS DOUBLE)
+                         / /*nz: sum of positive group weights*/
+                           CAST(sp AS DOUBLE), 9) * 20000, 6))
+                   AS BIGINT) AS b
+          FROM pw CROSS JOIN tot),
+        ordx AS (
+          SELECT doc_id, lang, bpe_tokens,
+                 SUM(bpe_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bpe_tokens AS cum_before
+          FROM dl),
+        kept AS (
+          SELECT o.doc_id, o.lang, o.bpe_tokens
+          FROM ordx o JOIN bud USING (lang)
+          WHERE cum_before < b),
+        pord AS (
+          SELECT doc_id, lang, bpe_tokens,
+                 SUM(bpe_tokens) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - bpe_tokens AS cum
+          FROM kept)
+        SELECT doc_id, lang, CAST(bpe_tokens AS BIGINT) AS n_tokens,
+               CAST(cum // 512 AS BIGINT) AS seq_id,
+               CAST(cum % 512 AS BIGINT) AS seq_offset
+        FROM pord
+        """,
+        doc="the training-data build end to end: dedup -> BPE counts -> temperature mix -> packed sequences, all recomputed",
+    )
+)
+
+
 # Round-10 head (tools/rotation.py recommended): the 9 queries
 # registered THIS round (MP3/MP4 probes, IVF-PQ, amortized SemDeDup,
 # fuzzy decontamination, exact-substring dedup + incremental twin,
@@ -12644,6 +12753,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_bpe_train",
     "text_bpe_encode_ids",
     "text_bpe_train_incremental",
+    "pipeline_tokenize_pack",
     "q3_shipping_priority",
     "q10_returned_revenue",
     "a2_stage_counts",
@@ -12678,7 +12788,6 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_decode_gif_frames",
     "multimodal_probe_then_decode",
     "multimodal_frame_sample",
-    "multimodal_resize",
     "approx_distinct_users",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
