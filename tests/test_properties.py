@@ -1068,3 +1068,73 @@ def test_temperature_mix_epoch_cap_invariants(spark, rows, total, max_epochs):
         # whole corpus is kept exactly once
         kept = sum(sum(ws) for ws in by_g.values())
         assert kept == sum(supply.values())
+
+
+_word = st.sampled_from(["aa", "ab", "ba", "cab", "abab", "x"])
+_doc_words = st.lists(_word, min_size=0, max_size=12)
+
+
+@given(docs=st.lists(_doc_words, min_size=1, max_size=5))
+@SETTINGS
+def test_substring_dedup_equals_python_fold(spark, docs):
+    """substring_dedup ≡ a direct Python implementation of the Lee
+    et al. policy (first window occurrence by (id, pos) survives;
+    tokens covered by any duplicate window are stripped) on random
+    small corpora with heavy repetition."""
+    from square_etl_spark.operators.dedup import substring_dedup
+
+    W = 2
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_kept"], r["cleaned_text"])
+        for r in substring_dedup(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            window_tokens=W,
+        ).collect()
+    }
+    # reference: global first-occurrence over window tuples
+    seen: dict[tuple, tuple] = {}
+    for i, ws in enumerate(docs):
+        for p in range(len(ws) - W + 1):
+            seen.setdefault(tuple(ws[p : p + W]), (i, p))
+    exp = {}
+    for i, ws in enumerate(docs):
+        killed = set()
+        for p in range(len(ws) - W + 1):
+            if seen[tuple(ws[p : p + W])] != (i, p):
+                killed.update(range(p, p + W))
+        keptw = [w for t, w in enumerate(ws) if t not in killed]
+        exp[i] = (len(ws), len(keptw), " ".join(keptw))
+    assert got == exp
+
+
+_bpe_word = st.text(alphabet="abcl", min_size=1, max_size=10)
+
+
+@given(words=st.lists(_bpe_word, min_size=1, max_size=8, unique=True))
+@SETTINGS
+def test_bpe_apply_equals_reference_fold_property(spark, words):
+    """bpe_apply_vocab ≡ the one-merge-at-a-time reference (the
+    oracle's algorithm) on random lowercase words — the equivalence
+    the DuckDB comparison relies on, property-tested beyond the fixed
+    adversarial list."""
+    from square_etl_spark.operators.text import BPE_MERGES, bpe_apply_vocab
+
+    ranks = {f"{a} {b}": i + 1 for i, (a, b) in enumerate(BPE_MERGES)}
+
+    def ref(word: str) -> list[str]:
+        sym = list(word)
+        while True:
+            pr = [
+                ranks.get(f"{sym[i]} {sym[i + 1]}", 0)
+                for i in range(len(sym) - 1)
+            ]
+            present = [r for r in pr if r > 0]
+            if not present:
+                return sym
+            pos = pr.index(min(present))
+            sym = sym[:pos] + [sym[pos] + sym[pos + 1]] + sym[pos + 2 :]
+
+    v = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: list(r["tokens"]) for r in bpe_apply_vocab(v).collect()}
+    assert got == {w: ref(w) for w in words}
