@@ -12212,7 +12212,7 @@ _register(
 )
 
 
-def _bpe_train_oracle(num_merges: int) -> str:
+def _bpe_train_ctes(num_merges: int) -> str:
     """DuckDB twin of in-engine BPE TRAINING (text.bpe_train): a
     single-row recursive state (step, rank, current-pair, learned
     merges, per-word symbol lists) alternates between APPLY steps
@@ -12233,7 +12233,6 @@ def _bpe_train_oracle(num_merges: int) -> str:
         )
 
     return rf"""
-        WITH RECURSIVE
         toks AS (
           SELECT unnest(regexp_extract_all(lower(text),
                      '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS w
@@ -12298,7 +12297,12 @@ def _bpe_train_oracle(num_merges: int) -> str:
             ) t
           WHERE has_occ OR (r < {num_merges} AND best IS NOT NULL)
         ),
-        final AS (SELECT merges FROM tr ORDER BY step DESC LIMIT 1)
+        final AS (SELECT merges FROM tr ORDER BY step DESC LIMIT 1)"""
+
+
+def _bpe_train_oracle(num_merges: int) -> str:
+    return f"""
+        WITH RECURSIVE {_bpe_train_ctes(num_merges)}
         SELECT CAST(i AS BIGINT) AS rank,
                string_split(merges[CAST(i AS INTEGER)], ' ')[1] AS lhs,
                string_split(merges[CAST(i AS INTEGER)], ' ')[2] AS rhs
@@ -12366,6 +12370,86 @@ _register(
         _bpe_train_incr_q,
         oracle=_bpe_train_oracle(12),
         doc="incremental BPE training: folded pre-token count state drives the identical learned merges (shared oracle)",
+    )
+)
+
+
+def _bpe_train_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE TOKENIZER LIFECYCLE in one query: TRAIN 12 merges on the
+    corpus (text.bpe_train), then count every document with the
+    LEARNED merges (text.bpe_token_counts(merges=...)) — the learned
+    list crosses the stages as a num_merges-row artifact (bounded
+    driver collect, in production a versioned_write parquet).  The
+    oracle replays BOTH halves: the recursive training state machine
+    produces the merges list, and a second recursive fold applies
+    THAT LIST (carried as a column through the recursion — data, not
+    a literal) to the vocabulary, then sums per doc.  A green row
+    certifies train → persist → apply end to end."""
+    from square_etl_spark.operators.text import bpe_token_counts, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=12, min_count=2)
+    return bpe_token_counts(d, merges=merges)
+
+
+_register(
+    QuerySpec(
+        "text_bpe_train_apply",
+        _bpe_train_apply_q,
+        oracle=f"""
+        WITH RECURSIVE {_bpe_train_ctes(12)},
+        pre AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(text),
+                     '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ws
+          FROM documents),
+        dtoks AS (SELECT doc_id, unnest(ws) AS w FROM pre),
+        dwc AS (SELECT doc_id, w, COUNT(*) AS n
+                FROM dtoks GROUP BY doc_id, w),
+        vocab AS (SELECT DISTINCT w FROM dwc),
+        bpe2 AS (
+          SELECT w, string_split(w, '') AS sym, f.merges AS ml
+          FROM vocab CROSS JOIN final f
+          UNION ALL
+          SELECT w, list_concat(list_concat(
+                   list_slice(sym, 1, pos - 1),
+                   [sym[pos] || sym[pos + 1]]),
+                   list_slice(sym, pos + 2, len(sym))) AS sym, ml
+          FROM (
+            SELECT w, sym, ml, list_position(ranks, best) AS pos
+            FROM (
+              SELECT w, sym, ml, ranks,
+                     list_aggregate(list_filter(ranks, r -> r > 0),
+                                    'min') AS best
+              FROM (
+                SELECT w, sym, ml,
+                       list_transform(range(1, len(sym)),
+                         i -> list_position(ml,
+                                sym[CAST(i AS INTEGER)] || ' '
+                                || sym[CAST(i AS INTEGER)+1])) AS ranks
+                FROM bpe2) a2x) b2x
+            WHERE best IS NOT NULL) c2x),
+        fixed2 AS (
+          SELECT w, CAST(len(sym) AS BIGINT) AS n_tok
+          FROM bpe2
+          WHERE list_aggregate(list_filter(
+                  list_transform(range(1, len(sym)),
+                    i -> list_position(ml,
+                           sym[CAST(i AS INTEGER)] || ' '
+                           || sym[CAST(i AS INTEGER)+1])),
+                  r -> r > 0), 'min') IS NULL),
+        agg2 AS (
+          SELECT dwc.doc_id,
+                 CAST(SUM(dwc.n) AS BIGINT) AS n_pretokens,
+                 CAST(SUM(dwc.n * f2.n_tok) AS BIGINT) AS bpe_tokens
+          FROM dwc JOIN fixed2 f2 ON dwc.w = f2.w
+          GROUP BY dwc.doc_id)
+        SELECT d.doc_id,
+               COALESCE(a.n_pretokens, 0) AS n_pretokens,
+               COALESCE(a.bpe_tokens, 0) AS bpe_tokens
+        FROM documents d LEFT JOIN agg2 a ON d.doc_id = a.doc_id
+        """,
+        doc="tokenizer lifecycle: train 12 merges then count the corpus with the LEARNED list — both recursions replayed, the list crossing stages as data",
     )
 )
 
@@ -12754,6 +12838,7 @@ _CHECK_PRIORITY: list[str] = [
     "text_bpe_encode_ids",
     "text_bpe_train_incremental",
     "pipeline_tokenize_pack",
+    "text_bpe_train_apply",
     "q3_shipping_priority",
     "q10_returned_revenue",
     "a2_stage_counts",
@@ -12787,7 +12872,6 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_decode",
     "multimodal_decode_gif_frames",
     "multimodal_probe_then_decode",
-    "multimodal_frame_sample",
     "approx_distinct_users",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
