@@ -139,12 +139,25 @@ def main() -> None:
     #   "r" regression — slower beyond both bands (engine-chargeable)
     #   "i" improved   — faster beyond both bands
     #   "+" new        — no previous record for this query
+    # CAVEAT: "previous round" = the newest BENCH_r*.json on disk.
+    # That is correct in the normal flow (builder benches run before
+    # the driver writes this round's record), but a re-run AFTER the
+    # driver has written BENCH_r{current} would compare the bench
+    # against its own round (calib_ratio ≈ 1, everything "n").  Set
+    # SPARK_GRAFT_DRIFT_BASE=BENCH_r09.json to pin the baseline
+    # explicitly in that case.
     _NOISE = 0.30
     drift: dict[str, str] = {}
     calib_ratio = None
     prev = None
     here = Path(__file__).resolve().parent
-    for p in sorted(here.glob("BENCH_r*.json"), reverse=True):
+    base_override = os.environ.get("SPARK_GRAFT_DRIFT_BASE")
+    candidates = (
+        [here / base_override]
+        if base_override
+        else sorted(here.glob("BENCH_r*.json"), reverse=True)
+    )
+    for p in candidates:
         try:
             cand = json.loads(p.read_text())
         except (OSError, json.JSONDecodeError):

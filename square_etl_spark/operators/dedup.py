@@ -1950,6 +1950,61 @@ def _portable_window_hashes(content_col: str, window_tokens: int) -> F.Column:
     )
 
 
+
+def _substring_base(
+    df: DataFrame, id_col: str, content_col: str, window_tokens: int
+) -> DataFrame:
+    """The checkpointed compact base both substring-dedup variants
+    share: (id, __w token array, __wh window-hash array)."""
+    return df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.col(content_col)), r"\s+"),
+            lambda w: w != F.lit(""),
+        ).alias("__w"),
+        _portable_window_hashes(content_col, window_tokens).alias("__wh"),
+    ).localCheckpoint(eager=True)
+
+
+def _strip_dup_windows(
+    base: DataFrame, dups: DataFrame, id_col: str, window_tokens: int
+) -> DataFrame:
+    """Shared kill-explode → anti-join → reassembly → output block of
+    :func:`substring_dedup` / :func:`incremental_substring_dedup`:
+    given the duplicate window occurrences ``dups``(id, pos), strip
+    every covered token and return (id, n_words, n_kept,
+    cleaned_text) for every base doc (all-killed docs keep an
+    empty-text row)."""
+    kills = dups.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(window_tokens - 1))
+        ).alias("t"),
+    ).distinct()
+    toks = base.select(id_col, F.posexplode("__w").alias("t", "word"))
+    kept = toks.join(kills, [id_col, "t"], "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("t", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select(id_col, F.size("__w").cast("long").alias("n_words"))
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
 def substring_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1981,14 +2036,7 @@ def substring_dedup(
     probabilistic-exact (collision ≈1e-11 merges two substrings);
     the DuckDB oracle recomputes the identical hashes, so the
     registry check is exact."""
-    base = df.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.trim(F.col(content_col)), r"\s+"),
-            lambda w: w != F.lit(""),
-        ).alias("__w"),
-        _portable_window_hashes(content_col, window_tokens).alias("__wh"),
-    ).localCheckpoint(eager=True)
+    base = _substring_base(df, id_col, content_col, window_tokens)
     wins = base.select(
         id_col, F.posexplode("__wh").alias("pos", "whash")
     )
@@ -1998,34 +2046,7 @@ def substring_dedup(
         .filter(F.col("__rk") > 1)
         .select(id_col, "pos")
     )
-    kills = dups.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(window_tokens - 1))
-        ).alias("t"),
-    ).distinct()
-    toks = base.select(id_col, F.posexplode("__w").alias("t", "word"))
-    kept = toks.join(kills, [id_col, "t"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("t", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("cleaned_text"),
-    )
-    return (
-        base.select(id_col, F.size("__w").cast("long").alias("n_words"))
-        .join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        )
-    )
+    return _strip_dup_windows(base, dups, id_col, window_tokens)
 
 
 def incremental_substring_dedup(
@@ -2051,14 +2072,7 @@ def incremental_substring_dedup(
     oracle of ``dedup_incremental_substring``); arbitrary-order
     ingest gives batch-then-(id, pos) precedence, the
     incremental_exact_dedup convention."""
-    base = batch.select(
-        F.col(id_col),
-        F.filter(
-            F.split(F.trim(F.col(content_col)), r"\s+"),
-            lambda w: w != F.lit(""),
-        ).alias("__w"),
-        _portable_window_hashes(content_col, window_tokens).alias("__wh"),
-    ).localCheckpoint(eager=True)
+    base = _substring_base(batch, id_col, content_col, window_tokens)
     wins = base.select(id_col, F.posexplode("__wh").alias("pos", "whash"))
     rk = Window.partitionBy("whash").orderBy(id_col, "pos")
     ranked = wins.withColumn("__rk", F.row_number().over(rk))
@@ -2069,34 +2083,7 @@ def incremental_substring_dedup(
     dups = wins.join(
         firsts.select(id_col, "pos"), [id_col, "pos"], "left_anti"
     )
-    kills = dups.select(
-        id_col,
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + F.lit(window_tokens - 1))
-        ).alias("t"),
-    ).distinct()
-    toks = base.select(id_col, F.posexplode("__w").alias("t", "word"))
-    kept = toks.join(kills, [id_col, "t"], "left_anti")
-    reassembled = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("t", "word"))),
-                lambda s: s["word"],
-            ),
-        ).alias("cleaned_text"),
-    )
-    cleaned = (
-        base.select(id_col, F.size("__w").cast("long").alias("n_words"))
-        .join(reassembled, id_col, "left")
-        .select(
-            id_col,
-            "n_words",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
-        )
-    )
+    cleaned = _strip_dup_windows(base, dups, id_col, window_tokens)
     new_keys = firsts.select("whash", id_col, "pos")
     new_state = new_keys if state is None else state.unionByName(new_keys)
     return cleaned, new_state

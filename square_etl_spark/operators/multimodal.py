@@ -2578,9 +2578,20 @@ def _probe_blob(data: bytes) -> dict:
         # Decode itself stays stubbed (needs ffmpeg-class codecs) —
         # but manifests over MP4 corpora need exactly this
         # header-only pass.
+        #
+        # TRUNCATION is expected, not malformed: the manifest pass
+        # typically samples a blob's first N KB, and a faststart MP4's
+        # mdat (or a tail box) then overruns the sample.  A box that
+        # runs past the available bytes STOPS the walk and the probe
+        # returns whatever it has collected so far (r10 review fix —
+        # the pre-r10 code returned early on video geometry, so
+        # header-sampled MP4s probed fine; the full walk must not
+        # regress them to quarantine).  Structurally bad SIZES
+        # (size < 8, largesize < 16) still raise.
         stack = [(0, len(data))]
         n_tracks = 0
-        while stack:
+        truncated = False
+        while stack and not truncated:
             pos, end = stack.pop()
             while pos + 8 <= end:
                 size = int.from_bytes(data[pos : pos + 4], "big")
@@ -2588,7 +2599,8 @@ def _probe_blob(data: bytes) -> dict:
                 body = pos + 8
                 if size == 1:  # 64-bit largesize
                     if body + 8 > end:
-                        raise ValueError("truncated MP4 largesize box")
+                        truncated = True
+                        break
                     size = int.from_bytes(data[body : body + 8], "big")
                     body += 8
                     if size < 16:
@@ -2597,16 +2609,20 @@ def _probe_blob(data: bytes) -> dict:
                     size = end - pos
                 elif size < 8:
                     raise ValueError("bad MP4 box size")
-                if pos + size > end:
-                    raise ValueError("truncated MP4 box")
                 if btype in (b"moov", b"trak"):
+                    # container boxes: descend even when the box is cut
+                    # by the sample — the available prefix still holds
+                    # mvhd / leading traks (clamp, don't quarantine)
                     if btype == b"trak":
                         n_tracks += 1
                     if len(stack) >= 64:
                         raise ValueError("MP4 box nesting too deep")
-                    stack.append((pos + size, end))
-                    pos, end = body, pos + size
+                    stack.append((min(pos + size, end), end))
+                    pos, end = body, min(pos + size, end)
                     continue
+                if pos + size > end:
+                    truncated = True
+                    break
                 if btype == b"mvhd" and body + 1 <= pos + size:
                     v = data[body]
                     if v == 1 and body + 32 <= pos + size:

@@ -966,6 +966,14 @@ def dsir_logweights(
         "dsir_logweights: target yielded no n-gram features "
         "(empty or mis-filtered target DataFrame)",
     )
+    # and the raw side: an empty raw_counts state (fresh or
+    # mis-filtered fold) would equally NULL every weight
+    rtot = assert_invariant(
+        rtot,
+        F.col("__nr").isNotNull() & (F.col("__nr") > 0),
+        "dsir_logweights: raw corpus yielded no n-gram features "
+        "(empty raw DataFrame or empty raw_counts state)",
+    )
 
     s = float(smoothing)
     sb = F.lit(s * buckets)

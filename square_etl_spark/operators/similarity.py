@@ -604,6 +604,37 @@ def ivfpq_index(
     return cells, coarse_cent, codes, codebooks, rnorm
 
 
+
+def _probe_cells(
+    queries: DataFrame,
+    coarse_cent: DataFrame,
+    n_probe: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Per-query nearest coarse cells (query_id, c) — decimal-exact
+    distances against the parameter-bounded centroid table; shared by
+    the in-memory and stored IVF-PQ probes so the two cannot drift."""
+    from square_etl_spark.operators.clustering import _long_form
+
+    qlf = _long_form(queries, query_id_col, query_vec_col)
+    diff = F.col("val") - F.col("cval")
+    qcell_d = (
+        # bcast-ok: n_cells×dim coarse centroid table, parameter-bounded
+        qlf.join(F.broadcast(coarse_cent), "dim")
+        .groupBy("vid", "c")
+        .agg(
+            F.sum(F.round(diff * diff, 9).cast("decimal(38,9)")).alias("d2")
+        )
+    )
+    wq = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("c").asc())
+    return (
+        qcell_d.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select(F.col("vid").alias(query_id_col), "c")
+    )
+
+
 def topk_from_pq(
     cells: DataFrame,
     coarse_cent: DataFrame,
@@ -619,6 +650,7 @@ def topk_from_pq(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ PROBE over a PRE-BUILT :func:`ivfpq_index` — the
     read-many side a deployment actually pays per query batch: pick
@@ -642,23 +674,10 @@ def topk_from_pq(
     from square_etl_spark.operators.clustering import _long_form
 
     qlf = _long_form(queries, query_id_col, query_vec_col)
-    diff = F.col("val") - F.col("cval")
-    qcell_d = (
-        # bcast-ok: n_cells×dim coarse centroid table, parameter-bounded
-        qlf.join(F.broadcast(coarse_cent), "dim")
-        .groupBy("vid", "c")
-        .agg(
-            F.sum(
-                F.round(diff * diff, 9).cast("decimal(38,9)")
-            ).alias("d2")
+    if probe is None:
+        probe = _probe_cells(
+            queries, coarse_cent, n_probe, query_id_col, query_vec_col
         )
-    )
-    wq = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("c").asc())
-    probe = (
-        qcell_d.withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= n_probe)
-        .select(F.col("vid").alias(query_id_col), "c")
-    )
     qnorm = qlf.groupBy("vid").agg(
         F.sqrt(
             F.sum(
@@ -844,26 +863,11 @@ def topk_from_pq_stored(
     IDENTICAL to the in-memory composition (test-pinned)."""
     import os
 
-    from square_etl_spark.operators.clustering import _long_form
-
     coarse_cent = spark.read.parquet(os.path.join(base_path, "coarse"))
     codebooks = spark.read.parquet(os.path.join(base_path, "codebooks"))
-    qlf = _long_form(queries, query_id_col, query_vec_col)
-    diff = F.col("val") - F.col("cval")
-    qcell_d = (
-        # bcast-ok: n_cells×dim coarse centroid sidecar, parameter-bounded
-        qlf.join(F.broadcast(coarse_cent), "dim")
-        .groupBy("vid", "c")
-        .agg(
-            F.sum(F.round(diff * diff, 9).cast("decimal(38,9)")).alias("d2")
-        )
-    )
-    wq = Window.partitionBy("vid").orderBy(F.col("d2").asc(), F.col("c").asc())
-    probe = (
-        qcell_d.withColumn("__r", F.row_number().over(wq))
-        .filter(F.col("__r") <= n_probe)
-        .select(F.col("vid").alias(query_id_col), "c")
-    )
+    probe = _probe_cells(
+        queries, coarse_cent, n_probe, query_id_col, query_vec_col
+    ).localCheckpoint(eager=True)  # consumed twice: pruning set + join
     # bounded collect: ≤ Q·n_probe cell ids — the partition-pruning key
     probed_cells = [r["c"] for r in probe.select("c").distinct().collect()]
     stored = spark.read.parquet(os.path.join(base_path, "codes")).filter(
@@ -879,4 +883,5 @@ def topk_from_pq_stored(
         k=k, n_probe=n_probe, rescore_factor=rescore_factor,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        probe=probe,  # reuse — no second probe-distance pass
     )

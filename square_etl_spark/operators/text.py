@@ -932,7 +932,12 @@ def bpe_apply_vocab(
         f"i -> array_position({arr}, concat(element_at(sym, i), ' ', "
         "element_at(sym, i + 1)))) END"
     )
-    for _ in range(max_rounds):
+    # max_rounds + 1 iterations: a vocab whose deepest merge chain is
+    # exactly max_rounds needs ONE extra zero-change round to observe
+    # convergence — without it the loop conflates "changed on the
+    # last allowed round" with "work remaining" and raises on a
+    # fully-tokenized result (r10 review fix)
+    for _ in range(max_rounds + 1):
         step = (
             out.withColumn("__ranks", F.expr(ranks_sql))
             .withColumn(

@@ -4500,7 +4500,7 @@ def _q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register(
     QuerySpec(
         "q5_local_supplier_volume",
-            _q5_local_supplier,
+        _q5_local_supplier,
         oracle=f"""
         SELECT n_name,
                {_dsum("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -11176,9 +11176,6 @@ _register(
         "budgets + deterministic md5-order consumption, full recipe in the oracle",
     )
 )
-
-
-
 
 
 def _mix_temperature_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -360,6 +360,38 @@ def stream_kmv_availablenow(
     )
 
 
+
+def _publish_batch_dir(df: DataFrame, root: str, batch_id: int) -> None:
+    """Atomically publish one batch's rows as ``<root>/batch=<id>`` —
+    staged sibling dir + same-filesystem rename; a replayed piece that
+    already exists is skipped (idempotent).  Shared by the append-only
+    ingest sinks (minhash, exact-substring); preconditions (single
+    writer, POSIX rename/list semantics) are documented on each sink."""
+    import os
+
+    from square_etl_spark.sinks.merge import _staging_dir
+
+    final = os.path.join(root, f"batch={batch_id}")
+    if os.path.exists(final):
+        return  # replayed piece: already committed
+    os.makedirs(root, exist_ok=True)
+    tmp = _staging_dir(final)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, final)
+
+
+def _sweep_stale_staging(root: str) -> None:
+    """Remove staging dirs a crashed publish left behind.  NOTE: this
+    rm-rf's every ``*.tmp-*`` under ``root`` — the single-writer
+    precondition of the sinks that call it."""
+    import glob
+    import os
+    import shutil
+
+    for stale in glob.glob(os.path.join(root, "*.tmp-*")):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def stream_minhash_ingest_availablenow(
     spark: SparkSession,
     source_dir: str,
@@ -416,32 +448,16 @@ def stream_minhash_ingest_availablenow(
     writer's in-flight staging would be deleted mid-commit.
     """
     import os
-    import shutil
 
     from square_etl_spark.operators.dedup import minhash_index, minhash_probe
-    from square_etl_spark.sinks.merge import _staging_dir
 
     sh_root = os.path.join(index_root, "shingles")
     bk_root = os.path.join(index_root, "buckets")
-
-    def _publish(df: DataFrame, root: str, batch_id: int) -> None:
-        final = os.path.join(root, f"batch={batch_id}")
-        if os.path.exists(final):
-            return  # replayed piece: already committed
-        os.makedirs(root, exist_ok=True)
-        tmp = _staging_dir(final)
-        df.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)
-
-    def _sweep_stale(root: str) -> None:
-        import glob
-
-        for stale in glob.glob(os.path.join(root, "*.tmp-*")):
-            shutil.rmtree(stale, ignore_errors=True)
+    _publish = _publish_batch_dir
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         for root in (sh_root, bk_root, pairs_root):
-            _sweep_stale(root)
+            _sweep_stale_staging(root)
         pairs_dir = os.path.join(pairs_root, f"batch={batch_id}")
         sh_dir = os.path.join(sh_root, f"batch={batch_id}")
         bk_dir = os.path.join(bk_root, f"batch={batch_id}")
@@ -651,29 +667,15 @@ def stream_substring_dedup_availablenow(
     as the minhash ingest sink: single writer, same-POSIX-filesystem
     roots (the stale-staging sweep rm-rf's ``*.tmp-*`` under them).
     """
-    import glob
     import os
-    import shutil
 
     from square_etl_spark.operators.dedup import incremental_substring_dedup
-    from square_etl_spark.sinks.merge import _staging_dir
 
-    def _publish(df: DataFrame, root: str, batch_id: int) -> None:
-        final = os.path.join(root, f"batch={batch_id}")
-        if os.path.exists(final):
-            return  # replayed piece: already committed
-        os.makedirs(root, exist_ok=True)
-        tmp = _staging_dir(final)
-        df.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, final)
-
-    def _sweep_stale(root: str) -> None:
-        for stale in glob.glob(os.path.join(root, "*.tmp-*")):
-            shutil.rmtree(stale, ignore_errors=True)
+    _publish = _publish_batch_dir
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         for root in (state_root, cleaned_root):
-            _sweep_stale(root)
+            _sweep_stale_staging(root)
         cleaned_dir = os.path.join(cleaned_root, f"batch={batch_id}")
         state_dir = os.path.join(state_root, f"batch={batch_id}")
         if os.path.exists(cleaned_dir) and os.path.exists(state_dir):

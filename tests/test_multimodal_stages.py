@@ -3477,3 +3477,42 @@ def test_probe_av_manifest_quarantines_junk(spark):
     assert rows[1]["duration_ms"] == (100 * 8) // 128
     assert not rows[2]["ok"] and rows[2]["detected_format"] is None
     assert not rows[3]["ok"] and rows[3]["n_bytes"] == 0
+
+
+def test_probe_blob_mp4_tolerates_header_sampled_truncation():
+    """A faststart MP4 sampled to its first N KB (mdat declared size
+    overruns the sample) must still probe — duration, track count,
+    geometry — not quarantine; even a cut INSIDE moov keeps whatever
+    parsed before the cut.  Structurally bad sizes still raise."""
+    import struct
+
+    import pytest as _pytest
+
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+    mvhd = (struct.pack(">I", 28) + b"mvhd" + b"\x00" * 12
+            + struct.pack(">II", 1000, 4321))
+    trak = struct.pack(">I", 8) + b"trak"
+    tkhd = (struct.pack(">I", 92) + b"tkhd" + b"\x00" * 76
+            + struct.pack(">II", 640 << 16, 480 << 16))
+    trak_v = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = (struct.pack(">I", 8 + len(mvhd) + len(trak_v) + len(trak))
+            + b"moov" + mvhd + trak_v + trak)
+    mdat = struct.pack(">I", 100000) + b"mdat" + b"\x00" * 64
+    blob = ftyp + moov + mdat
+    r = _probe_blob(blob)
+    assert (r["width"], r["height"], r["n_tracks"], r["duration_ms"]) == (
+        640, 480, 2, 4321)
+    # cut inside moov right after mvhd: duration survives
+    r2 = _probe_blob(blob[: 16 + 8 + len(mvhd) + 10])
+    assert r2["detected_format"] == "mp4" and r2["duration_ms"] == 4321
+    # every truncation point parses or raises ValueError — never crashes
+    for cut in range(12, len(blob), 7):
+        try:
+            _probe_blob(blob[:cut])
+        except ValueError:
+            pass
+    # structurally bad size is still malformed
+    with _pytest.raises(ValueError):
+        _probe_blob(ftyp + struct.pack(">I", 3) + b"abcd")

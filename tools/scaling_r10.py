@@ -88,6 +88,34 @@ def timed(name: str, n: int, thunk, spark):
     }), flush=True)
 
 
+
+def _pq_artifacts(emb, spark):
+    """PQ codes/codebooks/rnorm WITHOUT the throwaway coarse fit
+    (ivfpq_index also fits 4 coarse cells the sweep then discards —
+    r10 review fix): pq_encode + the codebook-norm fold, matching
+    ivfpq_index's last three relations exactly."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.similarity import pq_encode
+
+    codes, codebooks = pq_encode(emb, DIM, m=4, ksub=4, iters=1)
+    cn2 = codebooks.groupBy("s", "c").agg(
+        F.sum(
+            F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)")
+        ).alias("cn2")
+    )
+    rnorm = (
+        codes.join(F.broadcast(cn2), ["s", "c"])
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.sum("cn2").cast("double")).alias("rnorm"))
+    )
+    return (
+        codes.localCheckpoint(eager=True),
+        codebooks.localCheckpoint(eager=True),
+        rnorm.localCheckpoint(eager=True),
+    )
+
+
 def run_point(n: int, op: str) -> None:
     from square_etl_spark import get_spark
 
@@ -107,10 +135,7 @@ def run_point(n: int, op: str) -> None:
         timed(op, n, lambda: topk_from_codes(
             codes, factors, emb, q, k=5, dim=DIM).count(), spark)
     elif op == "ann_ivfpq_probe":
-        from square_etl_spark.operators.similarity import (
-            ivfpq_index,
-            topk_from_pq,
-        )
+        from square_etl_spark.operators.similarity import topk_from_pq
 
         emb = _vectors(spark, n).localCheckpoint(eager=True)
         q = _queries_of(spark, emb)
@@ -130,12 +155,7 @@ def run_point(n: int, op: str) -> None:
         cells = kmeans_assign_arrow(
             emb, coarse, "vec_id", "embedding"
         ).select("vid", "c").localCheckpoint(eager=True)
-        _, _, codes, codebooks, rnorm = ivfpq_index(
-            emb, dim=DIM, n_cells=4, m=4, ksub=4, iters=1
-        )
-        codes = codes.localCheckpoint(eager=True)
-        codebooks = codebooks.localCheckpoint(eager=True)
-        rnorm = rnorm.localCheckpoint(eager=True)
+        codes, codebooks, rnorm = _pq_artifacts(emb, spark)
         timed(op, n, lambda: topk_from_pq(
             cells, coarse, codes, codebooks, rnorm, emb, q,
             k=5, n_probe=2).count(), spark)
@@ -150,7 +170,6 @@ def run_point(n: int, op: str) -> None:
         )
         from square_etl_spark.operators.dedup import semantic_fit_centroids
         from square_etl_spark.operators.similarity import (
-            ivfpq_index,
             topk_from_pq_stored,
             write_ivfpq_index,
         )
@@ -165,9 +184,7 @@ def run_point(n: int, op: str) -> None:
         cells = kmeans_assign_arrow(
             emb, coarse, "vec_id", "embedding"
         ).select("vid", "c").localCheckpoint(eager=True)
-        _, _, codes, codebooks, rnorm = ivfpq_index(
-            emb, dim=DIM, n_cells=4, m=4, ksub=4, iters=1
-        )
+        codes, codebooks, rnorm = _pq_artifacts(emb, spark)
         base = tempfile.mkdtemp(prefix="scaling_r10_pqidx_")
         write_ivfpq_index(
             (cells, coarse, codes, codebooks, rnorm), base
