@@ -26,6 +26,7 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -139,18 +140,26 @@ def main() -> None:
     #   "r" regression — slower beyond both bands (engine-chargeable)
     #   "i" improved   — faster beyond both bands
     #   "+" new        — no previous record for this query
-    # CAVEAT: "previous round" = the newest BENCH_r*.json on disk.
-    # That is correct in the normal flow (builder benches run before
-    # the driver writes this round's record), but a re-run AFTER the
-    # driver has written BENCH_r{current} would compare the bench
-    # against its own round (calib_ratio ≈ 1, everything "n").  Set
-    # SPARK_GRAFT_DRIFT_BASE=BENCH_r09.json to pin the baseline
-    # explicitly in that case.
+    # Baseline = the newest BENCH_r*.json on disk that is NOT a record
+    # of this same code state: each record carries the git HEAD it was
+    # benched at (from r11 on), and a candidate whose git_head equals
+    # the current HEAD is this round's own record re-read after the
+    # driver wrote it — comparing against it made calib_ratio ≈ 1 and
+    # classified everything "n" (r10 ADVICE item).  Such candidates
+    # are skipped in favor of the next-newest; SPARK_GRAFT_DRIFT_BASE
+    # still pins an explicit baseline (head-match skipping off).
     _NOISE = 0.30
     drift: dict[str, str] = {}
     calib_ratio = None
     prev = None
     here = Path(__file__).resolve().parent
+    try:
+        git_head = subprocess.run(
+            ["git", "-C", str(here), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except (OSError, subprocess.SubprocessError):
+        git_head = None
     base_override = os.environ.get("SPARK_GRAFT_DRIFT_BASE")
     candidates = (
         [here / base_override]
@@ -165,9 +174,18 @@ def main() -> None:
         # the driver wraps the captured line under "parsed"
         if isinstance(cand, dict) and isinstance(cand.get("parsed"), dict):
             cand = cand["parsed"]
-        if isinstance(cand, dict) and cand.get("queries") and cand.get("calib_s"):
-            prev = cand
-            break
+        if not (
+            isinstance(cand, dict) and cand.get("queries") and cand.get("calib_s")
+        ):
+            continue
+        if (
+            not base_override
+            and git_head is not None
+            and cand.get("git_head") == git_head
+        ):
+            continue  # same code state: this round's own record
+        prev = cand
+        break
     if prev is not None:
         calib_ratio = round(calib_s / prev["calib_s"], 3)
         for name, t in timings.items():
@@ -219,6 +237,7 @@ def main() -> None:
                 "calib_s": calib_s,
                 "calib_ratio": calib_ratio,
                 "drift": drift,
+                "git_head": git_head,
             }
         )
     )

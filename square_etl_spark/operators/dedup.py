@@ -563,8 +563,17 @@ def semantic_dedup(
     if centroids is not None:
         # fit-once/assign-many: blocks come from the STORED centroid
         # artifact (semantic_fit_centroids + io.versioned_write), so
-        # this call pays only one assignment pass — k/iters/
-        # fit_sample_mod are fit-stage knobs and are ignored here
+        # this call pays only one assignment pass.  k/iters/
+        # fit_sample_mod are fit-stage knobs with no effect here —
+        # passing a non-default value alongside centroids is a caller
+        # bug that used to be swallowed silently (r10 ADVICE item)
+        if (k, iters, fit_sample_mod) != (4, 2, None):
+            raise ValueError(
+                "semantic_dedup: k/iters/fit_sample_mod are fit-stage "
+                "knobs and have no effect when centroids= is supplied "
+                "— fit them into the centroid artifact via "
+                "semantic_fit_centroids instead"
+            )
         from square_etl_spark.operators.clustering import kmeans_assign_exact
 
         assign = kmeans_assign_exact(emb, centroids, id_col, vec_col)

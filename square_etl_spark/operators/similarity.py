@@ -713,11 +713,20 @@ def topk_from_pq(
         .join(rnorm, id_col)
         .withColumn(
             "adc_sim",
-            F.round(
-                F.col("__num").cast("double")
-                / (F.col("qnorm") * F.col("rnorm")),
-                6,
-            ),
+            # nz guard (r10 ADVICE): an all-zero query vector or a
+            # PQ-reconstruction whose norm collapses to 0 has no
+            # defined cosine — score it 0.0 (neutral) instead of the
+            # NULL/NaN that silently fell out of the desc ordering's
+            # NULLS-LAST cut; the exact rescore stage re-ranks any
+            # survivor on the raw vectors anyway
+            F.when(
+                F.col("qnorm") * F.col("rnorm") > 0,
+                F.round(
+                    F.col("__num").cast("double")
+                    / (F.col("qnorm") * F.col("rnorm")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
     )
     cw = Window.partitionBy(query_id_col).orderBy(

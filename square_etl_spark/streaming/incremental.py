@@ -380,15 +380,29 @@ def _publish_batch_dir(df: DataFrame, root: str, batch_id: int) -> None:
     os.rename(tmp, final)
 
 
-def _sweep_stale_staging(root: str) -> None:
-    """Remove staging dirs a crashed publish left behind.  NOTE: this
-    rm-rf's every ``*.tmp-*`` under ``root`` — the single-writer
-    precondition of the sinks that call it."""
+def _sweep_stale_staging(root: str, grace_s: float = 600.0) -> None:
+    """Remove staging dirs a crashed publish left behind — but ONLY
+    those older than ``grace_s`` (mtime of the dir entry).  The sinks
+    that call this document a single-writer precondition, but it used
+    to be unenforced (r10 ADVICE): an accidental concurrent drain of
+    the same roots (overlapping cron, a second operator instance)
+    could rm-rf a peer's in-flight staging mid-commit with no error.
+    A genuinely crashed publish is by definition old by the time the
+    next drain runs; anything younger than the grace age is treated
+    as possibly-live and left alone, so a concurrent writer's rename
+    either succeeds or fails loudly on its own."""
     import glob
     import os
     import shutil
+    import time
 
+    cutoff = time.time() - grace_s
     for stale in glob.glob(os.path.join(root, "*.tmp-*")):
+        try:
+            if os.path.getmtime(stale) > cutoff:
+                continue  # possibly a live concurrent publish
+        except OSError:
+            continue  # raced with its own rename/cleanup: not ours
         shutil.rmtree(stale, ignore_errors=True)
 
 
