@@ -1333,6 +1333,7 @@ def minhash_index(
     content_col: str = "text",
     num_hashes: int = 16,
     bands: int = 8,
+    shingle_n: int = 3,
 ) -> tuple[DataFrame, DataFrame]:
     """Materializable banded-MinHash LSH index of a corpus slice — the
     write-side half of incremental near-dup: ``(shingle_store,
@@ -1346,6 +1347,12 @@ def minhash_index(
     Same portable arithmetic as :func:`minhash_banded_pairs` (md5
     shingles, affine permutations, 31-fold band hashes), so a DuckDB
     oracle recomputes every value.
+
+    ``shingle_n`` picks the shingle granularity: 3 (default) for
+    classic near-dup, 1 for bag-of-words similarity — the paraphrase-
+    robust setting :func:`fuzzy_contamination_pairs` uses (reordered
+    sentences keep their word SET, so unigram Jaccard survives edits
+    that break every 3-gram).
     """
     r = num_hashes // bands
     assert bands * r == num_hashes, "bands must divide num_hashes"
@@ -1355,7 +1362,8 @@ def minhash_index(
     lo32 = F.lit(0xFFFFFFFF)
 
     sh = df.select(
-        F.col(id_col), portable_word_shingles(content_col, 3).alias("sh")
+        F.col(id_col),
+        portable_word_shingles(content_col, shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     minhashes = F.transform(
@@ -1456,6 +1464,7 @@ def minhash_probe(
     threshold: float = 0.8,
     bucket_cap: int = 200,
     new_bucket_cap: int | None = None,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against an EXISTING
     :func:`minhash_index` — the incremental-ingest read path: the old
@@ -1479,7 +1488,7 @@ def minhash_probe(
     if new_bucket_cap is None:
         new_bucket_cap = bucket_cap
     new_sh, new_buckets = minhash_index(
-        batch, id_col, content_col, num_hashes, bands
+        batch, id_col, content_col, num_hashes, bands, shingle_n
     )
     hot = (
         index_buckets.groupBy("band", "bhash")
@@ -1541,6 +1550,7 @@ def fuzzy_contamination_pairs(
     bands: int = 8,
     threshold: float = 0.8,
     bucket_cap: int = 200,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """NEAR-DUP train/test contamination pairs — the fuzzy complement
     of :func:`contamination_hits`: published pipelines also have to
@@ -1553,6 +1563,13 @@ def fuzzy_contamination_pairs(
     as the probe batch.  Emits ``(corpus_id, bench_id, jaccard ≥
     threshold)``, exact-verified on shingle sets.
 
+    Default ``shingle_n = 1`` — UNIGRAM (bag-of-words) Jaccard, not
+    the near-dup family's 3-grams: a paraphrase reorders sentences
+    and swaps connectives, which destroys most 3-gram shingles while
+    leaving the word SET nearly intact, so the decontamination net
+    must be cast at the granularity the rewrite preserves (pass 3 to
+    get the strict near-dup behavior back).
+
     Scale shape (the probe's, with the asymmetry reversed): the
     corpus side is touched by one linear shingle/minhash scan and a
     bucket equi-join against the benchmark-sized index — never
@@ -1562,11 +1579,12 @@ def fuzzy_contamination_pairs(
     benchmark-bounded however big the corpus is).
     """
     sh, idx = minhash_index(
-        benchmark_df, id_col, content_col, num_hashes, bands
+        benchmark_df, id_col, content_col, num_hashes, bands, shingle_n
     )
     return minhash_probe(
         sh, idx, df, id_col, content_col,
         num_hashes, bands, threshold, bucket_cap,
+        shingle_n=shingle_n,
     ).select(
         F.col("new_id").alias("corpus_id"),
         F.col("old_id").alias("bench_id"),
@@ -1583,17 +1601,19 @@ def decontaminate_fuzzy(
     bands: int = 8,
     threshold: float = 0.8,
     bucket_cap: int = 200,
+    shingle_n: int = 1,
 ) -> DataFrame:
     """Drop corpus documents that are NEAR-DUPS of any benchmark doc
     (jaccard ≥ ``threshold``) — kill semantics matching
     :func:`decontaminate`, candidates from
-    :func:`fuzzy_contamination_pairs`.  The anti join's flagged-id
-    list is benchmark-bounded by the probe's cap arithmetic
-    (≤ |bench bucket rows| × bucket_cap candidates before the verify
-    filter), so the broadcast stays safe at any corpus size."""
+    :func:`fuzzy_contamination_pairs` (which also documents the
+    unigram-shingle default).  The anti join's flagged-id list is
+    benchmark-bounded by the probe's cap arithmetic (≤ |bench bucket
+    rows| × bucket_cap candidates before the verify filter), so the
+    broadcast stays safe at any corpus size."""
     pairs = fuzzy_contamination_pairs(
         df, benchmark_df, id_col, content_col,
-        num_hashes, bands, threshold, bucket_cap,
+        num_hashes, bands, threshold, bucket_cap, shingle_n,
     )
     flagged = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
     # bcast-ok: near-dup-of-benchmark id list, benchmark-bounded by the
@@ -2037,23 +2057,35 @@ def substring_dedup(
     Returns (id, n_words, n_kept, cleaned_text) for every input doc
     (all-killed docs keep a row with empty text).
 
-    Scale shape: one window-hash scan (8-byte keys), one
-    window-keyed rank (the one shuffle carrying corpus-linear rows —
-    long keys, not text), then kill-explode bounded by
-    |duplicate windows|·window — proportional to the duplicated
-    volume, not the corpus.  The 57-bit hash makes the check
-    probabilistic-exact (collision ≈1e-11 merges two substrings);
-    the DuckDB oracle recomputes the identical hashes, so the
-    registry check is exact."""
+    Scale shape: one window-hash scan (8-byte keys), one MAP-SIDE
+    COMBINABLE ``min(struct(id, pos))`` per window hash (only the
+    per-hash minimum is ever needed — the r10 verdict's skew note:
+    the previous ``row_number() OVER (PARTITION BY whash)`` shuffled
+    every occurrence of a hash to one reducer, so a viral boilerplate
+    window — 10⁹ copies of one banner — was a single-task hot key;
+    partial aggregation collapses it to one row per map partition
+    before the shuffle, pinned in tools/scaling_r11.py with a planted
+    hot window), one anti join on the uniformly-distributed
+    ``(id, pos)`` doc key to recover the duplicate occurrences, then
+    kill-explode bounded by |duplicate windows|·window —
+    proportional to the duplicated volume, not the corpus.  The
+    57-bit hash makes the check probabilistic-exact (collision
+    ≈1e-11 merges two substrings); the DuckDB oracle recomputes the
+    identical hashes, so the registry check is exact."""
     base = _substring_base(df, id_col, content_col, window_tokens)
     wins = base.select(
         id_col, F.posexplode("__wh").alias("pos", "whash")
     )
-    rk = Window.partitionBy("whash").orderBy(id_col, "pos")
-    dups = (
-        wins.withColumn("__rk", F.row_number().over(rk))
-        .filter(F.col("__rk") > 1)
-        .select(id_col, "pos")
+    firsts = (
+        wins.groupBy("whash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__f"))
+        .select(
+            F.col("__f").getField(id_col).alias(id_col),
+            F.col("__f").getField("pos").alias("pos"),
+        )
+    )
+    dups = wins.join(firsts, [id_col, "pos"], "left_anti").select(
+        id_col, "pos"
     )
     return _strip_dup_windows(base, dups, id_col, window_tokens)
 
@@ -2083,9 +2115,17 @@ def incremental_substring_dedup(
     incremental_exact_dedup convention."""
     base = _substring_base(batch, id_col, content_col, window_tokens)
     wins = base.select(id_col, F.posexplode("__wh").alias("pos", "whash"))
-    rk = Window.partitionBy("whash").orderBy(id_col, "pos")
-    ranked = wins.withColumn("__rk", F.row_number().over(rk))
-    firsts = ranked.filter(F.col("__rk") == 1).drop("__rk")
+    # same skew-guarded first-occurrence aggregate as substring_dedup:
+    # map-side-combinable min(struct), never a whash-partitioned rank
+    firsts = (
+        wins.groupBy("whash")
+        .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__f"))
+        .select(
+            "whash",
+            F.col("__f").getField(id_col).alias(id_col),
+            F.col("__f").getField("pos").alias("pos"),
+        )
+    )
     if state is not None:
         seen = state.select("whash").distinct()
         firsts = firsts.join(seen, "whash", "left_anti")

@@ -779,6 +779,134 @@ def temperature_mix(
     )
 
 
+def waterfill_budgets(
+    items: Sequence[tuple], total: int
+) -> dict:
+    """EXACT water-filling of an integer ``total`` over groups with
+    proportional shares and hard supply caps — the redistribution the
+    one-step :func:`temperature_mix` deliberately leaves out (r10
+    verdict item 2; Muennighoff et al. 2023, arXiv:2305.16264:
+    data-constrained mixes must re-spend a capped group's deficit on
+    the uncapped groups, not silently under-fill the token budget).
+
+    ``items`` = ``[(group, x, cap)]`` with ``x`` an exact-integer
+    share weight (e.g. ``n^α`` scaled to 1e9) and ``cap`` the group's
+    integer supply ceiling.  Fixpoint: allocate
+    ``alloc_g = ⌊x_g · residual / Σ_free x⌋`` (exact integer floor
+    division — no float in the loop), cap every group whose
+    allocation reaches its ceiling, subtract the capped budgets from
+    the residual, re-share over the still-uncapped groups; when no
+    new cap binds, distribute the ≤ |free|−1 floor-division leftover
+    by LARGEST REMAINDER (``x_g·residual mod Σx`` desc, group asc) —
+    each bonus is +1 and ``alloc_g < cap_g`` for free groups, so no
+    bonus can breach a cap.  Every step is integer arithmetic, so a
+    SQL oracle reproduces the budgets bit-for-bit (the
+    ``mix_temperature_waterfill`` recursive CTE) and the invariant
+
+        Σ budgets  ==  min(total, Σ caps)
+
+    holds EXACTLY (proof sketch: the loop ends either with every
+    group capped — spend = Σcaps — or with a final free set whose
+    allocations + remainders sum to the residual — spend = total).
+    ≤ |groups| iterations over a |groups|-sized dict: mixture-dims
+    driver metadata, same contract as budget_cap's offset table.
+    """
+    budgets: dict = {}
+    free = {g: (int(x), int(cap)) for g, x, cap in items}
+    if any(g is None for g in free):
+        raise ValueError("waterfill_budgets: NULL group unsupported")
+    while free:
+        residual = int(total) - sum(budgets.values())
+        sw = sum(x for x, _ in free.values())
+        if residual <= 0 or sw <= 0:
+            for g in free:
+                budgets[g] = 0
+            break
+        alloc = {g: (x * residual) // sw for g, (x, _) in free.items()}
+        newly = [g for g in free if alloc[g] >= free[g][1]]
+        if newly:
+            for g in newly:
+                budgets[g] = free[g][1]
+                del free[g]
+            continue
+        leftover = residual - sum(alloc.values())  # < |free| exactly
+        rem = {g: (free[g][0] * residual) % sw for g in free}
+        bonus = set(sorted(free, key=lambda g: (-rem[g], g))[:leftover])
+        for g in free:
+            budgets[g] = alloc[g] + (1 if g in bonus else 0)
+        break
+    return budgets
+
+
+def temperature_mix_waterfill(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    total_budget: int,
+    alpha: float = 0.5,
+    sizes: DataFrame | None = None,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """:func:`temperature_mix` with the data-constrained deficits
+    RE-SPENT in-engine (:func:`waterfill_budgets`): groups whose
+    temperature share exceeds ``⌊round(max_epochs·n_g, 6)⌋`` are
+    clipped at that supply ceiling and the unspent residual re-shares
+    over the uncapped groups until no cap binds — so the selection
+    fills ``min(total_budget, Σ caps)`` exactly instead of
+    under-filling by the sum of the deficits (the one-step
+    primitive's documented punt).
+
+    Arithmetic bridge: each group's share weight is ``n^α`` rounded
+    HALF_UP to 9 decimals and scaled to an exact integer
+    (``x = round(n^α·1e9)``); everything after that single
+    double→int bridge is exact integer arithmetic, mirrored
+    bit-for-bit by the DuckDB oracle's recursive CTE (α = 0.5 is a
+    correctly-rounded IEEE sqrt on every engine — the same parity
+    contract as temperature_mix).
+
+    Scale shape: one |groups|-row size aggregate collected to the
+    driver (the mixture-dims contract budget_cap already relies on
+    for its offset table), the pure-Python fixpoint on that bounded
+    dict, then budget_cap's two-phase prefix consumption — the
+    corpus is still scanned exactly once.
+    """
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if total_budget <= 0:
+        raise ValueError(f"total_budget must be positive, got {total_budget}")
+    if sizes is None:
+        sizes = df.groupBy(group_col).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__n")
+        )
+    else:
+        sizes = sizes.select(
+            group_col, F.col("weight").cast("long").alias("__n")
+        )
+    # bounded driver metadata: |groups| rows (mixture-dims contract)
+    items = []
+    for r in sizes.collect():
+        g, n = r[group_col], int(r["__n"] or 0)
+        x = int(
+            Decimal(float(n) ** float(alpha)).quantize(
+                Decimal("1E-9"), rounding=ROUND_HALF_UP
+            )
+            * 10**9
+        )
+        cap = math.floor(
+            math.floor(n * float(max_epochs) * 10**6 + 0.5) / 10**6
+        )
+        items.append((g, x, cap))
+    budgets = waterfill_budgets(items, int(total_budget))
+    gtype = df.schema[group_col].dataType.simpleString()
+    bdf = df.sparkSession.createDataFrame(
+        [(g, int(b)) for g, b in sorted(budgets.items())],
+        f"{group_col} {gtype}, budget long",
+    )
+    return budget_cap(df, group_col, weight_col, key_cols, budgets=bdf)
+
+
 def doremi_mix(
     df: DataFrame,
     group_col: str,
@@ -788,6 +916,8 @@ def doremi_mix(
     excess: DataFrame,
     eta: float = 1.0,
     eps: float = 0.1,
+    max_epochs: float | None = None,
+    waterfill: bool = False,
 ) -> DataFrame:
     """DoReMi-style domain reweighting (Xie et al. 2023,
     arXiv:2305.10429), one multiplicative-weights step: domains whose
@@ -833,7 +963,15 @@ def doremi_mix(
 
     Scale shape: the weight/budget derivation touches only
     domain-sized relations (k rows); the corpus is scanned once by
-    budget_cap's two-phase prefix sum.  Zero driver-side collects.
+    budget_cap's two-phase prefix sum.  Zero driver-side collects in
+    the default path.
+
+    ``max_epochs`` clips each domain's budget at
+    ``⌊round(max_epochs·n_d, 6)⌋`` (the temperature_mix semantics);
+    ``waterfill=True`` additionally re-spends the clipped deficits
+    over the uncapped domains via :func:`waterfill_budgets` (exact
+    integer fixpoint on the λ weights — one bounded |domains|-row
+    collect, the mixture-dims contract).
     """
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
@@ -876,11 +1014,72 @@ def doremi_mix(
         )
         .select(
             group_col,
+            F.col("__lam"),
             F.floor(
                 F.round(F.col("__lam") * F.lit(int(total_budget)), 6)
             ).alias("budget"),
         )
     )
+    if waterfill:
+        # data-constrained DoReMi: clip each domain at
+        # floor(round(max_epochs·n, 6)) and re-spend the deficits over
+        # the uncapped domains via the exact-integer fixpoint —
+        # λ (already 9dp-rounded by the Spark plan, so the collect
+        # recovers its exact integer·1e9 form) is the share weight
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if max_epochs is None:
+            raise ValueError("doremi_mix: waterfill requires max_epochs")
+        sizes = df.groupBy(group_col).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__n")
+        )
+        # bounded driver metadata: |domains| rows (mixture-dims contract)
+        rows = budgets.join(sizes, group_col, "left").collect()
+        items = []
+        for r in rows:
+            n = int(r["__n"] or 0)
+            x = int(
+                Decimal(repr(float(r["__lam"]))).quantize(
+                    Decimal("1E-9"), rounding=ROUND_HALF_UP
+                )
+                * 10**9
+            )
+            cap = math.floor(
+                math.floor(n * float(max_epochs) * 10**6 + 0.5) / 10**6
+            )
+            items.append((r[group_col], x, cap))
+        filled = waterfill_budgets(items, int(total_budget))
+        gtype = df.schema[group_col].dataType.simpleString()
+        budgets = df.sparkSession.createDataFrame(
+            [(g, int(b)) for g, b in sorted(filled.items())],
+            f"{group_col} {gtype}, budget long",
+        )
+    elif max_epochs is not None:
+        # one-step clip without redistribution — temperature_mix's
+        # max_epochs semantics, for parity between the two mixers
+        sizes = df.groupBy(group_col).agg(
+            F.sum(F.col(weight_col).cast("long")).alias("__n")
+        )
+        budgets = (
+            budgets.join(sizes, group_col, "left")
+            .select(
+                group_col,
+                F.least(
+                    F.col("budget"),
+                    F.floor(
+                        F.round(
+                            F.coalesce(F.col("__n"), F.lit(0))
+                            .cast("double")
+                            * F.lit(float(max_epochs)),
+                            6,
+                        )
+                    ),
+                ).alias("budget"),
+            )
+        )
+    else:
+        budgets = budgets.select(group_col, "budget")
     return budget_cap(df, group_col, weight_col, key_cols, budgets=budgets)
 
 

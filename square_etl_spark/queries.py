@@ -10180,19 +10180,24 @@ def _minhash_probe_oracle(
     new_pred: str = "doc_id % 3 = 0",
     threshold: float = 0.5,
     final_select: str | None = None,
+    shingle_n: int = 3,
 ) -> str:
     """DuckDB twin of the incremental probe: the same shingle/
     permutation/band pipeline as ``_minhash_oracle`` computed over
     ALL documents, split into OLD/index and NEW/probe sides by the
     given predicates, hot-capped on BOTH sides, then new×old bucket
     join + exact Jaccard verify.  ``final_select`` swaps the pair
-    output for an aggregate (the fuzzy-decontamination use)."""
+    output for an aggregate (the fuzzy-decontamination use);
+    ``shingle_n`` mirrors the operator's shingle granularity (3 =
+    near-dup trigrams, 1 = the paraphrase-robust unigram setting)."""
     from square_etl_spark.operators.dedup import (
         MINHASH_A,
         MINHASH_B,
         MINHASH_P,
     )
 
+    if shingle_n not in (1, 3):
+        raise ValueError(f"oracle supports shingle_n in (1, 3): {shingle_n}")
     a = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in MINHASH_A) + "]"
     b = "[" + ", ".join(f"CAST({v} AS BIGINT)" for v in MINHASH_B) + "]"
     mask = (1 << 57) - 1
@@ -10202,12 +10207,15 @@ def _minhash_probe_oracle(
         " substr(md5(x), p, 1)) AS BIGINT) - 1)"
         " * (CAST(1 AS BIGINT) << (4 * (8 - CAST(p AS INTEGER))))))"
     )
-    return rf"""
-        WITH t AS (
+    if shingle_n == 1:
+        # unigram: the shingle IS the 32-bit word hash, no 31-fold
+        shingle_cte = f"""
+        shl AS (
           SELECT doc_id,
-                 list_filter(regexp_split_to_array(trim(text), '\s+'),
-                             w -> w <> '') AS w
-          FROM documents),
+                 list_distinct(list_transform(w, x -> {hex32})) AS sh
+          FROM t WHERE len(w) >= 1),"""
+    else:
+        shingle_cte = f"""
         tw AS (
           SELECT doc_id,
                  list_transform(w, x -> {hex32}) AS hw
@@ -10219,7 +10227,13 @@ def _minhash_probe_oracle(
                    i -> ((((hw[CAST(i AS INTEGER)] * 31
                             + hw[CAST(i + 1 AS INTEGER)]) & {mask}) * 31
                           + hw[CAST(i + 2 AS INTEGER)]) & {mask}))) AS sh
-          FROM tw),
+          FROM tw),"""
+    return rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             w -> w <> '') AS w
+          FROM documents),{shingle_cte}
         mh AS (
           SELECT doc_id, sh,
                  list_transform(generate_series(0, 15),
@@ -10284,7 +10298,14 @@ def _decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.fuzzy_contamination_pairs; kill semantics =
     decontaminate_fuzzy's anti join on these ids).  Never quadratic:
     the corpus side is one linear scan + a bucket join against the
-    benchmark-sized index, hot-capped on both sides."""
+    benchmark-sized index, hot-capped on both sides.
+
+    Unigram shingles at threshold 0.8 — the operator's paraphrase
+    default, and (r10 verdict item 4) the setting that makes this
+    driver row NON-vacuous: the fixture has no cross-split trigram
+    near-dups, so the old 3-gram/0.5 config proved only the zero
+    path; bag-of-words overlap ≥ 0.8 flags a positive contaminated
+    set at every scale (57/32/106 docs at sf0.001/0.01/0.1)."""
     from square_etl_spark.operators.dedup import fuzzy_contamination_pairs
 
     d = load_table(spark, sf_dir, "documents")
@@ -10293,7 +10314,8 @@ def _decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fuzzy_contamination_pairs(
             corpus, bench, "doc_id", "text",
-            num_hashes=16, bands=8, threshold=0.5, bucket_cap=200,
+            num_hashes=16, bands=8, threshold=0.8, bucket_cap=200,
+            shingle_n=1,
         )
         .groupBy(F.col("corpus_id").alias("doc_id"))
         .agg(
@@ -10310,15 +10332,16 @@ _register(
         oracle=_minhash_probe_oracle(
             old_pred="doc_id % 97 = 0",
             new_pred="doc_id % 97 <> 0",
-            threshold=0.5,
+            threshold=0.8,
             final_select=(
                 "SELECT new_id AS doc_id, "
                 "CAST(COUNT(*) AS BIGINT) AS n_bench_matches, "
                 "MAX(jaccard) AS max_jaccard "
                 "FROM thresholded GROUP BY new_id"
             ),
+            shingle_n=1,
         ),
-        doc="fuzzy decontamination: corpus probed against benchmark LSH index, oracle-recomputed end to end",
+        doc="fuzzy decontamination: corpus probed against benchmark LSH index via unigram MinHash, oracle-recomputed end to end, positive at every scale",
     )
 )
 
@@ -11293,6 +11316,126 @@ _register(
         """,
         doc="data-constrained temperature mix: per-language budget clipped at "
         "its own supply (max_epochs=1), capped langs keep exactly everything",
+    )
+)
+
+
+def _mix_temperature_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filled data-constrained temperature mix
+    (operators/sampling.temperature_mix_waterfill, r10 verdict item
+    2): per-lang sqrt-temperature budgets against a 140k-char total
+    with every budget clipped at the language's own supply
+    (max_epochs = 1) and the clipped DEFICITS RE-SPENT over the
+    uncapped languages by the exact-integer fixpoint — at sf0.01
+    four of the five languages cap at their full supply and `en`
+    absorbs the entire residual, so the driver row certifies a real
+    multi-round fixpoint, not the trivial single-allocation path.
+    The oracle recomputes the fixpoint bit-for-bit in a recursive
+    CTE (single-row state, HUGEINT floor-division shares,
+    largest-remainder bonus) and the md5-order consumption."""
+    from square_etl_spark.operators.sampling import temperature_mix_waterfill
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_mix_waterfill(
+        d, "lang", "n_chars", ["doc_id"],
+        total_budget=140000, alpha=0.5, max_epochs=1.0,
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+_register(
+    QuerySpec(
+        "mix_temperature_waterfill",
+        _mix_temperature_waterfill,
+        oracle="""
+        WITH RECURSIVE sz AS (
+          SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+        init AS (
+          SELECT list(struct_pack(
+                   g := g,
+                   x := CAST(CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
+                             * 1e9 AS BIGINT) AS HUGEINT),
+                   cap := CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * 1.0,
+                               6)) AS BIGINT) AS HUGEINT),
+                   budget := CAST(0 AS HUGEINT),
+                   capped := false) ORDER BY g) AS gs
+          FROM sz),
+        tr AS (
+          SELECT 0 AS step, false AS done, gs FROM init
+          UNION ALL
+          SELECT step + 1,
+                 CASE WHEN nfree = 0 OR residual <= 0 OR sw <= 0
+                      THEN true
+                      WHEN nnew > 0 THEN false ELSE true END,
+                 CASE
+                   WHEN nfree = 0 THEN gs
+                   WHEN residual <= 0 OR sw <= 0 THEN
+                     list_transform(gs, t -> CASE WHEN t.capped THEN t
+                       ELSE struct_pack(g := t.g, x := t.x,
+                                        cap := t.cap,
+                                        budget := CAST(0 AS HUGEINT),
+                                        capped := true) END)
+                   WHEN nnew > 0 THEN
+                     list_transform(gs, t -> CASE
+                       WHEN NOT t.capped
+                            AND (t.x * residual) // /*nz: CASE branch holds sw > 0*/ sw >= t.cap THEN
+                         struct_pack(g := t.g, x := t.x, cap := t.cap,
+                                     budget := t.cap, capped := true)
+                       ELSE t END)
+                   ELSE
+                     list_transform(gs, t -> CASE WHEN t.capped THEN t
+                       ELSE struct_pack(g := t.g, x := t.x,
+                         cap := t.cap,
+                         budget := (t.x * residual) // /*nz: CASE branch holds sw > 0*/ sw +
+                           CASE WHEN len(list_filter(freex, u ->
+                                  (u.x * residual) % sw
+                                    > (t.x * residual) % sw
+                                  OR ((u.x * residual) % sw
+                                        = (t.x * residual) % sw
+                                      AND u.g < t.g))) < leftover
+                                THEN 1 ELSE 0 END,
+                         capped := true) END)
+                 END
+          FROM (
+            SELECT step, done, gs, freex, residual, sw,
+                   len(freex) AS nfree,
+                   CASE WHEN sw > 0 THEN len(list_filter(freex,
+                        t -> (t.x * residual) // /*nz: CASE branch holds sw > 0*/ sw >= t.cap))
+                        ELSE 0 END AS nnew,
+                   CASE WHEN sw > 0 THEN residual - COALESCE(list_sum(
+                        list_transform(freex,
+                          t -> (t.x * residual) // /*nz: CASE branch holds sw > 0*/ sw)), 0)
+                        ELSE 0 END AS leftover
+            FROM (
+              SELECT step, done, gs,
+                     list_filter(gs, t -> NOT t.capped) AS freex,
+                     CAST(140000 AS HUGEINT) - COALESCE(list_sum(
+                       list_transform(list_filter(gs, t -> t.capped),
+                                      t -> t.budget)), 0) AS residual,
+                     COALESCE(list_sum(list_transform(
+                       list_filter(gs, t -> NOT t.capped),
+                       t -> t.x)), 0) AS sw
+              FROM tr WHERE NOT done AND step < 50) a) b),
+        fin AS (
+          SELECT unnest(gs) AS s FROM tr
+          WHERE step = (SELECT MAX(step) FROM tr)),
+        bud AS (
+          SELECT s.g AS lang, CAST(s.budget AS BIGINT) AS b FROM fin),
+        ordx AS (
+          SELECT doc_id, lang, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents)
+        SELECT o.doc_id, o.lang, CAST(o.n_chars AS BIGINT) AS n_chars
+        FROM ordx o JOIN bud USING (lang)
+        WHERE cum_before < b
+        """,
+        doc="water-filled data-constrained mix: capped deficits re-spent over "
+        "uncapped groups, fixpoint recomputed bit-for-bit by a recursive CTE",
     )
 )
 

@@ -1124,6 +1124,83 @@ def test_temperature_mix_epoch_cap_invariants(spark, rows, total, max_epochs):
         assert kept == sum(supply.values())
 
 
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),  # share weight x
+            st.integers(0, 500),    # cap
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    total=st.integers(min_value=1, max_value=2000),
+)
+@settings(max_examples=200, deadline=None, derandomize=True)
+def test_waterfill_budgets_exact_invariants(items, total):
+    """Pure-integer fixpoint invariants (no Spark): spend exactly
+    min(total, Σcaps) — the r10 verdict's item-2 contract — while
+    never breaching a cap, with budgets proportional-ish to weights
+    (a zero-weight group gets 0 unless... never: alloc 0 < cap keeps
+    it free with budget 0 or caps at 0)."""
+    from square_etl_spark.operators.sampling import waterfill_budgets
+
+    named = [(f"g{i}", x, cap) for i, (x, cap) in enumerate(items)]
+    bud = waterfill_budgets(named, total)
+    caps = {g: cap for g, _, cap in named}
+    assert set(bud) == set(caps)
+    for g in bud:
+        assert 0 <= bud[g] <= caps[g]
+    sw = sum(x for _, x, _ in named)
+    if sw > 0:
+        assert sum(bud.values()) == min(total, sum(caps.values()))
+    else:
+        assert sum(bud.values()) == 0
+    # determinism: same inputs (any order) → same budgets
+    assert waterfill_budgets(list(reversed(named)), total) == bud
+
+
+@given(
+    rows=st.lists(st.tuples(_key, st.just(1)), min_size=1, max_size=24),
+    total=st.integers(min_value=1, max_value=60),
+    max_epochs=st.sampled_from([0.25, 0.5, 1.0]),
+)
+@SETTINGS
+def test_temperature_waterfill_fills_exactly(spark, rows, total, max_epochs):
+    """UNIT-weight water-filled mix keeps EXACTLY
+    min(total, Σ floor(round(max_epochs·supply_g, 6))) rows — the
+    in-engine redistribution contract (with weight 1 the straddling
+    row never overshoots, so budget-level exactness is row-level)."""
+    import math
+
+    from square_etl_spark.operators.sampling import temperature_mix_waterfill
+
+    df = spark.createDataFrame(
+        [(g, i, w) for i, (g, w) in enumerate(rows)],
+        "src string, doc_id long, w long",
+    )
+    supply: dict = {}
+    for g, w in rows:
+        supply[g] = supply.get(g, 0) + w
+    out = temperature_mix_waterfill(
+        df, "src", "w", ["doc_id"], total_budget=total, alpha=0.5,
+        max_epochs=max_epochs,
+    )
+    kept = out.count()
+    caps = sum(
+        math.floor(math.floor(n * max_epochs * 10**6 + 0.5) / 10**6)
+        for n in supply.values()
+    )
+    assert kept == min(total, caps)
+    # deterministic under repartition
+    again = temperature_mix_waterfill(
+        df.repartition(13, "w"), "src", "w", ["doc_id"],
+        total_budget=total, alpha=0.5, max_epochs=max_epochs,
+    )
+    assert {(r.src, r.doc_id) for r in out.collect()} == {
+        (r.src, r.doc_id) for r in again.collect()
+    }
+
+
 _word = st.sampled_from(["aa", "ab", "ba", "cab", "abab", "x"])
 _doc_words = st.lists(_word, min_size=0, max_size=12)
 

@@ -758,3 +758,41 @@ def test_doremi_mix_null_excess_keeps_uniform_share(spark):
         [("a", 1.0), ("ghost", 9.0)], "src string, excess double"
     )
     assert pick(missing_b) == got
+
+
+def test_doremi_mix_waterfill_respends_capped_deficit(spark):
+    # data-constrained DoReMi (waterfill=True): the hot domain's MW
+    # share exceeds what it can supply at max_epochs=1, so it caps at
+    # its full supply and the deficit re-spends on the easy domain —
+    # total spend is exactly min(total, sum of caps)
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    rows = [(i, "hard", 1) for i in range(30)] + [
+        (100 + i, "easy", 1) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    excess = spark.createDataFrame(
+        [("hard", 2.0), ("easy", 0.0)], "src string, excess double"
+    )
+    kept = doremi_mix(
+        df, "src", "w", ["doc_id"], 100, excess, eta=1.0, eps=0.1,
+        max_epochs=1.0, waterfill=True,
+    )
+    got = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # hard's λ ≈ .8427 → budget 84 > supply 30 → capped at 30;
+    # easy absorbs the residual 70 (unit weights: exact spend)
+    assert got == {"hard": 30, "easy": 70}
+    # one-step clip (waterfill=False) leaves the deficit UNSPENT
+    clipped = doremi_mix(
+        df, "src", "w", ["doc_id"], 100, excess, eta=1.0, eps=0.1,
+        max_epochs=1.0,
+    )
+    gc = {
+        r.src: r.n
+        for r in clipped.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert gc["hard"] == 30
+    assert gc["easy"] < 70  # λ_easy·100 floored, no redistribution
