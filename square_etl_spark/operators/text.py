@@ -855,6 +855,103 @@ BPE_MERGES: list[tuple[str, str]] = [
 BPE_PRETOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 
+def _byte_unicode_table() -> list[str]:
+    """GPT-2's bytes_to_unicode map as a 256-entry list (byte value →
+    printable stand-in char): printable ASCII and most latin-1 bytes
+    map to themselves, the rest (controls, space, DEL…) map to
+    U+0100.. in byte order — so byte 0x20 becomes 'Ġ' and a leading
+    space survives as a visible symbol, exactly the alphabet real
+    merges.txt artifacts are written in (public algorithm, GPT-2
+    encoder; reimplemented here from the published description)."""
+    bs = list(range(33, 127)) + list(range(161, 173)) + list(range(174, 256))
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    m = dict(zip(bs, cs))
+    return [chr(m[b]) for b in range(256)]
+
+
+#: byte value (0..255) → byte-level BPE symbol (the GPT-2 alphabet)
+BYTE_UNICODE: list[str] = _byte_unicode_table()
+
+#: Byte-level pre-tokenizer: GPT-2-style contractions, space-prefixed
+#: letter/digit/symbol runs, whitespace runs — WITHOUT GPT-2's
+#: `\s+(?!\S)` trailing-space lookahead (RE2, which DuckDB's oracle
+#: regexes run on, has no lookahead; Java and RE2 agree on everything
+#: in this variant, so both engines pre-tokenize identically).  Case
+#: is PRESERVED — byte-level BPE never case-folds.
+BPE_BYTE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+#: A merges.txt-format artifact over the byte alphabet (space = 'Ġ'):
+#: the shape real GPT-2-family tokenizers persist — space-prefix
+#: merges first, then common digraphs — so loading an actual
+#: artifact via :func:`load_merges_lines` lands on the same symbol
+#: space.  (A demo list, not any vendor's trained weights.)
+BPE_BYTE_MERGES: list[tuple[str, str]] = [
+    ("Ġ", "t"), ("h", "e"), ("Ġ", "a"), ("Ġ", "s"), ("Ġ", "w"),
+    ("Ġt", "he"), ("r", "t"), ("a", "n"), ("l", "e"), ("Ġ", "b"),
+    ("Ġ", "f"), ("Ġ", "m"), ("Ġ", "p"), ("Ġ", "v"), ("Ġ", "h"),
+    ("Ġ", "l"), ("Ġ", "k"), ("Ġ", "r"), ("e", "y"), ("a", "st"),
+    ("s", "t"), ("a", "r"), ("o", "w"), ("a", "l"), ("u", "e"),
+    ("a", "b"), ("at", "ch"), ("c", "h"), ("s", "c"), ("in", "e"),
+    ("i", "n"), ("o", "rt"), ("Ġs", "p"), ("Ġv", "al"), ("Ġp", "a"),
+    ("Ġm", "er"), ("e", "r"), ("Ġb", "atch"), ("Ġh", "ash"),
+    ("as", "h"),
+]
+
+
+def bpe_byte_pretokens(col: Column | str = "text") -> Column:
+    """Case-preserving byte-level pre-token array
+    (:data:`BPE_BYTE_PRETOKEN_RE`)."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_BYTE_PRETOKEN_RE), 0)
+
+
+def _byte_unicode_array_sql() -> str:
+    """The 256-entry byte→symbol table as an inline Spark SQL array
+    literal (a tokenizer parameter, same plan-literal rationale as
+    :func:`_bpe_merge_array_sql`)."""
+    esc = lambda s: s.replace("\\", "\\\\").replace("'", "\\'")
+    return "array(" + ", ".join(f"'{esc(c)}'" for c in BYTE_UNICODE) + ")"
+
+
+def byte_symbols_sql(col: str = "word") -> str:
+    """Spark SQL expression: a string column → its byte-level BPE
+    symbol array.  UTF-8 encode → hex → one symbol per byte via the
+    inline table; pure codegen'd string ops, so the DuckDB oracle
+    reproduces every value from the same hex digits."""
+    h = f"hex(encode({col}, 'UTF-8'))"
+    arr = _byte_unicode_array_sql()
+    return (
+        f"transform(sequence(1, cast(length({h}) / 2 as int)), "
+        f"i -> element_at({arr}, "
+        f"cast(conv(substring({h}, 2 * i - 1, 2), 16, 10) as int) + 1))"
+    )
+
+
+def load_merges_lines(lines: "Sequence[str]") -> list[tuple[str, str]]:
+    """Parse merges.txt content (one ``lhs rhs`` per line; ``#…``
+    header/comment lines and blanks skipped) into the ``merges=``
+    parameter shape — the loader that makes a REAL tokenizer
+    artifact drop onto :data:`BYTE_UNICODE`'s symbol space."""
+    out: list[tuple[str, str]] = []
+    for line in lines:
+        s = line.rstrip("\n")
+        if not s or s.startswith("#"):
+            continue
+        a, _, b = s.partition(" ")
+        if not b:
+            raise ValueError(f"malformed merges line: {line!r}")
+        out.append((a, b))
+    return out
+
+
 def bpe_pretokens(col: Column | str = "text") -> Column:
     """Case-folded pre-token array (see :data:`BPE_PRETOKEN_RE`)."""
     return F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_PRETOKEN_RE), 0)
@@ -889,6 +986,7 @@ def bpe_apply_vocab(
     word_col: str = "word",
     max_rounds: int = 64,
     merges: "Sequence[tuple[str, str]] | None" = None,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Apply the fixed BPE merge list to every DISTINCT pre-token —
     iterate-to-fixpoint as pure DataFrame projections (the
@@ -920,11 +1018,28 @@ def bpe_apply_vocab(
     :func:`bpe_token_counts`: one explode and one join against this
     result.  Per-round localCheckpoint keeps the plan linear in
     rounds (same caveat as dedup.py: checkpoint blocks drop lineage).
+
+    ``alphabet='char'`` (default) splits case-folded characters —
+    the demo-friendly analog; ``alphabet='byte'`` splits UTF-8 bytes
+    into the GPT-2 :data:`BYTE_UNICODE` symbols (case-preserving) so
+    real merges.txt artifacts load via :func:`load_merges_lines` and
+    every merge iteration downstream is alphabet-agnostic.
     """
+    if alphabet not in ("char", "byte"):
+        raise ValueError(f"alphabet must be 'char' or 'byte': {alphabet}")
+    if merges is None:
+        # default merges follow the alphabet — the char list's symbols
+        # don't exist in the byte symbol space and vice versa
+        merges = BPE_MERGES if alphabet == "char" else BPE_BYTE_MERGES
     arr = _bpe_merge_array_sql(merges)
+    sym0 = (
+        "filter(split(lower(word), ''), x -> x <> '')"
+        if alphabet == "char"
+        else byte_symbols_sql("word")
+    )
     out = vocab.select(
         F.col(word_col).alias("word"),
-        F.expr("filter(split(lower(word), ''), x -> x <> '')").alias("sym"),
+        F.expr(sym0).alias("sym"),
     )
     ranks_sql = (
         "CASE WHEN size(sym) < 2 THEN cast(array() as array<bigint>) "
@@ -982,6 +1097,7 @@ def bpe_token_counts(
     text_col: str = "text",
     max_rounds: int = 64,
     merges: "Sequence[tuple[str, str]] | None" = None,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Tokenizer-faithful per-document token counts ``(id,
     n_pretokens, bpe_tokens)`` — the drop-in replacement for
@@ -999,13 +1115,22 @@ def bpe_token_counts(
     rows and shuffles — both correct, neither quadratic.  Documents
     with no pre-tokens (empty/whitespace text) keep a row with zero
     counts.
+
+    ``alphabet='byte'`` switches BOTH the pre-tokenizer (the
+    case-preserving GPT-2-style :data:`BPE_BYTE_PRETOKEN_RE` —
+    whitespace runs become pre-tokens too) and the symbol split
+    (UTF-8 bytes as :data:`BYTE_UNICODE`); pass a loaded merges.txt
+    artifact via ``merges=`` for production-faithful counts.
     """
-    toks = df.select(F.col(id_col), F.explode(bpe_pretokens(text_col)).alias("__w"))
+    pre = bpe_pretokens if alphabet == "char" else bpe_byte_pretokens
+    toks = df.select(F.col(id_col), F.explode(pre(text_col)).alias("__w"))
     per_word = toks.groupBy(id_col, "__w").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
     vocab = per_word.select(F.col("__w").alias("word")).distinct()
-    counted = bpe_apply_vocab(vocab, max_rounds=max_rounds, merges=merges).select(
+    counted = bpe_apply_vocab(
+        vocab, max_rounds=max_rounds, merges=merges, alphabet=alphabet
+    ).select(
         F.col("word").alias("__w"), "n_tokens"
     )
     agg = (
@@ -1028,6 +1153,8 @@ def bpe_train(
     text_col: str = "text",
     num_merges: int = 20,
     min_count: int = 2,
+    alphabet: str = "char",
+    batch_k: int = 1,
 ) -> list[tuple[str, str]]:
     """LEARN a BPE merges list from the corpus (Sennrich et al. 2016,
     arXiv:1508.07909) — the training half of the tokenizer story,
@@ -1051,65 +1178,114 @@ def bpe_train(
     ``merges=`` parameter, or persist :func:`bpe_merges_df`-style as
     the tokenizer artifact.
     """
-    toks = df.select(F.explode(bpe_pretokens(text_col)).alias("w"))
+    pre = bpe_pretokens if alphabet == "char" else bpe_byte_pretokens
+    sym0 = (
+        "filter(split(w, ''), x -> x <> '')"
+        if alphabet == "char"
+        else byte_symbols_sql("w")
+    )
+    toks = df.select(F.explode(pre(text_col)).alias("w"))
     state = (
         toks.groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .select(
-            "w",
-            "n",
-            F.expr("filter(split(w, ''), x -> x <> '')").alias("sym"),
-        )
+        .select("w", "n", F.expr(sym0).alias("sym"))
         .localCheckpoint(eager=True)
     )
-    return _bpe_train_loop(state, num_merges, min_count)
+    return _bpe_train_loop(state, num_merges, min_count, batch_k)
 
 
 def _bpe_train_loop(
-    state: DataFrame, num_merges: int, min_count: int
+    state: DataFrame, num_merges: int, min_count: int, batch_k: int = 1
 ) -> list[tuple[str, str]]:
     """The shared training iteration over a (w, n, sym) state — see
-    :func:`bpe_train` for semantics and scale shape."""
+    :func:`bpe_train` for semantics and scale shape.
+
+    ``batch_k > 1`` accepts up to K merges per Spark round (the r10
+    verdict's driver-round cut: sequential training is one round PER
+    merge — 50k rounds for a production vocab): from the round's
+    top-(4K) pair counts, greedily take pairs (count desc, pair asc)
+    whose symbols are DISJOINT from every already-accepted pair's
+    operands AND results — so applying the whole batch in one fold
+    pass is order-independent and each accepted pair's count is
+    exact (no stale-count drift WITHIN a batch; the standard
+    batched-BPE discipline).  Counts ACROSS batches go stale the
+    same way they do in every batched trainer — the learned list can
+    differ from sequential BPE where candidate counts interact;
+    determinism is unaffected.  batch_k=1 is bit-identical to
+    sequential training (the oracle-checked path)."""
     pairs_sql = (
         "CASE WHEN size(sym) < 2 THEN cast(array() as array<string>) "
         "ELSE transform(sequence(1, size(sym) - 1), "
         "i -> concat(element_at(sym, i), ' ', element_at(sym, i + 1))) END"
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(num_merges):
-        best = (
+    while len(merges) < num_merges:
+        pool = (
             state.select(F.col("n"), F.explode(F.expr(pairs_sql)).alias("pair"))
             .groupBy("pair")
             .agg(F.sum("n").alias("cnt"))
             .filter(F.col("cnt") >= min_count)
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()  # bounded: exactly one row per round
+            .limit(max(1, 4 * batch_k))
+            .collect()  # bounded: ≤ 4·batch_k candidate rows per round
         )
-        if not best:
+        if not pool:
             break
-        a, b = best[0]["pair"].split(" ")
-        merges.append((a, b))
-        # bind the pair through lit-columns, not SQL literals — a
-        # punctuation pre-token can be a quote character
-        state = (
-            state.withColumn("__a", F.lit(a))
-            .withColumn("__b", F.lit(b))
-            .select(
-                "w",
-                "n",
-                F.expr(
-                    "aggregate(sym, cast(array() as array<string>), "
-                    "(acc, x) -> "
-                    "if(size(acc) > 0 and element_at(acc, -1) = __a "
-                    "and x = __b, "
-                    "concat(slice(acc, 1, size(acc) - 1), "
-                    "array(concat(__a, __b))), "
-                    "concat(acc, array(x))))"
-                ).alias("sym"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        used: set[str] = set()
+        results: set[str] = set()
+        batch: list[tuple[str, str]] = []
+        for row in pool:
+            if len(batch) >= batch_k or len(merges) + len(batch) >= num_merges:
+                break
+            a, b = row["pair"].split(" ")
+            if a in used or b in used or a in results or b in results:
+                continue
+            if (a + b) in used:
+                continue  # result collides with an accepted operand
+            batch.append((a, b))
+            used.update((a, b))
+            results.add(a + b)
+        if not batch:
+            # every candidate conflicted (pathological): fall back to
+            # the strict sequential step so progress is guaranteed
+            a, b = pool[0]["pair"].split(" ")
+            batch = [(a, b)]
+            used.update((a, b))
+        merges.extend(batch)
+
+        # one fold applies the whole batch: a literal when-chain per
+        # accepted pair (binds through F.lit, so quote characters in
+        # punctuation pre-tokens are safe) — no per-position concat or
+        # array scan, ≤ 2·|batch| string equalities per symbol.
+        # Disjointness makes the chain order irrelevant.
+        pairs = tuple(batch)
+
+        def _step(acc, x):
+            # exactly two params: PySpark derives the lambda's arity
+            # from the Python signature (a defaulted third param
+            # would build a 3-arg HOF lambda and fail to resolve)
+            out = F.concat(acc, F.array(x))
+            for a, b in pairs:
+                out = F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                ).otherwise(out)
+            return out
+
+        state = state.select(
+            "w",
+            "n",
+            F.aggregate(
+                "sym",
+                F.expr("cast(array() as array<string>)"),
+                _step,
+            ).alias("sym"),
+        ).localCheckpoint(eager=True)
     return merges
 
 
@@ -1212,16 +1388,25 @@ def fold_bpe_pretoken_counts(
 
 
 def bpe_train_from_counts(
-    wc: DataFrame, num_merges: int = 20, min_count: int = 2
+    wc: DataFrame,
+    num_merges: int = 20,
+    min_count: int = 2,
+    alphabet: str = "char",
+    batch_k: int = 1,
 ) -> list[tuple[str, str]]:
     """:func:`bpe_train` starting from a ``(w, n)`` pre-token count
     relation (one-shot or folded — identical either way, the monoid
     guarantee).  This is the retraining entry point for continuous
     ingest: corpus text is read once per batch at count time; the
     training loop touches only the vocabulary-sized state."""
+    sym0 = (
+        "filter(split(w, ''), x -> x <> '')"
+        if alphabet == "char"
+        else byte_symbols_sql("w")
+    )
     state = wc.select(
         "w",
         F.col("n").cast("long").alias("n"),
-        F.expr("filter(split(w, ''), x -> x <> '')").alias("sym"),
+        F.expr(sym0).alias("sym"),
     ).localCheckpoint(eager=True)
-    return _bpe_train_loop(state, num_merges, min_count)
+    return _bpe_train_loop(state, num_merges, min_count, batch_k)

@@ -12352,7 +12352,50 @@ _register(
 )
 
 
-def _bpe_train_ctes(num_merges: int) -> str:
+def _duck_sql_str(s: str) -> str:
+    """Escape for a DuckDB single-quoted standard string (quotes
+    double; backslashes are literal — no escape processing)."""
+    return s.replace("'", "''")
+
+
+_BPE_BYTE_LIST_SQL = (
+    "["
+    + ", ".join(f"'{_duck_sql_str(a + ' ' + b)}'" for a, b in tx.BPE_BYTE_MERGES)
+    + "]"
+)
+
+#: 256-entry byte→symbol table as a DuckDB array literal (indexed by
+#: byte value + 1) — the oracle's half of text.BYTE_UNICODE
+_BYTE_UNICODE_SQL = (
+    "[" + ", ".join(f"'{_duck_sql_str(c)}'" for c in tx.BYTE_UNICODE) + "]"
+)
+
+#: DuckDB twin of text.byte_symbols_sql over a column named w: UTF-8
+#: encode → hex → one GPT-2 byte symbol per hex pair.  Same digits,
+#: same table, so both engines produce identical symbol arrays.
+_BYTE_SYM_SQL = (
+    "list_transform(range(1, CAST(length(hex(encode(w))) AS BIGINT) // "
+    "/*nz: hex length is even and >= 2 for nonempty w*/ 2 + 1), "
+    "i -> " + _BYTE_UNICODE_SQL + "["
+    "(strpos('0123456789ABCDEF', substr(hex(encode(w)), "
+    "CAST(2 * i - 1 AS INTEGER), 1)) - 1) * 16 "
+    "+ strpos('0123456789ABCDEF', substr(hex(encode(w)), "
+    "CAST(2 * i AS INTEGER), 1))])"
+)
+
+#: DuckDB-side byte pre-tokenizer (RE2 runs the same regex Java does
+#: on the Spark side — the lookahead-free GPT-2-style variant)
+_BYTE_PRETOKEN_SQL = (
+    "regexp_extract_all(text, '"
+    + _duck_sql_str(tx.BPE_BYTE_PRETOKEN_RE)
+    + "')"
+)
+
+def _bpe_train_ctes(
+    num_merges: int,
+    pretoken_sql: str | None = None,
+    sym_sql: str = "string_split(w, '')",
+) -> str:
     """DuckDB twin of in-engine BPE TRAINING (text.bpe_train): a
     single-row recursive state (step, rank, current-pair, learned
     merges, per-word symbol lists) alternates between APPLY steps
@@ -12363,7 +12406,12 @@ def _bpe_train_ctes(num_merges: int) -> str:
     lambdas, argmax by count desc / pair asc through a printf sort
     key).  Counting happens only at states where the previous pair is
     fully applied, so both engines count identical corpora and learn
-    the IDENTICAL merge sequence."""
+    the IDENTICAL merge sequence.  Parameterized on the
+    pre-tokenizer / symbol split so the byte-level trainer shares
+    the chain (same swap points as ``_bpe_counts_cte``)."""
+    pt = pretoken_sql or (
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+    )
 
     def pairl(s: str) -> str:
         return (
@@ -12374,13 +12422,12 @@ def _bpe_train_ctes(num_merges: int) -> str:
 
     return rf"""
         toks AS (
-          SELECT unnest(regexp_extract_all(lower(text),
-                     '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS w
+          SELECT unnest({pt}) AS w
           FROM documents),
         wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
                FROM toks GROUP BY w),
         init AS (
-          SELECT list(struct_pack(sym := string_split(w, ''), n := n)
+          SELECT list(struct_pack(sym := {sym_sql}, n := n)
                       ORDER BY w) AS words
           FROM wc),
         tr AS (
@@ -12473,6 +12520,45 @@ _register(
         _bpe_train_q,
         oracle=_bpe_train_oracle(12),
         doc="BPE training in-engine: 12 learned merges, the whole loop replayed by a recursive-CTE oracle",
+    )
+)
+
+
+def _bpe_train_bytes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE training (r10 verdict item 6): the same
+    in-engine loop as text_bpe_train but on the GPT-2 byte alphabet
+    with the case-preserving byte pre-tokenizer — the learned merges
+    come out in merges.txt's own symbol space ('Ġ'-prefixed space
+    carriers), i.e. artifacts this trainer emits and artifacts real
+    tokenizers ship are interchangeable inputs to
+    text.bpe_apply_vocab(alphabet='byte').  The oracle replays the
+    whole loop: byte mapping from hex digits, pair counts, argmax,
+    merge apply."""
+    from square_etl_spark.operators.text import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", num_merges=12, min_count=2,
+                       alphabet="byte")
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank bigint, lhs string, rhs string")
+
+
+_register(
+    QuerySpec(
+        "text_bpe_train_bytes",
+        _bpe_train_bytes_q,
+        oracle=f"""
+        WITH RECURSIVE {_bpe_train_ctes(
+            12,
+            pretoken_sql=_BYTE_PRETOKEN_SQL,
+            sym_sql=_BYTE_SYM_SQL,
+        )}
+        SELECT CAST(i AS BIGINT) AS rank,
+               string_split(merges[CAST(i AS INTEGER)], ' ')[1] AS lhs,
+               string_split(merges[CAST(i AS INTEGER)], ' ')[2] AS rhs
+        FROM final, UNNEST(range(1, len(merges) + 1)) u(i)
+        """,
+        doc="byte-level BPE training on the GPT-2 alphabet: learned merges land in merges.txt's symbol space, loop replayed by the oracle",
     )
 )
 
@@ -12599,7 +12685,13 @@ _register(
 #: so both engines fold the IDENTICAL merges table.
 _BPE_LIST_SQL = "[" + ", ".join(f"'{a} {b}'" for a, b in tx.BPE_MERGES) + "]"
 
-def _bpe_counts_cte(src: str = "documents") -> str:
+
+def _bpe_counts_cte(
+    src: str = "documents",
+    pretoken_sql: str | None = None,
+    sym_sql: str = "string_split(w, '')",
+    merges_sql: str | None = None,
+) -> str:
     """Shared DuckDB CTE chain over the ``src`` relation (needs
     doc_id + text): pre-tokenize → distinct vocab → recursive
     one-merge-at-a-time BPE fold to fixpoint → per-doc token sums.
@@ -12610,18 +12702,23 @@ def _bpe_counts_cte(src: str = "documents") -> str:
     the oracle comparison itself and by test_dedup_text's
     reference-fold check.  Parameterized on ``src`` so pipeline
     compositions can run the fold over a FILTERED corpus (e.g. the
-    dedup survivors)."""
+    dedup survivors), and on the pre-tokenizer / symbol-split /
+    merges literal so the BYTE-level tokenizer (text.BYTE_UNICODE
+    alphabet, GPT-2-style pre-tokens) shares the whole chain."""
+    pt = pretoken_sql or (
+        "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+    )
+    ml = merges_sql or _BPE_LIST_SQL
     return f"""
         pre AS (
           SELECT doc_id,
-                 regexp_extract_all(lower(text),
-                     '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS ws
+                 {pt} AS ws
           FROM {src}),
         toks AS (SELECT doc_id, unnest(ws) AS w FROM pre),
         wc AS (SELECT doc_id, w, COUNT(*) AS n FROM toks GROUP BY doc_id, w),
         vocab AS (SELECT DISTINCT w FROM wc),
         bpe AS (
-          SELECT w, string_split(w, '') AS sym FROM vocab
+          SELECT w, {sym_sql} AS sym FROM vocab
           UNION ALL
           SELECT w, list_concat(
                    list_concat(list_slice(sym, 1, pos - 1),
@@ -12636,7 +12733,7 @@ def _bpe_counts_cte(src: str = "documents") -> str:
               FROM (
                 SELECT w, sym,
                        list_transform(range(1, len(sym)),
-                           i -> list_position({_BPE_LIST_SQL},
+                           i -> list_position({ml},
                                     sym[i] || ' ' || sym[i + 1])) AS ranks
                 FROM bpe) t1) t2
             WHERE best IS NOT NULL) t3),
@@ -12645,7 +12742,7 @@ def _bpe_counts_cte(src: str = "documents") -> str:
           FROM bpe
           WHERE list_aggregate(list_filter(
                   list_transform(range(1, len(sym)),
-                      i -> list_position({_BPE_LIST_SQL},
+                      i -> list_position({ml},
                                sym[i] || ' ' || sym[i + 1])),
                   r -> r > 0), 'min') IS NULL),
         fixed AS (
@@ -12687,6 +12784,40 @@ _register(
         """,
         doc="BPE merge fold to fixpoint on the vocab relation; DuckDB recomputes via recursive CTE over the same merges list",
         bench=True,
+    )
+)
+
+
+def _bpe_bytes_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level tokenizer-faithful token counts (r10 verdict item
+    6): GPT-2-style pre-tokenizer (contractions, space-prefixed runs,
+    case-preserving — the lookahead-free RE2∩Java variant) over
+    UTF-8 bytes mapped to the GPT-2 byte alphabet
+    (text.BYTE_UNICODE, space = 'Ġ'), then the same
+    iterate-to-fixpoint merge fold on the distinct-pre-token
+    vocabulary with a merges.txt-format artifact
+    (text.BPE_BYTE_MERGES; real artifacts load via
+    text.load_merges_lines).  The oracle recomputes the byte mapping
+    from the same hex digits and the same recursive fold."""
+    d = load_table(spark, sf_dir, "documents")
+    return tx.bpe_token_counts(
+        d, alphabet="byte", merges=tx.BPE_BYTE_MERGES
+    )
+
+
+_register(
+    QuerySpec(
+        "text_bpe_bytes_tokens",
+        _bpe_bytes_tokens,
+        oracle=f"""
+        WITH RECURSIVE {_bpe_counts_cte(
+            pretoken_sql=_BYTE_PRETOKEN_SQL,
+            sym_sql=_BYTE_SYM_SQL,
+            merges_sql=_BPE_BYTE_LIST_SQL,
+        )}
+        SELECT doc_id, n_pretokens, bpe_tokens FROM bpe_counts
+        """,
+        doc="byte-level BPE counts on the GPT-2 alphabet (merges.txt-compatible); DuckDB recomputes bytes, pre-tokens, and the merge fold",
     )
 )
 

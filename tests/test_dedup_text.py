@@ -1520,3 +1520,127 @@ def test_bpe_pretoken_counts_fold_equals_one_shot_and_trains_same(spark):
     assert bpe_train_from_counts(state, num_merges=8) == bpe_train(
         docs, num_merges=8
     )
+
+
+def test_byte_symbols_and_pretokens_gpt2_alphabet(spark):
+    """UTF-8 bytes map to the GPT-2 byte alphabet (space='Ġ',
+    multibyte chars split per byte) and the byte pre-tokenizer keeps
+    case, contractions, and space prefixes — the symbol space real
+    merges.txt artifacts are written in."""
+    from square_etl_spark.operators.text import (
+        BYTE_UNICODE,
+        bpe_byte_pretokens,
+        byte_symbols_sql,
+    )
+
+    assert len(BYTE_UNICODE) == len(set(BYTE_UNICODE)) == 256
+    assert BYTE_UNICODE[0x20] == "Ġ"
+    assert BYTE_UNICODE[0x0A] == "Ċ"
+    assert BYTE_UNICODE[ord("t")] == "t"
+    v = spark.createDataFrame(
+        [(" the",), ("Hello",), ("é",)], "word string"
+    )
+    got = {
+        r["word"]: list(r["sym"])
+        for r in v.selectExpr(
+            "word", byte_symbols_sql("word") + " as sym"
+        ).collect()
+    }
+    assert got[" the"] == ["Ġ", "t", "h", "e"]
+    assert got["Hello"] == ["H", "e", "l", "l", "o"]
+    assert len(got["é"]) == 2  # two UTF-8 bytes, two symbols
+    t = spark.createDataFrame(
+        [("It's Fast 12 -- ok",)], "text string"
+    )
+    toks = t.select(bpe_byte_pretokens("text").alias("p")).collect()[0].p
+    assert list(toks) == ["It", "'s", " Fast", " 12", " --", " ok"]
+
+
+def test_bpe_byte_apply_loads_merges_txt_artifact(spark):
+    """A merges.txt-FORMAT artifact (version header, 'Ġ'-space
+    symbols) loads via load_merges_lines and drives the byte-level
+    apply — the r10 verdict's artifact-compatibility gap."""
+    from square_etl_spark.operators.text import (
+        bpe_apply_vocab,
+        load_merges_lines,
+    )
+
+    artifact = [
+        "#version: 0.2",
+        "Ġ t",
+        "h e",
+        "Ġt he",
+    ]
+    merges = load_merges_lines(artifact)
+    assert merges == [("Ġ", "t"), ("h", "e"), ("Ġt", "he")]
+    v = spark.createDataFrame([(" the",), (" them",)], "word string")
+    got = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_vocab(v, merges=merges, alphabet="byte").collect()
+    }
+    assert got[" the"] == ["Ġthe"]
+    assert got[" them"] == ["Ġthe", "m"]
+
+
+def test_bpe_train_bytes_emits_merges_txt_symbols(spark):
+    """Byte-level training learns 'Ġ'-prefixed merges (space carried
+    as a symbol) and its output round-trips through the merges.txt
+    format into the byte apply."""
+    from square_etl_spark.operators.text import (
+        bpe_apply_vocab,
+        bpe_train,
+        load_merges_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the cat the hat"), (2, "the cat sat")],
+        "doc_id long, text string",
+    )
+    m = bpe_train(docs, num_merges=6, alphabet="byte")
+    assert any("Ġ" in a or "Ġ" in b for a, b in m)
+    lines = [f"{a} {b}" for a, b in m]
+    assert load_merges_lines(lines) == m
+    v = spark.createDataFrame([(" the",)], "word string")
+    out = bpe_apply_vocab(v, merges=m, alphabet="byte").collect()
+    assert out[0]["n_tokens"] >= 1
+
+
+def test_bpe_train_batched_equals_sequential_when_disjoint(spark):
+    """batch_k>1 cuts driver rounds; with well-separated, symbol-
+    disjoint dominant pairs the batched list EQUALS sequential BPE,
+    and batching is deterministic."""
+    from square_etl_spark.operators.text import bpe_train
+
+    text = " ".join(
+        ["aa"] * 50 + ["bb"] * 40 + ["cc"] * 30 + ["dd"] * 20
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    seq = bpe_train(docs, num_merges=4)
+    bat = bpe_train(docs, num_merges=4, batch_k=4)
+    assert seq == bat == [("a", "a"), ("b", "b"), ("c", "c"), ("d", "d")]
+    assert bat == bpe_train(docs, num_merges=4, batch_k=4)  # deterministic
+
+
+def test_bpe_train_batched_respects_conflicts(spark):
+    """Conflicting candidates (shared symbols / result-operand
+    collisions) are deferred to a later round, never co-applied —
+    the order-independence guarantee of the one-pass batch fold."""
+    from square_etl_spark.operators.text import bpe_apply_vocab, bpe_train
+
+    # 'aaa...' makes (a,a) dominant; (aa,a)-style followups conflict
+    docs = spark.createDataFrame(
+        [(1, " ".join(["aaaa"] * 30 + ["bbbb"] * 20))],
+        "doc_id long, text string",
+    )
+    m = bpe_train(docs, num_merges=4, batch_k=4)
+    # round 1 can take (a,a) and (b,b) (disjoint) but NOT (aa,a)/(a,aa)
+    # in the same round; the fixpoint still reaches them later
+    assert m[0] == ("a", "a") and ("b", "b") in m[:2]
+    assert ("aa", "aa") in m or ("aa", "a") in m or ("a", "aa") in m
+    # the learned list must drive apply to a fixpoint without error
+    v = spark.createDataFrame([("aaaa",), ("bbbb",)], "word string")
+    toks = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_vocab(v, merges=m).collect()
+    }
+    assert toks["aaaa"] in (["aaaa"], ["aa", "aa"])

@@ -1269,3 +1269,44 @@ def test_bpe_apply_equals_reference_fold_property(spark, words):
     v = spark.createDataFrame([(w,) for w in words], "word string")
     got = {r["word"]: list(r["tokens"]) for r in bpe_apply_vocab(v).collect()}
     assert got == {w: ref(w) for w in words}
+
+
+_byte_word = st.text(
+    alphabet="abtheĠ ÉК", min_size=1, max_size=8
+)  # mixed ASCII + multibyte + a literal 'Ġ' char (2 UTF-8 bytes)
+
+
+@given(words=st.lists(_byte_word, min_size=1, max_size=8, unique=True))
+@SETTINGS
+def test_bpe_byte_apply_equals_reference_fold_property(spark, words):
+    """bpe_apply_vocab(alphabet='byte') ≡ the one-merge-at-a-time
+    reference over the UTF-8-byte symbol sequence — including
+    multibyte input chars (split per byte) and inputs that contain
+    the alphabet's own stand-in characters."""
+    from square_etl_spark.operators.text import (
+        BPE_BYTE_MERGES,
+        BYTE_UNICODE,
+        bpe_apply_vocab,
+    )
+
+    ranks = {f"{a} {b}": i + 1 for i, (a, b) in enumerate(BPE_BYTE_MERGES)}
+
+    def ref(word: str) -> list[str]:
+        sym = [BYTE_UNICODE[b] for b in word.encode("utf-8")]
+        while True:
+            pr = [
+                ranks.get(f"{sym[i]} {sym[i + 1]}", 0)
+                for i in range(len(sym) - 1)
+            ]
+            present = [r for r in pr if r > 0]
+            if not present:
+                return sym
+            pos = pr.index(min(present))
+            sym = sym[:pos] + [sym[pos] + sym[pos + 1]] + sym[pos + 2 :]
+
+    v = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_vocab(v, alphabet="byte").collect()
+    }
+    assert got == {w: ref(w) for w in words}

@@ -43,6 +43,14 @@ HOT_SIZES = [10_000, 50_000, 100_000]
 OPS = ["substring_window", "substring_agg"]
 W = 20
 
+# BPE-training round cut (r10 verdict item 6): sequential = one Spark
+# round per merge; batch_k=8 accepts up to 8 symbol-disjoint merges
+# per round, so rounds ≈ merges/8 — wall-clock is driver-round-bound
+# at vocab sizes this small, which is exactly the regime the cut
+# targets (a 50k-merge production vocab is 50k rounds sequential).
+BPE_MERGES_N = 32
+BPE_OPS = ["bpe_train_seq", "bpe_train_batched"]
+
 
 def _corpus(spark, n_hot: int):
     """n_clean all-unique docs + n_hot docs sharing one hot window."""
@@ -117,6 +125,43 @@ def run_point(n_hot: int, op: str) -> None:
     from square_etl_spark.operators.dedup import substring_dedup
 
     spark = get_spark(f"scaling-r11-{op}-{n_hot}")
+    if op in BPE_OPS:
+        from pyspark.sql import functions as F
+
+        from square_etl_spark.operators.text import bpe_train
+
+        # zipf-ish small-vocab corpus (Heaps-law regime): per-round
+        # vocab work is tiny, so DRIVER ROUND latency dominates —
+        # the component the batch cut removes
+        df = spark.range(N_CLEAN).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(59)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.col("id"), i)
+                            % (F.pmod(F.xxhash64(i), F.lit(40)) + 1),
+                            F.lit(500),
+                        ).cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        ).localCheckpoint(eager=True)
+        k = 1 if op == "bpe_train_seq" else 8
+        t0 = time.perf_counter()
+        merges = bpe_train(
+            df, num_merges=BPE_MERGES_N, alphabet="byte", batch_k=k
+        )
+        rounds = -(-len(merges) // k)  # ceil: accepted per round ≤ k
+        print(json.dumps({
+            "op": op, "n_hot": n_hot, "merges": len(merges),
+            "rounds_upper": rounds if k > 1 else len(merges),
+            "sec": round(time.perf_counter() - t0, 3),
+        }), flush=True)
+        return
     df = _corpus(spark, n_hot).localCheckpoint(eager=True)
     if op == "substring_window":
         timed(op, n_hot, lambda: _substring_window_shape(df, W).count(), spark)
@@ -139,6 +184,10 @@ def main() -> None:
                 [sys.executable, __file__, "--point", str(n_hot), op],
                 check=False,
             )
+    for op in BPE_OPS:
+        subprocess.run(
+            [sys.executable, __file__, "--point", "0", op], check=False
+        )
 
 
 if __name__ == "__main__":
