@@ -178,25 +178,26 @@ def compact_table(
     appends/rewrites small files, and at warehouse scale scan cost is
     driven by file count (task scheduling + footer reads), so periodic
     compaction is part of the table's lifecycle.  Atomic via the same
-    temp-dir + swap as ``sinks.merge_upsert``.  Returns the file count
+    SIBLING-staging + rename swap as ``sinks.merge_upsert``
+    (r11 fix: the previous ``rmtree + shutil.move`` from
+    ``tempfile.gettempdir()`` had the exact crash window
+    ``_swap_into`` was built to close — table deleted, replacement
+    not yet in place — and a /tmp on another filesystem silently
+    degraded the move to a non-atomic copy).  Returns the file count
     after compaction.
     """
-    import shutil
-    import tempfile
-    import uuid
+    from square_etl_spark.sinks.merge import _recover_swap, _staging_dir, _swap_into
 
+    _recover_swap(path)
     df = spark.read.parquet(path)
-    tmp = os.path.join(
-        tempfile.gettempdir(), f"compact-{uuid.uuid4().hex}", os.path.basename(path)
-    )
+    tmp = _staging_dir(path)
     writer = df.repartition(target_files, *(partition_cols or [])).write.mode(
         "overwrite"
     )
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    _swap_into(tmp, path)
     return sum(
         1
         for root, _, files in os.walk(path)
