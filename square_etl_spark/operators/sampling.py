@@ -553,6 +553,73 @@ def pack_sequences(
     )
 
 
+def _group_prefix(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+) -> tuple[DataFrame, Column]:
+    """The shared two-phase per-group EXCLUSIVE prefix sum of
+    :func:`budget_cap` (engine-portable md5-of-key order): returns
+    ``(tagged_df, cum_before)`` where ``tagged_df`` carries the
+    book-keeping columns (``__h __shard __cum_incl __off __g __s``
+    — drop them when done) and ``cum_before`` is the column
+    expression for the group's weight strictly before the row.
+
+    Phase 1: cumsum inside (group, 256-way md5-prefix shard)
+    partitions in parallel; phase 2: per-(group, shard) totals — a
+    bounded |groups| × 256-row driver table (the mixture-dims
+    contract) — fold into exclusive shard offsets and broadcast
+    back.  Shared by :func:`budget_cap` (filter while under budget)
+    and :func:`epoch_repeat` (emit repeat epochs against it)."""
+    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
+    tagged = df.withColumn("__h", F.md5(key)).withColumn(
+        "__shard", F.substring("__h", 1, 2)
+    )
+    w = (
+        Window.partitionBy(group_col, "__shard")
+        .orderBy("__h", *[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn(
+        "__cum_incl", F.sum(F.col(weight_col).cast("long")).over(w)
+    )
+    # bounded driver metadata: |groups| x <=256 rows (mixture dims)
+    totals = (
+        tagged.groupBy(group_col, "__shard")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__tot"))
+        .orderBy(group_col, "__shard")
+        .collect()
+    )
+    offsets, running, cur = [], 0, object()
+    for r in totals:
+        if r[group_col] != cur:
+            cur, running = r[group_col], 0
+        offsets.append((r[group_col], r["__shard"], running))
+        running += r["__tot"]
+    gtype = df.schema[group_col].dataType.simpleString()
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(None, "00", 0)],
+        f"__g {gtype}, __s string, __off long",
+    )
+    cum_before = (
+        F.col("__off") + F.col("__cum_incl") - F.col(weight_col).cast("long")
+    )
+    # eqNullSafe on the group: a NULL group is a real group (groupBy
+    # keeps it, the offset table has its row) — a plain equi-join
+    # silently DROPPED its rows instead of budget-capping them (r08
+    # ADVICE item).
+    joined = local.join(
+        # bcast-ok: per-(group, shard) offset map, |groups| x <=256
+        # rows; group_col is a mixture dimension by contract (doc
+        # above), never a corpus-linear key
+        F.broadcast(off_df),
+        F.col(group_col).eqNullSafe(F.col("__g"))
+        & (F.col("__shard") == F.col("__s")),
+    )
+    return joined, cum_before
+
+
 def budget_cap(
     df: DataFrame,
     group_col: str,
@@ -595,51 +662,7 @@ def budget_cap(
         raise ValueError("pass exactly one of budget / budgets")
     if budget is not None and budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    key = F.concat_ws(":", *[F.col(c).cast("string") for c in key_cols])
-    tagged = df.withColumn("__h", F.md5(key)).withColumn(
-        "__shard", F.substring("__h", 1, 2)
-    )
-    w = (
-        Window.partitionBy(group_col, "__shard")
-        .orderBy("__h", *[F.col(c) for c in key_cols])
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = tagged.withColumn(
-        "__cum_incl", F.sum(F.col(weight_col).cast("long")).over(w)
-    )
-    # bounded driver metadata: |groups| x <=256 rows (mixture dims)
-    totals = (
-        tagged.groupBy(group_col, "__shard")
-        .agg(F.sum(F.col(weight_col).cast("long")).alias("__tot"))
-        .orderBy(group_col, "__shard")
-        .collect()
-    )
-    offsets, running, cur = [], 0, object()
-    for r in totals:
-        if r[group_col] != cur:
-            cur, running = r[group_col], 0
-        offsets.append((r[group_col], r["__shard"], running))
-        running += r["__tot"]
-    gtype = df.schema[group_col].dataType.simpleString()
-    off_df = df.sparkSession.createDataFrame(
-        offsets or [(None, "00", 0)],
-        f"__g {gtype}, __s string, __off long",
-    )
-    cum_before = (
-        F.col("__off") + F.col("__cum_incl") - F.col(weight_col).cast("long")
-    )
-    # eqNullSafe on the group: a NULL group is a real group (groupBy
-    # keeps it, the offset table has its row) — a plain equi-join
-    # silently DROPPED its rows instead of budget-capping them (r08
-    # ADVICE item).
-    capped = local.join(
-        # bcast-ok: per-(group, shard) offset map, |groups| x <=256
-        # rows; group_col is a mixture dimension by contract (doc
-        # above), never a corpus-linear key
-        F.broadcast(off_df),
-        F.col(group_col).eqNullSafe(F.col("__g"))
-        & (F.col("__shard") == F.col("__s")),
-    )
+    capped, cum_before = _group_prefix(df, group_col, weight_col, key_cols)
     if budgets is None:
         capped = capped.filter(cum_before < budget)
     else:
@@ -871,6 +894,27 @@ def temperature_mix_waterfill(
     dict, then budget_cap's two-phase prefix consumption — the
     corpus is still scanned exactly once.
     """
+    bdf = temperature_waterfill_budgets(
+        df, group_col, weight_col, total_budget, alpha, sizes, max_epochs
+    )
+    return budget_cap(df, group_col, weight_col, key_cols, budgets=bdf)
+
+
+def temperature_waterfill_budgets(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+    sizes: DataFrame | None = None,
+    max_epochs: float = 1.0,
+) -> DataFrame:
+    """The water-filled per-group BUDGETS relation ``(group,
+    budget)`` — :func:`temperature_mix_waterfill`'s fixpoint output
+    as a first-class artifact, for consumers other than the one-pass
+    selection (e.g. :func:`epoch_repeat`'s repeated-epoch stream, or
+    persisting the mixture recipe next to the corpus snapshot).  See
+    temperature_mix_waterfill for the arithmetic contract."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -900,11 +944,86 @@ def temperature_mix_waterfill(
         items.append((g, x, cap))
     budgets = waterfill_budgets(items, int(total_budget))
     gtype = df.schema[group_col].dataType.simpleString()
-    bdf = df.sparkSession.createDataFrame(
+    return df.sparkSession.createDataFrame(
         [(g, int(b)) for g, b in sorted(budgets.items())],
         f"{group_col} {gtype}, budget long",
     )
-    return budget_cap(df, group_col, weight_col, key_cols, budgets=bdf)
+
+
+def epoch_repeat(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_cols: Sequence[str],
+    budgets: DataFrame,
+) -> DataFrame:
+    """EMIT the repeated training epochs a data-constrained budget
+    promises — the consumer half of Muennighoff-style repetition
+    (arXiv:2305.16264): a per-group ``budget`` larger than the
+    group's supply means the trainer sees the data more than once,
+    and this operator materializes exactly that stream.  Every row
+    gains an ``epoch`` column (1-based): all rows repeat
+    ``budget div supply`` full epochs, and the final partial epoch
+    keeps the deterministic md5-order prefix whose exclusive weight
+    is under ``budget mod supply`` (the straddling row kept — the
+    same rule as :func:`budget_cap`, so epoch E's prefix is
+    bit-identical to budget_cap at the residual budget).  A group
+    whose budget ≤ its supply degenerates to budget_cap with
+    epoch = 1 rows only.
+
+    ``budgets`` is the (group, budget) relation — typically
+    :func:`temperature_mix_waterfill`'s fixpoint output with
+    ``max_epochs > 1``, whose caps bound budget ≤
+    ⌊max_epochs·supply⌋ so no group repeats beyond the allowed
+    epochs.  Groups with zero total weight or missing/≤0 budgets
+    emit nothing.
+
+    Scale shape: :func:`_group_prefix`'s two-phase prefix sum (the
+    corpus scanned once), two broadcast joins against |groups|-sized
+    relations, then a per-row explode of at most
+    ⌈budget/supply⌉ ≤ max_epochs epoch indices — output volume is
+    the TRAINING volume, proportional to the budget by definition.
+    """
+    tagged, cum_before = _group_prefix(df, group_col, weight_col, key_cols)
+    sup = df.groupBy(group_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__sup")
+    )
+    bdf = budgets.select(
+        F.col(group_col).alias("__bg"),
+        F.col("budget").cast("long").alias("__budget"),
+    )
+    j = (
+        tagged.join(
+            # bcast-ok: per-group supply, |groups| rows (mixture dims)
+            F.broadcast(
+                sup.select(F.col(group_col).alias("__sg"), "__sup")
+            ),
+            F.col(group_col).eqNullSafe(F.col("__sg")),
+        )
+        .join(
+            # bcast-ok: per-group budget map, |groups| rows
+            F.broadcast(bdf),
+            F.col(group_col).eqNullSafe(F.col("__bg")),
+        )
+        .filter((F.col("__sup") > 0) & (F.col("__budget") > 0))
+    )
+    full = F.expr("__budget div __sup")
+    rem = F.col("__budget") % F.col("__sup")
+    n_epochs = (
+        full + F.when(cum_before < rem, F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    return (
+        j.withColumn("__n_ep", n_epochs)
+        .filter(F.col("__n_ep") >= 1)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(1), F.col("__n_ep")))
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop(
+            "__h", "__shard", "__cum_incl", "__off", "__g", "__s",
+            "__sg", "__sup", "__bg", "__budget", "__n_ep",
+        )
+    )
 
 
 def doremi_mix(

@@ -1295,6 +1295,7 @@ def bpe_encode_ids(
     text_col: str = "text",
     max_rounds: int = 64,
     merges: "Sequence[tuple[str, str]] | None" = None,
+    alphabet: str = "char",
 ) -> DataFrame:
     """Encode every document to TOKEN IDS — the artifact a trainer
     actually consumes, closing the tokenizer loop (train → apply →
@@ -1315,20 +1316,33 @@ def bpe_encode_ids(
     alphabet-sized; its rank runs under a single-partition window
     over ≤ |alphabet| rows (bounded by construction).
     """
-    mlist = list(merges or BPE_MERGES)
+    if alphabet not in ("char", "byte"):
+        raise ValueError(f"alphabet must be 'char' or 'byte': {alphabet}")
+    mlist = list(
+        merges
+        or (BPE_MERGES if alphabet == "char" else BPE_BYTE_MERGES)
+    )
+    pretok = bpe_pretokens if alphabet == "char" else bpe_byte_pretokens
+    sym_expr = (
+        "filter(split(lower(word), ''), x -> x <> '')"
+        if alphabet == "char"
+        else byte_symbols_sql("word")
+    )
     pre = df.select(
-        F.col(id_col), F.posexplode(bpe_pretokens(text_col)).alias("widx", "word")
+        F.col(id_col), F.posexplode(pretok(text_col)).alias("widx", "word")
     )
     vocab = pre.select("word").distinct()
-    applied = bpe_apply_vocab(vocab, max_rounds=max_rounds, merges=mlist)
+    applied = bpe_apply_vocab(
+        vocab, max_rounds=max_rounds, merges=mlist, alphabet=alphabet
+    )
     toks = pre.join(applied.select("word", "tokens"), "word").select(
         id_col, "widx", F.posexplode("tokens").alias("tidx", "token")
     )
-    # char ids: observed single chars sorted asc → 1..B.  gw-ok: the
-    # window ranks the distinct-character relation, ≤ |alphabet| rows
-    # by construction
+    # base-symbol ids: observed single symbols (chars, or byte
+    # stand-ins) sorted asc → 1..B.  gw-ok: the window ranks the
+    # distinct-symbol relation, ≤ |alphabet| rows by construction
     chars = (
-        vocab.select(F.explode(F.expr("filter(split(lower(word), ''), x -> x <> '')")).alias("ch"))
+        vocab.select(F.explode(F.expr(sym_expr)).alias("ch"))
         .distinct()
         .withColumn("cid", F.row_number().over(Window.orderBy(F.col("ch").asc())).cast("long"))
     )

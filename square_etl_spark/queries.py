@@ -11320,35 +11320,14 @@ _register(
 )
 
 
-def _mix_temperature_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Water-filled data-constrained temperature mix
-    (operators/sampling.temperature_mix_waterfill, r10 verdict item
-    2): per-lang sqrt-temperature budgets against a 140k-char total
-    with every budget clipped at the language's own supply
-    (max_epochs = 1) and the clipped DEFICITS RE-SPENT over the
-    uncapped languages by the exact-integer fixpoint — at sf0.01
-    four of the five languages cap at their full supply and `en`
-    absorbs the entire residual, so the driver row certifies a real
-    multi-round fixpoint, not the trivial single-allocation path.
-    The oracle recomputes the fixpoint bit-for-bit in a recursive
-    CTE (single-row state, HUGEINT floor-division shares,
-    largest-remainder bonus) and the md5-order consumption."""
-    from square_etl_spark.operators.sampling import temperature_mix_waterfill
-
-    d = load_table(spark, sf_dir, "documents")
-    kept = temperature_mix_waterfill(
-        d, "lang", "n_chars", ["doc_id"],
-        total_budget=140000, alpha=0.5, max_epochs=1.0,
-    )
-    return kept.select("doc_id", "lang", "n_chars")
-
-
-_register(
-    QuerySpec(
-        "mix_temperature_waterfill",
-        _mix_temperature_waterfill,
-        oracle="""
-        WITH RECURSIVE sz AS (
+def _waterfill_bud_ctes(total: int, max_epochs: float) -> str:
+    """The water-filling fixpoint as a DuckDB recursive CTE chain
+    ending in ``bud(lang, b)`` — single-row state over group structs,
+    exact HUGEINT floor-division shares, largest-remainder bonus
+    (the bit-for-bit twin of sampling.waterfill_budgets; see
+    mix_temperature_waterfill).  Shared by the selection query and
+    the epoch-expansion query."""
+    return f"""sz AS (
           SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS n
           FROM documents GROUP BY lang),
         init AS (
@@ -11356,7 +11335,7 @@ _register(
                    g := g,
                    x := CAST(CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
                              * 1e9 AS BIGINT) AS HUGEINT),
-                   cap := CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * 1.0,
+                   cap := CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * {max_epochs},
                                6)) AS BIGINT) AS HUGEINT),
                    budget := CAST(0 AS HUGEINT),
                    capped := false) ORDER BY g) AS gs
@@ -11410,7 +11389,7 @@ _register(
             FROM (
               SELECT step, done, gs,
                      list_filter(gs, t -> NOT t.capped) AS freex,
-                     CAST(140000 AS HUGEINT) - COALESCE(list_sum(
+                     CAST({total} AS HUGEINT) - COALESCE(list_sum(
                        list_transform(list_filter(gs, t -> t.capped),
                                       t -> t.budget)), 0) AS residual,
                      COALESCE(list_sum(list_transform(
@@ -11421,7 +11400,38 @@ _register(
           SELECT unnest(gs) AS s FROM tr
           WHERE step = (SELECT MAX(step) FROM tr)),
         bud AS (
-          SELECT s.g AS lang, CAST(s.budget AS BIGINT) AS b FROM fin),
+          SELECT s.g AS lang, CAST(s.budget AS BIGINT) AS b FROM fin)"""
+
+
+def _mix_temperature_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filled data-constrained temperature mix
+    (operators/sampling.temperature_mix_waterfill, r10 verdict item
+    2): per-lang sqrt-temperature budgets against a 140k-char total
+    with every budget clipped at the language's own supply
+    (max_epochs = 1) and the clipped DEFICITS RE-SPENT over the
+    uncapped languages by the exact-integer fixpoint — at sf0.01
+    four of the five languages cap at their full supply and `en`
+    absorbs the entire residual, so the driver row certifies a real
+    multi-round fixpoint, not the trivial single-allocation path.
+    The oracle recomputes the fixpoint bit-for-bit in a recursive
+    CTE (single-row state, HUGEINT floor-division shares,
+    largest-remainder bonus) and the md5-order consumption."""
+    from square_etl_spark.operators.sampling import temperature_mix_waterfill
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = temperature_mix_waterfill(
+        d, "lang", "n_chars", ["doc_id"],
+        total_budget=140000, alpha=0.5, max_epochs=1.0,
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+_register(
+    QuerySpec(
+        "mix_temperature_waterfill",
+        _mix_temperature_waterfill,
+        oracle=f"""
+        WITH RECURSIVE {_waterfill_bud_ctes(140000, 1.0)},
         ordx AS (
           SELECT doc_id, lang, n_chars,
                  SUM(n_chars) OVER (
@@ -11436,6 +11446,112 @@ _register(
         """,
         doc="water-filled data-constrained mix: capped deficits re-spent over "
         "uncapped groups, fixpoint recomputed bit-for-bit by a recursive CTE",
+    )
+)
+
+
+def _mix_waterfill_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED-EPOCH training stream (operators/sampling.epoch_repeat
+    + temperature_waterfill_budgets): a 400k-char budget water-filled
+    at max_epochs = 3 gives four languages budgets of exactly
+    3× their supply (capped) and `en` a residual worth ~2.26 epochs —
+    and the operator EMITS that stream: every capped language's docs
+    appear exactly 3 times (epoch 1..3), `en` docs twice plus the
+    deterministic md5-order prefix a third time.  This is the
+    Muennighoff data-constrained consumer: the budget is not a
+    promise, it is the actual repeated token stream the trainer
+    reads.  The oracle recomputes the fixpoint AND the epoch
+    expansion (integer div/mod against the per-group supply)."""
+    from square_etl_spark.operators.sampling import (
+        epoch_repeat,
+        temperature_waterfill_budgets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    bud = temperature_waterfill_budgets(
+        d, "lang", "n_chars", total_budget=400000, alpha=0.5,
+        max_epochs=3.0,
+    )
+    out = epoch_repeat(d, "lang", "n_chars", ["doc_id"], bud)
+    return out.select("doc_id", "lang", "n_chars", "epoch")
+
+
+_register(
+    QuerySpec(
+        "mix_waterfill_epochs",
+        _mix_waterfill_epochs,
+        oracle=f"""
+        WITH RECURSIVE {_waterfill_bud_ctes(400000, 3.0)},
+        ordx AS (
+          SELECT doc_id, lang, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents)
+        SELECT o.doc_id, o.lang, CAST(o.n_chars AS BIGINT) AS n_chars,
+               CAST(u.e AS BIGINT) AS epoch
+        FROM ordx o
+        JOIN bud USING (lang)
+        JOIN sz s ON s.g = o.lang
+        CROSS JOIN UNNEST(range(1, b // /*nz: groups with rows have
+          positive char supply*/ s.n + 2)) u(e)
+        WHERE u.e <= b // /*nz: see above*/ s.n
+           OR (u.e = b // /*nz: see above*/ s.n + 1
+               AND cum_before < b % s.n)
+        """,
+        doc="data-constrained repeated-epoch stream: waterfill budgets div/mod supply, every epoch materialized, fixpoint + expansion both recomputed",
+    )
+)
+
+
+def _mix_waterfill_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL water-filled mix: the sizes feeding the fixpoint
+    come from the batch-folded language-sized state
+    (group_weight_sizes / fold_group_sizes — sum monoid, fold ≡
+    one-shot), so the derived budgets and the selection equal
+    mix_temperature_waterfill's exactly and the query SHARES its
+    recursive-CTE oracle.  Continuous ingest re-runs the bounded
+    fixpoint per release without re-aggregating history."""
+    from square_etl_spark.operators.sampling import (
+        fold_group_sizes,
+        group_weight_sizes,
+        temperature_mix_waterfill,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    state = None
+    for i in range(3):
+        batch = d.filter(F.col("doc_id") % 3 == i)
+        sz = group_weight_sizes(batch, "lang", "n_chars")
+        state = sz if state is None else fold_group_sizes(state, sz)
+    kept = temperature_mix_waterfill(
+        d, "lang", "n_chars", ["doc_id"], total_budget=140000, alpha=0.5,
+        sizes=state, max_epochs=1.0,
+    )
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+_register(
+    QuerySpec(
+        "mix_waterfill_incremental",
+        _mix_waterfill_incremental,
+        oracle=f"""
+        WITH RECURSIVE {_waterfill_bud_ctes(140000, 1.0)},
+        ordx AS (
+          SELECT doc_id, lang, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents)
+        SELECT o.doc_id, o.lang, CAST(o.n_chars AS BIGINT) AS n_chars
+        FROM ordx o JOIN bud USING (lang)
+        WHERE cum_before < b
+        """,
+        doc="incremental water-filled mix: batch-folded sizes drive the identical fixpoint (shared-oracle arithmetic)",
     )
 )
 
@@ -12881,6 +12997,67 @@ _register(
 )
 
 
+def _bpe_bytes_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level token-id encoding — the byte tokenizer loop closed
+    end to end (train → apply → ids on the GPT-2 alphabet): same
+    deterministic id space as text_bpe_encode_ids but over observed
+    BYTE symbols (1..B sorted asc; merge results B+rank, lowest-rank
+    producer wins), driven by the merges.txt-compatible
+    text.BPE_BYTE_MERGES artifact."""
+    from square_etl_spark.operators.text import bpe_encode_ids
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_encode_ids(d, alphabet="byte")
+
+
+_register(
+    QuerySpec(
+        "text_bpe_bytes_encode_ids",
+        _bpe_bytes_encode_q,
+        oracle=f"""
+        WITH RECURSIVE {_bpe_counts_cte(
+            pretoken_sql=_BYTE_PRETOKEN_SQL,
+            sym_sql=_BYTE_SYM_SQL,
+            merges_sql=_BPE_BYTE_LIST_SQL,
+        )},
+        ptoks AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS widx,
+                 unnest(ws) AS w
+          FROM pre),
+        dtoks AS (
+          SELECT p.doc_id, p.widx,
+                 generate_subscripts(f.sym, 1) AS tidx,
+                 unnest(f.sym) AS token
+          FROM ptoks p JOIN fixed_sym f ON p.w = f.w),
+        chars AS (
+          SELECT ch, CAST(ROW_NUMBER() OVER (ORDER BY ch) AS BIGINT) AS cid
+          FROM (SELECT DISTINCT unnest({_BYTE_SYM_SQL}) AS ch
+                FROM vocab)),
+        nb AS (SELECT COUNT(*) AS b FROM chars),
+        mranks AS (
+          SELECT replace(({_BPE_BYTE_LIST_SQL})[CAST(i AS INTEGER)],
+                         ' ', '') AS mtoken,
+                 MIN(i) AS rank
+          FROM (SELECT UNNEST(range(1, {len(tx.BPE_BYTE_MERGES) + 1})) AS i)
+          GROUP BY 1),
+        mids AS (
+          SELECT mtoken, CAST(nb.b + rank AS BIGINT) AS mid
+          FROM mranks CROSS JOIN nb)
+        SELECT d.doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                    ORDER BY d.widx, d.tidx) AS BIGINT) AS pos,
+               d.token,
+               COALESCE(c.cid, m.mid) AS token_id
+        FROM dtoks d
+        LEFT JOIN chars c ON d.token = c.ch
+        LEFT JOIN mids m ON d.token = m.mtoken
+        """,
+        doc="byte-level token-id encoding on the GPT-2 alphabet: byte fold + symbol/merge id space + stream order, all recomputed",
+        global_window_ok="alphabet-sized symbol-id rank: the global window orders the distinct observed byte symbols, ≤ 256 rows by construction",
+    )
+)
+
+
 def _pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pack_training_sequences with TOKENIZER-FAITHFUL budgets: pack
     whole documents into 512-BPE-token training sequences via the
@@ -13084,66 +13261,67 @@ _register(
 )
 
 
-# Round-10 head (tools/rotation.py recommended): the 9 queries
-# registered THIS round (MP3/MP4 probes, IVF-PQ, amortized SemDeDup,
-# fuzzy decontamination, exact-substring dedup + incremental twin,
-# BPE token counts + BPE packing twin) get first driver rows, then
-# the r05-stale cohort (11 queries with 5 rounds of code churn since
-# their last contract check — the r09 verdict's item 2) and the
-# oldest r06 cohort, flagship anchor last = 50.  All 9 new entries
-# are tri-scale selfchecked green; rotation.py confirms no
+# Round-11 head: first the 3 queries REGISTERED this round
+# (water-filled temperature mix, byte-level BPE counts + training)
+# and the 3 whose code changed materially (fuzzy decontamination now
+# unigram/0.8 and positive at every scale; substring dedup + its
+# incremental twin on the skew-guarded min-struct aggregate), then
+# the full 26-query r06-stale cohort the r10 verdict's item 3 wants
+# contract-confirmed, then the oldest r07 names from rotation.py's
+# recommendation, flagship anchor last = 50.  All new/changed
+# entries are tri-scale selfchecked green; rotation.py confirms no
 # oracle-checked query ages past the arithmetic freshness window
 # under this head.
 _CHECK_PRIORITY: list[str] = [
-    "multimodal_probe_mp3",
-    "multimodal_probe_mp4",
-    "ann_topk_ivfpq",
-    "dedup_semantic_incremental",
+    "mix_temperature_waterfill",
+    "mix_waterfill_epochs",
+    "mix_waterfill_incremental",
+    "text_bpe_bytes_tokens",
+    "text_bpe_train_bytes",
+    "text_bpe_bytes_encode_ids",
     "dedup_decontaminate_fuzzy",
     "dedup_substring_exact",
     "dedup_incremental_substring",
-    "text_bpe_tokens",
-    "pack_training_sequences_bpe",
-    "mix_temperature_bpe",
-    "text_bpe_train",
-    "text_bpe_encode_ids",
-    "text_bpe_train_incremental",
-    "pipeline_tokenize_pack",
-    "text_bpe_train_apply",
-    "q3_shipping_priority",
-    "q10_returned_revenue",
-    "a2_stage_counts",
-    "histogram_doc_length",
-    "arrow_token_count",
-    "incremental_rollup_revenue",
-    "scd2_customer_segment",
-    "pipeline_catalog",
-    "pipeline_inventory",
-    "pipeline_categories",
-    "pipeline_locations",
-    "s1_windowed_scan",
-    "p6_address_concat",
-    "p9_constant_enrichment",
-    "j3_lookup_join",
-    "a3_last_writer_wins",
-    "agg_rollup",
-    "setop_union_except",
-    "reconcile_orders_detail",
-    "distinct_users_by_type",
-    "k1_merge_partitioned",
-    "e1_quarantine_rejects",
-    "t2_sliding_2h_1h",
-    "dedup_survivor_selection",
-    "text_fingerprint",
-    "text_strip_markup",
-    "text_unigram_nll",
-    "bucketed_join_revenue",
-    "ann_topk_codes",
-    "embedding_norms",
-    "multimodal_decode",
-    "multimodal_decode_gif_frames",
-    "multimodal_probe_then_decode",
-    "approx_distinct_users",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "approx_distinct_kmv",
+    "q5_local_supplier_volume",
+    "q4_priority_late_ship",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_rich",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_supplier_counts",
+    "q20_excess_stock_suppliers",
+    "q9_product_profit",
+    "agg_grouping_sets",
+    "p4_cast_guard_default",
+    "p7_type_dispatch",
+    "window_running_total",
+    "asof_join_clicks",
+    "range_join_binned",
+    "sessionize_events",
+    "pivot_event_counts",
+    "f2_json_extract",
+    "cdc_apply_events",
+    "dedup_minhash_vs_ngram",
+    "multimodal_decode_bmp",
+    "q6_forecast_revenue",
+    "q13_custdist",
+    "q8_market_share",
+    "p5_literal_defaults",
+    "window_rank_lag",
+    "orders_above_cust_avg",
+    "join_semi_active",
+    "join_anti_dormant",
+    "agg_cube",
+    "ann_topk_ivf",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

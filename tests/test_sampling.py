@@ -796,3 +796,40 @@ def test_doremi_mix_waterfill_respends_capped_deficit(spark):
     }
     assert gc["hard"] == 30
     assert gc["easy"] < 70  # λ_easy·100 floored, no redistribution
+
+
+def test_epoch_repeat_materializes_data_constrained_stream(spark):
+    # budget 25 over supply 10 (unit weights) → every row appears in
+    # epochs 1-2, and exactly 5 rows (the md5-order prefix) gain
+    # epoch 3; a budget ≤ supply degenerates to budget_cap at epoch 1
+    from square_etl_spark.operators.sampling import budget_cap, epoch_repeat
+
+    df = spark.createDataFrame(
+        [("a", i, 1) for i in range(10)], "src string, doc_id long, w long"
+    )
+    bud = spark.createDataFrame([("a", 25)], "src string, budget long")
+    out = epoch_repeat(df, "src", "w", ["doc_id"], bud).collect()
+    by_epoch: dict = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+    assert by_epoch[1] == by_epoch[2] == {r.doc_id for r in df.collect()}
+    assert len(by_epoch[3]) == 5
+    assert len(out) == 25
+    # the partial epoch's prefix is EXACTLY budget_cap at the residual
+    resid = budget_cap(
+        df, "src", "w", ["doc_id"],
+        budgets=spark.createDataFrame([("a", 5)], "src string, budget long"),
+    )
+    assert by_epoch[3] == {r.doc_id for r in resid.collect()}
+    # budget ≤ supply: plain selection, all epoch 1
+    small = epoch_repeat(
+        df, "src", "w", ["doc_id"],
+        spark.createDataFrame([("a", 7)], "src string, budget long"),
+    ).collect()
+    assert {r.epoch for r in small} == {1} and len(small) == 7
+    # missing/zero budget group emits nothing
+    none_out = epoch_repeat(
+        df, "src", "w", ["doc_id"],
+        spark.createDataFrame([("zz", 5)], "src string, budget long"),
+    )
+    assert none_out.count() == 0
