@@ -11320,7 +11320,9 @@ _register(
 )
 
 
-def _waterfill_bud_ctes(total: int, max_epochs: float) -> str:
+def _waterfill_bud_ctes(
+    total: int, max_epochs: float, src: str = "documents"
+) -> str:
     """The water-filling fixpoint as a DuckDB recursive CTE chain
     ending in ``bud(lang, b)`` — single-row state over group structs,
     exact HUGEINT floor-division shares, largest-remainder bonus
@@ -11329,7 +11331,7 @@ def _waterfill_bud_ctes(total: int, max_epochs: float) -> str:
     the epoch-expansion query."""
     return f"""sz AS (
           SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS n
-          FROM documents GROUP BY lang),
+          FROM {src} GROUP BY lang),
         init AS (
           SELECT list(struct_pack(
                    g := g,
@@ -11552,6 +11554,87 @@ _register(
         WHERE cum_before < b
         """,
         doc="incremental water-filled mix: batch-folded sizes drive the identical fixpoint (shared-oracle arithmetic)",
+    )
+)
+
+
+def _pipeline_epoch_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATA-CONSTRAINED training-data build end to end: quality
+    gate (n_chars ≥ 50) → water-filled per-language budgets at
+    max_epochs = 1.5 over a 220k-char total (four languages cap at
+    1.5× their supply; `en` takes the re-spent residual ≈ 1.44
+    epochs) → epoch_repeat materializes the repeated stream (capped
+    languages: every doc in epoch 1 plus the md5-prefix half in
+    epoch 2) → pack_sequences lays the (doc, epoch) stream into
+    2048-char training sequences in global md5 order.  One query =
+    the whole Muennighoff recipe as it would actually feed a
+    trainer; the oracle recomputes the gate, the fixpoint, the
+    epoch div/mod expansion, AND the packing prefix sum."""
+    from square_etl_spark.operators.sampling import (
+        epoch_repeat,
+        pack_sequences,
+        temperature_waterfill_budgets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("n_chars") >= 50)
+    bud = temperature_waterfill_budgets(
+        corpus, "lang", "n_chars", total_budget=220000, alpha=0.5,
+        max_epochs=1.5,
+    )
+    stream = epoch_repeat(corpus, "lang", "n_chars", ["doc_id"], bud)
+    packed = pack_sequences(
+        stream, token_col="n_chars", key_cols=("doc_id", "epoch"),
+        budget=2048,
+    )
+    return packed.select(
+        "doc_id", "lang", "epoch",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "seq_id", "seq_offset",
+    )
+
+
+_register(
+    QuerySpec(
+        "pipeline_epoch_build",
+        _pipeline_epoch_build,
+        oracle=f"""
+        WITH RECURSIVE corpus AS (
+          SELECT * FROM documents WHERE n_chars >= 50),
+        {_waterfill_bud_ctes(220000, 1.5, src="corpus")},
+        ordx AS (
+          SELECT doc_id, lang, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM corpus),
+        estream AS (
+          SELECT o.doc_id, o.lang, o.n_chars, CAST(u.e AS BIGINT) AS epoch
+          FROM ordx o
+          JOIN bud USING (lang)
+          JOIN sz s ON s.g = o.lang
+          CROSS JOIN UNNEST(range(1, b // /*nz: gated groups have
+            positive char supply*/ s.n + 2)) u(e)
+          WHERE u.e <= b // /*nz: see above*/ s.n
+             OR (u.e = b // /*nz: see above*/ s.n + 1
+                 AND cum_before < b % s.n)),
+        pord AS (
+          SELECT doc_id, lang, epoch, n_chars,
+                 SUM(n_chars) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':'
+                              || CAST(epoch AS VARCHAR)),
+                            doc_id, epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum
+          FROM estream)
+        SELECT doc_id, lang, epoch, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(cum // 2048 AS BIGINT) AS seq_id,
+               CAST(cum % 2048 AS BIGINT) AS seq_offset
+        FROM pord
+        """,
+        doc="the data-constrained build end to end: quality gate -> waterfill -> repeated epochs -> packed sequences, all recomputed",
     )
 )
 
@@ -13276,6 +13359,7 @@ _CHECK_PRIORITY: list[str] = [
     "mix_temperature_waterfill",
     "mix_waterfill_epochs",
     "mix_waterfill_incremental",
+    "pipeline_epoch_build",
     "text_bpe_bytes_tokens",
     "text_bpe_train_bytes",
     "text_bpe_bytes_encode_ids",
