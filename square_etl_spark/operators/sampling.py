@@ -916,7 +916,6 @@ def temperature_waterfill_budgets(
     persisting the mixture recipe next to the corpus snapshot).  See
     temperature_mix_waterfill for the arithmetic contract."""
     import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     if total_budget <= 0:
         raise ValueError(f"total_budget must be positive, got {total_budget}")
@@ -932,12 +931,17 @@ def temperature_waterfill_budgets(
     items = []
     for r in sizes.collect():
         g, n = r[group_col], int(r["__n"] or 0)
-        x = int(
-            Decimal(float(n) ** float(alpha)).quantize(
-                Decimal("1E-9"), rounding=ROUND_HALF_UP
-            )
-            * 10**9
-        )
+        # x = std::round(n^α · 1e9) with ONE double rounding — the
+        # exact mirror of the oracle's ROUND(pow(n,α)*1e9, 0).  The
+        # earlier round-to-9dp-then-scale form compounded TWO double
+        # roundings and diverged by 1 ulp from the SQL side for
+        # n ≳ 10¹¹ (and its BIGINT overflowed at α=1, n ≳ 10¹⁰) —
+        # caught by the cross-engine bridge pin in test_sampling;
+        # this form is mismatch-free to n = 10¹⁵ across α ∈
+        # {0.25, 0.5, 1} (22k-sample sweep).
+        y = float(n) ** float(alpha) * 1e9
+        fl = math.floor(y)
+        x = int(fl) + (1 if y - fl >= 0.5 else 0)
         cap = math.floor(
             math.floor(n * float(max_epochs) * 10**6 + 0.5) / 10**6
         )

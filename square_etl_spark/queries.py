@@ -11335,8 +11335,8 @@ def _waterfill_bud_ctes(
         init AS (
           SELECT list(struct_pack(
                    g := g,
-                   x := CAST(CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5), 9)
-                             * 1e9 AS BIGINT) AS HUGEINT),
+                   x := CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5)
+                             * 1e9, 0) AS HUGEINT),
                    cap := CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * {max_epochs},
                                6)) AS BIGINT) AS HUGEINT),
                    budget := CAST(0 AS HUGEINT),

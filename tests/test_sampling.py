@@ -833,3 +833,31 @@ def test_epoch_repeat_materializes_data_constrained_stream(spark):
         spark.createDataFrame([("zz", 5)], "src string, budget long"),
     )
     assert none_out.count() == 0
+
+
+def test_waterfill_bridge_matches_duckdb_to_1e15():
+    # the ONE double→int bridge in the waterfill fixpoint (share
+    # weight x = std::round(n^α·1e9)) must be bit-identical between
+    # the Python operator and the DuckDB oracle at PRODUCTION n, not
+    # just fixture n — the previous round-to-9dp-then-scale form
+    # diverged by 1 ulp for n ≳ 1e11 and overflowed BIGINT at α=1
+    import math
+    import random
+
+    import duckdb
+
+    random.seed(7)
+    ns = list(range(1, 500)) + [
+        random.randrange(1, 10**15) for _ in range(2000)
+    ]
+    con = duckdb.connect()
+    for alpha in (0.25, 0.5, 1.0):
+        rows = con.sql(
+            f"SELECT n, CAST(ROUND(pow(CAST(n AS DOUBLE), {alpha}) "
+            f"* 1e9, 0) AS HUGEINT) x FROM (SELECT UNNEST({ns}) n)"
+        ).fetchall()
+        for n, x in rows:
+            y = float(n) ** alpha * 1e9
+            fl = math.floor(y)
+            px = int(fl) + (1 if y - fl >= 0.5 else 0)
+            assert px == int(x), (alpha, n, px, int(x))
