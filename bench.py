@@ -158,8 +158,22 @@ def main() -> None:
             ["git", "-C", str(here), "rev-parse", "--short", "HEAD"],
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or None
+        # a DIRTY tree is a different code state than HEAD's record:
+        # skipping the head-matched baseline then would misattribute
+        # two rounds of change to one (r11 review) — only treat a
+        # head match as "same code" when the tree is clean
+        dirty = bool(subprocess.run(
+            ["git", "-C", str(here), "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+        if dirty:
+            git_head_for_skip = None
+        else:
+            git_head_for_skip = git_head
     except (OSError, subprocess.SubprocessError):
         git_head = None
+        git_head_for_skip = None
     base_override = os.environ.get("SPARK_GRAFT_DRIFT_BASE")
     candidates = (
         [here / base_override]
@@ -180,8 +194,8 @@ def main() -> None:
             continue
         if (
             not base_override
-            and git_head is not None
-            and cand.get("git_head") == git_head
+            and git_head_for_skip is not None
+            and cand.get("git_head") == git_head_for_skip
         ):
             continue  # same code state: this round's own record
         prev = cand

@@ -566,8 +566,16 @@ def semantic_dedup(
         # this call pays only one assignment pass.  k/iters/
         # fit_sample_mod are fit-stage knobs with no effect here —
         # passing a non-default value alongside centroids is a caller
-        # bug that used to be swallowed silently (r10 ADVICE item)
-        if (k, iters, fit_sample_mod) != (4, 2, None):
+        # bug that used to be swallowed silently (r10 ADVICE item).
+        # Compare against the SIGNATURE's own defaults so a future
+        # default change can't silently desynchronize the guard
+        import inspect
+
+        _params = inspect.signature(semantic_dedup).parameters
+        _defaults = tuple(
+            _params[p].default for p in ("k", "iters", "fit_sample_mod")
+        )
+        if (k, iters, fit_sample_mod) != _defaults:
             raise ValueError(
                 "semantic_dedup: k/iters/fit_sample_mod are fit-stage "
                 "knobs and have no effect when centroids= is supplied "
@@ -2005,13 +2013,22 @@ def _strip_dup_windows(
     cleaned_text) for every base doc (all-killed docs keep an
     empty-text row)."""
     kills = dups.select(
-        id_col,
+        F.col(id_col).alias("__kid"),
         F.explode(
             F.sequence(F.col("pos"), F.col("pos") + F.lit(window_tokens - 1))
-        ).alias("t"),
+        ).alias("__kt"),
     ).distinct()
     toks = base.select(id_col, F.posexplode("__w").alias("t", "word"))
-    kept = toks.join(kills, [id_col, "t"], "left_anti")
+    # eqNullSafe on the doc id throughout (r11 review follow-up): a
+    # NULL-id document is a real document — the old name-based joins
+    # here never matched it, so its kills didn't strike AND its
+    # reassembled row didn't join back, erasing it to empty text
+    kept = toks.join(
+        kills,
+        F.col(id_col).eqNullSafe(F.col("__kid"))
+        & (F.col("t") == F.col("__kt")),
+        "left_anti",
+    )
     reassembled = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.concat_ws(
@@ -2024,7 +2041,13 @@ def _strip_dup_windows(
     )
     return (
         base.select(id_col, F.size("__w").cast("long").alias("n_words"))
-        .join(reassembled, id_col, "left")
+        .join(
+            reassembled.select(
+                F.col(id_col).alias("__rid"), "n_kept", "cleaned_text"
+            ),
+            F.col(id_col).eqNullSafe(F.col("__rid")),
+            "left",
+        )
         .select(
             id_col,
             "n_words",
@@ -2080,13 +2103,20 @@ def substring_dedup(
         wins.groupBy("whash")
         .agg(F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__f"))
         .select(
-            F.col("__f").getField(id_col).alias(id_col),
-            F.col("__f").getField("pos").alias("pos"),
+            F.col("__f").getField(id_col).alias("__fid"),
+            F.col("__f").getField("pos").alias("__fpos"),
         )
     )
-    dups = wins.join(firsts, [id_col, "pos"], "left_anti").select(
-        id_col, "pos"
-    )
+    # eqNullSafe on the doc id: a NULL-id doc's first occurrences must
+    # match themselves in the anti join (r11 review — plain equality
+    # never matches NULL and stripped every window of such a doc; the
+    # replaced row_number shape had preserved them)
+    dups = wins.join(
+        firsts,
+        F.col(id_col).eqNullSafe(F.col("__fid"))
+        & (F.col("pos") == F.col("__fpos")),
+        "left_anti",
+    ).select(id_col, "pos")
     return _strip_dup_windows(base, dups, id_col, window_tokens)
 
 
@@ -2129,8 +2159,15 @@ def incremental_substring_dedup(
     if state is not None:
         seen = state.select("whash").distinct()
         firsts = firsts.join(seen, "whash", "left_anti")
+    # eqNullSafe on the doc id — same NULL-id contract as the
+    # one-shot (see substring_dedup)
     dups = wins.join(
-        firsts.select(id_col, "pos"), [id_col, "pos"], "left_anti"
+        firsts.select(
+            F.col(id_col).alias("__fid"), F.col("pos").alias("__fpos")
+        ),
+        F.col(id_col).eqNullSafe(F.col("__fid"))
+        & (F.col("pos") == F.col("__fpos")),
+        "left_anti",
     )
     cleaned = _strip_dup_windows(base, dups, id_col, window_tokens)
     new_keys = firsts.select("whash", id_col, "pos")

@@ -802,6 +802,30 @@ def temperature_mix(
     )
 
 
+def _epoch_cap(n: int, max_epochs: float) -> int:
+    """⌊round(max_epochs·n, 6)⌋ — the data-constrained supply ceiling,
+    mirroring DuckDB's FLOOR(ROUND(n·max_epochs, 6)) (half-up via
+    floor(x·1e6 + 0.5)).  The ONE shared copy of this bridge — the
+    fixpoint callers (temperature and DoReMi waterfill) must clip
+    with identical arithmetic or their budgets diverge from the
+    oracle's (r11 review: the DoReMi branch had a verbatim copy)."""
+    import math
+
+    return math.floor(
+        math.floor(n * float(max_epochs) * 10**6 + 0.5) / 10**6
+    )
+
+
+def _budgets_relation(df: DataFrame, group_col: str, budgets: dict) -> DataFrame:
+    """A computed {group: budget} dict as the (group, budget) relation
+    budget_cap/epoch_repeat consume — deterministic row order."""
+    gtype = df.schema[group_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        [(g, int(b)) for g, b in sorted(budgets.items())],
+        f"{group_col} {gtype}, budget long",
+    )
+
+
 def waterfill_budgets(
     items: Sequence[tuple], total: int
 ) -> dict:
@@ -942,16 +966,9 @@ def temperature_waterfill_budgets(
         y = float(n) ** float(alpha) * 1e9
         fl = math.floor(y)
         x = int(fl) + (1 if y - fl >= 0.5 else 0)
-        cap = math.floor(
-            math.floor(n * float(max_epochs) * 10**6 + 0.5) / 10**6
-        )
-        items.append((g, x, cap))
+        items.append((g, x, _epoch_cap(n, max_epochs)))
     budgets = waterfill_budgets(items, int(total_budget))
-    gtype = df.schema[group_col].dataType.simpleString()
-    return df.sparkSession.createDataFrame(
-        [(g, int(b)) for g, b in sorted(budgets.items())],
-        f"{group_col} {gtype}, budget long",
-    )
+    return _budgets_relation(df, group_col, budgets)
 
 
 def epoch_repeat(
@@ -1149,16 +1166,20 @@ def doremi_mix(
         # the uncapped domains via the exact-integer fixpoint —
         # λ (already 9dp-rounded by the Spark plan, so the collect
         # recovers its exact integer·1e9 form) is the share weight
-        import math
         from decimal import ROUND_HALF_UP, Decimal
 
         if max_epochs is None:
             raise ValueError("doremi_mix: waterfill requires max_epochs")
         sizes = df.groupBy(group_col).agg(
             F.sum(F.col(weight_col).cast("long")).alias("__n")
-        )
-        # bounded driver metadata: |domains| rows (mixture-dims contract)
-        rows = budgets.join(sizes, group_col, "left").collect()
+        ).select(F.col(group_col).alias("__szg"), "__n")
+        # bounded driver metadata: |domains| rows (mixture-dims
+        # contract); eqNullSafe so a NULL domain reaches
+        # waterfill_budgets' explicit non-NULL guard (loud error)
+        # instead of being silently size-0'd by a name-based join
+        rows = budgets.join(
+            sizes, F.col(group_col).eqNullSafe(F.col("__szg")), "left"
+        ).collect()
         items = []
         for r in rows:
             n = int(r["__n"] or 0)
@@ -1168,24 +1189,22 @@ def doremi_mix(
                 )
                 * 10**9
             )
-            cap = math.floor(
-                math.floor(n * float(max_epochs) * 10**6 + 0.5) / 10**6
-            )
-            items.append((r[group_col], x, cap))
+            items.append((r[group_col], x, _epoch_cap(n, max_epochs)))
         filled = waterfill_budgets(items, int(total_budget))
-        gtype = df.schema[group_col].dataType.simpleString()
-        budgets = df.sparkSession.createDataFrame(
-            [(g, int(b)) for g, b in sorted(filled.items())],
-            f"{group_col} {gtype}, budget long",
-        )
+        budgets = _budgets_relation(df, group_col, filled)
     elif max_epochs is not None:
         # one-step clip without redistribution — temperature_mix's
-        # max_epochs semantics, for parity between the two mixers
+        # max_epochs semantics, for parity between the two mixers.
+        # eqNullSafe: a NULL domain is a real domain here (the same
+        # contract as the budget join below — r11 review caught the
+        # name-based left join silently zero-budgeting it)
         sizes = df.groupBy(group_col).agg(
             F.sum(F.col(weight_col).cast("long")).alias("__n")
-        )
+        ).select(F.col(group_col).alias("__szg"), "__n")
         budgets = (
-            budgets.join(sizes, group_col, "left")
+            budgets.join(
+                sizes, F.col(group_col).eqNullSafe(F.col("__szg")), "left"
+            )
             .select(
                 group_col,
                 F.least(

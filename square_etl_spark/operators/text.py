@@ -881,12 +881,15 @@ BYTE_UNICODE: list[str] = _byte_unicode_table()
 #: Byte-level pre-tokenizer: GPT-2-style contractions, space-prefixed
 #: letter/digit/symbol runs, whitespace runs — WITHOUT GPT-2's
 #: `\s+(?!\S)` trailing-space lookahead (RE2, which DuckDB's oracle
-#: regexes run on, has no lookahead; Java and RE2 agree on everything
-#: in this variant, so both engines pre-tokenize identically).  Case
-#: is PRESERVED — byte-level BPE never case-folds.
+#: regexes run on, has no lookahead), and with whitespace spelled as
+#: an EXPLICIT class instead of `\s` (r11 review: Java's `\s`
+#: includes vertical tab \x0B, RE2's does not — the one byte the two
+#: engines classified differently; with the literal class both put
+#: \x0B in the symbol run).  Case is PRESERVED — byte-level BPE
+#: never case-folds.
 BPE_BYTE_PRETOKEN_RE = (
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 )
 
 #: A merges.txt-format artifact over the byte alphabet (space = 'Ġ'):
@@ -921,18 +924,32 @@ def _byte_unicode_array_sql() -> str:
     return "array(" + ", ".join(f"'{esc(c)}'" for c in BYTE_UNICODE) + ")"
 
 
+def byte_symbols_from_hex_sql(hexcol: str) -> str:
+    """Spark SQL expression: a HEX-encoded column → the byte-level
+    BPE symbol array.  Callers should project ``hex(encode(...))``
+    into a column ONCE and transform over it (r11 review: embedding
+    the hex expression inside the per-element lambda recomputed the
+    full-string hex per byte — O(len²) string work on long
+    whitespace/symbol-run pre-tokens; Spark does not hoist
+    loop-invariant subexpressions out of HOF lambdas)."""
+    arr = _byte_unicode_array_sql()
+    return (
+        f"transform(sequence(1, cast(length({hexcol}) / 2 as int)), "
+        f"i -> element_at({arr}, "
+        f"cast(conv(substring({hexcol}, 2 * i - 1, 2), 16, 10) as int)"
+        " + 1))"
+    )
+
+
 def byte_symbols_sql(col: str = "word") -> str:
     """Spark SQL expression: a string column → its byte-level BPE
     symbol array.  UTF-8 encode → hex → one symbol per byte via the
     inline table; pure codegen'd string ops, so the DuckDB oracle
-    reproduces every value from the same hex digits."""
-    h = f"hex(encode({col}, 'UTF-8'))"
-    arr = _byte_unicode_array_sql()
-    return (
-        f"transform(sequence(1, cast(length({h}) / 2 as int)), "
-        f"i -> element_at({arr}, "
-        f"cast(conv(substring({h}, 2 * i - 1, 2), 16, 10) as int) + 1))"
-    )
+    reproduces every value from the same hex digits.  Convenience
+    single-expression form for BOUNDED-length columns (vocabulary
+    words); hot paths over unbounded strings should hoist the hex —
+    see :func:`byte_symbols_from_hex_sql`."""
+    return byte_symbols_from_hex_sql(f"hex(encode({col}, 'UTF-8'))")
 
 
 def load_merges_lines(lines: "Sequence[str]") -> list[tuple[str, str]]:
@@ -1032,15 +1049,22 @@ def bpe_apply_vocab(
         # don't exist in the byte symbol space and vice versa
         merges = BPE_MERGES if alphabet == "char" else BPE_BYTE_MERGES
     arr = _bpe_merge_array_sql(merges)
-    sym0 = (
-        "filter(split(lower(word), ''), x -> x <> '')"
-        if alphabet == "char"
-        else byte_symbols_sql("word")
-    )
-    out = vocab.select(
-        F.col(word_col).alias("word"),
-        F.expr(sym0).alias("sym"),
-    )
+    if alphabet == "char":
+        out = vocab.select(
+            F.col(word_col).alias("word"),
+            F.expr(
+                "filter(split(lower(word), ''), x -> x <> '')"
+            ).alias("sym"),
+        )
+    else:
+        # hoist the hex ONCE per word before the per-byte transform
+        out = vocab.select(
+            F.col(word_col).alias("word"),
+            F.expr(f"hex(encode({word_col}, 'UTF-8'))").alias("__hex"),
+        ).select(
+            "word",
+            F.expr(byte_symbols_from_hex_sql("__hex")).alias("sym"),
+        )
     ranks_sql = (
         "CASE WHEN size(sym) < 2 THEN cast(array() as array<bigint>) "
         "ELSE transform(sequence(1, size(sym) - 1), "
@@ -1179,19 +1203,34 @@ def bpe_train(
     the tokenizer artifact.
     """
     pre = bpe_pretokens if alphabet == "char" else bpe_byte_pretokens
-    sym0 = (
-        "filter(split(w, ''), x -> x <> '')"
-        if alphabet == "char"
-        else byte_symbols_sql("w")
-    )
     toks = df.select(F.explode(pre(text_col)).alias("w"))
-    state = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .select("w", "n", F.expr(sym0).alias("sym"))
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    state = _bpe_train_state(wc, alphabet)
+    return _bpe_train_loop(state, num_merges, min_count, batch_k)
+
+
+def _bpe_train_state(wc: DataFrame, alphabet: str) -> DataFrame:
+    """(w, n) counts → the (w, n, sym) training state, with the hex
+    hoisted once per word on the byte alphabet (see
+    byte_symbols_from_hex_sql)."""
+    if alphabet == "char":
+        return wc.select(
+            "w",
+            F.col("n").cast("long").alias("n"),
+            F.expr("filter(split(w, ''), x -> x <> '')").alias("sym"),
+        ).localCheckpoint(eager=True)
+    return (
+        wc.select(
+            "w",
+            F.col("n").cast("long").alias("n"),
+            F.expr("hex(encode(w, 'UTF-8'))").alias("__hex"),
+        )
+        .select(
+            "w", "n",
+            F.expr(byte_symbols_from_hex_sql("__hex")).alias("sym"),
+        )
         .localCheckpoint(eager=True)
     )
-    return _bpe_train_loop(state, num_merges, min_count, batch_k)
 
 
 def _bpe_train_loop(
@@ -1245,12 +1284,8 @@ def _bpe_train_loop(
             batch.append((a, b))
             used.update((a, b))
             results.add(a + b)
-        if not batch:
-            # every candidate conflicted (pathological): fall back to
-            # the strict sequential step so progress is guaranteed
-            a, b = pool[0]["pair"].split(" ")
-            batch = [(a, b)]
-            used.update((a, b))
+        # batch is never empty here: the first pool row always clears
+        # the (empty) conflict sets, so ≥1 pair is accepted per round
         merges.extend(batch)
 
         # one fold applies the whole batch: a literal when-chain per
@@ -1323,11 +1358,6 @@ def bpe_encode_ids(
         or (BPE_MERGES if alphabet == "char" else BPE_BYTE_MERGES)
     )
     pretok = bpe_pretokens if alphabet == "char" else bpe_byte_pretokens
-    sym_expr = (
-        "filter(split(lower(word), ''), x -> x <> '')"
-        if alphabet == "char"
-        else byte_symbols_sql("word")
-    )
     pre = df.select(
         F.col(id_col), F.posexplode(pretok(text_col)).alias("widx", "word")
     )
@@ -1341,8 +1371,23 @@ def bpe_encode_ids(
     # base-symbol ids: observed single symbols (chars, or byte
     # stand-ins) sorted asc → 1..B.  gw-ok: the window ranks the
     # distinct-symbol relation, ≤ |alphabet| rows by construction
+    if alphabet == "char":
+        syms = vocab.select(
+            F.explode(
+                F.expr("filter(split(lower(word), ''), x -> x <> '')")
+            ).alias("ch")
+        )
+    else:
+        # hex hoisted once per word (byte_symbols_from_hex_sql doc)
+        syms = vocab.select(
+            F.expr("hex(encode(word, 'UTF-8'))").alias("__hex")
+        ).select(
+            F.explode(
+                F.expr(byte_symbols_from_hex_sql("__hex"))
+            ).alias("ch")
+        )
     chars = (
-        vocab.select(F.explode(F.expr(sym_expr)).alias("ch"))
+        syms
         .distinct()
         .withColumn("cid", F.row_number().over(Window.orderBy(F.col("ch").asc())).cast("long"))
     )
@@ -1413,14 +1458,7 @@ def bpe_train_from_counts(
     guarantee).  This is the retraining entry point for continuous
     ingest: corpus text is read once per batch at count time; the
     training loop touches only the vocabulary-sized state."""
-    sym0 = (
-        "filter(split(w, ''), x -> x <> '')"
-        if alphabet == "char"
-        else byte_symbols_sql("w")
+    state = _bpe_train_state(
+        wc.select("w", F.col("n").cast("long").alias("n")), alphabet
     )
-    state = wc.select(
-        "w",
-        F.col("n").cast("long").alias("n"),
-        F.expr(sym0).alias("sym"),
-    ).localCheckpoint(eager=True)
     return _bpe_train_loop(state, num_merges, min_count, batch_k)

@@ -11397,7 +11397,12 @@ def _waterfill_bud_ctes(
                      COALESCE(list_sum(list_transform(
                        list_filter(gs, t -> NOT t.capped),
                        t -> t.x)), 0) AS sw
-              FROM tr WHERE NOT done AND step < 50) a) b),
+              FROM tr WHERE NOT done
+                -- each live step caps >=1 group or finishes, so
+                -- steps <= |groups|+2; bound sized to the
+                -- mixture-dims contract (<=10^3 groups), NOT the
+                -- old 50 that silently truncated larger domains
+                AND step < 2048) a) b),
         fin AS (
           SELECT unnest(gs) AS s FROM tr
           WHERE step = (SELECT MAX(step) FROM tr)),
@@ -13405,7 +13410,6 @@ _CHECK_PRIORITY: list[str] = [
     "join_semi_active",
     "join_anti_dormant",
     "agg_cube",
-    "ann_topk_ivf",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

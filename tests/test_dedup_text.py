@@ -1644,3 +1644,20 @@ def test_bpe_train_batched_respects_conflicts(spark):
         for r in bpe_apply_vocab(v, merges=m).collect()
     }
     assert toks["aaaa"] in (["aaaa"], ["aa", "aa"])
+
+
+def test_substring_dedup_null_id_doc_keeps_first_occurrences(spark):
+    """A NULL-id document is a real document: its unique windows must
+    survive (r11 review — the skew-guard rewrite's plain-equality
+    anti join never matched NULL=NULL and erased every such doc)."""
+    from square_etl_spark.operators.dedup import substring_dedup
+
+    rows = [(None, "u1 u2 u3 u4"), (7, "a b c d"), (8, "a b c d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in substring_dedup(df, window_tokens=2).collect()
+    }
+    assert got[None] == "u1 u2 u3 u4"  # unique text fully kept
+    assert got[7] == "a b c d"         # corpus-first occurrence
+    assert got[8] == "e"               # duplicate windows stripped

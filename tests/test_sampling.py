@@ -861,3 +861,24 @@ def test_waterfill_bridge_matches_duckdb_to_1e15():
             fl = math.floor(y)
             px = int(fl) + (1 if y - fl >= 0.5 else 0)
             assert px == int(x), (alpha, n, px, int(x))
+
+
+def test_doremi_epoch_clip_keeps_null_domain(spark):
+    # the max_epochs clip must honor doremi_mix's documented NULL-
+    # domain contract (r11 review: a name-based sizes join silently
+    # zero-budgeted the NULL domain under the clip)
+    from square_etl_spark.operators.sampling import doremi_mix
+
+    rows = [(i, None if i % 2 else "a", 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+    excess = spark.createDataFrame([("a", 0.0)], "src string, excess double")
+    kept = doremi_mix(
+        df, "src", "w", ["doc_id"], 20, excess, eta=1.0, eps=0.1,
+        max_epochs=1.0,
+    )
+    got = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # both domains share the budget; the NULL domain keeps its rows
+    assert got.get(None, 0) > 0 and got.get("a", 0) > 0

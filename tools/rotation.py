@@ -69,6 +69,18 @@ def main() -> int:
 
     specs = registry()
     names = [spec.name for spec in specs]
+    # hard invariants the r11 review caught drifting: the head must be
+    # EXACTLY the driver's 50-query cap with the flagship anchor in
+    # the last slot — a 51st entry silently pushes the anchor out
+    if len(_CHECK_PRIORITY) != CAP:
+        print(f"FAIL: _CHECK_PRIORITY has {len(_CHECK_PRIORITY)} entries, cap is {CAP}")
+        return 1
+    if _CHECK_PRIORITY[-1] != "flagship_star_revenue":
+        print("FAIL: flagship anchor is not the last head slot")
+        return 1
+    if len(set(_CHECK_PRIORITY)) != len(_CHECK_PRIORITY):
+        print("FAIL: duplicate names in _CHECK_PRIORITY")
+        return 1
     has_oracle = {spec.name: spec.oracle is not None for spec in specs}
     latest = load_history()
     current_round = max(latest.values(), default=0)
