@@ -1310,3 +1310,56 @@ def test_bpe_byte_apply_equals_reference_fold_property(spark, words):
         for r in bpe_apply_vocab(v, alphabet="byte").collect()
     }
     assert got == {w: ref(w) for w in words}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(1, 9)), min_size=1, max_size=16
+    ),
+    budgets=st.dictionaries(
+        _key, st.integers(min_value=0, max_value=120),
+        min_size=1, max_size=3,
+    ),
+)
+@SETTINGS
+def test_epoch_repeat_equals_python_fold(spark, rows, budgets):
+    """epoch_repeat ≡ a pure-Python fold of its contract: per group,
+    rows in md5-of-key order repeat ⌊budget/supply⌋ full epochs, and
+    the final partial epoch keeps the prefix whose EXCLUSIVE weight
+    is under budget mod supply (straddling row kept) — with weights,
+    not just unit rows."""
+    import hashlib
+
+    from square_etl_spark.operators.sampling import epoch_repeat
+
+    df = spark.createDataFrame(
+        [(g, i, w) for i, (g, w) in enumerate(rows)],
+        "src string, doc_id long, w long",
+    )
+    bud = spark.createDataFrame(
+        list(budgets.items()), "src string, budget long"
+    )
+    got = sorted(
+        (r.src, r.doc_id, r.epoch)
+        for r in epoch_repeat(df, "src", "w", ["doc_id"], bud).collect()
+    )
+    # python reference
+    by_g: dict = {}
+    for i, (g, w) in enumerate(rows):
+        by_g.setdefault(g, []).append((i, w))
+    expect = []
+    for g, docs in by_g.items():
+        b = budgets.get(g, 0)
+        supply = sum(w for _, w in docs)
+        if b <= 0 or supply <= 0:
+            continue
+        full, rem = b // supply, b % supply
+        ordered = sorted(
+            docs, key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0])
+        )
+        cum = 0
+        for i, w in ordered:
+            n = full + (1 if cum < rem else 0)
+            cum += w
+            expect.extend((g, i, e) for e in range(1, n + 1))
+    assert got == sorted(expect)
