@@ -1462,3 +1462,40 @@ def bpe_train_from_counts(
         wc.select("w", F.col("n").cast("long").alias("n")), alphabet
     )
     return _bpe_train_loop(state, num_merges, min_count, batch_k)
+
+
+def save_merges(
+    spark, merges: "Sequence[tuple[str, str]]", path: str
+) -> int:
+    """Persist a learned merges list as the next immutable snapshot of
+    a VERSIONED tokenizer-artifact table (io.versioned_write: pointer
+    flip, crash-safe, old versions readable until vacuumed) — the
+    in-engine home of what merges.txt is on disk.  Returns the new
+    version.  Schema ``(rank, lhs, rhs)`` matches
+    :func:`bpe_merges_df`; :func:`load_merges` reads it back in rank
+    order, and :func:`merges_txt_lines` renders the interchange
+    format for external tokenizers."""
+    from square_etl_spark.io import versioned_write
+
+    rows = [(i + 1, a, b) for i, (a, b) in enumerate(merges)]
+    df = spark.createDataFrame(rows, "rank long, lhs string, rhs string")
+    return versioned_write(spark, df, path)
+
+
+def load_merges(spark, path: str, version: int | None = None) -> list:
+    """Read a :func:`save_merges` artifact back as the ``merges=``
+    parameter shape (rank order).  ``version`` pins a historical
+    snapshot — the "re-tokenize with LAST release's tokenizer"
+    reproducibility contract."""
+    from square_etl_spark.io import read_version
+
+    rows = read_version(spark, path, version).orderBy("rank").collect()
+    return [(r["lhs"], r["rhs"]) for r in rows]
+
+
+def merges_txt_lines(merges: "Sequence[tuple[str, str]]") -> list[str]:
+    """Render a merges list in the merges.txt interchange format
+    (version header + one 'lhs rhs' per line) — the exact inverse of
+    :func:`load_merges_lines`, so artifacts round-trip between this
+    engine and external byte-level tokenizers."""
+    return ["#version: 0.2"] + [f"{a} {b}" for a, b in merges]

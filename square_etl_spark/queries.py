@@ -11320,28 +11320,24 @@ _register(
 )
 
 
-def _waterfill_bud_ctes(
-    total: int, max_epochs: float, src: str = "documents"
+def _waterfill_fixpoint_ctes(
+    total: int, items_cte: str, group_alias: str = "lang"
 ) -> str:
     """The water-filling fixpoint as a DuckDB recursive CTE chain
-    ending in ``bud(lang, b)`` — single-row state over group structs,
-    exact HUGEINT floor-division shares, largest-remainder bonus
-    (the bit-for-bit twin of sampling.waterfill_budgets; see
-    mix_temperature_waterfill).  Shared by the selection query and
-    the epoch-expansion query."""
-    return f"""sz AS (
-          SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS n
-          FROM {src} GROUP BY lang),
-        init AS (
+    ending in ``bud(lang, b)``, GENERIC over the share-weight source:
+    ``items_cte`` must provide ``(g, x, cap)`` with x/cap castable to
+    HUGEINT (temperature: x = round(n^α·1e9); DoReMi: x =
+    round(λ·1e9)).  Single-row state over group structs, exact
+    HUGEINT floor-division shares, largest-remainder bonus — the
+    bit-for-bit twin of sampling.waterfill_budgets."""
+    return f"""init AS (
           SELECT list(struct_pack(
                    g := g,
-                   x := CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5)
-                             * 1e9, 0) AS HUGEINT),
-                   cap := CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * {max_epochs},
-                               6)) AS BIGINT) AS HUGEINT),
+                   x := CAST(x AS HUGEINT),
+                   cap := CAST(cap AS HUGEINT),
                    budget := CAST(0 AS HUGEINT),
                    capped := false) ORDER BY g) AS gs
-          FROM sz),
+          FROM {items_cte}),
         tr AS (
           SELECT 0 AS step, false AS done, gs FROM init
           UNION ALL
@@ -11407,7 +11403,29 @@ def _waterfill_bud_ctes(
           SELECT unnest(gs) AS s FROM tr
           WHERE step = (SELECT MAX(step) FROM tr)),
         bud AS (
-          SELECT s.g AS lang, CAST(s.budget AS BIGINT) AS b FROM fin)"""
+          SELECT s.g AS {group_alias}, CAST(s.budget AS BIGINT) AS b
+          FROM fin)"""
+
+
+def _waterfill_bud_ctes(
+    total: int, max_epochs: float, src: str = "documents"
+) -> str:
+    """Temperature-flavored items (x = round(n^α·1e9), cap =
+    ⌊round(max_epochs·n, 6)⌋ over per-lang char sums) feeding the
+    generic fixpoint — shared by the selection, epoch-expansion, and
+    incremental queries."""
+    items = f"""sz AS (
+          SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS n
+          FROM {src} GROUP BY lang),
+        witems AS (
+          SELECT g,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5) * 1e9, 0)
+                      AS HUGEINT) AS x,
+                 CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * {max_epochs},
+                             6)) AS BIGINT) AS HUGEINT) AS cap
+          FROM sz),
+        """
+    return items + _waterfill_fixpoint_ctes(total, "witems")
 
 
 def _mix_temperature_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11644,7 +11662,13 @@ _register(
 )
 
 
-def _doremi_from_nll(d: DataFrame, nll: DataFrame) -> DataFrame:
+def _doremi_from_nll(
+    d: DataFrame,
+    nll: DataFrame,
+    total_budget: int = 60000,
+    max_epochs: float | None = None,
+    waterfill: bool = False,
+) -> DataFrame:
     """Shared tail of the one-shot and incremental DoReMi queries:
     per-source excess NLL → one MW step → budget-capped take →
     per-source summary."""
@@ -11671,7 +11695,8 @@ def _doremi_from_nll(d: DataFrame, nll: DataFrame) -> DataFrame:
     )
     kept = doremi_mix(
         d, "source", "n_chars", ["doc_id"],
-        total_budget=60000, excess=excess, eta=1.0, eps=0.1,
+        total_budget=total_budget, excess=excess, eta=1.0, eps=0.1,
+        max_epochs=max_epochs, waterfill=waterfill,
     )
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("kept_docs"),
@@ -11722,7 +11747,7 @@ def _mix_doremi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: shared by the one-shot and incremental DoReMi queries — the folded
 #: unigram-count state IS the one-shot LM (sum monoid), so budgets match
-_MIX_DOREMI_ORACLE = r"""
+_DOREMI_LAMBDA_CTES = r"""
         WITH t AS (
           SELECT doc_id,
                  UNNEST(list_filter(
@@ -11764,7 +11789,11 @@ _MIX_DOREMI_ORACLE = r"""
                  CAST(ROUND(exp(1.0 * COALESCE(e.excess, 0.0)), 9)
                       AS DECIMAL(38,9)) AS wt
           FROM uni u LEFT JOIN ex e ON e.source = u.source),
-        wtot AS (SELECT SUM(wt) AS sw, COUNT(*) AS k FROM w),
+        wtot AS (SELECT SUM(wt) AS sw, COUNT(*) AS k FROM w)"""
+
+_MIX_DOREMI_ORACLE = (
+    _DOREMI_LAMBDA_CTES
+    + r""",
         bud AS (
           SELECT source,
                  CAST(floor(ROUND(
@@ -11790,6 +11819,7 @@ _MIX_DOREMI_ORACLE = r"""
         WHERE cum_before < b
         GROUP BY o.source
         """
+)
 
 
 _register(
@@ -11804,6 +11834,71 @@ _register(
         bench=True,
         doc="DoReMi-lite domain reweighting: excess unigram-NLL drives one "
         "exp multiplicative-weights step, uniform-smoothed, budget-cap take",
+        global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
+    )
+)
+
+
+def _mix_doremi_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained DoReMi (sampling.doremi_mix(waterfill=True),
+    r10 verdict item 2's doremi wiring, now FULLY oracle-checked):
+    the MW-step λ shares of a 140k-char total clip at each source's
+    own supply (max_epochs = 1 — at sf0.01 four of the twenty
+    sources cap) and the deficits re-spend over the uncapped sources
+    via the exact-integer fixpoint on λ·1e9 weights.  The oracle
+    replays the ENTIRE recipe: unigram LM, excess NLL, exp weights,
+    smoothed λ, the recursive waterfill fixpoint, and the md5-order
+    consumption."""
+    d = load_table(spark, sf_dir, "documents")
+    return _doremi_from_nll(
+        d, tx.unigram_logprob(d, "doc_id", "text"),
+        total_budget=140000, max_epochs=1.0, waterfill=True,
+    )
+
+
+_register(
+    QuerySpec(
+        "mix_doremi_waterfill",
+        _mix_doremi_waterfill,
+        oracle=(
+            _DOREMI_LAMBDA_CTES.replace("WITH t AS", "WITH RECURSIVE t AS")
+            + r""",
+        sup AS (
+          SELECT source, CAST(SUM(n_chars) AS BIGINT) AS s
+          FROM documents GROUP BY source),
+        witems AS (
+          SELECT w.source AS g,
+                 CAST(ROUND(ROUND(0.9 * (CAST(wt AS DOUBLE)
+                              / /*nz: sum of exp weights >= 1 per domain*/
+                                CAST(sw AS DOUBLE))
+                        + 0.1 / /*nz: k >= 1, domain universe non-empty*/ k,
+                        9) * 1e9, 0) AS HUGEINT) AS x,
+                 CAST(CAST(FLOOR(ROUND(CAST(sup.s AS DOUBLE) * 1.0, 6))
+                      AS BIGINT) AS HUGEINT) AS cap
+          FROM w CROSS JOIN wtot
+          JOIN sup ON sup.source = w.source),
+        """
+            + _waterfill_fixpoint_ctes(140000, "witems", "source")
+            + r""",
+        ordx AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM documents)
+        SELECT o.source,
+               COUNT(*) AS kept_docs,
+               CAST(SUM(o.n_chars) AS BIGINT) AS kept_chars,
+               CAST(MIN(o.doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(o.doc_id) AS BIGINT) AS max_doc_id
+        FROM ordx o JOIN bud USING (source)
+        WHERE cum_before < b
+        GROUP BY o.source
+        """
+        ),
+        doc="data-constrained DoReMi: MW shares waterfilled at supply caps, the full recipe (LM, excess, fixpoint, take) recomputed",
         global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
     )
 )
@@ -13364,6 +13459,7 @@ _CHECK_PRIORITY: list[str] = [
     "mix_temperature_waterfill",
     "mix_waterfill_epochs",
     "mix_waterfill_incremental",
+    "mix_doremi_waterfill",
     "pipeline_epoch_build",
     "text_bpe_bytes_tokens",
     "text_bpe_train_bytes",
@@ -13409,7 +13505,6 @@ _CHECK_PRIORITY: list[str] = [
     "orders_above_cust_avg",
     "join_semi_active",
     "join_anti_dormant",
-    "agg_cube",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

@@ -1661,3 +1661,46 @@ def test_substring_dedup_null_id_doc_keeps_first_occurrences(spark):
     assert got[None] == "u1 u2 u3 u4"  # unique text fully kept
     assert got[7] == "a b c d"         # corpus-first occurrence
     assert got[8] == "e"               # duplicate windows stripped
+
+
+def test_tokenizer_artifact_roundtrip_versioned(spark, tmp_path):
+    """train → save_merges (versioned) → load_merges → apply equals
+    applying the in-memory list; a retrained v2 coexists with v1
+    (pinned historical re-tokenization); merges_txt_lines inverts
+    load_merges_lines."""
+    import os
+
+    from square_etl_spark.operators.text import (
+        bpe_apply_vocab,
+        bpe_train,
+        load_merges,
+        load_merges_lines,
+        merges_txt_lines,
+        save_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat the cat sat"), (2, "the hat")],
+        "doc_id long, text string",
+    )
+    m1 = bpe_train(docs, num_merges=4, alphabet="byte")
+    path = os.path.join(tmp_path, "tokenizer")
+    assert save_merges(spark, m1, path) == 1
+    assert load_merges(spark, path) == m1
+    assert load_merges_lines(merges_txt_lines(m1)) == m1
+    # retrain on more data → version 2; version 1 stays readable
+    more = docs.union(
+        spark.createDataFrame([(3, "a cab a cab")], "doc_id long, text string")
+    )
+    m2 = bpe_train(more, num_merges=4, alphabet="byte")
+    assert save_merges(spark, m2, path) == 2
+    assert load_merges(spark, path) == m2
+    assert load_merges(spark, path, version=1) == m1
+    # the loaded artifact drives apply identically to the live list
+    v = spark.createDataFrame([(" the",), (" cat",)], "word string")
+    a = {r["word"]: list(r["tokens"]) for r in bpe_apply_vocab(
+        v, merges=m1, alphabet="byte").collect()}
+    b = {r["word"]: list(r["tokens"]) for r in bpe_apply_vocab(
+        v, merges=load_merges(spark, path, version=1), alphabet="byte"
+    ).collect()}
+    assert a == b
