@@ -292,6 +292,110 @@ def embedding_cosine_pairs_bucketed(
     )
 
 
+def semantic_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """SEMANTIC train/test contamination — the embedding rung of the
+    decontamination ladder (exact 13-gram :func:`contamination_hits`
+    → fuzzy MinHash :func:`fuzzy_contamination_pairs` → this):
+    paraphrases that share almost no n-grams still land next to the
+    benchmark in embedding space, so the last net is cast at cosine
+    similarity.  Asymmetric sign-LSH probe with the roles cast like
+    the fuzzy path: BOTH sides bucket with the SAME hyperplanes
+    (bits × n_tables, :func:`similarity.lsh_bucket`), the corpus
+    equi-joins the benchmark-sized side on (table, bucket), and
+    candidates verify with the exact rounded dot of unit-normalized
+    vectors.  Emits ``(corpus_id, bench_id, cosine_sim ≥
+    threshold)``.
+
+    Scale shape: the corpus is touched by one linear
+    normalize+bucket scan and an equi-join against |bench|·n_tables
+    bucket rows — never corpus×corpus; ``bucket_cap`` (count over
+    the corpus side's (table, bucket)) drops pathological boilerplate
+    buckets, same guard as :func:`embedding_cosine_pairs_bucketed`.
+    Recall is the sign-LSH candidate probability (deterministic —
+    both engines share the hyperplane constants, so the DuckDB twin
+    recomputes the identical candidate set); precision is 1.0 (exact
+    verify)."""
+    from square_etl_spark.operators.similarity import (
+        dot_unrolled,
+        lsh_bucket,
+        normalize,
+        random_hyperplanes,
+    )
+
+    def tag(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        normed = df.select(
+            F.col(id_col).alias(out_id),
+            normalize(F.col(vec_col)).alias(out_vec),
+        )
+        buckets = [
+            lsh_bucket(F.col(out_vec), random_hyperplanes(dim, bits, seed + t))
+            for t in range(n_tables)
+        ]
+        return normed.select(
+            out_id, out_vec,
+            F.posexplode(F.array(*buckets)).alias("__tbl", "__bucket"),
+        )
+
+    probe = tag(corpus, "corpus_id", "__va")
+    index = tag(benchmark, "bench_id", "__vb")
+    if bucket_cap is not None:
+        w = Window.partitionBy("__tbl", "__bucket")
+        probe = (
+            probe.withColumn("__bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bn") <= bucket_cap)
+            .drop("__bn")
+        )
+    sim = dot_unrolled(F.col("__va"), F.col("__vb"), dim)
+    return (
+        probe.join(index, on=["__tbl", "__bucket"])
+        .select(
+            "corpus_id", "bench_id",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
+    )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Drop corpus vectors semantically too close to any benchmark
+    vector — kill semantics matching :func:`decontaminate` /
+    :func:`decontaminate_fuzzy`, candidates from
+    :func:`semantic_contamination_pairs`.  The flagged-id list is
+    benchmark-bounded by the probe's cap arithmetic, so the
+    broadcast stays safe at any corpus size."""
+    pairs = semantic_contamination_pairs(
+        corpus, benchmark, id_col, vec_col,
+        threshold, dim, bits, n_tables, seed, bucket_cap,
+    )
+    flagged = pairs.select(F.col("corpus_id").alias(id_col)).distinct()
+    # bcast-ok: semantically-contaminated id list, benchmark-bounded
+    # by the probe's (table, bucket) cap arithmetic (see docstring)
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
 def semantic_block_assign(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -2135,6 +2135,75 @@ _register(
 )
 
 
+def _sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucketed sampling (Wenzek et al. 2019,
+    arXiv:1911.00359): score every document under the corpus LM
+    (unigram NLL — the same scorer as text_unigram_nll), split into
+    equal-count head/middle/tail perplexity terciles
+    (sampling.ntile_assign — the distributed two-phase NTILE, no
+    single-partition window), then keep head 100% / middle 50% /
+    tail 10% with the deterministic md5 Bernoulli of
+    sampling.weighted_mix — the published recipe that keeps fluent
+    text while down-weighting (not zeroing) the noisy tail.  Every
+    stage is engine-portable: LM arithmetic decimal-summed, NTILE a
+    total order, sampling an md5-threshold compare — the oracle
+    recomputes all three."""
+    from square_etl_spark.operators.sampling import ntile_assign, weighted_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    nll = tx.unigram_logprob(d, "doc_id", "text")
+    tiled = ntile_assign(nll, "avg_nll", "doc_id", 3)
+    kept = weighted_mix(
+        tiled, "tile", "doc_id", {1: 1.0, 2: 0.5, 3: 0.1}, salt="ccnet"
+    )
+    return kept.select(
+        "doc_id",
+        F.col("tile").cast("long").alias("tile"),
+        "n_tokens",
+        "avg_nll",
+    )
+
+
+_register(
+    QuerySpec(
+        "sample_perplexity_buckets",
+        _sample_perplexity_buckets,
+        oracle=r"""
+        WITH t AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM documents),
+        freq AS (SELECT w, COUNT(*) AS c FROM t GROUP BY w),
+        tot AS (SELECT SUM(c) AS t_total FROM freq),
+        scored AS (
+          SELECT doc_id,
+                 CAST(ROUND(-ln(c / /*nz: corpus token total >= 1 for any token row*/ t_total), 6) AS DECIMAL(18,6)) AS nll
+          FROM t JOIN freq USING (w) CROSS JOIN tot),
+        perdoc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+          FROM scored GROUP BY doc_id),
+        tiled AS (
+          SELECT doc_id, n_tokens, avg_nll,
+                 CAST(NTILE(3) OVER (ORDER BY avg_nll, doc_id)
+                      AS BIGINT) AS tile
+          FROM perdoc)
+        SELECT doc_id, tile, n_tokens, avg_nll
+        FROM tiled
+        WHERE substr(md5('ccnet' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < CASE tile WHEN 1 THEN 'g0000000'
+                          WHEN 2 THEN '80000000'
+                          ELSE '19999999' END
+        """,
+        doc="CCNet perplexity buckets: LM-score, equal-count terciles, per-tile deterministic keep rates (head 1.0 / middle 0.5 / tail 0.1)",
+        global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
+    )
+)
+
+
 def _perplexity_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CALIBRATED perplexity filter (the Gopher/CCNet recipe made
     data-driven): instead of a hand-picked NLL cutoff, fence each
@@ -6801,6 +6870,71 @@ _register(
         oracle=_cos_dedup_bucketed_oracle(),
         doc="DEFAULT embedding near-dup: LSH candidate buckets + exact verify, "
         "equi-join plan (scale path; all-pairs twin is the exactness oracle)",
+    )
+)
+
+
+def _decontaminate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding rung completing the
+    exact-13-gram / fuzzy-MinHash / semantic ladder
+    (operators/dedup.semantic_contamination_pairs): the benchmark
+    split's vectors (vec_id % 97 = 0, the same eval-suite carve-out
+    as the fuzzy query) are sign-LSH-indexed and the corpus probes
+    them; candidates verify with the exact rounded cosine at 0.35.
+    Positive at every scale (3/9/89 brute-force matches; LSH recall
+    is deterministic, shared bit-for-bit by the oracle).  Output per
+    contaminated corpus vector: match count + strongest cosine."""
+    from square_etl_spark.operators.dedup import semantic_contamination_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % 97 == 0)
+    corpus = e.filter(F.col("vec_id") % 97 != 0)
+    return (
+        semantic_contamination_pairs(
+            corpus, bench, "vec_id", "embedding",
+            threshold=0.35, dim=64, bits=4, n_tables=8,
+        )
+        .groupBy(F.col("corpus_id").alias("vec_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_matches"),
+            F.max("cosine_sim").alias("max_cosine"),
+        )
+    )
+
+
+def _decontaminate_semantic_oracle() -> str:
+    from square_etl_spark.operators.similarity import random_hyperplanes
+
+    tagged = "\n          UNION ALL ".join(
+        f"SELECT vec_id, nv, {t} AS tbl, "
+        f"{_lsh_bucket_sql('nv', random_hyperplanes(64, 4, 42 + t))} AS bkt FROM nv"
+        for t in range(8)
+    )
+    return f"""
+        WITH {_NV_CTE},
+        tagged AS (
+          {tagged}),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS corpus_id, b.vec_id AS bench_id,
+                 ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine_sim
+          FROM tagged a
+          JOIN tagged b ON a.tbl = b.tbl AND a.bkt = b.bkt
+          WHERE a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+            AND ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35)
+        SELECT corpus_id AS vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+               MAX(cosine_sim) AS max_cosine
+        FROM pairs GROUP BY corpus_id
+        """
+
+
+_register(
+    QuerySpec(
+        "dedup_decontaminate_semantic",
+        _decontaminate_semantic_q,
+        oracle=_decontaminate_semantic_oracle(),
+        doc="semantic decontamination: corpus sign-LSH-probed against the "
+        "benchmark's embeddings, exact cosine verify, positive at every scale",
     )
 )
 
@@ -13460,6 +13594,8 @@ _CHECK_PRIORITY: list[str] = [
     "mix_waterfill_epochs",
     "mix_waterfill_incremental",
     "mix_doremi_waterfill",
+    "dedup_decontaminate_semantic",
+    "sample_perplexity_buckets",
     "pipeline_epoch_build",
     "text_bpe_bytes_tokens",
     "text_bpe_train_bytes",
@@ -13501,10 +13637,8 @@ _CHECK_PRIORITY: list[str] = [
     "q13_custdist",
     "q8_market_share",
     "p5_literal_defaults",
-    "window_rank_lag",
     "orders_above_cust_avg",
     "join_semi_active",
-    "join_anti_dormant",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the
