@@ -6933,6 +6933,7 @@ _register(
         "dedup_decontaminate_semantic",
         _decontaminate_semantic_q,
         oracle=_decontaminate_semantic_oracle(),
+        bench=True,
         doc="semantic decontamination: corpus sign-LSH-probed against the "
         "benchmark's embeddings, exact cosine verify, positive at every scale",
     )
@@ -11791,6 +11792,7 @@ _register(
                CAST(cum % 2048 AS BIGINT) AS seq_offset
         FROM pord
         """,
+        bench=True,
         doc="the data-constrained build end to end: quality gate -> waterfill -> repeated epochs -> packed sequences, all recomputed",
     )
 )
@@ -13250,6 +13252,7 @@ _register(
         )}
         SELECT doc_id, n_pretokens, bpe_tokens FROM bpe_counts
         """,
+        bench=True,
         doc="byte-level BPE counts on the GPT-2 alphabet (merges.txt-compatible); DuckDB recomputes bytes, pre-tokens, and the merge fold",
     )
 )
