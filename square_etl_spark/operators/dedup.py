@@ -16,7 +16,7 @@ pipeline needs.  Scale design notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -218,6 +218,81 @@ def embedding_cosine_pairs(
     )
 
 
+def _lsh_tag(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    bits: int,
+    n_tables: int,
+    seed: int,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """The shared sign-LSH tagging relation ``(out_id, out_vec, __tbl,
+    __bucket)`` behind the embedding near-dup/decontamination family.
+
+    Shape (r12, measured on the hot-bucket sweep at 3.2M tagged
+    rows):
+
+    - buckets are computed from the RAW vector — sign(v·p) ==
+      sign((v/|v|)·p) for |v| > 0, so bucket ids are invariant, and
+      over the raw scan attribute the literal dot chains stay in
+      compiled projections (the DuckDB twins bucket on the raw
+      doubles too, so razor-edge signs agree cross-engine);
+    - the per-table rows come from a UNION of n_tables plain
+      projections, NOT posexplode(array(bucket_0..bucket_t)): fusing
+      the bits×tables literal chains into one Generate stage blows
+      the 64 KB JVM method limit and the whole-stage fallback
+      evaluates them interpreted — 19.7 s vs 0.5 s per pass measured;
+      each union branch column-prunes to (id, vec) and compiles on
+      its own, and the n_tables re-scans are pruned-column sequential
+      reads, ~40× cheaper than the interpreted fallback;
+    - ``out_vec`` carries the unit-normalized vector for the exact
+      verify (:func:`similarity.normalize` — O(dim), norm outside the
+      lambda).
+    """
+    from square_etl_spark.operators.similarity import (
+        lsh_bucket,
+        normalize,
+        random_hyperplanes,
+    )
+
+    out = None
+    for t in range(n_tables):
+        branch = df.select(
+            F.col(id_col).alias(out_id),
+            normalize(F.col(vec_col)).alias(out_vec),
+            F.lit(t).alias("__tbl"),
+            lsh_bucket(
+                vec_col, random_hyperplanes(dim, bits, seed + t)
+            ).alias("__bucket"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
+
+
+def _cap_hot_buckets(tagged: DataFrame, bucket_cap: int) -> DataFrame:
+    """Drop rows of (table, bucket) groups holding > ``bucket_cap``
+    rows — the map-side-combinable hot-key guard (groupBy-count →
+    filter → broadcast anti join, the minhash_lsh_pairs precedent).
+    A count OVER (PARTITION BY tbl, bucket) would funnel every row of
+    the hot bucket through ONE reducer to learn the count it then
+    discards — the exact single-reducer shape the cap exists to
+    prevent; the aggregate combines map-side, so a 10⁵-row
+    boilerplate bucket costs one partial count per input partition."""
+    hot = (
+        tagged.groupBy("__tbl", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__bn"))
+        .filter(F.col("__bn") > bucket_cap)
+        .select("__tbl", "__bucket")
+    )
+    # bcast-ok: hot-bucket list, ≤ |rows|·n_tables/bucket_cap by cap arithmetic
+    return tagged.join(
+        F.broadcast(hot), on=["__tbl", "__bucket"], how="left_anti"
+    )
+
+
 def embedding_cosine_pairs_bucketed(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -258,23 +333,21 @@ def embedding_cosine_pairs_bucketed(
         random_hyperplanes,
     )
 
-    normed = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("__nv"))
-    buckets = [
-        lsh_bucket(F.col("__nv"), random_hyperplanes(dim, bits, seed + t))
-        for t in range(n_tables)
-    ]
-    tagged = normed.select(
-        id_col,
-        "__nv",
-        F.posexplode(F.array(*buckets)).alias("__tbl", "__bucket"),
-    )
+    # The self-join makes tagged a diamond even without the cap (both
+    # join sides), and the cap adds the count branch — materialize it
+    # once (see _lsh_tag for the tagging-shape rationale).  The
+    # localCheckpoint is the skew-safe twin of the exchange reuse the
+    # old window-cap shape enjoyed: without it Catalyst re-evaluates
+    # the tagging per consumer per union branch — measured 71 s vs
+    # 22 s against the window shape at 1.6M planted hot rows; the
+    # checkpoint stores tagged partitioned by INPUT rows, never
+    # concentrating a hot bucket on one task the way the window's
+    # hash exchange did.
+    tagged = _lsh_tag(
+        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
+    ).localCheckpoint(eager=False)
     if bucket_cap is not None:
-        w = Window.partitionBy("__tbl", "__bucket")
-        tagged = (
-            tagged.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= bucket_cap)
-            .drop("__bn")
-        )
+        tagged = _cap_hot_buckets(tagged, bucket_cap)
     a = tagged.select(
         F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"), "__tbl", "__bucket"
     )
@@ -326,36 +399,79 @@ def semantic_contamination_pairs(
     both engines share the hyperplane constants, so the DuckDB twin
     recomputes the identical candidate set); precision is 1.0 (exact
     verify)."""
-    from square_etl_spark.operators.similarity import (
-        dot_unrolled,
-        lsh_bucket,
-        normalize,
-        random_hyperplanes,
+    from square_etl_spark.operators.similarity import dot_unrolled
+
+    probe = _lsh_tag(
+        corpus, id_col, vec_col, dim, bits, n_tables, seed,
+        "corpus_id", "__va",
+    )
+    index = _lsh_tag(
+        benchmark, id_col, vec_col, dim, bits, n_tables, seed,
+        "bench_id", "__vb",
+    )
+    if bucket_cap is not None:
+        # Corpus-side hot-bucket cap (_cap_hot_buckets — the map-side
+        # combinable shape; never a window count).  The benchmark side
+        # needs no cap: it is eval-suite-sized by construction, so
+        # candidates ≤ |bench|·n_tables·bucket_cap.  localCheckpoint:
+        # the cap makes the probe a diamond (count branch + join
+        # probe) — materialize the corpus tagging once,
+        # input-partitioned (see embedding_cosine_pairs_bucketed).
+        probe = _cap_hot_buckets(
+            probe.localCheckpoint(eager=False), bucket_cap
+        )
+    sim = dot_unrolled(F.col("__va"), F.col("__vb"), dim)
+    return (
+        probe.join(index, on=["__tbl", "__bucket"])
+        .select(
+            "corpus_id", "bench_id",
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .distinct()
     )
 
-    def tag(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        normed = df.select(
-            F.col(id_col).alias(out_id),
-            normalize(F.col(vec_col)).alias(out_vec),
-        )
-        buckets = [
-            lsh_bucket(F.col(out_vec), random_hyperplanes(dim, bits, seed + t))
-            for t in range(n_tables)
-        ]
-        return normed.select(
-            out_id, out_vec,
-            F.posexplode(F.array(*buckets)).alias("__tbl", "__bucket"),
-        )
 
-    probe = tag(corpus, "corpus_id", "__va")
-    index = tag(benchmark, "bench_id", "__vb")
+def semantic_contamination_pairs_split(
+    df: DataFrame,
+    bench_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """:func:`semantic_contamination_pairs` for the common case where
+    the benchmark is a SPLIT of the same relation (an in-corpus eval
+    carve-out, e.g. the held-out id stripe the registered
+    decontamination queries use): tag the relation ONCE, checkpoint,
+    and derive both probe (¬bench_pred) and index (bench_pred) from
+    the materialized tagging.  Halves the tagging work and — the
+    part that shows up as wall time — halves the driver-side
+    analysis/codegen of the bits×tables literal plane chains, which
+    is a scale-independent constant the two-relation form pays twice
+    (SCALING.md r12).  Results are identical to calling
+    semantic_contamination_pairs on the two filtered sides."""
+    from square_etl_spark.operators.similarity import dot_unrolled
+
+    tagged = _lsh_tag(
+        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
+    ).localCheckpoint(eager=False)
+    probe = tagged.filter(~bench_pred).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("__nv").alias("__va"),
+        "__tbl", "__bucket",
+    )
+    index = tagged.filter(bench_pred).select(
+        F.col(id_col).alias("bench_id"),
+        F.col("__nv").alias("__vb"),
+        "__tbl", "__bucket",
+    )
     if bucket_cap is not None:
-        w = Window.partitionBy("__tbl", "__bucket")
-        probe = (
-            probe.withColumn("__bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bn") <= bucket_cap)
-            .drop("__bn")
-        )
+        probe = _cap_hot_buckets(probe, bucket_cap)
     sim = dot_unrolled(F.col("__va"), F.col("__vb"), dim)
     return (
         probe.join(index, on=["__tbl", "__bucket"])

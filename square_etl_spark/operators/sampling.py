@@ -818,10 +818,16 @@ def _epoch_cap(n: int, max_epochs: float) -> int:
 
 def _budgets_relation(df: DataFrame, group_col: str, budgets: dict) -> DataFrame:
     """A computed {group: budget} dict as the (group, budget) relation
-    budget_cap/epoch_repeat consume — deterministic row order."""
+    budget_cap/epoch_repeat consume — deterministic row order (NULL
+    group last, the SQL ASC NULLS LAST order)."""
     gtype = df.schema[group_col].dataType.simpleString()
     return df.sparkSession.createDataFrame(
-        [(g, int(b)) for g, b in sorted(budgets.items())],
+        [
+            (g, int(b))
+            for g, b in sorted(
+                budgets.items(), key=lambda kv: (kv[0] is None, kv[0])
+            )
+        ],
         f"{group_col} {gtype}, budget long",
     )
 
@@ -852,16 +858,35 @@ def waterfill_budgets(
 
         Σ budgets  ==  min(total, Σ caps)
 
-    holds EXACTLY (proof sketch: the loop ends either with every
-    group capped — spend = Σcaps — or with a final free set whose
-    allocations + remainders sum to the residual — spend = total).
+    holds EXACTLY — qualified (r11 ADVICE): a group with ``x == 0``
+    but ``cap > 0`` supplies NOTHING (water-filling gives a
+    zero-share group no water, so its cap is not spendable supply);
+    the exact form is
+
+        Σ budgets  ==  min(total, Σ_{g: x_g > 0} cap_g)
+
+    which reduces to the unqualified invariant whenever every
+    positive-cap group has a positive share — true for every current
+    caller, where x = round(n^α·1e9) or λ·1e9 is 0 only when n = 0,
+    hence cap = 0.  (Proof sketch: the loop ends either with every
+    positive-share group capped — spend = their Σcaps — or with a
+    final free set whose allocations + remainders sum to the
+    residual — spend = total.  Zero-share groups never receive an
+    allocation or a largest-remainder bonus: their remainder is
+    exactly 0 while the floor-division leftover is bounded by the
+    count of positive-remainder groups.)
+
+    A ``None`` group is a REAL group (the same contract as
+    budget_cap's eqNullSafe joins — r11 ADVICE): it participates in
+    the fixpoint like any other key and sorts LAST in the
+    largest-remainder group-asc tie-break, matching SQL's ASC NULLS
+    LAST so a SQL twin reproduces the bonus assignment.
+
     ≤ |groups| iterations over a |groups|-sized dict: mixture-dims
     driver metadata, same contract as budget_cap's offset table.
     """
     budgets: dict = {}
     free = {g: (int(x), int(cap)) for g, x, cap in items}
-    if any(g is None for g in free):
-        raise ValueError("waterfill_budgets: NULL group unsupported")
     while free:
         residual = int(total) - sum(budgets.values())
         sw = sum(x for x, _ in free.values())
@@ -878,7 +903,11 @@ def waterfill_budgets(
             continue
         leftover = residual - sum(alloc.values())  # < |free| exactly
         rem = {g: (free[g][0] * residual) % sw for g in free}
-        bonus = set(sorted(free, key=lambda g: (-rem[g], g))[:leftover])
+        # NULL group sorts last (ASC NULLS LAST); at most one None key
+        # exists, so the tuple comparison never reaches a None-vs-None
+        bonus = set(
+            sorted(free, key=lambda g: (-rem[g], g is None, g))[:leftover]
+        )
         for g in free:
             budgets[g] = alloc[g] + (1 if g in bonus else 0)
         break
@@ -917,6 +946,11 @@ def temperature_mix_waterfill(
     for its offset table), the pure-Python fixpoint on that bounded
     dict, then budget_cap's two-phase prefix consumption — the
     corpus is still scanned exactly once.
+
+    A NULL group is a real group end-to-end (r12): it is sized,
+    water-filled (NULLS-LAST tie-break, see
+    :func:`waterfill_budgets`), and consumed via budget_cap's
+    eqNullSafe joins like any other key.
     """
     bdf = temperature_waterfill_budgets(
         df, group_col, weight_col, total_budget, alpha, sizes, max_epochs
@@ -1174,9 +1208,10 @@ def doremi_mix(
             F.sum(F.col(weight_col).cast("long")).alias("__n")
         ).select(F.col(group_col).alias("__szg"), "__n")
         # bounded driver metadata: |domains| rows (mixture-dims
-        # contract); eqNullSafe so a NULL domain reaches
-        # waterfill_budgets' explicit non-NULL guard (loud error)
-        # instead of being silently size-0'd by a name-based join
+        # contract); eqNullSafe so a NULL domain keeps its real size —
+        # NULL is a real group through the whole waterfill path (r12:
+        # waterfill_budgets treats None like any key, NULLS-LAST
+        # tie-break), the same contract as the budget join below
         rows = budgets.join(
             sizes, F.col(group_col).eqNullSafe(F.col("__szg")), "left"
         ).collect()

@@ -161,9 +161,24 @@ def hard_negatives(
 
 def normalize(vec_col: Column) -> Column:
     """Unit-normalize (double) — do it once at ingest so every probe is
-    a plain dot product."""
+    a plain dot product.
+
+    Shape note (r12): the norm must NOT sit inside the per-element
+    lambda — interpreted HOFs re-evaluate the captured subtree per
+    element, so ``transform(v, x -> x / l2_norm(v))`` costs O(dim²)
+    per evaluation, and CollapseProject then inlines that into EVERY
+    downstream use (each of sign-LSH's bits×tables plane dots),
+    multiplying it again.  Measured on the r12 hot-bucket sweep: a
+    single pass over 3.2M tagged 64-dim rows was 31 s with the
+    norm-in-lambda form.  ``array_repeat(norm, size)`` evaluates the
+    norm ONCE per evaluation (its child, not the lambda body), so the
+    zip_with form is O(dim) — values bit-identical (same divisions)."""
     n = l2_norm(vec_col)
-    return F.transform(vec_col, lambda x: x.cast("double") / n)
+    return F.zip_with(
+        vec_col,
+        F.array_repeat(n, F.size(vec_col)),
+        lambda x, nn: x.cast("double") / nn,
+    )
 
 
 def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -175,14 +190,53 @@ def random_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = sign(v · plane_i).  Cosine-similar
     vectors collide with high probability; the bucket id becomes the
-    equi-join / shuffle key at scale."""
+    equi-join / shuffle key at scale.
+
+    The plane dot unrolls to a flat literal-coefficient chain when the
+    dimension permits (same products, same left-to-right accumulation
+    as the HOF :func:`dot` — bit-identical signs, verified against the
+    Column build term-by-term, so the DuckDB twins are unaffected):
+    HOFs are CodegenFallback, and bits×tables interpreted dots per row
+    were the constant that dominated the r12 hot-bucket sweep's
+    per-pass cost.
+
+    Pass the column NAME when you have it: the whole bucket expression
+    is then built as ONE ``F.expr`` string — bits×dim Column-operator
+    calls are bits×dim py4j round-trips, which made DataFrame
+    CONSTRUCTION the bottleneck (32 s of driver time for 16 tables ×
+    64 dims at r12, vs ~0 for the parsed string; ``0.1D`` literals
+    keep SQL doubles, not decimals).  A Column argument falls back to
+    the operator build (identical values)."""
+    if isinstance(vec_col, str) and all(
+        len(p) <= UNROLL_MAX_DIM for p in planes
+    ):
+        parts = []
+        for i, plane in enumerate(planes):
+            dot_s = " + ".join(
+                f"(CAST(`{vec_col}`[{j}] AS DOUBLE) * {c!r}D)"
+                for j, c in enumerate(plane)
+            )
+            parts.append(
+                f"(CASE WHEN ({dot_s}) >= 0.0D"
+                f" THEN CAST({1 << i} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr("(" + " + ".join(parts) + ")")
+    if isinstance(vec_col, str):
+        vec_col = F.col(vec_col)
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(vec_col, arr) >= 0, F.lit(1).cast("long")).otherwise(
+        if len(plane) <= UNROLL_MAX_DIM:
+            d = vec_col[0].cast("double") * F.lit(plane[0])
+            for j in range(1, len(plane)):
+                d = d + vec_col[j].cast("double") * F.lit(plane[j])
+        else:
+            arr = F.array(*[F.lit(x) for x in plane])
+            d = dot(vec_col, arr)
+        bit = F.when(d >= 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
@@ -208,8 +262,8 @@ def cosine_topk_lsh(
     match is an equi-join on the bucket id — broadcastable small side,
     no cross join."""
     planes = random_hyperplanes(dim, bits, seed)
-    v = vectors.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
-    q = queries.withColumn("bucket", lsh_bucket(F.col(query_vec_col), planes))
+    v = vectors.withColumn("bucket", lsh_bucket(vec_col, planes))
+    q = queries.withColumn("bucket", lsh_bucket(query_vec_col, planes))
     # bcast-ok: bucketed ANN query set, ≪ corpus by contract
     pairs = v.join(F.broadcast(q), on="bucket").withColumn(
         "cosine_sim", F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6)

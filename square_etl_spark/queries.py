@@ -6456,10 +6456,14 @@ def _ann_ivfpq_oracle(
           GROUP BY 1, 2),
         adc AS (
           SELECT a.query_id, a.vid,
-                 ROUND(CAST(a.num AS DOUBLE)
-                       / /*nz: query and reconstructed norms > 0 on
-                            nonzero embeddings*/ (qn.qnorm * rnorm.rnorm),
-                       6) AS adc_sim
+                 CASE WHEN qn.qnorm * rnorm.rnorm > 0
+                      THEN ROUND(CAST(a.num AS DOUBLE)
+                                 / /*nz: enclosing CASE pins the
+                                      product positive — zero-norm
+                                      degenerates score 0.0, the exact
+                                      mirror of topk_from_pq's guard
+                                      (r11 ADVICE)*/ (qn.qnorm * rnorm.rnorm), 6)
+                      ELSE 0.0 END AS adc_sim
           FROM adcn a
           JOIN qn USING (query_id)
           JOIN rnorm ON rnorm.vid = a.vid),
@@ -6842,16 +6846,30 @@ def _cos_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: raw-embedding twin of _NV_CTE for the bucketed/LSH oracles (r12):
+#: buckets are computed from the RAW doubles on both engines (sign is
+#: scale-invariant; over the raw attribute Spark's plane dots stay in
+#: codegen), while nv still feeds the exact verify.
+_NVR_CTE = """
+        nvr AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> x / /*nz: nonzero embedding vectors*/ sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                    CAST(embedding AS DOUBLE[]))))
+                   AS nv
+          FROM embeddings)"""
+
+
 def _cos_dedup_bucketed_oracle() -> str:
     from square_etl_spark.operators.similarity import random_hyperplanes
 
     tagged = "\n          UNION ALL ".join(
         f"SELECT vec_id, nv, {t} AS tbl, "
-        f"{_lsh_bucket_sql('nv', random_hyperplanes(64, 4, 42 + t))} AS bkt FROM nv"
+        f"{_lsh_bucket_sql('emb', random_hyperplanes(64, 4, 42 + t))} AS bkt FROM nvr"
         for t in range(8)
     )
     return f"""
-        WITH {_NV_CTE},
+        WITH {_NVR_CTE},
         tagged AS (
           {tagged})
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -6889,16 +6907,29 @@ def _decontaminate_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant — planning/codegen of the 8×4 inlined hyperplane
     expressions (2×2048 literals), not data movement (profiled at
     sf0.1: 21k candidate rows, sub-second compute) — so the number
-    amortizes to nothing on a real corpus."""
-    from square_etl_spark.operators.dedup import semantic_contamination_pairs
+    amortizes to nothing on a real corpus.
+
+    bucket_cap=4096 is the corpus-side hot-bucket skew guard
+    (groupBy-count → broadcast anti join, zero Window nodes —
+    plan-pinned).  At the tested scales the max corpus bucket is 209
+    (sf0.1), so the cap never fires and the result equals the uncapped
+    query; the oracle mirrors the cap exactly so the contract holds at
+    any scale.  At real corpus size, raise ``bits`` with log2(N) so
+    UNIFORM buckets stay under the cap; what the cap then drops is
+    boilerplate pathology (near-identical embeddings), the one thing
+    that would otherwise funnel a (table, bucket) join partition.
+    The benchmark here is an in-corpus id stripe, so the SPLIT form
+    tags the relation once (checkpointed) instead of paying the
+    plane-chain analysis/codegen constant twice."""
+    from square_etl_spark.operators.dedup import (
+        semantic_contamination_pairs_split,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    bench = e.filter(F.col("vec_id") % 97 == 0)
-    corpus = e.filter(F.col("vec_id") % 97 != 0)
     return (
-        semantic_contamination_pairs(
-            corpus, bench, "vec_id", "embedding",
-            threshold=0.35, dim=64, bits=4, n_tables=8,
+        semantic_contamination_pairs_split(
+            e, F.col("vec_id") % 97 == 0, "vec_id", "embedding",
+            threshold=0.35, dim=64, bits=4, n_tables=8, bucket_cap=4096,
         )
         .groupBy(F.col("corpus_id").alias("vec_id"))
         .agg(
@@ -6913,19 +6944,24 @@ def _decontaminate_semantic_oracle() -> str:
 
     tagged = "\n          UNION ALL ".join(
         f"SELECT vec_id, nv, {t} AS tbl, "
-        f"{_lsh_bucket_sql('nv', random_hyperplanes(64, 4, 42 + t))} AS bkt FROM nv"
+        f"{_lsh_bucket_sql('emb', random_hyperplanes(64, 4, 42 + t))} AS bkt FROM nvr"
         for t in range(8)
     )
     return f"""
-        WITH {_NV_CTE},
+        WITH {_NVR_CTE},
         tagged AS (
           {tagged}),
+        hot AS (
+          SELECT tbl, bkt FROM tagged WHERE vec_id % 97 <> 0
+          GROUP BY tbl, bkt HAVING COUNT(*) > 4096),
         pairs AS (
           SELECT DISTINCT a.vec_id AS corpus_id, b.vec_id AS bench_id,
                  ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine_sim
           FROM tagged a
           JOIN tagged b ON a.tbl = b.tbl AND a.bkt = b.bkt
           WHERE a.vec_id % 97 <> 0 AND b.vec_id % 97 = 0
+            AND NOT EXISTS (SELECT 1 FROM hot h
+                            WHERE h.tbl = a.tbl AND h.bkt = a.bkt)
             AND ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35)
         SELECT corpus_id AS vec_id,
                CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
@@ -10482,6 +10518,7 @@ _register(
             ),
             shingle_n=1,
         ),
+        bench=True,
         doc="fuzzy decontamination: corpus probed against benchmark LSH index via unigram MinHash, oracle-recomputed end to end, positive at every scale",
     )
 )
@@ -11142,34 +11179,54 @@ _register(
 
 def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate-overlap matrix: for every source pair,
-    how many distinct document CONTENTS appear in both — the
+    how many distinct word 13-gram shingles appear in both — the
     diagnostic that catches two 'independent' feeds scraping the same
     upstream (weighting both then double-counts the shared mass).
-    Digest-keyed: one distinct on (digest, source), one self-equi-join
-    on the 64-byte digest — contents never shuffle."""
+    Re-keyed in r12 from whole-content sha256 digests to the canonical
+    13-gram decontamination window (Lee et al. 2107.06499 / GPT-3's
+    overlap unit): exact full-document duplication across feeds is a
+    razor-edge event the sf0.01 fixture doesn't even contain (the r11
+    driver row was 0 == 0), while shared PASSAGES are the signal a
+    real overlap audit needs — and are positive at every scale here
+    (22 source pairs / 1006 shared shingles at sf0.01).  Diagonal =
+    shingles repeated across ≥2 documents WITHIN a source (the
+    boilerplate/self-syndication measure).
+
+    Plan shape: contents collapse to 64-bit shingle hashes at the
+    scan (dedup.hashed_word_shingles — strings never shuffle), one
+    distinct on (source, shingle) bounds the join input by vocabulary
+    not corpus, the self-equi-join on the 8-byte hash fans out at most
+    |sources| per key, and the matrix aggregate is map-side
+    combinable.  A 64-bit collision could phantom-share one shingle
+    (≈1e-11) — the split_leakage_audit precedent."""
+    from square_etl_spark.operators.dedup import hashed_word_shingles
+
     d = load_table(spark, sf_dir, "documents")
-    counts = (
-        d.select(F.sha2(F.col("text"), 256).alias("dig"), "source")
-        .groupBy("dig", "source")
-        .agg(F.count(F.lit(1)).alias("n"))
+    sh = d.select(
+        "source",
+        "doc_id",
+        F.explode(hashed_word_shingles("text", 13)).alias("sh"),
     )
-    a = counts.select("dig", F.col("source").alias("source_a"))
-    b = counts.select("dig", F.col("source").alias("source_b"))
+    src_sh = sh.select("source", "sh").distinct()
+    a = src_sh.select(F.col("source").alias("source_a"), "sh")
+    b = src_sh.select(F.col("source").alias("source_b"), "sh")
     cross = (
-        a.join(b, "dig")
+        a.join(b, "sh")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
     )
-    # diagonal: contents duplicated WITHIN one source (n ≥ 2 copies)
+    # diagonal: shingles appearing in ≥ 2 distinct docs of ONE source
     diag = (
-        counts.filter(F.col("n") >= 2)
+        sh.groupBy("source", "sh")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= 2)
         .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_shared_contents"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_shingles"))
         .select(
             F.col("source").alias("source_a"),
             F.col("source").alias("source_b"),
-            "n_shared_contents",
+            "n_shared_shingles",
         )
     )
     return cross.unionByName(diag)
@@ -11179,20 +11236,34 @@ _register(
     QuerySpec(
         "source_overlap_matrix",
         _source_overlap_matrix,
-        oracle="""
-        WITH counts AS (
-          SELECT sha256(text) AS dig, source, COUNT(*) AS n
-          FROM documents GROUP BY sha256(text), source)
+        oracle=r"""
+        WITH sh AS (
+          SELECT DISTINCT source, doc_id,
+                 w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                 w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                 w[i+6] || ' ' || w[i+7] || ' ' || w[i+8] || ' ' ||
+                 w[i+9] || ' ' || w[i+10] || ' ' || w[i+11] || ' ' ||
+                 w[i+12] AS sh
+          FROM (SELECT source, doc_id, w,
+                       UNNEST(range(1, len(w) - 11)) AS i
+                FROM (SELECT source, doc_id,
+                             string_split_regex(trim(text), '\s+') AS w
+                      FROM documents)
+                WHERE len(w) >= 13)),
+        ssh AS (SELECT DISTINCT source, sh FROM sh)
         SELECT a.source AS source_a, b.source AS source_b,
-               COUNT(*) AS n_shared_contents
-        FROM counts a JOIN counts b
-          ON a.dig = b.dig AND a.source < b.source
+               CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+        FROM ssh a JOIN ssh b
+          ON a.sh = b.sh AND a.source < b.source
         GROUP BY a.source, b.source
         UNION ALL
-        SELECT source, source, COUNT(*)
-        FROM counts WHERE n >= 2 GROUP BY source
+        SELECT source, source, CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT source, sh FROM sh
+              GROUP BY source, sh HAVING COUNT(DISTINCT doc_id) >= 2)
+        GROUP BY source
         """,
-        doc="cross-source duplicate-overlap matrix (digest-keyed, contents never shuffle)",
+        doc="cross-source 13-gram overlap matrix (shared-passage audit; "
+        "shingle-hash keyed, contents never shuffle; positive at every scale)",
     )
 )
 
@@ -12040,6 +12111,7 @@ _register(
         GROUP BY o.source
         """
         ),
+        bench=True,
         doc="data-constrained DoReMi: MW shares waterfilled at supply caps, the full recipe (LM, excess, fixpoint, take) recomputed",
         global_window_ok="vocab-sized total fold (bounded vocabulary, see unigram_logprob)",
     )

@@ -246,3 +246,47 @@ def test_oov_vocab_rank_is_take_ordered_not_global_window(spark, sf_dir):
     plan = _plan(queries()["text_oov_rate"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_embedding_lsh_bucket_cap_is_aggregate_anti_join_not_window(spark, sf_dir):
+    """r11 verdict item 1: the embedding-LSH family's hot-bucket cap
+    must use the map-side-combinable shape (groupBy-count → broadcast
+    anti join, the minhash_lsh_pairs precedent) — a count OVER
+    (PARTITION BY tbl, bucket) would funnel every row of the hot
+    bucket through ONE reducer, becoming the bottleneck it guards
+    against.  Pin: zero Window nodes in the cap path, the anti join
+    present, and partial/final HashAggregate pairs for the count."""
+    from square_etl_spark.operators.dedup import (
+        embedding_cosine_pairs_bucketed,
+        semantic_contamination_pairs,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    plans = [
+        _plan(embedding_cosine_pairs_bucketed(
+            e, dim=64, threshold=0.35, bits=4, n_tables=8, bucket_cap=100
+        )),
+        _plan(semantic_contamination_pairs(
+            e.filter(F.col("vec_id") % 97 != 0),
+            e.filter(F.col("vec_id") % 97 == 0),
+            dim=64, threshold=0.35, bits=4, n_tables=8, bucket_cap=100,
+        )),
+    ]
+    for plan in plans:
+        assert "Window" not in plan
+        assert "LeftAnti" in plan
+        assert "HashAggregate" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registered_semantic_decontam_carries_the_cap_anti_join(spark, sf_dir):
+    """The registered dedup_decontaminate_semantic query passes a real
+    bucket_cap (4096) — its plan must carry the anti-join cap path
+    with zero Window nodes, and at tested scales (max corpus bucket
+    209 at sf0.1) the cap must not change the result."""
+    plan = _plan(queries()["dedup_decontaminate_semantic"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "LeftAnti" in plan

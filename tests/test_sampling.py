@@ -882,3 +882,63 @@ def test_doremi_epoch_clip_keeps_null_domain(spark):
     }
     # both domains share the budget; the NULL domain keeps its rows
     assert got.get(None, 0) > 0 and got.get("a", 0) > 0
+
+
+def test_waterfill_null_group_is_a_real_group(spark):
+    """r11 ADVICE: the waterfill paths hard-failed on a NULL group
+    while the rest of the mixing API treats NULL as a real group
+    (eqNullSafe).  Now NULL flows through the fixpoint like any key:
+    temperature_mix_waterfill and doremi_mix(waterfill=True) both
+    keep NULL-group rows and fill the full budget."""
+    from square_etl_spark.operators.sampling import (
+        doremi_mix,
+        temperature_mix_waterfill,
+        waterfill_budgets,
+    )
+
+    rows = [(i, None if i % 2 else "a", 1) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w long")
+
+    kept = temperature_mix_waterfill(
+        df, "src", "w", ["doc_id"], 20, alpha=0.5, max_epochs=1.0
+    )
+    got = {
+        r.src: r.n
+        for r in kept.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert got.get(None, 0) > 0 and got.get("a", 0) > 0
+    assert sum(got.values()) == 20  # Σ budgets == min(total, Σcaps)
+
+    excess = spark.createDataFrame([("a", 0.0)], "src string, excess double")
+    kept2 = doremi_mix(
+        df, "src", "w", ["doc_id"], 20, excess, eta=1.0, eps=0.1,
+        max_epochs=1.0, waterfill=True,
+    )
+    got2 = {
+        r.src: r.n
+        for r in kept2.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert got2.get(None, 0) > 0 and got2.get("a", 0) > 0
+    assert sum(got2.values()) == 20
+
+    # direct fixpoint: None key participates; NULLS-LAST tie-break —
+    # equal shares, equal remainders, one bonus: the non-None group
+    # gets it (matching SQL ORDER BY rem DESC, g ASC NULLS LAST)
+    b = waterfill_budgets([("a", 1, 10), (None, 1, 10)], 5)
+    assert b == {"a": 3, None: 2}
+
+
+def test_waterfill_zero_share_positive_cap_supplies_nothing():
+    """r11 ADVICE: the Σbudgets == min(total, Σcaps) invariant is
+    qualified — a group with x=0 but cap>0 supplies nothing (a
+    zero-share group gets no water), so the exact form sums caps over
+    positive-share groups only."""
+    from square_etl_spark.operators.sampling import waterfill_budgets
+
+    b = waterfill_budgets([("a", 0, 5), ("b", 1, 3)], 10)
+    assert b == {"a": 0, "b": 3}
+    assert sum(b.values()) == min(10, 3)  # caps over x>0 groups only
+
+    # when total is under the positive-share supply, spend == total
+    b2 = waterfill_budgets([("a", 0, 5), ("b", 1, 3), ("c", 2, 100)], 10)
+    assert b2["a"] == 0 and sum(b2.values()) == 10
