@@ -13659,67 +13659,67 @@ _register(
 )
 
 
-# Round-11 head: first the 3 queries REGISTERED this round
-# (water-filled temperature mix, byte-level BPE counts + training)
-# and the 3 whose code changed materially (fuzzy decontamination now
-# unigram/0.8 and positive at every scale; substring dedup + its
-# incremental twin on the skew-guarded min-struct aggregate), then
-# the full 26-query r06-stale cohort the r10 verdict's item 3 wants
-# contract-confirmed, then the oldest r07 names from rotation.py's
-# recommendation, flagship anchor last = 50.  All new/changed
-# entries are tri-scale selfchecked green; rotation.py confirms no
-# oracle-checked query ages past the arithmetic freshness window
-# under this head.
+# Round-12 head: first the 6 queries whose code or oracle changed
+# materially this round (the embedding-LSH family's cap-shape port +
+# raw-bucket/union-tagging rebuild: semantic decontam now carries a
+# real bucket_cap and the split-relation tagging; the overlap matrix
+# re-keyed to 13-gram shingles and positive at sf0.01; ann_topk_lsh on
+# the expr-built buckets; ann_topk_ivfpq's oracle zero-norm guard),
+# then rotation.py's recommendation for the r07-stale cohort
+# oldest-first (the r11 verdict's item 3), flagship anchor last = 50.
+# All changed entries are tri-scale selfchecked green; rotation.py
+# confirms no oracle-checked query ages past the arithmetic freshness
+# window under this head.
 _CHECK_PRIORITY: list[str] = [
-    "mix_temperature_waterfill",
-    "mix_waterfill_epochs",
-    "mix_waterfill_incremental",
-    "mix_doremi_waterfill",
     "dedup_decontaminate_semantic",
-    "sample_perplexity_buckets",
-    "pipeline_epoch_build",
-    "text_bpe_bytes_tokens",
-    "text_bpe_train_bytes",
-    "text_bpe_bytes_encode_ids",
-    "dedup_decontaminate_fuzzy",
-    "dedup_substring_exact",
-    "dedup_incremental_substring",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "approx_distinct_kmv",
-    "q5_local_supplier_volume",
-    "q4_priority_late_ship",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q7_nation_volume",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_pushdown",
-    "q22_dormant_rich",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q16_supplier_counts",
-    "q20_excess_stock_suppliers",
-    "q9_product_profit",
-    "agg_grouping_sets",
-    "p4_cast_guard_default",
-    "p7_type_dispatch",
-    "window_running_total",
-    "asof_join_clicks",
-    "range_join_binned",
-    "sessionize_events",
-    "pivot_event_counts",
-    "f2_json_extract",
-    "cdc_apply_events",
-    "dedup_minhash_vs_ngram",
-    "multimodal_decode_bmp",
-    "q6_forecast_revenue",
-    "q13_custdist",
-    "q8_market_share",
-    "p5_literal_defaults",
-    "orders_above_cust_avg",
-    "join_semi_active",
+    "source_overlap_matrix",
+    "ann_topk_lsh",
+    "ann_topk_ivfpq",
+    "dedup_embedding_cosine_bucketed",
+    "dedup_embedding_cosine",
+    "window_rank_lag",
+    "join_anti_dormant",
+    "agg_cube",
+    "ann_topk_ivf",
+    "corpus_clean_pipeline",
+    "sample_hash_documents",
+    "mix_weighted_sources",
+    "sample_stratified_lang",
+    "shard_assignment",
+    "decile_customer_acctbal",
+    "profile_orders_columns",
+    "corr_price_items",
+    "csv_ingest_orders",
+    "zorder_key_customers",
+    "skew_profile_event_users",
+    "arrow_group_median_dev",
+    "text_pii_redaction",
+    "funnel_conversion",
+    "retention_cohorts",
+    "streaks_user_activity",
+    "timeseries_gapfill",
+    "heavy_hitters_cms",
+    "bloom_prune_join",
+    "snapshot_diff_orders",
+    "kmeans_embeddings",
+    "pagerank_user_graph",
+    "inverted_index_terms",
+    "outlier_zscore_orders",
+    "fuzzy_join_names",
+    "quantile_sketch_orders",
+    "spatial_join_proximity",
+    "expectation_report_orders",
+    "transition_matrix_events",
+    "sequence_error_recovery",
+    "q9_profit_partsupp",
+    "basket_part_pairs",
+    "unpivot_order_measures",
+    "q1_pricing_summary",
+    "s3_typed_scan",
+    "p1_money_coalesce",
+    "p2_quantity_validity",
+    "p3_parent_fallback",
+    "f2_variant_extract",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the
