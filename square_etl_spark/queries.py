@@ -116,6 +116,13 @@ _REGISTRY: list[QuerySpec] = []
 
 
 def _register(spec: QuerySpec) -> QuerySpec:
+    # fail loudly on a name collision: queries() is a dict, so a
+    # duplicate would silently SHADOW the earlier registration while
+    # the driver's per-name correctness rows kept crediting the old
+    # one (r12: a re-registered sample_cluster_balanced slipped in
+    # exactly this way and only selfcheck's double-PASS betrayed it)
+    if any(s.name == spec.name for s in _REGISTRY):
+        raise ValueError(f"duplicate query registration: {spec.name!r}")
     _REGISTRY.append(spec)
     return spec
 
@@ -6839,10 +6846,18 @@ def _cos_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DEFAULT embedding near-dup: sign-LSH buckets (4 bits × 8 tables)
     → exact in-bucket verify.  Same threshold as the all-pairs oracle
     twin; candidate generation is an equi-join on (table, bucket) — no
-    BroadcastNestedLoopJoin anywhere in the plan (pinned)."""
+    BroadcastNestedLoopJoin anywhere in the plan (pinned).
+
+    bucket_cap=4096 is the hot-bucket skew guard (groupBy-count →
+    broadcast anti join — same contract as the semantic-decontam
+    query): max observed bucket is 209 at sf0.1, so the cap never
+    fires at tested scales and the result equals the uncapped query;
+    the oracle mirrors it exactly, so the contract holds wherever the
+    cap DOES fire."""
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs_bucketed(
-        e, "vec_id", "embedding", threshold=0.35, dim=64, bits=4, n_tables=8
+        e, "vec_id", "embedding", threshold=0.35, dim=64, bits=4,
+        n_tables=8, bucket_cap=4096,
     )
 
 
@@ -6871,12 +6886,19 @@ def _cos_dedup_bucketed_oracle() -> str:
     return f"""
         WITH {_NVR_CTE},
         tagged AS (
-          {tagged})
+          {tagged}),
+        hot AS (
+          SELECT tbl, bkt FROM tagged
+          GROUP BY tbl, bkt HAVING COUNT(*) > 4096),
+        cold AS (
+          SELECT t.* FROM tagged t
+          WHERE NOT EXISTS (SELECT 1 FROM hot h
+                            WHERE h.tbl = t.tbl AND h.bkt = t.bkt))
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine_sim
-        FROM tagged a
-        JOIN tagged b ON a.tbl = b.tbl AND a.bkt = b.bkt
-                     AND a.vec_id < b.vec_id
+        FROM cold a
+        JOIN cold b ON a.tbl = b.tbl AND a.bkt = b.bkt
+                   AND a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35
         """
 
@@ -13659,7 +13681,136 @@ _register(
 )
 
 
-# Round-12 head: first the 6 queries whose code or oracle changed
+
+
+def _text_compression_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer compression rate — UTF-8 bytes per
+    byte-level BPE token.  THE metric a vocabulary allocation /
+    mixture decision reads per domain (a source that tokenizes at 2.1
+    bytes/token costs ~1.6x the training steps per byte of one at
+    3.4): the byte-BPE counts the budget suite already certifies
+    (text.bpe_token_counts, GPT-2 alphabet), aggregated per source
+    against exact byte lengths.  One vocabulary-relation fold + one
+    corpus-sized join-aggregate; decimal-free exact sums, rate
+    rounded to 6."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = tx.bpe_token_counts(d, alphabet="byte", merges=tx.BPE_BYTE_MERGES)
+    j = d.select("doc_id", "source", F.octet_length("text").alias("__bytes")).join(
+        counts, "doc_id"
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__bytes").cast("long").alias("total_bytes"),
+        F.sum("bpe_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.when(
+                F.sum("bpe_tokens") > 0,
+                F.sum("__bytes") / F.sum("bpe_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("bytes_per_token"),
+    )
+
+
+_register(
+    QuerySpec(
+        "text_compression_rate",
+        _text_compression_rate,
+        oracle=f"""
+        WITH RECURSIVE {_bpe_counts_cte(
+            pretoken_sql=_BYTE_PRETOKEN_SQL,
+            sym_sql=_BYTE_SYM_SQL,
+            merges_sql=_BPE_BYTE_LIST_SQL,
+        )}
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(strlen(d.text)) AS BIGINT) AS total_bytes,
+               CAST(SUM(bc.bpe_tokens) AS BIGINT) AS total_tokens,
+               ROUND(CASE WHEN SUM(bc.bpe_tokens) > 0
+                          THEN SUM(strlen(d.text))
+                               / /*nz: CASE pins the token sum positive*/
+                                 CAST(SUM(bc.bpe_tokens) AS DOUBLE)
+                          ELSE 0.0 END, 6) AS bytes_per_token
+        FROM documents d JOIN bpe_counts bc ON d.doc_id = bc.doc_id
+        GROUP BY d.source
+        """,
+        doc="per-source UTF-8-bytes-per-BPE-token compression rate on the "
+        "byte tokenizer (vocabulary-allocation metric), fold recomputed",
+    )
+)
+
+
+def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENCHMARK-side contamination report — the reverse direction of
+    the decontamination ladder: for every EVAL document (the
+    doc_id % 97 = 0 carve-out), how many distinct corpus documents
+    share >= 1 word 3-gram with it, and how many distinct shingles
+    leak.  Decontamination drops corpus docs; THIS is the audit that
+    tells you which eval items are already compromised and by how
+    much (the "dirty eval" table every benchmark paper now reports).
+
+    Plan shape: both sides collapse to 64-bit shingle hashes at the
+    scan (dedup.hashed_word_shingles, per-doc distinct), the
+    benchmark side is a fixed eval suite << corpus so its (bench_id,
+    shingle) relation broadcasts, and the corpus is touched by ONE
+    linear scan-explode-probe with a map-side-combinable aggregate —
+    the contamination_hits contract with the grouping flipped to the
+    bench side."""
+    from square_etl_spark.operators.dedup import hashed_word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    bsh = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.explode(hashed_word_shingles("text", 3)).alias("sh"),
+        )
+    )
+    csh = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            F.explode(hashed_word_shingles("text", 3)).alias("sh"),
+        )
+    )
+    # bcast-ok: benchmark-suite shingle relation (fixed eval suite
+    # << corpus, the contamination_hits contract)
+    j = csh.join(F.broadcast(bsh), "sh")
+    return j.groupBy(F.col("bench_id").alias("doc_id")).agg(
+        F.countDistinct("corpus_id").cast("long").alias("n_corpus_docs"),
+        F.countDistinct("sh").cast("long").alias("n_shared_shingles"),
+    )
+
+
+_register(
+    QuerySpec(
+        "contamination_report",
+        _contamination_report,
+        oracle=r"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, doc_id % 97 = 0 AS is_bench,
+                 w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+          FROM (SELECT doc_id, w, UNNEST(range(1, len(w) - 1)) AS i
+                FROM (SELECT doc_id,
+                             string_split_regex(trim(text), '\s+') AS w
+                      FROM documents)
+                WHERE len(w) >= 3))
+        SELECT b.doc_id,
+               CAST(COUNT(DISTINCT c.doc_id) AS BIGINT) AS n_corpus_docs,
+               CAST(COUNT(DISTINCT b.g) AS BIGINT) AS n_shared_shingles
+        FROM sh b JOIN sh c ON b.g = c.g AND c.is_bench = FALSE
+        WHERE b.is_bench
+        GROUP BY b.doc_id
+        """,
+        doc="benchmark-side contamination audit: per eval doc, distinct "
+        "corpus docs and shingles leaking into it (which evals are dirty)",
+    )
+)
+
+
+# Round-12 head: first the 2 queries REGISTERED this round (per-source
+# tokenizer compression rate; benchmark-side contamination report),
+# then the 6 whose code or oracle changed
 # materially this round (the embedding-LSH family's cap-shape port +
 # raw-bucket/union-tagging rebuild: semantic decontam now carries a
 # real bucket_cap and the split-relation tagging; the overlap matrix
@@ -13671,6 +13822,8 @@ _register(
 # confirms no oracle-checked query ages past the arithmetic freshness
 # window under this head.
 _CHECK_PRIORITY: list[str] = [
+    "text_compression_rate",
+    "contamination_report",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_lsh",
@@ -13718,8 +13871,6 @@ _CHECK_PRIORITY: list[str] = [
     "s3_typed_scan",
     "p1_money_coalesce",
     "p2_quantity_validity",
-    "p3_parent_fallback",
-    "f2_variant_extract",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the
