@@ -365,6 +365,133 @@ def embedding_cosine_pairs_bucketed(
     )
 
 
+def embedding_lsh_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Materializable sign-LSH index of an embedding corpus slice —
+    the write-side half of incremental embedding near-dup, completing
+    the stored-index family (:func:`minhash_index` for text,
+    :func:`similarity.ivfpq_index` for ANN): one relation
+    ``(id, __nv, __tbl, __bucket)`` carrying both the probe join keys
+    AND the unit-normalized vector, so the exact verify happens
+    in-bucket with no second join (unlike minhash, whose shingle sets
+    live in a separate store).  Written once at ingest
+    (:func:`write_embedding_lsh_index`); the old corpus's raw vectors
+    are never re-read."""
+    return _lsh_tag(
+        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
+    )
+
+
+def write_embedding_lsh_index(
+    index: DataFrame,
+    base_path: str,
+    name: str,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Persist an :func:`embedding_lsh_index` as a BUCKETED table —
+    bucketed+sorted by ``(__tbl, __bucket)``, the probe join's FULL
+    key set, so every probe's candidate join reads the stored corpus
+    with ZERO Exchange: only the new batch (tiny) shuffles (the
+    :func:`write_minhash_index_bucketed` deployment shape, including
+    the all-cluster-keys co-partition requirement and the
+    repartition-before-bucketed-write small-files guard).  Returns
+    the DataFrame read back from the bucketed table — pass it
+    straight to :func:`embedding_lsh_probe`."""
+    import os
+
+    spark = index.sparkSession
+    tbl = f"{name}_emb_lsh"
+    (
+        index.repartition(num_buckets, "__tbl", "__bucket")
+        .write.format("parquet")
+        .bucketBy(num_buckets, "__tbl", "__bucket")
+        .sortBy("__tbl", "__bucket")
+        .option("path", os.path.join(base_path, tbl))
+        .mode("overwrite")
+        .saveAsTable(tbl)
+    )
+    return spark.table(tbl)
+
+
+def embedding_lsh_probe(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int | None = 200,
+    new_bucket_cap: int | None = None,
+) -> DataFrame:
+    """Cosine near-dup pairs of a NEW embedding batch against an
+    EXISTING :func:`embedding_lsh_index` — the incremental-ingest
+    read path: the old corpus is touched only through its stored
+    index relation.  Emits ``(new_id, old_id, cosine_sim ≥
+    threshold)`` (distinct across hash tables).
+
+    Candidate identity: a (new, old) pair shares a (table, bucket)
+    here exactly when it would share one in
+    :func:`embedding_cosine_pairs_bucketed` over the combined corpus
+    (same planes, same raw-vector signs), so batch-folded ingest ≡
+    one-shot dedup — the fold law the registered
+    ``dedup_embedding_incremental`` query has DuckDB recompute from
+    scratch.
+
+    Hot-bucket caps mirror :func:`minhash_probe` (two-sided, r08
+    ADVICE): ``bucket_cap`` drops pathological INDEX buckets,
+    ``new_bucket_cap`` (default: same) drops pathological BATCH
+    buckets — a boilerplate ingest burst is exactly as dangerous as a
+    boilerplate corpus.  Pass ``None`` to disable (the exact-fold
+    configuration).  Both caps use the map-side-combinable
+    groupBy-count → anti-join shape (:func:`_cap_hot_buckets`)."""
+    from square_etl_spark.operators.similarity import dot_unrolled
+
+    if new_bucket_cap is None:
+        new_bucket_cap = bucket_cap
+    tagged = _lsh_tag(
+        batch, id_col, vec_col, dim, bits, n_tables, seed,
+        "__new_id", "__vn",
+    )
+    if new_bucket_cap is not None:
+        # cap makes the batch tagging a diamond — materialize once
+        # (input-partitioned; see embedding_cosine_pairs_bucketed)
+        tagged = _cap_hot_buckets(
+            tagged.localCheckpoint(eager=False), new_bucket_cap
+        )
+    idx = index.select(
+        F.col(id_col).alias("__old_id"),
+        F.col("__nv").alias("__vo"),
+        "__tbl", "__bucket",
+    )
+    if bucket_cap is not None:
+        # index side is a stored parquet relation — re-scanning it for
+        # the count is a pruned-column read, no checkpoint needed
+        idx = _cap_hot_buckets(idx, bucket_cap)
+    sim = dot_unrolled(F.col("__vn"), F.col("__vo"), dim)
+    return (
+        tagged.join(idx, on=["__tbl", "__bucket"])
+        .filter(F.col("__new_id") != F.col("__old_id"))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("__new_id").alias("new_id"),
+            F.col("__old_id").alias("old_id"),
+            "cosine_sim",
+        )
+        .distinct()
+    )
+
+
 def semantic_contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -6875,7 +6875,7 @@ _NVR_CTE = """
           FROM embeddings)"""
 
 
-def _cos_dedup_bucketed_oracle() -> str:
+def _cos_dedup_bucketed_oracle(cap: int | None = 4096) -> str:
     from square_etl_spark.operators.similarity import random_hyperplanes
 
     tagged = "\n          UNION ALL ".join(
@@ -6883,22 +6883,28 @@ def _cos_dedup_bucketed_oracle() -> str:
         f"{_lsh_bucket_sql('emb', random_hyperplanes(64, 4, 42 + t))} AS bkt FROM nvr"
         for t in range(8)
     )
-    return f"""
-        WITH {_NVR_CTE},
-        tagged AS (
-          {tagged}),
+    cap_ctes = (
+        f""",
         hot AS (
           SELECT tbl, bkt FROM tagged
-          GROUP BY tbl, bkt HAVING COUNT(*) > 4096),
+          GROUP BY tbl, bkt HAVING COUNT(*) > {cap}),
         cold AS (
           SELECT t.* FROM tagged t
           WHERE NOT EXISTS (SELECT 1 FROM hot h
-                            WHERE h.tbl = t.tbl AND h.bkt = t.bkt))
+                            WHERE h.tbl = t.tbl AND h.bkt = t.bkt))"""
+        if cap is not None
+        else ""
+    )
+    src = "cold" if cap is not None else "tagged"
+    return f"""
+        WITH {_NVR_CTE},
+        tagged AS (
+          {tagged}){cap_ctes}
         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(list_dot_product(a.nv, b.nv), 6) AS cosine_sim
-        FROM cold a
-        JOIN cold b ON a.tbl = b.tbl AND a.bkt = b.bkt
-                   AND a.vec_id < b.vec_id
+        FROM {src} a
+        JOIN {src} b ON a.tbl = b.tbl AND a.bkt = b.bkt
+                    AND a.vec_id < b.vec_id
         WHERE ROUND(list_dot_product(a.nv, b.nv), 6) >= 0.35
         """
 
@@ -6910,6 +6916,54 @@ _register(
         oracle=_cos_dedup_bucketed_oracle(),
         doc="DEFAULT embedding near-dup: LSH candidate buckets + exact verify, "
         "equi-join plan (scale path; all-pairs twin is the exactness oracle)",
+    )
+)
+
+
+def _emb_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup — the stored-index ingest fold
+    (operators/dedup.embedding_lsh_index / embedding_lsh_probe),
+    driver-certified against the ONE-SHOT recomputation: batch 1
+    (even vec_ids) dedups internally and writes its sign-LSH index;
+    batch 2 (odd vec_ids) probes that index for cross-batch pairs and
+    dedups internally; the union of the three pair sets must equal
+    embedding_cosine_pairs_bucketed over the whole corpus — the
+    fold ≡ one-shot law every incremental family here ships with,
+    checked by DuckDB recomputing the one-shot from scratch.  Exact
+    because candidate identity is bucket identity: both halves tag
+    with the SAME hyperplanes, so a cross-parity pair shares a
+    (table, bucket) in the fold iff it does in the one-shot."""
+    from square_etl_spark.operators.dedup import (
+        embedding_cosine_pairs_bucketed,
+        embedding_lsh_index,
+        embedding_lsh_probe,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b1 = e.filter(F.col("vec_id") % 2 == 0)
+    b2 = e.filter(F.col("vec_id") % 2 == 1)
+    kw = dict(threshold=0.35, dim=64, bits=4, n_tables=8)
+    within1 = embedding_cosine_pairs_bucketed(b1, "vec_id", "embedding", **kw)
+    within2 = embedding_cosine_pairs_bucketed(b2, "vec_id", "embedding", **kw)
+    idx = embedding_lsh_index(b1, "vec_id", "embedding", dim=64, bits=4, n_tables=8)
+    cross = embedding_lsh_probe(
+        idx, b2, "vec_id", "embedding", bucket_cap=None, **kw
+    ).select(
+        F.least("new_id", "old_id").alias("id_a"),
+        F.greatest("new_id", "old_id").alias("id_b"),
+        "cosine_sim",
+    )
+    return within1.unionByName(cross).unionByName(within2)
+
+
+_register(
+    QuerySpec(
+        "dedup_embedding_incremental",
+        _emb_incremental_q,
+        oracle=_cos_dedup_bucketed_oracle(cap=None),
+        doc="incremental embedding near-dup: stored sign-LSH index + batch "
+        "probe fold, certified equal to the one-shot bucketed dedup the "
+        "oracle recomputes from scratch",
     )
 )
 
@@ -13808,8 +13862,9 @@ _register(
 )
 
 
-# Round-12 head: first the 2 queries REGISTERED this round (per-source
-# tokenizer compression rate; benchmark-side contamination report),
+# Round-12 head: first the 3 queries REGISTERED this round (the
+# embedding stored-index ingest fold; per-source tokenizer compression
+# rate; benchmark-side contamination report),
 # then the 6 whose code or oracle changed
 # materially this round (the embedding-LSH family's cap-shape port +
 # raw-bucket/union-tagging rebuild: semantic decontam now carries a
@@ -13822,6 +13877,7 @@ _register(
 # confirms no oracle-checked query ages past the arithmetic freshness
 # window under this head.
 _CHECK_PRIORITY: list[str] = [
+    "dedup_embedding_incremental",
     "text_compression_rate",
     "contamination_report",
     "dedup_decontaminate_semantic",
@@ -13870,7 +13926,6 @@ _CHECK_PRIORITY: list[str] = [
     "q1_pricing_summary",
     "s3_typed_scan",
     "p1_money_coalesce",
-    "p2_quantity_validity",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

@@ -107,3 +107,48 @@ def test_bucketed_minhash_index_probe_zero_exchange_on_index(spark, sf_dir, tmp_
         spark.sql("DROP TABLE IF EXISTS mh_test_buckets")
         spark.sql("DROP TABLE IF EXISTS mh_test_shingles")
     assert got == want and len(got) > 0
+
+
+def test_bucketed_embedding_lsh_index_probe_zero_exchange_on_index(
+    spark, sf_dir, tmp_path
+):
+    """r12: the embedding family's stored-index deployment mirrors the
+    minhash one — the sign-LSH index written bucketed by
+    (__tbl, __bucket) joins probe batches with ZERO Exchange on the
+    index side; only the new batch shuffles.  Results must equal the
+    plain-parquet probe exactly."""
+    from square_etl_spark.operators.dedup import (
+        embedding_lsh_index,
+        embedding_lsh_probe,
+        write_embedding_lsh_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = e.filter(F.col("vec_id") % 3 != 0)
+    new = e.filter(F.col("vec_id") % 3 == 0)
+    idx = embedding_lsh_index(old)
+    idx.write.mode("overwrite").parquet(str(tmp_path / "eidx_p"))
+    idx_p = spark.read.parquet(str(tmp_path / "eidx_p"))
+    idx_b = write_embedding_lsh_index(
+        idx, str(tmp_path), "emb_test", num_buckets=16
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_b = embedding_lsh_probe(idx_b, new, threshold=0.35)
+        out_p = embedding_lsh_probe(idx_p, new, threshold=0.35)
+        plan_b, plan_p = _plan(out_b), _plan(out_p)
+        assert "Bucketed: true" in plan_b
+        # bucketing removes exactly the two index-side shuffles: the
+        # candidate join's index side and the index hot-list
+        # aggregation (single relation — no separate verify store)
+        n_b = plan_b.count("Exchange hashpartitioning")
+        n_p = plan_p.count("Exchange hashpartitioning")
+        assert n_b == n_p - 2, f"bucketed {n_b} vs plain {n_p}\n{plan_b}"
+        got = sorted(map(tuple, out_b.collect()))
+        want = sorted(map(tuple, out_p.collect()))
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS emb_test_emb_lsh")
+    assert got == want and len(got) > 0

@@ -1753,3 +1753,95 @@ def test_bpe_byte_apply_tokenizes_committed_foreign_artifact(spark):
     for toks in got.values():
         for t in toks:
             assert set(t) <= bu
+
+
+def test_embedding_lsh_probe_fold_equals_one_shot(spark, sf_dir):
+    """The embedding family's fold ≡ one-shot law (r12): two-batch
+    ingest via embedding_lsh_index + embedding_lsh_probe + per-batch
+    internal dedup reproduces embedding_cosine_pairs_bucketed over the
+    union EXACTLY — candidate identity is bucket identity (same
+    hyperplanes both ways)."""
+    from square_etl_spark.operators.dedup import (
+        embedding_cosine_pairs_bucketed,
+        embedding_lsh_index,
+        embedding_lsh_probe,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(threshold=0.35, dim=64, bits=4, n_tables=8)
+    one_shot = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_cosine_pairs_bucketed(
+            e, "vec_id", "embedding", **kw
+        ).collect()
+    }
+    b1 = e.filter(F.col("vec_id") % 2 == 0)
+    b2 = e.filter(F.col("vec_id") % 2 == 1)
+    idx = embedding_lsh_index(b1)
+    fold = {}
+    for part in (
+        embedding_cosine_pairs_bucketed(b1, "vec_id", "embedding", **kw),
+        embedding_cosine_pairs_bucketed(b2, "vec_id", "embedding", **kw),
+    ):
+        for r in part.collect():
+            fold[(r.id_a, r.id_b)] = r.cosine_sim
+    for r in embedding_lsh_probe(idx, b2, bucket_cap=None, **kw).collect():
+        fold[(min(r.new_id, r.old_id), max(r.new_id, r.old_id))] = r.cosine_sim
+    assert fold == one_shot and len(fold) > 0
+
+
+def test_embedding_lsh_probe_caps_hot_buckets_both_sides(spark):
+    """Two-sided hot-bucket caps on the embedding probe (the
+    minhash_probe r08 contract): a boilerplate ingest burst — many
+    identical vectors sharing every (table, bucket) — is dropped by
+    new_bucket_cap; a boilerplate INDEX bucket by bucket_cap."""
+    from pyspark.sql import functions as F2
+
+    from square_etl_spark.operators.dedup import (
+        embedding_lsh_index,
+        embedding_lsh_probe,
+    )
+
+    dim = 8
+    base = spark.range(1).select(
+        F2.col("id").alias("vec_id"),
+        F2.array(*[F2.lit(float(i + 1)) for i in range(dim)]).alias(
+            "embedding"
+        ),
+    )
+    burst = spark.range(100, 130).select(
+        F2.col("id").alias("vec_id"),
+        F2.array(*[F2.lit(float(i + 1)) for i in range(dim)]).alias(
+            "embedding"
+        ),
+    )
+    idx = embedding_lsh_index(base, dim=dim, bits=4, n_tables=2)
+    kw = dict(threshold=0.99, dim=dim, bits=4, n_tables=2)
+    # uncapped: every burst vector pairs with the index vector
+    assert embedding_lsh_probe(
+        idx, burst, bucket_cap=None, **kw
+    ).count() == 30
+    # batch-side cap below the burst bucket population: all dropped
+    assert embedding_lsh_probe(
+        idx, burst, bucket_cap=None, new_bucket_cap=10, **kw
+    ).count() == 0
+    # index-side cap: plant a hot index bucket (31 identical vectors)
+    hot_idx = embedding_lsh_index(
+        base.unionByName(
+            spark.range(200, 230).select(
+                F2.col("id").alias("vec_id"),
+                F2.array(*[F2.lit(float(i + 1)) for i in range(dim)]).alias(
+                    "embedding"
+                ),
+            )
+        ),
+        dim=dim, bits=4, n_tables=2,
+    )
+    one = spark.range(500, 501).select(
+        F2.col("id").alias("vec_id"),
+        F2.array(*[F2.lit(float(i + 1)) for i in range(dim)]).alias(
+            "embedding"
+        ),
+    )
+    assert embedding_lsh_probe(hot_idx, one, bucket_cap=None, **kw).count() == 31
+    assert embedding_lsh_probe(hot_idx, one, bucket_cap=10, **kw).count() == 0
