@@ -1,0 +1,336 @@
+"""Trainable text classification — the learned quality/domain filter.
+
+The reference pipeline's fixed-rule gates (quality.py, text.gopher_rules)
+cover the hand-written half of corpus curation; the other half in every
+production pretraining pipeline is a TRAINED classifier: CCNet scores
+documents with a model fit on a target domain (Wenzek et al.,
+arXiv:1911.00359), GPT-3/WebText filtered on a quality classifier
+trained to separate curated from raw text, and FineWeb-Edu gates on a
+learned educational-quality scorer.  This module supplies that stage
+with an exactly-computable, engine-portable core: a multinomial Naive
+Bayes classifier over whitespace unigrams, trained and applied entirely
+in-engine.
+
+Why Naive Bayes and not SGD-logistic: NB's sufficient statistics are
+pure counting — one explode + groupBy, a sum monoid — so (a) training
+is a single map-side-combinable aggregation with no driver iteration,
+(b) an incremental twin is the same fold law every other ingest family
+here obeys (fold of batch counts ≡ one-shot counts, bit-for-bit), and
+(c) a SQL oracle can replay training AND inference exactly, which a
+float-accumulating gradient loop cannot promise across engines.
+
+Cross-engine determinism (the unigram_logprob contract): every ln() is
+rounded to 6 decimals and cast DECIMAL(18,6) at the leaf; all
+composition after that — per-token sums, the length×constant term,
+priors — is exact decimal arithmetic, so addition order and join order
+cannot change a score, and argmax ties break on the label string, which
+both engines compare identically.
+
+Scale shape: the model relation is (vocabulary × |labels|)-bounded —
+sub-linear in corpus size (Heaps) and broadcast size-gated via
+text._gated_model_join; the corpus is tokenized exactly once per pass;
+the per-(doc,label) score matrix is |docs| × |labels| with |labels| a
+mixture-dims constant.  No global windows, no driver loops.
+
+Reference scope: /root/reference has no learned filter (its gates are
+src/etl-square-payments.ts-style row predicates); this family is part
+of the beyond-parity LLM-pipeline surface the build mandates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from square_etl_spark.operators.text import (
+    DEFAULT_MAX_BROADCAST_ROWS,
+    _c,
+    _gated_model_join,
+)
+
+#: sentinel vocabulary key for the per-label DOCUMENT-count row inside
+#: the sufficient-statistics relation.  The tokenizer filters empty
+#: strings, so '' can never collide with a real token — one relation
+#: then carries the whole model state and the fold law stays a plain
+#: sum monoid over (label, w).
+DOC_COUNT_KEY = ""
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w) token occurrences — the engine-portable whitespace
+    tokenization every text operator here shares (lower, trim, split
+    on \\s+, drop empties; DuckDB twin: string_split_regex +
+    list_filter)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(_c(text_col))), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("w"),
+    )
+
+
+def nb_counts(
+    df: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Multinomial-NB sufficient statistics as ONE foldable relation
+    ``(label, w, c)``: token rows count occurrences of token ``w``
+    under ``label``; one sentinel row per label (``w = ''``, see
+    DOC_COUNT_KEY) carries the labeled-document count for the prior.
+    Sum monoid — :func:`fold_nb_counts` over any batch partition of
+    the corpus reproduces the one-shot relation exactly.
+
+    One explode + one groupBy; the output is (vocab × labels) +
+    |labels| rows — model-sized, never corpus-sized."""
+    toks = _tokens(
+        df.select(F.col(label_col).alias("label"), text_col),
+        "label",
+        text_col,
+    )
+    token_rows = toks.groupBy("label", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    doc_rows = (
+        df.groupBy(F.col(label_col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select("label", F.lit(DOC_COUNT_KEY).alias("w"), "c")
+    )
+    return token_rows.unionByName(doc_rows)
+
+
+def fold_nb_counts(state: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a new batch's statistics into an existing state — the
+    incremental-twin law: ``fold(nb_counts(b1), nb_counts(b2)) ≡
+    nb_counts(b1 ∪ b2)``.  Plain sum monoid on (label, w)."""
+    return (
+        state.unionByName(batch)
+        .groupBy("label", "w")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def _ln6(col: Column) -> Column:
+    """round(ln(x), 6) as DECIMAL(18,6) — the leaf rounding both
+    engines agree on (unigram_logprob's parity contract)."""
+    return F.round(F.log(col), 6).cast("decimal(18,6)")
+
+
+def nb_model(
+    counts: DataFrame, smoothing: float = 1.0
+) -> tuple[DataFrame, DataFrame]:
+    """Derive the inference relations from sufficient statistics.
+
+    Returns ``(label_consts, token_adj)``:
+
+    - ``label_consts``: |labels| rows ``(label, lprior, lrate)`` where
+      ``lprior = ln6(n_docs_label / n_docs_total)`` and
+      ``lrate = ln6(α) − ln6(tot_label + α·V)`` — the per-TOKEN score
+      a label pays for a token it has never seen.  A document's base
+      score is then ``lprior + len·lrate`` (exact decimal × integer).
+    - ``token_adj``: (vocab × labels) rows ``(w, label, adj)`` with
+      ``adj = ln6(c + α) − ln6(α)`` — the exact decimal premium an
+      OBSERVED (token, label) pair adds on top of the unseen-token
+      rate, so inference only ever joins on pairs that exist and the
+      Laplace mass for absent pairs folds into ``lrate`` via the
+      document length.  (Standard rearrangement:
+      Σ_t ln(c_t+α) = len·ln(α) + Σ_{t: c_t>0} [ln(c_t+α) − ln(α)].)
+
+    The vocabulary size V counts DISTINCT tokens across all labels —
+    the usual multinomial-NB event space.  Both relations are bounded
+    by vocabulary × labels, never by the corpus.
+    """
+    tok = counts.filter(F.col("w") != F.lit(DOC_COUNT_KEY))
+    docs = counts.filter(F.col("w") == F.lit(DOC_COUNT_KEY)).select(
+        "label", F.col("c").alias("n_docs")
+    )
+    # vocab size + total docs fold into the label relation via
+    # single-partition windows over label-/vocab-bounded rows (the
+    # unigram_logprob t_total pattern)
+    vocab = tok.select("w").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    tot = tok.groupBy("label").agg(F.sum("c").cast("long").alias("t"))
+    alpha = float(smoothing)
+    if alpha <= 0:
+        raise ValueError(f"smoothing must be positive, got {alpha}")
+    lalpha = _ln6(F.lit(alpha))
+    consts = (
+        docs.withColumn(
+            "n_total", F.sum("n_docs").over(Window.partitionBy())
+        )
+        .join(tot, "label")
+        # bcast-ok: singleton aggregate (1 row: global vocab size)
+        .join(F.broadcast(vocab))
+        .select(
+            "label",
+            _ln6(F.col("n_docs") / F.col("n_total")).alias("lprior"),
+            (
+                lalpha
+                - _ln6(F.col("t") + F.lit(alpha) * F.col("v"))
+            ).alias("lrate"),
+        )
+    )
+    adj = tok.select(
+        "w",
+        "label",
+        (_ln6(F.col("c") + F.lit(alpha)) - lalpha).alias("adj"),
+    )
+    return consts, adj
+
+
+def nb_predictions(
+    df: DataFrame,
+    counts: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+    max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+) -> DataFrame:
+    """Score ``df`` against the model in ``counts`` and return
+    ``(id, n_tokens, pred_label, score, margin)`` — ``score`` the
+    winning label's exact-decimal log-posterior (cast double at the
+    edge), ``margin`` the gap to the runner-up (the gating signal:
+    small margin = low-confidence prediction).
+
+    Ties are impossible to mis-order: scores are exact DECIMALs, and
+    equal scores break on the label string ascending in both engines.
+
+    Plan shape: one tokenize pass over ``df``; token_adj joins onto
+    the tokens via the size-gated model broadcast (vocabulary-bounded
+    — the unigram_logprob scaling argument); the per-(doc,label)
+    matrix is built by a |labels|-row broadcast cross join onto the
+    doc-length relation (parameter-bounded, the budget_cap offset
+    precedent); ranking windows partition by the DOC KEY — maximally
+    parallel, never global.  Zero-token documents have no posterior
+    (nothing to condition on) and drop out, documented here.
+    """
+    consts, adj = nb_model(counts, smoothing)
+    toks = _tokens(df, id_col, text_col)
+    lens = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    matched = (
+        _gated_model_join(toks, adj, "w", max_broadcast_rows)
+        .groupBy(id_col, "label")
+        .agg(F.sum("adj").alias("madj"))
+    )
+    # bcast-ok: |labels| rows — mixture-dims constant (label_consts)
+    base = lens.crossJoin(F.broadcast(consts)).select(
+        id_col,
+        "n_tokens",
+        "label",
+        (
+            F.col("lprior") + F.col("n_tokens") * F.col("lrate")
+        ).alias("score0"),
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    scored = base.join(matched, [id_col, "label"], "left").select(
+        id_col,
+        "n_tokens",
+        "label",
+        (F.col("score0") + F.coalesce(F.col("madj"), zero)).alias(
+            "__score"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col("label").asc()
+    )
+    ranked = scored.select(
+        id_col,
+        "n_tokens",
+        "label",
+        "__score",
+        F.row_number().over(w).alias("__rk"),
+        F.lead("__score", 1).over(w).alias("__next"),
+    ).filter(F.col("__rk") == 1)
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        F.col("label").alias("pred_label"),
+        F.col("__score").cast("double").alias("score"),
+        (F.col("__score") - F.col("__next")).cast("double").alias("margin"),
+    )
+
+
+def nb_gate(
+    df: DataFrame,
+    counts: DataFrame,
+    target_label: str,
+    min_margin: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Keep only documents the classifier assigns to ``target_label``
+    with at least ``min_margin`` log-posterior lead — the CCNet-style
+    'keep what looks like the target domain' corpus gate.  Semi-join
+    on the doc key: ``df``'s columns pass through untouched."""
+    preds = nb_predictions(df, counts, id_col, text_col, smoothing)
+    keep = preds.filter(
+        (F.col("pred_label") == F.lit(target_label))
+        & (F.col("margin") >= F.lit(float(min_margin)))
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+def nb_train_summary(counts: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-label model card: document count, token mass, in-label
+    vocabulary size, and the ``top_k`` most frequent tokens (count
+    desc, token asc — exact-integer ranking).  Pure integers/strings:
+    the audit artifact a model registry stores next to the counts."""
+    tok = counts.filter(F.col("w") != F.lit(DOC_COUNT_KEY))
+    docs = counts.filter(F.col("w") == F.lit(DOC_COUNT_KEY)).select(
+        "label", F.col("c").alias("n_docs")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    top = (
+        tok.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .groupBy("label")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("__rk", "w")))
+                .getField("w")
+            ).alias("top_tokens")
+        )
+    )
+    stats = tok.groupBy("label").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    return docs.join(stats, "label").join(top, "label")
+
+
+def nb_counts_batched(
+    df: DataFrame,
+    batch_pred_col: str,
+    batch_values: Sequence,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train INCREMENTALLY: compute per-batch sufficient statistics
+    (``batch_pred_col`` ∈ each of ``batch_values`` selects a batch)
+    and fold them — the ingest-twin entry point whose output is
+    pinned ≡ the one-shot :func:`nb_counts` of the union."""
+    state: DataFrame | None = None
+    for v in batch_values:
+        b = nb_counts(
+            df.filter(F.col(batch_pred_col) == F.lit(v)),
+            label_col,
+            id_col,
+            text_col,
+        )
+        state = b if state is None else fold_nb_counts(state, b)
+    assert state is not None, "batch_values must be non-empty"
+    return state

@@ -13862,28 +13862,366 @@ _register(
 )
 
 
-# Round-12 head: first the 3 queries REGISTERED this round (the
+# ---------------------------------------------------------------------------
+# Trainable corpus classifier (operators/classify.py): multinomial NB
+# trained in-engine on the labeled split, applied to the holdout — the
+# CCNet/WebText learned-quality-filter stage (Wenzek 1911.00359).  All
+# four queries share one deterministic protocol: train on
+# doc_id % 3 <> 0 with lang as the class, score doc_id % 3 = 0.
+# ---------------------------------------------------------------------------
+
+
+def _nb_train_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from square_etl_spark.operators import classify as cls
+
+    d = load_table(spark, sf_dir, "documents")
+    return cls.nb_counts(d.filter(F.col("doc_id") % 3 != 0))
+
+
+def _classify_nb_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label model card of the trained NB corpus classifier:
+    document count, token mass, in-label vocabulary, top-3 tokens —
+    the registry artifact stored next to the sufficient statistics.
+    Exact integers/strings end to end (ranking by count desc, token
+    asc), so the oracle replays training bit-for-bit."""
+    from square_etl_spark.operators import classify as cls
+
+    return cls.nb_train_summary(_nb_train_counts(spark, sf_dir), top_k=3)
+
+
+# Shared oracle prefix: NB training + holdout scoring, the exact
+# decimal recipe of operators/classify.nb_model/nb_predictions
+# (leaf-rounded ln → DECIMAL(18,6), exact composition after).
+_NB_ORACLE_CTES = r"""
+        WITH tr AS (SELECT doc_id, lang, text FROM documents
+                    WHERE doc_id % 3 <> 0),
+        te AS (SELECT doc_id, lang, text FROM documents
+               WHERE doc_id % 3 = 0),
+        ttr AS (
+          SELECT lang AS label,
+                 UNNEST(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM tr),
+        cnt AS (SELECT label, w, COUNT(*) AS c FROM ttr GROUP BY 1, 2),
+        vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt),
+        nd AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM tr GROUP BY 1),
+        ntot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM nd),
+        tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS t
+                FROM cnt GROUP BY 1),
+        consts AS (
+          SELECT nd.label,
+                 CAST(ROUND(ln(CAST(nd.n_docs AS DOUBLE)
+                      / /*nz: training split non-empty*/ n_total), 6)
+                   AS DECIMAL(18,6)) AS lprior,
+                 CAST(ROUND(ln(1.0), 6) AS DECIMAL(18,6))
+                   - CAST(ROUND(ln(t + 1.0 * v), 6)
+                       AS DECIMAL(18,6)) AS lrate
+          FROM nd CROSS JOIN ntot
+          JOIN tot ON tot.label = nd.label
+          CROSS JOIN vocab),
+        adj AS (
+          SELECT w, label,
+                 CAST(ROUND(ln(c + 1.0), 6) AS DECIMAL(18,6))
+                   - CAST(ROUND(ln(1.0), 6) AS DECIMAL(18,6)) AS adj
+          FROM cnt),
+        tte AS (
+          SELECT doc_id,
+                 UNNEST(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM te),
+        lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+                 FROM tte GROUP BY 1),
+        matched AS (SELECT doc_id, label, SUM(adj) AS madj
+                    FROM tte JOIN adj USING (w) GROUP BY 1, 2),
+        scores AS (
+          SELECT lens.doc_id, n_tokens, consts.label,
+                 lprior + n_tokens * lrate
+                   + COALESCE(madj, CAST(0 AS DECIMAL(18,6))) AS score
+          FROM lens CROSS JOIN consts
+          LEFT JOIN matched ON matched.doc_id = lens.doc_id
+                           AND matched.label = consts.label),
+        ranked AS (
+          SELECT doc_id, n_tokens, label, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label ASC) AS rk,
+                 LEAD(score) OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, label ASC) AS nxt
+          FROM scores),
+        preds AS (
+          SELECT doc_id, n_tokens, label AS pred_label,
+                 CAST(score AS DOUBLE) AS score,
+                 CAST(score - nxt AS DOUBLE) AS margin
+          FROM ranked WHERE rk = 1)
+"""
+
+
+def _classify_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout predictions of the in-engine-trained NB classifier:
+    (doc_id, n_tokens, pred_label, score, margin).  The oracle replays
+    training AND inference — the whole learned-filter stage is
+    hash-checked, not just its aggregates."""
+    from square_etl_spark.operators import classify as cls
+
+    d = load_table(spark, sf_dir, "documents")
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    return cls.nb_predictions(te, _nb_train_counts(spark, sf_dir))
+
+
+def _classify_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the trained classifier on the holdout:
+    (true label, predicted label, n, margin mass) — the calibration
+    artifact that decides the gate threshold before a corpus-scale
+    apply.  |labels|²-bounded output; margin sums as exact decimal."""
+    from square_etl_spark.operators import classify as cls
+
+    d = load_table(spark, sf_dir, "documents")
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    preds = cls.nb_predictions(te, _nb_train_counts(spark, sf_dir))
+    return (
+        preds.join(te.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("true_label"), "pred_label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum(F.col("margin").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("sum_margin"),
+        )
+    )
+
+
+def _classify_nb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus gate itself: keep holdout documents the classifier
+    assigns to 'en' with margin ≥ 0.5, report survivors per source —
+    the CCNet 'keep what scores like the target domain' pass wired
+    end to end (train → score → gate → survivors)."""
+    from square_etl_spark.operators import classify as cls
+
+    d = load_table(spark, sf_dir, "documents")
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    kept = cls.nb_gate(
+        te, _nb_train_counts(spark, sf_dir), "en", min_margin=0.5
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+    )
+
+
+def _classify_nb_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-training twin: the training split arrives as two
+    batches (doc_id % 2), per-batch sufficient statistics folded via
+    the sum monoid — predictions must equal the one-shot model's
+    bit-for-bit, so this query shares the one-shot oracle (the
+    fold ≡ one-shot law every ingest family here pins)."""
+    from square_etl_spark.operators import classify as cls
+
+    d = load_table(spark, sf_dir, "documents")
+    tr = d.filter(F.col("doc_id") % 3 != 0)
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    counts = cls.nb_counts_batched(
+        tr.withColumn("__b", F.col("doc_id") % 2), "__b", [0, 1]
+    )
+    return cls.nb_predictions(te, counts)
+
+
+_register(
+    QuerySpec(
+        "classify_nb_model_card",
+        _classify_nb_model_card,
+        oracle=r"""
+        WITH tr AS (SELECT doc_id, lang, text FROM documents
+                    WHERE doc_id % 3 <> 0),
+        ttr AS (
+          SELECT lang AS label,
+                 UNNEST(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS w
+          FROM tr),
+        cnt AS (SELECT label, w, COUNT(*) AS c FROM ttr GROUP BY 1, 2),
+        nd AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM tr GROUP BY 1),
+        top AS (
+          SELECT label, string_agg(w, ' ' ORDER BY rk) AS top_tokens
+          FROM (SELECT label, w,
+                       ROW_NUMBER() OVER (PARTITION BY label
+                         ORDER BY c DESC, w ASC) AS rk
+                FROM cnt)
+          WHERE rk <= 3 GROUP BY label),
+        stats AS (
+          SELECT label,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size
+          FROM cnt GROUP BY label)
+        SELECT label, n_docs, n_tokens, vocab_size, top_tokens
+        FROM nd JOIN stats USING (label) JOIN top USING (label)
+        """,
+        doc="NB classifier model card: per-label docs/tokens/vocab/top-3 "
+        "tokens, exact-integer training replayed by the oracle",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
+_register(
+    QuerySpec(
+        "classify_nb_predictions",
+        _classify_nb_predictions,
+        oracle=_NB_ORACLE_CTES + "SELECT * FROM preds",
+        doc="trained-NB holdout predictions: in-engine training + exact "
+        "decimal inference, oracle replays the full learned filter",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
+_register(
+    QuerySpec(
+        "classify_nb_confusion",
+        _classify_nb_confusion,
+        oracle=_NB_ORACLE_CTES
+        + r""",
+        final AS (
+          SELECT te.lang AS true_label, pred_label,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 ROUND(CAST(SUM(CAST(margin AS DECIMAL(18,6)))
+                   AS DOUBLE), 6) AS sum_margin
+          FROM preds JOIN te ON te.doc_id = preds.doc_id
+          GROUP BY 1, 2)
+        SELECT * FROM final
+        """,
+        bench=True,
+        doc="NB classifier confusion matrix on the holdout: the gate-"
+        "threshold calibration artifact, |labels|^2-bounded",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
+_register(
+    QuerySpec(
+        "classify_nb_gate_en",
+        _classify_nb_gate,
+        oracle=_NB_ORACLE_CTES
+        + r"""
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+        FROM preds JOIN documents d ON d.doc_id = preds.doc_id
+        WHERE pred_label = 'en' AND margin >= 0.5
+        GROUP BY d.source
+        """,
+        doc="learned corpus gate: keep holdout docs classified 'en' with "
+        "margin >= 0.5, survivors per source (train->score->gate e2e)",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
+def _classify_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-threshold calibration: bucket holdout predictions by
+    margin (width 0.25, top-capped at bin 19 — 20 bins bounded BY
+    CONSTRUCTION, no corpus-sized NTILE window) and report accuracy
+    per bin — the curve that picks nb_gate's min_margin.  Monotone-ish
+    accuracy-vs-margin is the sanity signal; the artifact is
+    |bins|-bounded whatever the corpus size."""
+    from square_etl_spark.operators import classify as cls
+
+    d = load_table(spark, sf_dir, "documents")
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    preds = cls.nb_predictions(te, _nb_train_counts(spark, sf_dir))
+    j = preds.join(te.select("doc_id", "lang"), "doc_id")
+    return (
+        j.select(
+            F.least(
+                F.floor(F.col("margin") / F.lit(0.25)), F.lit(19)
+            )
+            .cast("long")
+            .alias("margin_bin"),
+            (F.col("pred_label") == F.col("lang"))
+            .cast("long")
+            .alias("ok"),
+        )
+        .groupBy("margin_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            F.round(
+                F.sum("ok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "classify_nb_calibration",
+        _classify_nb_calibration,
+        oracle=_NB_ORACLE_CTES
+        + r"""
+        SELECT CAST(LEAST(FLOOR(margin / 0.25), 19) AS BIGINT)
+                 AS margin_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN pred_label = te.lang THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               ROUND(SUM(CASE WHEN pred_label = te.lang THEN 1 ELSE 0 END)
+                 / /*nz: bin non-empty by construction*/
+                 CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+        FROM preds JOIN te ON te.doc_id = preds.doc_id
+        GROUP BY 1
+        """,
+        doc="classifier calibration curve: accuracy per bounded margin "
+        "bin (picks the nb_gate threshold); 20-bin output by construction",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
+_register(
+    QuerySpec(
+        "classify_nb_incremental",
+        _classify_nb_incremental,
+        oracle=_NB_ORACLE_CTES + "SELECT * FROM preds",
+        doc="incrementally-trained NB (two folded batches) scores the "
+        "holdout identically to the one-shot model (shared oracle)",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
+# Round-12 head: first the 8 queries REGISTERED this round (the
 # embedding stored-index ingest fold; per-source tokenizer compression
-# rate; benchmark-side contamination report),
-# then the 6 whose code or oracle changed
+# rate; benchmark-side contamination report; the 5-query trained-NB
+# classifier family), then the 4 whose code or oracle changed
 # materially this round (the embedding-LSH family's cap-shape port +
 # raw-bucket/union-tagging rebuild: semantic decontam now carries a
 # real bucket_cap and the split-relation tagging; the overlap matrix
 # re-keyed to 13-gram shingles and positive at sf0.01; ann_topk_lsh on
 # the expr-built buckets; ann_topk_ivfpq's oracle zero-norm guard),
 # then rotation.py's recommendation for the r07-stale cohort
-# oldest-first (the r11 verdict's item 3), flagship anchor last = 50.
-# All changed entries are tri-scale selfchecked green; rotation.py
-# confirms no oracle-checked query ages past the arithmetic freshness
-# window under this head.
+# oldest-first (the r11 verdict's item 3; q9_profit_partsupp,
+# basket_part_pairs, unpivot_order_measures defer to r13 — still
+# inside the freshness window per rotation.py), flagship anchor
+# last = 50.  All changed entries are tri-scale selfchecked green;
+# rotation.py confirms no oracle-checked query ages past the
+# arithmetic freshness window under this head.
 _CHECK_PRIORITY: list[str] = [
     "dedup_embedding_incremental",
     "text_compression_rate",
     "contamination_report",
+    "classify_nb_model_card",
+    "classify_nb_predictions",
+    "classify_nb_confusion",
+    "classify_nb_gate_en",
+    "classify_nb_incremental",
+    "classify_nb_calibration",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
-    "ann_topk_lsh",
     "ann_topk_ivfpq",
+    "ann_topk_lsh",
     "dedup_embedding_cosine_bucketed",
     "dedup_embedding_cosine",
     "window_rank_lag",
@@ -13919,13 +14257,7 @@ _CHECK_PRIORITY: list[str] = [
     "spatial_join_proximity",
     "expectation_report_orders",
     "transition_matrix_events",
-    "sequence_error_recovery",
-    "q9_profit_partsupp",
-    "basket_part_pairs",
-    "unpivot_order_measures",
     "q1_pricing_summary",
-    "s3_typed_scan",
-    "p1_money_coalesce",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

@@ -1,0 +1,150 @@
+"""Trained NB corpus classifier (operators/classify.py): fold law,
+gate semantics, inference invariants, and the degenerate edges the
+registered queries' fixtures never hit."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from square_etl_spark.io import load_table
+from square_etl_spark.operators import classify as cl
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fold_law_counts_identical(spark, sf_dir):
+    """fold(nb_counts(b0), nb_counts(b1)) ≡ nb_counts(b0 ∪ b1) —
+    bit-for-bit, the incremental-twin contract."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    one_shot = cl.nb_counts(d)
+    folded = cl.nb_counts_batched(
+        d.withColumn("__b", F.col("doc_id") % 3), "__b", [0, 1, 2]
+    )
+    assert _sorted_rows(one_shot) == _sorted_rows(folded)
+
+
+def test_fold_law_predictions_identical(spark, sf_dir):
+    """Scoring through a folded state equals scoring through the
+    one-shot state — what classify_nb_incremental's shared oracle
+    certifies at driver scale."""
+    d = _docs(spark, sf_dir)
+    tr = d.filter(F.col("doc_id") % 3 != 0)
+    te = d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 600))
+    p1 = cl.nb_predictions(te, cl.nb_counts(tr))
+    p2 = cl.nb_predictions(
+        te,
+        cl.nb_counts_batched(
+            tr.withColumn("__b", F.col("doc_id") % 2), "__b", [0, 1]
+        ),
+    )
+    assert _sorted_rows(p1) == _sorted_rows(p2)
+
+
+def test_sentinel_rows_carry_doc_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir).limit(60)
+    counts = cl.nb_counts(d)
+    doc_rows = {
+        r["label"]: r["c"]
+        for r in counts.filter(F.col("w") == cl.DOC_COUNT_KEY).collect()
+    }
+    truth = {
+        r["lang"]: r["n"]
+        for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert doc_rows == truth
+
+
+def test_predictions_cover_every_nonempty_doc_once(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tr = d.filter(F.col("doc_id") % 3 != 0)
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    preds = cl.nb_predictions(te, cl.nb_counts(tr))
+    n_nonempty = te.filter(F.trim("text") != "").count()
+    assert preds.count() == n_nonempty
+    assert preds.select("doc_id").distinct().count() == n_nonempty
+
+
+def test_margin_nonnegative_and_label_known(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tr = d.filter(F.col("doc_id") % 3 != 0)
+    preds = cl.nb_predictions(
+        d.filter(F.col("doc_id") % 3 == 0), cl.nb_counts(tr)
+    )
+    labels = {r["lang"] for r in tr.select("lang").distinct().collect()}
+    bad = preds.filter(
+        (F.col("margin") < 0) | (~F.col("pred_label").isin(*labels))
+    )
+    assert bad.count() == 0
+
+
+def test_zero_token_document_drops(spark, sf_dir):
+    """A document with no tokens has no posterior — documented drop."""
+    d = _docs(spark, sf_dir)
+    tr = d.filter(F.col("doc_id") % 3 != 0)
+    blank = spark.createDataFrame(
+        [(999_001, "   "), (999_002, "spark merge")],
+        "doc_id long, text string",
+    )
+    preds = cl.nb_predictions(blank, cl.nb_counts(tr))
+    assert [r["doc_id"] for r in preds.collect()] == [999_002]
+
+
+def test_gate_is_a_semijoin_consistent_with_predictions(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    tr = d.filter(F.col("doc_id") % 3 != 0)
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    counts = cl.nb_counts(tr)
+    kept = cl.nb_gate(te, counts, "en", min_margin=0.25)
+    # schema passes through untouched
+    assert kept.columns == te.columns
+    want = {
+        r["doc_id"]
+        for r in cl.nb_predictions(te, counts)
+        .filter((F.col("pred_label") == "en") & (F.col("margin") >= 0.25))
+        .collect()
+    }
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == want and len(got) > 0
+
+
+def test_unseen_vocabulary_scores_via_length_term(spark, sf_dir):
+    """A doc of tokens the model never saw still gets a posterior —
+    the Laplace mass folded into lrate·len, the rearrangement
+    nb_model documents.  Prediction then falls to the prior-plus-rate
+    argmax, identical for any unseen text of equal length."""
+    d = _docs(spark, sf_dir)
+    tr = d.filter(F.col("doc_id") % 3 != 0)
+    probe = spark.createDataFrame(
+        [(1, "qqqxx zzzyy"), (2, "wwwqq kkkzz")],
+        "doc_id long, text string",
+    )
+    preds = cl.nb_predictions(probe, cl.nb_counts(tr)).collect()
+    assert len(preds) == 2
+    by_id = {r["doc_id"]: r for r in preds}
+    assert by_id[1]["pred_label"] == by_id[2]["pred_label"]
+    assert by_id[1]["score"] == by_id[2]["score"]
+
+
+def test_smoothing_must_be_positive(spark, sf_dir):
+    d = _docs(spark, sf_dir).limit(30)
+    with pytest.raises(ValueError, match="smoothing"):
+        cl.nb_predictions(d, cl.nb_counts(d), smoothing=0.0)
+
+
+def test_train_summary_exact_integers(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    counts = cl.nb_counts(d)
+    card = cl.nb_train_summary(counts, top_k=2).collect()
+    assert {r["label"] for r in card} == {
+        r["lang"] for r in d.select("lang").distinct().collect()
+    }
+    for r in card:
+        assert r["n_docs"] > 0 and r["n_tokens"] > 0 and r["vocab_size"] > 0
+        assert 1 <= len(r["top_tokens"].split(" ")) <= 2
