@@ -650,6 +650,45 @@ def stream_lm_counts_availablenow(
     )
 
 
+def stream_nb_counts_availablenow(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    counts_path: str,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    schema=None,
+) -> None:
+    """Streaming maintenance of the trained-classifier model: each
+    labeled micro-batch's NB sufficient statistics
+    (:func:`operators.classify.nb_counts` — token counts per label +
+    doc-count sentinels, one relation) fold into the stored state via
+    the count-sum monoid, so :func:`operators.classify.nb_predictions`
+    scores new corpus batches against an always-current model without
+    ever re-tokenizing old training data — online classifier training
+    at O(batch) refresh cost (the LM-counts sink's pattern with a
+    (vocab × labels)-sized state).  The maintained state equals the
+    one-shot statistics element-for-element (pinned in
+    test_streaming), hence scoring through it is bit-identical to a
+    full retrain — the same fold ≡ one-shot law
+    classify_nb_incremental certifies against the DuckDB oracle at
+    driver scale.  Exactly-once batch-id marker + atomic swap shared
+    via :func:`_fold_stream_availablenow`."""
+    from square_etl_spark.operators.classify import (
+        fold_nb_counts,
+        nb_counts,
+    )
+
+    def fold(target: DataFrame | None, batch: DataFrame) -> DataFrame:
+        counts = nb_counts(batch, label_col, id_col, text_col)
+        return counts if target is None else fold_nb_counts(target, counts)
+
+    _fold_stream_availablenow(
+        spark, source_dir, checkpoint_dir, counts_path, fold, schema=schema
+    )
+
+
 def stream_substring_dedup_availablenow(
     spark: SparkSession,
     source_dir: str,

@@ -834,3 +834,50 @@ def test_stream_substring_dedup_equals_batch_fold(spark, sf_dir, tmp_path):
     )
     assert again == got
     assert spark.read.parquet(state_root).count() == n_state
+
+
+def test_stream_nb_counts_maintain_equals_one_shot_exactly(
+    spark, sf_dir, tmp_path
+):
+    """Stream labeled documents in two availableNow passes through the
+    NB-model maintainer; the stored (label, w, c) statistics must
+    equal the one-shot corpus statistics element-for-element, scoring
+    through the state must equal a full retrain, and a replayed drain
+    must not double-count (batch-id guard)."""
+    import os
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.classify import nb_counts, nb_predictions
+    from square_etl_spark.schemas import DOCUMENTS
+    from square_etl_spark.streaming.incremental import (
+        stream_nb_counts_availablenow,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    src = os.path.join(tmp_path, "src")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    state = os.path.join(tmp_path, "nb")
+
+    docs.filter("doc_id % 2 = 0").write.mode("overwrite").parquet(src)
+    stream_nb_counts_availablenow(spark, src, ckpt, state, schema=DOCUMENTS)
+    docs.filter("doc_id % 2 = 1").write.mode("append").parquet(src)
+    stream_nb_counts_availablenow(spark, src, ckpt, state, schema=DOCUMENTS)
+
+    stored = spark.read.parquet(state)
+    got = {(r["label"], r["w"], r["c"]) for r in stored.collect()}
+    want = {(r["label"], r["w"], r["c"]) for r in nb_counts(docs).collect()}
+    assert got == want and len(got) > 0
+
+    probe = load_table(spark, sf_dir, "documents").filter(
+        "doc_id >= 120 and doc_id < 180"
+    )
+    via_state = sorted(map(tuple, nb_predictions(probe, stored).collect()))
+    retrained = sorted(
+        map(tuple, nb_predictions(probe, nb_counts(docs)).collect())
+    )
+    assert via_state == retrained and len(via_state) > 0
+
+    # replay: re-draining the same source must be a no-op
+    stream_nb_counts_availablenow(spark, src, ckpt, state, schema=DOCUMENTS)
+    again = {(r["label"], r["w"], r["c"]) for r in spark.read.parquet(state).collect()}
+    assert again == want
