@@ -213,6 +213,52 @@ def split_assign_stratified(
     return assigned.filter(F.col(split_col).isNotNull())
 
 
+def split_assign_leakage_free(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """:func:`split_assign` with the near-duplicate CLOSURE as the
+    hashing unit: documents connected through the ``pairs`` relation
+    (``id_a, id_b`` near-dup edges from any pair generator — MinHash,
+    shingle-Jaccard, SimHash, embedding-LSH) land in the SAME split,
+    because the variate hashes the connected-component label instead
+    of the document id.  Splitting by doc id leaks by construction —
+    two near-identical documents straddle train/test with probability
+    2·p·(1−p) each, and a benchmark scored on the test half of a dup
+    pair measures memorization, not generalization (the failure
+    split_leakage_audit DETECTS; this is the constructive fix).
+
+    Singleton documents (no edge) use their own id as the component
+    label, so on an empty ``pairs`` relation this degrades to exactly
+    :func:`split_assign` — same salt, same thresholds, same variate.
+
+    Invariant (pinned in tests): no component straddles splits, and
+    assignment is reproducible from (id, pairs, salt) alone — adding
+    UNRELATED documents or re-partitioning never moves a row.
+
+    Scale shape: connected components over the pair graph (iterative
+    min-label, the dedup_cluster_assignment machinery — pair graphs
+    are sparse post-LSH), one left join of corpus onto the
+    component-sized label relation, then the split_assign scan+CASE.
+    The join is the only corpus-sized shuffle.
+    """
+    from square_etl_spark.operators.dedup import connected_components
+
+    labels = connected_components(pairs).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__grp")
+    )
+    keyed = df.join(labels, id_col, "left").withColumn(
+        "__grp", F.coalesce(F.col("__grp"), F.col(id_col))
+    )
+    return split_assign(keyed, "__grp", fractions, salt, split_col).drop(
+        "__grp"
+    )
+
+
 def stratified_take(
     df: DataFrame, strata: Sequence[str] | str, key: str, n_per_stratum: int
 ) -> DataFrame:

@@ -14192,6 +14192,99 @@ _register(
 )
 
 
+def _split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment
+    (operators/sampling.split_assign_leakage_free): near-dup pairs
+    (the dedup_cluster_assignment recipe — 3-gram Jaccard ≥ 0.1 with
+    the DF-100 stop-shingle cap) collapse to connected components,
+    and the split variate hashes the COMPONENT label, so no near-dup
+    cluster straddles train/test.  Output per split: docs, distinct
+    components, and docs living in multi-doc clusters (the mass that
+    WOULD have leaked under id-keyed splitting).  The oracle replays
+    pair generation, the component closure (recursive CTE), and the
+    md5-threshold assignment end to end."""
+    from square_etl_spark.operators.sampling import (
+        split_assign_leakage_free,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.1, df_cap=100
+    )
+    s = split_assign_leakage_free(
+        d,
+        pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        salt="lfs1",
+    )
+    # re-derive the component key for the reporting aggregate (the
+    # split itself already consumed it); component-sized relation
+    labels = connected_components(pairs).select(
+        "doc_id", F.col("cluster_id").alias("__grp")
+    )
+    keyed = s.join(labels, "doc_id", "left").withColumn(
+        "__grp", F.coalesce(F.col("__grp"), F.col("doc_id"))
+    )
+    gsize = keyed.groupBy("__grp").agg(
+        F.count(F.lit(1)).alias("__gn")
+    )
+    return (
+        keyed.join(gsize, "__grp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("__grp").cast("long").alias("n_components"),
+            F.sum((F.col("__gn") > 1).cast("long"))
+            .cast("long")
+            .alias("n_clustered_docs"),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "split_leakage_free",
+        _split_leakage_free,
+        oracle=f"""
+        WITH RECURSIVE {_ngram_pairs_ctes()},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION
+          SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT a, a FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+        grp AS (
+          SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS g
+          FROM documents d LEFT JOIN labels l USING (doc_id)),
+        assigned AS (
+          SELECT doc_id, g,
+                 CASE WHEN {_bucket_sql("g", "lfs1")}
+                           < '{rate_threshold(0.8)}' THEN 'train'
+                      WHEN {_bucket_sql("g", "lfs1")}
+                           < '{rate_threshold(0.9)}' THEN 'val'
+                      ELSE 'test' END AS split
+          FROM grp),
+        gsize AS (SELECT g, COUNT(*) AS gn FROM assigned GROUP BY g)
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS n_components,
+               CAST(SUM(CASE WHEN gn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clustered_docs
+        FROM assigned JOIN gsize USING (g)
+        GROUP BY split
+        """,
+        doc="leakage-free splits: near-dup components co-assigned to one "
+        "split (component-label hashing), per-split dup-mass report",
+    )
+)
+
+
 # Round-12 head: first the 8 queries REGISTERED this round (the
 # embedding stored-index ingest fold; per-source tokenizer compression
 # rate; benchmark-side contamination report; the 5-query trained-NB
@@ -14218,6 +14311,7 @@ _CHECK_PRIORITY: list[str] = [
     "classify_nb_gate_en",
     "classify_nb_incremental",
     "classify_nb_calibration",
+    "split_leakage_free",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
@@ -14256,7 +14350,6 @@ _CHECK_PRIORITY: list[str] = [
     "quantile_sketch_orders",
     "spatial_join_proximity",
     "expectation_report_orders",
-    "transition_matrix_events",
     "q1_pricing_summary",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.

@@ -942,3 +942,100 @@ def test_waterfill_zero_share_positive_cap_supplies_nothing():
     # when total is under the positive-share supply, spend == total
     b2 = waterfill_budgets([("a", 0, 5), ("b", 1, 3), ("c", 2, 100)], 10)
     assert b2["a"] == 0 and sum(b2.values()) == 10
+
+
+def test_leakage_free_split_no_component_straddles(spark, sf_dir):
+    """The invariant the operator exists for: every near-dup component
+    lands wholly inside one split."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from square_etl_spark.operators.sampling import (
+        split_assign_leakage_free,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.1, df_cap=100
+    )
+    s = split_assign_leakage_free(
+        d, pairs, {"train": 0.7, "val": 0.15, "test": 0.15}, salt="t"
+    )
+    labels = connected_components(pairs)
+    straddle = (
+        s.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert straddle.count() == 0
+    # multi-doc components exist in the fixture, so the invariant bites
+    assert (
+        labels.groupBy("cluster_id").count().filter("count > 1").count()
+        > 0
+    )
+    # disjoint and exhaustive at fractions summing to 1
+    assert s.count() == d.count()
+
+
+def test_leakage_free_split_degrades_to_split_assign_without_pairs(
+    spark, sf_dir
+):
+    """Empty pair relation ⇒ identical assignment to split_assign with
+    the same salt (component label = own id)."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.sampling import (
+        split_assign,
+        split_assign_leakage_free,
+    )
+
+    d = load_table(spark, sf_dir, "documents").limit(100)
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    a = {
+        (r["doc_id"], r["split"])
+        for r in split_assign_leakage_free(
+            d, empty, {"train": 0.8, "test": 0.2}, salt="z"
+        ).select("doc_id", "split").collect()
+    }
+    b = {
+        (r["doc_id"], r["split"])
+        for r in split_assign(
+            d, "doc_id", {"train": 0.8, "test": 0.2}, salt="z"
+        ).select("doc_id", "split").collect()
+    }
+    assert a == b and len(a) == 100
+
+
+def test_leakage_free_split_stable_under_unrelated_additions(spark, sf_dir):
+    """A document's assignment is a pure function of (its component,
+    salt): adding unrelated documents to the corpus must not move it."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import ngram_jaccard_pairs
+    from square_etl_spark.operators.sampling import (
+        split_assign_leakage_free,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    small = d.filter("doc_id < 200")
+    pairs_small = ngram_jaccard_pairs(
+        small, "doc_id", "text", n=3, threshold=0.1, df_cap=100
+    )
+    fr = {"train": 0.8, "test": 0.2}
+    base = {
+        (r["doc_id"], r["split"])
+        for r in split_assign_leakage_free(
+            small, pairs_small, fr, salt="s"
+        ).select("doc_id", "split").collect()
+    }
+    # grow the corpus; keep the SAME pair relation (the added docs are
+    # unrelated by construction of the assertion)
+    grown = {
+        (r["doc_id"], r["split"])
+        for r in split_assign_leakage_free(d, pairs_small, fr, salt="s")
+        .filter("doc_id < 200")
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert base == grown
