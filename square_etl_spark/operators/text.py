@@ -312,6 +312,47 @@ def fingerprint64(col: Column | str = "text") -> Column:
     )
 
 
+def blocklist_hits(
+    col: Column | str, terms: "Sequence[str]"
+) -> Column:
+    """Count of DISTINCT blocklisted tokens present in the document —
+    exact lowercase whole-token match (the C4 'bad words' policy
+    unit: substring matching bans 'assess'; token match does not).
+
+    ``terms`` is a parameter list (C4's published list is ~450 terms
+    — constant, never data-sized), compiled into one in-plan array
+    literal: one scan, array_intersect against the distinct token
+    set, no join, no shuffle, no UDF.  For a data-sized blocklist
+    (e.g. a learned one) use a relation join instead — this is the
+    fixed-policy fast path.
+    """
+    if not terms:
+        raise ValueError("terms must be a non-empty sequence")
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim(_c(col))), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    )
+    lits = F.array(*[F.lit(t.lower()) for t in terms])
+    return F.size(F.array_intersect(toks, lits)).cast("long")
+
+
+def blocklist_gate(
+    df: DataFrame,
+    terms: "Sequence[str]",
+    content_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Drop every document containing more than ``max_hits`` distinct
+    blocklisted tokens (C4 default: any hit kills the doc —
+    ``max_hits=0``).  Scan + codegen'd filter; columns pass through
+    untouched."""
+    return df.filter(
+        blocklist_hits(content_col, terms) <= F.lit(int(max_hits))
+    )
+
+
 def strip_markup(col: Column | str = "text") -> Column:
     """HTML/markup → clean text, pure column expressions (zero UDFs):
     drop <script>/<style> blocks and <!-- comments -->, replace every

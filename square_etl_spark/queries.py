@@ -14192,6 +14192,62 @@ _register(
 )
 
 
+def _quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate (operators/text.blocklist_gate): drop
+    any document containing a blocklisted token (exact lowercase
+    whole-token match — the published C4 policy unit), report the
+    per-source cut.  The fixture blocklist {'dup', 'slow'} plants a
+    rare term and a common one so the gate exercises both regimes.
+    One scan + array_intersect against the in-plan term literal —
+    no join, no shuffle; the oracle recomputes the distinct-token
+    intersection per document."""
+    import square_etl_spark.operators.text as _tx
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = ["dup", "slow"]
+    flagged = d.withColumn(
+        "__hits", _tx.blocklist_hits("text", terms)
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__hits") > 0).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum((F.col("__hits") == 0).cast("long"))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum("__hits").cast("long").alias("total_hits"),
+    )
+
+
+_register(
+    QuerySpec(
+        "quality_blocklist_gate",
+        _quality_blocklist,
+        oracle=r"""
+        WITH h AS (
+          SELECT source,
+                 CAST(len(list_intersect(
+                   list_distinct(list_filter(
+                     string_split_regex(lower(trim(text)), '\s+'),
+                     w -> w <> '')),
+                   ['dup', 'slow'])) AS BIGINT) AS hits
+          FROM documents)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(SUM(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(SUM(hits) AS BIGINT) AS total_hits
+        FROM h GROUP BY source
+        """,
+        doc="C4 bad-words gate: exact-token blocklist hits per doc, "
+        "per-source drop report; scan-only, no shuffle beyond the agg",
+    )
+)
+
+
 def _split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free train/val/test assignment
     (operators/sampling.split_assign_leakage_free): near-dup pairs
@@ -14312,6 +14368,7 @@ _CHECK_PRIORITY: list[str] = [
     "classify_nb_incremental",
     "classify_nb_calibration",
     "split_leakage_free",
+    "quality_blocklist_gate",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
@@ -14349,7 +14406,6 @@ _CHECK_PRIORITY: list[str] = [
     "fuzzy_join_names",
     "quantile_sketch_orders",
     "spatial_join_proximity",
-    "expectation_report_orders",
     "q1_pricing_summary",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.

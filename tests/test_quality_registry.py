@@ -139,3 +139,42 @@ def test_drift_psi_identical_snapshots_score_zero(spark):
     assert out[0]["psi_total"] > 0.25
     top = {r["bin"]: r["n_cur"] for r in out}
     assert top[9] == 1000 and sum(v for k, v in top.items() if k < 9) == 0
+
+
+def test_blocklist_gate_semantics(spark, sf_dir):
+    """blocklist_gate: exact whole-token match (no substring bans),
+    max_hits threshold, passthrough schema, empty-list rejection."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.text import blocklist_gate, blocklist_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "the Assess report"),      # 'assess' is NOT 'ass'
+            (2, "an ass appears here"),
+            (3, "ASS and damn together"),  # case-folded, 2 distinct
+            (4, "clean text entirely"),
+            (5, "ass ass ass"),            # distinct count = 1
+        ],
+        "doc_id long, text string",
+    )
+    terms = ["ass", "damn"]
+    hits = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", blocklist_hits("text", terms).alias("h")
+        ).collect()
+    }
+    assert hits == {1: 0, 2: 1, 3: 2, 4: 0, 5: 1}
+
+    kept0 = {r["doc_id"] for r in blocklist_gate(df, terms).collect()}
+    assert kept0 == {1, 4}
+    kept1 = {
+        r["doc_id"] for r in blocklist_gate(df, terms, max_hits=1).collect()
+    }
+    assert kept1 == {1, 2, 4, 5}
+    assert blocklist_gate(df, terms).columns == df.columns
+
+    with pytest.raises(ValueError, match="non-empty"):
+        blocklist_hits("text", [])
