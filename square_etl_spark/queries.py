@@ -14192,6 +14192,120 @@ _register(
 )
 
 
+def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datacard — the Datasheets-for-Datasets audit
+    row a curation pipeline publishes with every snapshot: volume
+    (docs/chars/tokens), language spread (distinct langs + dominant
+    lang by doc count, ties on lang asc), exact-duplicate mass (docs
+    whose full-content digest repeats WITHIN the source), and mean
+    document length.  One token-counting scan + one digest groupBy —
+    both map-side combinable; the digest relation is
+    distinct-content-sized.  All counts exact integers; the one
+    ratio rounds the long/long division to 6 (the engine-parity
+    contract)."""
+    from square_etl_spark.operators.dedup import content_digest
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        toks.alias("__nt"),
+        content_digest("text").alias("__dg"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum("__nt").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.round(
+            F.sum("__nt").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_tokens"),
+    )
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("__n").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    dup = (
+        base.groupBy("source", "__dg")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .groupBy("source")
+        .agg(F.sum("__nd").cast("long").alias("n_exact_dup_docs"))
+    )
+    return (
+        stats.join(top_lang, "source")
+        .join(dup, "source", "left")
+        .withColumn(
+            "n_exact_dup_docs",
+            F.coalesce(F.col("n_exact_dup_docs"), F.lit(0).cast("long")),
+        )
+    )
+
+
+_register(
+    QuerySpec(
+        "corpus_datacard",
+        _corpus_datacard,
+        oracle=r"""
+        WITH base AS (
+          SELECT source, lang, n_chars,
+                 CAST(len(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS BIGINT) AS nt,
+                 md5(text) AS dg
+          FROM documents),
+        stats AS (
+          SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                 CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                 ROUND(SUM(nt) / /*nz: every source non-empty*/
+                   CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens
+          FROM base GROUP BY source),
+        top_lang AS (
+          SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY COUNT(*) DESC, lang ASC) AS rk
+            FROM base GROUP BY source, lang)
+          WHERE rk = 1),
+        dup AS (
+          SELECT source,
+                 CAST(SUM(nd) AS BIGINT) AS n_exact_dup_docs
+          FROM (SELECT source, dg, COUNT(*) AS nd
+                FROM base GROUP BY source, dg)
+          WHERE nd >= 2 GROUP BY source)
+        SELECT s.source, n_docs, n_chars, n_tokens, n_langs,
+               mean_tokens, top_lang,
+               COALESCE(n_exact_dup_docs, 0) AS n_exact_dup_docs
+        FROM stats s
+        JOIN top_lang USING (source)
+        LEFT JOIN dup USING (source)
+        """,
+        doc="per-source corpus datacard: volume, language spread, exact-"
+        "dup mass, mean length — the snapshot audit artifact",
+    )
+)
+
+
 def _quality_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style blocklist gate (operators/text.blocklist_gate): drop
     any document containing a blocklisted token (exact lowercase
