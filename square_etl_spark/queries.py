@@ -14483,6 +14483,7 @@ _CHECK_PRIORITY: list[str] = [
     "classify_nb_calibration",
     "split_leakage_free",
     "quality_blocklist_gate",
+    "corpus_datacard",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
