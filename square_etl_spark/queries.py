@@ -14520,7 +14520,6 @@ _CHECK_PRIORITY: list[str] = [
     "outlier_zscore_orders",
     "fuzzy_join_names",
     "quantile_sketch_orders",
-    "spatial_join_proximity",
     "q1_pricing_summary",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
