@@ -1363,3 +1363,110 @@ def test_epoch_repeat_equals_python_fold(spark, rows, budgets):
             cum += w
             expect.extend((g, i, e) for e in range(1, n + 1))
     assert got == sorted(expect)
+
+
+# ---------------------------------------------------------------------------
+# Trained-NB classifier vs a pure-Python reference (operators/classify.py)
+# ---------------------------------------------------------------------------
+
+_nb_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_nb_label = st.sampled_from(["x", "y"])
+
+
+@st.composite
+def _nb_corpus(draw):
+    """Labeled training docs + unlabeled probe docs over a tiny closed
+    vocabulary — adversarial for ties and unseen tokens."""
+    train = draw(
+        st.lists(
+            st.tuples(
+                _nb_label,
+                st.lists(_nb_word, min_size=1, max_size=6),
+            ),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    probe = draw(
+        st.lists(
+            st.lists(_nb_word, min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    # at least one doc per both labels so priors are well-defined
+    train.append(("x", ["aa"]))
+    train.append(("y", ["bb"]))
+    return train, probe
+
+
+def _py_nb_predict(train, probe, alpha=1.0):
+    """Reference multinomial NB with the engine's EXACT decimal
+    contract: every ln leaf-rounded to 6 decimals, exact Fraction-free
+    composition via integer-scaled micro-units."""
+    import math
+    from collections import Counter, defaultdict
+
+    def ln6(x):
+        # round-half-even to 6dp in micro-units (matches both engines'
+        # ROUND on the double ln result)
+        return round(math.log(x) * 1e6) / 1e6
+
+    ndocs = Counter(lbl for lbl, _ in train)
+    total = sum(ndocs.values())
+    cnt = defaultdict(Counter)
+    for lbl, ws in train:
+        cnt[lbl].update(ws)
+    vocab = {w for _, ws in train for w in ws}
+    v = len(vocab)
+    labels = sorted(ndocs)
+    out = []
+    for i, ws in enumerate(probe):
+        scores = {}
+        for lbl in labels:
+            t = sum(cnt[lbl].values())
+            lprior = ln6(ndocs[lbl] / total)
+            lrate = ln6(alpha) - ln6(t + alpha * v)
+            s = lprior + len(ws) * lrate
+            for w in ws:
+                c = cnt[lbl].get(w, 0)
+                if c > 0:
+                    s += ln6(c + alpha) - ln6(alpha)
+            scores[lbl] = round(s, 6)
+        best = min(labels, key=lambda l: (-scores[l], l))
+        rest = sorted(
+            (l for l in labels if l != best),
+            key=lambda l: (-scores[l], l),
+        )
+        margin = round(scores[best] - scores[rest[0]], 6)
+        out.append((i, best, scores[best], margin))
+    return out
+
+
+@given(data=_nb_corpus())
+@SETTINGS
+def test_nb_predictions_match_python_reference(spark, data):
+    from square_etl_spark.operators.classify import nb_counts, nb_predictions
+
+    train, probe = data
+    tr_df = spark.createDataFrame(
+        [(i, lbl, " ".join(ws)) for i, (lbl, ws) in enumerate(train)],
+        "doc_id long, lang string, text string",
+    )
+    pr_df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(probe)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["pred_label"],
+            round(r["score"], 6),
+            round(r["margin"], 6),
+        )
+        for r in nb_predictions(pr_df, nb_counts(tr_df)).collect()
+    }
+    want = {
+        i: (lbl, round(s, 6), round(m, 6))
+        for i, lbl, s, m in _py_nb_predict(train, probe)
+    }
+    assert got == want
