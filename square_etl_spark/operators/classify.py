@@ -8,8 +8,9 @@ arXiv:1911.00359), GPT-3/WebText filtered on a quality classifier
 trained to separate curated from raw text, and FineWeb-Edu gates on a
 learned educational-quality scorer.  This module supplies that stage
 with an exactly-computable, engine-portable core: a multinomial Naive
-Bayes classifier over whitespace unigrams, trained and applied entirely
-in-engine.
+Bayes classifier over whitespace unigrams (or character n-grams — the
+fastText/CCNet lang-ID feature space; ``feature=`` on every entry
+point), trained and applied entirely in-engine.
 
 Why Naive Bayes and not SGD-logistic: NB's sufficient statistics are
 pure counting — one explode + groupBy, a sum monoid — so (a) training
@@ -59,20 +60,53 @@ from square_etl_spark.operators.text import (
 DOC_COUNT_KEY = ""
 
 
-def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, w) token occurrences — the engine-portable whitespace
-    tokenization every text operator here shares (lower, trim, split
-    on \\s+, drop empties; DuckDB twin: string_split_regex +
-    list_filter)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(_c(text_col))), r"\s+"),
-                lambda w: w != F.lit(""),
-            )
-        ).alias("w"),
-    )
+def _tokens(
+    df: DataFrame, id_col: str, text_col: str, feature: str = "word"
+) -> DataFrame:
+    """(id, w) feature occurrences in the chosen feature space.
+
+    - ``"word"``: whitespace unigrams (lower, trim, split on \\s+,
+      drop empties) — the engine's shared tokenization.
+    - ``"char2"`` / ``"char3"``: overlapping character n-grams of the
+      lowercased trimmed text — the fastText/CCNet lang-ID feature
+      space (word identity barely transfers across languages; char
+      n-gram DISTRIBUTIONS do).  Built with sequence + transform +
+      substr over a HOISTED normalized-text column — the transform
+      lambda must capture a plain attribute, not the lower(trim(…))
+      subtree, or interpreted HOF eval recomputes it per element and
+      the scan goes O(len²) (the r12 sign-LSH finding).  Pure
+      codegen'd expressions, no UDF; DuckDB twin: generate_series +
+      list_transform + substr.
+
+    Documents shorter than n yield no features and drop from scoring
+    (the zero-token contract).
+    """
+    if feature == "word":
+        return df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(_c(text_col))), r"\s+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("w"),
+        )
+    if feature in ("char2", "char3"):
+        n = int(feature[-1])
+        hoisted = df.select(
+            F.col(id_col),
+            F.lower(F.trim(_c(text_col))).alias("__t"),
+        )
+        t = F.col("__t")
+        grams = F.when(
+            F.length(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - F.lit(n - 1)),
+                lambda i: t.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return hoisted.select(F.col(id_col), F.explode(grams).alias("w"))
+    raise ValueError(f"unknown feature space: {feature!r}")
 
 
 def nb_counts(
@@ -80,6 +114,7 @@ def nb_counts(
     label_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    feature: str = "word",
 ) -> DataFrame:
     """Multinomial-NB sufficient statistics as ONE foldable relation
     ``(label, w, c)``: token rows count occurrences of token ``w``
@@ -94,6 +129,7 @@ def nb_counts(
         df.select(F.col(label_col).alias("label"), text_col),
         "label",
         text_col,
+        feature,
     )
     token_rows = toks.groupBy("label", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
@@ -193,6 +229,7 @@ def nb_predictions(
     text_col: str = "text",
     smoothing: float = 1.0,
     max_broadcast_rows: int = DEFAULT_MAX_BROADCAST_ROWS,
+    feature: str = "word",
 ) -> DataFrame:
     """Score ``df`` against the model in ``counts`` and return
     ``(id, n_tokens, pred_label, score, margin)`` — ``score`` the
@@ -213,7 +250,7 @@ def nb_predictions(
     (nothing to condition on) and drop out, documented here.
     """
     consts, adj = nb_model(counts, smoothing)
-    toks = _tokens(df, id_col, text_col)
+    toks = _tokens(df, id_col, text_col, feature)
     lens = toks.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens")
     )
@@ -268,12 +305,15 @@ def nb_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
     smoothing: float = 1.0,
+    feature: str = "word",
 ) -> DataFrame:
     """Keep only documents the classifier assigns to ``target_label``
     with at least ``min_margin`` log-posterior lead — the CCNet-style
     'keep what looks like the target domain' corpus gate.  Semi-join
     on the doc key: ``df``'s columns pass through untouched."""
-    preds = nb_predictions(df, counts, id_col, text_col, smoothing)
+    preds = nb_predictions(
+        df, counts, id_col, text_col, smoothing, feature=feature
+    )
     keep = preds.filter(
         (F.col("pred_label") == F.lit(target_label))
         & (F.col("margin") >= F.lit(float(min_margin)))
@@ -318,6 +358,7 @@ def nb_counts_batched(
     label_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    feature: str = "word",
 ) -> DataFrame:
     """Train INCREMENTALLY: compute per-batch sufficient statistics
     (``batch_pred_col`` ∈ each of ``batch_values`` selects a batch)
@@ -330,6 +371,7 @@ def nb_counts_batched(
             label_col,
             id_col,
             text_col,
+            feature,
         )
         state = b if state is None else fold_nb_counts(state, b)
     assert state is not None, "batch_values must be non-empty"

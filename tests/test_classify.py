@@ -148,3 +148,61 @@ def test_train_summary_exact_integers(spark, sf_dir):
     for r in card:
         assert r["n_docs"] > 0 and r["n_tokens"] > 0 and r["vocab_size"] > 0
         assert 1 <= len(r["top_tokens"].split(" ")) <= 2
+
+
+def test_char_ngram_feature_space(spark, sf_dir):
+    """char2/char3 featurizer: correct gram extraction (overlapping,
+    lowercased), short-doc drop, fold law holds per feature space,
+    unknown feature rejected."""
+    from square_etl_spark.operators.classify import (
+        _tokens,
+        nb_counts,
+        nb_counts_batched,
+        nb_predictions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "AbC"), (2, "x"), (3, "abab")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["w"])
+        for r in _tokens(df, "doc_id", "text", "char2").collect()
+    }
+    assert got == {
+        (1, "ab"), (1, "bc"),
+        (3, "ab"), (3, "ba"), (3, "ab"),  # set collapses the dup
+    }
+    # multiset check: 'abab' yields ab,ba,ab = 3 grams
+    n3 = (
+        _tokens(df, "doc_id", "text", "char2")
+        .filter("doc_id = 3")
+        .count()
+    )
+    assert n3 == 3
+    # doc 2 is shorter than 3 chars -> no char3 features
+    assert (
+        _tokens(df, "doc_id", "text", "char3")
+        .filter("doc_id = 2")
+        .count()
+        == 0
+    )
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % 6 == 0)
+    one = nb_counts(d, feature="char3")
+    folded = nb_counts_batched(
+        d.withColumn("__b", F.col("doc_id") % 2),
+        "__b",
+        [0, 1],
+        feature="char3",
+    )
+    assert _sorted_rows(one) == _sorted_rows(folded)
+
+    # scoring runs end to end in the char space
+    preds = nb_predictions(
+        d.limit(20), one, feature="char3"
+    )
+    assert preds.count() > 0
+
+    with pytest.raises(ValueError, match="feature"):
+        _tokens(df, "doc_id", "text", "char4")
