@@ -14192,6 +14192,83 @@ _register(
 )
 
 
+def _packing_policy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length policy audit: for each candidate sequence budget
+    (512/1024/2048 tokens), what ONE-DOC-PER-SEQUENCE packing would
+    cost — docs truncated, token mass lost to truncation, and pad
+    waste — vs what concat-and-split (pack_sequences) avoids by
+    construction.  The 3-row artifact that picks the trainer's context
+    length / packing policy before a corpus-scale tokenize run.
+
+    One token-count scan, a 3-constant budget fan-out (explode of a
+    parameter array — corpus × 3, not corpus²), map-side-combinable
+    sums; fractions are exact-integer sums divided in double and
+    rounded to 6 (the parity contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: w != F.lit(""),
+        )
+    ).cast("long")
+    budgets = F.array(F.lit(512), F.lit(1024), F.lit(2048))
+    e = d.select(nt.alias("__nt")).select(
+        "__nt", F.explode(budgets).alias("budget")
+    )
+    kept = F.least(F.col("__nt"), F.col("budget").cast("long"))
+    return (
+        e.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("__nt") > F.col("budget")).cast("long")
+            ).cast("long").alias("n_truncated"),
+            F.round(
+                F.sum(F.col("__nt") - kept).cast("double")
+                / F.sum("__nt"),
+                6,
+            ).alias("truncated_token_frac"),
+            F.round(
+                F.sum(F.col("budget").cast("long") - kept).cast("double")
+                / F.sum(F.col("budget").cast("long")),
+                6,
+            ).alias("pad_waste_frac"),
+        )
+        .withColumn("budget", F.col("budget").cast("long"))
+    )
+
+
+_register(
+    QuerySpec(
+        "packing_policy_audit",
+        _packing_policy_audit,
+        oracle=r"""
+        WITH nt AS (
+          SELECT CAST(len(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   w -> w <> '')) AS BIGINT) AS n
+          FROM documents),
+        e AS (
+          SELECT n, CAST(UNNEST([512, 1024, 2048]) AS BIGINT) AS budget
+          FROM nt)
+        SELECT budget,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_truncated,
+               ROUND(SUM(n - LEAST(n, budget))
+                 / /*nz: corpus token mass positive*/
+                 CAST(SUM(n) AS DOUBLE), 6) AS truncated_token_frac,
+               ROUND(SUM(budget - LEAST(n, budget))
+                 / /*nz: budgets positive*/
+                 CAST(SUM(budget) AS DOUBLE), 6) AS pad_waste_frac
+        FROM e GROUP BY budget
+        """,
+        doc="context-length policy audit: truncation + pad waste per "
+        "candidate budget under one-doc-per-sequence packing; 3-row artifact",
+    )
+)
+
+
 def _corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datacard — the Datasheets-for-Datasets audit
     row a curation pipeline publishes with every snapshot: volume
@@ -14484,6 +14561,7 @@ _CHECK_PRIORITY: list[str] = [
     "split_leakage_free",
     "quality_blocklist_gate",
     "corpus_datacard",
+    "packing_policy_audit",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
@@ -14519,7 +14597,6 @@ _CHECK_PRIORITY: list[str] = [
     "inverted_index_terms",
     "outlier_zscore_orders",
     "fuzzy_join_names",
-    "quantile_sketch_orders",
     "q1_pricing_summary",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
