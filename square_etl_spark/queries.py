@@ -11626,7 +11626,7 @@ def _waterfill_fixpoint_ctes(
                    budget := CAST(0 AS HUGEINT),
                    capped := false) ORDER BY g) AS gs
           FROM {items_cte}),
-        tr AS (
+        wf_tr AS (
           SELECT 0 AS step, false AS done, gs FROM init
           UNION ALL
           SELECT step + 1,
@@ -11681,15 +11681,15 @@ def _waterfill_fixpoint_ctes(
                      COALESCE(list_sum(list_transform(
                        list_filter(gs, t -> NOT t.capped),
                        t -> t.x)), 0) AS sw
-              FROM tr WHERE NOT done
+              FROM wf_tr WHERE NOT done
                 -- each live step caps >=1 group or finishes, so
                 -- steps <= |groups|+2; bound sized to the
                 -- mixture-dims contract (<=10^3 groups), NOT the
                 -- old 50 that silently truncated larger domains
                 AND step < 2048) a) b),
         fin AS (
-          SELECT unnest(gs) AS s FROM tr
-          WHERE step = (SELECT MAX(step) FROM tr)),
+          SELECT unnest(gs) AS s FROM wf_tr
+          WHERE step = (SELECT MAX(step) FROM wf_tr)),
         bud AS (
           SELECT s.g AS {group_alias}, CAST(s.budget AS BIGINT) AS b
           FROM fin)"""
@@ -13889,14 +13889,17 @@ def _classify_nb_model_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.nb_train_summary(_nb_train_counts(spark, sf_dir), top_k=3)
 
 
-# Shared oracle prefix: NB training + holdout scoring, the exact
-# decimal recipe of operators/classify.nb_model/nb_predictions
-# (leaf-rounded ln → DECIMAL(18,6), exact composition after).
-_NB_ORACLE_CTES = r"""
+# Shared oracle prefix: NB training + scoring, the exact decimal
+# recipe of operators/classify.nb_model/nb_predictions (leaf-rounded
+# ln → DECIMAL(18,6), exact composition after).  ``score_pred``
+# selects the scored slice (holdout for the eval queries, TRUE for
+# whole-corpus gates like pipeline_classified_mix).
+def _nb_oracle_ctes(score_pred: str = "doc_id % 3 = 0") -> str:
+    return r"""
         WITH tr AS (SELECT doc_id, lang, text FROM documents
                     WHERE doc_id % 3 <> 0),
         te AS (SELECT doc_id, lang, text FROM documents
-               WHERE doc_id % 3 = 0),
+               WHERE __SCORE_PRED__),
         ttr AS (
           SELECT lang AS label,
                  UNNEST(list_filter(
@@ -13955,7 +13958,10 @@ _NB_ORACLE_CTES = r"""
                  CAST(score AS DOUBLE) AS score,
                  CAST(score - nxt AS DOUBLE) AS margin
           FROM ranked WHERE rk = 1)
-"""
+""".replace("__SCORE_PRED__", score_pred)
+
+
+_NB_ORACLE_CTES = _nb_oracle_ctes()
 
 
 def _classify_nb_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14532,6 +14538,88 @@ _register(
 )
 
 
+def _pipeline_classified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END learned-filter → data-constrained-mix pipeline: the
+    composition a real curation run executes.  Train the NB classifier
+    on the labeled split (doc_id % 3 ≠ 0, lang as class), gate the
+    WHOLE corpus to documents the model calls 'en' (margin ≥ 0 — any
+    win), then water-fill a 30k-char sqrt-temperature budget over the
+    gated corpus's SOURCES at max_epochs = 1 and take each source's
+    budget in md5 order.  Per-source row: kept docs/chars + id fence.
+
+    Every stage is the already-oracle-checked operator (classify.
+    nb_gate ∘ sampling.temperature_mix_waterfill); the oracle replays
+    the WHOLE chain — NB training, exact-decimal inference, the gate,
+    the recursive-CTE fixpoint, and the prefix consumption — in one
+    WITH RECURSIVE chain (the waterfill state CTE renamed wf_tr this
+    round so it can share a chain with the NB train split `tr`)."""
+    from square_etl_spark.operators import classify as cls
+    from square_etl_spark.operators.sampling import temperature_mix_waterfill
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = cls.nb_counts(d.filter(F.col("doc_id") % 3 != 0))
+    gated = cls.nb_gate(d, counts, "en", min_margin=0.0)
+    mixed = temperature_mix_waterfill(
+        gated, "source", "n_chars", ["doc_id"],
+        total_budget=30000, alpha=0.5, max_epochs=1.0,
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_chars").cast("long").alias("kept_chars"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+_register(
+    QuerySpec(
+        "pipeline_classified_mix",
+        _pipeline_classified_mix,
+        oracle=_nb_oracle_ctes("TRUE").replace(
+            "WITH tr AS", "WITH RECURSIVE tr AS"
+        )
+        + r""",
+        gated AS (
+          SELECT d.doc_id, d.source, d.n_chars
+          FROM documents d JOIN preds ON preds.doc_id = d.doc_id
+          WHERE pred_label = 'en' AND margin >= 0.0),
+        sz AS (SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS n
+               FROM gated GROUP BY source),
+        witems AS (
+          SELECT g,
+                 CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5) * 1e9, 0)
+                      AS HUGEINT) AS x,
+                 CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * 1.0, 6))
+                      AS BIGINT) AS HUGEINT) AS cap
+          FROM sz),
+        """
+        + _waterfill_fixpoint_ctes(30000, "witems", "source")
+        + r""",
+        ordx AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_chars AS cum_before
+          FROM gated)
+        SELECT o.source,
+               CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(o.n_chars) AS BIGINT) AS kept_chars,
+               CAST(MIN(o.doc_id) AS BIGINT) AS min_doc_id,
+               CAST(MAX(o.doc_id) AS BIGINT) AS max_doc_id
+        FROM ordx o JOIN bud ON bud.source = o.source
+        WHERE cum_before < b
+        GROUP BY o.source
+        """,
+        doc="e2e learned-filter -> data-constrained mix: NB gate over the "
+        "whole corpus, then waterfilled temperature budgets per source, "
+        "one oracle replaying classifier + fixpoint + consumption",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
 # Round-12 head: first the 8 queries REGISTERED this round (the
 # embedding stored-index ingest fold; per-source tokenizer compression
 # rate; benchmark-side contamination report; the 5-query trained-NB
@@ -14562,6 +14650,7 @@ _CHECK_PRIORITY: list[str] = [
     "quality_blocklist_gate",
     "corpus_datacard",
     "packing_policy_audit",
+    "pipeline_classified_mix",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
@@ -14596,7 +14685,6 @@ _CHECK_PRIORITY: list[str] = [
     "pagerank_user_graph",
     "inverted_index_terms",
     "outlier_zscore_orders",
-    "fuzzy_join_names",
     "q1_pricing_summary",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
