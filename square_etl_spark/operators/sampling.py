@@ -213,6 +213,54 @@ def split_assign_stratified(
     return assigned.filter(F.col(split_col).isNotNull())
 
 
+def gumbel_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key: str = "doc_id",
+    salt: str = "",
+    score_col: str = "gumbel_score",
+) -> DataFrame:
+    """Sample ``k`` rows WITHOUT replacement with probability
+    proportional to ``exp(weight)`` — the Gumbel-top-k trick (take the
+    k largest ``weight + Gumbel(0,1)``), which is the sampler DSIR
+    actually prescribes over its log-importance-weights (a plain
+    top-k over-selects the head of the distribution; Gumbel
+    perturbation gives every document its correct inclusion odds).
+
+    DETERMINISTIC: the Gumbel noise is ``−ln(−ln u)`` with ``u``
+    derived from md5(salt‖key) — the engine's standard reproducible
+    variate, so re-runs, re-partitions, and the DuckDB oracle all
+    draw the same sample.  Exactness of the cross-engine bridge:
+    ``u = (first 52 md5 bits + 0.5) / 2^52`` has a power-of-two
+    denominator, so u is computed EXACTLY (no rounding) and
+    identically on both engines, u ∈ (0,1) strictly; the perturbed
+    score rounds to 6 decimals and ties break on the key.
+
+    Shape: one scan + TakeOrdered (k-bounded — no global sort is
+    materialized); the weight column is whatever upstream scorer
+    produced (DSIR log-weights, classifier margins, negative NLL).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    g = F.round(F.col(weight_col) + (-F.log(-F.log(u))), 6)
+    return (
+        df.withColumn(score_col, g)
+        .orderBy(F.col(score_col).desc(), F.col(key).asc())
+        .limit(int(k))
+    )
+
+
 def split_assign_leakage_free(
     df: DataFrame,
     pairs: DataFrame,

@@ -14538,6 +14538,63 @@ _register(
 )
 
 
+def _dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's PRESCRIBED sampler (operators/sampling.gumbel_topk_sample
+    over dsir_logweights): 200 docs drawn ∝ exp(log-importance-weight)
+    toward the German target domain via deterministic Gumbel top-k —
+    the md5-derived uniform makes the draw reproducible and
+    oracle-replayable (u = (52 md5 bits + 0.5)/2^52 is exact on both
+    engines), unlike the head-only deterministic top-k
+    pipeline_curation_mix takes.  Output is the row-level sample
+    (doc_id, lang, gumbel_score) so the hash check certifies the
+    EXACT membership, not an aggregate of it."""
+    from square_etl_spark.operators.sampling import (
+        dsir_logweights,
+        gumbel_topk_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = dsir_logweights(d, d.filter(F.col("lang") == "de"))
+    sel = gumbel_topk_sample(
+        scored, "dsir_logw", k=200, key="doc_id", salt="g1"
+    )
+    return sel.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "gumbel_score"
+    )
+
+
+_HEX13 = (
+    "list_sum(list_transform(generate_series(1, 13),"
+    " p -> (CAST(strpos('0123456789abcdef',"
+    " substr(md5('g1' || CAST(doc_id AS VARCHAR)), p, 1)) AS BIGINT) - 1)"
+    " * (CAST(1 AS BIGINT) << (4 * (13 - CAST(p AS INTEGER))))))"
+)
+
+
+_register(
+    QuerySpec(
+        "dsir_gumbel_sample",
+        _dsir_gumbel_sample,
+        oracle=f"""
+        WITH scored AS (SELECT * FROM ({_dsir_oracle()}) s),
+        pert AS (
+          SELECT doc_id,
+                 ROUND(dsir_logw + -ln(-ln(
+                   (CAST({_HEX13} AS DOUBLE) + 0.5)
+                     / 4503599627370496.0)), 6) AS gumbel_score
+          FROM scored),
+        sel AS (
+          SELECT doc_id, gumbel_score FROM pert
+          ORDER BY gumbel_score DESC, doc_id ASC LIMIT 200)
+        SELECT sel.doc_id, d.lang, sel.gumbel_score
+        FROM sel JOIN documents d USING (doc_id)
+        """,
+        doc="DSIR Gumbel-top-k sampler: exp(logw)-proportional draw "
+        "without replacement, md5-derived noise, row-level oracle",
+    )
+)
+
+
 def _pipeline_classified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END learned-filter → data-constrained-mix pipeline: the
     composition a real curation run executes.  Train the NB classifier
@@ -14651,6 +14708,7 @@ _CHECK_PRIORITY: list[str] = [
     "corpus_datacard",
     "packing_policy_audit",
     "pipeline_classified_mix",
+    "dsir_gumbel_sample",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
@@ -14684,7 +14742,6 @@ _CHECK_PRIORITY: list[str] = [
     "kmeans_embeddings",
     "pagerank_user_graph",
     "inverted_index_terms",
-    "outlier_zscore_orders",
     "q1_pricing_summary",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.

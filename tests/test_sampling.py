@@ -1039,3 +1039,44 @@ def test_leakage_free_split_stable_under_unrelated_additions(spark, sf_dir):
         .collect()
     }
     assert base == grown
+
+
+def test_gumbel_topk_sample_properties(spark):
+    """Gumbel top-k: deterministic under re-partition, k-bounded, and
+    distributionally correct — with weights ln(9) vs 0 a k=1 draw
+    must pick the heavy item ≈90% of the time across fixed salts
+    (exp-weight-proportional sampling, the Gumbel-max guarantee)."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(1, math.log(9.0)), (2, 0.0)], "doc_id long, w double"
+    )
+    heavy = 0
+    for i in range(120):
+        pick = gumbel_topk_sample(df, "w", k=1, salt=f"s{i}").collect()
+        assert len(pick) == 1
+        heavy += pick[0]["doc_id"] == 1
+    # Binomial(120, 0.9): nine sigma ≈ 30 — bounds loose enough to be
+    # deterministic-proof yet falsify a uniform (60) or argmax (120
+    # only if noise were ignored... argmax would give 120) sampler
+    assert 88 <= heavy <= 119, heavy
+
+    big = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("double").alias("w")
+    )
+    a = {r["doc_id"] for r in gumbel_topk_sample(big, "w", 50, salt="x").collect()}
+    b = {
+        r["doc_id"]
+        for r in gumbel_topk_sample(
+            big.repartition(13), "w", 50, salt="x"
+        ).collect()
+    }
+    assert a == b and len(a) == 50
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        gumbel_topk_sample(big, "w", 0)
