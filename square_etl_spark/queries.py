@@ -14669,6 +14669,7 @@ _register(
         WHERE cum_before < b
         GROUP BY o.source
         """,
+        bench=True,  # r12: the composition headline earns a recorded number
         doc="e2e learned-filter -> data-constrained mix: NB gate over the "
         "whole corpus, then waterfilled temperature budgets per source, "
         "one oracle replaying classifier + fixpoint + consumption",
