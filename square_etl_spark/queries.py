@@ -14538,6 +14538,43 @@ _register(
 )
 
 
+def _classify_nb_active_learning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Active-learning pick: the 50 LOWEST-margin holdout documents —
+    where the classifier is least certain and a human label buys the
+    most model improvement (uncertainty sampling, the standard
+    labeling-loop selector).  Bottom-k by (margin asc, doc asc) =
+    TakeOrdered, k-bounded; row-level output so the hash check pins
+    the exact pick."""
+    from square_etl_spark.operators import classify as cls
+
+    d = load_table(spark, sf_dir, "documents")
+    te = d.filter(F.col("doc_id") % 3 == 0)
+    preds = cls.nb_predictions(te, _nb_train_counts(spark, sf_dir))
+    return (
+        preds.orderBy(F.col("margin").asc(), F.col("doc_id").asc())
+        .limit(50)
+        .select("doc_id", "pred_label", "margin")
+    )
+
+
+_register(
+    QuerySpec(
+        "classify_nb_active_learning",
+        _classify_nb_active_learning,
+        oracle=_NB_ORACLE_CTES
+        + r"""
+        SELECT doc_id, pred_label, margin FROM preds
+        ORDER BY margin ASC, doc_id ASC LIMIT 50
+        """,
+        doc="uncertainty sampling: 50 lowest-margin holdout docs — the "
+        "active-learning labeling pick, exact row-level oracle",
+        global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
+    )
+)
+
+
 def _dsir_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR's PRESCRIBED sampler (operators/sampling.gumbel_topk_sample
     over dsir_logweights): 200 docs drawn ∝ exp(log-importance-weight)
@@ -14710,6 +14747,7 @@ _CHECK_PRIORITY: list[str] = [
     "packing_policy_audit",
     "pipeline_classified_mix",
     "dsir_gumbel_sample",
+    "classify_nb_active_learning",
     "dedup_decontaminate_semantic",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
@@ -14742,7 +14780,6 @@ _CHECK_PRIORITY: list[str] = [
     "snapshot_diff_orders",
     "kmeans_embeddings",
     "pagerank_user_graph",
-    "inverted_index_terms",
     "q1_pricing_summary",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.

@@ -290,3 +290,32 @@ def test_registered_semantic_decontam_carries_the_cap_anti_join(spark, sf_dir):
     plan = _plan(queries()["dedup_decontaminate_semantic"](spark, sf_dir))
     assert "Window" not in plan
     assert "LeftAnti" in plan
+
+
+def test_gumbel_sampler_is_take_ordered_not_global_sort(spark, sf_dir):
+    """gumbel_topk_sample must plan as TakeOrdered (k-bounded) — a
+    materialized global Sort would be the scale bug the operator's
+    contract rules out."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.sampling import gumbel_topk_sample
+
+    big = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("double").alias("w"),
+    )
+    plan = _plan(gumbel_topk_sample(big, "w", 25))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_blocklist_gate_is_scan_only(spark, sf_dir):
+    """blocklist_gate adds no Exchange: the term list is an in-plan
+    array literal, so the filter is a scan-side predicate."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.text import blocklist_gate
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = _plan(blocklist_gate(d, ["dup", "slow"]))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
