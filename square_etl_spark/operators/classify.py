@@ -376,3 +376,27 @@ def nb_counts_batched(
         state = b if state is None else fold_nb_counts(state, b)
     assert state is not None, "batch_values must be non-empty"
     return state
+
+
+def save_nb_model(counts: DataFrame, path: str) -> int:
+    """Persist NB sufficient statistics as the next immutable snapshot
+    of a VERSIONED model-artifact table (io.versioned_write: pointer
+    flip, crash-safe, old versions readable until vacuumed) — the
+    classifier twin of text.save_merges, so a curation run can pin
+    "gate with LAST release's classifier" exactly.  Returns the new
+    version.  The stored relation is the fold state itself
+    ``(label, w, c)``: loading and folding a new batch's counts into
+    it then saving again IS online retraining with provenance."""
+    from square_etl_spark.io import versioned_write
+
+    return versioned_write(counts.sparkSession, counts, path)
+
+
+def load_nb_model(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read a :func:`save_nb_model` artifact back as the ``counts``
+    relation every scorer consumes.  ``version`` pins a historical
+    snapshot — the reproducibility contract for re-running an old
+    gate decision."""
+    from square_etl_spark.io import read_version
+
+    return read_version(spark, path, version).select("label", "w", "c")

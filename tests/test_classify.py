@@ -206,3 +206,44 @@ def test_char_ngram_feature_space(spark, sf_dir):
 
     with pytest.raises(ValueError, match="feature"):
         _tokens(df, "doc_id", "text", "char4")
+
+
+def test_versioned_model_artifacts_roundtrip(spark, sf_dir, tmp_path):
+    """save/load of the NB model state: version pinning, online
+    retrain via fold-then-save, scoring through a loaded artifact
+    equals scoring through the live relation."""
+    import os
+
+    from square_etl_spark.operators.classify import (
+        fold_nb_counts,
+        load_nb_model,
+        nb_counts,
+        nb_predictions,
+        save_nb_model,
+    )
+
+    d = _docs(spark, sf_dir)
+    b0 = d.filter("doc_id % 2 = 0 and doc_id < 240")
+    b1 = d.filter("doc_id % 2 = 1 and doc_id < 240")
+    path = os.path.join(tmp_path, "nb_model")
+
+    v1 = save_nb_model(nb_counts(b0), path)
+    # online retrain: load v1, fold batch 1, save v2
+    v2 = save_nb_model(
+        fold_nb_counts(load_nb_model(spark, path), nb_counts(b1)), path
+    )
+    assert v2 == v1 + 1
+
+    # v2 == one-shot over both batches
+    want = _sorted_rows(nb_counts(b0.unionByName(b1)))
+    assert _sorted_rows(load_nb_model(spark, path)) == want
+    # v1 still pinned and readable
+    assert _sorted_rows(load_nb_model(spark, path, version=v1)) == \
+        _sorted_rows(nb_counts(b0))
+
+    probe = d.filter("doc_id >= 240 and doc_id < 300")
+    via_artifact = _sorted_rows(
+        nb_predictions(probe, load_nb_model(spark, path))
+    )
+    live = _sorted_rows(nb_predictions(probe, nb_counts(b0.unionByName(b1))))
+    assert via_artifact == live and len(live) > 0
