@@ -237,8 +237,13 @@ def main() -> None:
     )
 
     # the compact record is the FINAL stdout line — nothing may print
-    # after it, and it stays small (~60 bytes + ~25/query) so the
-    # driver's tail capture always holds the whole line.
+    # after it.  The driver's tail capture is byte-bounded and keeps
+    # the END of the line, so at 40+ benched queries the FRONT can be
+    # cut: (a) timings are emitted ASCENDING by time so the heavy —
+    # most diagnostic — entries sit nearest the end and survive any
+    # truncation, and (b) the stdout drift map carries only the
+    # non-"n" classes (the signal); the full per-query map lives in
+    # BENCH_DETAIL.json alongside the raw runs.
     sys.stdout.flush()
     print(
         json.dumps(
@@ -246,11 +251,13 @@ def main() -> None:
                 "metric": "bench_total_s",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": dict(
+                    sorted(timings.items(), key=lambda kv: kv[1])
+                ),
                 "sf": sf,
                 "calib_s": calib_s,
                 "calib_ratio": calib_ratio,
-                "drift": drift,
+                "drift": {k: v for k, v in drift.items() if v != "n"},
                 "git_head": git_head,
             }
         )
