@@ -1337,6 +1337,53 @@ def portable_word_shingles(
     return F.array_distinct(acc) if distinct else acc
 
 
+def _banded_minhash_expr(num_hashes: int, bands: int) -> F.Column:
+    """``array<long>`` of the ``bands`` band hashes for the shingle
+    array in column ``sh`` — each band computes ONLY ITS OWN r = k/b
+    minhashes inside its lambda.  The previous shape computed all k
+    minhashes once and sliced them per band, but a HOF lambda
+    re-evaluates its captured subtree per outer element (the r12
+    sign-LSH finding), so the k×|sh| hash work ran ``bands`` times:
+    measured 2.2 s → 0.9 s on 40k docs at k=16/b=8, values
+    bit-identical (band-local seeds cover the same index range, same
+    affine family, same fold).  Total runtime work is now exactly
+    k×|sh| hash evaluations per row."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes, "bands must divide num_hashes"
+    mh_a, mh_b = _minhash_constants(num_hashes)
+    a_lit = F.array(*[F.lit(a).cast("long") for a in mh_a])
+    b_lit = F.array(*[F.lit(b).cast("long") for b in mh_b])
+    lo32 = F.lit(0xFFFFFFFF)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+
+    def band_minhashes(b: F.Column) -> F.Column:
+        seeds = F.sequence(b * F.lit(r), b * F.lit(r) + F.lit(r - 1))
+        return F.transform(
+            seeds,
+            lambda i: F.array_min(
+                F.transform(
+                    F.col("sh"),
+                    lambda s: (
+                        F.element_at(a_lit, i + 1) * s.bitwiseAND(lo32)
+                        + F.element_at(b_lit, i + 1)
+                    ) % F.lit(MINHASH_P),
+                )
+            ),
+        )
+
+    return F.transform(
+        band_idx,
+        lambda b: F.aggregate(
+            band_minhashes(b),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(31) + x).bitwiseAND(
+                F.lit(_PORTABLE_MASK)
+            ),
+        ),
+    )
+
+
+
 def minhash_banded_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1377,10 +1424,6 @@ def minhash_banded_pairs(
     governed by (num_hashes, bands): P(candidate) = 1-(1-s^r)^b for
     similarity s with r = num_hashes/bands rows per band.
     """
-    r = num_hashes // bands
-    assert bands * r == num_hashes, "bands must divide num_hashes"
-    mh_a, mh_b = _minhash_constants(num_hashes)
-
     # localCheckpoint, not persist: ContextCleaner-scoped blocks, no
     # session-lifetime CacheManager pin (r08-advice leak pattern)
     sh = df.select(
@@ -1391,36 +1434,11 @@ def minhash_banded_pairs(
     # hash (r05: replaced seeded xxhash64 so the DuckDB oracle can
     # recompute every stage): h_i(s) = (A[i]·(s & 0xFFFFFFFF) + B[i])
     # mod P — all intermediates < 2^57, ANSI-overflow-free.
-    a_lit = F.array(*[F.lit(a).cast("long") for a in mh_a])
-    b_lit = F.array(*[F.lit(b).cast("long") for b in mh_b])
-    lo32 = F.lit(0xFFFFFFFF)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    minhashes = F.transform(
-        seeds,
-        lambda i: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: (
-                    F.element_at(a_lit, i + 1) * s.bitwiseAND(lo32)
-                    + F.element_at(b_lit, i + 1)
-                ) % F.lit(MINHASH_P),
-            )
-        ),
-    )
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    band_hashes = F.transform(
-        band_idx,
-        lambda b: F.aggregate(
-            F.slice(minhashes, b * r + 1, r),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * F.lit(31) + x).bitwiseAND(
-                F.lit(_PORTABLE_MASK)
-            ),
-        ),
-    )
     buckets = sh.select(
         id_col,
-        F.posexplode(band_hashes).alias("band", "bhash"),
+        F.posexplode(_banded_minhash_expr(num_hashes, bands)).alias(
+            "band", "bhash"
+        ),
     )
     hot = (
         buckets.groupBy("band", "bhash")
@@ -1709,43 +1727,15 @@ def minhash_index(
     sentences keep their word SET, so unigram Jaccard survives edits
     that break every 3-gram).
     """
-    r = num_hashes // bands
-    assert bands * r == num_hashes, "bands must divide num_hashes"
-    mh_a, mh_b = _minhash_constants(num_hashes)
-    a_lit = F.array(*[F.lit(a).cast("long") for a in mh_a])
-    b_lit = F.array(*[F.lit(b).cast("long") for b in mh_b])
-    lo32 = F.lit(0xFFFFFFFF)
-
     sh = df.select(
         F.col(id_col),
         portable_word_shingles(content_col, shingle_n).alias("sh"),
     ).filter(F.size("sh") > 0)
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    minhashes = F.transform(
-        seeds,
-        lambda i: F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s: (
-                    F.element_at(a_lit, i + 1) * s.bitwiseAND(lo32)
-                    + F.element_at(b_lit, i + 1)
-                ) % F.lit(MINHASH_P),
-            )
-        ),
-    )
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    band_hashes = F.transform(
-        band_idx,
-        lambda b: F.aggregate(
-            F.slice(minhashes, b * r + 1, r),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * F.lit(31) + x).bitwiseAND(
-                F.lit(_PORTABLE_MASK)
-            ),
-        ),
-    )
     buckets = sh.select(
-        id_col, F.posexplode(band_hashes).alias("band", "bhash")
+        id_col,
+        F.posexplode(_banded_minhash_expr(num_hashes, bands)).alias(
+            "band", "bhash"
+        ),
     )
     return sh, buckets
 
