@@ -2287,7 +2287,7 @@ def ngram_jaccard_prefix(
     )
 
 
-def _portable_window_hashes(content_col: str, window_tokens: int) -> F.Column:
+def _portable_window_hashes(hw_col: str, window_tokens: int) -> F.Column:
     """Sliding ``window_tokens``-token window hashes at EVERY token
     position (stride 1) — the exact-substring dedup key space.  Same
     engine-portable arithmetic as :func:`portable_word_shingles`
@@ -2298,15 +2298,18 @@ def _portable_window_hashes(content_col: str, window_tokens: int) -> F.Column:
     the tree tiny at O(tokens·window) runtime.  (At true corpus
     scale, a rolling polynomial hash makes this O(tokens); the masked
     2^57 arithmetic here is not invertible in ANSI long math, so the
-    windowed fold is the portable form this engine ships.)"""
-    words = F.filter(
-        F.split(F.trim(F.col(content_col)), r"\s+"), lambda w: w != F.lit("")
-    )
-    hw = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-    )
-    k = F.size(words) - F.lit(window_tokens - 1)
+    windowed fold is the portable form this engine ships.)
+
+    ``hw_col`` must be a MATERIALIZED ``array<long>`` column of the
+    per-word hashes (see :func:`_substring_base`) — the r12 HOF rule:
+    the position lambda captures ``hw`` twice (slice + element_at),
+    and interpreted HOF eval re-evaluates a captured SUBTREE per
+    outer element, so an inline md5-transform here ran the per-word
+    hashing once per window position — O(tokens²) md5 evaluations
+    per document (measured 4.3× end-to-end on the substring query;
+    the minhash/sign-LSH finding, third instance)."""
+    hw = F.col(hw_col)
+    k = F.size(hw) - F.lit(window_tokens - 1)
     mask = F.lit(_PORTABLE_MASK)
     # k < 1 ⇒ no window: guard explicitly — sequence(1, 0) DESCENDS
     # ([1, 0]) and the i=0 probe would hit element_at's 1-based floor
@@ -2329,14 +2332,32 @@ def _substring_base(
     df: DataFrame, id_col: str, content_col: str, window_tokens: int
 ) -> DataFrame:
     """The checkpointed compact base both substring-dedup variants
-    share: (id, __w token array, __wh window-hash array)."""
-    return df.select(
+    share: (id, __w token array, __wh window-hash array).  Two-stage
+    projection on purpose: the per-word hash array materializes as a
+    real attribute FIRST, so the window fold's lambda captures a
+    column reference, not the md5-transform subtree (multi-referenced
+    expensive aliases are not collapsed back by CollapseProject, and
+    the checkpoint pins the final relation anyway)."""
+    toks = df.select(
         F.col(id_col),
         F.filter(
             F.split(F.trim(F.col(content_col)), r"\s+"),
             lambda w: w != F.lit(""),
         ).alias("__w"),
-        _portable_window_hashes(content_col, window_tokens).alias("__wh"),
+    )
+    hashed = toks.withColumn(
+        "__hw",
+        F.transform(
+            F.col("__w"),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ),
+    )
+    return hashed.select(
+        F.col(id_col),
+        "__w",
+        _portable_window_hashes("__hw", window_tokens).alias("__wh"),
     ).localCheckpoint(eager=True)
 
 

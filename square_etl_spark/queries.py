@@ -12901,6 +12901,7 @@ _register(
         "dedup_substring_exact",
         _substring_dedup_q,
         oracle=_substring_oracle(20),
+        bench=True,  # r12: the window-hash hoist (8x) earns a recorded number
         doc="exact-substring dedup: sliding 20-token windows, first-occurrence survives, covered tokens stripped; full hash-chain recomputed by the oracle",
     )
 )
