@@ -60,25 +60,66 @@ def word_shingles(col: str, n: int = 3) -> F.Column:
     return F.array_distinct(sh)
 
 
+def word_hashes(col: str, portable: bool = False) -> F.Column:
+    """Per-word hash array (``array<long>``) of a whitespace-tokenized
+    document — ONE tokenize + one hash pass.  ``portable=False``:
+    xxhash64 (fast JVM path, 64-bit keys); ``portable=True``: first 32
+    md5 bits (the engine-portable family every DuckDB oracle can
+    recompute).  Materialize this as a REAL COLUMN before building
+    shingles from it (:func:`shingles_from_word_hashes`): the shingle
+    fold references the array once per gram width, and expression-tree
+    references re-evaluate their subtree — the r12 HOF-capture rule."""
+    words = F.filter(
+        F.split(F.trim(F.col(col)), r"\s+"), lambda w: w != F.lit("")
+    )
+    if portable:
+        return F.transform(
+            words,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        )
+    return F.transform(words, lambda w: F.xxhash64(w))
+
+
+def shingles_from_word_hashes(
+    hw: F.Column | str, n: int = 3, portable: bool = False,
+    distinct: bool = True,
+) -> F.Column:
+    """Word-n-gram hashes from a (preferably materialized) per-word
+    hash array: ``zip_with`` over ``n`` aligned ``slice`` views — n
+    array slices per DOCUMENT, not one per shingle.  Fold matches the
+    producing family: xxhash64 chaining (default) or the masked
+    31-polynomial (``portable=True``, oracle-recomputable)."""
+    hw = F.col(hw) if isinstance(hw, str) else hw
+    k = F.greatest(F.size(hw) - F.lit(n - 1), F.lit(0))
+    mask = F.lit(_PORTABLE_MASK)
+    acc = F.slice(hw, 1, k)
+    for i in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(hw, i + 1, k),
+            (lambda a, b: (a * F.lit(31) + b).bitwiseAND(mask))
+            if portable
+            else (lambda a, b: F.xxhash64(a, b)),
+        )
+    return F.array_distinct(acc) if distinct else acc
+
+
 def hashed_word_shingles(col: str, n: int = 3) -> F.Column:
     """Distinct word n-grams as 64-bit hashes (``array<long>``).
 
-    Hash each word once (one ``transform`` pass of ``xxhash64``), then
-    fold adjacent word hashes into shingle hashes with ``zip_with``
-    over ``n`` aligned ``slice`` views — ``n`` array slices per
-    DOCUMENT, not one per shingle.  ~10× faster than materializing
-    string n-grams via per-index ``slice``+``concat_ws``, and the long
-    keys make every downstream shuffle/join/group carry 8 bytes instead
-    of a trigram string.  A 64-bit collision would merge two shingles
+    Inline composition of :func:`word_hashes` +
+    :func:`shingles_from_word_hashes` — fine for one-shot use, but the
+    expression tree references the word-hash array once per gram width
+    (n re-evaluations of the tokenize+hash pass); hot paths should
+    materialize :func:`word_hashes` as a column first (ngram_jaccard,
+    contamination, the minhash family all do).  The long keys make
+    every downstream shuffle/join/group carry 8 bytes instead of a
+    trigram string.  A 64-bit collision would merge two shingles
     (≈1e-11 at 10⁶ distinct shingles) — acceptable for dedup.
     """
-    words = F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda w: w != F.lit(""))
-    hw = F.transform(words, lambda w: F.xxhash64(w))
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    acc = F.slice(hw, 1, k)
-    for i in range(1, n):
-        acc = F.zip_with(acc, F.slice(hw, i + 1, k), lambda a, b: F.xxhash64(a, b))
-    return F.array_distinct(acc)
+    return shingles_from_word_hashes(word_hashes(col), n)
 
 
 def ngram_jaccard_pairs(
@@ -134,9 +175,16 @@ def ngram_jaccard_pairs(
     # checkpointing (sc.setCheckpointDir + .checkpoint()) or a
     # persist→unpersist context manager; local/on-demand executors
     # keep the cheap RDD-block path used here.
-    sh_arr = df.select(
-        F.col(id_col), hashed_word_shingles(content_col, n).alias("shingles")
-    ).localCheckpoint(eager=True)
+    sh_arr = (
+        # materialize word hashes first: the shingle fold references
+        # the array n times (r12 HOF-capture rule)
+        df.withColumn("__hw", word_hashes(content_col))
+        .select(
+            F.col(id_col),
+            shingles_from_word_hashes("__hw", n).alias("shingles"),
+        )
+        .localCheckpoint(eager=True)
+    )
     sh = sh_arr.select(id_col, F.explode("shingles").alias("shingle"))
     if df_cap is not None:
         stop = (
@@ -1320,21 +1368,10 @@ def portable_word_shingles(
     ``distinct=True`` (the dedup default) collapses repeats;
     ``distinct=False`` keeps multiplicities in document order — the
     feature-COUNT view distribution estimators (DSIR) need."""
-    words = F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda w: w != F.lit(""))
-    hw = F.transform(
-        words,
-        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    return shingles_from_word_hashes(
+        word_hashes(col, portable=True), n, portable=True,
+        distinct=distinct,
     )
-    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    mask = F.lit(_PORTABLE_MASK)
-    acc = F.slice(hw, 1, k)
-    for i in range(1, n):
-        acc = F.zip_with(
-            acc,
-            F.slice(hw, i + 1, k),
-            lambda a, b: (a * F.lit(31) + b).bitwiseAND(mask),
-        )
-    return F.array_distinct(acc) if distinct else acc
 
 
 def _banded_minhash_expr(num_hashes: int, bands: int) -> F.Column:
@@ -1426,9 +1463,17 @@ def minhash_banded_pairs(
     """
     # localCheckpoint, not persist: ContextCleaner-scoped blocks, no
     # session-lifetime CacheManager pin (r08-advice leak pattern)
-    sh = df.select(
-        F.col(id_col), portable_word_shingles(content_col, 3).alias("sh")
-    ).filter(F.size("sh") > 0).localCheckpoint(eager=True)
+    sh = (
+        df.withColumn("__hw", word_hashes(content_col, portable=True))
+        .select(
+            F.col(id_col),
+            shingles_from_word_hashes("__hw", 3, portable=True).alias(
+                "sh"
+            ),
+        )
+        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=True)
+    )
 
     # portable permutation family over the 32 low bits of each shingle
     # hash (r05: replaced seeded xxhash64 so the DuckDB oracle can
@@ -1613,12 +1658,14 @@ def contamination_hits(
     A 64-bit shingle collision could count one phantom hit
     (≈1e-11 per shingle pair) — irrelevant for a thresholded filter.
     """
-    corpus_sh = df.select(
-        F.col(id_col), F.explode(hashed_word_shingles(content_col, n)).alias("sh")
+    corpus_sh = df.withColumn("__hw", word_hashes(content_col)).select(
+        F.col(id_col),
+        F.explode(shingles_from_word_hashes("__hw", n)).alias("sh"),
     )
     bench_sh = (
-        benchmark_df.select(
-            F.explode(hashed_word_shingles(content_col, n)).alias("sh")
+        benchmark_df.withColumn("__hw", word_hashes(content_col))
+        .select(
+            F.explode(shingles_from_word_hashes("__hw", n)).alias("sh")
         )
         .distinct()
     )
@@ -1727,10 +1774,16 @@ def minhash_index(
     sentences keep their word SET, so unigram Jaccard survives edits
     that break every 3-gram).
     """
-    sh = df.select(
-        F.col(id_col),
-        portable_word_shingles(content_col, shingle_n).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    sh = (
+        df.withColumn("__hw", word_hashes(content_col, portable=True))
+        .select(
+            F.col(id_col),
+            shingles_from_word_hashes(
+                "__hw", shingle_n, portable=True
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+    )
     buckets = sh.select(
         id_col,
         F.posexplode(_banded_minhash_expr(num_hashes, bands)).alias(
@@ -2231,8 +2284,10 @@ def ngram_jaccard_prefix(
     # dropped, where persist() pins a session-lifetime CacheManager
     # entry per invocation (r08 ADVICE leak).
     sh_arr = (
-        df.select(
-            F.col(id_col), hashed_word_shingles(content_col, n).alias("sh")
+        df.withColumn("__hw", word_hashes(content_col))
+        .select(
+            F.col(id_col),
+            shingles_from_word_hashes("__hw", n).alias("sh"),
         )
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)

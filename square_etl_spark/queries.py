@@ -11275,13 +11275,18 @@ def _source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| per key, and the matrix aggregate is map-side
     combinable.  A 64-bit collision could phantom-share one shingle
     (≈1e-11) — the split_leakage_audit precedent."""
-    from square_etl_spark.operators.dedup import hashed_word_shingles
+    from square_etl_spark.operators.dedup import (
+        shingles_from_word_hashes,
+        word_hashes,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
+    # word hashes materialized once — the 13-gram fold references the
+    # array 13 times (r12 HOF-capture rule)
+    sh = d.withColumn("__hw", word_hashes("text")).select(
         "source",
         "doc_id",
-        F.explode(hashed_word_shingles("text", 13)).alias("sh"),
+        F.explode(shingles_from_word_hashes("__hw", 13)).alias("sh"),
     )
     src_sh = sh.select("source", "sh").distinct()
     a = src_sh.select(F.col("source").alias("source_a"), "sh")
@@ -13811,21 +13816,26 @@ def _contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear scan-explode-probe with a map-side-combinable aggregate —
     the contamination_hits contract with the grouping flipped to the
     bench side."""
-    from square_etl_spark.operators.dedup import hashed_word_shingles
+    from square_etl_spark.operators.dedup import (
+        shingles_from_word_hashes,
+        word_hashes,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     bsh = (
         d.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("__hw", word_hashes("text"))
         .select(
             F.col("doc_id").alias("bench_id"),
-            F.explode(hashed_word_shingles("text", 3)).alias("sh"),
+            F.explode(shingles_from_word_hashes("__hw", 3)).alias("sh"),
         )
     )
     csh = (
         d.filter(F.col("doc_id") % 97 != 0)
+        .withColumn("__hw", word_hashes("text"))
         .select(
             F.col("doc_id").alias("corpus_id"),
-            F.explode(hashed_word_shingles("text", 3)).alias("sh"),
+            F.explode(shingles_from_word_hashes("__hw", 3)).alias("sh"),
         )
     )
     # bcast-ok: benchmark-suite shingle relation (fixed eval suite
