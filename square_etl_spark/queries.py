@@ -14769,18 +14769,18 @@ _CHECK_PRIORITY: list[str] = [
     "dsir_gumbel_sample",
     "classify_nb_active_learning",
     "dedup_decontaminate_semantic",
+    "dedup_substring_exact",
+    "dedup_incremental_substring",
+    "dedup_minhash_lsh",
+    "dedup_minhash_vs_ngram",
+    "dedup_incremental_minhash",
+    "dedup_decontaminate_fuzzy",
     "source_overlap_matrix",
     "ann_topk_ivfpq",
     "ann_topk_lsh",
     "dedup_embedding_cosine_bucketed",
     "dedup_embedding_cosine",
-    "window_rank_lag",
-    "join_anti_dormant",
-    "agg_cube",
     "ann_topk_ivf",
-    "corpus_clean_pipeline",
-    "sample_hash_documents",
-    "mix_weighted_sources",
     "sample_stratified_lang",
     "shard_assignment",
     "decile_customer_acctbal",
