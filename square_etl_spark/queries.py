@@ -11614,7 +11614,8 @@ _register(
 
 
 def _waterfill_fixpoint_ctes(
-    total: int, items_cte: str, group_alias: str = "lang"
+    total: int, items_cte: str, group_alias: str = "lang",
+    prefix: str = "",
 ) -> str:
     """The water-filling fixpoint as a DuckDB recursive CTE chain
     ending in ``bud(lang, b)``, GENERIC over the share-weight source:
@@ -11623,7 +11624,7 @@ def _waterfill_fixpoint_ctes(
     round(λ·1e9)).  Single-row state over group structs, exact
     HUGEINT floor-division shares, largest-remainder bonus — the
     bit-for-bit twin of sampling.waterfill_budgets."""
-    return f"""init AS (
+    sql = f"""init AS (
           SELECT list(struct_pack(
                    g := g,
                    x := CAST(x AS HUGEINT),
@@ -11698,6 +11699,15 @@ def _waterfill_fixpoint_ctes(
         bud AS (
           SELECT s.g AS {group_alias}, CAST(s.budget AS BIGINT) AS b
           FROM fin)"""
+    if prefix:
+        # whole-word rename of the chain's four CTE names so several
+        # independent fixpoints can share one WITH RECURSIVE statement
+        # (the temperature-sweep oracle); empty prefix = byte-identical
+        # SQL to every pre-existing oracle.
+        import re as _re
+
+        sql = _re.sub(r"\b(init|wf_tr|fin|bud)\b", prefix + r"\1", sql)
+    return sql
 
 
 def _waterfill_bud_ctes(
@@ -14735,6 +14745,109 @@ _register(
 )
 
 
+def _mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature SWEEP for the data-constrained mix: the water-filled
+    per-language budgets at α ∈ {0.25, 0.5, 0.75, 1.0} side by side —
+    the artifact that picks the mixing temperature (lower α flattens
+    toward uniform and caps more groups at supply; α = 1 is
+    proportional).  One |groups|-row size aggregate feeds four
+    exact-integer fixpoints on the driver dict (the mixture-dims
+    contract), total 140k chars at max_epochs = 1.
+
+    Cross-engine share-weight bridge WITHOUT pow(): pow is not
+    correctly rounded on every engine, so each α is built from
+    operations that are — sqrt (IEEE correctly rounded), multiply
+    (ditto), identity: n^0.25 = sqrt(sqrt(n)), n^0.75 =
+    sqrt(n)·sqrt(sqrt(n)).  Same half-up 1e9 bridge as
+    temperature_waterfill_budgets; the oracle replays all four
+    fixpoints in one WITH RECURSIVE via prefixed CTE chains."""
+    import math
+
+    from square_etl_spark.operators.sampling import (
+        _epoch_cap,
+        waterfill_budgets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sizes = [
+        (r["lang"], int(r["n"]))
+        for r in d.groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("n"))
+        .collect()
+    ]
+    alphas = [
+        ("0.25", lambda v: math.sqrt(math.sqrt(v))),
+        ("0.5", lambda v: math.sqrt(v)),
+        ("0.75", lambda v: math.sqrt(v) * math.sqrt(math.sqrt(v))),
+        ("1.0", lambda v: float(v)),
+    ]
+    rows = []
+    for aname, f in alphas:
+        items = []
+        for g, n in sizes:
+            y = f(float(n)) * 1e9
+            fl = math.floor(y)
+            x = int(fl) + (1 if y - fl >= 0.5 else 0)
+            items.append((g, x, _epoch_cap(n, 1.0)))
+        budgets = waterfill_budgets(items, 140000)
+        for g, x, cap in items:
+            rows.append((aname, g, x, cap, int(budgets[g])))
+    return spark.createDataFrame(
+        rows, "alpha string, lang string, x_share long, cap long, budget long"
+    )
+
+
+def _sweep_witems(alpha_expr: str, prefix: str) -> str:
+    return f"""{prefix}witems AS (
+          SELECT g,
+                 CAST(ROUND({alpha_expr} * 1e9, 0) AS HUGEINT) AS x,
+                 CAST(CAST(FLOOR(ROUND(CAST(n AS DOUBLE) * 1.0, 6))
+                      AS BIGINT) AS HUGEINT) AS cap
+          FROM sz),
+        """
+
+
+_SWEEP_ALPHAS_SQL = [
+    ("0.25", "sqrt(sqrt(CAST(n AS DOUBLE)))", "a_"),
+    ("0.5", "sqrt(CAST(n AS DOUBLE))", "b_"),
+    ("0.75", "sqrt(CAST(n AS DOUBLE)) * sqrt(sqrt(CAST(n AS DOUBLE)))", "c_"),
+    ("1.0", "CAST(n AS DOUBLE)", "d_"),
+]
+
+
+_register(
+    QuerySpec(
+        "mix_temperature_sweep",
+        _mix_temperature_sweep,
+        oracle=(
+            """
+        WITH RECURSIVE sz AS (
+          SELECT lang AS g, CAST(SUM(n_chars) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+        """
+            + ",\n        ".join(
+                _sweep_witems(expr, p)
+                + _waterfill_fixpoint_ctes(
+                    140000, f"{p}witems", "lang", prefix=p
+                )
+                for _, expr, p in _SWEEP_ALPHAS_SQL
+            )
+            + "\n        "
+            + "\n        UNION ALL\n        ".join(
+                f"""SELECT '{a}' AS alpha, w.g AS lang,
+               CAST(w.x AS BIGINT) AS x_share,
+               CAST(w.cap AS BIGINT) AS cap, b.b AS budget
+        FROM {p}witems w JOIN {p}bud b ON b.lang = w.g"""
+                for a, _, p in _SWEEP_ALPHAS_SQL
+            )
+        ),
+        doc="temperature sweep: waterfilled per-lang budgets at four alphas "
+        "side by side (pow-free sqrt-chain share weights, four prefixed "
+        "fixpoint chains in one recursive oracle)",
+    )
+)
+
+
 # Round-12 head: first the 8 queries REGISTERED this round (the
 # embedding stored-index ingest fold; per-source tokenizer compression
 # rate; benchmark-side contamination report; the 5-query trained-NB
@@ -14761,6 +14874,7 @@ _CHECK_PRIORITY: list[str] = [
     "classify_nb_gate_en",
     "classify_nb_incremental",
     "classify_nb_calibration",
+    "mix_temperature_sweep",
     "split_leakage_free",
     "quality_blocklist_gate",
     "corpus_datacard",
@@ -14781,7 +14895,6 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_embedding_cosine_bucketed",
     "dedup_embedding_cosine",
     "ann_topk_ivf",
-    "sample_stratified_lang",
     "shard_assignment",
     "decile_customer_acctbal",
     "profile_orders_columns",
