@@ -41,14 +41,13 @@ def exact_dedup(
     )
 
 
-def word_shingles(col: str, n: int = 3) -> F.Column:
-    """Distinct word n-grams of a whitespace-tokenized document.
-
-    Pure higher-order SQL (transform over an index sequence) — stays in
-    codegen, no UDF.  Documents shorter than n words yield an empty
-    array.
-    """
-    words = F.split(F.trim(F.col(col)), r"\s+")
+def word_shingles_from_words(words: F.Column | str, n: int = 3) -> F.Column:
+    """Distinct word n-gram STRINGS from a word array — pass a
+    MATERIALIZED array column: the position lambda slices the captured
+    array per shingle, and a captured split() subtree would re-tokenize
+    the document once per position (the r12 HOF-capture rule; slices
+    of an attribute are cheap)."""
+    words = F.col(words) if isinstance(words, str) else words
     k = F.size(words) - F.lit(n - 1)
     sh = F.when(
         k > 0,
@@ -58,6 +57,17 @@ def word_shingles(col: str, n: int = 3) -> F.Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
+
+
+def word_shingles(col: str, n: int = 3) -> F.Column:
+    """Distinct word n-grams of a whitespace-tokenized document.
+
+    Pure higher-order SQL (transform over an index sequence) — stays in
+    codegen, no UDF.  Documents shorter than n words yield an empty
+    array.  Inline form re-splits per position — hot paths should
+    hoist the split and call :func:`word_shingles_from_words`.
+    """
+    return word_shingles_from_words(F.split(F.trim(F.col(col)), r"\s+"), n)
 
 
 def word_hashes(col: str, portable: bool = False) -> F.Column:

@@ -12688,11 +12688,16 @@ def _novelty_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle explode + one shingle-keyed min + one join back sharing
     the shingle key; the first-occurrence relation is
     shingle-vocabulary-sized, never corpus-sized."""
-    from square_etl_spark.operators.dedup import word_shingles
+    from square_etl_spark.operators.dedup import word_shingles_from_words
 
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    # split hoisted to a real column — the shingle transform slices it
+    # per position (r12 HOF-capture rule)
+    sh = d.withColumn(
+        "__w", F.split(F.trim(F.col("text")), r"\s+")
+    ).select(
+        "doc_id",
+        F.explode(word_shingles_from_words("__w", 3)).alias("sh"),
     )
     first = sh.groupBy("sh").agg(F.min("doc_id").alias("__first"))
     novel = F.sum(
