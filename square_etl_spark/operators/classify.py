@@ -239,6 +239,10 @@ def nb_predictions(
 
     Ties are impossible to mis-order: scores are exact DECIMALs, and
     equal scores break on the label string ascending in both engines.
+    A model trained on a SINGLE label has no runner-up: ``margin`` is
+    NULL (not +∞ — a one-class model expresses no contrast), and
+    :func:`nb_gate` treats a NULL margin as passing when the predicted
+    label matches (the only label there is).
 
     Plan shape: one tokenize pass over ``df``; token_adj joins onto
     the tokens via the size-gated model broadcast (vocabulary-bounded
@@ -316,7 +320,13 @@ def nb_gate(
     )
     keep = preds.filter(
         (F.col("pred_label") == F.lit(target_label))
-        & (F.col("margin") >= F.lit(float(min_margin)))
+        & (
+            (F.col("margin") >= F.lit(float(min_margin)))
+            # single-label model: no runner-up, margin NULL — the
+            # prediction IS the only label, so the gate passes it
+            # (a NULL comparison would silently drop everything)
+            | F.col("margin").isNull()
+        )
     ).select(id_col)
     return df.join(keep, id_col, "left_semi")
 

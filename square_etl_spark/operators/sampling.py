@@ -240,9 +240,15 @@ def gumbel_topk_sample(
     Shape: one scan + TakeOrdered (k-bounded — no global sort is
     materialized); the weight column is whatever upstream scorer
     produced (DSIR log-weights, classifier margins, negative NLL).
+    Rows with a NULL weight are EXCLUDED before the draw (NULL has no
+    exp-proportional meaning, and NULL ordering differs across
+    engines).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    # a NULL weight has no exp-proportional meaning and NULL ordering
+    # differs between engines — excluded, documented
+    df = df.filter(F.col(weight_col).isNotNull())
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))),

@@ -328,6 +328,11 @@ def blocklist_hits(
     """
     if not terms:
         raise ValueError("terms must be a non-empty sequence")
+    bad = [t for t in terms if (not t) or any(c.isspace() for c in t)]
+    if bad:
+        # a term containing whitespace can never match a whitespace-
+        # split token — reject loudly instead of silently never firing
+        raise ValueError(f"blocklist terms must be single tokens: {bad!r}")
     toks = F.array_distinct(
         F.filter(
             F.split(F.lower(F.trim(_c(col))), r"\s+"),

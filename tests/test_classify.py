@@ -247,3 +247,28 @@ def test_versioned_model_artifacts_roundtrip(spark, sf_dir, tmp_path):
     )
     live = _sorted_rows(nb_predictions(probe, nb_counts(b0.unionByName(b1))))
     assert via_artifact == live and len(live) > 0
+
+
+def test_single_label_model_margin_null_and_gate_passes(spark):
+    """One-class model: margin is NULL (no runner-up) and nb_gate
+    passes matching predictions instead of NULL-dropping everything."""
+    from square_etl_spark.operators.classify import (
+        nb_counts,
+        nb_gate,
+        nb_predictions,
+    )
+
+    tr = spark.createDataFrame(
+        [(1, "en", "spark merge join"), (2, "en", "sort table scan")],
+        "doc_id long, lang string, text string",
+    )
+    probe = spark.createDataFrame(
+        [(10, "spark table"), (11, "window value")],
+        "doc_id long, text string",
+    )
+    counts = nb_counts(tr)
+    preds = nb_predictions(probe, counts).collect()
+    assert all(r["pred_label"] == "en" and r["margin"] is None for r in preds)
+    kept = nb_gate(probe, counts, "en", min_margin=0.5)
+    assert kept.count() == 2
+    assert nb_gate(probe, counts, "fr").count() == 0

@@ -1080,3 +1080,15 @@ def test_gumbel_topk_sample_properties(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         gumbel_topk_sample(big, "w", 0)
+
+
+def test_gumbel_sample_excludes_null_weights(spark):
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.sampling import gumbel_topk_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 1.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in gumbel_topk_sample(df, "w", 3).collect()}
+    assert got == {1, 3}
