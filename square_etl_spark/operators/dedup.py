@@ -1784,15 +1784,25 @@ def minhash_index(
     sentences keep their word SET, so unigram Jaccard survives edits
     that break every 3-gram).
     """
+    # filter on the HASH array (≥ n words ⟺ ≥ 1 shingle) BEFORE the
+    # shingle projection, and checkpoint the store: with the filter on
+    # "sh", CollapseProject re-inlined the hoisted word-hash alias
+    # into both the Filter and the Generate (3 tokenize+hash passes,
+    # plan-pinned in test_plans), and an alias inlined into the band
+    # lambda is re-evaluated per band at runtime.  eager=False: no job
+    # until the index is first used; both returned relations then
+    # share the one materialization (they are written out at ingest
+    # in the deployment story anyway).
     sh = (
         df.withColumn("__hw", word_hashes(content_col, portable=True))
+        .filter(F.size("__hw") >= shingle_n)
         .select(
             F.col(id_col),
             shingles_from_word_hashes(
                 "__hw", shingle_n, portable=True
             ).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
     )
     buckets = sh.select(
         id_col,

@@ -319,3 +319,60 @@ def test_blocklist_gate_is_scan_only(spark, sf_dir):
     plan = _plan(blocklist_gate(d, ["dup", "slow"]))
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_shingle_and_window_hash_hoists_hold(spark, sf_dir):
+    """Regression canaries for the r12 HOF-capture fixes: the
+    tokenize/hash pass must appear ONCE in the optimized plan.  If
+    CollapseProject ever re-inlines the hoisted hash-array alias, the
+    split/md5 expression count explodes (the pre-fix 13-gram plan
+    carried 26 split() occurrences; the hoisted plan carries 1)."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import (
+        _portable_window_hashes,
+        minhash_index,
+        shingles_from_word_hashes,
+        word_hashes,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def oplan(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # 13-gram shingle hoist (the source_overlap_matrix shape)
+    sh = d.withColumn("__hw", word_hashes("text")).select(
+        "doc_id",
+        F.explode(shingles_from_word_hashes("__hw", 13)).alias("sh"),
+    )
+    assert oplan(sh).count("split(") == 1
+
+    # substring window-hash hoist (the _substring_base shape,
+    # pre-checkpoint so the plan is inspectable)
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda w: w != F.lit(""),
+        ).alias("__w"),
+    )
+    hashed = toks.withColumn(
+        "__hw",
+        F.transform(
+            F.col("__w"),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ),
+    )
+    wh = hashed.select(
+        "doc_id", _portable_window_hashes("__hw", 50).alias("__wh")
+    )
+    assert oplan(wh).count("md5") == 1
+
+    # minhash index: the store is checkpointed, so the bucket plan
+    # reads the materialized relation — ZERO tokenize passes visible
+    _, buckets = minhash_index(d, "doc_id", "text", 16, 8, 1)
+    assert oplan(buckets).count("split(") == 0
