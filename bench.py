@@ -104,6 +104,29 @@ def main() -> None:
     calib_raw = [_calibration_run() for _ in range(runs_per_query)]
     calib_s = round(statistics.median(calib_raw), 3)
 
+    # second anchor, SCAN-shaped: the CPU anchor (range→agg) misses
+    # I/O-path box drift entirely — the r13 worktree A/B (SCALING.md
+    # round-13) showed scan-heavy sub-second queries drifting 2.4×
+    # across bench sessions while the CPU anchor moved only ~1.2×,
+    # which is exactly how two untouched queries (t2_tumbling_hourly,
+    # dedup_exact) got misclassified "r" in BENCH_r12.  This anchor
+    # reads a REAL parquet file the same way the queries do (raw
+    # spark.read — no repo code) so its round-over-round ratio tracks
+    # the scan path's box state.
+    def _scan_calibration_run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .count()
+            .count()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    _scan_calibration_run()  # warmup
+    scan_calib_raw = [_scan_calibration_run() for _ in range(runs_per_query)]
+    scan_calib_s = round(statistics.median(scan_calib_raw), 3)
+
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
@@ -149,8 +172,16 @@ def main() -> None:
     # are skipped in favor of the next-newest; SPARK_GRAFT_DRIFT_BASE
     # still pins an explicit baseline (head-match skipping off).
     _NOISE = 0.30
+    # absolute timing floor: on a shared 32-thread box, sub-second
+    # timings carry ±0.1-0.2 s of scheduler/page-cache noise regardless
+    # of ratio — a 0.15→0.30 s move is not a signal (r13 A/B: identical
+    # code, identical session shape, medians 0.617 vs 0.865 five
+    # minutes apart).  Moves smaller than this are classed "n" even
+    # when the ratio band would charge them.
+    _ABS_FLOOR = 0.20
     drift: dict[str, str] = {}
     calib_ratio = None
+    scan_calib_ratio = None
     prev = None
     here = Path(__file__).resolve().parent
     try:
@@ -202,6 +233,15 @@ def main() -> None:
         break
     if prev is not None:
         calib_ratio = round(calib_s / prev["calib_s"], 3)
+        # old records predate the scan anchor — fall back to the CPU
+        # anchor so the classifier still has two candidate ratios
+        prev_scan = prev.get("scan_calib_s")
+        scan_calib_ratio = (
+            round(scan_calib_s / prev_scan, 3) if prev_scan else None
+        )
+        box_ratios = [calib_ratio] + (
+            [scan_calib_ratio] if scan_calib_ratio else []
+        )
         for name, t in timings.items():
             pt = prev["queries"].get(name)
             if pt is None:
@@ -210,9 +250,9 @@ def main() -> None:
                 drift[name] = "n"
             else:
                 r = t / pt
-                if abs(r - 1) <= _NOISE:
+                if abs(r - 1) <= _NOISE or abs(t - pt) <= _ABS_FLOOR:
                     drift[name] = "n"
-                elif abs(r - calib_ratio) <= _NOISE * calib_ratio:
+                elif any(abs(r - br) <= _NOISE * br for br in box_ratios):
                     drift[name] = "b"
                 elif r > 1:
                     drift[name] = "r"
@@ -227,7 +267,9 @@ def main() -> None:
         json.dumps(
             {"raw_runs": raw_runs, "rows": rows, "sf": sf,
              "runs_per_query": runs_per_query, "calib_raw": calib_raw,
+             "scan_calib_raw": scan_calib_raw,
              "drift": drift, "calib_ratio": calib_ratio,
+             "scan_calib_ratio": scan_calib_ratio,
              "drift_legend": {"n": "noise", "b": "box",
                               "r": "regression", "i": "improved",
                               "+": "new"}},
@@ -243,7 +285,11 @@ def main() -> None:
     # most diagnostic — entries sit nearest the end and survive any
     # truncation, and (b) the stdout drift map carries only the
     # non-"n" classes (the signal); the full per-query map lives in
-    # BENCH_DETAIL.json alongside the raw runs.
+    # BENCH_DETAIL.json alongside the raw runs.  CONTRACT for drift
+    # consumers: a benched query ABSENT from the stdout drift map is
+    # class "n" (noise/parity) — index with .get(name, "n"), never
+    # [name]; next round's bench reads only prev["queries"] and
+    # prev["*calib_s"], so the elision is safe for the classifier.
     sys.stdout.flush()
     print(
         json.dumps(
@@ -257,6 +303,8 @@ def main() -> None:
                 "sf": sf,
                 "calib_s": calib_s,
                 "calib_ratio": calib_ratio,
+                "scan_calib_s": scan_calib_s,
+                "scan_calib_ratio": scan_calib_ratio,
                 "drift": {k: v for k, v in drift.items() if v != "n"},
                 "git_head": git_head,
             }

@@ -14,6 +14,7 @@ run the same engine posture:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -91,4 +92,12 @@ def get_spark(app_name: str = "square-etl-spark", master: str | None = None) -> 
     builder = builder.master(master)
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
+    # Harness hook: JSON dict of extra confs applied LAST (overrides
+    # ENGINE_CONF).  Needed for settings that must land before the JVM
+    # starts (spark.ui.*, memory) — bench.py and the A/B tools use it;
+    # a cluster deployment would pass these via spark-submit instead.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra:
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, v)
     return builder.getOrCreate()
