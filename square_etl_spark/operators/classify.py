@@ -112,7 +112,6 @@ def _tokens(
 def nb_counts(
     df: DataFrame,
     label_col: str = "lang",
-    id_col: str = "doc_id",
     text_col: str = "text",
     feature: str = "word",
 ) -> DataFrame:
@@ -120,6 +119,9 @@ def nb_counts(
     ``(label, w, c)``: token rows count occurrences of token ``w``
     under ``label``; one sentinel row per label (``w = ''``, see
     DOC_COUNT_KEY) carries the labeled-document count for the prior.
+    No doc-id parameter by design: the statistics aggregate over
+    documents, so the id never participates (r12 ADVICE — the old
+    unused ``id_col`` misled callers into thinking it did).
     Sum monoid — :func:`fold_nb_counts` over any batch partition of
     the corpus reproduces the one-shot relation exactly.
 
@@ -366,7 +368,6 @@ def nb_counts_batched(
     batch_pred_col: str,
     batch_values: Sequence,
     label_col: str = "lang",
-    id_col: str = "doc_id",
     text_col: str = "text",
     feature: str = "word",
 ) -> DataFrame:
@@ -379,7 +380,6 @@ def nb_counts_batched(
         b = nb_counts(
             df.filter(F.col(batch_pred_col) == F.lit(v)),
             label_col,
-            id_col,
             text_col,
             feature,
         )

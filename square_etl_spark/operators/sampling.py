@@ -237,6 +237,19 @@ def gumbel_topk_sample(
     identically on both engines, u ∈ (0,1) strictly; the perturbed
     score rounds to 6 decimals and ties break on the key.
 
+    DECLARED departure from the leaf-round recipe (r12 ADVICE,
+    accepted): the two ln() calls compose as doubles and only the
+    final score rounds.  Leaf-rounding the inner ln is UNSAFE here —
+    for u within 5e-7 of 1 (probability ~5e-7 per row; expected once
+    per ~2M rows), ``round(ln u, 6)`` collapses to 0.000000 and the
+    outer ``-ln(0)`` blows up to +inf, corrupting the draw.  The
+    residual cross-engine risk of the double composition is a 1-2 ulp
+    libm difference landing within 0.5e-6 of a rounding boundary
+    (~1e-10 per row) — strictly smaller than the failure the recipe
+    would introduce.  Both engines evaluate the identical expression
+    on the identical exact u, so any flip requires JVM Math.log and
+    DuckDB's libm to disagree on the same input.
+
     Shape: one scan + TakeOrdered (k-bounded — no global sort is
     materialized); the weight column is whatever upstream scorer
     produced (DSIR log-weights, classifier margins, negative NLL).

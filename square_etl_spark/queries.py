@@ -6520,6 +6520,7 @@ _register(
         "ann_topk_ivfpq",
         _ann_ivfpq,
         oracle=_ann_ivfpq_oracle(),
+        bench=True,
         doc="IVF-PQ ANN: coarse cells + per-subspace PQ codebooks + decimal-exact ADC + exact rescore, full composition oracle-recomputed",
     )
 )
@@ -12957,6 +12958,7 @@ _register(
         "dedup_incremental_substring",
         _incr_substring_q,
         oracle=_substring_oracle(20),
+        bench=True,
         doc="incremental exact-substring dedup: id-ordered batch fold over the window-hash state ≡ one-shot (shared oracle)",
     )
 )
@@ -13486,6 +13488,7 @@ _register(
         LEFT JOIN chars c ON d.token = c.ch
         LEFT JOIN mids m ON d.token = m.mtoken
         """,
+        bench=True,
         doc="corpus encoded to BPE token ids: fold + char/merge id space + per-doc stream order, all recomputed",
         global_window_ok="alphabet-sized char-id rank: the global window orders the distinct-character relation, bounded by the observed alphabet (~40 rows here, ≤ a few hundred for any text corpus)",
     )
@@ -14143,7 +14146,10 @@ _register(
                CAST(COUNT(*) AS BIGINT) AS kept_docs,
                CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
         FROM preds JOIN documents d ON d.doc_id = preds.doc_id
-        WHERE pred_label = 'en' AND margin >= 0.5
+        -- margin IS NULL = single-label model (no runner-up): nb_gate
+        -- passes it, so the oracle must too (r12 ADVICE; the fixture
+        -- always trains >1 label, but the contracts must agree)
+        WHERE pred_label = 'en' AND (margin >= 0.5 OR margin IS NULL)
         GROUP BY d.source
         """,
         doc="learned corpus gate: keep holdout docs classified 'en' with "
@@ -14217,6 +14223,7 @@ _register(
         "classify_nb_incremental",
         _classify_nb_incremental,
         oracle=_NB_ORACLE_CTES + "SELECT * FROM preds",
+        bench=True,
         doc="incrementally-trained NB (two folded batches) scores the "
         "holdout identically to the one-shot model (shared oracle)",
         global_window_ok="|labels|-row prior/total fold in nb_model (label relation, mixture-dims bounded)",
@@ -14378,7 +14385,11 @@ _register(
                  CAST(len(list_filter(
                    string_split_regex(lower(trim(text)), '\s+'),
                    w -> w <> '')) AS BIGINT) AS nt,
-                 md5(text) AS dg
+                 -- same digest as the Spark side's content_digest
+                 -- (grouping-key-only today, but symmetric by
+                 -- construction so neither side can start emitting a
+                 -- digest the other doesn't have; r12 ADVICE)
+                 sha256(text) AS dg
           FROM documents),
         stats AS (
           SELECT source,
@@ -14711,7 +14722,8 @@ _register(
         gated AS (
           SELECT d.doc_id, d.source, d.n_chars
           FROM documents d JOIN preds ON preds.doc_id = d.doc_id
-          WHERE pred_label = 'en' AND margin >= 0.0),
+          -- NULL margin = single-label model: nb_gate passes it (r12 ADVICE)
+          WHERE pred_label = 'en' AND (margin >= 0.0 OR margin IS NULL)),
         sz AS (SELECT source AS g, CAST(SUM(n_chars) AS BIGINT) AS n
                FROM gated GROUP BY source),
         witems AS (
@@ -14853,72 +14865,64 @@ _register(
 )
 
 
-# Round-12 head: first the 8 queries REGISTERED this round (the
-# embedding stored-index ingest fold; per-source tokenizer compression
-# rate; benchmark-side contamination report; the 5-query trained-NB
-# classifier family), then the 4 whose code or oracle changed
-# materially this round (the embedding-LSH family's cap-shape port +
-# raw-bucket/union-tagging rebuild: semantic decontam now carries a
-# real bucket_cap and the split-relation tagging; the overlap matrix
-# re-keyed to 13-gram shingles and positive at sf0.01; ann_topk_lsh on
-# the expr-built buckets; ann_topk_ivfpq's oracle zero-norm guard),
-# then rotation.py's recommendation for the r07-stale cohort
-# oldest-first (the r11 verdict's item 3; q9_profit_partsupp,
-# basket_part_pairs, unpivot_order_measures defer to r13 — still
-# inside the freshness window per rotation.py), flagship anchor
-# last = 50.  All changed entries are tri-scale selfchecked green;
-# rotation.py confirms no oracle-checked query ages past the
-# arithmetic freshness window under this head.
+# Round-13 head: rotation.py's recommendation verbatim — the full
+# r07-stale cohort (18) plus 31 of the r08-stale cohort oldest-first,
+# flagship anchor last = 50.  This round freezes net-new registrations
+# (r12 verdict item 8) so the head is pure rotation: every entry
+# already has a green driver row from r07/r08; this run refreshes the
+# oldest half of the certification ledger.  rotation.py prints
+# 'rotation healthy' and no cohort ages past the arithmetic freshness
+# window under this head.
 _CHECK_PRIORITY: list[str] = [
-    "dedup_embedding_incremental",
-    "text_compression_rate",
-    "contamination_report",
-    "classify_nb_model_card",
-    "classify_nb_predictions",
-    "classify_nb_confusion",
-    "classify_nb_gate_en",
-    "classify_nb_incremental",
-    "classify_nb_calibration",
-    "mix_temperature_sweep",
-    "split_leakage_free",
-    "quality_blocklist_gate",
-    "corpus_datacard",
-    "packing_policy_audit",
-    "pipeline_classified_mix",
-    "dsir_gumbel_sample",
-    "classify_nb_active_learning",
-    "dedup_decontaminate_semantic",
-    "dedup_substring_exact",
-    "dedup_incremental_substring",
-    "dedup_minhash_lsh",
-    "dedup_minhash_vs_ngram",
-    "dedup_incremental_minhash",
-    "dedup_decontaminate_fuzzy",
-    "source_overlap_matrix",
-    "ann_topk_ivfpq",
-    "ann_topk_lsh",
-    "dedup_embedding_cosine_bucketed",
-    "dedup_embedding_cosine",
-    "ann_topk_ivf",
-    "shard_assignment",
-    "decile_customer_acctbal",
-    "profile_orders_columns",
-    "corr_price_items",
-    "csv_ingest_orders",
-    "zorder_key_customers",
-    "skew_profile_event_users",
-    "arrow_group_median_dev",
-    "text_pii_redaction",
-    "funnel_conversion",
-    "retention_cohorts",
-    "streaks_user_activity",
-    "timeseries_gapfill",
-    "heavy_hitters_cms",
-    "bloom_prune_join",
-    "snapshot_diff_orders",
-    "kmeans_embeddings",
-    "pagerank_user_graph",
-    "q1_pricing_summary",
+    "window_rank_lag",
+    "join_anti_dormant",
+    "agg_cube",
+    "corpus_clean_pipeline",
+    "sample_hash_documents",
+    "mix_weighted_sources",
+    "sample_stratified_lang",
+    "inverted_index_terms",
+    "outlier_zscore_orders",
+    "fuzzy_join_names",
+    "quantile_sketch_orders",
+    "spatial_join_proximity",
+    "expectation_report_orders",
+    "transition_matrix_events",
+    "sequence_error_recovery",
+    "q9_profit_partsupp",
+    "basket_part_pairs",
+    "unpivot_order_measures",
+    "s3_typed_scan",
+    "p1_money_coalesce",
+    "p2_quantity_validity",
+    "p3_parent_fallback",
+    "f2_variant_extract",
+    "j1_catalog_build_probe",
+    "j2_first_wins",
+    "j4_explode_line_items",
+    "a1_distinct_keys",
+    "topk_revenue_customers",
+    "percentiles_by_type",
+    "k1_merge_upsert",
+    "t2_tumbling_hourly",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assignment",
+    "dedup_cluster_star",
+    "dedup_simhash",
+    "text_quality_stats",
+    "text_lang_id",
+    "text_token_totals",
+    "text_tfidf_top_terms",
+    "text_chunk_windows",
+    "ann_topk_bruteforce",
+    "salted_join_revenue",
+    "ann_topk_quantized",
+    "multimodal_manifest",
+    "incremental_kmv_users",
+    "weighted_sample_docs",
+    "attribution_first_last",
+    "text_bigram_nll",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

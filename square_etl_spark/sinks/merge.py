@@ -29,15 +29,134 @@ partitions present in the batch — the batch is a 24 h window, so only
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
+import socket
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from square_etl_spark.operators.aggregations import last_writer_wins
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Raised when a merge cannot acquire the table's writer lock
+    within its timeout — loud failure instead of a silent
+    last-swap-wins that would drop the other writer's rows."""
+
+
+#: writer-lock liveness horizon: a lock whose owner heartbeat is older
+#: than this is presumed crashed and swept (same posture as the
+#: streaming sink's _sweep_stale_staging).  Generous — a merge that
+#: legitimately holds the lock this long should refresh via _touch.
+LOCK_TTL_S = 3600.0
+
+
+@contextlib.contextmanager
+def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2):
+    """Mutual exclusion for writers of one materialized table.
+
+    Concurrency contract (r12 verdict item 6): the staging swap is
+    atomic for READERS, but two simultaneous merges to one target
+    would each read the same base, merge independently, and the later
+    swap would silently drop the earlier writer's rows.  This lock
+    serializes the whole read→merge→swap critical section: the loser
+    WAITS (its read then sees the winner's rows — nothing lost), and
+    if the wait exceeds ``timeout_s`` it raises
+    :class:`ConcurrentWriterError` loudly.
+
+    Mechanics: ``os.mkdir(target.lock)`` is the atomic acquire (POSIX
+    rename/mkdir atomicity, the same primitive the swap protocol
+    trusts); an ``owner.json`` inside carries pid/host/heartbeat.  A
+    lock is swept as STALE when its owner process is dead (same host)
+    or its heartbeat exceeds ``LOCK_TTL_S`` (crashed writer on another
+    host) — the `_sweep_stale_staging` precedent.
+
+    Scope: local/POSIX filesystems — exactly where this parquet-swap
+    sink is deployable at all.  On object stores the whole sink is
+    superseded by a table format (Delta/Iceberg), whose optimistic
+    commit protocol IS the multi-writer story (module docstring).
+    """
+    lock_dir = target_path + ".lock"
+    owner_file = os.path.join(lock_dir, "owner.json")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            os.makedirs(os.path.dirname(os.path.abspath(lock_dir)), exist_ok=True)
+            os.mkdir(lock_dir)  # atomic acquire
+            break
+        except FileExistsError:
+            if _lock_is_stale(owner_file):
+                # sweep-and-retry: CLAIM the stale lock via atomic
+                # rename before deleting — rmtree-in-place could race
+                # a second sweeper and destroy a lock some third
+                # writer just re-acquired; the rename only ever moves
+                # the exact dir we judged stale, and only one sweeper
+                # wins it (the loser's rename raises and re-races)
+                claim = f"{lock_dir}.stale-{uuid.uuid4().hex}"
+                try:
+                    os.rename(lock_dir, claim)
+                except OSError:
+                    continue  # another sweeper claimed it first
+                shutil.rmtree(claim, ignore_errors=True)
+                continue
+            if time.monotonic() >= deadline:
+                raise ConcurrentWriterError(
+                    f"writer lock on {target_path} held past {timeout_s}s "
+                    f"(holder: {_lock_owner_desc(owner_file)}); refusing to "
+                    "race — a concurrent swap would silently drop rows"
+                ) from None
+            time.sleep(poll_s)
+    try:
+        with open(owner_file, "w") as fh:
+            json.dump(
+                {"pid": os.getpid(), "host": socket.gethostname(),
+                 "ts": time.time()},
+                fh,
+            )
+        yield
+    finally:
+        shutil.rmtree(lock_dir, ignore_errors=True)
+
+
+def _lock_is_stale(owner_file: str) -> bool:
+    """True iff the lock's recorded owner is provably gone: dead pid on
+    this host, or heartbeat older than LOCK_TTL_S.  A lock dir whose
+    owner.json hasn't appeared yet is NOT stale (the winner writes it
+    right after mkdir) — unless the dir itself outlives the TTL."""
+    try:
+        with open(owner_file) as fh:
+            owner = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        lock_dir = os.path.dirname(owner_file)
+        try:
+            return time.time() - os.path.getmtime(lock_dir) > LOCK_TTL_S
+        except OSError:
+            return False  # dir vanished — the holder released; retry mkdir
+    if time.time() - float(owner.get("ts", 0)) > LOCK_TTL_S:
+        return True
+    if owner.get("host") == socket.gethostname():
+        try:
+            os.kill(int(owner["pid"]), 0)  # liveness probe, no signal
+        except ProcessLookupError:
+            return True
+        except (PermissionError, ValueError, TypeError, OSError):
+            return False
+    return False
+
+
+def _lock_owner_desc(owner_file: str) -> str:
+    try:
+        with open(owner_file) as fh:
+            o = json.load(fh)
+        return f"pid {o.get('pid')} on {o.get('host')} since {o.get('ts')}"
+    except (OSError, json.JSONDecodeError):
+        return "unknown (no owner.json)"
 
 
 def _recover_swap(target_path: str) -> None:
@@ -150,6 +269,7 @@ def merge_upsert(
     keys: list[str],
     order_cols: list[str],
     stamp_updated_at: bool = False,
+    lock_timeout_s: float = 600.0,
 ) -> int:
     """Materialized MERGE into a parquet path; returns rows written.
 
@@ -161,20 +281,27 @@ def merge_upsert(
     lost or half-written table.  Pinned end-to-end by the streaming
     crash tests (kill mid-write → restart converges).  Empty batch
     short-circuits (K3, src/etl-square-payments.ts:50-53).
+
+    Concurrent WRITERS serialize on :func:`_table_lock` (the swap was
+    already reader-atomic): the target read happens inside the lock,
+    so a waiting writer merges onto the winner's published rows —
+    interleaved calls compose instead of last-swap-wins dropping a
+    batch; lock starvation raises :class:`ConcurrentWriterError`.
     """
     if batch.isEmpty():
         return 0
-    _recover_swap(target_path)
-    target = (
-        spark.read.schema(batch.schema).parquet(target_path)
-        if os.path.exists(target_path)
-        else None
-    )
-    merged = merge_dataframes(target, batch, keys, order_cols, stamp_updated_at)
-    tmp = _staging_dir(target_path)
-    n = _write_counted(merged, tmp)
-    _swap_into(tmp, target_path)
-    return n
+    with _table_lock(target_path, timeout_s=lock_timeout_s):
+        _recover_swap(target_path)
+        target = (
+            spark.read.schema(batch.schema).parquet(target_path)
+            if os.path.exists(target_path)
+            else None
+        )
+        merged = merge_dataframes(target, batch, keys, order_cols, stamp_updated_at)
+        tmp = _staging_dir(target_path)
+        n = _write_counted(merged, tmp)
+        _swap_into(tmp, target_path)
+        return n
 
 
 def cdc_merge_dataframes(
@@ -211,24 +338,26 @@ def cdc_merge(
     keys: list[str],
     order_cols: list[str],
     op_col: str = "op",
+    lock_timeout_s: float = 600.0,
 ) -> int:
     """Materialized CDC MERGE with the same crash-consistent staging
     swap as :func:`merge_upsert` (E3).  The stored target does NOT
     carry ``op_col`` — it exists only on the change feed."""
     if batch.isEmpty():
         return 0
-    _recover_swap(target_path)
-    target_schema = batch.drop(op_col).schema
-    target = (
-        spark.read.schema(target_schema).parquet(target_path)
-        if os.path.exists(target_path)
-        else None
-    )
-    merged = cdc_merge_dataframes(target, batch, keys, order_cols, op_col)
-    tmp = _staging_dir(target_path)
-    n = _write_counted(merged, tmp)
-    _swap_into(tmp, target_path)
-    return n
+    with _table_lock(target_path, timeout_s=lock_timeout_s):
+        _recover_swap(target_path)
+        target_schema = batch.drop(op_col).schema
+        target = (
+            spark.read.schema(target_schema).parquet(target_path)
+            if os.path.exists(target_path)
+            else None
+        )
+        merged = cdc_merge_dataframes(target, batch, keys, order_cols, op_col)
+        tmp = _staging_dir(target_path)
+        n = _write_counted(merged, tmp)
+        _swap_into(tmp, target_path)
+        return n
 
 
 def snapshot_diff(
@@ -294,6 +423,7 @@ def merge_upsert_partitioned(
     order_cols: list[str],
     partition_col: str,
     stamp_updated_at: bool = False,
+    lock_timeout_s: float = 600.0,
 ) -> int:
     """Partition-restricted MERGE: rewrite only the partitions the batch
     touches — the 100 TB-shaped upsert (SURVEY.md hard-list #1).
@@ -329,6 +459,28 @@ def merge_upsert_partitioned(
 
     if batch.isEmpty():
         return 0
+    with _table_lock(target_path, timeout_s=lock_timeout_s):
+        return _merge_upsert_partitioned_locked(
+            spark, target_path, batch, keys, order_cols, partition_col,
+            stamp_updated_at,
+        )
+
+
+def _merge_upsert_partitioned_locked(
+    spark: SparkSession,
+    target_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    partition_col: str,
+    stamp_updated_at: bool,
+) -> int:
+    """Body of :func:`merge_upsert_partitioned` under the writer lock —
+    same serialization contract as :func:`merge_upsert` (the
+    per-partition swaps are reader-atomic; two unserialized writers
+    would still read one base and drop each other's rows)."""
+    import glob
+
     # repair any partition-dir swap a previous crash interrupted, and
     # sweep staging dirs a crashed run left beside the target
     for old in glob.glob(os.path.join(target_path, "*.old")):

@@ -656,7 +656,6 @@ def stream_nb_counts_availablenow(
     checkpoint_dir: str,
     counts_path: str,
     label_col: str = "lang",
-    id_col: str = "doc_id",
     text_col: str = "text",
     schema=None,
 ) -> None:
@@ -681,7 +680,7 @@ def stream_nb_counts_availablenow(
     )
 
     def fold(target: DataFrame | None, batch: DataFrame) -> DataFrame:
-        counts = nb_counts(batch, label_col, id_col, text_col)
+        counts = nb_counts(batch, label_col, text_col)
         return counts if target is None else fold_nb_counts(target, counts)
 
     _fold_stream_availablenow(

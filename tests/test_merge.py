@@ -547,3 +547,140 @@ def test_cdc_feed_into_versioned_table_with_time_travel(spark, tmp_path):
     assert snap(1) == {1: "a", 2: "b"}
     assert snap(2) == {1: "a", 2: "b2", 3: "c"}
     assert snap(3) == {2: "b2", 3: "c"}  # k=1 deleted in the latest
+
+
+# ---------------------------------------------------------------------------
+# Concurrent WRITERS (r12 verdict item 6): the swap is reader-atomic;
+# the writer lock makes simultaneous merges to one target compose
+# (loser waits, then merges onto the winner's published rows) or fail
+# loudly — never silently last-swap-wins a whole table.
+# ---------------------------------------------------------------------------
+
+
+def _b(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA.replace("timestamp", "string")).selectExpr(
+        "k", "v", "cast(updated_at as timestamp) updated_at"
+    )
+
+
+def test_concurrent_writer_waits_then_composes(spark, tmp_path):
+    """Writer B arrives while the lock is held: it WAITS, then reads
+    the state the winner published — both batches' rows survive."""
+    import threading
+
+    from square_etl_spark.sinks.merge import _table_lock
+
+    target = os.path.join(tmp_path, "tbl")
+    merge_upsert(spark, target, _b(spark, [("a", 1, "2024-01-01 00:00:00")]),
+                 ["k"], ["updated_at"])
+
+    done = {}
+
+    def writer_b():
+        done["n"] = merge_upsert(
+            spark, target, _b(spark, [("b", 2, "2024-01-02 00:00:00")]),
+            ["k"], ["updated_at"], lock_timeout_s=60.0,
+        )
+
+    with _table_lock(target):
+        t = threading.Thread(target=writer_b)
+        t.start()
+        t.join(timeout=2.0)
+        assert t.is_alive(), "writer B must block while the lock is held"
+    t.join(timeout=120.0)
+    assert not t.is_alive() and done["n"] == 2
+    assert _rows(spark, target) == {("a", 1), ("b", 2)}
+
+
+def test_concurrent_writers_both_batches_survive(spark, tmp_path):
+    """Two simultaneous merges of DISJOINT batches: whatever the
+    interleaving, the final table carries both — the exact failure
+    the unserialized swap had (last writer dropped the other's rows)."""
+    import threading
+
+    target = os.path.join(tmp_path, "tbl")
+    errs = []
+
+    def w(rows):
+        try:
+            merge_upsert(spark, target, _b(spark, rows), ["k"],
+                         ["updated_at"], lock_timeout_s=120.0)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errs.append(exc)
+
+    t1 = threading.Thread(target=w, args=([("a", 1, "2024-01-01 00:00:00")],))
+    t2 = threading.Thread(target=w, args=([("b", 2, "2024-01-01 00:00:00")],))
+    t1.start(); t2.start(); t1.join(180); t2.join(180)
+    assert not errs
+    assert _rows(spark, target) == {("a", 1), ("b", 2)}
+
+
+def test_lock_starvation_raises_loudly(spark, tmp_path):
+    """A writer that cannot get the lock inside its timeout raises
+    ConcurrentWriterError — never proceeds into a racing swap."""
+    import pytest
+
+    from square_etl_spark.sinks.merge import (
+        ConcurrentWriterError,
+        _table_lock,
+    )
+
+    target = os.path.join(tmp_path, "tbl")
+    with _table_lock(target):
+        with pytest.raises(ConcurrentWriterError):
+            merge_upsert(
+                spark, target, _b(spark, [("a", 1, "2024-01-01 00:00:00")]),
+                ["k"], ["updated_at"], lock_timeout_s=1.0,
+            )
+    assert not os.path.exists(target)  # the loser never wrote anything
+
+
+def test_stale_lock_from_dead_writer_is_swept(spark, tmp_path):
+    """A lock whose recorded owner pid is dead (crashed writer, same
+    host) is swept and the new writer proceeds — the
+    _sweep_stale_staging posture applied to the writer lock."""
+    import json as _json
+    import socket as _socket
+
+    target = os.path.join(tmp_path, "tbl")
+    lock = target + ".lock"
+    os.makedirs(lock)
+    # pid from the far end of pid space, already-reaped: liveness probe fails
+    with open(os.path.join(lock, "owner.json"), "w") as fh:
+        _json.dump({"pid": 2**22 + 12345, "host": _socket.gethostname(),
+                    "ts": __import__("time").time()}, fh)
+    n = merge_upsert(
+        spark, target, _b(spark, [("a", 1, "2024-01-01 00:00:00")]),
+        ["k"], ["updated_at"], lock_timeout_s=30.0,
+    )
+    assert n == 1 and _rows(spark, target) == {("a", 1)}
+    assert not os.path.exists(lock)  # released after the merge
+
+
+def test_live_foreign_lock_is_respected(spark, tmp_path):
+    """A lock held by a LIVE process (this one) with a fresh heartbeat
+    is never swept as stale — staleness requires a dead pid or an
+    expired TTL, not mere impatience."""
+    import pytest
+
+    from square_etl_spark.sinks.merge import (
+        ConcurrentWriterError,
+        _lock_is_stale,
+    )
+
+    target = os.path.join(tmp_path, "tbl")
+    lock = target + ".lock"
+    os.makedirs(lock)
+    import json as _json
+    import socket as _socket
+    import time as _time
+    owner = os.path.join(lock, "owner.json")
+    with open(owner, "w") as fh:
+        _json.dump({"pid": os.getpid(), "host": _socket.gethostname(),
+                    "ts": _time.time()}, fh)
+    assert not _lock_is_stale(owner)
+    with pytest.raises(ConcurrentWriterError):
+        merge_upsert(
+            spark, target, _b(spark, [("a", 1, "2024-01-01 00:00:00")]),
+            ["k"], ["updated_at"], lock_timeout_s=1.0,
+        )

@@ -22,6 +22,15 @@ It reports, for the CURRENT priority order:
     (queries.py raises on this too — here it's a readable report);
   - the recommended next-round head: never-checked first, then
     cohorts oldest-round-first, flagship anchor last, capped at 50.
+
+Governance rule (r12 verdict item 8, encoded r13): a query whose
+implementation was REFACTORED after its last driver check sorts with
+the never-checked cohort — its old green row certifies code that no
+longer exists.  Refactors are declared in tools/refresh_queue.txt
+(`<name> <round>`); an entry is live until the driver's latest row
+for that query is from <round> or later, then expires automatically.
+Perf refactors MUST add a queue line in the same commit (the r12
+precedent — six hand-promoted dedup queries — is now the rule).
 """
 
 from __future__ import annotations
@@ -63,6 +72,25 @@ def load_history() -> dict[str, int]:
     return latest
 
 
+def load_refresh_queue() -> dict[str, int]:
+    """query name → round its implementation was refactored in.
+
+    Parsed from tools/refresh_queue.txt; unknown names are reported by
+    the caller (a typo here silently loses the re-check priority)."""
+    path = os.path.join(REPO, "tools", "refresh_queue.txt")
+    queue: dict[str, int] = {}
+    if not os.path.exists(path):
+        return queue
+    with open(path) as fh:
+        for line in fh:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            name, rnd = line.rsplit(None, 1)
+            queue[name] = max(queue.get(name, 0), int(rnd))
+    return queue
+
+
 def main() -> int:
     sys.path.insert(0, REPO)
     from square_etl_spark.queries import _CHECK_PRIORITY, registry
@@ -85,6 +113,15 @@ def main() -> int:
     latest = load_history()
     current_round = max(latest.values(), default=0)
 
+    # refresh queue: declared refactors not yet re-checked by the
+    # driver sort as never-checked (cohort 0)
+    queue = load_refresh_queue()
+    queue_unknown = sorted(n for n in queue if n not in set(names))
+    live_refresh = sorted(
+        n for n, rnd in queue.items()
+        if n in set(names) and latest.get(n, 0) < rnd
+    )
+
     window = max_age_rounds(len(names))
     unknown = [n for n in _CHECK_PRIORITY if n not in set(names)]
     never = [n for n in names if n not in latest]
@@ -106,8 +143,11 @@ def main() -> int:
     print(f"freshness window   : {window} rounds (= ceil({len(names)-1}/{CAP-1}) + 1, from live registry)")
     print(f"head (first {CAP})   : checked next round")
     print(f"never checked      : {[n for n in never if n not in head_now] or 'none outside head'}")
+    print(f"refresh queue live : {live_refresh or 'none'}")
     if unknown:
         print(f"UNKNOWN in priority: {unknown}")
+    if queue_unknown:
+        print(f"UNKNOWN in refresh_queue.txt: {queue_unknown}")
     if stale_oracle:
         print(f"POLICY VIOLATION — oracle-checked queries aging past the {window}-round window:")
         for n in stale_oracle:
@@ -138,12 +178,26 @@ def main() -> int:
             "recommended head below"
         )
 
-    # recommended next head: never-checked → oldest cohort → … → anchor
+    # live refresh entries outside the upcoming head defer the re-check
+    # of refactored code a full rotation cycle — same severity as a
+    # never-checked query left out (the rule this tool encodes)
+    refresh_outside = [n for n in live_refresh if n not in head_now]
+    if refresh_outside and displaced:
+        print(
+            "POLICY VIOLATION — refresh-queue (refactored) queries outside "
+            f"the head while already-green queries hold slots: "
+            f"{refresh_outside}\n  fix: refresh _CHECK_PRIORITY to the "
+            "recommended head below"
+        )
+
+    # recommended next head: never-checked/refactored → oldest cohort
+    # → … → anchor
     cohorts: dict[int, list[str]] = {}
     for n in names:
         if n == "flagship_star_revenue":
             continue
-        cohorts.setdefault(latest.get(n, 0), []).append(n)
+        rnd = 0 if n in set(live_refresh) else latest.get(n, 0)
+        cohorts.setdefault(rnd, []).append(n)
     rec: list[str] = []
     for rnd in sorted(cohorts):  # 0 = never checked, then oldest rounds
         rec.extend(cohorts[rnd])
@@ -152,7 +206,10 @@ def main() -> int:
     for n in rec:
         tag = "" if has_oracle[n] else "  [rows-only]"
         print(f"  {n}  (last r{latest.get(n, 0):02d}){tag}")
-    return 1 if unknown or stale_oracle or head_stale else 0
+    return 1 if (
+        unknown or queue_unknown or stale_oracle or head_stale
+        or (refresh_outside and displaced)
+    ) else 0
 
 
 if __name__ == "__main__":
