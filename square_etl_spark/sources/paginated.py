@@ -28,8 +28,11 @@ Usage::
           .load())
 
 At 100 TB the same class shape serves real REST ingestion: partitions
-become (cursor-range, shard) tuples and ``read`` an HTTP loop with the
-engine's retry policy; nothing else changes.
+become (cursor-range, shard) tuples and ``read`` the cursor loop
+:func:`fetch_all_pages` under :class:`RateLimitRetry` — the S7 429
+backoff of the reference (src/square.ts:69-73), implemented below
+with Retry-After honoring and capped exponential backoff; nothing
+else changes.
 """
 
 from __future__ import annotations
@@ -101,6 +104,97 @@ def _read_page(
                 rec.get("event_type"),
                 rec.get("value"),
             )
+
+
+class RateLimitedError(Exception):
+    """A fetch hit the server's rate limit (HTTP 429).  ``retry_after``
+    carries the server's Retry-After hint in seconds, if any."""
+
+    def __init__(self, retry_after: float | None = None) -> None:
+        super().__init__(f"rate limited (retry_after={retry_after})")
+        self.retry_after = retry_after
+
+
+class RateLimitRetry:
+    """S7: the reference's 429 retry policy (src/square.ts:69-73 —
+    sleep 10 s and retry the same request) as an injectable policy
+    object, upgraded with Retry-After honoring and capped exponential
+    backoff.
+
+    This is the swap point the 100 TB REST deployment uses inside a
+    partition's fetch loop: Spark's task retry re-runs a WHOLE
+    partition on failure (the right tool for crashes), while a 429 is
+    a per-request, wait-and-continue condition — retrying the request
+    in place keeps the partition's cursor position instead of
+    re-fetching every earlier page.  ``sleep`` is injectable so tests
+    (and deterministic replays) never wall-clock wait.
+
+    Policy: on :class:`RateLimitedError`, wait ``retry_after`` if the
+    server sent one, else ``base_delay_s * 2**attempt`` capped at
+    ``max_delay_s`` (attempt 0 waits base_delay_s = the reference's
+    fixed 10 s); after ``max_attempts`` rate-limited attempts the
+    error propagates — loud failure, the engine's E2 posture, so a
+    misconfigured quota surfaces instead of stalling a task forever.
+
+    Any other exception propagates immediately: backoff is for
+    throttling, not for masking real failures.
+    """
+
+    def __init__(
+        self,
+        max_attempts: int = 5,
+        base_delay_s: float = 10.0,
+        max_delay_s: float = 60.0,
+        sleep=None,
+    ) -> None:
+        if max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
+        self.max_attempts = max_attempts
+        self.base_delay_s = base_delay_s
+        self.max_delay_s = max_delay_s
+        if sleep is None:
+            import time as _time
+
+            sleep = _time.sleep
+        self.sleep = sleep
+
+    def call(self, fetch, *args, **kwargs):
+        """Run ``fetch(*args, **kwargs)`` under the retry policy."""
+        attempt = 0
+        while True:
+            try:
+                return fetch(*args, **kwargs)
+            except RateLimitedError as exc:
+                attempt += 1
+                if attempt >= self.max_attempts:
+                    raise
+                delay = (
+                    exc.retry_after
+                    if exc.retry_after is not None
+                    else min(
+                        self.base_delay_s * (2 ** (attempt - 1)),
+                        self.max_delay_s,
+                    )
+                )
+                self.sleep(delay)
+
+
+def fetch_all_pages(fetch_page, retry: RateLimitRetry | None = None):
+    """The reference's cursor loop (src/square.ts:43-91) with S7 retry:
+    ``fetch_page(cursor) -> (rows, next_cursor)`` is called under the
+    retry policy until the cursor comes back None; yields rows.
+
+    This is the per-partition REST loop of the 100 TB deployment
+    (partition = cursor range/shard); the parquet-backed fixtures use
+    :func:`_read_page` instead, with Spark task retry covering the
+    file path (SURVEY §2.1: S7 is a connector concern)."""
+    retry = retry or RateLimitRetry()
+    cursor = None
+    while True:
+        rows, cursor = retry.call(fetch_page, cursor)
+        yield from rows
+        if cursor is None:
+            return
 
 
 class PaginatedJsonReader(DataSourceReader):

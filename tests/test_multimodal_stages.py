@@ -300,12 +300,14 @@ def test_decode_media_malformed_image_quarantines(spark):
 
 
 def test_decode_media_stub_formats_still_flow(spark):
-    # webp remains a STUB codec (libwebp not in container):
-    # deterministic fake features, row still flows (png/gif/jpeg all
-    # graduated to real codecs)
+    # mp3 remains a STUB codec (no codec libs in container):
+    # deterministic fake features, row still flows (png/gif/jpeg —
+    # and as of r13, lossless webp — all graduated to real codecs)
     from square_etl_spark.operators.multimodal import FEATURE_DIM, decode_media
 
-    out = decode_media(_media_df(spark, b"arbitrary bytes here", "webp")).collect()[0]
+    out = decode_media(
+        _media_df(spark, b"arbitrary bytes here", "mp3", media_type="audio")
+    ).collect()[0]
     assert out.ok is True and len(out.features) == FEATURE_DIM
 
 
@@ -3516,3 +3518,580 @@ def test_probe_blob_mp4_tolerates_header_sampled_truncation():
     # structurally bad size is still malformed
     with _pytest.raises(ValueError):
         _probe_blob(ftyp + struct.pack(">I", 3) + b"abcd")
+
+
+# ---------------------------------------------------------------------------
+# REAL codec: WebP lossless (VP8L) — round-trip against a test-side
+# encoder (simple + full huffman codes, 17/18 zero-run RLE, color
+# cache, LZ77 plane/direct distances, subtract-green, palette
+# bundling), hand-built bitstreams for the predictor / color / meta
+# prefix-group paths the encoder does not emit, the standard
+# quarantine fuzz net, and decode_media end-to-end.  The oracle query
+# `multimodal_decode_webp` rides the same decoder (queries.py).
+# ---------------------------------------------------------------------------
+
+
+class _Vp8lW:
+    """LSB-first bit writer (the encoder mirror of _Vp8lBits)."""
+
+    def __init__(self):
+        self.bits = []
+
+    def put(self, val, n):
+        for i in range(n):
+            self.bits.append((val >> i) & 1)
+
+    def put_code(self, code, length):  # code words emit MSB-first
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self):
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, b in enumerate(self.bits):
+            if b:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+
+
+def _huff_lengths(freqs, max_len=15):
+    import heapq
+
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        return {syms[0]: 0}
+    h = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(h)
+    depth = dict.fromkeys(syms, 0)
+    cnt = len(h)
+    while len(h) > 1:
+        f1, _, g1 = heapq.heappop(h)
+        f2, _, g2 = heapq.heappop(h)
+        for s in g1 + g2:
+            depth[s] += 1
+        cnt += 1
+        heapq.heappush(h, (f1 + f2, cnt, g1 + g2))
+    assert max(depth.values()) <= max_len, depth
+    return depth
+
+
+def _canon(lengths):
+    out = {}
+    code = prev = 0
+    for ln, sym in sorted((ln, s) for s, ln in lengths.items() if ln > 0):
+        code <<= ln - prev
+        prev = ln
+        out[sym] = (code, ln)
+        code += 1
+    return out
+
+
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _emit_prefix_code(w, lengths_by_sym, alphabet_size):
+    used = sorted(lengths_by_sym)
+    if len(used) == 1:
+        w.put(1, 1); w.put(0, 1); w.put(1, 1); w.put(used[0], 8)
+        return {used[0]: (0, 0)}
+    if len(used) == 2:
+        w.put(1, 1); w.put(1, 1); w.put(1, 1)
+        w.put(used[0], 8); w.put(used[1], 8)
+        return {used[0]: (0, 1), used[1]: (1, 1)}
+    w.put(0, 1)  # normal path
+    seq, pos = [], 0
+    while pos < alphabet_size:  # zero runs via cl-symbols 17/18
+        ln = lengths_by_sym.get(pos, 0)
+        if ln == 0:
+            run = 0
+            while pos + run < alphabet_size and lengths_by_sym.get(pos + run, 0) == 0:
+                run += 1
+            while run > 0:
+                if run >= 11:
+                    r = min(run, 138); seq.append((18, r - 11, 7))
+                elif run >= 3:
+                    r = run; seq.append((17, r - 3, 3))
+                else:
+                    r = 1; seq.append((0, 0, 0))
+                run -= r
+                pos += r
+        else:
+            seq.append((ln, 0, 0))
+            pos += 1
+    cl_freq = {}
+    for s, _, _ in seq:
+        cl_freq[s] = cl_freq.get(s, 0) + 1
+    cl_lengths = _huff_lengths(cl_freq, max_len=7)
+    if len(cl_freq) == 1:  # keep the cl code COMPLETE (decoder rejects)
+        only = next(iter(cl_freq))
+        cl_lengths = {only: 1, (0 if only != 0 else 1): 1}
+    w.put(15, 4)
+    for s in _CL_ORDER:
+        w.put(cl_lengths.get(s, 0), 3)
+    cl_codes = _canon(cl_lengths)
+    w.put(0, 1)  # no max_symbol cap
+    for s, ev, en in seq:
+        c, ln = cl_codes[s]
+        w.put_code(c, ln)
+        if en:
+            w.put(ev, en)
+    return _canon(lengths_by_sym)
+
+
+def _lz77_bucket(value):
+    v = value - 1
+    if v < 4:
+        return v, 0, 0
+    b = v.bit_length() - 1
+    second = (v >> (b - 1)) & 1
+    return 2 * b + second, value - ((2 + second) << (b - 1)) - 1, b - 1
+
+
+def _vp8l_encode_image(wtr, px, cache_bits, use_lz77, lz77_plane, is_main):
+    if cache_bits:
+        wtr.put(1, 1); wtr.put(cache_bits, 4)
+    else:
+        wtr.put(0, 1)
+    if is_main:
+        wtr.put(0, 1)  # no meta prefix codes
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    tokens, pos, n = [], 0, len(px)
+    while pos < n:
+        if use_lz77 and pos > 0 and px[pos] == px[pos - 1]:
+            run = 0
+            while pos + run < n and px[pos + run] == px[pos - 1 + run]:
+                run += 1
+            if run >= 3:
+                tokens.append(("copy", run, 1))
+                for k in range(run):
+                    p = px[pos + k]
+                    if cache_size:
+                        cache[((0x1E35A7BD * p) & 0xFFFFFFFF) >> (32 - cache_bits)] = p
+                pos += run
+                continue
+        p = px[pos]
+        if cache_size:
+            hidx = ((0x1E35A7BD * p) & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[hidx] == p and pos > 0:
+                tokens.append(("cache", hidx)); pos += 1
+                continue
+            cache[hidx] = p
+        tokens.append(("lit", (p >> 24) & 0xFF, (p >> 16) & 0xFF,
+                       (p >> 8) & 0xFF, p & 0xFF))
+        pos += 1
+    fg, fr, fb, fa, fd = {}, {}, {}, {}, {}
+
+    def bump(d, k):
+        d[k] = d.get(k, 0) + 1
+
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            bump(fg, g); bump(fr, r); bump(fb, b); bump(fa, a)
+        elif t[0] == "cache":
+            bump(fg, 280 + t[1])
+        else:
+            bump(fg, 256 + _lz77_bucket(t[1])[0])
+            bump(fd, _lz77_bucket(2 if lz77_plane else t[2] + 120)[0])
+    for d in (fr, fb, fa, fd):
+        if not d:
+            d[0] = 1
+    tabs = [
+        _emit_prefix_code(wtr, _huff_lengths(f), a)
+        for f, a in zip((fg, fr, fb, fa, fd),
+                        (280 + cache_size, 256, 256, 256, 40))
+    ]
+    tg, tr, tb, ta, td = tabs
+
+    def emit(tab, sym):
+        c, ln = tab[sym]
+        wtr.put_code(c, ln)
+
+    for t in tokens:
+        if t[0] == "lit":
+            _, a, r, g, b = t
+            emit(tg, g); emit(tr, r); emit(tb, b); emit(ta, a)
+        elif t[0] == "cache":
+            emit(tg, 280 + t[1])
+        else:
+            lcode, ev, en = _lz77_bucket(t[1])
+            emit(tg, 256 + lcode)
+            if en:
+                wtr.put(ev, en)
+            dcode, ev, en = _lz77_bucket(2 if lz77_plane else t[2] + 120)
+            emit(td, dcode)
+            if en:
+                wtr.put(ev, en)
+
+
+def _encode_vp8l(pixels, w_px, h_px, *, cache_bits=0, use_lz77=False,
+                 lz77_plane=False, subtract_green=False, palette=False):
+    assert len(pixels) == w_px * h_px
+    px = list(pixels)
+    wtr = _Vp8lW()
+    wtr.put(w_px - 1, 14); wtr.put(h_px - 1, 14); wtr.put(0, 1); wtr.put(0, 3)
+    main_w = w_px
+    if subtract_green:
+        wtr.put(1, 1); wtr.put(2, 2)
+        px = [
+            (p & 0xFF00FF00)
+            | (((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16)
+            | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+            for p in px
+        ]
+    if palette:
+        pal = sorted(set(px))
+        n = len(pal)
+        assert n <= 256
+        idx = {p: i for i, p in enumerate(pal)}
+        bits = 0 if n > 16 else (1 if n > 4 else (2 if n > 2 else 3))
+        wtr.put(1, 1); wtr.put(3, 2); wtr.put(n - 1, 8)
+
+        def sub_px(a, b):
+            return ((((a >> 24) - (b >> 24)) & 0xFF) << 24
+                    | ((((a >> 16) & 0xFF) - ((b >> 16) & 0xFF)) & 0xFF) << 16
+                    | ((((a >> 8) & 0xFF) - ((b >> 8) & 0xFF)) & 0xFF) << 8
+                    | (((a & 0xFF) - (b & 0xFF)) & 0xFF))
+
+        deltas = [pal[0]] + [sub_px(pal[i], pal[i - 1]) for i in range(1, n)]
+        _vp8l_encode_image(wtr, deltas, 0, False, False, is_main=False)
+        if bits:
+            bpp, ppp = 8 >> bits, 1 << bits
+            packed_w = (w_px + ppp - 1) // ppp
+            out = []
+            for y in range(h_px):
+                for xp in range(packed_w):
+                    v = 0
+                    for k in range(ppp):
+                        x = xp * ppp + k
+                        if x < w_px:
+                            v |= idx[px[y * w_px + x]] << (bpp * k)
+                    out.append(v << 8)
+            px, main_w = out, packed_w
+        else:
+            px = [idx[p] << 8 for p in px]
+    wtr.put(0, 1)  # terminate transform list
+    _vp8l_encode_image(wtr, px, cache_bits, use_lz77, lz77_plane, is_main=True)
+    payload = b"\x2f" + wtr.bytes()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _check_vp8l_roundtrip(pixels, w, h, **kw):
+    from square_etl_spark.operators.multimodal import _parse_webp
+
+    out = _parse_webp(_encode_vp8l(pixels, w, h, **kw))
+    assert out.shape == (h, w, 3), (out.shape, kw)
+    for i, p in enumerate(pixels):
+        y, x = divmod(i, w)
+        exp = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+        got = tuple(int(v) for v in out[y, x])
+        assert got == exp, (kw, (x, y), exp, got)
+
+
+def test_vp8l_roundtrip_literals_and_simple_codes():
+    import random
+
+    rng = random.Random(42)
+    for _ in range(4):  # full-huffman literal path, incl. 17/18 RLE
+        w, h = rng.randint(1, 17), rng.randint(1, 9)
+        _check_vp8l_roundtrip(
+            [0xFF000000 | rng.getrandbits(24) for _ in range(w * h)], w, h
+        )
+    for _ in range(4):  # few-color: simple 1/2-symbol codes
+        w, h = rng.randint(2, 16), rng.randint(2, 12)
+        colors = [0xFF000000 | rng.getrandbits(24) for _ in range(3)]
+        _check_vp8l_roundtrip([rng.choice(colors) for _ in range(w * h)], w, h)
+
+
+def test_vp8l_roundtrip_color_cache_and_lz77():
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        w, h = rng.randint(4, 20), rng.randint(3, 10)
+        colors = [0xFF000000 | rng.getrandbits(24) for _ in range(6)]
+        _check_vp8l_roundtrip(
+            [rng.choice(colors) for _ in range(w * h)], w, h, cache_bits=4
+        )
+    for _ in range(3):
+        w, h = rng.randint(6, 24), rng.randint(3, 8)
+        pixels = []
+        while len(pixels) < w * h:
+            pixels.extend([0xFF000000 | rng.getrandbits(24)] * rng.randint(1, 9))
+        pixels = pixels[: w * h]
+        # direct distances (>120), plane-code distance 2 (=left
+        # neighbor), and LZ77 composed with the color cache
+        _check_vp8l_roundtrip(pixels, w, h, use_lz77=True)
+        _check_vp8l_roundtrip(pixels, w, h, use_lz77=True, lz77_plane=True)
+        _check_vp8l_roundtrip(pixels, w, h, use_lz77=True, cache_bits=3)
+
+
+def test_vp8l_roundtrip_transforms():
+    import random
+
+    rng = random.Random(13)
+    for _ in range(3):  # subtract-green
+        w, h = rng.randint(2, 12), rng.randint(2, 12)
+        _check_vp8l_roundtrip(
+            [0xFF000000 | rng.getrandbits(24) for _ in range(w * h)],
+            w, h, subtract_green=True,
+        )
+    for ncol in (2, 3, 4, 13, 17, 200):  # palette bundling widths 3,2,1,0
+        w, h = 23, 7
+        colors = [0xFF000000 | rng.getrandbits(24) for _ in range(ncol)]
+        pixels = [rng.choice(colors) for _ in range(w * h)]
+        _check_vp8l_roundtrip(pixels, w, h, palette=True)
+        _check_vp8l_roundtrip(pixels, w, h, palette=True, subtract_green=True)
+
+
+def _vp8l_stream(w_px, h_px, body_bits):
+    """Wrap hand-written bitstream fragments into a full WebP blob."""
+    wtr = _Vp8lW()
+    wtr.put(w_px - 1, 14); wtr.put(h_px - 1, 14); wtr.put(0, 1); wtr.put(0, 3)
+    for val, n in body_bits:
+        wtr.put(val, n)
+    payload = b"\x2f" + wtr.bytes()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _simple1(sym):
+    """Bit ops for a single-symbol simple prefix code (0-bit reads)."""
+    return [(1, 1), (0, 1), (1, 1), (sym, 8)]
+
+
+def _lit_codes(g, r=0, b=0, a=0, dist=0):
+    """Five single-symbol codes: every pixel decodes to one literal
+    with zero data bits — the hand-construction workhorse."""
+    return _simple1(g) + _simple1(r) + _simple1(b) + _simple1(a) + _simple1(dist)
+
+
+def test_vp8l_predictor_transform_hand_built():
+    """Predictor transform, hand-computed expectations: a 2x2 image,
+    one 4x4 block (size_bits=2 -> 1x1 mode subimage).  Residuals are
+    spelled out per pixel via a 2-symbol green code; the expected
+    pixels add the predictor per spec (top-left=black, first row=L,
+    first column=T, interior=mode)."""
+    from square_etl_spark.operators.multimodal import _parse_webp
+
+    def build(mode, residuals):
+        # transform: predictor, size_bits=2; mode subimage = 1 literal
+        body = [(1, 1), (0, 2), (0, 3)]
+        body += [(0, 1)]  # subimage: no color cache
+        body += _lit_codes(g=mode)  # 1x1 subimage pixel: green=mode
+        body += [(0, 1)]  # end transforms
+        body += [(0, 1), (0, 1)]  # main: no cache, no meta
+        # greens of the 4 residuals via a 2-symbol simple code; the
+        # other channels are per-pixel too, so use 2-symbol codes on
+        # every channel keyed by explicit bit emissions
+        g0, g1 = residuals[0][2], residuals[1][2]
+        # to keep the hand-construction tractable, all four residuals
+        # share channel values except green: r/b/a single-symbol
+        body += [(1, 1), (1, 1), (1, 1), (g0, 8), (g1, 8)]  # green simple-2
+        body += _simple1(residuals[0][1])  # red
+        body += _simple1(residuals[0][3])  # blue
+        body += _simple1(residuals[0][0])  # alpha
+        body += _simple1(0)  # distance
+        for sel in residuals[4]:  # 4 pixels: green selector bits
+            body += [(sel, 1)]
+        return _vp8l_stream(2, 2, body)
+
+    # mode 2 (= top).  residuals: alpha=0, red=1, blue=3, greens 5/9
+    # p00 = black + (0,1,5,3) = (ff,01,05,03)
+    # p01 = p00 + (0,1,9,3)   = (ff,02,0e,06)   (first row: pred=L)
+    # p10 = p00 + (0,1,5,3)   = (fe,02,0a,06)   (first col: pred=T)
+    # p11 = p01 + (0,1,9,3)   = (fe,03,17,09)   (mode 2: pred=T=p01)
+    blob = build(2, [(0, 1, 5, 3), (0, 1, 9, 3), None, None, (0, 1, 0, 1)])
+    out = _parse_webp(blob)
+    assert [tuple(int(v) for v in out[y, x]) for y in (0, 1) for x in (0, 1)] == [
+        (0x01, 0x05, 0x03), (0x02, 0x0E, 0x06),
+        (0x02, 0x0A, 0x06), (0x03, 0x17, 0x09),
+    ]
+    # mode 12 (ClampAddSubtractFull) differs from mode 2 only at p11:
+    # pred = clamp(L + T - TL) = clamp(p10 + p01 - p00)
+    #      = (fe,03,13,09); p11 = pred + (0,1,9,3) = (fe,04,1c,0c)
+    blob = build(12, [(0, 1, 5, 3), (0, 1, 9, 3), None, None, (0, 1, 0, 1)])
+    out = _parse_webp(blob)
+    assert tuple(int(v) for v in out[1, 1]) == (0x04, 0x1C, 0x0C)
+
+
+def test_vp8l_color_transform_hand_built():
+    """Color transform, hand-computed: 2x1 image, one block, transform
+    element (g2r=2, g2b=3, r2b=4).  Signed int8 deltas with >>5:
+    green=100 -> red += (2*100)>>5 = 6; blue += (3*100)>>5=9 plus
+    (4*red')>>5; green=200 (int8 -56) -> red += (2*-56)>>5 = -4."""
+    from square_etl_spark.operators.multimodal import _parse_webp
+
+    body = [(1, 1), (1, 2), (0, 3)]  # color transform, size_bits=2
+    body += [(0, 1)]  # subimage: no cache
+    # cte pixel: blue=g2r=2, green=g2b=3, red=r2b=4
+    body += _simple1(3) + _simple1(4) + _simple1(2) + _simple1(0) + _simple1(0)
+    body += [(0, 1)]  # end transforms
+    body += [(0, 1), (0, 1)]  # main: no cache, no meta
+    # two literals: greens 100/200 (2-symbol), red=10, blue=20, a=0
+    body += [(1, 1), (1, 1), (1, 1), (100, 8), (200, 8)]
+    body += _simple1(10) + _simple1(20) + _simple1(0) + _simple1(0)
+    body += [(0, 1), (1, 1)]  # pixel greens: 100 then 200
+    out = _parse_webp(_vp8l_stream(2, 1, body))
+    # g=100: red = 10 + 6 = 16; blue = 20 + 9 + (4*16)>>5=2 -> 31
+    assert tuple(int(v) for v in out[0, 0]) == (16, 100, 31)
+    # g=200: red = (10 - 4) & 0xff = 6; int8(6)=6
+    #        blue = 20 + ((3*-56)>>5 = -6) + ((4*6)>>5 = 0) = 14
+    assert tuple(int(v) for v in out[0, 1]) == (6, 200, 14)
+
+
+def test_vp8l_meta_prefix_groups_hand_built():
+    """Meta prefix codes: an 8x1 image, huff_bits=2 (4-pixel blocks ->
+    2x1 meta image selecting groups 0/1) — left half decodes through
+    group 0 (gray 10), right half through group 1 (gray 200)."""
+    from square_etl_spark.operators.multimodal import _parse_webp
+
+    body = [(0, 1)]  # no transforms
+    body += [(0, 1)]  # main: no color cache
+    body += [(1, 1), (0, 3)]  # meta prefix codes, huff_bits = 2
+    # meta image 2x1 (entropy image, NOT level0): no cache; green
+    # 2-symbol {0,1}; r/b/a/dist single-0 — pixel green = group index
+    body += [(0, 1)]
+    body += [(1, 1), (1, 1), (1, 1), (0, 8), (1, 8)]
+    body += _simple1(0) + _simple1(0) + _simple1(0) + _simple1(0)
+    body += [(0, 1), (1, 1)]  # meta pixels: group 0 then group 1
+    # two groups x five codes, all single-symbol literals
+    body += _lit_codes(g=10, r=10, b=10, a=255)    # group 0
+    body += _lit_codes(g=200, r=200, b=200, a=255)  # group 1
+    out = _parse_webp(_vp8l_stream(8, 1, body))
+    assert [int(out[0, x, 1]) for x in range(8)] == [10] * 4 + [200] * 4
+
+
+def test_vp8l_fuzz_valueerror_only():
+    """Quarantine net: every truncation and 300 random single-byte
+    corruptions of valid VP8L blobs either decode or raise ValueError
+    (NotImplementedError only for the declared lossy-VP8 stub) —
+    never IndexError/KeyError/infinite work."""
+    import random
+
+    from square_etl_spark.operators.multimodal import _parse_webp
+
+    rng = random.Random(99)
+    colors = [0xFF000000 | rng.getrandbits(24) for _ in range(5)]
+    blobs = [
+        _encode_vp8l([rng.choice(colors) for _ in range(48)], 8, 6,
+                     cache_bits=3, use_lz77=True),
+        _encode_vp8l([rng.choice(colors) for _ in range(21)], 7, 3,
+                     palette=True, subtract_green=True),
+    ]
+    for blob in blobs:
+        for cut in range(len(blob)):
+            try:
+                _parse_webp(blob[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(300):
+            b = bytearray(blob)
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+            try:
+                _parse_webp(bytes(b))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_decode_media_webp_real_and_lossy_stub(spark):
+    from square_etl_spark.operators.multimodal import FEATURE_DIM, decode_media
+
+    # real VP8L: half black / half white 8x8 -> grid rows [0,0,1,1]
+    pixels = [
+        0xFF000000 if x < 4 else 0xFFFFFFFF
+        for y in range(8) for x in range(8)
+    ]
+    out = decode_media(
+        _media_df(spark, _encode_vp8l(pixels, 8, 8), "webp")
+    ).collect()[0]
+    assert out.ok is True
+    assert out.features == [0.0, 0.0, 1.0, 1.0] * 4
+    # lossy VP8 payload: DECLARED stub -> deterministic fake, flows
+    vp8 = (b"RIFF" + (22).to_bytes(4, "little") + b"WEBP"
+           + b"VP8 " + (10).to_bytes(4, "little")
+           + b"\x00\x00\x00" + b"\x9d\x01\x2a"
+           + (16).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    out = decode_media(_media_df(spark, vp8, "webp")).collect()[0]
+    assert out.ok is True and len(out.features) == FEATURE_DIM
+    # junk declared webp: quarantined, not crashed
+    out = decode_media(_media_df(spark, b"not a webp at all", "webp")).collect()[0]
+    assert out.ok is False and out.features is None
+    # detection-based dispatch finds the VP8L decoder from magic bytes
+    out = decode_media(
+        _media_df(spark, _encode_vp8l(pixels, 8, 8), "png"), detect=True
+    ).collect()[0]
+    assert out.ok is True and out.features == [0.0, 0.0, 1.0, 1.0] * 4
+
+
+def _ogg_page(payload, granule, *, header_type=0, seq=0):
+    """One single-segment Ogg page (payload < 255 bytes)."""
+    assert len(payload) < 255 and granule >= 0
+    return (b"OggS" + bytes([0, header_type])
+            + granule.to_bytes(8, "little")
+            + b"\x01\x02\x03\x04"          # serial
+            + seq.to_bytes(4, "little")    # page sequence
+            + b"\x00\x00\x00\x00"          # crc (unchecked by the probe)
+            + bytes([1, len(payload)]) + payload)
+
+
+def test_ogg_duration_from_last_page_granule():
+    from square_etl_spark.operators.multimodal import _probe_blob
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 5
+                 + (44100).to_bytes(4, "little") + b"\x00" * 8)
+    blob = (_ogg_page(vorbis_id, 0, header_type=2)
+            + _ogg_page(b"\x05comment", 0, seq=1)
+            + _ogg_page(b"audio0", 22050, seq=2)
+            + _ogg_page(b"audio1", 88200, seq=3))
+    got = _probe_blob(blob)
+    assert got["detected_format"] == "ogg"
+    assert got["sample_rate"] == 44100
+    assert got["duration_ms"] == 2000  # 88200 samples @ 44.1 kHz
+
+    # Opus: granule always at 48 kHz, minus the OpusHead pre-skip
+    opus_id = (b"OpusHead" + bytes([1, 2])
+               + (312).to_bytes(2, "little")          # pre-skip
+               + (48000).to_bytes(4, "little") + b"\x00" * 3)
+    blob = (_ogg_page(opus_id, 0, header_type=2)
+            + _ogg_page(b"OpusTags", 0, seq=1)
+            + _ogg_page(b"audio", 48000 + 312, seq=2))
+    got = _probe_blob(blob)
+    assert got["duration_ms"] == 1000
+
+    # -1 granule (no packet ends on the page) is skipped
+    cont = (b"OggS" + bytes([0, 1]) + b"\xff" * 8
+            + b"\x01\x02\x03\x04" + (3).to_bytes(4, "little")
+            + b"\x00" * 4 + bytes([1, 4]) + b"cont")
+    blob = (_ogg_page(vorbis_id, 0, header_type=2)
+            + _ogg_page(b"audio0", 44100, seq=2) + cont)
+    assert _probe_blob(blob)["duration_ms"] == 1000
+
+    # truncated tail page (header-sampled blob): last COMPLETE page wins
+    blob = (_ogg_page(vorbis_id, 0, header_type=2)
+            + _ogg_page(b"audio0", 44100, seq=2)
+            + _ogg_page(b"audio1", 88200, seq=3)[:20])
+    assert _probe_blob(blob)["duration_ms"] == 1000
+
+
+def test_probe_av_manifest_carries_ogg_duration(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from square_etl_spark.operators.multimodal import probe_av_manifest
+
+    vorbis_id = (b"\x01vorbis" + b"\x00" * 5
+                 + (32000).to_bytes(4, "little") + b"\x00" * 8)
+    blob = (_ogg_page(vorbis_id, 0, header_type=2)
+            + _ogg_page(b"a", 16000, seq=1))
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    row = probe_av_manifest(media).collect()[0]
+    assert row.detected_format == "ogg"
+    assert row.sample_rate == 32000 and row.duration_ms == 500

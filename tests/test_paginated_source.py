@@ -256,3 +256,109 @@ def test_boundary_rows_survive_le_and_strict_gt(spark, sf_dir, tmp_path):
     assert sorted(r.event_id for r in le.collect()) == [0, 1]
     gt = base.filter(F.col("ts") > "2024-01-01T00:00:00")
     assert sorted(r.event_id for r in gt.collect()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# S7: rate-limit retry policy (reference src/square.ts:69-73 — sleep
+# and retry the same request on 429).  Injectable sleep/transport so
+# the tests never wall-clock wait.
+# ---------------------------------------------------------------------------
+
+
+def test_rate_limit_retry_backoff_schedule():
+    from square_etl_spark.sources.paginated import (
+        RateLimitedError,
+        RateLimitRetry,
+    )
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def fetch():
+        calls["n"] += 1
+        if calls["n"] <= 3:
+            raise RateLimitedError()
+        return "ok"
+
+    r = RateLimitRetry(max_attempts=5, base_delay_s=10.0, sleep=sleeps.append)
+    assert r.call(fetch) == "ok"
+    # exponential from the reference's fixed 10 s: 10, 20, 40
+    assert sleeps == [10.0, 20.0, 40.0] and calls["n"] == 4
+
+
+def test_rate_limit_retry_honors_retry_after_and_cap():
+    from square_etl_spark.sources.paginated import (
+        RateLimitedError,
+        RateLimitRetry,
+    )
+
+    sleeps = []
+    seq = [RateLimitedError(retry_after=2.5), RateLimitedError(), None]
+
+    def fetch():
+        e = seq.pop(0)
+        if e is not None:
+            raise e
+        return 42
+
+    r = RateLimitRetry(max_attempts=9, base_delay_s=50.0, max_delay_s=60.0,
+                       sleep=sleeps.append)
+    assert r.call(fetch) == 42
+    # server hint wins over the schedule; the capped schedule resumes
+    # at the attempt index (attempt 2 -> min(50*2, 60) = 60)
+    assert sleeps == [2.5, 60.0]
+
+
+def test_rate_limit_retry_exhaustion_is_loud_and_real_errors_propagate():
+    import pytest
+
+    from square_etl_spark.sources.paginated import (
+        RateLimitedError,
+        RateLimitRetry,
+    )
+
+    sleeps = []
+
+    def always_limited():
+        raise RateLimitedError()
+
+    r = RateLimitRetry(max_attempts=3, sleep=sleeps.append)
+    with pytest.raises(RateLimitedError):
+        r.call(always_limited)
+    assert len(sleeps) == 2  # attempts 1..2 slept; attempt 3 raised
+
+    def broken():
+        raise OSError("connection reset")
+
+    with pytest.raises(OSError):  # not retried: backoff is for 429 only
+        RateLimitRetry(sleep=sleeps.append).call(broken)
+
+
+def test_fetch_all_pages_cursor_loop_retries_in_place():
+    """A 429 mid-pagination retries THAT page; earlier pages are not
+    re-fetched (the cursor position is preserved — the reason S7 lives
+    in the fetch loop, not Spark task retry)."""
+    from square_etl_spark.sources.paginated import (
+        RateLimitedError,
+        RateLimitRetry,
+        fetch_all_pages,
+    )
+
+    pages = {None: ([1, 2], "c1"), "c1": ([3], "c2"), "c2": ([4, 5], None)}
+    fetched = []
+    limited = {"armed": True}
+
+    def fetch_page(cursor):
+        if cursor == "c1" and limited["armed"]:
+            limited["armed"] = False
+            raise RateLimitedError(retry_after=0.1)
+        fetched.append(cursor)
+        return pages[cursor]
+
+    sleeps = []
+    rows = list(fetch_all_pages(
+        fetch_page, RateLimitRetry(sleep=sleeps.append)
+    ))
+    assert rows == [1, 2, 3, 4, 5]
+    assert fetched == [None, "c1", "c2"]  # each page fetched once
+    assert sleeps == [0.1]
