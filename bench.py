@@ -250,12 +250,20 @@ def main() -> None:
                 drift[name] = "n"
             else:
                 r = t / pt
+                # min-run exoneration for "r" only: a REAL regression
+                # raises the best run too, while shared-box noise only
+                # raises the worst ones — if the best of the raw runs
+                # still lands inside the noise band of the previous
+                # median, the median's excursion is spread, not code
+                # (r13: dedup_jaccard_prefix raw [5.06, 3.50, 4.97]
+                # vs prev 3.52 — run 2 IS the old number).
+                rmin = min(raw_runs[name]) / pt
                 if abs(r - 1) <= _NOISE or abs(t - pt) <= _ABS_FLOOR:
                     drift[name] = "n"
                 elif any(abs(r - br) <= _NOISE * br for br in box_ratios):
                     drift[name] = "b"
                 elif r > 1:
-                    drift[name] = "r"
+                    drift[name] = "r" if rmin > 1 + _NOISE else "n"
                 else:
                     drift[name] = "i"
 
