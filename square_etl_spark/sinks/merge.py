@@ -52,8 +52,10 @@ class ConcurrentWriterError(RuntimeError):
 
 #: writer-lock liveness horizon: a lock whose owner heartbeat is older
 #: than this is presumed crashed and swept (same posture as the
-#: streaming sink's _sweep_stale_staging).  Generous — a merge that
-#: legitimately holds the lock this long should refresh via _touch.
+#: streaming sink's _sweep_stale_staging).  A LIVE holder never ages
+#: past it: _table_lock re-stamps owner.json every LOCK_TTL_S/4 from a
+#: daemon heartbeat thread, so even a multi-hour 100 TB merge keeps
+#: its lock; only a crashed writer's heartbeat goes stale.
 LOCK_TTL_S = 3600.0
 
 
@@ -112,15 +114,37 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
                     "race — a concurrent swap would silently drop rows"
                 ) from None
             time.sleep(poll_s)
-    try:
-        with open(owner_file, "w") as fh:
+    def _stamp() -> None:
+        # write-then-rename so a reader never sees a torn owner.json
+        tmp = owner_file + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(
                 {"pid": os.getpid(), "host": socket.gethostname(),
                  "ts": time.time()},
                 fh,
             )
+        os.replace(tmp, owner_file)
+
+    import threading
+
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        # re-stamp at TTL/4 so a live holder's heartbeat can never age
+        # past the staleness horizon, however long the merge runs
+        while not stop.wait(LOCK_TTL_S / 4):
+            try:
+                _stamp()
+            except OSError:
+                return  # lock dir gone (released/swept): nothing to keep alive
+
+    try:
+        _stamp()
+        hb = threading.Thread(target=_heartbeat, daemon=True)
+        hb.start()
         yield
     finally:
+        stop.set()
         shutil.rmtree(lock_dir, ignore_errors=True)
 
 

@@ -684,3 +684,23 @@ def test_live_foreign_lock_is_respected(spark, tmp_path):
             spark, target, _b(spark, [("a", 1, "2024-01-01 00:00:00")]),
             ["k"], ["updated_at"], lock_timeout_s=1.0,
         )
+
+
+def test_lock_heartbeat_keeps_long_holders_alive(monkeypatch, tmp_path):
+    """A live holder's heartbeat re-stamps owner.json every TTL/4, so
+    a contender never judges it stale however long the merge runs —
+    only a crashed writer (dead pid / frozen heartbeat) is sweepable."""
+    import json as _json
+    import time as _time
+
+    from square_etl_spark.sinks import merge as m
+
+    monkeypatch.setattr(m, "LOCK_TTL_S", 0.4)  # heartbeat every 0.1 s
+    target = os.path.join(tmp_path, "tbl")
+    owner = target + ".lock/owner.json"
+    with m._table_lock(target):
+        first = _json.load(open(owner))["ts"]
+        _time.sleep(0.65)  # > TTL: without the heartbeat this goes stale
+        assert _json.load(open(owner))["ts"] > first
+        assert not m._lock_is_stale(owner)
+    assert not os.path.exists(target + ".lock")
