@@ -1215,29 +1215,42 @@ def _cc_star(
     )
 
 
-def simhash64(col: str = "text") -> F.Column:
-    """64-bit SimHash signature over whitespace tokens.
+def simhash_word_hashes(col: str = "text") -> F.Column:
+    """Per-token 64-bit portable hashes — the materialization producer
+    for :func:`simhash64_from_hashes` (the r12 HOF-capture rule: a
+    lambda may capture attributes and literals, never an expensive
+    subtree — alias THIS as a real column at the call site).
 
-    For each token, the first 64 md5 bits give 64 pseudo-random bits;
-    each bit votes +1/−1; the signature's bit i is 1 iff the vote sum
-    is positive.  Expressed entirely with higher-order functions
-    (transform/aggregate) — per-row cost is O(tokens·64) JVM ops, no
-    Python.  Near-dup docs differ in few bits (Hamming distance).
-    """
+    Engine-portable 64-bit token hash (r05: replaced Spark's seeded
+    xxhash64): the first 16 hex chars of md5, assembled from two
+    32-bit halves with shiftleft/bitwiseOR — bit ops don't ANSI-
+    overflow, bit 63 just lands in the sign.  Any engine with md5
+    reproduces the signature; the `dedup_simhash` DuckDB oracle
+    recomputes the whole pipeline from these bits."""
     tokens = F.filter(F.split(F.trim(F.col(col)), r"\s+"), lambda t: t != F.lit(""))
 
-    # Engine-portable 64-bit token hash (r05: replaced Spark's seeded
-    # xxhash64): the first 16 hex chars of md5, assembled from two
-    # 32-bit halves with shiftleft/bitwiseOR — bit ops don't ANSI-
-    # overflow, bit 63 just lands in the sign.  Any engine with md5
-    # reproduces the signature; the `dedup_simhash` DuckDB oracle
-    # recomputes the whole pipeline from these bits.
     def _h64(t: F.Column) -> F.Column:
         hi = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
         lo = F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
         return F.shiftleft(hi, 32).bitwiseOR(lo)
 
-    hashes = F.transform(tokens, _h64)
+    return F.transform(tokens, _h64)
+
+
+def simhash64_from_hashes(hashes: F.Column | str) -> F.Column:
+    """64-bit SimHash signature from a MATERIALIZED token-hash array
+    (:func:`simhash_word_hashes` aliased as a real column).
+
+    Each hash bit votes +1/−1 per token; signature bit i is 1 iff the
+    vote sum is positive.  Pure higher-order functions — O(tokens·64)
+    interpreted lambda evaluations per row, because HOFs never enter
+    whole-stage codegen: this column form costs ~26 s on the sf0.1
+    signature pass REGARDLESS of whether the hash array is hoisted
+    (measured, SCALING.md round-13 — the capture tax is not the
+    dominant term here, the per-bit interpreted folds are).  Relation
+    paths use :func:`simhash_signatures` instead (1.4 s, bit-equal);
+    this stays as the column-level spec both are pinned against."""
+    hashes = F.col(hashes) if isinstance(hashes, str) else hashes
     bits = F.sequence(F.lit(0), F.lit(63))
     # vote per bit: sum over tokens of (bit set ? +1 : −1) > 0
     votes = F.transform(
@@ -1267,6 +1280,55 @@ def simhash64(col: str = "text") -> F.Column:
     )
 
 
+def simhash64(col: str = "text") -> F.Column:
+    """One-expression convenience composition — SMALL INPUTS ONLY.
+    64 interpreted per-bit HOF aggregates per row (HOFs never enter
+    whole-stage codegen), measured ~26 s for the sf0.1 signature pass
+    alone.  Hot paths use the RELATION-level
+    :func:`simhash_signatures` — explode + one codegen'd 64-column
+    conditional-sum aggregation, bit-identical values (what
+    :func:`simhash_near_dup_pairs` does; SCALING.md round-13)."""
+    return simhash64_from_hashes(simhash_word_hashes(col))
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(id, sig): 64-bit SimHash per document, the SCALE shape.
+
+    One explode of the materialized token-hash array + ONE groupBy
+    with 64 conditional sums — everything whole-stage codegen with
+    map-side partial aggregation (shuffle carries one 64-counter row
+    per doc per partition), versus :func:`simhash64`'s 64 interpreted
+    HOF passes per row (measured 26 s → 1.4 s for the sf0.1 signature
+    pass, outputs bit-identical — SCALING.md round-13).
+
+    ``explode_outer`` keeps token-less documents: their single NULL
+    hash row votes −1 on every bit (``getbit(NULL)`` is NULL → the
+    CASE's else branch), so no vote is positive and the signature is
+    0 — exactly :func:`simhash64`'s empty-array fold."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(simhash_word_hashes(content_col)).alias("__h"),
+    )
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.getbit(F.col("__h"), F.lit(i)) == 1, 1).otherwise(-1)
+            ).alias(f"__v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        p = (1 << i) if i < 63 else -(1 << 63)
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"__v{i}") > 0, F.lit(p).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sig.alias("sig"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1286,7 +1348,7 @@ def simhash_near_dup_pairs(
     buckets are the shuffle key; a degenerate band (e.g. all-zero from
     empty docs) is the skew hazard, same mitigation as any hot key.
     """
-    sigs = df.select(F.col(id_col), simhash64(content_col).alias("sig"))
+    sigs = simhash_signatures(df, id_col, content_col)
     bands = sigs.select(
         id_col,
         "sig",

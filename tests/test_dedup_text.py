@@ -1845,3 +1845,30 @@ def test_embedding_lsh_probe_caps_hot_buckets_both_sides(spark):
     )
     assert embedding_lsh_probe(hot_idx, one, bucket_cap=None, **kw).count() == 31
     assert embedding_lsh_probe(hot_idx, one, bucket_cap=10, **kw).count() == 0
+
+
+def test_simhash_signatures_relation_equals_column_spec(spark):
+    """The codegen'd relation shape (explode_outer + 64 conditional
+    sums) is bit-identical to the column-level simhash64 spec — the
+    r13 perf refactor's equality law, including the token-less-doc
+    edge (explode_outer's NULL row votes -1 everywhere -> sig 0,
+    exactly the empty-array fold)."""
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.dedup import simhash_signatures
+
+    d = _docs(spark).unionByName(
+        spark.createDataFrame(
+            [(99, ""), (100, "   ")], "doc_id long, text string"
+        )
+    )
+    old = d.select("doc_id", simhash64("text").alias("sig"))
+    new = simhash_signatures(d)
+    assert new.count() == d.count()  # token-less docs kept
+    mism = (
+        old.alias("o").join(new.alias("n"), "doc_id")
+        .filter(F.expr("o.sig <> n.sig")).count()
+    )
+    assert mism == 0
+    empty_sigs = {r.doc_id: r.sig for r in new.filter(F.col("doc_id") >= 99).collect()}
+    assert empty_sigs == {99: 0, 100: 0}
