@@ -1751,6 +1751,7 @@ _register(
           FROM cand)
         SELECT id_a, id_b, hamming FROM verified WHERE hamming <= 16
         """,
+        bench=True,
         doc="SimHash band-bucketed near-dup, oracle-recomputed pipeline",
     )
 )
@@ -6730,6 +6731,7 @@ _register(
         LEFT JOIN ih ON k.query_id = ih.query_id
         LEFT JOIN ph ON k.query_id = ph.query_id
         """,
+        bench=True,
         doc="ANN recall@5 audit: LSH + IVF vs exact brute force, all three "
         "pipelines oracle-recomputed and intersected",
     )
@@ -7064,6 +7066,7 @@ _register(
         "dedup_embedding_incremental",
         _emb_incremental_q,
         oracle=_cos_dedup_bucketed_oracle(cap=None),
+        bench=True,
         doc="incremental embedding near-dup: stored sign-LSH index + batch "
         "probe fold, certified equal to the one-shot bucketed dedup the "
         "oracle recomputes from scratch",
