@@ -3711,6 +3711,82 @@ _register(
 )
 
 
+#: constant hex fragments of the two-page Ogg probe blobs — id page
+#: (Vorbis \\x01vorbis @44100 / Opus OpusHead pre-skip 312 @48000)
+#: and the EOS data page split around its variable granule field.
+_OGG_P1_VORBIS_HEX = (
+    "4f67675300020000000000000000010203040000000000000000011801766f"
+    "72626973000000000044ac00000000000000000000"
+)
+_OGG_P1_OPUS_HEX = (
+    "4f6767530002000000000000000001020304000000000000000001134f7075"
+    "73486561640102380180bb0000000000"
+)
+_OGG_P2_PRE_HEX = "4f6767530004"  # "OggS", version 0, header-type EOS
+_OGG_P2_POST_HEX = "010203040100000000000000010464617461"  # serial…"data"
+
+
+def _mm_probe_ogg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg duration probe, oracle-hash-checked: per document CONSTRUCT
+    a complete two-page Ogg stream in pure Column expressions (hex →
+    unhex) — a Vorbis id page (even doc_id, 44.1 kHz) or an Opus id
+    page (odd doc_id, pre-skip 312) followed by an EOS data page whose
+    64-bit little-endian granule position varies with the document.
+    ``probe_av_manifest`` walks the pages to the last complete
+    granule and converts: Vorbis granule = PCM samples at the id rate;
+    Opus granule is 48 kHz minus pre-skip.  Granules are chosen so
+    DuckDB predicts every duration exactly (441·k samples @44100 =
+    10·k ms; 480·k + 312 @48k − 312 pre-skip = 10·k ms).  The at-scale
+    story: total-hours manifests over an A/V corpus whose payload
+    decode stays stubbed — header/page bytes only, map-only."""
+    from square_etl_spark.operators.multimodal import probe_av_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (1 + F.col("n_chars") % 200).cast("long")
+    g = F.when(F.col("doc_id") % 2 == 0, k * 441).otherwise(k * 480 + 312)
+    # 64-bit little-endian granule as hex (values < 2^24 here)
+    granule_hex = F.concat(
+        F.lpad(F.hex(g % 256), 2, "0"),
+        F.lpad(F.hex(F.shiftright(g, 8) % 256), 2, "0"),
+        F.lpad(F.hex(F.shiftright(g, 16) % 256), 2, "0"),
+        F.lit("00" * 5),
+    )
+    p1 = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(_OGG_P1_VORBIS_HEX)
+    ).otherwise(F.lit(_OGG_P1_OPUS_HEX))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(p1, F.lit(_OGG_P2_PRE_HEX), granule_hex,
+                     F.lit(_OGG_P2_POST_HEX))
+        ).alias("content"),
+    )
+    return probe_av_manifest(media)
+
+
+_register(
+    QuerySpec(
+        "multimodal_probe_ogg",
+        _mm_probe_ogg,
+        oracle="""
+        SELECT doc_id AS media_id,
+               'ogg' AS detected_format,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 44100
+                         ELSE 48000 END AS INTEGER) AS sample_rate,
+               CAST(NULL AS INTEGER) AS bitrate_kbps,
+               CAST(10 * (1 + n_chars % 200) AS BIGINT) AS duration_ms,
+               CAST(NULL AS INTEGER) AS n_tracks,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 84
+                         ELSE 79 END AS BIGINT) AS n_bytes,
+               true AS ok
+        FROM documents
+        """,
+        doc="Ogg Vorbis/Opus duration probe: page walk to the last granule, "
+        "pre-skip handled, every column predicted arithmetically",
+    )
+)
+
+
 def _gif_2frame_parts() -> tuple[bytes, bytes]:
     """Constant (prefix, suffix) of a 2-frame 2×2 animated GIF89a whose
     single variable run — the 6-byte global color table, two gray
@@ -14971,13 +15047,15 @@ _register(
 
 
 # Round-13 head: rotation.py's recommendation — the full r07-stale
-# cohort (18) plus 30 of the r08-stale cohort oldest-first, ONE
-# never-checked slot (multimodal_decode_webp, the round's single new
-# registration per the r12 verdict's item-3 webp close-out — the
-# registration freeze of item 8 holds otherwise), flagship anchor
-# last = 50.  text_bigram_nll (r08) defers to r14, still inside the
-# freshness window.  rotation.py prints 'rotation healthy' and no
-# cohort ages past the arithmetic window under this head.
+# cohort (18) plus 29 of the r08-stale cohort oldest-first, TWO
+# never-checked slots (multimodal_decode_webp and
+# multimodal_probe_ogg, the round's only new registrations — both
+# close the r12 verdict's item-3 webp/ogg gap; the item-8
+# registration freeze holds otherwise), flagship anchor last = 50.
+# text_bigram_nll and attribution_first_last (r08) defer to r14,
+# still inside the freshness window.  rotation.py prints 'rotation
+# healthy' and no cohort ages past the arithmetic window under this
+# head.
 _CHECK_PRIORITY: list[str] = [
     "window_rank_lag",
     "join_anti_dormant",
@@ -15026,7 +15104,7 @@ _CHECK_PRIORITY: list[str] = [
     "multimodal_manifest",
     "incremental_kmv_users",
     "weighted_sample_docs",
-    "attribution_first_last",
+    "multimodal_probe_ogg",
     "multimodal_decode_webp",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
