@@ -1,140 +1,139 @@
-"""Round-13 A/B: are the BENCH_r12 drift-"r" rows (t2_tumbling_hourly
-2.11x, dedup_exact 1.89x vs r11) engine regressions or bench-session
-interference?
+"""Round-13 measurement tools — reproduce SCALING.md round-13.
 
-Neither query's code changed in r12; the bench session DID change —
-38 benched queries (vs 33) in ONE resident JVM, each registry query
-compiled/executed ~4x (sf0.001 warmup + 3 timed runs), ~2,500 stages
-before the session ends.  Two suspects for a session-level slowdown
-that standalone runs would not show:
+Finding 1 (drift exoneration): BENCH_r12 charged t2_tumbling_hourly
+(2.11x) and dedup_exact (1.89x) as engine regressions.  The decisive
+experiment is a WORKTREE A/B: check out the two records' trees and
+run the identical fresh-subprocess runner against each on the same
+box, minutes apart —
 
-  (a) Spark UI / AppStatusListener state: local-mode sessions keep an
-      in-memory ElementTrackingStore fed by every task event; at
-      thousands of stages the listener-bus work grows and steals CPU
-      from the 32 local executor threads (driver == executors here).
-  (b) accumulated JVM heap/codegen cache pressure — partially
-      mitigated by the existing per-query System.gc().
+    git worktree add /tmp/wt_r11 <r11-marker>
+    git worktree add /tmp/wt_r12 <r12-marker>
+    python tools/scaling_r13.py --ab /tmp/wt_r11 /tmp/wt_r12 \
+        t2_tumbling_hourly dedup_exact
 
-Experiment (each cell a FRESH subprocess):
+Each cell: sf0.001 warmup -> one untimed sf0.1 run -> JVM GC ->
+median-of-5 timed sf0.1 runs -> CPU-calib median-of-3.  Result
+(recorded in SCALING.md): raw ratios 1.15x / 1.02x, calib-normalized
+parity -> the drift was the box's scan path, which the CPU anchor
+never sees.  bench.py gained a scan anchor + abs floor + min-run
+exoneration off the back of this.
 
-  standalone     — warm the target at sf0.001, GC, median-of-5 at
-                   sf0.1.  == "the query by itself".
-  polluted       — same, but first replay a bench-shaped session
-                   history: run N_POLLUTE heavyweight registry queries
-                   once each at sf0.1 (plus the standard warmup), THEN
-                   time the target.  == "the query at the END of a
-                   38-query bench session".
-  polluted_no_ui — polluted with spark.ui.enabled=false, isolating
-                   suspect (a).
+Finding 2 (simhash): `--simhash` times the three signature shapes at
+sf0.1 — the one-expression column form, the hoisted-array column form
+(both ~26 s: HOFs are interpreted, hoisting is not the fix), and the
+relational explode+groupBy shape (~1.2 s) — and verifies the
+relational signatures are bit-equal to the column spec.
 
-If standalone ~= r11 and polluted ~= r12, the drift is session
-interference (bench-harness, not engine); whichever knob restores
-polluted → standalone is the bench.py fix.
-
-Findings → SCALING.md 'Round-13 sweeps'.
-
-Usage: python tools/scaling_r13.py                  # full grid
-       python tools/scaling_r13.py --point <mode> <query>
+Usage:
+    python tools/scaling_r13.py --ab <treeA> <treeB> <query> [query...]
+    python tools/scaling_r13.py --point <tree> <query>   # one cell
+    python tools/scaling_r13.py --simhash
 """
 
 from __future__ import annotations
 
 import json
-import os
 import statistics
 import subprocess
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-TARGETS = ["t2_tumbling_hourly", "dedup_exact"]
-MODES = ["standalone", "polluted", "polluted_no_ui"]
 SF_DIR = "/root/testdata/sf0.1"
 WARM_DIR = "/root/testdata/sf0.001"
 RUNS = 5
-#: heavyweights replayed before timing in the polluted modes — the
-#: five queries newly benched in r12 plus three long-standing heavies,
-#: approximating the stage/listener volume of a full bench session.
-POLLUTERS = [
-    "pipeline_classified_mix",
-    "dedup_substring_exact",
-    "dedup_decontaminate_fuzzy",
-    "mix_doremi_waterfill",
-    "classify_nb_confusion",
-    "dedup_semantic",
-    "dedup_jaccard_prefix",
-    "dedup_cluster_assignment",
-]
 
 
-def _run_point(mode: str, query: str) -> None:
-    if mode == "polluted_no_ui":
-        # must be set before the JVM starts — getOrCreate conf is
-        # ignored for spark.ui.* once the context exists
-        os.environ["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(
-            {"spark.ui.enabled": "false"}
-        )
+def _run_point(tree: str, query: str) -> None:
+    sys.path.insert(0, tree)
     from square_etl_spark import get_spark
     from square_etl_spark.queries import queries
 
-    spark = get_spark(f"r13-{mode}-{query}")
-    if mode == "polluted_no_ui":
-        assert spark.conf.get("spark.ui.enabled", "true") == "false", (
-            "spark.ui.enabled must land pre-JVM via SPARK_GRAFT_EXTRA_CONF"
-        )
+    spark = get_spark(f"r13-ab-{query}")
     spark.sparkContext.setLogLevel("ERROR")
-    reg = queries()
-    fn = reg[query]
-
-    if mode in ("polluted", "polluted_no_ui"):
-        # replay a bench-shaped history: sf0.001 warmup for each
-        # polluter + one sf0.1 execution (bench does warmup + 3 timed;
-        # one full-sf run is enough stage volume to reproduce r12's
-        # in-session position for the light targets).
-        for pname in POLLUTERS:
-            pfn = reg[pname]
-            try:
-                pfn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
-                pfn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # polluters are scenery, not the measurement
-                print(f"pollute {pname} failed: {exc}", file=sys.stderr)
-
-    # target: warmup at sf0.001 (bench parity), GC, timed runs
+    fn = queries()[query]
     fn(spark, WARM_DIR).write.format("noop").mode("overwrite").save()
+    fn(spark, SF_DIR).count()  # page-cache/broadcast warm
     spark.sparkContext._jvm.System.gc()
     raw = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         raw.append(round(time.perf_counter() - t0, 3))
-    print(json.dumps({"mode": mode, "query": query, "raw": raw,
-                      "median": round(statistics.median(raw), 3)}))
+
+    def calib() -> float:
+        t0 = time.perf_counter()
+        (spark.range(0, 20_000_000, 1, 32).selectExpr("id % 997 AS k")
+         .groupBy("k").count().count())
+        return round(time.perf_counter() - t0, 3)
+
+    calib()
+    c = [calib() for _ in range(3)]
+    print(json.dumps({
+        "tree": tree, "query": query, "raw": raw,
+        "median": round(statistics.median(raw), 3),
+        "calib": statistics.median(c),
+    }))
+
+
+def _ab(trees: list[str], queries: list[str]) -> None:
+    here = Path(__file__).resolve()
+    for tree in trees:
+        for q in queries:
+            out = subprocess.run(
+                [sys.executable, str(here), "--point", tree, q],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            print(line or f"FAILED {tree} {q}: {out.stderr[-300:]}")
+
+
+def _simhash() -> None:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from pyspark.sql import functions as F
+
+    from square_etl_spark import get_spark
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import (
+        simhash64,
+        simhash64_from_hashes,
+        simhash_signatures,
+        simhash_word_hashes,
+    )
+
+    spark = get_spark("r13-simhash")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = load_table(spark, SF_DIR, "documents")
+
+    def t(label, df):
+        df.write.format("noop").mode("overwrite").save()
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        print(f"{label}: {time.perf_counter() - t0:.2f}s")
+
+    t("one-expression column form",
+      d.select("doc_id", simhash64("text").alias("sig")))
+    t("hoisted-array column form",
+      d.select("doc_id", simhash_word_hashes("text").alias("__hw"))
+      .select("doc_id", simhash64_from_hashes("__hw").alias("sig")))
+    t("relational explode+groupBy", simhash_signatures(d))
+    mism = (
+        d.select("doc_id", simhash64("text").alias("sig")).alias("o")
+        .join(simhash_signatures(d).alias("n"), "doc_id")
+        .filter(F.expr("o.sig <> n.sig")).count()
+    )
+    print(f"bit-equality: {mism} mismatches")
 
 
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--point":
         _run_point(sys.argv[2], sys.argv[3])
-        return
-    here = Path(__file__).resolve()
-    results = []
-    for query in TARGETS:
-        for mode in MODES:
-            out = subprocess.run(
-                [sys.executable, str(here), "--point", mode, query],
-                capture_output=True, text=True, timeout=1800,
-            )
-            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
-            try:
-                rec = json.loads(line)
-            except json.JSONDecodeError:
-                rec = {"mode": mode, "query": query, "error": out.stderr[-500:]}
-            print(json.dumps(rec))
-            results.append(rec)
-    Path(here.parent.parent / "SCALING_r13_ab.json").write_text(
-        json.dumps(results, indent=1) + "\n"
-    )
+    elif len(sys.argv) >= 5 and sys.argv[1] == "--ab":
+        _ab(sys.argv[2:4], sys.argv[4:])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--simhash":
+        _simhash()
+    else:
+        print(__doc__)
 
 
 if __name__ == "__main__":
