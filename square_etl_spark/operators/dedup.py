@@ -1296,6 +1296,13 @@ def simhash_signatures(
 ) -> DataFrame:
     """(id, sig): 64-bit SimHash per document, the SCALE shape.
 
+    PRECONDITION: ``id_col`` uniquely identifies a document.  The
+    groupBy collapses repeated ids into ONE signature over the union
+    of their tokens — unlike a per-row ``simhash64`` select, which
+    emits one signature per input row.  Callers whose frames may carry
+    duplicate ids must de-duplicate (or re-key) first; this is the
+    same contract every (id → signature) relation in this module has.
+
     One explode of the materialized token-hash array + ONE groupBy
     with 64 conditional sums — everything whole-stage codegen with
     map-side partial aggregation (shuffle carries one 64-counter row
@@ -1337,6 +1344,10 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup: candidates via 16-bit band buckets, verified
     by exact Hamming distance.
+
+    PRECONDITION (inherited from :func:`simhash_signatures`):
+    ``id_col`` is unique per document — repeated ids yield one merged
+    signature, changing the pair output versus per-row hashing.
 
     Pigeonhole: two signatures within Hamming distance ≤ 3 are
     GUARANTEED to share one of the four 16-bit bands exactly; for

@@ -2210,8 +2210,12 @@ def _vp8l_read_code(br: _Vp8lBits, alphabet_size: int):
         s1 = br.read(8)
         if s0 >= alphabet_size or s1 >= alphabet_size or s0 == s1:
             raise ValueError("VP8L: bad simple code pair")
-        # first-read symbol gets code 0 regardless of numeric order
-        return (1, {(1, 0): s0, (1, 1): s1})
+        # RFC 9649 §6.2.1: both symbols get code length 1 and the code
+        # is built CANONICALLY, so the numerically smaller symbol takes
+        # code 0 regardless of read order — an encoder may emit the
+        # pair unsorted, and first-read-wins would silently swap pixels
+        lo, hi = (s0, s1) if s0 < s1 else (s1, s0)
+        return (1, {(1, 0): lo, (1, 1): hi})
     num_cl = br.read(4) + 4
     cl_lengths = [0] * 19
     for i in range(num_cl):

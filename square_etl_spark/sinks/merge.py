@@ -37,6 +37,7 @@ import socket
 import tempfile
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -145,7 +146,32 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
         yield
     finally:
         stop.set()
-        shutil.rmtree(lock_dir, ignore_errors=True)
+        # Release ONLY if the lock is still ours: if a contender judged
+        # us stale (frozen heartbeat past TTL after a host suspend, or
+        # cross-host clock skew) and swept the dir, owner.json now names
+        # the NEW holder — an unconditional rmtree here would evict it
+        # and let a third writer race, the exact silent-row-loss the
+        # lock exists to prevent.
+        try:
+            with open(owner_file) as fh:
+                owner = json.load(fh)
+            ours = (
+                owner.get("pid") == os.getpid()
+                and owner.get("host") == socket.gethostname()
+            )
+        except (OSError, json.JSONDecodeError):
+            ours = False  # dir already swept, or torn: nothing of ours to free
+        if ours:
+            shutil.rmtree(lock_dir, ignore_errors=True)
+        elif os.path.isdir(lock_dir):
+            warnings.warn(
+                f"writer lock on {target_path} no longer owned by this "
+                f"process at release (current: "
+                f"{_lock_owner_desc(owner_file)}); leaving it in place — "
+                "this process was judged stale and its merge may have "
+                "raced the new holder",
+                stacklevel=2,
+            )
 
 
 def _lock_is_stale(owner_file: str) -> bool:

@@ -130,7 +130,9 @@ class RateLimitRetry:
     (and deterministic replays) never wall-clock wait.
 
     Policy: on :class:`RateLimitedError`, wait ``retry_after`` if the
-    server sent one, else ``base_delay_s * 2**attempt`` capped at
+    server sent one (clamped to ``max_delay_s`` — a single hostile
+    hint must not park a task forever), else ``base_delay_s *
+    2**attempt`` capped at
     ``max_delay_s`` (attempt 0 waits base_delay_s = the reference's
     fixed 10 s); after ``max_attempts`` rate-limited attempts the
     error propagates — loud failure, the engine's E2 posture, so a
@@ -168,14 +170,16 @@ class RateLimitRetry:
                 attempt += 1
                 if attempt >= self.max_attempts:
                     raise
-                delay = (
-                    exc.retry_after
-                    if exc.retry_after is not None
-                    else min(
+                if exc.retry_after is not None:
+                    # clamp the server hint: a buggy/hostile endpoint
+                    # returning retry_after=1e9 must not park the task
+                    # past the bound the exponential path respects
+                    delay = min(float(exc.retry_after), self.max_delay_s)
+                else:
+                    delay = min(
                         self.base_delay_s * (2 ** (attempt - 1)),
                         self.max_delay_s,
                     )
-                )
                 self.sleep(delay)
 
 

@@ -704,3 +704,118 @@ def test_lock_heartbeat_keeps_long_holders_alive(monkeypatch, tmp_path):
         assert _json.load(open(owner))["ts"] > first
         assert not m._lock_is_stale(owner)
     assert not os.path.exists(target + ".lock")
+
+
+def test_release_never_evicts_a_new_holder(tmp_path):
+    """If a contender (wrongly or rightly) judged this holder stale and
+    took the lock over, the original holder's release must NOT rmtree
+    the NEW holder's lock dir — that would let a third writer in and
+    reintroduce the silent last-swap-wins row loss.  Release checks
+    owner.json for our own pid/host first and warns loudly otherwise."""
+    import json as _json
+    import warnings as _warnings
+
+    from square_etl_spark.sinks import merge as m
+
+    target = os.path.join(tmp_path, "tbl")
+    owner = target + ".lock/owner.json"
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        with m._table_lock(target):
+            # simulate a sweep-and-takeover: owner.json now names a
+            # different process (the new holder)
+            with open(owner, "w") as fh:
+                _json.dump({"pid": os.getpid() + 1, "host": "elsewhere",
+                            "ts": __import__("time").time()}, fh)
+    assert os.path.isdir(target + ".lock"), "new holder's lock must survive"
+    assert any("no longer owned" in str(w.message) for w in caught)
+    import shutil as _shutil
+    _shutil.rmtree(target + ".lock")
+
+
+_CHILD_LOCK_SCRIPT = r"""
+import json, os, sys, time
+sys.path.insert(0, "__REPO__")
+from square_etl_spark.sinks import merge as m
+from square_etl_spark.sinks.merge import ConcurrentWriterError, _table_lock
+
+target, timeout_s, marker = sys.argv[1], float(sys.argv[2]), sys.argv[3]
+if len(sys.argv) > 4:
+    m.LOCK_TTL_S = float(sys.argv[4])
+try:
+    with _table_lock(target, timeout_s=timeout_s, poll_s=0.1):
+        # prove we held it: record our pid while inside the section
+        with open(marker, "w") as fh:
+            json.dump({"pid": os.getpid()}, fh)
+        time.sleep(0.3)
+except ConcurrentWriterError:
+    sys.exit(7)  # loud, distinguishable failure — never a silent race
+sys.exit(0)
+"""
+
+
+def _spawn_lock_child(tmp_path, target, timeout_s, ttl=None):
+    import subprocess
+    import sys as _sys
+
+    marker = os.path.join(tmp_path, f"marker-{timeout_s}.json")
+    script = _CHILD_LOCK_SCRIPT.replace("__REPO__", os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    args = [_sys.executable, "-c", script, target, str(timeout_s), marker]
+    if ttl is not None:
+        args.append(str(ttl))
+    return subprocess.Popen(args), marker
+
+
+def test_cross_process_lock_loser_fails_loudly(tmp_path):
+    """A REAL second Python process contends for the writer lock while
+    this process holds it: the child must block past its poll interval
+    and then exit with the loud ConcurrentWriterError code — never
+    exit 0 (which would mean it raced into the critical section)."""
+    from square_etl_spark.sinks.merge import _table_lock
+
+    target = os.path.join(tmp_path, "tbl")
+    with _table_lock(target):
+        child, marker = _spawn_lock_child(tmp_path, target, timeout_s=2.0)
+        rc = child.wait(timeout=60)
+    assert rc == 7, f"child must lose loudly (got exit {rc})"
+    assert not os.path.exists(marker), "loser must never enter the section"
+
+
+def test_cross_process_lock_blocks_then_takes_over(tmp_path):
+    """The waiting child acquires the lock only AFTER this process
+    releases it — cross-process mutual exclusion, then orderly
+    handover (the winner's rows are never raced)."""
+    import time as _time
+
+    from square_etl_spark.sinks.merge import _table_lock
+
+    target = os.path.join(tmp_path, "tbl")
+    with _table_lock(target):
+        child, marker = _spawn_lock_child(tmp_path, target, timeout_s=60.0)
+        _time.sleep(1.5)
+        assert child.poll() is None and not os.path.exists(marker), (
+            "child must still be blocked while we hold the lock")
+    assert child.wait(timeout=60) == 0
+    assert os.path.exists(marker), "child must acquire after our release"
+
+
+def test_cross_process_takeover_after_simulated_crash(tmp_path):
+    """A crashed writer (owner.json heartbeat frozen past TTL, pid from
+    a foreign host so no liveness probe applies) must not dead-lock the
+    table: a second real process sweeps the stale lock, takes over, and
+    releases cleanly."""
+    import json as _json
+    import time as _time
+
+    target = os.path.join(tmp_path, "tbl")
+    lock = target + ".lock"
+    os.makedirs(lock)
+    with open(os.path.join(lock, "owner.json"), "w") as fh:
+        _json.dump({"pid": 12345, "host": "crashed-host",
+                    "ts": _time.time() - 10.0}, fh)  # frozen heartbeat
+    child, marker = _spawn_lock_child(tmp_path, target, timeout_s=30.0,
+                                      ttl=1.0)
+    assert child.wait(timeout=60) == 0
+    assert os.path.exists(marker), "child must take over the stale lock"
+    assert not os.path.exists(lock), "takeover must release cleanly"

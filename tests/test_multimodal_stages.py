@@ -3967,6 +3967,31 @@ def test_vp8l_meta_prefix_groups_hand_built():
     assert [int(out[0, x, 1]) for x in range(8)] == [10] * 4 + [200] * 4
 
 
+def test_vp8l_simple2_code_canonical_unsorted_pair():
+    """RFC 9649 §6.2.1: a 2-symbol simple code assigns BOTH symbols
+    length 1 and builds the code canonically, so the numerically
+    smaller symbol takes code 0 even when the encoder writes the pair
+    unsorted (s0 > s1).  Our own test encoder and libwebp both happen
+    to emit pairs pre-sorted, so this hand-built stream is the only
+    coverage of the unsorted case — first-read-wins decoding would
+    silently swap the two symbols' pixels with no quarantine error."""
+    from square_etl_spark.operators.multimodal import _parse_webp
+
+    body = [(0, 1)]  # no transforms
+    body += [(0, 1), (0, 1)]  # main: no color cache, no meta
+    # green: 2-symbol simple code written UNSORTED — 9 before 5
+    body += [(1, 1), (1, 1), (1, 1), (9, 8), (5, 8)]
+    body += _simple1(1)  # red
+    body += _simple1(3)  # blue
+    body += _simple1(255)  # alpha
+    body += _simple1(0)  # distance
+    body += [(0, 1), (1, 1)]  # selectors: pixel0 = code 0, pixel1 = code 1
+    out = _parse_webp(_vp8l_stream(2, 1, body))
+    # canonical: code 0 -> min(9, 5) = 5, code 1 -> 9
+    assert tuple(int(v) for v in out[0, 0]) == (1, 5, 3)
+    assert tuple(int(v) for v in out[0, 1]) == (1, 9, 3)
+
+
 def test_vp8l_fuzz_valueerror_only():
     """Quarantine net: every truncation and 300 random single-byte
     corruptions of valid VP8L blobs either decode or raise ValueError

@@ -309,6 +309,30 @@ def test_rate_limit_retry_honors_retry_after_and_cap():
     assert sleeps == [2.5, 60.0]
 
 
+def test_rate_limit_retry_clamps_hostile_retry_after():
+    """A buggy/hostile Retry-After (e.g. 1e9 s) is clamped to
+    max_delay_s — one response can't park a partition task forever,
+    bypassing the bound the exponential path respects."""
+    from square_etl_spark.sources.paginated import (
+        RateLimitedError,
+        RateLimitRetry,
+    )
+
+    sleeps = []
+    seq = [RateLimitedError(retry_after=1e9), None]
+
+    def fetch():
+        e = seq.pop(0)
+        if e is not None:
+            raise e
+        return "ok"
+
+    r = RateLimitRetry(max_attempts=3, base_delay_s=1.0, max_delay_s=30.0,
+                       sleep=sleeps.append)
+    assert r.call(fetch) == "ok"
+    assert sleeps == [30.0]
+
+
 def test_rate_limit_retry_exhaustion_is_loud_and_real_errors_propagate():
     import pytest
 
