@@ -18,6 +18,14 @@ Timing is end-to-end per query: plan construction + execution to a
 count-style action (foreach-noop), i.e. full pipeline cost without
 driver-side collect skew.  A one-query warmup absorbs JVM/codegen
 startup so numbers reflect steady-state throughput.
+
+Heavy entries (previous-round median > $SPARK_GRAFT_BENCH_ISOLATE_S,
+default 3 s) run in a FRESH-JVM lane — one subprocess each, at their
+registry position — because shared-session measurements of them are
+unreadable: earlier queries' checkpoint/cache state inflates
+successors 2-10× and in-session spread hit 2.6× (SCALING.md round-13
+finding 3; round-14 A/B).  ``python bench.py --one <name>`` invokes
+the lane directly.
 """
 
 from __future__ import annotations
@@ -37,10 +45,120 @@ from square_etl_spark import get_spark  # noqa: E402
 from square_etl_spark.queries import bench_queries, queries  # noqa: E402
 
 
+def _load_prev_record(here: Path):
+    """Newest BENCH_r*.json that is NOT a record of this same code
+    state (see the drift-classification comment below for why a
+    head-matched record is skipped).  Returns (prev_dict_or_None,
+    git_head_or_None)."""
+    try:
+        git_head = subprocess.run(
+            ["git", "-C", str(here), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+        # a DIRTY tree is a different code state than HEAD's record:
+        # skipping the head-matched baseline then would misattribute
+        # two rounds of change to one (r11 review) — only treat a
+        # head match as "same code" when the tree is clean
+        dirty = bool(subprocess.run(
+            ["git", "-C", str(here), "status", "--porcelain",
+             "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+        git_head_for_skip = None if dirty else git_head
+    except (OSError, subprocess.SubprocessError):
+        git_head = None
+        git_head_for_skip = None
+    base_override = os.environ.get("SPARK_GRAFT_DRIFT_BASE")
+    candidates = (
+        [here / base_override]
+        if base_override
+        else sorted(here.glob("BENCH_r*.json"), reverse=True)
+    )
+    for p in candidates:
+        try:
+            cand = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        # the driver wraps the captured line under "parsed"
+        if isinstance(cand, dict) and isinstance(cand.get("parsed"), dict):
+            cand = cand["parsed"]
+        if not (
+            isinstance(cand, dict) and cand.get("queries") and cand.get("calib_s")
+        ):
+            continue
+        if (
+            not base_override
+            and git_head_for_skip is not None
+            and cand.get("git_head") == git_head_for_skip
+        ):
+            continue  # same code state: this round's own record
+        return cand, git_head
+    return None, git_head
+
+
+def _run_one(name: str) -> None:
+    """Fresh-JVM lane body: time ONE bench query in its own
+    SparkSession, mirroring the shared lane exactly (sf0.001 codegen
+    warmup, ANN codes pre-materialization — disk-published, so reuse
+    across processes is free — untimed GC, median-of-N), and emit the
+    raw runs as the final ``BENCHONE {json}`` stdout line."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    spark = get_spark(f"bench-one-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = bench_queries()[name]
+    try:
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass  # warmup is best-effort, as in the shared lane
+    try:
+        from square_etl_spark.queries import bench_setup
+
+        bench_setup(spark, sf_dir)
+    except Exception:
+        pass
+    spark.sparkContext._jvm.System.gc()
+    raw, n = [], 0
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        raw.append(round(time.perf_counter() - t0, 3))
+    sys.stdout.flush()
+    print("BENCHONE " + json.dumps({"raw": raw, "rows": n}))
+
+
+def _run_isolated(name: str) -> dict | None:
+    """Run one query through the fresh-JVM lane; None on any failure
+    (the caller falls back to the shared session)."""
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True, timeout=1800,
+        )
+    except (OSError, subprocess.SubprocessError):
+        return None
+    # progress bars inject \r; scan all fragments for the marker line
+    for line in reversed(res.stdout.replace("\r", "\n").splitlines()):
+        if line.startswith("BENCHONE "):
+            try:
+                out = json.loads(line[len("BENCHONE "):])
+                if out.get("raw"):
+                    return out
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+
+    here = Path(__file__).resolve().parent
+    prev, git_head = _load_prev_record(here)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,15 +176,15 @@ def main() -> None:
         except Exception:
             pass  # warmup is best-effort; the timed run surfaces real errors
 
-    # pre-materialize the ANN codes table AT THE BENCH SF before timing:
-    # quantize-at-ingest is a one-off cost the deployment story excludes,
-    # and without this the first timed ann_topk_codes run pays it
-    # (BENCH_r04 raws [3.97, 1.51, 1.42] — the 3.97 was materialization,
-    # not the probe).
+    # pre-materialize the write-once deployment artifacts AT THE BENCH
+    # SF before timing (int8 codes table, stored IVF-PQ index): these
+    # are one-off ingest costs the deployment story excludes, and
+    # without this the first timed probe run pays them (BENCH_r04 raws
+    # [3.97, 1.51, 1.42] — the 3.97 was materialization, not the probe).
     try:
-        from square_etl_spark.queries import _ann_codes_table
+        from square_etl_spark.queries import bench_setup
 
-        _ann_codes_table(spark, sf_dir)
+        bench_setup(spark, sf_dir)
     except Exception:
         pass
 
@@ -127,10 +245,37 @@ def main() -> None:
     scan_calib_raw = [_scan_calibration_run() for _ in range(runs_per_query)]
     scan_calib_s = round(statistics.median(scan_calib_raw), 3)
 
+    # fresh-JVM lane (r13 verdict items 1-2): heavy entries measured in
+    # the shared session are UNREADABLE — earlier queries' checkpoint
+    # blocks and cache state inflate successors 2-10× (SCALING.md
+    # round-13 finding 3: text_bpe_bytes_tokens recorded 3.87 s in r13
+    # bench order right after the checkpoint-heavy
+    # dedup_incremental_substring, vs 1.1-1.4 s alone — charged "r"
+    # with zero code change), and dedup_embedding_incremental's raw
+    # spread hit 2.6× inside one session.  Any query whose
+    # PREVIOUS-round median exceeded the threshold runs in its own
+    # subprocess JVM at its registry position — full per-query
+    # isolation, same timing protocol, JVM startup outside the timer.
+    # A new query's first round is shared (no prior record); it
+    # graduates to the lane the round after it measures heavy.
+    isolate_s = float(os.environ.get("SPARK_GRAFT_BENCH_ISOLATE_S", "3.0"))
+    isolated: list[str] = []
+
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name, fn in bench_queries().items():
+        prev_t = prev["queries"].get(name) if prev else None
+        if prev_t is not None and prev_t > isolate_s:
+            res = _run_isolated(name)
+            if res is not None:
+                isolated.append(name)
+                timings[name] = round(statistics.median(res["raw"]), 3)
+                raw_runs[name] = res["raw"]
+                rows[name] = res["rows"]
+                continue
+            # lane failure: fall through to the shared session so the
+            # record never loses the query
         raw, n = [], 0
         # untimed JVM GC between queries: the iterative operators
         # (connected components) localCheckpoint RDDs whose blocks are
@@ -182,55 +327,6 @@ def main() -> None:
     drift: dict[str, str] = {}
     calib_ratio = None
     scan_calib_ratio = None
-    prev = None
-    here = Path(__file__).resolve().parent
-    try:
-        git_head = subprocess.run(
-            ["git", "-C", str(here), "rev-parse", "--short", "HEAD"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or None
-        # a DIRTY tree is a different code state than HEAD's record:
-        # skipping the head-matched baseline then would misattribute
-        # two rounds of change to one (r11 review) — only treat a
-        # head match as "same code" when the tree is clean
-        dirty = bool(subprocess.run(
-            ["git", "-C", str(here), "status", "--porcelain",
-             "--untracked-files=no"],
-            capture_output=True, text=True, timeout=10,
-        ).stdout.strip())
-        if dirty:
-            git_head_for_skip = None
-        else:
-            git_head_for_skip = git_head
-    except (OSError, subprocess.SubprocessError):
-        git_head = None
-        git_head_for_skip = None
-    base_override = os.environ.get("SPARK_GRAFT_DRIFT_BASE")
-    candidates = (
-        [here / base_override]
-        if base_override
-        else sorted(here.glob("BENCH_r*.json"), reverse=True)
-    )
-    for p in candidates:
-        try:
-            cand = json.loads(p.read_text())
-        except (OSError, json.JSONDecodeError):
-            continue
-        # the driver wraps the captured line under "parsed"
-        if isinstance(cand, dict) and isinstance(cand.get("parsed"), dict):
-            cand = cand["parsed"]
-        if not (
-            isinstance(cand, dict) and cand.get("queries") and cand.get("calib_s")
-        ):
-            continue
-        if (
-            not base_override
-            and git_head_for_skip is not None
-            and cand.get("git_head") == git_head_for_skip
-        ):
-            continue  # same code state: this round's own record
-        prev = cand
-        break
     if prev is not None:
         calib_ratio = round(calib_s / prev["calib_s"], 3)
         # old records predate the scan anchor — fall back to the CPU
@@ -276,6 +372,7 @@ def main() -> None:
             {"raw_runs": raw_runs, "rows": rows, "sf": sf,
              "runs_per_query": runs_per_query, "calib_raw": calib_raw,
              "scan_calib_raw": scan_calib_raw,
+             "isolated": isolated, "isolate_threshold_s": isolate_s,
              "drift": drift, "calib_ratio": calib_ratio,
              "scan_calib_ratio": scan_calib_ratio,
              "drift_legend": {"n": "noise", "b": "box",
@@ -313,6 +410,7 @@ def main() -> None:
                 "calib_ratio": calib_ratio,
                 "scan_calib_s": scan_calib_s,
                 "scan_calib_ratio": scan_calib_ratio,
+                "isolated_n": len(isolated),
                 "drift": {k: v for k, v in drift.items() if v != "n"},
                 "git_head": git_head,
             }
@@ -321,4 +419,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _run_one(sys.argv[2])
+    else:
+        main()

@@ -6705,6 +6705,279 @@ _register(
 )
 
 
+# base/batch split for the append-only ingest law: modular (stable at
+# every sf), with the Lloyd seed rows (vid < 4 = n_cells = ksub) carved
+# into the base so both sides train on identical seeds
+_IVFPQ_BASE_PRED = "(vid % 4 <> 3 OR vid < 4)"
+
+
+def _ann_ivfpq_incr_oracle(
+    m: int = 4, ds: int = 16, ksub: int = 4, n_cells: int = 4,
+    n_probe: int = 2, k: int = 5, rescore_factor: int = 4,
+) -> str:
+    """Full recomputation of the APPEND-ONLY ingest + probe: train the
+    coarse chain and every PQ-subspace chain on the BASE slice only,
+    assign the appended batch against the FINAL frozen
+    centroids/codebooks (one decimal argmin each — the
+    kmeans_assign_exact / pq_encode_with twins), union, then the same
+    probe/ADC/rescore tail as _ann_ivfpq_oracle.  Frozen-parameter
+    determinism makes fold ≡ this one-shot recomputation exact, so a
+    green row certifies the ingest path itself (similarity.py
+    ivfpq_index_append), not just the probe."""
+
+    def assign_vs(src: str, cent: str) -> str:
+        # one exact assignment pass against FIXED centroids — the SQL
+        # twin of clustering.kmeans_assign_exact's decimal argmin
+        return f"""
+          SELECT vid, c FROM (
+            SELECT l.vid, {cent}.c,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY l.vid
+                     ORDER BY SUM(CAST(ROUND((l.val - {cent}.cval)
+                                             * (l.val - {cent}.cval), 9)
+                                       AS DECIMAL(38,9))), {cent}.c) AS rk
+            FROM {src} l JOIN {cent} ON l.dim = {cent}.dim
+            GROUP BY l.vid, {cent}.c) WHERE rk = 1"""
+
+    sub_chains = ",\n".join(
+        f"""sblf{s} AS (
+          SELECT vid, dim, val FROM blf
+          WHERE dim >= {s * ds} AND dim < {(s + 1) * ds}),
+        {_lloyd_ctes(f'p{s}_', f'sblf{s}', ksub)},
+        xlf{s} AS (
+          SELECT vid, dim, val FROM xlf
+          WHERE dim >= {s * ds} AND dim < {(s + 1) * ds}),
+        xsa{s} AS ({assign_vs(f'xlf{s}', f'p{s}_c2')})"""
+        for s in range(m)
+    )
+    codes_union = " UNION ALL ".join(
+        [f"SELECT vid, {s} AS s, c FROM p{s}_a2" for s in range(m)]
+        + [f"SELECT vid, {s} AS s, c FROM xsa{s}" for s in range(m)]
+    )
+    cb_union = " UNION ALL ".join(
+        f"SELECT {s} AS s, c, dim, cval FROM p{s}_c2" for s in range(m)
+    )
+    return f"""
+        WITH lf AS (
+          SELECT vec_id AS vid,
+                 generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(UNNEST(embedding) AS DOUBLE) AS val
+          FROM embeddings),
+        blf AS (SELECT * FROM lf WHERE {_IVFPQ_BASE_PRED}),
+        xlf AS (SELECT * FROM lf WHERE NOT {_IVFPQ_BASE_PRED}),
+        {_lloyd_ctes('co_', 'blf', n_cells)},
+        xca AS ({assign_vs('xlf', 'co_c2')}),
+        cells AS (SELECT vid, c FROM co_a2
+                  UNION ALL SELECT vid, c FROM xca),
+        qlf AS (SELECT vid AS query_id, dim, val FROM lf WHERE vid < {k}),
+        qprobe_d AS (
+          SELECT qlf.query_id, co_c2.c,
+                 SUM(CAST(ROUND((qlf.val - co_c2.cval)
+                                * (qlf.val - co_c2.cval), 9)
+                          AS DECIMAL(38,9))) AS d2
+          FROM qlf JOIN co_c2 ON qlf.dim = co_c2.dim
+          GROUP BY 1, 2),
+        probe AS (
+          SELECT query_id, c FROM (
+            SELECT query_id, c,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, c) AS rn
+            FROM qprobe_d) WHERE rn <= {n_probe}),
+        {sub_chains},
+        codes AS ({codes_union}),
+        cb AS ({cb_union}),
+        cn2 AS (
+          SELECT s, c,
+                 SUM(CAST(ROUND(cval * cval, 9) AS DECIMAL(38,9))) AS cn2
+          FROM cb GROUP BY s, c),
+        rnorm AS (
+          SELECT codes.vid, SQRT(CAST(SUM(cn2.cn2) AS DOUBLE)) AS rnorm
+          FROM codes JOIN cn2 USING (s, c) GROUP BY codes.vid),
+        qn AS (
+          SELECT query_id,
+                 SQRT(CAST(SUM(CAST(ROUND(val * val, 9) AS DECIMAL(38,9)))
+                           AS DOUBLE)) AS qnorm
+          FROM qlf GROUP BY query_id),
+        dt AS (
+          SELECT qlf.query_id, cb.s, cb.c,
+                 SUM(CAST(ROUND(qlf.val * cb.cval, 9) AS DECIMAL(38,9))) AS t
+          FROM qlf JOIN cb ON qlf.dim = cb.dim
+          GROUP BY 1, 2, 3),
+        candp AS (
+          SELECT probe.query_id, cells.vid
+          FROM probe JOIN cells ON probe.c = cells.c),
+        adcn AS (
+          SELECT cd.query_id, cd.vid, SUM(dt.t) AS num
+          FROM candp cd
+          JOIN codes ON codes.vid = cd.vid
+          JOIN dt ON dt.query_id = cd.query_id
+                 AND dt.s = codes.s AND dt.c = codes.c
+          GROUP BY 1, 2),
+        adc AS (
+          SELECT a.query_id, a.vid,
+                 CASE WHEN qn.qnorm * rnorm.rnorm > 0
+                      THEN ROUND(CAST(a.num AS DOUBLE)
+                                 / /*nz: enclosing CASE pins the
+                                      product positive — mirror of
+                                      topk_from_pq's guard*/
+                                   (qn.qnorm * rnorm.rnorm), 6)
+                      ELSE 0.0 END AS adc_sim
+          FROM adcn a
+          JOIN qn USING (query_id)
+          JOIN rnorm ON rnorm.vid = a.vid),
+        candk AS (
+          SELECT query_id, vid, adc_sim FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc_sim DESC, vid) AS cr
+            FROM adc) WHERE cr <= {k * rescore_factor}),
+        qv AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+          FROM embeddings WHERE vec_id < {k}),
+        ex AS (
+          SELECT ck.query_id, ck.vid AS vec_id, ck.adc_sim,
+                 ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              qv.qvec), 6) AS cosine_sim
+          FROM candk ck
+          JOIN embeddings e ON e.vec_id = ck.vid
+          JOIN qv ON qv.query_id = ck.query_id)
+        SELECT query_id, vec_id, adc_sim, cosine_sim,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine_sim DESC, vec_id) AS rank FROM ex)
+        WHERE rank <= {k}
+        """
+
+
+def _ann_ivfpq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-only IVF-PQ ingest-then-probe (r13 verdict item 5): train
+    the index on a base slice, fold the remaining quarter in via
+    similarity.ivfpq_index_append — frozen centroids/codebooks, no
+    retraining, cost linear in the batch — and probe the grown index.
+    The oracle recomputes the whole fold (base Lloyd chains + frozen
+    batch assignment + union + ADC + rescore) value-for-value, the
+    same certification shape dedup_embedding_incremental gives the
+    LSH ingest path."""
+    from square_etl_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_index_append,
+        topk_from_pq,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(
+        (F.col("vec_id") % 4 != 3) | (F.col("vec_id") < 4)
+    )
+    batch = e.filter(
+        (F.col("vec_id") % 4 == 3) & (F.col("vec_id") >= 4)
+    )
+    idx = ivfpq_index(base, dim=64, n_cells=4, m=4, ksub=4, iters=2)
+    grown = ivfpq_index_append(idx, batch, dim=64, m=4)
+    out = topk_from_pq(
+        *grown, e, _queries_df(spark, sf_dir),
+        k=5, n_probe=2, rescore_factor=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "ann_topk_ivfpq_incremental",
+        _ann_ivfpq_incremental,
+        oracle=_ann_ivfpq_incr_oracle(),
+        doc="append-only IVF-PQ ingest under frozen parameters, then probe — the fold recomputed end-to-end by the oracle",
+    )
+)
+
+
+_IVFPQ_STORED_CACHE: dict = {}
+
+
+def _ivfpq_stored_index(spark: SparkSession, sf_dir: str) -> str:
+    """Cell-partitioned stored IVF-PQ index for ``sf_dir`` — built
+    once with ann_topk_ivfpq's exact parameters and rename-published
+    to tempdir (the _ann_codes_table protocol), so every probe across
+    processes reuses the artifact.  This is the write-once side the
+    deployment pays at ingest, excluded from probe timing."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    mtime = os.stat(src).st_mtime_ns if os.path.exists(src) else 0
+    key = (sf_dir, mtime)
+    if key not in _IVFPQ_STORED_CACHE:
+        from square_etl_spark.operators.similarity import (
+            ivfpq_index,
+            write_ivfpq_index,
+        )
+
+        tag = hashlib.md5(f"{sf_dir}|{mtime}|ivfpq".encode()).hexdigest()[:12]
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
+        if not os.path.isdir(path):
+            tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            idx = ivfpq_index(
+                load_table(spark, sf_dir, "embeddings"),
+                dim=64, n_cells=4, m=4, ksub=4, iters=2,
+            )
+            write_ivfpq_index(idx, tmp)
+            try:
+                os.rename(tmp, path)  # atomic publish
+            except OSError:
+                # another process published the same fixture version
+                shutil.rmtree(tmp, ignore_errors=True)
+        _IVFPQ_STORED_CACHE[key] = path
+    return _IVFPQ_STORED_CACHE[key]
+
+
+def _ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only ANN over the STORED cell-partitioned IVF-PQ index
+    (r13 verdict item 6): the number that matters at 100 TB is this
+    read path — coarse probe against the centroid sidecar, partition
+    pruning down to the probed cells' directories, bounded ADC, exact
+    rescore — not the one-off training cost ann_topk_ivfpq's bench
+    entry mostly measures.  topk_from_pq_stored is test-pinned
+    identical to the in-memory composition, so the full
+    _ann_ivfpq_oracle certifies it value-for-value."""
+    from square_etl_spark.operators.similarity import topk_from_pq_stored
+
+    path = _ivfpq_stored_index(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    out = topk_from_pq_stored(
+        spark, path, e, _queries_df(spark, sf_dir),
+        k=5, n_probe=2, rescore_factor=4,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register(
+    QuerySpec(
+        "ann_topk_ivfpq_probe",
+        _ann_ivfpq_probe,
+        oracle=_ann_ivfpq_oracle(),
+        bench=True,
+        doc="probe-only IVF-PQ over a stored cell-partitioned index: partition-pruned deployment read path, same oracle as the build",
+    )
+)
+
+
+def bench_setup(spark: SparkSession, sf_dir: str) -> None:
+    """One-off materializations bench.py excludes from timing, called
+    by BOTH bench lanes (shared session and the fresh-JVM lane):
+    quantize-at-ingest codes and the stored IVF-PQ index are write-
+    once deployment artifacts the probe entries must not be charged
+    for.  Best-effort: the timed run surfaces real errors."""
+    try:
+        _ann_codes_table(spark, sf_dir)
+    except Exception:
+        pass
+    try:
+        _ivfpq_stored_index(spark, sf_dir)
+    except Exception:
+        pass
+
+
 def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the two approximate ANN paths against the exact
     brute-force top-5, per query — the eval a pipeline runs BEFORE
@@ -15046,66 +15319,66 @@ _register(
 )
 
 
-# Round-13 head: rotation.py's recommendation — the full r07-stale
-# cohort (18) plus 29 of the r08-stale cohort oldest-first, TWO
-# never-checked slots (multimodal_decode_webp and
-# multimodal_probe_ogg, the round's only new registrations — both
-# close the r12 verdict's item-3 webp/ogg gap; the item-8
-# registration freeze holds otherwise), flagship anchor last = 50.
-# text_bigram_nll and attribution_first_last (r08) defer to r14,
-# still inside the freshness window.  rotation.py prints 'rotation
-# healthy' and no cohort ages past the arithmetic window under this
-# head.
+# Round-14 head: rotation.py's recommendation — TWO never-checked
+# slots first (ann_topk_ivfpq_incremental / ann_topk_ivfpq_probe, the
+# round's only registrations, both opened by the r13 verdict's items
+# 5-6; the item-7 freeze holds otherwise), then the FULL r08-stale
+# cohort (17) and the 30 oldest r09-stale queries oldest-first,
+# flagship anchor last = 50.  The verdict's "17 r08 + ≥33 r09" target
+# exceeds the 50-slot cap by construction (17+33+anchor+2 new = 53);
+# the remaining r09 cohort stays inside the arithmetic freshness
+# window and rotates next round.  rotation.py prints 'rotation
+# healthy' under this head.
 _CHECK_PRIORITY: list[str] = [
-    "window_rank_lag",
-    "join_anti_dormant",
-    "agg_cube",
-    "corpus_clean_pipeline",
-    "sample_hash_documents",
-    "mix_weighted_sources",
-    "sample_stratified_lang",
-    "inverted_index_terms",
-    "outlier_zscore_orders",
-    "fuzzy_join_names",
-    "quantile_sketch_orders",
-    "spatial_join_proximity",
-    "expectation_report_orders",
-    "transition_matrix_events",
-    "sequence_error_recovery",
-    "q9_profit_partsupp",
-    "basket_part_pairs",
-    "unpivot_order_measures",
-    "s3_typed_scan",
-    "p1_money_coalesce",
-    "p2_quantity_validity",
-    "p3_parent_fallback",
-    "f2_variant_extract",
-    "j1_catalog_build_probe",
-    "j2_first_wins",
-    "j4_explode_line_items",
-    "a1_distinct_keys",
-    "topk_revenue_customers",
-    "percentiles_by_type",
-    "k1_merge_upsert",
-    "t2_tumbling_hourly",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assignment",
-    "dedup_cluster_star",
-    "dedup_simhash",
-    "text_quality_stats",
-    "text_lang_id",
-    "text_token_totals",
-    "text_tfidf_top_terms",
-    "text_chunk_windows",
-    "ann_topk_bruteforce",
-    "salted_join_revenue",
-    "ann_topk_quantized",
-    "multimodal_manifest",
-    "incremental_kmv_users",
-    "weighted_sample_docs",
-    "multimodal_probe_ogg",
-    "multimodal_decode_webp",
+    "ann_topk_ivfpq_incremental",
+    "ann_topk_ivfpq_probe",
+    "attribution_first_last",
+    "text_bigram_nll",
+    "embedding_centroid_outliers",
+    "text_repetition_stats",
+    "pack_training_sequences",
+    "dedup_decontaminate",
+    "q21_waiting_suppliers",
+    "pipeline_payments",
+    "pipeline_order_items",
+    "incremental_hll_users",
+    "fuzzy_join_capped_hot_block",
+    "spatial_join_capped_hot_cell",
+    "scd2_point_in_time",
+    "hierarchy_rollup_parts",
+    "twap_user_value",
+    "exact_percentiles_segment",
+    "schema_evolution_union",
+    "dedup_incremental_survivors",
+    "langid_confusion_audit",
+    "quality_perplexity_fence",
+    "quality_gopher_rules",
+    "ann_hard_negatives",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_png",
+    "multimodal_decode_tiff",
+    "multimodal_decode_wav",
+    "multimodal_decode_flac",
+    "multimodal_probe_dimensions",
+    "multimodal_features_by_lang",
+    "sql_api_revenue",
+    "sessionize_native_events",
+    "ann_recall_audit",
+    "pipeline_attrition_report",
+    "dedup_semantic",
+    "sample_cluster_balanced",
+    "split_train_val_test",
+    "text_char_entropy",
+    "dedup_incremental_exact",
+    "winsorize_acctbal_segment",
+    "drift_psi_orders",
+    "robust_outliers_orders",
+    "join_key_overlap_profile",
+    "dedup_spans_c4",
+    "dedup_incremental_spans",
+    "split_leakage_audit",
+    "decayed_engagement_events",
+    "dedup_jaccard_prefix",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the
