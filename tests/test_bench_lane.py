@@ -1,0 +1,96 @@
+"""Pins for bench.py's fresh-JVM lane plumbing (round 14): the
+parent/child protocol must tolerate Spark's \\r progress-bar noise on
+the child's stdout, and ANY lane failure must degrade to the shared
+session (returning None) rather than dropping the query from the
+record."""
+
+import json
+
+
+def test_isolated_lane_parses_marker_through_progress_noise(monkeypatch):
+    import bench
+
+    payload = {"raw": [1.0, 2.0, 1.5], "rows": 7}
+
+    class R:
+        stdout = (
+            "[Stage 1:>  (0 + 1) / 1]\rnoise\n"
+            "BENCHONE " + json.dumps(payload) + "\n"
+        )
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: R())
+    assert bench._run_isolated("anything") == payload
+
+
+def test_isolated_lane_takes_last_marker_line(monkeypatch):
+    # a child that (hypothetically) printed twice: the LAST marker is
+    # the final protocol line, same contract as bench.py's stdout line
+    import bench
+
+    class R:
+        stdout = (
+            'BENCHONE {"raw": [9.9], "rows": 1}\n'
+            'BENCHONE {"raw": [1.1], "rows": 2}\n'
+        )
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: R())
+    assert bench._run_isolated("q") == {"raw": [1.1], "rows": 2}
+
+
+def test_isolated_lane_falls_back_on_garbage_and_errors(monkeypatch):
+    import bench
+
+    class NoMarker:
+        stdout = "the child crashed before printing\n"
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: NoMarker())
+    assert bench._run_isolated("q") is None
+
+    class TornJson:
+        stdout = "BENCHONE {not json\n"
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: TornJson())
+    assert bench._run_isolated("q") is None
+
+    class EmptyRaw:
+        stdout = 'BENCHONE {"raw": [], "rows": 0}\n'
+
+    monkeypatch.setattr(bench.subprocess, "run", lambda *a, **k: EmptyRaw())
+    assert bench._run_isolated("q") is None  # no timings = lane failure
+
+    def boom(*a, **k):
+        raise OSError("spawn failed")
+
+    monkeypatch.setattr(bench.subprocess, "run", boom)
+    assert bench._run_isolated("q") is None
+
+
+def test_prev_record_selects_newest_non_head_match(tmp_path, monkeypatch):
+    """_load_prev_record skips a record whose git_head equals the
+    current clean-tree HEAD (it is this round's own record), and
+    falls through to the next-newest — the r10 ADVICE behavior, now
+    load-bearing for lane membership too (isolation is keyed off the
+    PREVIOUS round's medians)."""
+    import bench
+
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(
+        {"queries": {"q": 1.0}, "calib_s": 0.4, "git_head": "old1234"}))
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps(
+        {"queries": {"q": 2.0}, "calib_s": 0.5, "git_head": "cur5678"}))
+
+    class Done:
+        def __init__(self, out):
+            self.stdout = out
+
+    calls = {"n": 0}
+
+    def fake_run(args, **kw):
+        calls["n"] += 1
+        if "rev-parse" in args:
+            return Done("cur5678\n")
+        return Done("")  # clean tree
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    prev, head = bench._load_prev_record(tmp_path)
+    assert head == "cur5678"
+    assert prev["queries"]["q"] == 1.0  # r09 skipped: same code state
