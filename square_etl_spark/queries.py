@@ -15323,12 +15323,13 @@ _register(
 # slots first (ann_topk_ivfpq_incremental / ann_topk_ivfpq_probe, the
 # round's only registrations, both opened by the r13 verdict's items
 # 5-6; the item-7 freeze holds otherwise), then the FULL r08-stale
-# cohort (17) and the 30 oldest r09-stale queries oldest-first,
-# flagship anchor last = 50.  The verdict's "17 r08 + ≥33 r09" target
-# exceeds the 50-slot cap by construction (17+33+anchor+2 new = 53);
-# the remaining r09 cohort stays inside the arithmetic freshness
-# window and rotates next round.  rotation.py prints 'rotation
-# healthy' under this head.
+# cohort (17), the 29 oldest r09-stale queries oldest-first, ONE
+# refresh-queue slot (multimodal_decode_webp: the r14 VP8L canonical
+# simple-2 fix post-dates its r13 green row), flagship anchor last
+# = 50.  The verdict's "17 r08 + ≥33 r09" target exceeds the 50-slot
+# cap by construction (17+33+anchor+2 new = 53); the remaining r09
+# cohort stays inside the arithmetic freshness window and rotates
+# next round.  rotation.py prints 'rotation healthy' under this head.
 _CHECK_PRIORITY: list[str] = [
     "ann_topk_ivfpq_incremental",
     "ann_topk_ivfpq_probe",
@@ -15377,8 +15378,8 @@ _CHECK_PRIORITY: list[str] = [
     "dedup_spans_c4",
     "dedup_incremental_spans",
     "split_leakage_audit",
-    "decayed_engagement_events",
     "dedup_jaccard_prefix",
+    "multimodal_decode_webp",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the

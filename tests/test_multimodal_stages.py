@@ -3594,8 +3594,14 @@ def _emit_prefix_code(w, lengths_by_sym, alphabet_size):
         w.put(1, 1); w.put(0, 1); w.put(1, 1); w.put(used[0], 8)
         return {used[0]: (0, 0)}
     if len(used) == 2:
+        # emit the pair DESCENDING on purpose: RFC 9649 builds the
+        # 2-symbol simple code canonically (code 0 = smaller symbol,
+        # independent of read order), so writing it unsorted makes
+        # EVERY round-trip exercise the canonical path — a
+        # first-read-wins decoder regression breaks all of them, not
+        # just the dedicated unsorted-pair pin
         w.put(1, 1); w.put(1, 1); w.put(1, 1)
-        w.put(used[0], 8); w.put(used[1], 8)
+        w.put(used[1], 8); w.put(used[0], 8)
         return {used[0]: (0, 1), used[1]: (1, 1)}
     w.put(0, 1)  # normal path
     seq, pos = [], 0
