@@ -119,9 +119,15 @@ def _run_one(name: str) -> None:
         bench_setup(spark, sf_dir)
     except Exception:
         pass
-    spark.sparkContext._jvm.System.gc()
     raw, n = [], 0
     for _ in range(runs):
+        # GC before EVERY run, not just the first: a heavy query's own
+        # localCheckpoint blocks from run N otherwise squat in storage
+        # memory and inflate run N+1 — the same mechanism as the
+        # shared lane's per-query GC, applied within the entry
+        # (quiet-box r14 trial: dedup_embedding_incremental raw
+        # [17.3, 15.2, 29.1] with a single upfront GC).  Untimed.
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -277,16 +283,19 @@ def main() -> None:
             # lane failure: fall through to the shared session so the
             # record never loses the query
         raw, n = [], 0
-        # untimed JVM GC between queries: the iterative operators
-        # (connected components) localCheckpoint RDDs whose blocks are
+        # untimed JVM GC before EVERY run (not just between queries):
+        # iterative operators localCheckpoint RDDs whose blocks are
         # only released by the ContextCleaner AFTER a JVM GC notices
         # the dropped references — without this, checkpoint blocks from
-        # earlier queries squat in storage memory and inflate later
-        # queries' numbers (r06: decontaminate read 2.25 s in-bench vs
-        # 0.93 s standalone).  Steady-state isolation, not a speedup:
-        # the GC itself is outside the timer, the queries unchanged.
-        spark.sparkContext._jvm.System.gc()
+        # earlier queries (r06: decontaminate read 2.25 s in-bench vs
+        # 0.93 s standalone) AND from this query's own earlier runs
+        # (r14 quiet-box: dedup_embedding_incremental raw
+        # [17.3, 15.2, 29.1] → [16.2, 14.4, 13.6] with per-run GC)
+        # squat in storage memory and inflate successors.  Steady-state
+        # isolation, not a speedup: the GC itself is outside the timer,
+        # the queries unchanged.
         for _ in range(runs_per_query):
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
