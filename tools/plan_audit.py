@@ -16,6 +16,10 @@ the structures that decide 100 TB behavior:
 - arrow        Arrow-batched Python stages (mapInPandas etc. — the
                sanctioned escape hatch)
 - wsc          whole-stage-codegen spans
+- pf           FileScans carrying a NON-EMPTY PartitionFilters list —
+               partition pruning reaching the scan (the stored-index
+               probe queries' load-bearing property: only the probed
+               cells' directories are read)
 - gw           single-partition WINDOW Exchanges (all rows to one
                task; must be 0 unless the registry carries an explicit
                bounded-input justification via global_window_ok)
@@ -73,6 +77,9 @@ def summarize(plan: str) -> dict:
         # codegen span 3, so counting occurrences would report operator
         # counts, not spans (r06 review)
         "wsc": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        # scans where partition pruning actually reached the reader:
+        # a non-empty PartitionFilters bracket on a FileScan
+        "pf": len(re.findall(r"PartitionFilters: \[[^\]]", plan)),
         "cartesian": plan.count("CartesianProduct"),
     }
 
@@ -122,12 +129,14 @@ def main() -> int:
         "CARTESIAN flag is a scale bug.  Plan-shape regressions show up",
         "here as diffs.",
         "",
-        "| query | scans | exch | bcast | joins | py | arrow | wsc | gw | flags |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| query | scans | exch | bcast | joins | py | arrow | wsc | pf | gw | flags |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         if r[1] is None:
-            lines.append(f"| {r[0]} | — | — | — | — | — | — | — | — | {r[2]} |")
+            lines.append(
+                f"| {r[0]} | — | — | — | — | — | — | — | — | — | {r[2]} |"
+            )
             continue
         name, s, flags = r[0], r[1], r[2]
         joins = "/".join(
@@ -135,7 +144,8 @@ def main() -> int:
         ) or "—"
         lines.append(
             f"| {name} | {s['scans']} | {s['exch']} | {s['bcast']} | {joins}"
-            f" | {s['py']} | {s['arrow']} | {s['wsc']} | {s['gw']} | {flags} |"
+            f" | {s['py']} | {s['arrow']} | {s['wsc']} | {s['pf']}"
+            f" | {s['gw']} | {flags} |"
         )
     lines += [
         "",
