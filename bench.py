@@ -113,12 +113,9 @@ def _run_one(name: str) -> None:
         ).save()
     except Exception:
         pass  # warmup is best-effort, as in the shared lane
-    try:
-        from square_etl_spark.queries import bench_setup
+    from square_etl_spark.queries import bench_setup
 
-        bench_setup(spark, sf_dir)
-    except Exception:
-        pass
+    bench_setup(spark, sf_dir)  # best-effort internally, per artifact
     raw, n = [], 0
     for _ in range(runs):
         # GC before EVERY run, not just the first: a heavy query's own
@@ -134,6 +131,21 @@ def _run_one(name: str) -> None:
         raw.append(round(time.perf_counter() - t0, 3))
     sys.stdout.flush()
     print("BENCHONE " + json.dumps({"raw": raw, "rows": n}))
+
+
+def _lane_membership(prev: dict | None, isolate_s: float) -> set[str]:
+    """Names that run in the fresh-JVM lane this round: everything
+    whose previous-round median exceeded the threshold, PLUS everything
+    already in the lane last round (one-way ratchet — an isolated
+    median must never be drift-compared against a shared-session
+    remeasurement; see the comment in main)."""
+    if not prev:
+        return set()
+    over = {
+        n for n, t in prev.get("queries", {}).items()
+        if isinstance(t, (int, float)) and t > isolate_s
+    }
+    return over | set(prev.get("isolated") or [])
 
 
 def _run_isolated(name: str) -> dict | None:
@@ -187,12 +199,9 @@ def main() -> None:
     # are one-off ingest costs the deployment story excludes, and
     # without this the first timed probe run pays them (BENCH_r04 raws
     # [3.97, 1.51, 1.42] — the 3.97 was materialization, not the probe).
-    try:
-        from square_etl_spark.queries import bench_setup
+    from square_etl_spark.queries import bench_setup
 
-        bench_setup(spark, sf_dir)
-    except Exception:
-        pass
+    bench_setup(spark, sf_dir)  # best-effort internally, per artifact
 
     # median-of-3 per query, with every raw run time emitted: the first
     # full-data run still pays stage-level first-run costs (broadcast
@@ -266,13 +275,21 @@ def main() -> None:
     # graduates to the lane the round after it measures heavy.
     isolate_s = float(os.environ.get("SPARK_GRAFT_BENCH_ISOLATE_S", "3.0"))
     isolated: list[str] = []
+    # membership is a ONE-WAY RATCHET: once isolated, a query stays in
+    # the lane (prev record's "isolated" list) even after its isolated
+    # median drops under the threshold.  Leaving the lane would compare
+    # next round's shared-session reading (historically 2-10× inflated
+    # by session history) against this round's clean isolated median —
+    # manufacturing the exact spurious "r" charges the lane kills, and
+    # oscillating membership every other round.  One subprocess per
+    # heavy entry per round is the stable price.
+    lane = _lane_membership(prev, isolate_s)
 
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
     for name, fn in bench_queries().items():
-        prev_t = prev["queries"].get(name) if prev else None
-        if prev_t is not None and prev_t > isolate_s:
+        if name in lane:
             res = _run_isolated(name)
             if res is not None:
                 isolated.append(name)
@@ -419,6 +436,11 @@ def main() -> None:
                 "calib_ratio": calib_ratio,
                 "scan_calib_s": scan_calib_s,
                 "scan_calib_ratio": scan_calib_ratio,
+                # the full lane membership, not just the count: next
+                # round's bench reads it for the one-way ratchet above
+                # (a name's isolated median must never be drift-compared
+                # against a shared-session remeasurement)
+                "isolated": isolated,
                 "isolated_n": len(isolated),
                 "drift": {k: v for k, v in drift.items() if v != "n"},
                 "git_head": git_head,

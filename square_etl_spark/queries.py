@@ -2668,6 +2668,10 @@ _register(
 #: place, so two concurrent harness/test processes on the same box
 #: can't interleave writes into a dir the other is reading — whichever
 #: rename wins, both read a complete table.
+#: bump when quantize_int8 semantics change — invalidates the tempdir
+#: codes artifact (see _ann_codes_table)
+_ANN_CODES_VERSION = 1
+
 _ANN_CODES_CACHE: dict[tuple[str, int, int], tuple[str, list[float]]] = {}
 
 
@@ -2684,7 +2688,11 @@ def _ann_codes_table(spark: SparkSession, sf_dir: str, dim: int = 64):
     if key not in _ANN_CODES_CACHE:
         from square_etl_spark.operators.similarity import quantize_int8
 
-        tag = hashlib.md5(f"{sf_dir}|{mtime}".encode()).hexdigest()[:12]
+        # version-tagged like _ivfpq_stored_index: a quantize_int8
+        # change must invalidate the cached artifact (r14 review)
+        tag = hashlib.md5(
+            f"{sf_dir}|{mtime}|v{_ANN_CODES_VERSION}".encode()
+        ).hexdigest()[:12]
         path = os.path.join(
             tempfile.gettempdir(), f"spark_graft_ann_codes_{tag}_d{dim}"
         )
@@ -6889,6 +6897,10 @@ _register(
 )
 
 
+#: bump when ivfpq_index / pq_encode / write_ivfpq_index semantics
+#: change — invalidates the tempdir artifact below
+_IVFPQ_INDEX_VERSION = 1
+
 _IVFPQ_STORED_CACHE: dict = {}
 
 
@@ -6913,7 +6925,14 @@ def _ivfpq_stored_index(spark: SparkSession, sf_dir: str) -> str:
             write_ivfpq_index,
         )
 
-        tag = hashlib.md5(f"{sf_dir}|{mtime}|ivfpq".encode()).hexdigest()[:12]
+        # _IVFPQ_INDEX_VERSION is part of the cache key: the artifact
+        # embeds the whole training path (Lloyd chains, PQ encode,
+        # storage layout), so any algorithm change MUST bump it or a
+        # stale /tmp index silently serves old-code results while the
+        # oracle recomputes with new semantics (r14 review)
+        tag = hashlib.md5(
+            f"{sf_dir}|{mtime}|ivfpq|v{_IVFPQ_INDEX_VERSION}".encode()
+        ).hexdigest()[:12]
         path = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{tag}")
         if not os.path.isdir(path):
             tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"

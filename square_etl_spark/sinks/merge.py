@@ -115,7 +115,26 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
                     "race — a concurrent swap would silently drop rows"
                 ) from None
             time.sleep(poll_s)
-    def _stamp() -> None:
+    stamped = {"ok": False}
+
+    def _stamp() -> bool:
+        # Never reclaim a lock someone else now owns: if this process
+        # was suspended past the TTL, a contender may have swept the
+        # dir and stamped ITS owner.json at the same path — blindly
+        # os.replace()ing over it would fake ownership back, defeat
+        # the owned-only release below, and rmtree the new holder's
+        # live lock mid-merge.  Re-stamp only while the recorded owner
+        # is still self (or not yet written — our initial stamp).
+        try:
+            with open(owner_file) as fh:
+                cur = json.load(fh)
+            if (cur.get("pid") != os.getpid()
+                    or cur.get("host") != socket.gethostname()):
+                return False  # taken over while we slept
+        except FileNotFoundError:
+            pass  # our initial stamp (we hold the mkdir)
+        except (OSError, json.JSONDecodeError):
+            return False  # unreadable: do not fight over it
         # write-then-rename so a reader never sees a torn owner.json
         tmp = owner_file + ".tmp"
         with open(tmp, "w") as fh:
@@ -125,6 +144,8 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
                 fh,
             )
         os.replace(tmp, owner_file)
+        stamped["ok"] = True
+        return True
 
     import threading
 
@@ -135,7 +156,8 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
         # past the staleness horizon, however long the merge runs
         while not stop.wait(LOCK_TTL_S / 4):
             try:
-                _stamp()
+                if not _stamp():
+                    return  # ownership lost (swept + taken over)
             except OSError:
                 return  # lock dir gone (released/swept): nothing to keep alive
 
@@ -159,8 +181,16 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
                 owner.get("pid") == os.getpid()
                 and owner.get("host") == socket.gethostname()
             )
+        except FileNotFoundError:
+            # No owner.json: if OUR stamp never succeeded (disk full,
+            # permission flap after the mkdir), this is our bare dir —
+            # releasable; leaving it would block every writer for up
+            # to LOCK_TTL_S.  A sweeper takeover always leaves an
+            # owner.json, and a sweep-in-progress renames the whole
+            # dir away (rmtree below is then a no-op on the old path).
+            ours = not stamped["ok"]
         except (OSError, json.JSONDecodeError):
-            ours = False  # dir already swept, or torn: nothing of ours to free
+            ours = False  # unreadable/torn: do not delete what we can't identify
         if ours:
             shutil.rmtree(lock_dir, ignore_errors=True)
         elif os.path.isdir(lock_dir):

@@ -171,10 +171,15 @@ class RateLimitRetry:
                 if attempt >= self.max_attempts:
                     raise
                 if exc.retry_after is not None:
-                    # clamp the server hint: a buggy/hostile endpoint
-                    # returning retry_after=1e9 must not park the task
-                    # past the bound the exponential path respects
-                    delay = min(float(exc.retry_after), self.max_delay_s)
+                    # clamp the server hint BOTH ways: retry_after=1e9
+                    # must not park the task past the bound the
+                    # exponential path respects, and a negative/NaN
+                    # hint must not crash time.sleep (ValueError would
+                    # kill the whole partition instead of throttling)
+                    hint = float(exc.retry_after)
+                    if hint != hint:  # NaN
+                        hint = self.base_delay_s
+                    delay = min(max(0.0, hint), self.max_delay_s)
                 else:
                     delay = min(
                         self.base_delay_s * (2 ** (attempt - 1)),

@@ -94,3 +94,23 @@ def test_prev_record_selects_newest_non_head_match(tmp_path, monkeypatch):
     prev, head = bench._load_prev_record(tmp_path)
     assert head == "cur5678"
     assert prev["queries"]["q"] == 1.0  # r09 skipped: same code state
+
+
+def test_lane_membership_is_a_one_way_ratchet():
+    """A query isolated last round stays isolated even after its clean
+    isolated median drops under the threshold — leaving the lane would
+    drift-compare a shared-session remeasurement (historically 2-10x
+    inflated) against the isolated median and oscillate in/out with a
+    spurious 'r' charge every other round."""
+    import bench
+
+    prev = {
+        "queries": {"heavy": 12.0, "was_heavy": 1.2, "light": 0.4},
+        "isolated": ["was_heavy"],
+    }
+    lane = bench._lane_membership(prev, 3.0)
+    assert lane == {"heavy", "was_heavy"}
+    # no record yet (round 1 of the lane): nothing isolated
+    assert bench._lane_membership(None, 3.0) == set()
+    # old records without the "isolated" key: threshold-only
+    assert bench._lane_membership({"queries": {"q": 5.0}}, 3.0) == {"q"}

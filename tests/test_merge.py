@@ -819,3 +819,64 @@ def test_cross_process_takeover_after_simulated_crash(tmp_path):
     assert child.wait(timeout=60) == 0
     assert os.path.exists(marker), "child must take over the stale lock"
     assert not os.path.exists(lock), "takeover must release cleanly"
+
+
+def test_heartbeat_never_reclaims_a_taken_over_lock(monkeypatch, tmp_path):
+    """A holder suspended past the TTL whose lock was swept and taken
+    over must NOT have its heartbeat re-stamp owner.json back to
+    itself — that would fake ownership, pass the owned-only release
+    check, and rmtree the new holder's live lock (the exact scenario
+    the release check was built for)."""
+    import json as _json
+    import time as _time
+    import warnings as _warnings
+
+    from square_etl_spark.sinks import merge as m
+
+    monkeypatch.setattr(m, "LOCK_TTL_S", 0.4)  # heartbeat every 0.1 s
+    target = os.path.join(tmp_path, "tbl")
+    owner = target + ".lock/owner.json"
+    foreign = {"pid": os.getpid() + 1, "host": "elsewhere",
+               "ts": _time.time() + 3600}
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        with m._table_lock(target):
+            # simulate sweep-and-takeover while this holder sleeps
+            tmp = owner + ".tmp2"
+            with open(tmp, "w") as fh:
+                _json.dump(foreign, fh)
+            os.replace(tmp, owner)
+            _time.sleep(0.35)  # >= 2 heartbeat periods
+            assert _json.load(open(owner)) == foreign, (
+                "heartbeat must not clobber the new holder's stamp")
+    assert os.path.isdir(target + ".lock"), "new holder's lock survives"
+    assert any("no longer owned" in str(w.message) for w in caught)
+    import shutil as _shutil
+    _shutil.rmtree(target + ".lock")
+
+
+def test_release_frees_own_bare_dir_when_stamp_failed(monkeypatch, tmp_path):
+    """If the initial owner.json stamp fails (disk full/permission
+    flap after the mkdir), release must still free OUR bare lock dir —
+    leaving it would block every writer for up to LOCK_TTL_S.  A
+    takeover always leaves an owner.json, so bare + never-stamped is
+    provably ours."""
+    import pytest
+
+    from square_etl_spark.sinks import merge as m
+
+    target = os.path.join(tmp_path, "tbl")
+
+    real_replace = os.replace
+
+    def failing_replace(src, dst):
+        if dst.endswith("owner.json"):
+            raise OSError("disk full")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(m.os, "replace", failing_replace)
+    with pytest.raises(OSError, match="disk full"):
+        with m._table_lock(target):
+            pass  # pragma: no cover - stamp fails before the yield
+    assert not os.path.exists(target + ".lock"), (
+        "our never-stamped bare dir must be released, not leaked")

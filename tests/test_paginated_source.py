@@ -333,6 +333,31 @@ def test_rate_limit_retry_clamps_hostile_retry_after():
     assert sleeps == [30.0]
 
 
+def test_rate_limit_retry_survives_negative_and_nan_hints():
+    """A negative Retry-After must clamp to 0 (time.sleep(-1) raises
+    ValueError and would kill the partition as a non-throttle error);
+    NaN falls back to the base delay."""
+    from square_etl_spark.sources.paginated import (
+        RateLimitedError,
+        RateLimitRetry,
+    )
+
+    sleeps = []
+    seq = [RateLimitedError(retry_after=-1.0),
+           RateLimitedError(retry_after=float("nan")), None]
+
+    def fetch():
+        e = seq.pop(0)
+        if e is not None:
+            raise e
+        return "ok"
+
+    r = RateLimitRetry(max_attempts=5, base_delay_s=2.0, max_delay_s=30.0,
+                       sleep=sleeps.append)
+    assert r.call(fetch) == "ok"
+    assert sleeps == [0.0, 2.0]
+
+
 def test_rate_limit_retry_exhaustion_is_loud_and_real_errors_propagate():
     import pytest
 

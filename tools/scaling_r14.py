@@ -28,7 +28,6 @@ from __future__ import annotations
 import json
 import os
 import statistics
-import subprocess
 import sys
 import time
 
@@ -66,9 +65,12 @@ def _timed(spark, name: str, runs: int = 3) -> list[float]:
     from square_etl_spark.queries import bench_queries
 
     fn = bench_queries()[name]
-    spark.sparkContext._jvm.System.gc()
     raw = []
     for _ in range(runs):
+        # per-RUN untimed GC, matching bench.py's protocol exactly —
+        # a cell measured with a different GC cadence is not
+        # comparable to the BENCH record (r14 review)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         raw.append(round(time.perf_counter() - t0, 3))
@@ -88,15 +90,15 @@ def _calib(spark) -> float:
 
 
 def _cell_fresh(name: str) -> dict:
-    """Cell A: delegate to bench.py's fresh-JVM lane."""
-    res = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), "--one", name],
-        capture_output=True, text=True, timeout=1800,
-    )
-    for line in reversed(res.stdout.replace("\r", "\n").splitlines()):
-        if line.startswith("BENCHONE "):
-            return json.loads(line[len("BENCHONE "):])
-    raise RuntimeError(f"no BENCHONE line from --one {name}")
+    """Cell A: delegate to bench.py's fresh-JVM lane — the SAME
+    parser bench.py's parent uses (one source of truth for the
+    BENCHONE child protocol)."""
+    from bench import _run_isolated
+
+    out = _run_isolated(name)
+    if out is None:
+        raise RuntimeError(f"fresh-JVM lane failed for {name}")
+    return out
 
 
 def main() -> None:
