@@ -25,6 +25,9 @@ QUERIES = [
     "text_tfidf_top_terms",
     "dedup_embedding_incremental",
     "ann_topk_ivfpq",
+    "t2_tumbling_hourly",  # event-time windowed agg
+    "sample_hash_documents",  # hash-keyed sampling determinism
+    "quantile_sketch_orders",  # mergeable sketch: partial-agg order
 ]
 
 
