@@ -116,15 +116,19 @@ def _run_one(name: str) -> None:
     from square_etl_spark.queries import bench_setup
 
     bench_setup(spark, sf_dir)  # best-effort internally, per artifact
+    # ONE untimed GC before the runs — NOT one per run: a full GC also
+    # clears Spark's soft-referenced generated-class cache, so per-run
+    # GC taxes every run of a many-stage iterative plan with whole-
+    # stage-codegen RECOMPILATION (measured, SCALING.md round-14
+    # finding 5: mix_doremi_waterfill 3.1 → 8.3 s, dsir 2.7 → 5.1 s
+    # under per-run GC while the box anchors improved).  The cost of
+    # the single-GC protocol is bounded spread on checkpoint-heavy
+    # entries (dedup_embedding_incremental's run-3 can read high);
+    # median-of-3 absorbs it and the fresh JVM already isolates it
+    # from every other entry.
+    spark.sparkContext._jvm.System.gc()
     raw, n = [], 0
     for _ in range(runs):
-        # GC before EVERY run, not just the first: a heavy query's own
-        # localCheckpoint blocks from run N otherwise squat in storage
-        # memory and inflate run N+1 — the same mechanism as the
-        # shared lane's per-query GC, applied within the entry
-        # (quiet-box r14 trial: dedup_embedding_incremental raw
-        # [17.3, 15.2, 29.1] with a single upfront GC).  Untimed.
-        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
@@ -300,19 +304,21 @@ def main() -> None:
             # lane failure: fall through to the shared session so the
             # record never loses the query
         raw, n = [], 0
-        # untimed JVM GC before EVERY run (not just between queries):
-        # iterative operators localCheckpoint RDDs whose blocks are
-        # only released by the ContextCleaner AFTER a JVM GC notices
-        # the dropped references — without this, checkpoint blocks from
-        # earlier queries (r06: decontaminate read 2.25 s in-bench vs
-        # 0.93 s standalone) AND from this query's own earlier runs
-        # (r14 quiet-box: dedup_embedding_incremental raw
-        # [17.3, 15.2, 29.1] → [16.2, 14.4, 13.6] with per-run GC)
-        # squat in storage memory and inflate successors.  Steady-state
-        # isolation, not a speedup: the GC itself is outside the timer,
-        # the queries unchanged.
+        # untimed JVM GC between queries — and deliberately NOT one
+        # per run: the iterative operators (connected components)
+        # localCheckpoint RDDs whose blocks are only released by the
+        # ContextCleaner AFTER a JVM GC notices the dropped references
+        # — without this, checkpoint blocks from earlier queries squat
+        # in storage memory and inflate later queries' numbers (r06:
+        # decontaminate read 2.25 s in-bench vs 0.93 s standalone).
+        # Per-run GC was tried in r14 and REVERTED: a full GC also
+        # clears Spark's soft-referenced generated-class cache, taxing
+        # every run of a many-stage plan with codegen recompilation
+        # (mix_doremi_waterfill 3.1 → 8.3 s — SCALING.md round-14
+        # finding 5).  Steady-state isolation, not a speedup: the GC
+        # itself is outside the timer, the queries unchanged.
+        spark.sparkContext._jvm.System.gc()
         for _ in range(runs_per_query):
-            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()

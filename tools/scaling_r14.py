@@ -65,12 +65,13 @@ def _timed(spark, name: str, runs: int = 3) -> list[float]:
     from square_etl_spark.queries import bench_queries
 
     fn = bench_queries()[name]
+    # ONE untimed GC before the runs, matching bench.py's protocol
+    # exactly (per-run GC was reverted — it evicts the codegen cache;
+    # SCALING.md round-14 finding 5): a cell measured with a different
+    # GC cadence is not comparable to the BENCH record.
+    spark.sparkContext._jvm.System.gc()
     raw = []
     for _ in range(runs):
-        # per-RUN untimed GC, matching bench.py's protocol exactly —
-        # a cell measured with a different GC cadence is not
-        # comparable to the BENCH record (r14 review)
-        spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).count()
         raw.append(round(time.perf_counter() - t0, 3))
