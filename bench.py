@@ -152,6 +152,51 @@ def _lane_membership(prev: dict | None, isolate_s: float) -> set[str]:
     return over | set(prev.get("isolated") or [])
 
 
+def _classify_drift(
+    timings: dict,
+    raw_runs: dict,
+    prev_queries: dict,
+    box_ratios: list,
+    lane_fallback: list,
+    noise: float = 0.30,
+    abs_floor: float = 0.20,
+) -> dict:
+    """Per-query drift class vs the previous record (pure function so
+    the protocol is pytest-pinnable).  Classes: "n" noise, "b" box,
+    "r" regression, "i" improved, "+" new, "f" lane-fallback (a lane
+    member remeasured in the shared session after a subprocess
+    failure — historically 2-10× inflated, so incomparable to last
+    round's isolated median in EITHER direction; r14 advice)."""
+    drift: dict = {}
+    for name, t in timings.items():
+        pt = prev_queries.get(name)
+        if name in lane_fallback:
+            drift[name] = "f"
+        elif pt is None:
+            drift[name] = "+"
+        elif pt <= 0:
+            drift[name] = "n"
+        else:
+            r = t / pt
+            # min-run exoneration for "r" only: a REAL regression
+            # raises the best run too, while shared-box noise only
+            # raises the worst ones — if the best of the raw runs
+            # still lands inside the noise band of the previous
+            # median, the median's excursion is spread, not code
+            # (r13: dedup_jaccard_prefix raw [5.06, 3.50, 4.97]
+            # vs prev 3.52 — run 2 IS the old number).
+            rmin = min(raw_runs[name]) / pt
+            if abs(r - 1) <= noise or abs(t - pt) <= abs_floor:
+                drift[name] = "n"
+            elif any(abs(r - br) <= noise * br for br in box_ratios):
+                drift[name] = "b"
+            elif r > 1:
+                drift[name] = "r" if rmin > 1 + noise else "n"
+            else:
+                drift[name] = "i"
+    return drift
+
+
 def _run_isolated(name: str) -> dict | None:
     """Run one query through the fresh-JVM lane; None on any failure
     (the caller falls back to the shared session)."""
@@ -292,6 +337,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     rows: dict[str, int] = {}
+    # lane_fallback: lane members whose subprocess failed this round
+    # and were measured in the shared session instead.  They stay in
+    # the record's "isolated" membership (the one-way ratchet must
+    # survive a transient subprocess failure) and their drift entry is
+    # marked incomparable ("f") — a shared remeasurement is
+    # historically 2-10× inflated vs the lane's clean isolated median,
+    # so comparing it against last round's isolated number would
+    # manufacture a spurious "r" charge (r14 advice).
+    lane_fallback: list[str] = []
     for name, fn in bench_queries().items():
         if name in lane:
             res = _run_isolated(name)
@@ -303,6 +357,7 @@ def main() -> None:
                 continue
             # lane failure: fall through to the shared session so the
             # record never loses the query
+            lane_fallback.append(name)
         raw, n = [], 0
         # untimed JVM GC between queries — and deliberately NOT one
         # per run: the iterative operators (connected components)
@@ -370,30 +425,10 @@ def main() -> None:
         box_ratios = [calib_ratio] + (
             [scan_calib_ratio] if scan_calib_ratio else []
         )
-        for name, t in timings.items():
-            pt = prev["queries"].get(name)
-            if pt is None:
-                drift[name] = "+"
-            elif pt <= 0:
-                drift[name] = "n"
-            else:
-                r = t / pt
-                # min-run exoneration for "r" only: a REAL regression
-                # raises the best run too, while shared-box noise only
-                # raises the worst ones — if the best of the raw runs
-                # still lands inside the noise band of the previous
-                # median, the median's excursion is spread, not code
-                # (r13: dedup_jaccard_prefix raw [5.06, 3.50, 4.97]
-                # vs prev 3.52 — run 2 IS the old number).
-                rmin = min(raw_runs[name]) / pt
-                if abs(r - 1) <= _NOISE or abs(t - pt) <= _ABS_FLOOR:
-                    drift[name] = "n"
-                elif any(abs(r - br) <= _NOISE * br for br in box_ratios):
-                    drift[name] = "b"
-                elif r > 1:
-                    drift[name] = "r" if rmin > 1 + _NOISE else "n"
-                else:
-                    drift[name] = "i"
+        drift = _classify_drift(
+            timings, raw_runs, prev["queries"], box_ratios, lane_fallback,
+            noise=_NOISE, abs_floor=_ABS_FLOOR,
+        )
 
     # raw runs + row counts → side file (committed like SCALING.md).
     # r06 lesson: putting them on the stdout line grew it past the
@@ -404,12 +439,16 @@ def main() -> None:
             {"raw_runs": raw_runs, "rows": rows, "sf": sf,
              "runs_per_query": runs_per_query, "calib_raw": calib_raw,
              "scan_calib_raw": scan_calib_raw,
-             "isolated": isolated, "isolate_threshold_s": isolate_s,
+             "isolated": isolated + lane_fallback,
+             "lane_fallback": lane_fallback,
+             "isolate_threshold_s": isolate_s,
              "drift": drift, "calib_ratio": calib_ratio,
              "scan_calib_ratio": scan_calib_ratio,
              "drift_legend": {"n": "noise", "b": "box",
                               "r": "regression", "i": "improved",
-                              "+": "new"}},
+                              "+": "new",
+                              "f": "lane-fallback shared remeasure "
+                                   "(incomparable)"}},
             indent=1,
         )
         + "\n"
@@ -442,12 +481,15 @@ def main() -> None:
                 "calib_ratio": calib_ratio,
                 "scan_calib_s": scan_calib_s,
                 "scan_calib_ratio": scan_calib_ratio,
-                # the full lane membership, not just the count: next
-                # round's bench reads it for the one-way ratchet above
-                # (a name's isolated median must never be drift-compared
-                # against a shared-session remeasurement)
-                "isolated": isolated,
+                # the full lane MEMBERSHIP, not just the names that
+                # ran isolated this round: next round's bench reads it
+                # for the one-way ratchet above, and a transient
+                # subprocess failure must not silently evict a member
+                # (its shared fallback timing is marked "f" in drift
+                # instead) — r14 advice
+                "isolated": isolated + lane_fallback,
                 "isolated_n": len(isolated),
+                "lane_fallback": lane_fallback,
                 "drift": {k: v for k, v in drift.items() if v != "n"},
                 "git_head": git_head,
             }

@@ -116,6 +116,19 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
                 ) from None
             time.sleep(poll_s)
     stamped = {"ok": False}
+    # Acquire token: written into the dir we ourselves mkdir'ed, before
+    # any owner.json exists.  Its presence is the proof at release time
+    # that a bare (never-stamped) lock dir is OUR bare dir and not a
+    # fresh contender's mkdir that hasn't stamped yet — a swept-and-
+    # re-created dir can never contain it (the sweep renames the whole
+    # old dir away).  Closes the release-side twin of the heartbeat
+    # TOCTOU (r14 advice).
+    acquire_token = os.path.join(lock_dir, f"acquired.{uuid.uuid4().hex}")
+    try:
+        with open(acquire_token, "x"):
+            pass
+    except OSError:
+        acquire_token = None  # dir already gone/unwritable: treat as unproven
 
     def _stamp() -> bool:
         # Never reclaim a lock someone else now owns: if this process
@@ -132,7 +145,17 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
                     or cur.get("host") != socket.gethostname()):
                 return False  # taken over while we slept
         except FileNotFoundError:
-            pass  # our initial stamp (we hold the mkdir)
+            # Only the very FIRST stamp may proceed without a readable
+            # owner.json (we hold the fresh mkdir and haven't written
+            # it yet).  Once a stamp has succeeded, a missing
+            # owner.json means the lock was swept out from under us —
+            # and a contender may have mkdir'ed a fresh dir at this
+            # path without having written ITS owner.json yet; stamping
+            # into that window would fake ownership back, the exact
+            # reclaim the ownership check above exists to prevent
+            # (r14 advice).
+            if stamped["ok"]:
+                return False
         except (OSError, json.JSONDecodeError):
             return False  # unreadable: do not fight over it
         # write-then-rename so a reader never sees a torn owner.json
@@ -185,10 +208,20 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
             # No owner.json: if OUR stamp never succeeded (disk full,
             # permission flap after the mkdir), this is our bare dir —
             # releasable; leaving it would block every writer for up
-            # to LOCK_TTL_S.  A sweeper takeover always leaves an
-            # owner.json, and a sweep-in-progress renames the whole
-            # dir away (rmtree below is then a no-op on the old path).
-            ours = not stamped["ok"]
+            # to LOCK_TTL_S.  But "stamp never succeeded" alone is not
+            # proof of identity: a contender may have swept our bare
+            # dir after the TTL and mkdir'ed a FRESH dir here without
+            # having stamped its owner.json yet — deleting that would
+            # evict the new holder (the release-side twin of the
+            # heartbeat TOCTOU, r14 advice).  Require the acquire
+            # token we wrote immediately after our own mkdir: a
+            # re-created dir can never contain it (sweeps rename the
+            # whole old dir away).
+            ours = (
+                not stamped["ok"]
+                and acquire_token is not None
+                and os.path.exists(acquire_token)
+            )
         except (OSError, json.JSONDecodeError):
             ours = False  # unreadable/torn: do not delete what we can't identify
         if ours:

@@ -114,3 +114,43 @@ def test_lane_membership_is_a_one_way_ratchet():
     assert bench._lane_membership(None, 3.0) == set()
     # old records without the "isolated" key: threshold-only
     assert bench._lane_membership({"queries": {"q": 5.0}}, 3.0) == {"q"}
+
+
+def test_lane_fallback_is_incomparable_not_a_regression():
+    """A lane member remeasured in the shared session (subprocess
+    failure) is classed "f", never "r"/"i" — a shared reading is
+    historically 2-10x inflated vs the isolated median it would be
+    compared against (r14 advice)."""
+    import bench
+
+    drift = bench._classify_drift(
+        timings={"heavy": 9.0, "steady": 1.0},
+        raw_runs={"heavy": [9.0, 9.1, 8.9], "steady": [1.0, 1.0, 1.0]},
+        prev_queries={"heavy": 3.5, "steady": 1.0},
+        box_ratios=[1.0],
+        lane_fallback=["heavy"],
+    )
+    assert drift == {"heavy": "f", "steady": "n"}
+    # the same 2.6x move WITHOUT the fallback flag is a charge
+    charged = bench._classify_drift(
+        timings={"heavy": 9.0},
+        raw_runs={"heavy": [9.0, 9.1, 8.9]},
+        prev_queries={"heavy": 3.5},
+        box_ratios=[1.0],
+        lane_fallback=[],
+    )
+    assert charged == {"heavy": "r"}
+
+
+def test_lane_fallback_membership_survives_in_the_record():
+    """The record's "isolated" list is the ratchet input for the next
+    round (`_lane_membership`): a member that fell back this round must
+    still be in it, or a transient subprocess failure silently evicts
+    it from the lane forever."""
+    import bench
+
+    # simulate what main() writes: membership = ran-isolated + fell-back
+    isolated_ran, lane_fallback = ["a"], ["b"]
+    record = {"queries": {"a": 5.0, "b": 4.0, "c": 0.2},
+              "isolated": isolated_ran + lane_fallback}
+    assert bench._lane_membership(record, 3.0) == {"a", "b"}

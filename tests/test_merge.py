@@ -880,3 +880,74 @@ def test_release_frees_own_bare_dir_when_stamp_failed(monkeypatch, tmp_path):
             pass  # pragma: no cover - stamp fails before the yield
     assert not os.path.exists(target + ".lock"), (
         "our never-stamped bare dir must be released, not leaked")
+
+
+def test_heartbeat_never_stamps_into_a_fresh_unstamped_lock(monkeypatch, tmp_path):
+    """After a successful stamp, a MISSING owner.json means the lock
+    was swept; a contender may have mkdir'ed a fresh dir at the same
+    path without having written its owner.json yet.  The heartbeat
+    must treat that as ownership lost (return False), not as 'our
+    initial stamp' — re-stamping into the fresh dir would fake
+    ownership back through a narrower window of the exact reclaim the
+    ownership check prevents (r14 advice)."""
+    import shutil as _shutil
+    import time as _time
+    import warnings as _warnings
+
+    from square_etl_spark.sinks import merge as m
+
+    monkeypatch.setattr(m, "LOCK_TTL_S", 0.4)  # heartbeat every 0.1 s
+    target = os.path.join(tmp_path, "tbl")
+    lock_dir = target + ".lock"
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        with m._table_lock(target):
+            # simulate a sweep (whole dir renamed away) + a contender's
+            # fresh mkdir that has NOT stamped its owner.json yet
+            os.rename(lock_dir, lock_dir + ".swept")
+            _shutil.rmtree(lock_dir + ".swept")
+            os.mkdir(lock_dir)
+            _time.sleep(0.35)  # >= 2 heartbeat periods
+            assert not os.path.exists(os.path.join(lock_dir, "owner.json")), (
+                "heartbeat must not stamp into the contender's fresh dir")
+    assert os.path.isdir(lock_dir), "contender's fresh lock must survive release"
+    assert os.listdir(lock_dir) == [], "release must not write into it either"
+    assert any("no longer owned" in str(w.message) for w in caught)
+    _shutil.rmtree(lock_dir)
+
+
+def test_release_leaves_a_contenders_fresh_bare_dir(monkeypatch, tmp_path):
+    """Release-side twin of the heartbeat TOCTOU (r14 advice): if OUR
+    stamp never succeeded AND a contender swept our bare dir and
+    mkdir'ed a fresh one before our release runs, 'bare + never
+    stamped' no longer proves the dir is ours.  The acquire token
+    (written right after our own mkdir, gone with the swept dir)
+    disambiguates: release must leave the contender's dir in place."""
+    import shutil as _shutil
+
+    import pytest
+
+    from square_etl_spark.sinks import merge as m
+
+    target = os.path.join(tmp_path, "tbl")
+    lock_dir = target + ".lock"
+    real_replace = os.replace
+
+    def racing_replace(src, dst):
+        if dst.endswith("owner.json"):
+            # the contender races in the stamp-failure window: sweeps
+            # our bare dir and re-creates a fresh, not-yet-stamped one
+            os.rename(lock_dir, lock_dir + ".swept")
+            _shutil.rmtree(lock_dir + ".swept")
+            os.mkdir(lock_dir)
+            raise OSError("disk full")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(m.os, "replace", racing_replace)
+    with pytest.raises(OSError, match="disk full"):
+        with m._table_lock(target):
+            pass  # pragma: no cover - stamp fails before the yield
+    assert os.path.isdir(lock_dir), (
+        "release must not delete the contender's fresh lock dir")
+    assert os.listdir(lock_dir) == [], "nothing of ours may be left inside"
+    _shutil.rmtree(lock_dir)
