@@ -1013,6 +1013,72 @@ _register(
 )
 
 
+#: frozen K2 batch timestamp — injected like P9's tenant constants so
+#: the update-branch stamp is oracle-checkable value-for-value (the
+#: reference's CURRENT_TIMESTAMP is the nondeterminism, not the
+#: semantics; r14 verdict item 4)
+_K2_BATCH_TS = "2024-01-01 00:00:00"
+
+
+def _k2_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: ``updated_at`` stamped ONLY on the update branch of the
+    merge (reference src/etl-square-inventory.ts:97), with the batch
+    timestamp frozen to :data:`_K2_BATCH_TS`.  Batch rows that hit an
+    existing target key carry the frozen stamp; batch inserts and
+    surviving target rows keep their own ``updated_at`` (derived here
+    from ``o_orderdate`` so the whole surface is deterministic)."""
+    o = load_table(spark, sf_dir, "orders")
+    target = windowed_scan(o, "o_orderdate", None, "2000-01-01").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("updated_at"),
+    )
+    batch = windowed_scan(o, "o_orderdate", "1999-06-01", None).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        F.col("o_orderdate").alias("updated_at"),
+    )
+    return merge_dataframes(
+        target,
+        batch,
+        keys=["o_orderkey"],
+        order_cols=["o_orderkey"],
+        stamp_updated_at=True,
+        batch_ts=_K2_BATCH_TS,
+    )
+
+
+_register(
+    QuerySpec(
+        "k2_stamp_on_update",
+        _k2_stamp,
+        oracle="""
+        WITH target AS (
+          SELECT o_orderkey, o_totalprice, o_orderdate AS updated_at
+          FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+        batch AS (
+          SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice,
+                 o_orderdate AS updated_at
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1999-06-01'),
+        stamped AS (
+          SELECT b.o_orderkey, b.o_totalprice,
+                 CASE WHEN t.o_orderkey IS NOT NULL
+                      THEN TIMESTAMP '2024-01-01 00:00:00'
+                      ELSE b.updated_at END AS updated_at
+          FROM batch b
+          LEFT JOIN (SELECT DISTINCT o_orderkey FROM target) t
+                 ON b.o_orderkey = t.o_orderkey)
+        SELECT t.o_orderkey, t.o_totalprice, t.updated_at FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM stamped s
+                          WHERE s.o_orderkey = t.o_orderkey)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, updated_at FROM stamped
+        """,
+        doc="K2 update-branch-only stamp with a frozen batch timestamp",
+    )
+)
+
+
 def _cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC change-log fold, oracle-checked: model the events stream as
     a per-user profile change feed (signup→I, activity→U, error→D),
@@ -15350,57 +15416,61 @@ _register(
 # cohort stays inside the arithmetic freshness window and rotates
 # next round.  rotation.py prints 'rotation healthy' under this head.
 _CHECK_PRIORITY: list[str] = [
-    "ann_topk_ivfpq_incremental",
-    "ann_topk_ivfpq_probe",
-    "attribution_first_last",
-    "text_bigram_nll",
-    "embedding_centroid_outliers",
-    "text_repetition_stats",
-    "pack_training_sequences",
-    "dedup_decontaminate",
-    "q21_waiting_suppliers",
-    "pipeline_payments",
-    "pipeline_order_items",
-    "incremental_hll_users",
-    "fuzzy_join_capped_hot_block",
-    "spatial_join_capped_hot_cell",
-    "scd2_point_in_time",
-    "hierarchy_rollup_parts",
-    "twap_user_value",
-    "exact_percentiles_segment",
-    "schema_evolution_union",
-    "dedup_incremental_survivors",
-    "langid_confusion_audit",
-    "quality_perplexity_fence",
-    "quality_gopher_rules",
-    "ann_hard_negatives",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_png",
-    "multimodal_decode_tiff",
-    "multimodal_decode_wav",
-    "multimodal_decode_flac",
-    "multimodal_probe_dimensions",
-    "multimodal_features_by_lang",
-    "sql_api_revenue",
-    "sessionize_native_events",
-    "ann_recall_audit",
-    "pipeline_attrition_report",
-    "dedup_semantic",
-    "sample_cluster_balanced",
-    "split_train_val_test",
-    "text_char_entropy",
-    "dedup_incremental_exact",
-    "winsorize_acctbal_segment",
-    "drift_psi_orders",
-    "robust_outliers_orders",
-    "join_key_overlap_profile",
-    "dedup_spans_c4",
-    "dedup_incremental_spans",
-    "split_leakage_audit",
-    "dedup_jaccard_prefix",
-    "multimodal_decode_webp",
+    "k2_stamp_on_update",
+    "decayed_engagement_events",
+    "text_oov_rate",
+    "mix_budget_cap_sources",
+    "mix_temperature_langs",
+    "mix_temperature_incremental",
+    "mix_epoch_capped_langs",
+    "mix_doremi_sources",
+    "mix_doremi_incremental",
+    "dsir_weights_target_de",
+    "dsir_incremental_counts",
+    "pipeline_curation_mix",
+    "rolling_active_users",
+    "text_bm25_topk",
+    "split_stratified_by_lang",
+    "dedup_incremental_components",
+    "dedup_strip_repeated_spans",
+    "text_novelty_contribution",
+    "corpus_datasheet",
+    "s1_windowed_scan",
+    "p6_address_concat",
+    "p9_constant_enrichment",
+    "j3_lookup_join",
+    "a3_last_writer_wins",
+    "agg_rollup",
+    "setop_union_except",
+    "reconcile_orders_detail",
+    "distinct_users_by_type",
+    "k1_merge_partitioned",
+    "e1_quarantine_rejects",
+    "t2_sliding_2h_1h",
+    "dedup_survivor_selection",
+    "text_fingerprint",
+    "text_strip_markup",
+    "text_unigram_nll",
+    "bucketed_join_revenue",
+    "ann_topk_codes",
+    "embedding_norms",
+    "multimodal_decode",
+    "multimodal_probe_mp3",
+    "multimodal_probe_mp4",
+    "multimodal_decode_gif_frames",
+    "multimodal_probe_then_decode",
+    "approx_distinct_users",
+    "q3_shipping_priority",
+    "q10_returned_revenue",
+    "a2_stage_counts",
+    "histogram_doc_length",
+    "arrow_token_count",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
+    # r15 head: the new k2_stamp_on_update (never checked) first, then
+    # the full r09-stale cohort (18) and the 30 oldest r10-stale
+    # queries, anchor last — rotation.py's recommended head verbatim
+    # (r14 verdict item 1).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]

@@ -344,6 +344,7 @@ def merge_dataframes(
     keys: list[str],
     order_cols: list[str],
     stamp_updated_at: bool = False,
+    batch_ts: str | None = None,
 ) -> DataFrame:
     """Pure (DataFrame in → DataFrame out) MERGE: last-writer-wins.
 
@@ -353,6 +354,19 @@ def merge_dataframes(
     ``updated_at = current_timestamp()``, inserts keep theirs — matching
     the reference's update-branch-only stamp
     (src/etl-square-inventory.ts:97).
+
+    ``batch_ts`` freezes the K2 stamp to an injected batch timestamp
+    (``'YYYY-MM-DD HH:MM:SS'``) instead of the wall clock.  The
+    reference's ``CURRENT_TIMESTAMP`` is the *nondeterminism*, not the
+    semantics — the semantics is "one stamp per batch, applied to the
+    update branch only", and a batch-level literal models it exactly
+    (same posture as P9's injected tenant constants) while making the
+    whole K2 contract oracle-checkable value-for-value.  It is also the
+    better engineering at scale: with ``current_timestamp()`` Spark
+    evaluates one timestamp per QUERY (epoch pinned at plan time), but
+    a retried/backfilled batch would re-stamp differently per attempt;
+    an injected batch timestamp makes re-runs idempotent (r14 verdict
+    item 4).
     """
     deduped = last_writer_wins(batch, keys, order_cols)
     if target is None:
@@ -361,13 +375,16 @@ def merge_dataframes(
         # mark batch rows that hit an existing key (semi join — no
         # payload movement, just key presence)
         hits = target.select(*keys).distinct()
+        stamp = (
+            F.to_timestamp(F.lit(batch_ts))
+            if batch_ts is not None
+            else F.current_timestamp()
+        )
         deduped = (
             deduped.join(hits.withColumn("__hit", F.lit(True)), on=keys, how="left")
             .withColumn(
                 "updated_at",
-                F.when(F.col("__hit"), F.current_timestamp()).otherwise(
-                    F.col("updated_at")
-                ),
+                F.when(F.col("__hit"), stamp).otherwise(F.col("updated_at")),
             )
             .drop("__hit")
         )
@@ -383,6 +400,7 @@ def merge_upsert(
     order_cols: list[str],
     stamp_updated_at: bool = False,
     lock_timeout_s: float = 600.0,
+    batch_ts: str | None = None,
 ) -> int:
     """Materialized MERGE into a parquet path; returns rows written.
 
@@ -410,7 +428,9 @@ def merge_upsert(
             if os.path.exists(target_path)
             else None
         )
-        merged = merge_dataframes(target, batch, keys, order_cols, stamp_updated_at)
+        merged = merge_dataframes(
+            target, batch, keys, order_cols, stamp_updated_at, batch_ts
+        )
         tmp = _staging_dir(target_path)
         n = _write_counted(merged, tmp)
         _swap_into(tmp, target_path)
@@ -537,6 +557,7 @@ def merge_upsert_partitioned(
     partition_col: str,
     stamp_updated_at: bool = False,
     lock_timeout_s: float = 600.0,
+    batch_ts: str | None = None,
 ) -> int:
     """Partition-restricted MERGE: rewrite only the partitions the batch
     touches — the 100 TB-shaped upsert (SURVEY.md hard-list #1).
@@ -575,7 +596,7 @@ def merge_upsert_partitioned(
     with _table_lock(target_path, timeout_s=lock_timeout_s):
         return _merge_upsert_partitioned_locked(
             spark, target_path, batch, keys, order_cols, partition_col,
-            stamp_updated_at,
+            stamp_updated_at, batch_ts,
         )
 
 
@@ -587,6 +608,7 @@ def _merge_upsert_partitioned_locked(
     order_cols: list[str],
     partition_col: str,
     stamp_updated_at: bool,
+    batch_ts: str | None = None,
 ) -> int:
     """Body of :func:`merge_upsert_partitioned` under the writer lock —
     same serialization contract as :func:`merge_upsert` (the
@@ -623,7 +645,7 @@ def _merge_upsert_partitioned_locked(
         .filter(slice_cond)
     )
     merged = merge_dataframes(
-        target_slice, batch, keys, order_cols, stamp_updated_at
+        target_slice, batch, keys, order_cols, stamp_updated_at, batch_ts
     )
     tmp = _staging_dir(target_path)
     n = _write_counted(merged, tmp, partition_col)

@@ -951,3 +951,46 @@ def test_release_leaves_a_contenders_fresh_bare_dir(monkeypatch, tmp_path):
         "release must not delete the contender's fresh lock dir")
     assert os.listdir(lock_dir) == [], "nothing of ours may be left inside"
     _shutil.rmtree(lock_dir)
+
+
+def test_merge_frozen_batch_ts_stamps_deterministically(spark, tmp_path):
+    """K2 with an injected batch timestamp (r14 verdict item 4): the
+    update-branch stamp is the frozen literal — value-for-value
+    checkable and idempotent under batch replay — while inserts keep
+    their own updated_at, exactly the reference's branch split."""
+    import datetime
+
+    target = os.path.join(tmp_path, "tbl")
+    b1 = spark.createDataFrame(
+        [("a", 1, "2020-01-01 00:00:00")], "k string, v long, updated_at string"
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    merge_upsert(spark, target, b1, ["k"], ["updated_at"])
+    b2 = spark.createDataFrame(
+        [("a", 2, "2020-01-02 00:00:00"), ("new", 3, "2020-01-02 00:00:00")],
+        "k string, v long, updated_at string",
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    frozen = "2024-06-30 12:00:00"
+    merge_upsert(
+        spark, target, b2, ["k"], ["updated_at"],
+        stamp_updated_at=True, batch_ts=frozen,
+    )
+    got = {r.k: r for r in spark.read.parquet(target).collect()}
+    assert got["a"].updated_at == datetime.datetime(2024, 6, 30, 12, 0, 0)
+    assert got["new"].updated_at.year == 2020
+    # replaying the batch: every batch key now MATCHES, so K2 stamps
+    # them all (the reference's DO UPDATE fires regardless of value
+    # equality) — but with a frozen batch_ts the state reaches a
+    # fixpoint: the second replay changes nothing the first didn't
+    merge_upsert(
+        spark, target, b2, ["k"], ["updated_at"],
+        stamp_updated_at=True, batch_ts=frozen,
+    )
+    second = {(r.k, r.v, r.updated_at) for r in spark.read.parquet(target).collect()}
+    assert {k for k, _, _ in second} == {"a", "new"}
+    assert all(ts == datetime.datetime(2024, 6, 30, 12, 0) for _, _, ts in second)
+    merge_upsert(
+        spark, target, b2, ["k"], ["updated_at"],
+        stamp_updated_at=True, batch_ts=frozen,
+    )
+    third = {(r.k, r.v, r.updated_at) for r in spark.read.parquet(target).collect()}
+    assert second == third
