@@ -25,7 +25,15 @@ registry position — because shared-session measurements of them are
 unreadable: earlier queries' checkpoint/cache state inflates
 successors 2-10× and in-session spread hit 2.6× (SCALING.md round-13
 finding 3; round-14 A/B).  ``python bench.py --one <name>`` invokes
-the lane directly.
+the lane directly.  Since r15 the lane measures STEADY STATE: one
+untimed full-sf warmup run before the timed runs (the sf0.001 warmup
+compiles the plan but leaves run 1 paying cold page-cache/C2 costs —
+the r14 descending raw sequences), and a GC-free release of all
+persistent/localCheckpoint blocks around every timed run so an
+iterative query's own checkpoints never accumulate
+(``_release_session_blocks``; System.gc() stays banned inside the
+run sequence — SCALING.md round-14 finding 5).  Validated by a
+12-entry old-vs-new per-query A/B (SCALING.md round-15).
 """
 
 from __future__ import annotations
@@ -96,6 +104,31 @@ def _load_prev_record(here: Path):
     return None, git_head
 
 
+def _release_session_blocks(spark) -> int:
+    """Unpersist every persistent RDD block in the session — including
+    ``localCheckpoint``'ed RDDs (they are registered persistent) —
+    WITHOUT a GC (a full GC would also evict the soft-referenced
+    generated-class cache and tax every later run of a many-stage plan
+    with codegen recompilation, SCALING.md round-14 finding 5).
+
+    Used by the fresh-JVM lane around its timed runs: an iterative
+    query's own checkpoint blocks otherwise linger across its runs —
+    each run builds NEW checkpoints, and the previous run's blocks are
+    only swept after a GC lets the ContextCleaner notice the dropped
+    references — so they squat storage memory and stretch the
+    within-entry spread (r14 verdict item 2: dedup_cluster_assignment
+    raw 5.16/3.33/2.86 inside its own JVM; with explicit release the
+    measured spread is ≤1.2×, SCALING.md round-15).  Safe because
+    every timed run discards its result: no later run reads an earlier
+    run's blocks — write-once artifacts are disk-published, not
+    session state."""
+    n = 0
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+        n += 1
+    return n
+
+
 def _run_one(name: str) -> None:
     """Fresh-JVM lane body: time ONE bench query in its own
     SparkSession, mirroring the shared lane exactly (sf0.001 codegen
@@ -127,12 +160,26 @@ def _run_one(name: str) -> None:
     # median-of-3 absorbs it and the fresh JVM already isolates it
     # from every other entry.
     spark.sparkContext._jvm.System.gc()
+    # full-sf UNTIMED warmup run + block release (r15, r14 verdict
+    # item 2): the sf0.001 warmup compiles the plan but leaves the
+    # first timed run paying sf0.1 cold costs (page cache, C2 JIT on
+    # the hot loops) — the r14 lane's descending raw sequences
+    # (5.16/3.33/2.86) were warmup shape, not accumulation.  One
+    # untimed run at the measured scale puts the timed runs in steady
+    # state; its blocks are released so it leaves no storage footprint.
+    try:
+        fn(spark, sf_dir).count()
+    except Exception:
+        pass  # best-effort, as with the codegen warmup
+    _release_session_blocks(spark)
     raw, n = [], 0
     for _ in range(runs):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = df.count()
         raw.append(round(time.perf_counter() - t0, 3))
+        # untimed: drop this run's checkpoint blocks before the next
+        _release_session_blocks(spark)
     sys.stdout.flush()
     print("BENCHONE " + json.dumps({"raw": raw, "rows": n}))
 

@@ -154,3 +154,20 @@ def test_lane_fallback_membership_survives_in_the_record():
     record = {"queries": {"a": 5.0, "b": 4.0, "c": 0.2},
               "isolated": isolated_ran + lane_fallback}
     assert bench._lane_membership(record, 3.0) == {"a", "b"}
+
+
+def test_release_session_blocks_drops_local_checkpoints(spark):
+    """The lane's GC-free block release must see localCheckpoint'ed
+    RDDs (they register as persistent) and actually drop them — the
+    whole point is freeing an iterative query's checkpoint blocks
+    between timed runs without a System.gc() (which would evict the
+    codegen cache, SCALING r14 finding 5)."""
+    import bench
+
+    df = spark.range(0, 1000).localCheckpoint(eager=True)
+    df.count()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    assert len(list(jmap.keys())) >= 1
+    released = bench._release_session_blocks(spark)
+    assert released >= 1
+    assert len(list(spark.sparkContext._jsc.getPersistentRDDs().keys())) == 0
