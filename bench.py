@@ -184,19 +184,53 @@ def _run_one(name: str) -> None:
     print("BENCHONE " + json.dumps({"raw": raw, "rows": n}))
 
 
-def _lane_membership(prev: dict | None, isolate_s: float) -> set[str]:
+def _lane_membership(
+    prev: dict | None,
+    isolate_s: float,
+    detail_isolated: list | None = None,
+) -> set[str]:
     """Names that run in the fresh-JVM lane this round: everything
     whose previous-round median exceeded the threshold, PLUS everything
     already in the lane last round (one-way ratchet — an isolated
     median must never be drift-compared against a shared-session
-    remeasurement; see the comment in main)."""
+    remeasurement; see the comment in main).
+
+    ``detail_isolated`` is the committed BENCH_DETAIL.json's
+    "isolated" list — since r15 the ratchet's canonical carrier: the
+    stdout record no longer lists the lane names (at 46 benched
+    queries they pushed the line past the driver's 2000-byte tail
+    capture, which is exactly why BENCH_r14.json has ``parsed: null``
+    and this round's drift baseline fell back to r13).  Old records
+    that still carry "isolated" keep contributing (back-compat)."""
     if not prev:
         return set()
     over = {
         n for n, t in prev.get("queries", {}).items()
         if isinstance(t, (int, float)) and t > isolate_s
     }
-    return over | set(prev.get("isolated") or [])
+    return over | set(prev.get("isolated") or []) | set(detail_isolated or [])
+
+
+#: the driver's stdout tail capture is 2000 bytes and keeps the END of
+#: the line — a longer record comes back with its FRONT cut mid-JSON
+#: and lands as ``parsed: null`` (BENCH_r14).  Budget with margin.
+_RECORD_LINE_BUDGET = 1900
+
+
+def _bounded_record_line(payload: dict) -> str:
+    """Serialize the compact record, guaranteeing it fits the driver's
+    tail capture.  The drift map is the one unbounded-by-design field
+    left on the line (a bad-box round can charge a dozen entries —
+    the round-15 degraded-box run hit 2037 bytes from exactly that);
+    if the line would overflow, the map defers to BENCH_DETAIL.json,
+    which always carries the full per-query drift.  Nothing the next
+    round's bench CONSUMES is ever dropped (it reads only queries,
+    calib_s, scan_calib_s and the detail file's lane membership)."""
+    line = json.dumps(payload)
+    if len(line) > _RECORD_LINE_BUDGET and "drift" in payload:
+        payload = dict(payload, drift="see BENCH_DETAIL.json")
+        line = json.dumps(payload)
+    return line
 
 
 def _classify_drift(
@@ -379,7 +413,16 @@ def main() -> None:
     # manufacturing the exact spurious "r" charges the lane kills, and
     # oscillating membership every other round.  One subprocess per
     # heavy entry per round is the stable price.
-    lane = _lane_membership(prev, isolate_s)
+    # the ratchet's canonical carrier is the COMMITTED BENCH_DETAIL.json
+    # (read BEFORE this run overwrites it): stdout records can come back
+    # from the driver with the front of the line truncated (BENCH_r14
+    # parsed: null), but the side file is always whole
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    try:
+        detail_prev = json.loads(detail_path.read_text())
+    except (OSError, ValueError):
+        detail_prev = {}
+    lane = _lane_membership(prev, isolate_s, detail_prev.get("isolated"))
 
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
@@ -425,6 +468,17 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             raw.append(round(time.perf_counter() - t0, 3))
+            # untimed, GC-free release of this run's persistent/
+            # localCheckpoint blocks (r15, same mechanism as the lane):
+            # a checkpointing query's own blocks accumulate across its
+            # runs — only a GC would let the ContextCleaner sweep
+            # them, and GC inside the sequence is banned (finding 5).
+            # On a memory-pressured box that accumulation ASCENDS the
+            # raw sequence past min-run exoneration
+            # (dedup_ngram_jaccard read [3.83, 4.91, 6.24] in the
+            # shared session vs a clean 2.0 isolated — SCALING.md
+            # round-15 addendum).
+            _release_session_blocks(spark)
         # statistics.median, not sorted()[n//2]: the latter is the
         # upper-middle element — biased high — for even run counts
         # (SPARK_GRAFT_BENCH_RUNS is user-overridable).
@@ -480,7 +534,6 @@ def main() -> None:
     # raw runs + row counts → side file (committed like SCALING.md).
     # r06 lesson: putting them on the stdout line grew it past the
     # driver's bounded tail capture at 20 benched queries → parsed:null.
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
         json.dumps(
             {"raw_runs": raw_runs, "rows": rows, "sf": sf,
@@ -514,34 +567,31 @@ def main() -> None:
     # [name]; next round's bench reads only prev["queries"] and
     # prev["*calib_s"], so the elision is safe for the classifier.
     sys.stdout.flush()
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_s",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": dict(
-                    sorted(timings.items(), key=lambda kv: kv[1])
-                ),
-                "sf": sf,
-                "calib_s": calib_s,
-                "calib_ratio": calib_ratio,
-                "scan_calib_s": scan_calib_s,
-                "scan_calib_ratio": scan_calib_ratio,
-                # the full lane MEMBERSHIP, not just the names that
-                # ran isolated this round: next round's bench reads it
-                # for the one-way ratchet above, and a transient
-                # subprocess failure must not silently evict a member
-                # (its shared fallback timing is marked "f" in drift
-                # instead) — r14 advice
-                "isolated": isolated + lane_fallback,
-                "isolated_n": len(isolated),
-                "lane_fallback": lane_fallback,
-                "drift": {k: v for k, v in drift.items() if v != "n"},
-                "git_head": git_head,
-            }
-        )
-    )
+    print(_bounded_record_line(
+        {
+            "metric": "bench_total_s",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": dict(
+                sorted(timings.items(), key=lambda kv: kv[1])
+            ),
+            "sf": sf,
+            "calib_s": calib_s,
+            "calib_ratio": calib_ratio,
+            "scan_calib_s": scan_calib_s,
+            "scan_calib_ratio": scan_calib_ratio,
+            # counts only on the stdout line: the full lane
+            # membership (isolated + lane_fallback, the one-way
+            # ratchet input) lives in BENCH_DETAIL.json since r15
+            # — listing 12 names here pushed the line to 2149
+            # bytes, past the driver's 2000-byte tail capture,
+            # which is why BENCH_r14.json came back parsed:null
+            "isolated_n": len(isolated),
+            **({"lane_fallback": lane_fallback} if lane_fallback else {}),
+            "drift": {k: v for k, v in drift.items() if v != "n"},
+            "git_head": git_head,
+        }
+    ))
 
 
 if __name__ == "__main__":

@@ -143,17 +143,27 @@ def test_lane_fallback_is_incomparable_not_a_regression():
 
 
 def test_lane_fallback_membership_survives_in_the_record():
-    """The record's "isolated" list is the ratchet input for the next
-    round (`_lane_membership`): a member that fell back this round must
-    still be in it, or a transient subprocess failure silently evicts
-    it from the lane forever."""
+    """The recorded lane membership (BENCH_DETAIL's "isolated" since
+    r15; old stdout records as back-compat) is the ratchet input for
+    the next round: a member that fell back this round must still be
+    in it, or a transient subprocess failure silently evicts it from
+    the lane forever."""
     import bench
 
-    # simulate what main() writes: membership = ran-isolated + fell-back
+    # simulate what main() writes to BENCH_DETAIL: ran-isolated + fell-back
     isolated_ran, lane_fallback = ["a"], ["b"]
-    record = {"queries": {"a": 5.0, "b": 4.0, "c": 0.2},
-              "isolated": isolated_ran + lane_fallback}
-    assert bench._lane_membership(record, 3.0) == {"a", "b"}
+    record = {"queries": {"a": 5.0, "b": 4.0, "c": 0.2}}
+    assert bench._lane_membership(
+        record, 3.0, detail_isolated=isolated_ran + lane_fallback
+    ) == {"a", "b"}
+    # pre-r15 records carried the list on the stdout line — still honored
+    old_record = dict(record, isolated=["b"])
+    assert bench._lane_membership(old_record, 3.0) == {"a", "b"}
+    # an unparseable driver record (BENCH_r14 parsed:null) falls back to
+    # an older prev, but the committed detail file alone keeps the lane
+    assert bench._lane_membership(
+        {"queries": {}}, 3.0, detail_isolated=["x"]
+    ) == {"x"}
 
 
 def test_release_session_blocks_drops_local_checkpoints(spark):
@@ -171,3 +181,32 @@ def test_release_session_blocks_drops_local_checkpoints(spark):
     released = bench._release_session_blocks(spark)
     assert released >= 1
     assert len(list(spark.sparkContext._jsc.getPersistentRDDs().keys())) == 0
+
+
+def test_record_line_never_outgrows_the_driver_tail_capture():
+    """The driver keeps the last 2000 bytes of stdout; a longer record
+    loses its FRONT mid-JSON and lands parsed:null (BENCH_r14).  When
+    the drift map would overflow the budget it defers to
+    BENCH_DETAIL.json; everything next round's bench consumes
+    (queries, calib_s, scan_calib_s) survives verbatim."""
+    import json
+
+    import bench
+
+    queries = {f"query_name_number_{i:03d}": i / 10 for i in range(46)}
+    payload = {
+        "metric": "bench_total_s", "value": 1.0, "unit": "sec",
+        "queries": queries, "sf": 0.1, "calib_s": 0.4,
+        "calib_ratio": 1.0, "scan_calib_s": 0.2, "scan_calib_ratio": 1.0,
+        "isolated_n": 12,
+        "drift": {n: "r" for n in list(queries)[:20]},
+        "git_head": "abc1234",
+    }
+    line = bench._bounded_record_line(dict(payload))
+    assert len(line) <= bench._RECORD_LINE_BUDGET
+    rec = json.loads(line)
+    assert rec["queries"] == queries and rec["calib_s"] == 0.4
+    assert rec["drift"] == "see BENCH_DETAIL.json"
+    # a small record keeps its drift map inline
+    small = dict(payload, queries={"q": 1.0}, drift={"q": "r"})
+    assert json.loads(bench._bounded_record_line(small))["drift"] == {"q": "r"}

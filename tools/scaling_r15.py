@@ -22,7 +22,11 @@ findings:
    median drops to steady state (5.89 → 3.13 s on the same box);
    ``dedup_jaccard_prefix`` 1.56× (r14 record) → 1.20×.  No GC is
    involved, so the codegen cache stays warm (the constraint that
-   killed the per-run-GC variant, SCALING round-14 finding 5).
+   killed the per-run-GC variant, SCALING round-14 finding 5).  The
+   same release was then extended to the SHARED lane after two
+   ascending-raw "r" charges exonerated in isolation
+   (SCALING round-15 addendum), validated by a before/after FULL
+   bench per-query diff on the same tree.
 
 Usage:
     python tools/scaling_r15.py hier-ab            # two worktree cells
