@@ -14,7 +14,9 @@ Representatives cover the order-sensitivity classes: window rank
 (top-k), global agg with decimal sums, LSH-bucketed self-join +
 distinct (dedup), TF-IDF ranking, a stored-index incremental fold,
 and the IVF-PQ ANN probe (Lloyd iteration + argmin tie-breaks +
-ADC)."""
+ADC).  r15 adds the K2 merge fold (anti-join + union + update-branch
+stamp): the merge's survivors/stamps must not depend on which
+partition a key's target and batch rows meet in."""
 
 import pytest
 
@@ -28,6 +30,7 @@ QUERIES = [
     "t2_tumbling_hourly",  # event-time windowed agg
     "sample_hash_documents",  # hash-keyed sampling determinism
     "quantile_sketch_orders",  # mergeable sketch: partial-agg order
+    "k2_stamp_on_update",  # merge fold: anti-join + union + frozen stamp (r15)
 ]
 
 
