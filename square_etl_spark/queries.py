@@ -15404,73 +15404,66 @@ _register(
 )
 
 
-# Round-14 head: rotation.py's recommendation — TWO never-checked
-# slots first (ann_topk_ivfpq_incremental / ann_topk_ivfpq_probe, the
-# round's only registrations, both opened by the r13 verdict's items
-# 5-6; the item-7 freeze holds otherwise), then the FULL r08-stale
-# cohort (17), the 29 oldest r09-stale queries oldest-first, ONE
-# refresh-queue slot (multimodal_decode_webp: the r14 VP8L canonical
-# simple-2 fix post-dates its r13 green row), flagship anchor last
-# = 50.  The verdict's "17 r08 + ≥33 r09" target exceeds the 50-slot
-# cap by construction (17+33+anchor+2 new = 53); the remaining r09
-# cohort stays inside the arithmetic freshness window and rotates
-# next round.  rotation.py prints 'rotation healthy' under this head.
+# Round-16 head: rotation.py's recommendation verbatim (r15 verdict
+# item 1) — the FULL r10-stale cohort (15: the rollup/SCD2/pipeline
+# family plus the whole BPE composition chain) oldest-first, then the
+# 34 oldest r11-stale queries (the TPC-H band, the P4/P5/P7
+# projections, CDC/as-of/range joins, multimodal decode trio), anchor
+# last = 50.  The registration freeze holds (255 → +0), so there are
+# no never-checked slots; the remaining 10 r11 queries stay inside the
+# arithmetic freshness window and rotate next round.
 _CHECK_PRIORITY: list[str] = [
-    "k2_stamp_on_update",
-    "decayed_engagement_events",
-    "text_oov_rate",
-    "mix_budget_cap_sources",
-    "mix_temperature_langs",
-    "mix_temperature_incremental",
-    "mix_epoch_capped_langs",
-    "mix_doremi_sources",
-    "mix_doremi_incremental",
-    "dsir_weights_target_de",
-    "dsir_incremental_counts",
-    "pipeline_curation_mix",
-    "rolling_active_users",
-    "text_bm25_topk",
-    "split_stratified_by_lang",
-    "dedup_incremental_components",
-    "dedup_strip_repeated_spans",
-    "text_novelty_contribution",
-    "corpus_datasheet",
-    "s1_windowed_scan",
-    "p6_address_concat",
-    "p9_constant_enrichment",
-    "j3_lookup_join",
-    "a3_last_writer_wins",
-    "agg_rollup",
-    "setop_union_except",
-    "reconcile_orders_detail",
-    "distinct_users_by_type",
-    "k1_merge_partitioned",
-    "e1_quarantine_rejects",
-    "t2_sliding_2h_1h",
-    "dedup_survivor_selection",
-    "text_fingerprint",
-    "text_strip_markup",
-    "text_unigram_nll",
-    "bucketed_join_revenue",
-    "ann_topk_codes",
-    "embedding_norms",
-    "multimodal_decode",
-    "multimodal_probe_mp3",
-    "multimodal_probe_mp4",
-    "multimodal_decode_gif_frames",
-    "multimodal_probe_then_decode",
-    "approx_distinct_users",
-    "q3_shipping_priority",
-    "q10_returned_revenue",
-    "a2_stage_counts",
-    "histogram_doc_length",
-    "arrow_token_count",
+    "incremental_rollup_revenue",
+    "scd2_customer_segment",
+    "pipeline_catalog",
+    "pipeline_inventory",
+    "pipeline_categories",
+    "pipeline_locations",
+    "dedup_semantic_incremental",
+    "text_bpe_train",
+    "text_bpe_train_incremental",
+    "text_bpe_train_apply",
+    "text_bpe_tokens",
+    "text_bpe_encode_ids",
+    "pack_training_sequences_bpe",
+    "mix_temperature_bpe",
+    "pipeline_tokenize_pack",
+    "f2_json_extract",
+    "cdc_apply_events",
+    "sample_perplexity_buckets",
+    "multimodal_decode_bmp",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "approx_distinct_kmv",
+    "q5_local_supplier_volume",
+    "q4_priority_late_ship",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q13_custdist",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_rich",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q16_supplier_counts",
+    "q20_excess_stock_suppliers",
+    "q8_market_share",
+    "q9_product_profit",
+    "agg_grouping_sets",
+    "p4_cast_guard_default",
+    "p5_literal_defaults",
+    "p7_type_dispatch",
+    "window_running_total",
+    "orders_above_cust_avg",
+    "join_semi_active",
+    "asof_join_clicks",
+    "range_join_binned",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
-    # r15 head: the new k2_stamp_on_update (never checked) first, then
-    # the full r09-stale cohort (18) and the 30 oldest r10-stale
-    # queries, anchor last — rotation.py's recommended head verbatim
-    # (r14 verdict item 1).
     # `python tools/rotation.py` audits this list against the
     # CORRECTNESS history and prints the recommended next head.
 ]
