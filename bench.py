@@ -53,11 +53,62 @@ from square_etl_spark import get_spark  # noqa: E402
 from square_etl_spark.queries import bench_queries, queries  # noqa: E402
 
 
-def _load_prev_record(here: Path):
+def _detail_medians(detail: dict) -> dict[str, float]:
+    """Per-query medians from a BENCH_DETAIL dict's raw_runs — the
+    same statistic the stdout record carries."""
+    out = {}
+    for name, raw in (detail.get("raw_runs") or {}).items():
+        if raw and all(isinstance(v, (int, float)) for v in raw):
+            out[name] = round(statistics.median(raw), 3)
+    return out
+
+
+def _merge_gated_detail(prev: dict, detail: dict | None) -> dict:
+    """Drift-baseline poisoning guard (r15 verdict item 2): when the
+    committed BENCH_DETAIL.json is an acceptance-gated snapshot of the
+    SAME tree as the chosen prev record (matching git_head tags), the
+    baseline for each query becomes min(record median, gated detail
+    median) — and likewise for both calibration anchors.
+
+    Why min: the driver's record can be taken under band-selective
+    external host load (BENCH_r15: total 137.2 s vs 102.1 s for the
+    gated snapshot of the same tree, single queries up to 2.3×
+    inflated) while the gated snapshot is taken behind a quiet-box
+    acceptance loop — the smaller same-tree observation is the less
+    box-inflated one.  Comparing r16 against the inflated medians
+    would class a real 2× regression "n" or even "i".  A detail file
+    without a git_head tag, or with a different tree's tag, never
+    merges (it measures other code)."""
+    if not (
+        isinstance(detail, dict)
+        and detail.get("git_head")
+        and detail.get("git_head") == prev.get("git_head")
+    ):
+        return prev
+    gated = _detail_medians(detail)
+    if not gated:
+        return prev
+    merged = dict(prev)
+    merged["queries"] = {
+        name: min(t, gated[name]) if name in gated else t
+        for name, t in prev.get("queries", {}).items()
+    }
+    for key, raw_key in (("calib_s", "calib_raw"),
+                         ("scan_calib_s", "scan_calib_raw")):
+        raw = detail.get(raw_key)
+        if merged.get(key) and raw:
+            merged[key] = min(merged[key], round(statistics.median(raw), 3))
+    merged["baseline"] = "min(record, gated_detail)"
+    return merged
+
+
+def _load_prev_record(here: Path, detail_prev: dict | None = None):
     """Newest BENCH_r*.json that is NOT a record of this same code
     state (see the drift-classification comment below for why a
-    head-matched record is skipped).  Returns (prev_dict_or_None,
-    git_head_or_None)."""
+    head-matched record is skipped), merged per-query with the
+    committed gated BENCH_DETAIL when that snapshot carries the same
+    tree's git_head tag (``_merge_gated_detail``).  Returns
+    (prev_dict_or_None, git_head_or_None)."""
     try:
         git_head = subprocess.run(
             ["git", "-C", str(here), "rev-parse", "--short", "HEAD"],
@@ -100,7 +151,7 @@ def _load_prev_record(here: Path):
             and cand.get("git_head") == git_head_for_skip
         ):
             continue  # same code state: this round's own record
-        return cand, git_head
+        return _merge_gated_detail(cand, detail_prev), git_head
     return None, git_head
 
 
@@ -201,9 +252,13 @@ def _lane_membership(
     queries they pushed the line past the driver's 2000-byte tail
     capture, which is exactly why BENCH_r14.json has ``parsed: null``
     and this round's drift baseline fell back to r13).  Old records
-    that still carry "isolated" keep contributing (back-compat)."""
-    if not prev:
-        return set()
+    that still carry "isolated" keep contributing (back-compat).
+
+    The detail contribution survives ``prev is None``: if every
+    BENCH_r*.json is unparseable (or a fresh clone keeps only the
+    committed detail file), the ratchet still holds — an early return
+    on falsy prev silently discarded it (r15 advice)."""
+    prev = prev or {}
     over = {
         n for n, t in prev.get("queries", {}).items()
         if isinstance(t, (int, float)) and t > isolate_s
@@ -230,6 +285,28 @@ def _bounded_record_line(payload: dict) -> str:
     if len(line) > _RECORD_LINE_BUDGET and "drift" in payload:
         payload = dict(payload, drift="see BENCH_DETAIL.json")
         line = json.dumps(payload)
+    if len(line) > _RECORD_LINE_BUDGET and isinstance(
+        payload.get("queries"), dict
+    ):
+        # the queries map itself outgrew the budget (~1650 bytes at 46
+        # entries; ~8 more would overflow — r15 advice): 2-decimal
+        # timings buy ~1 byte/query without losing drift resolution
+        # (the ±30% noise band dwarfs 0.01 s)
+        payload = dict(
+            payload,
+            queries={k: round(v, 2) for k, v in payload["queries"].items()},
+        )
+        line = json.dumps(payload)
+    if len(line) > _RECORD_LINE_BUDGET:
+        # nothing else is droppable (next round consumes every
+        # remaining field) — overflow must be LOUD, not a silent
+        # repeat of BENCH_r14's parsed:null
+        print(
+            f"WARNING: record line {len(line)} bytes exceeds the "
+            f"{_RECORD_LINE_BUDGET}-byte budget — the driver's tail "
+            "capture will truncate it (parsed:null); shard the record",
+            file=sys.stderr,
+        )
     return line
 
 
@@ -241,17 +318,26 @@ def _classify_drift(
     lane_fallback: list,
     noise: float = 0.30,
     abs_floor: float = 0.20,
+    prev_fallback: list | None = None,
 ) -> dict:
     """Per-query drift class vs the previous record (pure function so
     the protocol is pytest-pinnable).  Classes: "n" noise, "b" box,
     "r" regression, "i" improved, "+" new, "f" lane-fallback (a lane
     member remeasured in the shared session after a subprocess
     failure — historically 2-10× inflated, so incomparable to last
-    round's isolated median in EITHER direction; r14 advice)."""
+    round's isolated median in EITHER direction; r14 advice).
+
+    ``prev_fallback`` — names that fell back LAST round — also class
+    "f" for one round: their previous-record timing is the inflated
+    shared remeasurement, so comparing this round's clean isolated
+    median against it would read a spurious "i" (r15 advice).  One
+    round only: this round's clean number becomes the next record's
+    comparison basis."""
     drift: dict = {}
+    prev_f = set(prev_fallback or [])
     for name, t in timings.items():
         pt = prev_queries.get(name)
-        if name in lane_fallback:
+        if name in lane_fallback or (name in prev_f and pt is not None):
             drift[name] = "f"
         elif pt is None:
             drift[name] = "+"
@@ -306,7 +392,17 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     here = Path(__file__).resolve().parent
-    prev, git_head = _load_prev_record(here)
+    # the committed BENCH_DETAIL.json is read BEFORE this run
+    # overwrites it: it carries the lane ratchet ("isolated") and —
+    # when git_head-tagged for the same tree as the newest record —
+    # the acceptance-gated medians that de-poison the drift baseline
+    # (r15 verdict item 2)
+    detail_path = here / "BENCH_DETAIL.json"
+    try:
+        detail_prev = json.loads(detail_path.read_text())
+    except (OSError, ValueError):
+        detail_prev = {}
+    prev, git_head = _load_prev_record(here, detail_prev)
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -414,14 +510,9 @@ def main() -> None:
     # oscillating membership every other round.  One subprocess per
     # heavy entry per round is the stable price.
     # the ratchet's canonical carrier is the COMMITTED BENCH_DETAIL.json
-    # (read BEFORE this run overwrites it): stdout records can come back
-    # from the driver with the front of the line truncated (BENCH_r14
-    # parsed: null), but the side file is always whole
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    try:
-        detail_prev = json.loads(detail_path.read_text())
-    except (OSError, ValueError):
-        detail_prev = {}
+    # (already read above, before this run overwrites it): stdout
+    # records can come back from the driver with the front of the line
+    # truncated (BENCH_r14 parsed: null), but the side file is whole
     lane = _lane_membership(prev, isolate_s, detail_prev.get("isolated"))
 
     timings: dict[str, float] = {}
@@ -529,6 +620,13 @@ def main() -> None:
         drift = _classify_drift(
             timings, raw_runs, prev["queries"], box_ratios, lane_fallback,
             noise=_NOISE, abs_floor=_ABS_FLOOR,
+            # one-round "f" carryover: LAST round's fallbacks left an
+            # inflated shared number in the record (r15 advice) — from
+            # the record's own field and the committed detail file
+            prev_fallback=list(
+                set(prev.get("lane_fallback") or [])
+                | set(detail_prev.get("lane_fallback") or [])
+            ),
         )
 
     # raw runs + row counts → side file (committed like SCALING.md).
@@ -537,6 +635,9 @@ def main() -> None:
     detail_path.write_text(
         json.dumps(
             {"raw_runs": raw_runs, "rows": rows, "sf": sf,
+             # the tree this detail measures: lets a future round's
+             # _merge_gated_detail pair it with the matching record
+             "git_head": git_head,
              "runs_per_query": runs_per_query, "calib_raw": calib_raw,
              "scan_calib_raw": scan_calib_raw,
              "isolated": isolated + lane_fallback,

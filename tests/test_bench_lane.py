@@ -210,3 +210,113 @@ def test_record_line_never_outgrows_the_driver_tail_capture():
     # a small record keeps its drift map inline
     small = dict(payload, queries={"q": 1.0}, drift={"q": "r"})
     assert json.loads(bench._bounded_record_line(small))["drift"] == {"q": "r"}
+
+
+def test_gated_detail_depoisons_the_drift_baseline():
+    """r15 verdict item 2: the driver's record can be taken under
+    band-selective host load (BENCH_r15: 2.3x inflated on the isolated
+    band) — when the committed BENCH_DETAIL is an acceptance-gated
+    snapshot of the SAME tree (matching git_head), the baseline is the
+    per-query min of the two, and both anchors take the min too."""
+    import bench
+
+    prev = {
+        "queries": {"slow_on_bad_box": 32.5, "steady": 1.0,
+                    "not_in_detail": 2.0},
+        "calib_s": 0.489, "scan_calib_s": 0.45, "git_head": "abc1234",
+    }
+    detail = {
+        "git_head": "abc1234",
+        "raw_runs": {"slow_on_bad_box": [14.1, 13.9, 14.0],
+                     "steady": [1.2, 1.2, 1.2]},
+        "calib_raw": [0.31, 0.30, 0.31], "scan_calib_raw": [0.24, 0.24, 0.25],
+    }
+    merged = bench._merge_gated_detail(prev, detail)
+    assert merged["queries"]["slow_on_bad_box"] == 14.0  # gated median wins
+    assert merged["queries"]["steady"] == 1.0  # record already smaller
+    assert merged["queries"]["not_in_detail"] == 2.0  # untouched
+    assert merged["calib_s"] == 0.31 and merged["scan_calib_s"] == 0.24
+    assert merged["baseline"] == "min(record, gated_detail)"
+    # a different tree's detail NEVER merges — it measures other code
+    other = dict(detail, git_head="fff9999")
+    assert bench._merge_gated_detail(prev, other) == prev
+    # an untagged (pre-r16) detail never merges either
+    untagged = {k: v for k, v in detail.items() if k != "git_head"}
+    assert bench._merge_gated_detail(prev, untagged) == prev
+
+
+def test_lane_ratchet_survives_unparseable_prev():
+    """r15 advice: with every BENCH_r*.json unparseable (prev=None),
+    the committed detail file's membership must still carry the
+    one-way ratchet — the old early-return dropped it."""
+    import bench
+
+    assert bench._lane_membership(None, 3.0, detail_isolated=["x", "y"]) == {
+        "x", "y"
+    }
+    assert bench._lane_membership(None, 3.0) == set()
+
+
+def test_prev_round_fallback_is_incomparable_one_more_round():
+    """r15 advice: a query that fell back LAST round left its inflated
+    shared-session timing in the record — this round's clean isolated
+    median must not be compared against it (spurious "i"); it classes
+    "f" for exactly one round."""
+    import bench
+
+    drift = bench._classify_drift(
+        timings={"recovered": 3.5, "steady": 1.0},
+        raw_runs={"recovered": [3.5, 3.6, 3.4], "steady": [1.0, 1.0, 1.0]},
+        prev_queries={"recovered": 9.0, "steady": 1.0},  # 9.0 = inflated
+        box_ratios=[1.0],
+        lane_fallback=[],
+        prev_fallback=["recovered"],
+    )
+    assert drift == {"recovered": "f", "steady": "n"}
+    # round after THAT: clean vs clean, normal classes again
+    drift2 = bench._classify_drift(
+        timings={"recovered": 3.5},
+        raw_runs={"recovered": [3.5, 3.6, 3.4]},
+        prev_queries={"recovered": 3.5},
+        box_ratios=[1.0],
+        lane_fallback=[],
+        prev_fallback=[],
+    )
+    assert drift2 == {"recovered": "n"}
+    # a prev-fallback name NEW to the record still classes "+"
+    drift3 = bench._classify_drift(
+        timings={"brand_new": 1.0},
+        raw_runs={"brand_new": [1.0]},
+        prev_queries={},
+        box_ratios=[1.0],
+        lane_fallback=[],
+        prev_fallback=["brand_new"],
+    )
+    assert drift3 == {"brand_new": "+"}
+
+
+def test_record_line_overflow_is_loud_not_silent(capsys):
+    """r15 advice: the queries map alone will outgrow the budget ~8
+    benched queries from now — after the drift elision the line first
+    drops to 2-decimal timings, and if it STILL overflows a stderr
+    warning fires instead of a silent BENCH_r14-style parsed:null."""
+    import json
+
+    import bench
+
+    # enough long-named queries that even 2dp rounding can't save it
+    queries = {f"very_long_query_name_padding_{i:04d}": i + 0.123
+               for i in range(80)}
+    payload = {"metric": "bench_total_s", "value": 1.0, "unit": "sec",
+               "queries": queries, "sf": 0.1, "calib_s": 0.4,
+               "drift": {}, "git_head": "abc1234"}
+    line = bench._bounded_record_line(dict(payload))
+    assert "exceeds" in capsys.readouterr().err  # loud
+    rec = json.loads(line)  # still valid JSON end-to-end
+    assert rec["queries"][f"very_long_query_name_padding_0000"] == 0.12
+    # moderate overflow: 2dp rounding alone rescues it, no warning
+    mid = dict(payload, queries={f"q_{i:03d}": i + 0.1234 for i in range(46)},
+               drift={f"q_{i:03d}": "r" for i in range(20)})
+    line2 = bench._bounded_record_line(mid)
+    assert len(line2) <= bench._RECORD_LINE_BUDGET
+    assert capsys.readouterr().err == ""  # no warning needed
