@@ -153,8 +153,18 @@ def _table_lock(target_path: str, timeout_s: float = 600.0, poll_s: float = 0.2)
             # path without having written ITS owner.json yet; stamping
             # into that window would fake ownership back, the exact
             # reclaim the ownership check above exists to prevent
-            # (r14 advice).
-            if stamped["ok"]:
+            # (r14 advice).  "First stamp hasn't succeeded" alone is
+            # not proof the dir is still ours, though: if the first
+            # stamp keeps FAILING (disk full, permission flap) past
+            # LOCK_TTL_S, a contender can sweep our bare dir and
+            # mkdir a fresh unstamped one here — a late retry would
+            # stamp into THAT.  Require the acquire token exactly as
+            # the release path does: a swept-and-re-created dir can
+            # never contain it (r15 advice).
+            if stamped["ok"] or not (
+                acquire_token is not None
+                and os.path.exists(acquire_token)
+            ):
                 return False
         except (OSError, json.JSONDecodeError):
             return False  # unreadable: do not fight over it
@@ -354,6 +364,22 @@ def merge_dataframes(
     ``updated_at = current_timestamp()``, inserts keep theirs — matching
     the reference's update-branch-only stamp
     (src/etl-square-inventory.ts:97).
+
+    DELIBERATE DEVIATION from the reference (r15 advice, documented
+    rather than replicated): the reference processes rows one at a
+    time with ``INSERT … ON CONFLICT DO UPDATE``, so when one batch
+    contains TWO rows for a key absent from the target, the second
+    row conflicts with the first row's fresh insert and lands through
+    the update branch — stamped.  That stamp is an artifact of
+    row-at-a-time execution order, not of the update-vs-insert
+    contract.  This engine is set-oriented: the batch is deduped
+    FIRST (``last_writer_wins``), then classified insert/update
+    against the target, so a batch-internal duplicate whose key is
+    new keeps the winning row's own ``updated_at`` — the same posture
+    as standard SQL MERGE, which rejects duplicate source keys
+    outright instead of feeding them through the update branch one by
+    one.  Pinned by
+    ``test_k2_within_batch_duplicate_on_new_key_keeps_its_own_stamp``.
 
     ``batch_ts`` freezes the K2 stamp to an injected batch timestamp
     (``'YYYY-MM-DD HH:MM:SS'``) instead of the wall clock.  The

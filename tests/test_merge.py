@@ -953,6 +953,66 @@ def test_release_leaves_a_contenders_fresh_bare_dir(monkeypatch, tmp_path):
     _shutil.rmtree(lock_dir)
 
 
+def test_heartbeat_retry_after_failed_first_stamp_needs_the_token(
+    monkeypatch, tmp_path
+):
+    """r15 advice: the heartbeat's missing-owner.json guard keyed only
+    on stamped['ok'] — if the FIRST stamp soft-fails (permission flap
+    reading the dir) and a contender later sweeps our bare dir and
+    mkdirs a fresh unstamped one, a recovered heartbeat retry would
+    stamp into the CONTENDER's dir and fake ownership back.  The
+    retry must require our acquire token (gone with the swept dir),
+    exactly as the release path does."""
+    import builtins
+    import shutil as _shutil
+    import time as _time
+    import warnings as _warnings
+
+    from square_etl_spark.sinks import merge as m
+
+    monkeypatch.setattr(m, "LOCK_TTL_S", 0.4)  # heartbeat every 0.1 s
+    target = os.path.join(tmp_path, "tbl")
+    lock_dir = target + ".lock"
+    owner = os.path.join(lock_dir, "owner.json")
+
+    state = {"fail_reads": True}
+    real_open = builtins.open
+
+    def flaky_open(path, *a, **k):
+        # soft-fail only the owner.json READ while the flap is on: the
+        # first _stamp then returns False (unreadable branch) without
+        # raising, so the lock is held with stamped['ok'] == False and
+        # the heartbeat keeps retrying — the advice's exact window
+        if (
+            state["fail_reads"]
+            and os.fspath(path) == owner
+            and not a
+            and not k
+        ):
+            raise PermissionError("transient flap")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", flaky_open)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        with m._table_lock(target):
+            # the contender sweeps our bare dir (token goes with it)
+            # and re-creates a fresh, not-yet-stamped one; the flap
+            # then clears so heartbeat retries CAN write again
+            os.rename(lock_dir, lock_dir + ".swept")
+            _shutil.rmtree(lock_dir + ".swept")
+            os.mkdir(lock_dir)
+            state["fail_reads"] = False
+            _time.sleep(0.35)  # >= 2 heartbeat periods
+            assert not os.path.exists(owner), (
+                "recovered heartbeat must not stamp into the "
+                "contender's fresh dir without our acquire token")
+    assert os.path.isdir(lock_dir), "contender's fresh lock must survive"
+    assert os.listdir(lock_dir) == [], "release must not write into it"
+    assert any("no longer owned" in str(w.message) for w in caught)
+    _shutil.rmtree(lock_dir)
+
+
 def test_merge_frozen_batch_ts_stamps_deterministically(spark, tmp_path):
     """K2 with an injected batch timestamp (r14 verdict item 4): the
     update-branch stamp is the frozen literal — value-for-value
@@ -994,3 +1054,47 @@ def test_merge_frozen_batch_ts_stamps_deterministically(spark, tmp_path):
     )
     third = {(r.k, r.v, r.updated_at) for r in spark.read.parquet(target).collect()}
     assert second == third
+
+
+def test_k2_within_batch_duplicate_on_new_key_keeps_its_own_stamp(
+    spark, tmp_path
+):
+    """Documented deviation from the reference (r15 advice): a batch
+    carrying TWO rows for a key ABSENT from the target resolves
+    set-oriented — last_writer_wins picks one, and because the key
+    never existed in the target it goes through the insert branch
+    with its OWN updated_at.  The reference's row-at-a-time ON
+    CONFLICT would stamp it (the second row conflicts with the first
+    row's fresh insert); that stamp is an execution-order artifact,
+    not the update-vs-insert contract — see the merge_dataframes
+    docstring.  A duplicated key that DOES exist in the target is
+    stamped, same as any other hit."""
+    import datetime
+
+    target = os.path.join(tmp_path, "tbl")
+    b1 = spark.createDataFrame(
+        [("old", 0, "2019-01-01 00:00:00")],
+        "k string, v long, updated_at string",
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    merge_upsert(spark, target, b1, ["k"], ["updated_at"])
+    frozen = "2024-06-30 12:00:00"
+    b2 = spark.createDataFrame(
+        [
+            ("fresh", 1, "2020-01-01 00:00:00"),  # duplicated, key new
+            ("fresh", 2, "2020-01-02 00:00:00"),  # the within-batch winner
+            ("old", 3, "2020-01-02 00:00:00"),    # duplicated, key exists
+            ("old", 4, "2020-01-03 00:00:00"),
+        ],
+        "k string, v long, updated_at string",
+    ).selectExpr("k", "v", "cast(updated_at as timestamp) updated_at")
+    merge_upsert(
+        spark, target, b2, ["k"], ["updated_at"],
+        stamp_updated_at=True, batch_ts=frozen,
+    )
+    got = {r.k: r for r in spark.read.parquet(target).collect()}
+    # new key: winner row's own timestamp survives (NOT the batch stamp)
+    assert got["fresh"].v == 2
+    assert got["fresh"].updated_at == datetime.datetime(2020, 1, 2, 0, 0)
+    # existing key: winner is stamped with the frozen batch timestamp
+    assert got["old"].v == 4
+    assert got["old"].updated_at == datetime.datetime(2024, 6, 30, 12, 0)
