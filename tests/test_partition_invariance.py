@@ -16,7 +16,11 @@ distinct (dedup), TF-IDF ranking, a stored-index incremental fold,
 and the IVF-PQ ANN probe (Lloyd iteration + argmin tie-breaks +
 ADC).  r15 adds the K2 merge fold (anti-join + union + update-branch
 stamp): the merge's survivors/stamps must not depend on which
-partition a key's target and batch rows meet in."""
+partition a key's target and batch rows meet in.  r16 adds the CDC
+fold (last-op-wins ordered by (ts, event_id), upsert/delete
+dispatch): the one order-sensitive merge path the K2 class doesn't
+cover — which event version survives, and whether a key survives at
+all, must be partition-count-pure."""
 
 import pytest
 
@@ -31,6 +35,7 @@ QUERIES = [
     "sample_hash_documents",  # hash-keyed sampling determinism
     "quantile_sketch_orders",  # mergeable sketch: partial-agg order
     "k2_stamp_on_update",  # merge fold: anti-join + union + frozen stamp (r15)
+    "cdc_apply_events",  # CDC fold: last-op-wins by (ts, event_id) (r16)
 ]
 
 
