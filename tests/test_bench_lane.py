@@ -320,3 +320,51 @@ def test_record_line_overflow_is_loud_not_silent(capsys):
     line2 = bench._bounded_record_line(mid)
     assert len(line2) <= bench._RECORD_LINE_BUDGET
     assert capsys.readouterr().err == ""  # no warning needed
+
+
+def test_acceptance_gate_evaluation():
+    """tools/bench_accept.py automates the r15 committed-snapshot
+    recipe (r15 verdict item 3): anchors clean, every isolated spread
+    <= 1.5, no benched query > 1.45x its baseline median.  The gate
+    function is pure so the protocol is pinnable."""
+    import importlib
+
+    ba = importlib.import_module("tools.bench_accept")
+
+    detail = {
+        "isolated": ["heavy", "fellback"],
+        "lane_fallback": ["fellback"],
+        "raw_runs": {
+            "heavy": [10.0, 11.0, 10.5],      # spread 1.1
+            "fellback": [9.0, 30.0, 28.0],    # inflated shared — skipped
+            "steady": [1.0, 1.0, 1.1],
+            "tiny": [0.30, 0.31, 0.30],       # 1.5x of 0.2 but under floor
+        },
+    }
+    record = {"calib_ratio": 1.1, "scan_calib_ratio": 0.9}
+    prev = {"queries": {"heavy": 10.0, "steady": 1.0, "tiny": 0.2,
+                        "fellback": 8.0}}
+    rep = ba._evaluate(detail, record, prev)
+    assert rep["passed"] and rep["anchors_ok"] and rep["spreads_ok"]
+    assert rep["band_outliers"] == {}  # fallback + abs-floor both skipped
+
+    # gate 1: a slow anchor rejects
+    bad_anchor = ba._evaluate(detail, {"calib_ratio": 1.4}, prev)
+    assert not bad_anchor["anchors_ok"] and not bad_anchor["passed"]
+    # missing ratios (first round / no prev) never reject
+    assert ba._evaluate(detail, {}, prev)["anchors_ok"]
+
+    # gate 2: an isolated spread > 1.5 rejects (fallbacks don't count)
+    wide = dict(detail, raw_runs=dict(
+        detail["raw_runs"], heavy=[10.0, 17.0, 10.5]))
+    rep2 = ba._evaluate(wide, record, prev)
+    assert not rep2["spreads_ok"] and rep2["worst_isolated_spread"] == 1.7
+
+    # gate 3: a real band outlier rejects
+    slow = dict(detail, raw_runs=dict(
+        detail["raw_runs"], steady=[1.8, 1.9, 1.8]))
+    rep3 = ba._evaluate(slow, record, prev)
+    assert not rep3["outliers_ok"] and "steady" in rep3["band_outliers"]
+
+    # no baseline: gate 3 is a no-op, others still gate
+    assert ba._evaluate(detail, record, None)["passed"]

@@ -1,0 +1,228 @@
+"""Acceptance-gated bench snapshot — the r15 recipe as one command.
+
+The box this engine benches on degrades band-selectively under
+external host load (SCALING.md round-15: same-tree totals ranged
+101.5-184.6 s across six runs with the degradation hitting DIFFERENT
+query bands while both anchors sat at parity), so a single bench run
+is not a recordable snapshot.  The r15 round took its committed
+BENCH_DETAIL.json through a manual loop: wait for quiet load → full
+bench → three gates → retry on reject.  This tool automates that loop
+so the gates can't be forgotten (r15 verdict item 3):
+
+  gate 1  anchors clean      — calib_ratio AND scan_calib_ratio ≤ 1.25
+                               (vs the de-poisoned merged baseline;
+                               faster-than-baseline always passes)
+  gate 2  isolated spreads   — every fresh-JVM-lane entry's
+                               max(raw)/min(raw) ≤ 1.5
+  gate 3  no band outliers   — no benched query's median above 1.45×
+                               its previous-round baseline median
+                               (lane fallbacks and new entries skipped)
+
+An accepted run stamps an ``acceptance`` block (gates, measured
+values, attempt number, load) into BENCH_DETAIL.json, which the next
+round's judge and drift classifier read.  Rejected runs are preserved
+as /tmp/bench_reject_<attempt>.json for diagnosis.
+
+Workflow note (drift-baseline pairing): bench.py tags BENCH_DETAIL
+with the git HEAD it measured.  _merge_gated_detail only de-poisons a
+future round's baseline when that tag MATCHES the driver record's
+git_head — so take this snapshot at (or re-stamp it to) the round's
+FINAL tree: if commits after the snapshot are measurement-neutral
+(tests/docs), run ``python tools/bench_accept.py --restamp`` in the
+final commit to move the tag to the current HEAD.
+
+Usage:
+  python tools/bench_accept.py              # wait-quiet, run, gate, retry
+  python tools/bench_accept.py --attempts 2 --load-max 0.5
+  python tools/bench_accept.py --restamp    # retag detail to current HEAD
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+HERE = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(HERE))
+
+ANCHOR_MAX = 1.25
+SPREAD_MAX = 1.5
+VS_PREV_MAX = 1.45
+
+
+def _wait_for_quiet(load_max: float, timeout_s: float) -> float:
+    """Block until the 1-minute load average drops under ``load_max``
+    (or the timeout elapses — proceed anyway, loudly: a recording
+    under load will still face the gates)."""
+    t0 = time.monotonic()
+    while True:
+        load = os.getloadavg()[0]
+        if load < load_max:
+            return load
+        if time.monotonic() - t0 > timeout_s:
+            print(
+                f"WARN: load {load:.2f} never dropped under {load_max} "
+                f"within {timeout_s:.0f}s — proceeding; the gates decide",
+                flush=True,
+            )
+            return load
+        print(f"load {load:.2f} >= {load_max}; waiting...", flush=True)
+        time.sleep(30)
+
+
+def _load_baseline() -> dict | None:
+    """The de-poisoned previous-round baseline: newest parseable
+    record merged per-query with the committed gated detail when the
+    git_head tags pair (bench._merge_gated_detail)."""
+    import bench
+
+    try:
+        detail_prev = json.loads((HERE / "BENCH_DETAIL.json").read_text())
+    except (OSError, ValueError):
+        detail_prev = {}
+    prev, _ = bench._load_prev_record(HERE, detail_prev)
+    return prev
+
+
+def _evaluate(detail: dict, record: dict, prev: dict | None) -> dict:
+    """Apply the three gates; returns a report dict with pass/fail per
+    gate and the measured values that decided each."""
+    report: dict = {"criteria": {
+        "anchor_ratio_max": ANCHOR_MAX,
+        "isolated_spread_max": SPREAD_MAX,
+        "vs_prev_median_max": VS_PREV_MAX,
+    }}
+
+    ratios = {k: record.get(k) for k in ("calib_ratio", "scan_calib_ratio")}
+    report["anchors"] = ratios
+    report["anchors_ok"] = all(
+        r is None or r <= ANCHOR_MAX for r in ratios.values()
+    )
+
+    spreads = {}
+    for name in detail.get("isolated") or []:
+        raw = [v for v in (detail.get("raw_runs", {}).get(name) or []) if v]
+        if name not in (detail.get("lane_fallback") or []) and len(raw) >= 2:
+            spreads[name] = round(max(raw) / min(raw), 3)
+    worst_spread = max(spreads.values(), default=1.0)
+    report["isolated_spreads"] = dict(
+        sorted(spreads.items(), key=lambda kv: -kv[1])[:5]
+    )
+    report["worst_isolated_spread"] = worst_spread
+    report["spreads_ok"] = worst_spread <= SPREAD_MAX
+
+    outliers = {}
+    if prev:
+        fallbacks = set(detail.get("lane_fallback") or [])
+        for name, raw in (detail.get("raw_runs") or {}).items():
+            pt = (prev.get("queries") or {}).get(name)
+            if name in fallbacks or not pt or not raw:
+                continue
+            med = statistics.median(raw)
+            # the classifier's absolute floor: sub-second scheduler
+            # jitter is not a band outlier (bench._ABS_FLOOR rationale)
+            if med / pt > VS_PREV_MAX and med - pt > 0.20:
+                outliers[name] = {"median": round(med, 3), "prev": pt,
+                                  "ratio": round(med / pt, 2)}
+    report["band_outliers"] = outliers
+    report["outliers_ok"] = not outliers
+
+    report["passed"] = bool(
+        report["anchors_ok"] and report["spreads_ok"] and report["outliers_ok"]
+    )
+    return report
+
+
+def _run_bench(timeout_s: float) -> dict | None:
+    """One full bench.py run; returns the parsed final record line."""
+    res = subprocess.run(
+        [sys.executable, str(HERE / "bench.py")],
+        capture_output=True, text=True, timeout=timeout_s, cwd=HERE,
+    )
+    for line in reversed(res.stdout.replace("\r", "\n").splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"bench_total_s"' in line:
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    print(res.stdout[-2000:], file=sys.stderr)
+    print(res.stderr[-2000:], file=sys.stderr)
+    return None
+
+
+def _restamp() -> None:
+    detail_path = HERE / "BENCH_DETAIL.json"
+    detail = json.loads(detail_path.read_text())
+    head = subprocess.run(
+        ["git", "-C", str(HERE), "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    old = detail.get("git_head")
+    detail["git_head"] = head
+    detail["git_head_note"] = (
+        f"restamped from {old}: commits since the accepted run are "
+        "measurement-neutral (tests/docs), so this snapshot measures "
+        "the same code state as the tree the driver benches"
+    )
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    print(f"git_head: {old} -> {head}")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--load-max", type=float, default=0.5)
+    ap.add_argument("--wait-timeout", type=float, default=1800.0)
+    ap.add_argument("--bench-timeout", type=float, default=3600.0)
+    ap.add_argument("--restamp", action="store_true",
+                    help="only retag BENCH_DETAIL.json to current HEAD")
+    args = ap.parse_args()
+
+    if args.restamp:
+        _restamp()
+        return 0
+
+    detail_path = HERE / "BENCH_DETAIL.json"
+    prev = _load_baseline()  # BEFORE bench.py overwrites the detail file
+    if prev is None:
+        print("WARN: no previous record parseable — gate 3 is a no-op")
+
+    for attempt in range(1, args.attempts + 1):
+        load = _wait_for_quiet(args.load_max, args.wait_timeout)
+        print(f"attempt {attempt}: load {load:.2f}, running bench...",
+              flush=True)
+        record = _run_bench(args.bench_timeout)
+        if record is None:
+            print(f"attempt {attempt}: bench produced no record line")
+            continue
+        detail = json.loads(detail_path.read_text())
+        report = _evaluate(detail, record, prev)
+        report.update({"attempt": attempt, "load_1m": round(load, 2)})
+        print(json.dumps(report, indent=1))
+        if report["passed"]:
+            detail["acceptance"] = report
+            detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+            print(
+                f"ACCEPTED on attempt {attempt}: total "
+                f"{record.get('value')}s, calib {record.get('calib_s')} "
+                f"(ratio {record.get('calib_ratio')}), worst spread "
+                f"{report['worst_isolated_spread']}"
+            )
+            return 0
+        reject = Path(f"/tmp/bench_reject_{attempt}.json")
+        reject.write_text(json.dumps(
+            {"record": record, "report": report, "detail": detail}, indent=1))
+        print(f"attempt {attempt}: REJECTED (kept at {reject})")
+    print("no accepted run within the attempt budget", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
