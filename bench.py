@@ -102,13 +102,36 @@ def _merge_gated_detail(prev: dict, detail: dict | None) -> dict:
     return merged
 
 
+def _find_gated_detail(
+    here: Path, head: str | None, detail_prev: dict | None
+) -> dict | None:
+    """The gated snapshot measuring tree ``head``, if one is
+    committed: the live BENCH_DETAIL.json when its tag matches, else
+    the per-tree archive ``BENCH_DETAIL_<head>.json`` that
+    tools/bench_accept.py writes on acceptance.  The archive exists
+    because the live file is overwritten by every newer run (the next
+    session's gated snapshot, the driver's own run) — without it, the
+    record↔detail pairing would only survive until the first
+    overwrite and the drift baseline would silently re-poison."""
+    if not head:
+        return None
+    if isinstance(detail_prev, dict) and detail_prev.get("git_head") == head:
+        return detail_prev
+    try:
+        archived = json.loads((here / f"BENCH_DETAIL_{head}.json").read_text())
+    except (OSError, ValueError):
+        return None
+    return archived if archived.get("git_head") == head else None
+
+
 def _load_prev_record(here: Path, detail_prev: dict | None = None):
     """Newest BENCH_r*.json that is NOT a record of this same code
     state (see the drift-classification comment below for why a
     head-matched record is skipped), merged per-query with the
-    committed gated BENCH_DETAIL when that snapshot carries the same
-    tree's git_head tag (``_merge_gated_detail``).  Returns
-    (prev_dict_or_None, git_head_or_None)."""
+    committed gated snapshot measuring the same tree — the live
+    BENCH_DETAIL or a ``BENCH_DETAIL_<head>.json`` archive
+    (``_merge_gated_detail``).  Returns (prev_dict_or_None,
+    git_head_or_None)."""
     try:
         git_head = subprocess.run(
             ["git", "-C", str(here), "rev-parse", "--short", "HEAD"],
@@ -151,7 +174,8 @@ def _load_prev_record(here: Path, detail_prev: dict | None = None):
             and cand.get("git_head") == git_head_for_skip
         ):
             continue  # same code state: this round's own record
-        return _merge_gated_detail(cand, detail_prev), git_head
+        gated = _find_gated_detail(here, cand.get("git_head"), detail_prev)
+        return _merge_gated_detail(cand, gated), git_head
     return None, git_head
 
 

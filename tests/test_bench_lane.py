@@ -368,3 +368,30 @@ def test_acceptance_gate_evaluation():
 
     # no baseline: gate 3 is a no-op, others still gate
     assert ba._evaluate(detail, record, None)["passed"]
+
+
+def test_gated_archive_keeps_the_pairing_after_overwrite(tmp_path):
+    """The live BENCH_DETAIL is overwritten by every newer run, so the
+    record<->gated pairing must survive via the per-tree archive
+    BENCH_DETAIL_<head>.json that bench_accept writes on acceptance —
+    otherwise committing THIS round's gated snapshot would re-poison
+    the baseline for the driver's run against LAST round's record."""
+    import bench
+
+    archived = {"git_head": "old1234",
+                "raw_runs": {"q": [1.0, 1.0, 1.0]},
+                "calib_raw": [0.3, 0.3, 0.3]}
+    (tmp_path / "BENCH_DETAIL_old1234.json").write_text(json.dumps(archived))
+    live = {"git_head": "new5678", "raw_runs": {"q": [2.0]}}
+
+    # live detail measures another tree -> the archive is the pair
+    assert bench._find_gated_detail(tmp_path, "old1234", live) == archived
+    # live detail IS the pair when tags match
+    assert bench._find_gated_detail(tmp_path, "new5678", live) == live
+    # no tag / no archive -> no pairing (never guess)
+    assert bench._find_gated_detail(tmp_path, None, live) is None
+    assert bench._find_gated_detail(tmp_path, "gone0000", live) is None
+    # an archive whose tag disagrees with its filename is ignored
+    (tmp_path / "BENCH_DETAIL_bad99.json").write_text(
+        json.dumps({"git_head": "other"}))
+    assert bench._find_gated_detail(tmp_path, "bad99", live) is None

@@ -171,7 +171,14 @@ def _restamp() -> None:
         "measurement-neutral (tests/docs), so this snapshot measures "
         "the same code state as the tree the driver benches"
     )
-    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    payload = json.dumps(detail, indent=1) + "\n"
+    detail_path.write_text(payload)
+    # move the per-tree archive with the tag so the pairing follows
+    (HERE / f"BENCH_DETAIL_{head}.json").write_text(payload)
+    if old and old != head:
+        stale = HERE / f"BENCH_DETAIL_{old}.json"
+        if stale.exists():
+            stale.unlink()
     print(f"git_head: {old} -> {head}")
 
 
@@ -208,7 +215,16 @@ def main() -> int:
         print(json.dumps(report, indent=1))
         if report["passed"]:
             detail["acceptance"] = report
-            detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+            payload = json.dumps(detail, indent=1) + "\n"
+            detail_path.write_text(payload)
+            # per-tree archive: the live detail is overwritten by every
+            # newer run (next session's snapshot, the driver's own run)
+            # — the archive is what keeps the record↔gated pairing
+            # alive for bench._find_gated_detail after that
+            if detail.get("git_head"):
+                (HERE / f"BENCH_DETAIL_{detail['git_head']}.json").write_text(
+                    payload
+                )
             print(
                 f"ACCEPTED on attempt {attempt}: total "
                 f"{record.get('value')}s, calib {record.get('calib_s')} "
