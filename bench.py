@@ -102,26 +102,33 @@ def _merge_gated_detail(prev: dict, detail: dict | None) -> dict:
     return merged
 
 
-def _find_gated_detail(
+def _gated_candidates(
     here: Path, head: str | None, detail_prev: dict | None
-) -> dict | None:
-    """The gated snapshot measuring tree ``head``, if one is
-    committed: the live BENCH_DETAIL.json when its tag matches, else
-    the per-tree archive ``BENCH_DETAIL_<head>.json`` that
-    tools/bench_accept.py writes on acceptance.  The archive exists
-    because the live file is overwritten by every newer run (the next
-    session's gated snapshot, the driver's own run) — without it, the
-    record↔detail pairing would only survive until the first
-    overwrite and the drift baseline would silently re-poison."""
+) -> list[dict]:
+    """Every committed detail snapshot measuring tree ``head``: the
+    live BENCH_DETAIL.json when its tag matches, AND the per-tree
+    archive ``BENCH_DETAIL_<head>.json`` that tools/bench_accept.py
+    writes on acceptance.  Both are consulted (the baseline merge
+    takes the per-query min across all of them) because either can be
+    the degraded one: the archive exists since the live file is
+    overwritten by every newer run (the next session's gated
+    snapshot, the driver's own run), and conversely the live file can
+    BE the driver's own degraded-box run committed by the round
+    marker — tag-matching its record while the honest gated archive
+    sits beside it.  Without the union, that shadowing would
+    re-poison the baseline one round later."""
     if not head:
-        return None
+        return []
+    out = []
     if isinstance(detail_prev, dict) and detail_prev.get("git_head") == head:
-        return detail_prev
+        out.append(detail_prev)
     try:
         archived = json.loads((here / f"BENCH_DETAIL_{head}.json").read_text())
+        if isinstance(archived, dict) and archived.get("git_head") == head:
+            out.append(archived)
     except (OSError, ValueError):
-        return None
-    return archived if archived.get("git_head") == head else None
+        pass
+    return out
 
 
 def _load_prev_record(here: Path, detail_prev: dict | None = None):
@@ -174,8 +181,9 @@ def _load_prev_record(here: Path, detail_prev: dict | None = None):
             and cand.get("git_head") == git_head_for_skip
         ):
             continue  # same code state: this round's own record
-        gated = _find_gated_detail(here, cand.get("git_head"), detail_prev)
-        return _merge_gated_detail(cand, gated), git_head
+        for gated in _gated_candidates(here, cand.get("git_head"), detail_prev):
+            cand = _merge_gated_detail(cand, gated)
+        return cand, git_head
     return None, git_head
 
 

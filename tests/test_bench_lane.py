@@ -374,8 +374,9 @@ def test_gated_archive_keeps_the_pairing_after_overwrite(tmp_path):
     """The live BENCH_DETAIL is overwritten by every newer run, so the
     record<->gated pairing must survive via the per-tree archive
     BENCH_DETAIL_<head>.json that bench_accept writes on acceptance —
-    otherwise committing THIS round's gated snapshot would re-poison
-    the baseline for the driver's run against LAST round's record."""
+    and BOTH sources are consulted (min-merged) because the live file
+    can itself be the driver's own degraded-box run, tag-matching its
+    record while the honest gated archive sits beside it."""
     import bench
 
     archived = {"git_head": "old1234",
@@ -385,13 +386,48 @@ def test_gated_archive_keeps_the_pairing_after_overwrite(tmp_path):
     live = {"git_head": "new5678", "raw_runs": {"q": [2.0]}}
 
     # live detail measures another tree -> the archive is the pair
-    assert bench._find_gated_detail(tmp_path, "old1234", live) == archived
-    # live detail IS the pair when tags match
-    assert bench._find_gated_detail(tmp_path, "new5678", live) == live
+    assert bench._gated_candidates(tmp_path, "old1234", live) == [archived]
+    # live detail tag-matches -> BOTH contribute (min-merge downstream)
+    live_match = {"git_head": "old1234", "raw_runs": {"q": [3.0, 3.0, 3.0]}}
+    assert bench._gated_candidates(tmp_path, "old1234", live_match) == [
+        live_match, archived]
     # no tag / no archive -> no pairing (never guess)
-    assert bench._find_gated_detail(tmp_path, None, live) is None
-    assert bench._find_gated_detail(tmp_path, "gone0000", live) is None
+    assert bench._gated_candidates(tmp_path, None, live) == []
+    assert bench._gated_candidates(tmp_path, "gone0000", live) == []
     # an archive whose tag disagrees with its filename is ignored
     (tmp_path / "BENCH_DETAIL_bad99.json").write_text(
         json.dumps({"git_head": "other"}))
-    assert bench._find_gated_detail(tmp_path, "bad99", live) is None
+    assert bench._gated_candidates(tmp_path, "bad99", live) == []
+
+
+def test_degraded_live_detail_cannot_shadow_the_gated_archive(tmp_path):
+    """r17 shape of the poisoning: the driver's round-marker commit
+    leaves ITS OWN (possibly degraded) run as the live BENCH_DETAIL,
+    tag-matching its record — the honest gated archive for the same
+    tree must still pull the baseline down via the per-query min."""
+    import json as _json
+
+    import bench
+
+    (tmp_path / "BENCH_r16.json").write_text(_json.dumps(
+        {"queries": {"q": 30.0}, "calib_s": 0.5, "git_head": "head16"}))
+    # driver's own degraded detail (same run as the record)
+    live = {"git_head": "head16", "raw_runs": {"q": [30.0, 31.0, 29.5]},
+            "calib_raw": [0.5, 0.5, 0.5]}
+    # builder's gated archive of the same tree, taken on a quiet box
+    (tmp_path / "BENCH_DETAIL_head16.json").write_text(_json.dumps(
+        {"git_head": "head16", "raw_runs": {"q": [14.0, 14.1, 13.9]},
+         "calib_raw": [0.3, 0.3, 0.3]}))
+
+    class Done:
+        def __init__(self, out):
+            self.stdout = out
+
+    import unittest.mock as um
+    with um.patch.object(bench.subprocess, "run",
+                         lambda args, **kw: Done("head17\n"
+                                                 if "rev-parse" in args
+                                                 else "")):
+        prev, _ = bench._load_prev_record(tmp_path, live)
+    assert prev["queries"]["q"] == 14.0
+    assert prev["calib_s"] == 0.3
