@@ -550,6 +550,104 @@ def embedding_lsh_probe(
     )
 
 
+def embedding_incremental_pairs_split(
+    df: DataFrame,
+    batch2_pred: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    bits: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The incremental embedding near-dup fold — batch 1 (¬pred)
+    dedups internally and is sign-LSH-indexed, batch 2 (pred) probes
+    that index for cross-batch pairs and dedups internally — for the
+    common case where both batches are SPLITS of one relation (the
+    registered ``dedup_embedding_incremental`` parity split): tag the
+    relation ONCE, checkpoint, and derive all four constituent
+    relations from the materialized tagging.
+
+    Equivalence (r16; the :func:`semantic_contamination_pairs_split`
+    precedent): ``_lsh_tag`` is row-wise, so filter∘tag ≡ tag∘filter —
+    the batch-1 slice of the shared tagging IS
+    ``embedding_lsh_index(batch1)`` relation-for-relation, the batch-2
+    slice is the probe's batch tagging, and each within-batch slice is
+    ``embedding_cosine_pairs_bucketed``'s tagging of that batch.  The
+    three candidate joins and exact verifies below are those
+    operators' own bodies (cap-free configuration), so the output is
+    identical row-for-row to composing them on the two filtered
+    relations — while the bits×tables literal plane-chain
+    analysis/codegen constant (the wall-clock term at any scale,
+    SCALING.md r12) is paid ONCE instead of four times, and the
+    corpus is normalized+tagged in one linear pass instead of four.
+
+    Emits ``(id_a, id_b, cosine_sim)`` — the union of batch-1-internal
+    pairs, cross-batch pairs (as least/greatest), and batch-2-internal
+    pairs, each set distinct (the sets are disjoint by construction:
+    a pair's membership is determined by its endpoints' split sides).
+    """
+    from square_etl_spark.operators.similarity import dot_unrolled
+
+    tagged = _lsh_tag(
+        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
+    ).localCheckpoint(eager=False)
+    t1 = tagged.filter(~batch2_pred)
+    t2 = tagged.filter(batch2_pred)
+
+    def _within(t: DataFrame) -> DataFrame:
+        a = t.select(
+            F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"),
+            "__tbl", "__bucket",
+        )
+        b = t.select(
+            F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"),
+            "__tbl", "__bucket",
+        )
+        return (
+            a.join(b, on=["__tbl", "__bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine_sim",
+                F.round(dot_unrolled(F.col("__va"), F.col("__vb"), dim), 6),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+            .select("id_a", "id_b", "cosine_sim")
+            .distinct()
+        )
+
+    new = t2.select(
+        F.col(id_col).alias("__new_id"), F.col("__nv").alias("__vn"),
+        "__tbl", "__bucket",
+    )
+    old = t1.select(
+        F.col(id_col).alias("__old_id"), F.col("__nv").alias("__vo"),
+        "__tbl", "__bucket",
+    )
+    cross = (
+        new.join(old, on=["__tbl", "__bucket"])
+        .filter(F.col("__new_id") != F.col("__old_id"))
+        .withColumn(
+            "cosine_sim",
+            F.round(dot_unrolled(F.col("__vn"), F.col("__vo"), dim), 6),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("__new_id").alias("new_id"),
+            F.col("__old_id").alias("old_id"),
+            "cosine_sim",
+        )
+        .distinct()
+        .select(
+            F.least("new_id", "old_id").alias("id_a"),
+            F.greatest("new_id", "old_id").alias("id_b"),
+            "cosine_sim",
+        )
+    )
+    return _within(t1).unionByName(cross).unionByName(_within(t2))
+
+
 def semantic_contamination_pairs(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1283,7 +1283,10 @@ def doremi_mix(
     ).select(
         group_col,
         F.round(F.exp(arg), 9).cast("decimal(38,9)").alias("__w"),
-    )
+        # localCheckpoint (r16): |domains| rows consumed twice below
+        # (the Σw/k total and the share join) — without it the corpus
+        # distinct behind ``universe`` re-runs per consumer
+    ).localCheckpoint(eager=False)
     tot = w.agg(
         F.sum("__w").alias("__sw"), F.count(F.lit(1)).alias("__k")
     )

@@ -7471,28 +7471,26 @@ def _emb_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked by DuckDB recomputing the one-shot from scratch.  Exact
     because candidate identity is bucket identity: both halves tag
     with the SAME hyperplanes, so a cross-parity pair shares a
-    (table, bucket) in the fold iff it does in the one-shot."""
+    (table, bucket) in the fold iff it does in the one-shot.
+
+    r16: both batches are parity SPLITS of one relation, so the fold
+    runs through dedup.embedding_incremental_pairs_split — ONE shared
+    tagging pass (checkpointed) from which the index, the probe batch
+    and both within-batch taggings are derived by filter (row-wise
+    tagging commutes with filter, so the relations — and the output —
+    are identical to the previous four-tagging composition of
+    embedding_cosine_pairs_bucketed ×2 + embedding_lsh_index +
+    embedding_lsh_probe), paying the 8-table plane-chain
+    analysis/codegen constant once instead of four times."""
     from square_etl_spark.operators.dedup import (
-        embedding_cosine_pairs_bucketed,
-        embedding_lsh_index,
-        embedding_lsh_probe,
+        embedding_incremental_pairs_split,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    b1 = e.filter(F.col("vec_id") % 2 == 0)
-    b2 = e.filter(F.col("vec_id") % 2 == 1)
-    kw = dict(threshold=0.35, dim=64, bits=4, n_tables=8)
-    within1 = embedding_cosine_pairs_bucketed(b1, "vec_id", "embedding", **kw)
-    within2 = embedding_cosine_pairs_bucketed(b2, "vec_id", "embedding", **kw)
-    idx = embedding_lsh_index(b1, "vec_id", "embedding", dim=64, bits=4, n_tables=8)
-    cross = embedding_lsh_probe(
-        idx, b2, "vec_id", "embedding", bucket_cap=None, **kw
-    ).select(
-        F.least("new_id", "old_id").alias("id_a"),
-        F.greatest("new_id", "old_id").alias("id_b"),
-        "cosine_sim",
+    return embedding_incremental_pairs_split(
+        e, F.col("vec_id") % 2 == 1, "vec_id", "embedding",
+        threshold=0.35, dim=64, bits=4, n_tables=8,
     )
-    return within1.unionByName(cross).unionByName(within2)
 
 
 _register(
@@ -12520,14 +12518,27 @@ def _doremi_from_nll(
 
     j = nll.join(d.select("doc_id", "source"), "doc_id")
     dec = F.col("avg_nll").cast("decimal(18,6)")
-    dm = j.groupBy("source").agg(
-        F.round(
-            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
-        ).alias("m_d")
+    # ONE aggregation pass derives BOTH means (r16): per-source exact
+    # decimal (sum, count) — k rows, checkpointed so the tokenize→LM→
+    # NLL chain runs once — then the corpus mean folds from the
+    # per-source sums (decimal addition is exact and associative, so
+    # Σ_d s_d ≡ the old direct corpus SUM bit-for-bit, and the counts
+    # likewise; the old shape re-ran the whole NLL lineage once per
+    # mean).  Values identical; the shared oracle is unchanged.
+    agg = (
+        j.groupBy("source")
+        .agg(F.sum(dec).alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
     )
-    cm = j.agg(
+    dm = agg.select(
+        "source",
         F.round(
-            F.sum(dec).cast("double") / F.count(F.lit(1)), 6
+            F.col("__s").cast("double") / F.col("__n"), 6
+        ).alias("m_d"),
+    )
+    cm = agg.agg(
+        F.round(
+            F.sum("__s").cast("double") / F.sum("__n"), 6
         ).alias("m")
     )
     # bcast-ok: 1-row corpus-mean aggregate
@@ -15237,7 +15248,16 @@ def _pipeline_classified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     counts = cls.nb_counts(d.filter(F.col("doc_id") % 3 != 0))
-    gated = cls.nb_gate(d, counts, "en", min_margin=0.0)
+    # localCheckpoint (r16): the gated relation is consumed THREE
+    # times downstream (the waterfill's |groups| size collect, the
+    # prefix sum's |groups|×256 offset collect, and the final
+    # selection pass) — without materialization each action re-runs
+    # the whole NB train+inference chain over the corpus, i.e. three
+    # tokenize+model-join passes where one suffices (guide §5:
+    # reuse × recompute cost).  Values unchanged.
+    gated = cls.nb_gate(d, counts, "en", min_margin=0.0).localCheckpoint(
+        eager=False
+    )
     mixed = temperature_mix_waterfill(
         gated, "source", "n_chars", ["doc_id"],
         total_budget=30000, alpha=0.5, max_epochs=1.0,
