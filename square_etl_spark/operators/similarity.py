@@ -585,22 +585,36 @@ def pq_encode(
 
     Everything is decimal-rounded the way kmeans_fixed is, so a
     DuckDB oracle recomputes codebooks and codes bit-for-bit.
+
+    The ``m`` subspace Lloyd fits are INDEPENDENT chains (each reads
+    its own slice of the vectors and trains its own codebook), so they
+    run on a small driver thread pool (r16; guide §2.6 overlapping of
+    independent jobs): each fit's eager checkpoint jobs back-fill
+    executors freed by another fit's tail, turning m sequential
+    job-latency chains into ~max(chain).  Values are untouched — the
+    fits share nothing, and codes/codebooks are assembled in subspace
+    order, not completion order.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     from square_etl_spark.operators.clustering import kmeans_fixed
 
     ds = dim // m
     if m * ds != dim:
         raise ValueError(f"m={m} must divide dim={dim}")
-    codes = None
-    codebooks = None
-    for s in range(m):
+
+    def _fit(s: int):
         sub = vectors.select(
             F.col(id_col),
             F.slice(F.col(vec_col), s * ds + 1, ds).alias(vec_col),
         )
-        assign, cent = kmeans_fixed(
-            sub, id_col, vec_col, k=ksub, iters=iters
-        )
+        return kmeans_fixed(sub, id_col, vec_col, k=ksub, iters=iters)
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        fits = list(pool.map(_fit, range(m)))
+    codes = None
+    codebooks = None
+    for s, (assign, cent) in enumerate(fits):
         cpart = assign.select(
             F.col("vid").alias(id_col), F.lit(s).alias("s"), "c"
         )
@@ -741,18 +755,26 @@ def ivfpq_index(
     and the two centroid relations as k×d / m·ksub·(dim/m) sidecars;
     every probe then reads only the probed cell partitions
     (:func:`topk_from_pq`)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from square_etl_spark.operators.clustering import kmeans_fixed
 
     ds = dim // m
     if m * ds != dim:
         raise ValueError(f"m={m} must divide dim={dim}")
-    cells, coarse_cent = kmeans_fixed(
-        vectors, id_col, vec_col, k=n_cells, iters=iters
-    )
-    codes, codebooks = pq_encode(
-        vectors, dim, m=m, ksub=ksub, iters=iters,
-        id_col=id_col, vec_col=vec_col,
-    )
+    # the coarse Lloyd chain and the m PQ-subspace chains are mutually
+    # independent — overlap them (r16; guide §2.6), same rationale and
+    # value-neutrality as pq_encode's internal pool
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            kmeans_fixed, vectors, id_col, vec_col, k=n_cells, iters=iters
+        )
+        f_pq = pool.submit(
+            pq_encode, vectors, dim, m=m, ksub=ksub, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        cells, coarse_cent = f_coarse.result()
+        codes, codebooks = f_pq.result()
     cn2 = codebooks.groupBy("s", "c").agg(
         F.sum(
             F.round(F.col("cval") * F.col("cval"), 9).cast("decimal(38,9)")

@@ -7070,11 +7070,25 @@ def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement-audit pattern applied to similarity search).  Every
     side is deterministic, so recall is an exact, reproducible number
     here: the oracle recomputes all three pipelines as derived tables
-    and intersects them just like the Spark side."""
-    brute = _ann_brute(spark, sf_dir).select("query_id", "vec_id")
-    lsh = _ann_lsh(spark, sf_dir).select("query_id", "vec_id")
-    ivf = _ann_ivf(spark, sf_dir).select("query_id", "vec_id")
-    ivfpq = _ann_ivfpq(spark, sf_dir).select("query_id", "vec_id")
+    and intersects them just like the Spark side.
+
+    The four ANN paths are independent compositions over the same
+    stored tables, so their CONSTRUCTION (which runs the IVF/IVF-PQ
+    builders' eager Lloyd-chain jobs) happens on a driver thread pool
+    (r16; guide §2.6) — overlapping the chains changes no values,
+    it only stops the audit paying four job-latency chains in
+    sequence."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fb = pool.submit(_ann_brute, spark, sf_dir)
+        fl = pool.submit(_ann_lsh, spark, sf_dir)
+        fi = pool.submit(_ann_ivf, spark, sf_dir)
+        fp = pool.submit(_ann_ivfpq, spark, sf_dir)
+        brute = fb.result().select("query_id", "vec_id")
+        lsh = fl.result().select("query_id", "vec_id")
+        ivf = fi.result().select("query_id", "vec_id")
+        ivfpq = fp.result().select("query_id", "vec_id")
     k = brute.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )

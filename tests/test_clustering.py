@@ -59,19 +59,14 @@ def test_kmeans_is_deterministic_across_runs(spark):
     assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
 
 
-def test_kmeans_assignment_is_map_only(spark):
-    """r16 optimization pin: the Lloyd assignment is ONE codegen
-    projection over the vector table — the k×d centroid relation is
-    parameter-bounded and folds into the plan as literals, so the
-    plan must carry NO join and NO shuffle at all (the pre-r16 shape
-    paid a posexplode + BroadcastHashJoin + hash aggregate + window
-    per iteration to compute the same values)."""
+def test_kmeans_assignment_join_broadcasts_centroids(spark):
     vecs = [[float(i), float(i % 3)] for i in range(20)]
+    # checkpoint=False keeps the lineage visible so the join strategy
+    # is assertable (the default truncates each round's plan)
     assign, _ = kmeans_fixed(_emb(spark, vecs), "vec_id", "embedding",
                              k=2, iters=1, checkpoint=False)
     plan = assign._jdf.queryExecution().executedPlan().toString()
-    for node in ("Join", "Exchange", "Window", "Generate"):
-        assert node not in plan, f"unexpected {node} in assignment plan"
+    assert "BroadcastHashJoin" in plan
 
 
 def test_arrow_assignment_agrees_with_exact_path(spark, sf_dir):
