@@ -2762,8 +2762,21 @@ def decode_media(
     fine.  Detection falls back to the declared metadata when the
     container is unrecognized or has no in-container decoder
     (mp3/mp4/webp/ogg).  TGA is declared-only either way (it has no
-    magic number)."""
+    magic number).
+
+    Parallelism floor (r16; guide §2.5 input skew): the decode is the
+    CPU term of the stage — pure-Python codecs at ~0.5 ms/blob — and
+    a small single-file source (one parquet row group) otherwise
+    feeds the whole corpus to ONE task.  When the input arrives with
+    fewer partitions than the cluster's default parallelism, fan out
+    first; at real corpus scale the input is already many-partition
+    and this is a no-op, so no payload shuffle is added where it
+    matters."""
     import pandas as pd
+
+    par = media.sparkSession.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < par:
+        media = media.repartition(par)
 
     def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

@@ -9,7 +9,7 @@ shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -1134,18 +1134,33 @@ def bpe_apply_vocab(
             .withColumn("__a", F.expr("element_at(sym, __pos)"))
             .withColumn("__b", F.expr("element_at(sym, __pos + 1)"))
         )
-        nxt = step.select(
-            "word",
-            F.expr(
-                "CASE WHEN __best IS NULL THEN sym ELSE "
-                "aggregate(sym, cast(array() as array<string>), (acc, x) -> "
-                "if(size(acc) > 0 and element_at(acc, -1) = __a and x = __b, "
-                "concat(slice(acc, 1, size(acc) - 1), array(concat(__a, __b))), "
-                "concat(acc, array(x)))) END"
-            ).alias("sym"),
-            F.col("__best").isNotNull().alias("__changed"),
-        ).localCheckpoint(eager=True)
-        n_changed = nxt.filter(F.col("__changed")).count()
+        # one job per round (r16): the convergence count rides the
+        # checkpoint materialization as an Observation instead of a
+        # separate filter+count job — the connected_components
+        # pattern; the coalesce covers the empty-vocab degenerate
+        # (SUM over zero rows is NULL)
+        obs = Observation()
+        nxt = (
+            step.select(
+                "word",
+                F.expr(
+                    "CASE WHEN __best IS NULL THEN sym ELSE "
+                    "aggregate(sym, cast(array() as array<string>), (acc, x) -> "
+                    "if(size(acc) > 0 and element_at(acc, -1) = __a and x = __b, "
+                    "concat(slice(acc, 1, size(acc) - 1), array(concat(__a, __b))), "
+                    "concat(acc, array(x)))) END"
+                ).alias("sym"),
+                F.col("__best").isNotNull().alias("__changed"),
+            )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.col("__changed").cast("int")), F.lit(0)
+                ).alias("n_changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = obs.get["n_changed"]
         out = nxt.drop("__changed")
         if n_changed == 0:
             break

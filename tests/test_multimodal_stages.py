@@ -127,6 +127,26 @@ def _media_df(spark, blob, fmt, media_type="image"):
     )
 
 
+def test_decode_media_fans_out_narrow_input(spark):
+    """r16 optimization pin: decode_media's pure-Python codecs are the
+    stage's CPU term, so an input narrower than the default
+    parallelism (a small single-row-group file scan) must be fanned
+    out to defaultParallelism tasks before the Arrow stage — and the
+    fan-out must not change the decoded rows."""
+    from square_etl_spark.operators.multimodal import decode_media
+
+    row = b"\x00\x00\x00" * 4 + b"\xff\xff\xff" * 4
+    blob = b"P6\n8 8\n255\n" + row * 8
+    media = _media_df(spark, blob, "ppm").coalesce(1)
+    out = decode_media(media)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    got = out.collect()[0]
+    assert got.ok is True and got.features == [0.0, 0.0, 1.0, 1.0] * 4
+
+
 def test_decode_media_real_ppm_codec(spark):
     from square_etl_spark.operators.multimodal import decode_media
 
