@@ -69,7 +69,7 @@ def kmeans_fixed(
         .select(F.col("vid").alias("c"), "dim", F.col("val").alias("cval"))
     )
     assign = None
-    for _ in range(iters):
+    for i in range(iters):
         diff = F.col("val") - F.col("cval")
         term = F.round(diff * diff, 9).cast(
             "decimal(38,9)"
@@ -88,7 +88,15 @@ def kmeans_fixed(
             .filter(F.col("rk") == 1)
             .select("vid", "c", "d2")
         )
-        assign = ckpt(assign)
+        # checkpoint PLACEMENT (r16): only the FINAL iteration's
+        # assignment is returned/consumed outside the loop, so the
+        # non-final iterations fold the assignment subtree into the
+        # centroid-update job — one eager job per round instead of
+        # two, same expressions, same values.  Lineage stays bounded:
+        # each round's cent checkpoint is built only on the long
+        # checkpoint + the in-round subtree.
+        if i == iters - 1:
+            assign = ckpt(assign)
         cent = (
             long.join(assign.select("vid", "c"), "vid")
             .groupBy("c", "dim")

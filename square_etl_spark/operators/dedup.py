@@ -968,6 +968,10 @@ def incremental_semantic_dedup(
         )
         .join(assign.select("vid", "c"), "vid")
         .select("vid", "c", "__nv")
+        # localCheckpoint (r16): consumed three ways below (the probe
+        # side of the pair join, the state union, the label join) —
+        # see semantic_dedup
+        .localCheckpoint(eager=False)
     )
     others = tagged if state is None else state.unionByName(tagged)
     sim = (
@@ -1096,7 +1100,13 @@ def semantic_dedup(
     normed = emb.select(
         F.col(id_col).alias("vid"), normalize(F.col(vec_col)).alias("__nv")
     )
-    tagged = normed.join(assign.select("vid", "c"), "vid")
+    # localCheckpoint (r16, guide §5): tagged is consumed THREE times
+    # (both sides of the pair self-join + the final label join) — each
+    # consumer otherwise re-runs the normalize pass and the
+    # assignment join over the corpus
+    tagged = normed.join(assign.select("vid", "c"), "vid").localCheckpoint(
+        eager=False
+    )
     a = tagged.select(
         F.col("vid").alias("id_a"), F.col("__nv").alias("__va"), "c"
     )

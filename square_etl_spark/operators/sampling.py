@@ -1440,6 +1440,14 @@ def dsir_logweights(
         id_col, bucket(F.col("__f")).alias("__b")
     )
     if raw_counts is None:
+        # one-shot mode consumes the raw feature relation TWICE (the
+        # count table and the scoring join) — materialize it (r16,
+        # guide §5): the per-token md5 57-bit shingle chain is the
+        # scan's CPU term, and the materialized rows are two narrow
+        # columns (~16 B/feature, far smaller than re-running the
+        # hash pass over the text).  The incremental raw_counts path
+        # consumes rfe once and needs no checkpoint.
+        rfe = rfe.localCheckpoint(eager=False)
         rcnt = rfe.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
     else:
         rcnt = raw_counts.select(
