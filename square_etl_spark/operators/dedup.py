@@ -384,12 +384,7 @@ def embedding_cosine_pairs_bucketed(
     :func:`minhash_lsh_pairs`.  Cost is O(Σ bucket²·d) instead of
     O(N²·d).
     """
-    from square_etl_spark.operators.similarity import (
-        dot_unrolled,
-        lsh_bucket,
-        normalize,
-        random_hyperplanes,
-    )
+    from square_etl_spark.operators.similarity import dot
 
     # The self-join makes tagged a diamond even without the cap (both
     # join sides), and the cap adds the count branch — materialize it
@@ -404,22 +399,56 @@ def embedding_cosine_pairs_bucketed(
     tagged = _lsh_tag(
         df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
     ).localCheckpoint(eager=False)
-    if bucket_cap is not None:
-        tagged = _cap_hot_buckets(tagged, bucket_cap)
-    a = tagged.select(
-        F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"), "__tbl", "__bucket"
+    capped = (
+        _cap_hot_buckets(tagged, bucket_cap)
+        if bucket_cap is not None
+        else tagged
     )
-    b = tagged.select(
-        F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"), "__tbl", "__bucket"
-    )
-    sim = dot_unrolled(F.col("__va"), F.col("__vb"), dim)
-    return (
-        a.join(b, on=["__tbl", "__bucket"])
+    # Candidate join on IDS ONLY, dedup BEFORE the verify (r16, guide
+    # §2.3 "shuffle keys and metadata instead of payloads"): the old
+    # shape carried BOTH unit vectors (~1 KB/row at d=64) through the
+    # bucket self-join, materializing every multi-table candidate
+    # occurrence as a kilobyte row BEFORE the distinct — and AQE,
+    # seeing only the small pre-join shuffle, coalesces partitions
+    # ahead of the expansion (measured 14.3 s for the one-shot at
+    # sf0.1).  Cosine is functional on the pair, so
+    # distinct∘filter∘verify ≡ filter∘verify∘distinct — candidates
+    # dedup as 16-byte id pairs and each DISTINCT pair is verified
+    # once, with the vectors attached by two key joins against the
+    # one-row-per-id slice of the tagging (table 0 of the UNCAPPED
+    # tagging, so a cap never drops a verify row — every table carries
+    # the identical __nv).
+    cand = (
+        capped.select(F.col(id_col).alias("id_a"), "__tbl", "__bucket")
+        .join(
+            capped.select(F.col(id_col).alias("id_b"), "__tbl", "__bucket"),
+            on=["__tbl", "__bucket"],
+        )
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    nv = tagged.filter(F.col("__tbl") == 0).select(id_col, "__nv")
+    # HOF dot, not dot_unrolled (r16, measured in situ): over the
+    # CHECKPOINTED normalized vectors the 64-term unrolled chain runs
+    # ~8× SLOWER than the aggregate/zip_with fold (7.4 s vs 0.9 s on
+    # the 818k-pair verify at sf0.1) — the giant generated method
+    # falls out of JIT compilation in this join shape while the fold's
+    # tight loop stays hot.  Same left-to-right accumulation, so the
+    # values are bit-identical (the dot/dot_unrolled equivalence pin).
+    sim = dot(F.col("__va"), F.col("__vb"))
+    return (
+        cand.join(
+            nv.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va")),
+            "id_a",
+        )
+        .join(
+            nv.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb")),
+            "id_b",
+        )
         .withColumn("cosine_sim", F.round(sim, 6))
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
-        .distinct()
     )
 
 
@@ -587,65 +616,71 @@ def embedding_incremental_pairs_split(
     pairs, cross-batch pairs (as least/greatest), and batch-2-internal
     pairs, each set distinct (the sets are disjoint by construction:
     a pair's membership is determined by its endpoints' split sides).
+
+    Candidate joins carry IDS ONLY and dedup BEFORE the verify, and
+    the verify uses the HOF dot — the same two in-situ measurements
+    as :func:`embedding_cosine_pairs_bucketed` (cosine is functional
+    on the pair, so per-set distinct∘filter∘verify ≡
+    filter∘verify∘distinct; values bit-identical).
     """
-    from square_etl_spark.operators.similarity import dot_unrolled
+    from square_etl_spark.operators.similarity import dot
 
     tagged = _lsh_tag(
         df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
     ).localCheckpoint(eager=False)
     t1 = tagged.filter(~batch2_pred)
     t2 = tagged.filter(batch2_pred)
+    nv = tagged.filter(F.col("__tbl") == 0).select(id_col, "__nv")
+    va = nv.select(F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"))
+    vb = nv.select(F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"))
+    sim = dot(F.col("__va"), F.col("__vb"))
 
-    def _within(t: DataFrame) -> DataFrame:
-        a = t.select(
-            F.col(id_col).alias("id_a"), F.col("__nv").alias("__va"),
-            "__tbl", "__bucket",
-        )
-        b = t.select(
-            F.col(id_col).alias("id_b"), F.col("__nv").alias("__vb"),
-            "__tbl", "__bucket",
-        )
+    def _verify(cand: DataFrame) -> DataFrame:
         return (
-            a.join(b, on=["__tbl", "__bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn(
-                "cosine_sim",
-                F.round(dot_unrolled(F.col("__va"), F.col("__vb"), dim), 6),
-            )
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn("cosine_sim", F.round(sim, 6))
             .filter(F.col("cosine_sim") >= threshold)
             .select("id_a", "id_b", "cosine_sim")
-            .distinct()
         )
 
-    new = t2.select(
-        F.col(id_col).alias("__new_id"), F.col("__nv").alias("__vn"),
-        "__tbl", "__bucket",
-    )
-    old = t1.select(
-        F.col(id_col).alias("__old_id"), F.col("__nv").alias("__vo"),
-        "__tbl", "__bucket",
-    )
-    cross = (
-        new.join(old, on=["__tbl", "__bucket"])
-        .filter(F.col("__new_id") != F.col("__old_id"))
-        .withColumn(
-            "cosine_sim",
-            F.round(dot_unrolled(F.col("__vn"), F.col("__vo"), dim), 6),
+    def _within(t: DataFrame) -> DataFrame:
+        cand = (
+            t.select(F.col(id_col).alias("id_a"), "__tbl", "__bucket")
+            .join(
+                t.select(F.col(id_col).alias("id_b"), "__tbl", "__bucket"),
+                on=["__tbl", "__bucket"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
         )
-        .filter(F.col("cosine_sim") >= threshold)
+        return _verify(cand)
+
+    # cross-batch probe: the index relation is t1's slice of the
+    # shared tagging, the probe batch is t2's — candidates as id
+    # pairs, normalized to (least, greatest) BEFORE the verify (the
+    # old shape computed the cosine on (new, old) and then swapped;
+    # the dot is symmetric, so verifying the normalized pair is the
+    # same value)
+    cross_cand = (
+        t2.select(F.col(id_col).alias("__new_id"), "__tbl", "__bucket")
+        .join(
+            t1.select(F.col(id_col).alias("__old_id"), "__tbl", "__bucket"),
+            on=["__tbl", "__bucket"],
+        )
+        .filter(F.col("__new_id") != F.col("__old_id"))
         .select(
-            F.col("__new_id").alias("new_id"),
-            F.col("__old_id").alias("old_id"),
-            "cosine_sim",
+            F.least("__new_id", "__old_id").alias("id_a"),
+            F.greatest("__new_id", "__old_id").alias("id_b"),
         )
         .distinct()
-        .select(
-            F.least("new_id", "old_id").alias("id_a"),
-            F.greatest("new_id", "old_id").alias("id_b"),
-            "cosine_sim",
-        )
     )
-    return _within(t1).unionByName(cross).unionByName(_within(t2))
+    return (
+        _within(t1)
+        .unionByName(_verify(cross_cand))
+        .unionByName(_within(t2))
+    )
 
 
 def semantic_contamination_pairs(
@@ -737,33 +772,50 @@ def semantic_contamination_pairs_split(
     analysis/codegen of the bits×tables literal plane chains, which
     is a scale-independent constant the two-relation form pays twice
     (SCALING.md r12).  Results are identical to calling
-    semantic_contamination_pairs on the two filtered sides."""
-    from square_etl_spark.operators.similarity import dot_unrolled
+    semantic_contamination_pairs on the two filtered sides.
+
+    Candidates join as ID PAIRS and dedup BEFORE the exact verify,
+    which runs as the HOF dot over vectors fetched by key — the same
+    two in-situ r16 measurements as
+    :func:`embedding_cosine_pairs_bucketed` (cosine is functional on
+    the pair, so the output set is unchanged)."""
+    from square_etl_spark.operators.similarity import dot
 
     tagged = _lsh_tag(
         df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
     ).localCheckpoint(eager=False)
     probe = tagged.filter(~bench_pred).select(
-        F.col(id_col).alias("corpus_id"),
-        F.col("__nv").alias("__va"),
-        "__tbl", "__bucket",
+        F.col(id_col).alias("corpus_id"), "__tbl", "__bucket"
     )
     index = tagged.filter(bench_pred).select(
-        F.col(id_col).alias("bench_id"),
-        F.col("__nv").alias("__vb"),
-        "__tbl", "__bucket",
+        F.col(id_col).alias("bench_id"), "__tbl", "__bucket"
     )
     if bucket_cap is not None:
         probe = _cap_hot_buckets(probe, bucket_cap)
-    sim = dot_unrolled(F.col("__va"), F.col("__vb"), dim)
-    return (
+    cand = (
         probe.join(index, on=["__tbl", "__bucket"])
-        .select(
-            "corpus_id", "bench_id",
-            F.round(sim, 6).alias("cosine_sim"),
+        .select("corpus_id", "bench_id")
+        .distinct()
+    )
+    nv = tagged.filter(F.col("__tbl") == 0).select(id_col, "__nv")
+    return (
+        cand.join(
+            nv.select(
+                F.col(id_col).alias("corpus_id"), F.col("__nv").alias("__va")
+            ),
+            "corpus_id",
+        )
+        .join(
+            nv.select(
+                F.col(id_col).alias("bench_id"), F.col("__nv").alias("__vb")
+            ),
+            "bench_id",
+        )
+        .withColumn(
+            "cosine_sim", F.round(dot(F.col("__va"), F.col("__vb")), 6)
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .distinct()
+        .select("corpus_id", "bench_id", "cosine_sim")
     )
 
 
@@ -952,11 +1004,7 @@ def incremental_semantic_dedup(
         kmeans_assign_arrow,
         kmeans_assign_exact,
     )
-    from square_etl_spark.operators.similarity import (
-        dot,
-        dot_unrolled,
-        normalize,
-    )
+    from square_etl_spark.operators.similarity import dot, normalize
 
     if arrow_assign:
         assign = kmeans_assign_arrow(batch, centroids, id_col, vec_col)
@@ -974,11 +1022,11 @@ def incremental_semantic_dedup(
         .localCheckpoint(eager=False)
     )
     others = tagged if state is None else state.unionByName(tagged)
-    sim = (
-        dot_unrolled(F.col("__va"), F.col("__vb"), dim)
-        if dim is not None
-        else dot(F.col("__va"), F.col("__vb"))
-    )
+    # HOF dot regardless of dim (r16): over the checkpointed
+    # normalized vectors the unrolled chain falls out of JIT in the
+    # pair-join shape — see embedding_cosine_pairs_bucketed (values
+    # bit-identical, same accumulation order)
+    sim = dot(F.col("__va"), F.col("__vb"))
     pruned = (
         others.select(F.col("vid").alias("id_a"), F.col("__nv").alias("__va"), "c")
         .join(
@@ -1061,11 +1109,7 @@ def semantic_dedup(
     at 256-d dominates the whole path — measured in
     tools/scaling_r09c.py (113.8 s vs 50.9 s at 160 k vectors).
     """
-    from square_etl_spark.operators.similarity import (
-        dot,
-        dot_unrolled,
-        normalize,
-    )
+    from square_etl_spark.operators.similarity import dot, normalize
 
     if centroids is not None:
         # fit-once/assign-many: blocks come from the STORED centroid
@@ -1113,11 +1157,11 @@ def semantic_dedup(
     b = tagged.select(
         F.col("vid").alias("id_b"), F.col("__nv").alias("__vb"), "c"
     )
-    sim = (
-        dot_unrolled(F.col("__va"), F.col("__vb"), dim)
-        if dim is not None
-        else dot(F.col("__va"), F.col("__vb"))
-    )
+    # HOF dot regardless of dim (r16): over the checkpointed
+    # normalized vectors the unrolled chain falls out of JIT in the
+    # pair-join shape — see embedding_cosine_pairs_bucketed (values
+    # bit-identical, same accumulation order)
+    sim = dot(F.col("__va"), F.col("__vb"))
     pruned = (
         a.join(b, "c")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -183,12 +183,47 @@ def test_codes_probe_scans_only_codes_and_broadcasts_rescore(spark, sf_dir, tmp_
 
 
 def test_gif_decode_is_map_only_no_blob_shuffle(spark, sf_dir):
-    """The constructed-blob GIF decode is scan → project → mapInPandas:
-    no Exchange anywhere, so blobs never ride a shuffle — the 100 TB
-    posture for decode stages."""
+    """The constructed-blob GIF decode is scan → project → mapInPandas,
+    with at most decode_media's conditional FAN-OUT exchange (r16): on
+    an input narrower than defaultParallelism the pure-Python decode
+    would otherwise run on one task, so exactly one ROUND-ROBIN
+    repartition is allowed below the decode; no hash/range exchange
+    may ever carry blobs, and on a many-partition input (the 100 TB
+    case) the fan-out is a no-op — pinned by the second assertion
+    block."""
     plan = _plan(queries()["multimodal_decode_gif_frames"](spark, sf_dir))
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    # only the fan-out's round-robin exchange is tolerated — blobs
+    # must never ride a hash/range (key) exchange
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
+    # wide input ⇒ no exchange at all (the conditional is a no-op —
+    # the 100 TB case, where inputs arrive many-partition)
+    from pyspark.sql import functions as F
+
+    from square_etl_spark.operators.multimodal import decode_media
+
+    par = spark.sparkContext.defaultParallelism
+    wide = (
+        spark.range(par * 4)
+        .repartition(par)
+        .select(
+            F.col("id").alias("media_id"),
+            F.lit(bytearray(b"P6\n1 1\n255\n\x00\x00\x00")).alias("content"),
+            F.struct(
+                F.lit("image").alias("media_type"),
+                F.lit("ppm").alias("format"),
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit(None).cast("string").alias("uri"),
+            ).alias("meta"),
+        )
+        .localCheckpoint(eager=True)  # cut the repartition from the plan
+    )
+    wide_plan = _plan(decode_media(wide))
+    assert "Exchange" not in wide_plan
 
 
 def test_probe_then_decode_semi_join_feeds_decode(spark, sf_dir):
