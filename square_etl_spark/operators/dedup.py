@@ -774,48 +774,46 @@ def semantic_contamination_pairs_split(
     (SCALING.md r12).  Results are identical to calling
     semantic_contamination_pairs on the two filtered sides.
 
-    Candidates join as ID PAIRS and dedup BEFORE the exact verify,
-    which runs as the HOF dot over vectors fetched by key — the same
-    two in-situ r16 measurements as
-    :func:`embedding_cosine_pairs_bucketed` (cosine is functional on
-    the pair, so the output set is unchanged)."""
-    from square_etl_spark.operators.similarity import dot
+    The verify CARRIES the unit vectors through the one (table,
+    bucket) join and dedups AFTER it — deliberately NOT the ids-only
+    candidates + re-attach joins that win inside
+    :func:`embedding_incremental_pairs_split` (r17 adjudication of
+    the r16 rewrite; driver-confirmed 2.4× regression, quiet-box
+    isolated medians 4.4 s ids-only vs 2.9 s carried, raw spread 5×
+    vs ≤1.3×): this probe is ASYMMETRIC — the index side is
+    |bench| = corpus/97, the join output is |bench|-bounded (~21k
+    rows at sf0.1), so there is no multi-table candidate explosion
+    for a pre-verify distinct to collapse, and the two extra
+    re-attach shuffle joins plus a third checkpoint consumer cost
+    strictly more than the payload bytes they save.  The ids-only
+    shape is the right one only when candidate multiplicity is high
+    (the within-batch SELF-joins)."""
+    from square_etl_spark.operators.similarity import dot_unrolled
 
     tagged = _lsh_tag(
         df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
     ).localCheckpoint(eager=False)
     probe = tagged.filter(~bench_pred).select(
-        F.col(id_col).alias("corpus_id"), "__tbl", "__bucket"
+        F.col(id_col).alias("corpus_id"),
+        F.col("__nv").alias("__va"),
+        "__tbl", "__bucket",
     )
     index = tagged.filter(bench_pred).select(
-        F.col(id_col).alias("bench_id"), "__tbl", "__bucket"
+        F.col(id_col).alias("bench_id"),
+        F.col("__nv").alias("__vb"),
+        "__tbl", "__bucket",
     )
     if bucket_cap is not None:
         probe = _cap_hot_buckets(probe, bucket_cap)
-    cand = (
-        probe.join(index, on=["__tbl", "__bucket"])
-        .select("corpus_id", "bench_id")
-        .distinct()
-    )
-    nv = tagged.filter(F.col("__tbl") == 0).select(id_col, "__nv")
+    sim = dot_unrolled(F.col("__va"), F.col("__vb"), dim)
     return (
-        cand.join(
-            nv.select(
-                F.col(id_col).alias("corpus_id"), F.col("__nv").alias("__va")
-            ),
-            "corpus_id",
-        )
-        .join(
-            nv.select(
-                F.col(id_col).alias("bench_id"), F.col("__nv").alias("__vb")
-            ),
-            "bench_id",
-        )
-        .withColumn(
-            "cosine_sim", F.round(dot(F.col("__va"), F.col("__vb")), 6)
+        probe.join(index, on=["__tbl", "__bucket"])
+        .select(
+            "corpus_id", "bench_id",
+            F.round(sim, 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
-        .select("corpus_id", "bench_id", "cosine_sim")
+        .distinct()
     )
 
 
