@@ -254,7 +254,21 @@ def nb_predictions(
     precedent); ranking windows partition by the DOC KEY — maximally
     parallel, never global.  Zero-token documents have no posterior
     (nothing to condition on) and drop out, documented here.
+
+    The sufficient-statistics relation is materialized ONCE up front
+    (r17, guide §5): ``nb_model`` derives FOUR subtrees from it
+    (doc-count rows, vocabulary size, per-label token mass, token
+    premiums) and without materialization each one replays the whole
+    tokenize→groupBy training pass over the corpus — the
+    classify_nb_confusion before-plan carried 14 parquet scans (20
+    for the two-batch incremental fold) where three would do.  The
+    relation itself is (vocab × labels)-bounded, so the checkpoint is
+    model-sized, never corpus-sized; localCheckpoint(eager=True), not
+    persist(), for the usual ContextCleaner-release reason
+    (text._gated_model_join).  Values unchanged: same relation, read
+    from blocks instead of recomputed.
     """
+    counts = counts.localCheckpoint(eager=True)
     consts, adj = nb_model(counts, smoothing)
     toks = _tokens(df, id_col, text_col, feature)
     lens = toks.groupBy(id_col).agg(

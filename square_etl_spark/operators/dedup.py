@@ -2782,6 +2782,7 @@ def incremental_substring_dedup(
     id_col: str = "doc_id",
     content_col: str = "text",
     window_tokens: int = 50,
+    base: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """:func:`substring_dedup` against an EXISTING window-hash state —
     the continuous-crawl twin, mirroring
@@ -2798,8 +2799,21 @@ def incremental_substring_dedup(
     batches ≡ one-shot :func:`substring_dedup` exactly (shared
     oracle of ``dedup_incremental_substring``); arbitrary-order
     ingest gives batch-then-(id, pos) precedence, the
-    incremental_exact_dedup convention."""
-    base = _substring_base(batch, id_col, content_col, window_tokens)
+    incremental_exact_dedup convention.
+
+    ``base`` (r17): a precomputed, already-materialized
+    :func:`_substring_base` relation of THIS batch, for callers whose
+    batches are SPLITS of one relation (the registered query's three
+    doc_id ranges): tokenize+hash is row-wise, so filter∘base ≡
+    base∘filter and the caller can tag the whole corpus once
+    (ONE eager checkpoint, one tokenize scan) and hand each fold its
+    filtered slice — the embedding_incremental_pairs_split shared-
+    tagging pattern (guide §2.4/§5).  When provided it must equal
+    ``_substring_base(batch, id_col, content_col, window_tokens)``
+    relation-for-relation (pinned in tests); output is then identical
+    row-for-row to the batch-at-a-time path."""
+    if base is None:
+        base = _substring_base(batch, id_col, content_col, window_tokens)
     wins = base.select(id_col, F.posexplode("__wh").alias("pos", "whash"))
     # same skew-guarded first-occurrence aggregate as substring_dedup:
     # map-side-combinable min(struct), never a whash-partitioned rank

@@ -542,8 +542,16 @@ def topk_from_codes(
         .filter(F.col("__crank") <= k * rescore_factor)
         .select(query_id_col, id_col)
     )
+    # Broadcast the CANDIDATES so the corpus-sized vectors table is
+    # the STREAM side of the rescore join.  Without the hint the
+    # planner broadcast the raw vectors scan (r17 before-plan,
+    # BroadcastHashJoin BuildRight over the whole embeddings table):
+    # workable at sf0.1, impossible at real corpus scale, and it
+    # rebuilt a corpus-sized hashed relation on every probe.
     exact = (
-        cands.join(vectors, on=id_col)
+        # bcast-ok: candidate set is ≤ k·rescore_factor·|queries| rows
+        # BY CONSTRUCTION (the row_number filter above)
+        vectors.join(F.broadcast(cands), on=id_col)
         # bcast-ok: ANN query set rejoin for exact rescoring, ≪ corpus
         .join(F.broadcast(queries), on=query_id_col)
         .withColumn(

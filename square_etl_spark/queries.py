@@ -13499,20 +13499,39 @@ def _incr_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched as 8-byte hashes only — and the unioned batch outputs
     equal the one-shot dedup_substring_exact EXACTLY (shared
     oracle)."""
-    from square_etl_spark.operators.dedup import incremental_substring_dedup
+    from square_etl_spark.operators.dedup import (
+        _substring_base,
+        incremental_substring_dedup,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    n = d.count()
+    # r17 (guide §2.4/§5, the embedding_incremental_pairs_split
+    # pattern): the three batches are doc_id-range SPLITS of one
+    # relation and _substring_base is row-wise, so the corpus is
+    # tokenized+window-hashed ONCE (one eager checkpoint instead of
+    # three) and each fold receives its filtered slice — filter∘base
+    # ≡ base∘filter, output identical row-for-row (pinned in
+    # tests/test_dedup_text.py).  The corpus row count rides the
+    # already-materialized base (same count — base keeps every row)
+    # instead of a separate parquet scan job.
+    base_all = _substring_base(d, "doc_id", "text", 20)
+    n = base_all.count()
     cuts = [0, n // 3, 2 * n // 3, n + 1]
     state, out = None, None
     for i in range(3):
-        batch = d.filter(
-            (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+        pred = (F.col("doc_id") >= cuts[i]) & (
+            F.col("doc_id") < cuts[i + 1]
         )
         cleaned, state = incremental_substring_dedup(
-            state, batch, "doc_id", "text", window_tokens=20
+            state, d.filter(pred), "doc_id", "text",
+            window_tokens=20, base=base_all.filter(pred),
         )
-        state = state.localCheckpoint(eager=True)
+        if i < 2:
+            # the fold after this one consumes state twice (seen
+            # anti-join + union) — materialize; the LAST state is
+            # never consumed (the query returns cleaned batches
+            # only), so its checkpoint was a dead eager job
+            state = state.localCheckpoint(eager=True)
         out = cleaned if out is None else out.unionByName(cleaned)
     return out
 
@@ -15269,8 +15288,17 @@ def _pipeline_classified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole NB train+inference chain over the corpus, i.e. three
     # tokenize+model-join passes where one suffices (guide §5:
     # reuse × recompute cost).  Values unchanged.
-    gated = cls.nb_gate(d, counts, "en", min_margin=0.0).localCheckpoint(
-        eager=False
+    # r17 (verdict item 4 — the [6.8, 5.7, 27.4] raw spread): the
+    # checkpoint stores ONLY the three columns the mix consumes
+    # (doc_id, source, n_chars) instead of the full document width —
+    # nb_gate passes text through, so the eager=False blocks held the
+    # whole corpus text and squatted storage memory against the three
+    # racing consumers.  eager=True lands the materialization cost in
+    # one job instead of whichever consumer's action fires first.
+    gated = (
+        cls.nb_gate(d, counts, "en", min_margin=0.0)
+        .select("doc_id", "source", "n_chars")
+        .localCheckpoint(eager=True)
     )
     mixed = temperature_mix_waterfill(
         gated, "source", "n_chars", ["doc_id"],

@@ -1391,6 +1391,39 @@ def test_incremental_substring_fold_equals_one_shot(spark, sf_dir):
     assert got == one
 
 
+def test_incremental_substring_shared_base_equals_per_batch(spark, sf_dir):
+    """The r17 split path — one _substring_base over the whole
+    relation, each fold fed its filtered slice — is row-for-row the
+    batch-at-a-time path (tokenize+hash is row-wise, so filter∘base ≡
+    base∘filter).  This is the equivalence the registered
+    dedup_incremental_substring query now leans on."""
+    from square_etl_spark.io import load_table
+    from square_etl_spark.operators.dedup import (
+        _substring_base,
+        incremental_substring_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    base_all = _substring_base(d, "doc_id", "text", 10)
+
+    def run(shared: bool) -> set:
+        state, got = None, set()
+        for lo, hi in ((0, 30), (30, 60), (60, 90)):
+            pred = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            cleaned, state = incremental_substring_dedup(
+                state, d.filter(pred), window_tokens=10,
+                base=base_all.filter(pred) if shared else None,
+            )
+            state = state.localCheckpoint(eager=True)
+            got |= {
+                (r["doc_id"], r["n_words"], r["n_kept"], r["cleaned_text"])
+                for r in cleaned.collect()
+            }
+        return got
+
+    assert run(shared=True) == run(shared=False)
+
+
 def test_corpus_clean_with_substring_composes(spark, sf_dir):
     """The optional pipeline stage equals substring_dedup applied to
     the clean survivor set."""
