@@ -286,9 +286,21 @@ def _lsh_tag(
     seed: int,
     out_id: str,
     out_vec: str,
+    vec_table0_only: bool = False,
 ) -> DataFrame:
     """The shared sign-LSH tagging relation ``(out_id, out_vec, __tbl,
     __bucket)`` behind the embedding near-dup/decontamination family.
+
+    ``vec_table0_only`` (r17, guide §5): emit the normalized vector on
+    the TABLE-0 rows only (NULL elsewhere) for callers that verify by
+    key re-attach against the ``__tbl = 0`` slice rather than
+    in-bucket — a localCheckpoint of the tagging materializes every
+    column, so carrying the ~512-byte unit vector on all ``n_tables``
+    rows multiplied the checkpoint's storage footprint 8× for bytes
+    no consumer ever read (the within-JVM spread on the heavy
+    embedding-dedup paths is storage-memory pressure).  Callers that
+    DO verify in-bucket (the stored-index probe, the asymmetric
+    contamination probe) keep the default.
 
     Shape (r12, measured on the hot-bucket sweep at 3.2M tagged
     rows):
@@ -318,9 +330,14 @@ def _lsh_tag(
 
     out = None
     for t in range(n_tables):
+        vec_expr = (
+            F.lit(None).cast("array<double>")
+            if vec_table0_only and t > 0
+            else normalize(F.col(vec_col))
+        )
         branch = df.select(
             F.col(id_col).alias(out_id),
-            normalize(F.col(vec_col)).alias(out_vec),
+            vec_expr.alias(out_vec),
             F.lit(t).alias("__tbl"),
             lsh_bucket(
                 vec_col, random_hyperplanes(dim, bits, seed + t)
@@ -396,8 +413,14 @@ def embedding_cosine_pairs_bucketed(
     # checkpoint stores tagged partitioned by INPUT rows, never
     # concentrating a hot bucket on one task the way the window's
     # hash exchange did.
+    # vec_table0_only: the verify below re-attaches vectors from the
+    # table-0 slice by key, so tables 1..n-1 store a NULL vector — the
+    # checkpoint materializes every column, and carrying the unit
+    # vector on all 8 table rows multiplied its storage footprint 8×
+    # for bytes nothing read (r17, §5).
     tagged = _lsh_tag(
-        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
+        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv",
+        vec_table0_only=True,
     ).localCheckpoint(eager=False)
     capped = (
         _cap_hot_buckets(tagged, bucket_cap)
@@ -416,8 +439,9 @@ def embedding_cosine_pairs_bucketed(
     # dedup as 16-byte id pairs and each DISTINCT pair is verified
     # once, with the vectors attached by two key joins against the
     # one-row-per-id slice of the tagging (table 0 of the UNCAPPED
-    # tagging, so a cap never drops a verify row — every table carries
-    # the identical __nv).
+    # tagging, so a cap never drops a verify row; with
+    # vec_table0_only the table-0 slice is also the only one storing
+    # a vector).
     cand = (
         capped.select(F.col(id_col).alias("id_a"), "__tbl", "__bucket")
         .join(
@@ -625,8 +649,12 @@ def embedding_incremental_pairs_split(
     """
     from square_etl_spark.operators.similarity import dot
 
+    # vec_table0_only: all three verifies re-attach vectors from the
+    # table-0 slice by key (see embedding_cosine_pairs_bucketed) — an
+    # 8×-narrower checkpoint for the same consumed bytes (r17, §5).
     tagged = _lsh_tag(
-        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv"
+        df, id_col, vec_col, dim, bits, n_tables, seed, id_col, "__nv",
+        vec_table0_only=True,
     ).localCheckpoint(eager=False)
     t1 = tagged.filter(~batch2_pred)
     t2 = tagged.filter(batch2_pred)
