@@ -2563,19 +2563,22 @@ def ngram_jaccard_prefix(
         .filter(F.size("sh") > 0)
         .localCheckpoint(eager=True)
     )
-    post = sh_arr.select(id_col, F.explode("sh").alias("shingle"))
+    # __n rides the explode as size(sh) — sh is array_distinct'd, so
+    # the per-doc posting count IS the array length; the old
+    # count() OVER (PARTITION BY id) window recomputed a value the
+    # array already knew (r17: one Window node fewer on the ranked
+    # exchange).
+    post = sh_arr.select(
+        id_col,
+        F.size("sh").alias("__n"),
+        F.explode("sh").alias("shingle"),
+    )
     dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        post.join(dfreq, "shingle")
-        .withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("df", "shingle")
-            ),
-        )
-        .withColumn(
-            "__n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-        )
+    ranked = post.join(dfreq, "shingle").withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("df", "shingle")
+        ),
     )
     prefix = (
         ranked.filter(
@@ -2597,15 +2600,18 @@ def ngram_jaccard_prefix(
     )
     sa = sh_arr.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh_arr.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # |A∪B| = |A| + |B| − |A∩B| exactly (both arrays are
+    # array_distinct'd sets), so the union is never materialized —
+    # one array op per pair instead of two, same integer operands,
+    # bit-identical division (r17).
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cands.join(sa, on="id_a")
         .join(sb, on="id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
