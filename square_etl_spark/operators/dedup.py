@@ -1491,10 +1491,27 @@ def simhash_signatures(
     ``explode_outer`` keeps token-less documents: their single NULL
     hash row votes −1 on every bit (``getbit(NULL)`` is NULL → the
     CASE's else branch), so no vote is positive and the signature is
-    0 — exactly :func:`simhash64`'s empty-array fold."""
-    toks = df.select(
-        F.col(id_col),
-        F.explode_outer(simhash_word_hashes(content_col)).alias("__h"),
+    0 — exactly :func:`simhash64`'s empty-array fold.
+
+    The 64-bit token hash is computed AFTER the explode (r17): inside
+    :func:`simhash_word_hashes`'s ``transform`` lambda it runs as
+    interpreted HOF eval with ``md5(t)`` re-evaluated for each 32-bit
+    half (the r12 capture rule — a lambda re-evaluates its subtree
+    per reference); as a plain projection over the exploded token it
+    whole-stage-codegens with common-subexpression elimination, one
+    md5 per token.  Values identical: same tokens (explode_outer of
+    the filtered split), same per-token arithmetic, and a token-less
+    doc's NULL token row hashes to NULL exactly like the old NULL
+    hash row (pinned by the relation≡column-spec test)."""
+    words = F.filter(
+        F.split(F.trim(F.col(content_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    raw = df.select(F.col(id_col), F.explode_outer(words).alias("__w"))
+    hi = F.conv(F.substring(F.md5(F.col("__w")), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(F.col("__w")), 9, 8), 16, 10).cast("long")
+    toks = raw.select(
+        F.col(id_col), F.shiftleft(hi, 32).bitwiseOR(lo).alias("__h")
     )
     votes = toks.groupBy(id_col).agg(
         *[
@@ -1766,15 +1783,16 @@ def minhash_banded_pairs(
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # |A∪B| = |A| + |B| − |A∩B| on the distinct shingle sets — same
+    # integers, bit-identical division, one array op per pair (r17)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     verified = (
         cands.join(sa, on="id_a")
         .join(sb, on="id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -2194,15 +2212,16 @@ def minhash_probe(
     sb = index_shingles.select(
         F.col(id_col).alias("old_id"), F.col("sh").alias("sh_b")
     )
+    # |A∪B| arithmetic over the distinct stored shingle sets — see
+    # minhash_banded_pairs (r17)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cands.join(sa, on="new_id")
         .join(sb, on="old_id")
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
+                inter / (F.size("sh_a") + F.size("sh_b") - inter), 6
             ),
         )
         .filter(F.col("jaccard") >= threshold)
