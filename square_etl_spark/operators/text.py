@@ -1209,6 +1209,13 @@ def bpe_token_counts(
     """
     pre = bpe_pretokens if alphabet == "char" else bpe_byte_pretokens
     toks = df.select(F.col(id_col), F.explode(pre(text_col)).alias("__w"))
+    # NOT checkpointed (r17, measured): per_word is consumed twice
+    # (vocab derivation + final join), but materializing the
+    # (doc, word, n) relation through the block store A/B'd 1.36 →
+    # 1.88 s on text_bpe_bytes_tokens — the re-run explode+groupBy is
+    # cheaper than writing+reading corpus-vocabulary-sized blocks.
+    # The vocabulary-sized checkpoint that DOES pay lives inside
+    # bpe_encode_ids (distinct pre-tokens only).
     per_word = toks.groupBy(id_col, "__w").agg(
         F.count(F.lit(1)).cast("long").alias("__n")
     )
@@ -1422,7 +1429,12 @@ def bpe_encode_ids(
     pre = df.select(
         F.col(id_col), F.posexplode(pretok(text_col)).alias("widx", "word")
     )
-    vocab = pre.select("word").distinct()
+    # vocabulary-sized checkpoint (r17, guide §5): vocab feeds BOTH
+    # the merge-fold chain and the char-id table below — without it
+    # each consumer re-ran the corpus pretokenize + distinct (three
+    # full regex passes where two suffice; the relation itself is
+    # distinct pre-tokens, sub-linear in corpus size)
+    vocab = pre.select("word").distinct().localCheckpoint(eager=True)
     applied = bpe_apply_vocab(
         vocab, max_rounds=max_rounds, merges=mlist, alphabet=alphabet
     )
