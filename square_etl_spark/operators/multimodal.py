@@ -2771,7 +2771,19 @@ def decode_media(
     fewer partitions than the cluster's default parallelism, fan out
     first; at real corpus scale the input is already many-partition
     and this is a no-op, so no payload shuffle is added where it
-    matters."""
+    matters.
+
+    Known limits of the conditional (r17, ADVICE): (a)
+    ``media.rdd.getNumPartitions()`` compiles the upstream physical
+    plan once per call — acceptable here because decode stages are
+    constructed once per pipeline, not per row/batch; (b) it observes
+    the PRE-AQE initial partitioning, so an input that is wide at
+    plan time but AQE-coalesced at runtime is not floored — that
+    input had enough source splits for the scheduler to re-widen
+    (AQE coalesces only small partitions), while the case the floor
+    exists for (one narrow file scan / single row group) IS visible
+    pre-AQE.  The wide-input zero-Exchange posture and the narrow-
+    input RoundRobin fan-out are both pinned in tests/test_plans.py."""
     import pandas as pd
 
     par = media.sparkSession.sparkContext.defaultParallelism
