@@ -15466,64 +15466,62 @@ _register(
 )
 
 
-# Round-16 head: rotation.py's recommendation verbatim (r15 verdict
-# item 1) — the FULL r10-stale cohort (15: the rollup/SCD2/pipeline
-# family plus the whole BPE composition chain) oldest-first, then the
-# 34 oldest r11-stale queries (the TPC-H band, the P4/P5/P7
-# projections, CDC/as-of/range joins, multimodal decode trio), anchor
-# last = 50.  The registration freeze holds (255 → +0), so there are
-# no never-checked slots; the remaining 10 r11 queries stay inside the
-# arithmetic freshness window and rotate next round.
+# Round-17 head: rotation.py's recommendation verbatim (r16 verdict
+# item 9) — every query whose operator was perf-refactored in r16/r17
+# first (refresh queue: the NB family, the dedup/minhash/simhash
+# verifies, the substring fold, the ANN codes probe, the doremi/DSIR
+# family, decode_jpeg, classified/decontaminate pipelines), then the
+# r11/r12-stale cohort oldest-first, anchor last = 50.
 _CHECK_PRIORITY: list[str] = [
-    "incremental_rollup_revenue",
-    "scd2_customer_segment",
-    "pipeline_catalog",
-    "pipeline_inventory",
-    "pipeline_categories",
-    "pipeline_locations",
-    "dedup_semantic_incremental",
-    "text_bpe_train",
-    "text_bpe_train_incremental",
-    "text_bpe_train_apply",
-    "text_bpe_tokens",
     "text_bpe_encode_ids",
-    "pack_training_sequences_bpe",
-    "mix_temperature_bpe",
-    "pipeline_tokenize_pack",
-    "f2_json_extract",
-    "cdc_apply_events",
-    "sample_perplexity_buckets",
-    "multimodal_decode_bmp",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "approx_distinct_kmv",
-    "q5_local_supplier_volume",
-    "q4_priority_late_ship",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q13_custdist",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_pushdown",
-    "q22_dormant_rich",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q12_shipmode_priority",
-    "q16_supplier_counts",
-    "q20_excess_stock_suppliers",
-    "q8_market_share",
-    "q9_product_profit",
-    "agg_grouping_sets",
-    "p4_cast_guard_default",
-    "p5_literal_defaults",
-    "p7_type_dispatch",
-    "window_running_total",
-    "orders_above_cust_avg",
-    "join_semi_active",
-    "asof_join_clicks",
-    "range_join_binned",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_topk_quantized",
+    "ann_topk_codes",
+    "multimodal_decode_jpeg",
+    "dedup_embedding_incremental",
+    "dedup_decontaminate_semantic",
+    "dedup_decontaminate_fuzzy",
+    "dedup_jaccard_prefix",
+    "mix_doremi_sources",
+    "mix_doremi_incremental",
+    "dsir_weights_target_de",
+    "dedup_incremental_substring",
+    "classify_nb_predictions",
+    "classify_nb_confusion",
+    "classify_nb_gate_en",
+    "classify_nb_calibration",
+    "classify_nb_incremental",
+    "pipeline_classified_mix",
+    "sessionize_events",
+    "pivot_event_counts",
+    "mix_temperature_waterfill",
+    "mix_waterfill_epochs",
+    "mix_waterfill_incremental",
+    "pipeline_epoch_build",
+    "mix_doremi_waterfill",
+    "text_bpe_train_bytes",
+    "text_bpe_bytes_tokens",
+    "text_bpe_bytes_encode_ids",
+    "q1_pricing_summary",
+    "dedup_minhash_vs_ngram",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_ivfpq",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_bucketed",
+    "shard_assignment",
+    "decile_customer_acctbal",
+    "profile_orders_columns",
+    "corr_price_items",
+    "csv_ingest_orders",
+    "zorder_key_customers",
+    "skew_profile_event_users",
+    "arrow_group_median_dev",
+    "text_pii_redaction",
+    "funnel_conversion",
+    "retention_cohorts",
+    "streaks_user_activity",
     "flagship_star_revenue",
     # NOTE: exactly 50 entries above — the driver's per-round cap.
     # `python tools/rotation.py` audits this list against the
