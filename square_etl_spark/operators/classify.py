@@ -263,12 +263,17 @@ def nb_predictions(
     classify_nb_confusion before-plan carried 14 parquet scans (20
     for the two-batch incremental fold) where three would do.  The
     relation itself is (vocab × labels)-bounded, so the checkpoint is
-    model-sized, never corpus-sized; localCheckpoint(eager=True), not
-    persist(), for the usual ContextCleaner-release reason
-    (text._gated_model_join).  Values unchanged: same relation, read
-    from blocks instead of recomputed.
+    model-sized, never corpus-sized; localCheckpoint, not persist(),
+    for the usual ContextCleaner-release reason
+    (text._gated_model_join).  eager=False on purpose: the FIRST
+    consumer is _gated_model_join's own eager adj checkpoint, whose
+    materializing job then computes the training pass and persists
+    these blocks as a side effect — an eager=True here would add a
+    second sequential model-sized job for nothing (measured +0.3 s on
+    classify_nb_confusion at sf0.1).  Values unchanged: same
+    relation, read from blocks instead of recomputed.
     """
-    counts = counts.localCheckpoint(eager=True)
+    counts = counts.localCheckpoint(eager=False)
     consts, adj = nb_model(counts, smoothing)
     toks = _tokens(df, id_col, text_col, feature)
     lens = toks.groupBy(id_col).agg(
