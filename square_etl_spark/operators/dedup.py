@@ -624,9 +624,14 @@ def embedding_incremental_pairs_split(
 
     Equivalence (r16; the :func:`semantic_contamination_pairs_split`
     precedent): ``_lsh_tag`` is row-wise, so filter∘tag ≡ tag∘filter —
-    the batch-1 slice of the shared tagging IS
-    ``embedding_lsh_index(batch1)`` relation-for-relation, the batch-2
-    slice is the probe's batch tagging, and each within-batch slice is
+    the batch-1 slice of the shared tagging matches
+    ``embedding_lsh_index(batch1)`` on every column the joins and
+    verifies below consume (ids, tables, buckets, and the table-0
+    vectors; since r17 the shared tagging is vec_table0_only, so the
+    tables-1..n−1 ``__nv`` cells are NULL — do NOT substitute this
+    slice for a stored index feeding an IN-BUCKET verify like
+    :func:`embedding_lsh_probe`), the batch-2 slice is the probe's
+    batch tagging, and each within-batch slice is
     ``embedding_cosine_pairs_bucketed``'s tagging of that batch.  The
     three candidate joins and exact verifies below are those
     operators' own bodies (cap-free configuration), so the output is
@@ -2831,7 +2836,7 @@ def substring_dedup(
 
 def incremental_substring_dedup(
     state: DataFrame | None,
-    batch: DataFrame,
+    batch: DataFrame | None,
     id_col: str = "doc_id",
     content_col: str = "text",
     window_tokens: int = 50,
@@ -2864,9 +2869,19 @@ def incremental_substring_dedup(
     tagging pattern (guide §2.4/§5).  When provided it must equal
     ``_substring_base(batch, id_col, content_col, window_tokens)``
     relation-for-relation (pinned in tests); output is then identical
-    row-for-row to the batch-at-a-time path."""
+    row-for-row to the batch-at-a-time path.  Exactly one of
+    ``batch`` / ``base`` must be given — supplying both is rejected
+    (the batch would be silently ignored, masking a base/batch
+    mismatch the function cannot detect)."""
     if base is None:
+        if batch is None:
+            raise ValueError("provide exactly one of batch or base")
         base = _substring_base(batch, id_col, content_col, window_tokens)
+    elif batch is not None:
+        raise ValueError(
+            "base given: pass batch=None (a batch argument alongside "
+            "base would be silently ignored)"
+        )
     wins = base.select(id_col, F.posexplode("__wh").alias("pos", "whash"))
     # same skew-guarded first-occurrence aggregate as substring_dedup:
     # map-side-combinable min(struct), never a whash-partitioned rank

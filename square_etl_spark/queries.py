@@ -13523,7 +13523,7 @@ def _incr_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") < cuts[i + 1]
         )
         cleaned, state = incremental_substring_dedup(
-            state, d.filter(pred), "doc_id", "text",
+            state, None, "doc_id", "text",
             window_tokens=20, base=base_all.filter(pred),
         )
         if i < 2:

@@ -32,8 +32,6 @@ SLOW_TESTS = {
     "test_ivfpq_append_fold_law_and_probe_equivalence",
     "test_doremi_mix_budget_invariants",
     "test_bucketed_embedding_lsh_index_probe_zero_exchange_on_index",
-    "test_embedding_lsh_probe_fold_equals_one_shot",
-    "test_nb_predictions_match_python_reference",
     "test_budget_cap_budgets_mode_invariants",
     "test_epoch_repeat_equals_python_fold",
     "test_temperature_mix_epoch_cap_invariants",
@@ -50,7 +48,6 @@ SLOW_TESTS = {
     "test_pair_dedup_queries_never_go_quadratic",
     "test_group_median_even_and_odd_groups",
     "test_incremental_components_fold_merges_and_relabels",
-    "test_substring_dedup_equals_python_fold",
     "test_spatial_join_equals_brute_force_random",
     "test_result_invariant_to_shuffle_partitions[dedup_embedding_incremental]",
     "test_result_invariant_to_shuffle_partitions[ann_topk_ivfpq]",
@@ -61,9 +58,17 @@ SLOW_TESTS = {
     "test_epoch_repeat_materializes_data_constrained_stream",
     "test_span_dedup_equals_python_fold",
     "test_attrition_funnel_all_four_stages",
-    "test_codes_probe_scans_only_codes_and_broadcasts_rescore",
     "test_merge_idempotent_property",
 }
+# Deliberately NOT in the slow set despite sitting in the ≥7 s tail
+# (r17 review): these four pin the r17 rewrites themselves — the NB
+# counts checkpoint (test_nb_predictions_match_python_reference), the
+# topk_from_codes broadcast flip (test_codes_probe_scans_only_codes_
+# and_broadcasts_rescore), the vec_table0_only tagging family
+# (test_embedding_lsh_probe_fold_equals_one_shot), and the substring
+# base shared by the split path (test_substring_dedup_equals_python_
+# fold) — so the driver-visible default run must keep covering them
+# (~50 s total, inside the window).
 
 
 def pytest_collection_modifyitems(config, items):

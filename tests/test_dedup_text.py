@@ -1411,7 +1411,8 @@ def test_incremental_substring_shared_base_equals_per_batch(spark, sf_dir):
         for lo, hi in ((0, 30), (30, 60), (60, 90)):
             pred = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             cleaned, state = incremental_substring_dedup(
-                state, d.filter(pred), window_tokens=10,
+                state, None if shared else d.filter(pred),
+                window_tokens=10,
                 base=base_all.filter(pred) if shared else None,
             )
             state = state.localCheckpoint(eager=True)
